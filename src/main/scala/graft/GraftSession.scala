@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the role of GPDB's postmaster/QD setup (reference:
+  * src/backend/tcop/postgres.c:1601 exec_simple_query) — but on Spark the
+  * "cluster" is the SparkSession: driver = QD, executors = QE gangs, shuffle
+  * = interconnect (reference: src/backend/cdb/motion/ic_udpifc.c).
+  *
+  * Scale posture: AQE on (runtime re-plan = ORCA's cost feedback loop),
+  * shuffle partitions sized for the local harness via env; on a real
+  * cluster this would be `spark.sql.adaptive.coalescePartitions` doing the
+  * sizing. Session timezone pinned UTC for deterministic timestamp
+  * semantics (GPDB `timezone` GUC analogue).
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Local session for tests/bench; master only set if not already running. */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(appName).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    spark
+  }
+
+  /** Apply graft session conf + function registrations to an existing
+    * session (e.g. the driver-created one passed into SparkEntry). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.PgFunctions.registerAll(spark)
+    spark
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the harness parquet directory.
+  *
+  * GPDB's catalog (pg_class + GpPolicy distribution metadata, reference:
+  * src/include/catalog/gp_policy.h:114-124) reduces on Spark to "a set of
+  * named Parquet-backed DataFrames": columnar storage (AOCS analogue,
+  * reference: src/backend/access/aocs/aocsam.c:1-14) is Parquet; the
+  * distribution policy is a physical property Catalyst derives per-query
+  * via EnsureRequirements rather than a fixed table property.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
+      // default; read the raw int64 nanos and truncate to micros (exactly
+      // what DuckDB does when it coerces nanos → its micro TIMESTAMP).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(path(dir, name))
+
+  /** Register every harness table as a temp view (idempotent, cheap —
+    * only parquet footers are read until an action runs). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Typed accessors for the common tables. */
+  final case class T(spark: SparkSession, dir: String) {
+    def region: DataFrame = load(spark, dir, "region")
+    def nation: DataFrame = load(spark, dir, "nation")
+    def customer: DataFrame = load(spark, dir, "customer")
+    def supplier: DataFrame = load(spark, dir, "supplier")
+    def part: DataFrame = load(spark, dir, "part")
+    def orders: DataFrame = load(spark, dir, "orders")
+    def lineitem: DataFrame = load(spark, dir, "lineitem")
+    def events: DataFrame = load(spark, dir, "events")
+    def documents: DataFrame = load(spark, dir, "documents")
+    def embeddings: DataFrame = load(spark, dir, "embeddings")
+  }
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2.4 aggregation: plain/hash agg, multi-stage partial/final
+  * (automatic in Spark — the analogue of GP's 2-stage agg planning,
+  * reference: src/backend/cdb/cdbgroup.c:116), DISTINCT aggregates,
+  * grouping sets/rollup/cube (reference: optimizer/plan/plangroupext.c:97),
+  * ordered-set aggs (utils/adt/orderedsetaggs.c), string_agg/array_agg
+  * with ORDER BY (array_userfuncs.c).
+  */
+object AggregateQueries {
+
+  // TPC-H Q1 aggregate block, shared by the DataFrame impl and oracle.
+  private val q1OracleSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Q.oSum("l_quantity")} AS sum_qty,
+       |  ${Q.oSum("l_extendedprice")} AS sum_base_price,
+       |  ${Q.oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${Q.oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${Q.oAvg("l_quantity")} AS avg_qty,
+       |  ${Q.oAvg("l_extendedprice")} AS avg_price,
+       |  ${Q.oAvg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // TPC-H Q1 — the flagship: scan → filter → partial agg → shuffle →
+    // final agg → sort (GP: SeqScan → Agg → Motion → Agg, cdbgroup.c).
+    Q("q1_agg", Some(q1OracleSql)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).lineitem
+        .filter($"l_shipdate" <= "2001-09-02")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Q.dsum($"l_quantity").as("sum_qty"),
+          Q.dsum($"l_extendedprice").as("sum_base_price"),
+          Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+          Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"))
+            .as("sum_charge"),
+          Q.davg($"l_quantity").as("avg_qty"),
+          Q.davg($"l_extendedprice").as("avg_price"),
+          Q.davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Global (no GROUP BY) agg — GP AGG_PLAIN strategy.
+    Q("q_agg_global", Some(
+      s"""SELECT count(*) AS n, ${Q.oSum("o_totalprice")} AS total,
+         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+         |  min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+         |FROM orders""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).orders.agg(
+        count(lit(1)).as("n"),
+        Q.dsum($"o_totalprice").as("total"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"),
+        min($"o_orderdate").as("first_d"),
+        max($"o_orderdate").as("last_d"))
+    },
+
+    // DISTINCT aggregates (DQA) — GP plans dedicated multi-stage DQA
+    // co-plans (cdbgroup.c:150); Catalyst: RewriteDistinctAggregates.
+    Q("q_agg_distinct", Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
+    Q("q_agg_dqa_multi", Some(
+      s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+         |  count(DISTINCT o_orderpriority) AS n_pri,
+         |  ${Q.oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders
+          .groupBy($"o_orderstatus")
+          .agg(countDistinct($"o_custkey").as("n_cust"),
+            countDistinct($"o_orderpriority").as("n_pri"),
+            Q.dsum($"o_totalprice").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
+    // GROUPING SETS → Catalyst Expand (GP: Agg/Repeat chain,
+    // plangroupext.c:97, nodeRepeat.c:43). Same SQL runs on both engines.
+    Q("q_agg_groupingsets", Some(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(
+          s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  ${Q.oSum("l_quantity")} AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    Q("q_agg_rollup", Some(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${Q.oSum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+          .orderBy($"o_orderstatus".asc_nulls_first,
+            $"o_orderpriority".asc_nulls_first)
+    },
+
+    Q("q_agg_cube", Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
+    },
+
+    // Statistical aggregates (pg_aggregate.h surface: stddev/var/corr/
+    // covar/regr_*) — rounded: both engines use merge-based moments.
+    Q("q_agg_stats", Some(
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_pop(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+        |  round(covar_pop(l_quantity, l_discount), 4) AS cov_qd,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+            round(var_pop($"l_quantity"), 4).as("var_qty"),
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qe"),
+            round(covar_pop($"l_quantity", $"l_discount"), 4).as("cov_qd"),
+            round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+            round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("icept"))
+          .orderBy("l_returnflag")
+    },
+
+    // min_by/max_by ≡ DuckDB arg_min/arg_max.
+    Q("q_agg_minmax_by", Some(
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+        |  max(o_totalprice) AS top_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders
+          .groupBy($"o_orderstatus")
+          .agg(max_by($"o_orderkey", $"o_totalprice").as("top_order"),
+            min_by($"o_orderkey", $"o_totalprice").as("bottom_order"),
+            max($"o_totalprice").as("top_price"))
+          .orderBy("o_orderstatus")
+    },
+
+    // bool_and/or + bit_and/or/xor (pg_aggregate.h DATA lines).
+    Q("q_agg_bool_bit", Some(
+      """SELECT l_returnflag,
+        |  bool_and(l_discount < 0.1) AS all_small_disc,
+        |  bool_or(l_quantity > 49) AS any_bulk,
+        |  bit_and(l_linenumber) AS band,
+        |  bit_or(l_linenumber) AS bor,
+        |  bit_xor(l_linenumber) AS bxor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(bool_and($"l_discount" < 0.1).as("all_small_disc"),
+            bool_or($"l_quantity" > 49).as("any_bulk"),
+            bit_and($"l_linenumber").as("band"),
+            bit_or($"l_linenumber").as("bor"),
+            bit_xor($"l_linenumber").as("bxor"))
+          .orderBy("l_returnflag")
+    },
+
+    // string_agg(x, ',' ORDER BY x) — ordered-input agg (GP: ordered
+    // transition, array_userfuncs.c). Spark: sort_array(collect_list).
+    Q("q_string_agg", Some(
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).nation
+          .groupBy($"n_regionkey")
+          .agg(array_join(array_sort(collect_list($"n_name")), ",").as("names"))
+          .orderBy("n_regionkey")
+    },
+
+    Q("q_array_agg", Some(
+      """SELECT c_mktsegment, array_agg(c_custkey ORDER BY c_custkey) AS custs
+        |FROM customer WHERE c_custkey <= 60
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).customer
+          .filter($"c_custkey" <= 60)
+          .groupBy($"c_mktsegment")
+          .agg(array_sort(collect_list($"c_custkey")).as("custs"))
+          .orderBy("c_mktsegment")
+    },
+
+    // Ordered-set aggregates: percentile_cont/median (orderedsetaggs.c:542).
+    // Spark `percentile` is the exact interpolated quantile = quantile_cont.
+    Q("q_percentile", Some(
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+        |  median(l_extendedprice) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(percentile($"l_quantity", lit(0.5)).as("p50"),
+            percentile($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75)))
+              .as("quartiles"),
+            median($"l_extendedprice").as("med_price"))
+          .orderBy("l_returnflag")
+    },
+
+    Q("q_agg_mode", Some(
+      "SELECT mode(l_returnflag) AS modal_flag, count(*) AS n FROM lineitem")) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .agg(mode($"l_returnflag").as("modal_flag"), count(lit(1)).as("n"))
+    },
+
+    // HAVING — filter over agg output.
+    Q("q_agg_having", Some(
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${Q.oSum("o_totalprice")} AS spend
+         |FROM orders GROUP BY o_custkey HAVING count(*) >= 17
+         |ORDER BY o_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).orders
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), Q.dsum($"o_totalprice").as("spend"))
+        .filter($"n_orders" >= 17)
+        .orderBy("o_custkey")
+    },
+
+    // PIVOT — GP ships pivot_accum helper UDFs (utils/adt/pivot.c); Spark's
+    // relational pivot is the upgrade. Oracle: conditional aggregation.
+    Q("q_pivot", Some(
+      s"""SELECT l_returnflag,
+         |  ${Q.oSum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+         |  ${Q.oSum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(Q.dsum($"l_quantity"))
+          .orderBy("l_returnflag")
+    },
+
+    // HLL cardinality estimation (GP: gp_hyperloglog.c). Spark HLL++ and
+    // DuckDB's HLL differ by design → rows-only check (no oracle).
+    Q("q_agg_approx_distinct", None) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** SURVEY §2.5 window functions (reference: src/backend/executor/
+  * nodeWindowAgg.c:1993; function surface utils/adt/windowfuncs.c:82-449).
+  * Frames: ROWS / RANGE with bounded and unbounded edges
+  * (FRAMEOPTION_* bits, src/include/nodes/parsenodes.h:495-516).
+  */
+object WindowQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    Q("q_window_rank", Some(
+      """SELECT c_nationkey, c_custkey,
+        |  row_number() OVER w AS rn,
+        |  rank()       OVER w AS rk,
+        |  dense_rank() OVER w AS drk
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.T(s, dir).customer
+        .filter($"c_custkey" <= 300)
+        .select($"c_nationkey", $"c_custkey",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // Running totals — ROWS UNBOUNDED PRECEDING..CURRENT ROW; decimal
+    // discipline keeps the cumulative sum order-exact on both engines.
+    Q("q_window_running", Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.T(s, dir).orders
+        .filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast(DecimalType(28, 6))).over(w)
+            .cast("double").as("running_spend"),
+          count(lit(1)).over(w).as("n_so_far"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_window_lag_lead", Some(
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  lag(l_extendedprice)  OVER w AS prev_price,
+        |  lead(l_extendedprice) OVER w AS next_price,
+        |  lag(l_extendedprice, 2, 0.0) OVER w AS prev2_price
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        Tables.T(s, dir).lineitem
+          .filter($"l_suppkey" <= 5)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice",
+            lag($"l_extendedprice", 1).over(w).as("prev_price"),
+            lead($"l_extendedprice", 1).over(w).as("next_price"),
+            lag($"l_extendedprice", 2, 0.0).over(w).as("prev2_price"))
+          .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+
+    Q("q_window_ntile", Some(
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      Tables.T(s, dir).customer
+        .filter($"c_custkey" <= 200)
+        .select($"c_mktsegment", $"c_custkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    },
+
+    Q("q_window_firstlast", Some(
+      """SELECT s_nationkey, s_suppkey,
+        |  first_value(s_name) OVER w AS first_name,
+        |  last_value(s_name)  OVER w AS last_name,
+        |  nth_value(s_name, 2) OVER w AS second_name
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal".desc, $"s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.T(s, dir).supplier
+        .select($"s_nationkey", $"s_suppkey",
+          first($"s_name").over(w).as("first_name"),
+          last($"s_name").over(w).as("last_name"),
+          nth_value($"s_name", 2).over(w).as("second_name"))
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
+    // RANGE frame with a value offset (FRAMEOPTION value PRECEDING).
+    Q("q_window_range", Some(
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  count(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+        |          RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW) AS n_near
+        |FROM supplier
+        |ORDER BY s_nationkey, s_acctbal, s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal")
+        .rangeBetween(-2000, Window.currentRow)
+      Tables.T(s, dir).supplier
+        .select($"s_nationkey", $"s_suppkey", $"s_acctbal",
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+    }
+  )
+}
