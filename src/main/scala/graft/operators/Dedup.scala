@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard (extension beyond the reference).
+  *
+  * Scale design: every variant is a pure dataflow — per-row signature
+  * expressions (codegen'd, computed in one scan), then a shuffle keyed on
+  * the signature/band/token. No driver-side state, no O(n²) comparisons:
+  * candidate generation is always an equi-join (hash shuffle ≡ GP's
+  * redistribute Motion), so the plan scales with data × bands, not data².
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------
+
+  /** Exact duplicates on a dedup key (e.g. TextAnalysis.fingerprint or
+    * bowFingerprint): hash-groupBy. Returns (fp, n, canonical_id, ids)
+    * per duplicate group. */
+  def exactGroups(df: DataFrame, key: Column, idCol: String): DataFrame =
+    df.select(key.as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"),
+        min(idCol).as("canonical_id"),
+        array_sort(collect_list(idCol)).as("ids"))
+      .filter(col("n") > 1)
+
+  /** Keep one row per key (lowest id wins) — the dedup sink. */
+  def exactDedup(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------
+
+  /** k-component MinHash signature over the document's distinct tokens.
+    * Hash family i is md5(i || ':' || token); the signature component is
+    * the lexicographic min — deterministic and portable (the oracle SQL
+    * computes the identical value). One codegen'd expression: no explode,
+    * no shuffle until the band join. */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokenSet(text)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(toks, t => md5(concat(i, lit(":"), t).cast("binary")))))
+  }
+
+  /** LSH band keys: the signature is cut into `bands` slices of `rowsPerBand`
+    * and each slice is hashed; docs sharing any band key are candidates. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH, with the estimated
+    * Jaccard (fraction of matching signature components).
+    *
+    * Plan shape: scan → signature expr → explode bands (×bands rows) →
+    * shuffle on band key (the only shuffle) → self-join within buckets →
+    * distinct pairs. At 100 TB the band-key shuffle partitions evenly
+    * (md5 keys), and bucket skew is bounded because identical docs share
+    * all bands but still join within one partition.
+    */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), eq => eq)).cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** 32-bit SimHash over distinct tokens: token hash = first 8 md5 hex
+    * chars as int; simhash bit j set iff more token hashes have bit j set
+    * than not. Pure expression (32-way bit fold). */
+  def simhash32(text: Column): Column = {
+    val toks = TextAnalysis.tokenSet(text)
+    val hashes = transform(toks,
+      t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    (0 until 32).map { j =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+  }
+
+  /** Hamming distance between two simhash values (popcount of xor). */
+  def hamming32(a: Column, b: Column): Column =
+    (0 until 32).map { j =>
+      when(shiftright(a.bitwiseXOR(b), j).bitwiseAND(1) === 1, 1).otherwise(0)
+    }.reduce((x, y) => x + y)
+
+  // ---- n-gram Jaccard (inverted-index join) ------------------------
+
+  /** Exact token-set Jaccard over candidate pairs that share ≥1 token.
+    * Inverted-index join: explode distinct tokens → self-join on token →
+    * count shared per pair → |A∪B| = |A|+|B|−shared. The token join is the
+    * scalable candidate generator (pairs with zero overlap never meet). */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val sizes = toks.select(col("id"), size(col("ts")).as("n"))
+    val inv = toks.select(col("id"), explode(col("ts")).as("tok"))
+    val shared = inv.alias("x").join(inv.alias("y"),
+        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

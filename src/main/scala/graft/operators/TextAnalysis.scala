@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (extension beyond the reference per BASELINE north star; the reference's
+  * closest surface is tsvector full-text, src/backend/utils/adt/tsvector.c,
+  * deliberately re-imagined Spark-first).
+  *
+  * Everything is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen'd, no UDFs, so a 100 TB scan
+  * stays inside whole-stage codegen with no serialization boundary.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set — the unit for set-based similarity. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (a word of length L costs ~ceil(L/4) subwords). */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
+        length(text))
+
+  /** Ratio of digit chars to total chars. */
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  /** Mean token length. */
+  def avgWordLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") / size(ts))
+  }
+
+  /** English stopwords used for the quality heuristic. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
+
+  /** Fraction of tokens that are (English) stopwords — prose indicator. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val sw = array(EnStopwords.map(lit): _*)
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
+  }
+
+  /** Composite document quality score in [0,1]: length sweet-spot,
+    * low punctuation/digit noise, words of natural length. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    val wl = avgWordLen(text)
+    val wordScore = when(wl >= 3.0 && wl <= 8.0, 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2 +
+      (lit(1.0) - digitPenalty) * 0.2 + wordScore * 0.2, 6)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, SQL-mirrorable. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"))
+
+  /** Score for one language = number of tokens that are markers. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t)))
+  }
+
+  /** Heuristic language ID: CJK-codepoint test first, else argmax of
+    * marker-word scores with a deterministic tie order (en>de>es>fr),
+    * 'und' (undetermined) when nothing scores. */
+  def langId(text: Column): Column = {
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val scored = LangMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scored.tail.foldLeft(
+      (scored.head._2, lit(scored.head._1))) { case ((bs, bl), (l, sc)) =>
+      (when(sc > bs, sc).otherwise(bs), when(sc > bs, lit(l)).otherwise(bl))
+    }
+    when(zh, "zh").when(best._1 > 0, best._2).otherwise("und")
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase,
+    * punctuation stripped, whitespace collapsed) — the exact-dedup key.
+    * First 16 hex chars as a compact int64-ish key. */
+  def normalizedText(text: Column): Column =
+    regexp_replace(
+      trim(regexp_replace(lower(text), "[^a-z0-9\\u4e00-\\u9fff ]", " ")),
+      "\\s+", " ")
+
+  def fingerprint(text: Column): Column = md5(normalizedText(text).cast("binary"))
+
+  /** Signed 64-bit rolling-hash-style fingerprint from the md5 prefix. */
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * catches duplicates that only differ by word order. */
+  def bowFingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokenSet(text)), " ").cast("binary"))
+}

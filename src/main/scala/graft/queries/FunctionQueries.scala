@@ -1,6 +1,384 @@
 package graft.queries
 
-/** SURVEY §2.10 scalar function surface. Filled in incrementally. */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PgFunctions
+
+/** SURVEY §2.10 scalar function surface (reference: src/backend/utils/adt/
+  * — varlena.c, oracle_compat.c, numeric.c, timestamp.c, arrayfuncs.c,
+  * json.c, regexp.c, encode.c). Spark built-ins everywhere they exist
+  * (codegen'd, correct null semantics); PG-only functions come from
+  * graft.functions.PgFunctions.
+  *
+  * Oracle notes: DuckDB lacks initcap/width_bucket/overlay — those oracles
+  * spell out the equivalent arithmetic; dayofweek is 0-based in DuckDB vs
+  * 1-based in Spark/PG; hex case is normalized with lower().
+  */
 object FunctionQueries {
-  val defs: Seq[Q] = Seq()
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- strings (varlena.c, oracle_compat.c) ----------------------
+    Q("q_fn_string", Some(
+      """SELECT n_nationkey,
+        |  length(n_name) AS len,
+        |  upper(n_name) AS up, lower(n_name) AS lo,
+        |  substr(n_name, 1, 6) AS sub6,
+        |  lpad(n_name, 12, '*') AS padded,
+        |  rpad(n_name, 12, '.') AS rpadded,
+        |  concat_ws('-', n_name, CAST(n_regionkey AS VARCHAR)) AS joined,
+        |  replace(n_name, 'NATION', 'N') AS repl,
+        |  reverse(n_name) AS rev,
+        |  left(n_name, 3) AS l3, right(n_name, 2) AS r2,
+        |  repeat(n_name, 2) AS doubled,
+        |  strpos(n_name, '_') AS uspos,
+        |  translate(n_name, 'NATIO', 'natio') AS trans,
+        |  ascii(n_name) AS first_code, chr(65 + n_nationkey % 26) AS letter,
+        |  trim('  pad  ') AS trimmed
+        |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).nation.select(
+        $"n_nationkey",
+        length($"n_name").as("len"),
+        upper($"n_name").as("up"), lower($"n_name").as("lo"),
+        substring($"n_name", 1, 6).as("sub6"),
+        lpad($"n_name", 12, "*").as("padded"),
+        rpad($"n_name", 12, ".").as("rpadded"),
+        concat_ws("-", $"n_name", $"n_regionkey".cast("string")).as("joined"),
+        regexp_replace($"n_name", "NATION", "N").as("repl"),
+        reverse($"n_name").as("rev"),
+        expr("left(n_name, 3)").as("l3"), expr("right(n_name, 2)").as("r2"),
+        repeat($"n_name", 2).as("doubled"),
+        instr($"n_name", "_").as("uspos"),
+        translate($"n_name", "NATIO", "natio").as("trans"),
+        ascii($"n_name").as("first_code"),
+        chr(lit(65) + $"n_nationkey" % 26).as("letter"),
+        trim(lit("  pad  ")).as("trimmed"))
+        .orderBy("n_nationkey")
+    },
+
+    Q("q_fn_string_fmt", Some(
+      """SELECT s_suppkey,
+        |  printf('%s has balance %08.2f', s_name, s_acctbal) AS msg,
+        |  printf('%d/%d', s_suppkey, s_nationkey) AS frac,
+        |  split_part(s_name, '#', 2) AS name_num
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey",
+        format_string("%s has balance %08.2f", $"s_name", $"s_acctbal").as("msg"),
+        format_string("%d/%d", $"s_suppkey", $"s_nationkey").as("frac"),
+        element_at(split($"s_name", "#"), 2).as("name_num"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- math (float.c, int.c, numeric.c) --------------------------
+    Q("q_fn_math", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS dev,
+        |  CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn,
+        |  mod(CAST(l_quantity AS INT), 7) AS m7,
+        |  CAST(floor(l_extendedprice) AS DOUBLE) AS fl,
+        |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ce,
+        |  round(l_extendedprice, 1) AS r1,
+        |  sqrt(l_quantity) AS sq,
+        |  round(cbrt(l_quantity), 6) AS cb,
+        |  round(exp(l_discount), 6) AS ex,
+        |  round(ln(l_quantity + 1), 6) AS lg,
+        |  round(log10(l_extendedprice), 6) AS l10,
+        |  round(log2(l_quantity + 1), 6) AS l2,
+        |  round(power(l_quantity, 1.5), 4) AS pw,
+        |  round(sin(l_discount), 6) AS sn,
+        |  round(atan2(l_quantity, 10), 6) AS at2,
+        |  round(degrees(l_discount), 6) AS dg
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 100).select(
+        $"l_orderkey", $"l_linenumber",
+        abs($"l_quantity" - 25).as("dev"),
+        signum($"l_quantity" - 25).cast("double").as("sgn"),
+        ($"l_quantity".cast("int") % 7).as("m7"),
+        floor($"l_extendedprice").cast("double").as("fl"),
+        ceil($"l_extendedprice").cast("double").as("ce"),
+        round($"l_extendedprice", 1).as("r1"),
+        sqrt($"l_quantity").as("sq"),
+        round(cbrt($"l_quantity"), 6).as("cb"),
+        round(exp($"l_discount"), 6).as("ex"),
+        round(log($"l_quantity" + 1), 6).as("lg"),
+        round(log10($"l_extendedprice"), 6).as("l10"),
+        round(log2($"l_quantity" + 1), 6).as("l2"),
+        round(pow($"l_quantity", 1.5), 4).as("pw"),
+        round(sin($"l_discount"), 6).as("sn"),
+        round(atan2($"l_quantity", lit(10.0)), 6).as("at2"),
+        round(degrees($"l_discount"), 6).as("dg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- date/time (timestamp.c, date.c, datetime.c) ---------------
+    Q("q_fn_datetime", Some(
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart,
+        |  last_day(CAST(o_orderdate AS DATE)) AS meow,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to,
+        |  epoch(o_orderdate) AS epoch_s
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 300).select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"), month($"o_orderdate").as("mo"),
+          dayofmonth($"o_orderdate").as("d"), quarter($"o_orderdate").as("q"),
+          dayofweek($"o_orderdate").as("dow"),
+          dayofyear($"o_orderdate").as("doy"),
+          date_trunc("month", $"o_orderdate").cast("date").as("mstart"),
+          date_trunc("quarter", $"o_orderdate").cast("date").as("qstart"),
+          last_day($"o_orderdate").as("meow"),
+          ($"o_orderdate" + expr("INTERVAL 3 MONTH")).cast("date").as("plus3m"),
+          ($"o_orderdate" + expr("INTERVAL 45 DAY")).cast("date").as("plus45d"),
+          datediff(lit("2002-01-01"), $"o_orderdate").as("days_to"),
+          unix_timestamp($"o_orderdate").as("epoch_s"))
+          .orderBy("o_orderkey")
+    },
+
+    // to_char / to_date style formatting (formatting.c) — PG templates
+    // map onto Spark date_format patterns / DuckDB strftime.
+    Q("q_fn_datefmt", Some(
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  strftime(o_orderdate, '%Y/%m') AS ym,
+        |  strftime(o_orderdate, '%d %B %Y') AS verbose
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 100).select(
+          $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
+          date_format($"o_orderdate", "yyyy/MM").as("ym"),
+          date_format($"o_orderdate", "dd MMMM yyyy").as("verbose"))
+          .orderBy("o_orderkey")
+    },
+
+    // ---- conditionals ----------------------------------------------
+    Q("q_fn_conditional", Some(
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        |  greatest(c_acctbal, 1000.0) AS floor_bal,
+        |  least(c_acctbal, 9000.0) AS cap_bal,
+        |  if(c_nationkey % 2 = 0, 'even', 'odd') AS parity
+        |FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).customer.filter($"c_custkey" <= 200).select(
+          $"c_custkey",
+          when($"c_acctbal" < 0, "debt")
+            .when($"c_acctbal" < 5000, "mid")
+            .otherwise("rich").as("band"),
+          coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER")).as("seg"),
+          greatest($"c_acctbal", lit(1000.0)).as("floor_bal"),
+          least($"c_acctbal", lit(9000.0)).as("cap_bal"),
+          when($"c_nationkey" % 2 === 0, "even").otherwise("odd").as("parity"))
+          .orderBy("c_custkey")
+    },
+
+    // ---- casts (PG cast semantics; double→int via explicit trunc) --
+    Q("q_fn_cast", Some(
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(o_orderdate AS DATE) AS as_date,
+        |  CAST(o_orderkey % 2 = 0 AS INT) AS even_flag,
+        |  CAST('123' AS INT) + o_orderkey AS lit_cast
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 200).select(
+          $"o_orderkey",
+          $"o_orderkey".cast("string").as("key_str"),
+          $"o_orderkey".cast("string").cast("long").as("roundtrip"),
+          expr("CAST(o_totalprice AS BIGINT)").as("price_trunc"),
+          $"o_totalprice".cast("decimal(18,2)").as("price_dec"),
+          $"o_orderdate".cast("date").as("as_date"),
+          ($"o_orderkey" % 2 === 0).cast("int").as("even_flag"),
+          (lit("123").cast("int") + $"o_orderkey").as("lit_cast"))
+          .orderBy("o_orderkey")
+    },
+
+    // ---- arrays (arrayfuncs.c, array_userfuncs.c) ------------------
+    Q("q_fn_array", Some(
+      """SELECT n_nationkey,
+        |  range(1, (n_nationkey % 5) + 3) AS arr,
+        |  len(range(1, (n_nationkey % 5) + 3)) AS alen,
+        |  (range(1, (n_nationkey % 5) + 3))[2] AS second,
+        |  list_contains(range(1, (n_nationkey % 5) + 3), 3) AS has3,
+        |  list_position(range(1, (n_nationkey % 5) + 3), 2) AS pos2,
+        |  list_slice(range(1, (n_nationkey % 5) + 3), 1, 2) AS head2,
+        |  list_sort(list_reverse_sort(range(1, (n_nationkey % 5) + 3))) AS sorted_back,
+        |  list_reduce(range(1, (n_nationkey % 5) + 3), (a, x) -> a + x) AS total,
+        |  list_transform(range(1, (n_nationkey % 5) + 3), x -> x * 10) AS tens,
+        |  list_filter(range(1, (n_nationkey % 5) + 3), x -> x % 2 = 0) AS evens,
+        |  flatten([range(1, (n_nationkey % 5) + 3), [99]]) AS with99
+        |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val arr = sequence(lit(1L), ($"n_nationkey" % 5 + 2).cast("long"))
+      Tables.T(s, dir).nation.select(
+        $"n_nationkey",
+        arr.as("arr"),
+        size(arr).as("alen"),
+        element_at(arr, 2).as("second"),
+        array_contains(arr, 3).as("has3"),
+        array_position(arr, 2).as("pos2"),
+        slice(arr, 1, 2).as("head2"),
+        array_sort(reverse(array_sort(arr))).as("sorted_back"),
+        aggregate(arr, lit(0L), (a, x) => a + x).as("total"),
+        transform(arr, x => x * 10).as("tens"),
+        filter(arr, x => x % 2 === 0).as("evens"),
+        flatten(array(arr, array(lit(99L)))).as("with99"))
+        .orderBy("n_nationkey")
+    },
+
+    // Set-returning function in FROM (§2.1 FunctionScan → explode).
+    Q("q_fn_explode", Some(
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 3
+        |ORDER BY doc_id, word""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.filter($"doc_id" < 3)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .orderBy("doc_id", "word")
+    },
+
+    // ---- regex (regexp.c) ------------------------------------------
+    Q("q_fn_regex", Some(
+      """SELECT event_id,
+        |  regexp_extract(props, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(props, '"k": [0-9]{2}\}$') AS two_digit,
+        |  len(string_split_regex(props, '[:,]')) AS n_parts
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).events.filter($"event_id" < 200).select(
+          $"event_id",
+          regexp_extract($"props", "([0-9]+)", 1).as("digits"),
+          regexp_replace($"props", "[0-9]", "#").as("masked"),
+          $"props".rlike("\"k\": [0-9]{2}\\}$").as("two_digit"),
+          size(split($"props", "[:,]")).as("n_parts"))
+          .orderBy("event_id")
+    },
+
+    // ---- JSON (json.c, jsonfuncs.c) --------------------------------
+    Q("q_fn_json", Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS nothing,
+        |  to_json({'id': event_id, 'type': event_type}) AS packed
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).events.filter($"event_id" < 200).select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k_int"),
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.missing").as("nothing"),
+          to_json(struct($"event_id".as("id"), $"event_type".as("type")))
+            .as("packed"))
+          .orderBy("event_id")
+    },
+
+    // ---- hashing / encoding (encode.c, uuid.c) ---------------------
+    Q("q_fn_hash_encode", Some(
+      """SELECT n_nationkey,
+        |  md5(n_name) AS h_md5,
+        |  sha256(n_name) AS h_sha,
+        |  to_base64(n_name::BLOB) AS b64,
+        |  lower(hex(n_name)) AS hx
+        |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).nation.select(
+        $"n_nationkey",
+        md5($"n_name".cast("binary")).as("h_md5"),
+        sha2($"n_name".cast("binary"), 256).as("h_sha"),
+        base64($"n_name".cast("binary")).as("b64"),
+        lower(hex($"n_name")).as("hx"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- composite/row types (rowtypes.c → StructType) -------------
+    Q("q_fn_struct", Some(
+      """SELECT s_suppkey,
+        |  {'name': s_name, 'nation': s_nationkey} AS info,
+        |  ({'name': s_name, 'nation': s_nationkey}).name AS info_name
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val info = struct($"s_name".as("name"), $"s_nationkey".as("nation"))
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey", info.as("info"), info.getField("name").as("info_name"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- bit ops (int.c operators) ---------------------------------
+    Q("q_fn_bitops", Some(
+      """SELECT n_nationkey,
+        |  n_nationkey & 5 AS band, n_nationkey | 5 AS bor,
+        |  xor(n_nationkey, 5) AS bxor,
+        |  n_nationkey << 2 AS shl, n_nationkey >> 1 AS shr,
+        |  bin(n_nationkey) AS binstr
+        |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).nation.select(
+        $"n_nationkey",
+        $"n_nationkey".bitwiseAND(5).as("band"),
+        $"n_nationkey".bitwiseOR(5).as("bor"),
+        $"n_nationkey".bitwiseXOR(5).as("bxor"),
+        shiftleft($"n_nationkey", 2).as("shl"),
+        shiftright($"n_nationkey", 1).as("shr"),
+        bin($"n_nationkey").as("binstr"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- GP analytics extras ---------------------------------------
+    // linear_interpolate (utils/adt/interpolate.c) — graft PgFunctions.
+    Q("q_fn_interpolate", Some(
+      """SELECT s_suppkey,
+        |  round(0.0 + (1000.0 - 0.0) * (s_acctbal - 0.0) / (10000.0 - 0.0), 6)
+        |    AS scaled
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey",
+        round(PgFunctions.linearInterpolate(
+          $"s_acctbal", lit(0.0), lit(0.0), lit(10000.0), lit(1000.0)), 6)
+          .as("scaled"))
+        .orderBy("s_suppkey")
+    },
+
+    // width_bucket (PG histogram bucketing; DuckDB lacks it → CASE oracle).
+    Q("q_fn_width_bucket", Some(
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 0
+        |       WHEN c_acctbal >= 10000 THEN 11
+        |       ELSE CAST(floor(c_acctbal * 10 / 10000) AS INT) + 1 END AS bucket
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).customer.filter($"c_custkey" <= 300).select(
+          $"c_custkey",
+          PgFunctions.widthBucket($"c_acctbal", lit(0d), lit(10000d), lit(10L))
+            .cast("int").as("bucket"))
+          .orderBy("c_custkey")
+    }
+  )
 }

@@ -1,6 +1,301 @@
 package graft.queries
 
-/** LLM-data-pipeline operators (dedup / similarity / text analysis). */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, dedup (exact / bag-of-words / MinHash-LSH / SimHash /
+  * Jaccard / embedding-cosine), and similarity search. Extensions beyond
+  * reference parity (BASELINE north star); nearest reference surface is
+  * gpcontrib/gp_sparse_vector (svec_dot, sparse_vector.h:125-146).
+  *
+  * Every oracle mirrors the Spark expression tree in DuckDB SQL — the
+  * hashes (md5), token sets, signatures and cosines are bit-identical.
+  */
 object PipelineQueries {
-  val defs: Seq[Q] = Seq()
+
+  /** DuckDB fragment: lowercased non-empty whitespace tokens of `text`. */
+  private val toks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0)"""
+
+  private val tokset = s"list_distinct($toks)"
+
+  /** DuckDB fragment: exact-double cosine between embeddings a.e and b.e
+    * (index-order sum — matches Similarity.dot's left fold). */
+  private def oCos(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(range(1,65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- text analysis --------------------------------------------
+    Q("q_text_tokens", Some(
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(len($tokset) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform($toks,
+         |    t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+        size(TextAnalysis.tokenSet($"text")).cast("long").as("n_distinct"),
+        TextAnalysis.subwordCountEstimate($"text").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_quality", Some {
+      val punct = """length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))"""
+      val digit = """length(regexp_replace(text, '[^0-9]', '', 'g'))"""
+      val nTok = s"len($toks)"
+      val sumLen = s"list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT)))"
+      val sw = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      val swCount = s"len(list_filter($toks, t -> list_contains($sw, t)))"
+      val punctR = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(text) END)"
+      val digitR = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($digit AS DOUBLE) / length(text) END)"
+      val awl = s"(CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($sumLen AS DOUBLE) / $nTok END)"
+      s"""SELECT doc_id,
+         |  round($punctR, 6) AS punct_ratio,
+         |  round($digitR, 6) AS digit_ratio,
+         |  round($awl, 6) AS avg_word_len,
+         |  round(CASE WHEN $nTok = 0 THEN 0.0
+         |        ELSE CAST($swCount AS DOUBLE) / $nTok END, 6) AS stopword_ratio,
+         |  round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+         |    + (1.0 - least($punctR * 5.0, 1.0)) * 0.2
+         |    + (1.0 - least($digitR * 5.0, 1.0)) * 0.2
+         |    + (CASE WHEN $awl >= 3.0 AND $awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+         |    6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.select(
+        $"doc_id",
+        round(TextAnalysis.punctRatio($"text"), 6).as("punct_ratio"),
+        round(TextAnalysis.digitRatio($"text"), 6).as("digit_ratio"),
+        round(TextAnalysis.avgWordLen($"text"), 6).as("avg_word_len"),
+        round(TextAnalysis.stopwordRatio($"text"), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_langid", Some {
+      def score(markers: Seq[String]) = {
+        val m = markers.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter($toks, t -> list_contains($m, t)))"
+      }
+      val Seq(en, de, es, fr) = TextAnalysis.LangMarkers.map(p => score(p._2))
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+         |       WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+         |       WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+         |       WHEN $de >= $es AND $de >= $fr THEN 'de'
+         |       WHEN $es >= $fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.select(
+        $"doc_id", $"lang", TextAnalysis.langId($"text").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_fingerprint", Some {
+      val norm =
+        """regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\x{4e00}-\x{9fff} ]', ' ', 'g')), '\s+', ' ', 'g')"""
+      s"""SELECT doc_id, md5($norm) AS fp,
+         |  ('0x' || substr(md5($norm), 1, 15))::BIGINT AS fp64
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.select(
+        $"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.fingerprint64($"text").as("fp64"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup ----------------------------------------------------
+    // Exact dedup summary (hash-groupBy on the normalized fingerprint).
+    Q("q_dedup_exact", Some {
+      val norm =
+        """regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\x{4e00}-\x{9fff} ]', ' ', 'g')), '\s+', ' ', 'g')"""
+      s"""SELECT count(*) AS n_docs,
+         |  count(DISTINCT md5($norm)) AS n_unique,
+         |  count(*) - count(DISTINCT md5($norm)) AS n_removed
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint($"text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(TextAnalysis.fingerprint($"text")))
+          .as("n_removed"))
+    },
+
+    // Bag-of-words exact dedup — catches the word-order-shuffled
+    // near-duplicates planted in `documents`.
+    Q("q_dedup_exact_bow", Some(
+      s"""WITH fp AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort($tokset), ' ')) AS fp
+         |  FROM documents)
+         |SELECT fp, count(*) AS n, min(doc_id) AS canonical_id,
+         |  array_agg(doc_id ORDER BY doc_id) AS ids
+         |FROM fp GROUP BY fp HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Dedup.exactGroups(
+        Tables.T(s, dir).documents,
+        TextAnalysis.bowFingerprint($"text"), "doc_id")
+        .orderBy("canonical_id")
+    },
+
+    // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
+    Q("q_dedup_minhash", Some(
+      s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),
+         |sig AS (SELECT doc_id, list_transform(range(0,16),
+         |    i -> list_aggregate(list_transform(ts,
+         |      t2 -> md5(i::VARCHAR || ':' || t2)), 'min')) AS s FROM t),
+         |bands AS (SELECT doc_id, b,
+         |    md5(array_to_string(s[b*4+1:b*4+4], '|')) AS bk
+         |  FROM sig, generate_series(0, 3) g(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk
+         |   AND a.doc_id < c.doc_id),
+         |est AS (SELECT id_a, id_b,
+         |    len(list_filter(range(1,17), i -> sa.s[i] = sb.s[i])) / 16.0
+         |      AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a
+         |            JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)) {
+      (s, dir) =>
+        Dedup.minhashCandidates(
+          Tables.T(s, dir).documents, "text", "doc_id",
+          k = 16, bands = 4, minEstJaccard = 0.5)
+          .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dup pairs (32-bit signature, hamming ≤ 6).
+    Q("q_dedup_simhash", Some {
+      val hashes =
+        s"""list_transform($tokset, t2 -> ('0x' || substr(md5(t2), 1, 8))::BIGINT)"""
+      val sim =
+        s"""CAST(list_sum(list_transform(range(0,32), j ->
+           |  CASE WHEN 2 * len(list_filter($hashes, h -> ((h >> j) & 1) = 1))
+           |            > len($hashes)
+           |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, $sim AS simhash FROM documents)
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  CAST(len(list_filter(range(0,32), j ->
+         |    ((xor(a.simhash, c.simhash) >> j) & 1) = 1)) AS INT) AS hamming
+         |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+         |WHERE len(list_filter(range(0,32), j ->
+         |    ((xor(a.simhash, c.simhash) >> j) & 1) = 1)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val sh = Tables.T(s, dir).documents
+        .select($"doc_id", Dedup.simhash32($"text").as("simhash"))
+      val a = sh.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
+      val b = sh.select($"doc_id".as("id_b"), $"simhash".as("sh_b"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          Dedup.hamming32($"sh_a", $"sh_b").as("hamming"))
+        .filter($"hamming" <= 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram (token-set) Jaccard via inverted-index join.
+    Q("q_dedup_jaccard", Some(
+      s"""WITH t AS (SELECT doc_id, unnest($tokset) AS tok FROM documents),
+         |n AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS inter
+         |  FROM t a JOIN t c ON a.tok = c.tok AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter), 6) AS jaccard
+         |FROM shared JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Dedup.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Embedding-cosine near-dup pairs.
+    Q("q_dedup_embedding", Some(
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${oCos("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.46
+         |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Similarity.nearDupPairs(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding", 0.46)
+        .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----------------------------------------
+    // Brute-force exact top-3 cosine neighbors for 5 query vectors.
+    Q("q_ann_topk", Some(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |scored AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+         |r AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.bruteForceTopK(queries, corpus, 3)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
+    // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
+    // generation is an equi-join on the sign-bucket, not a cross join.
+    Q("q_ann_lsh", Some {
+      val planes = 6
+      val bucket = (0 until planes).map { p =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(p, d))
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1,65),
+           |  i -> CAST(e.embedding[i] AS DOUBLE) * ($w)[i])) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT e.vec_id, e.embedding, $bucket AS bucket
+         |  FROM embeddings e),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b
+         |  WHERE vec_id < 10),
+         |cand AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q_id),
+         |r AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.lshTopK(queries, corpus, k = 3, planes = 6, dim = 64)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }
+  )
 }

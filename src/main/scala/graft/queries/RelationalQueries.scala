@@ -261,7 +261,7 @@ object RelationalQueries {
         |              AND c.c_nationkey = s.s_nationkey
         |JOIN nation n   ON s.s_nationkey = n.n_nationkey
         |JOIN region r   ON n.n_regionkey = r.r_regionkey
-        |WHERE r.r_name = 'REGION_0'
+        |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
@@ -272,7 +272,7 @@ object RelationalQueries {
           .join(broadcast(t.supplier),
             $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
-          .join(broadcast(t.region.filter($"r_name" === "REGION_0")),
+          .join(broadcast(t.region.filter($"r_name" === "ASIA")),
             $"n_regionkey" === $"r_regionkey")
           .groupBy($"n_name")
           .agg(Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
