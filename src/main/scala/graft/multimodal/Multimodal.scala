@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (extension): media as opaque `binary`
+  * columns + typed metadata structs, with partition-wise decode/featurize.
+  *
+  * The actual image/audio decode is STUBBED (`decodeStub`) — codec
+  * libraries are not in this container — but the Spark-side plumbing is
+  * real: schema (binary + struct), partition-balanced `mapPartitions`
+  * batch shape (the Scala analogue of `mapInPandas`), and a columnar
+  * feature output that downstream operators consume. At 100 TB the
+  * binary column rides Parquet with per-column compression; the decode
+  * stage is embarrassingly parallel per partition.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, mime: String, payload: Array[Byte])
+
+  case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  /** Build a media table from documents: payload = UTF-8 bytes standing in
+    * for an encoded image; mime derived from the source. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      concat(lit("image/png;src="), col("source")).as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decoder: deterministic fake dimensions + byte checksum.
+    * A real deployment swaps `decodeStub` for an actual codec call —
+    * the signature (bytes → features) and the partition-wise batch
+    * shape are what the pipeline depends on. */
+  def decodeStub(docId: Long, payload: Array[Byte]): (Int, Int, Long) = {
+    val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000003L)
+    ((docId % 640).toInt + 1, (docId % 480).toInt + 1, checksum)
+  }
+
+  /** Partition-wise featurization: one decoder instance per partition
+    * (amortizes codec init), iterator-in/iterator-out — no per-row task
+    * overhead, no driver collection. */
+  def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec handles etc.)
+        rows.map { r =>
+          val (w, h, sum) = decodeStub(r.doc_id, r.payload)
+          MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, sum)
+        }
+      }
+  }
+}

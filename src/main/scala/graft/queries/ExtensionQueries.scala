@@ -1,6 +1,103 @@
 package graft.queries
 
-/** Beyond-reference extensions: streaming windows, as-of join, multimodal. */
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+import graft.streaming.EventStreams
+
+/** Beyond-reference extensions (SURVEY §2.12 + BASELINE north star):
+  * Structured Streaming windows over `events`, as-of join, batch session
+  * windows, multimodal binary-column plumbing. */
 object ExtensionQueries {
-  val defs: Seq[Q] = Seq()
+
+  val defs: Seq[Q] = Seq(
+
+    // As-of join: each purchase ← latest click at-or-before it per user.
+    // Spark: union + one window pass per key (AsOfJoin.leftAsOf);
+    // oracle: DuckDB's native ASOF LEFT JOIN.
+    Q("q_asof_join", Some(
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.T(s, dir).events
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"value".as("click_value"))
+      AsOfJoin.leftAsOf(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "click_ts",
+          valueCols = Seq("click_ts", "click_value"))
+        .select($"event_id", $"user_id", $"click_ts", $"click_value")
+        .orderBy("event_id")
+    },
+
+    // Structured Streaming tumbling windows (complete mode, memory sink,
+    // driven to completion against the static file source).
+    Q("q_stream_tumbling", Some(
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val agg = EventStreams.tumblingCounts(
+          EventStreams.readEvents(s, dir), "1 hour")
+        EventStreams.runToCompletion(s, agg, "graft_stream_tumbling")
+          .select($"w_start".cast("timestamp").as("w_start"),
+            $"event_type", $"n", $"total")
+          .orderBy("w_start", "event_type")
+    },
+
+    // Session windows (10-minute gap) — Spark session_window; oracle:
+    // gaps-and-islands (new session when the gap is >= the duration,
+    // matching session_window's exclusive end).
+    Q("q_session_window", Some(
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS s_end, count(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).events
+        .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", $"session_window.start".as("s_start"),
+          $"session_window.end".as("s_end"), $"n")
+        .orderBy("user_id", "s_start")
+    },
+
+    // Multimodal plumbing: binary payload column + partition-wise decode
+    // (stubbed codec, real schema/batch shape — Multimodal.featurize).
+    Q("q_multimodal_decode", Some(
+      """SELECT doc_id,
+        |  'image/png;src=' || source AS mime,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST(doc_id % 480 + 1 AS INT) AS height,
+        |  CAST(list_reduce(list_transform(range(1, len(text) + 1),
+        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Multimodal.featurize(s, Multimodal.mediaTable(Tables.T(s, dir).documents))
+        .toDF()
+        .select($"doc_id", $"mime", $"n_bytes", $"width", $"height", $"checksum")
+        .orderBy("doc_id")
+    }
+  )
 }

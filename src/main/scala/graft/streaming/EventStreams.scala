@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (extension — the reference
+  * has no streaming engine; its continuous ingest is external-table
+  * micro-batching, SURVEY §2.12, src/backend/access/external/fileam.c).
+  *
+  * Scale posture: file-source streaming with windowed state; watermarks
+  * bound state for append-mode aggregation. On a real cluster the same
+  * plan runs over a Kafka source unchanged.
+  */
+object EventStreams {
+
+  /** Batch schema of events.parquet with ts as raw int64 nanos (Spark 4
+    * cannot natively read parquet TIMESTAMP(NANOS) — see Tables.load). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet with micro-second timestamps. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, window: String): DataFrame =
+    events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding-window rates (1h window, 15m slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Run a streaming aggregation to completion against the (static) file
+    * source via the memory sink; returns the materialized result. */
+  def runToCompletion(
+      spark: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = agg.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
