@@ -18,6 +18,7 @@ object SparkEntry {
     WindowQueries.defs,
     SubqueryQueries.defs,
     FunctionQueries.defs,
+    StorageQueries.defs,
     PipelineQueries.defs,
     ExtensionQueries.defs
   )

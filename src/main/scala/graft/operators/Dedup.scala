@@ -55,36 +55,58 @@ object Dedup {
       b => md5(concat_ws("|",
         slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")))
 
+  /** MinHash signatures via explode → min-aggregate → re-assemble: the
+    * codegen-friendly formulation of [[minhashSignature]] (same values).
+    * The nested higher-order expression evaluates interpreted per element;
+    * this path keeps md5+min inside whole-stage codegen and scales as a
+    * plain shuffle aggregation. */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+      .select(col("id"), col("tok"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy("id", "i")
+      .agg(min(md5(concat(col("i"), lit(":"), col("tok")).cast("binary")))
+        .as("mh"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+
   /** Candidate near-duplicate pairs via MinHash LSH, with the estimated
     * Jaccard (fraction of matching signature components).
     *
-    * Plan shape: scan → signature expr → explode bands (×bands rows) →
-    * shuffle on band key (the only shuffle) → self-join within buckets →
-    * distinct pairs. At 100 TB the band-key shuffle partitions evenly
-    * (md5 keys), and bucket skew is bounded because identical docs share
-    * all bands but still join within one partition.
+    * Plan shape: scan → explode/agg signatures → explode bands (×bands
+    * rows) → shuffle on band key (the only shuffle) → self-join within
+    * buckets → distinct pairs. At 100 TB the band-key shuffle partitions
+    * evenly (md5 keys), and bucket skew is bounded because identical docs
+    * share all bands but still join within one partition.
     */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), k).as("sig"))
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val sigs = minhashSignatures(df, textCol, idCol, k)
+    // materialize signatures once — both join sides reuse this instead of
+    // recomputing k·|tokens| md5s per side (at cluster scale this is a
+    // persisted signature table)
+    val sigsC = sigs.cache()
+    // slim band join (ids only), dedup pairs, then join the signatures
+    // back for the estimate — keeps the bucket-join shuffle narrow
+    val banded = sigsC.select(
+      col("id"), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"), Seq("band", "band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sigsC.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsC.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), eq => eq)).cast("double") / k).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -105,6 +127,26 @@ object Dedup {
     }.reduce((a, b) => a + b)
   }
 
+  /** SimHash signatures via explode → codegen'd bit votes: same values as
+    * [[simhash32]] without the interpreted nested-aggregate path. */
+  def simhashSignatures(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokenSet(col(textCol))).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val votes = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    hashed.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map { j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a + b).as("simhash"))
+  }
+
   /** Hamming distance between two simhash values (popcount of xor). */
   def hamming32(a: Column, b: Column): Column =
     (0 until 32).map { j =>
@@ -123,7 +165,7 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       TextAnalysis.tokenSet(col(textCol)).as("ts"))
     val sizes = toks.select(col("id"), size(col("ts")).as("n"))
-    val inv = toks.select(col("id"), explode(col("ts")).as("tok"))
+    val inv = toks.select(col("id"), explode(col("ts")).as("tok")).cache()
     val shared = inv.alias("x").join(inv.alias("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -22,20 +22,37 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Known-dimension dot product as a left-deep Add chain — identical
+    * value to [[dot]] (same fold order) but stays inside whole-stage
+    * codegen instead of the interpreted higher-order-function path;
+    * ~an order of magnitude faster in the pairwise hot loop. */
+  def dotFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map { i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")
+    }.reduce((x, y) => x + y)
+
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine with pre-computed norms (value-identical to [[cosine]]). */
+  def cosineWithNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
 
   /** Exact top-k by cosine for each query vector: broadcast queries,
     * scan corpus once, per-query window top-k (TakeOrdered per key). */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+      cId: String = "c_id", cVec: String = "c_vec",
+      dim: Int = 64): DataFrame = {
+    val qn = queries.withColumn("qnrm", sqrt(dotFixed(col(qVec), col(qVec), dim)))
+    val cn = corpus.withColumn("cnrm", sqrt(dotFixed(col(cVec), col(cVec), dim)))
+    val scored = cn.crossJoin(broadcast(qn))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId),
-        cosine(col(qVec), col(cVec)).as("cos"))
+        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
+          col("qnrm"), col("cnrm")).as("cos"))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -54,7 +71,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { p =>
       val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
-      when(dot(vec, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotFixed(vec, w, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
 
   /** ANN top-k: bucket corpus and queries by hyperplane signs, join on
@@ -69,20 +86,31 @@ object Similarity {
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
     qb.join(cb, "bucket")
       .filter(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), cosine(col(qVec), col(cVec)).as("cos"))
+      .select(col(qId), col(cId),
+        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
+          sqrt(dotFixed(col(qVec), col(qVec), dim)),
+          sqrt(dotFixed(col(cVec), col(cVec), dim))).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Block-nested self-join at small scale; at 100 TB swap the crossJoin
-    * for lshBucket candidate generation (same scoring expression). */
+    * Norms are computed once per row (not per pair) and the per-pair dot
+    * is the codegen'd fixed-dim chain. Block-nested self-join at small
+    * scale; at 100 TB swap the crossJoin for lshBucket candidate
+    * generation (same scoring expression). */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dotFixed(col(vecCol), col(vecCol), dim)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(dotFixed(col("va"), col("vb"), dim),
+          col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -365,6 +365,43 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // posexplode — SRF with ordinality (FunctionScan, §2.1); DuckDB lacks
+    // WITH ORDINALITY → generate_series lateral join oracle.
+    Q("q_fn_posexplode", Some(
+      """SELECT doc_id, CAST(r['pos'] AS INT) AS pos, r['word'] AS word
+        |FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |    i -> {'pos': i - 1, 'word': toks[i]})) AS r
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 3) d)
+        |ORDER BY doc_id, pos""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.filter($"doc_id" < 3)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .withColumnRenamed("col", "word")
+        .orderBy("doc_id", "pos")
+    },
+
+    // GP complex type arithmetic (pg_type.h:380, complex_type.c) as
+    // struct(re, im) expressions.
+    Q("q_complex", Some(
+      """SELECT s_suppkey,
+        |  s_acctbal / 1000 * 2 - s_nationkey AS prod_re,
+        |  s_acctbal / 1000 + 2 * s_nationkey AS prod_im,
+        |  round(sqrt((s_acctbal / 1000 * 2 - s_nationkey) ^ 2
+        |           + (s_acctbal / 1000 + 2 * s_nationkey) ^ 2), 6) AS modulus
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.ComplexFunctions._
+      val z = complex($"s_acctbal" / 1000, $"s_nationkey")
+      val w = complex(lit(2.0), lit(1.0))
+      val p = cmul(z, w)
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey",
+        re(p).as("prod_re"), im(p).as("prod_im"),
+        round(cabs(p), 6).as("modulus"))
+        .orderBy("s_suppkey")
+    },
+
     // width_bucket (PG histogram bucketing; DuckDB lacks it → CASE oracle).
     Q("q_fn_width_bucket", Some(
       """SELECT c_custkey,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, PairKernels, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
   * text analysis, dedup (exact / bag-of-words / MinHash-LSH / SimHash /
@@ -198,14 +198,9 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val sh = Tables.T(s, dir).documents
-        .select($"doc_id", Dedup.simhash32($"text").as("simhash"))
-      val a = sh.select($"doc_id".as("id_a"), $"simhash".as("sh_a"))
-      val b = sh.select($"doc_id".as("id_b"), $"simhash".as("sh_b"))
-      a.join(b, $"id_a" < $"id_b")
-        .select($"id_a", $"id_b",
-          Dedup.hamming32($"sh_a", $"sh_b").as("hamming"))
-        .filter($"hamming" <= 6)
+      val sh = Dedup.simhashSignatures(
+        Tables.T(s, dir).documents, "text", "doc_id")
+      PairKernels.hammingPairs(sh, "id", "simhash", maxDist = 6)
         .orderBy("id_a", "id_b")
     },
 
@@ -222,7 +217,7 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      Dedup.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
+      PairKernels.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -235,7 +230,7 @@ object PipelineQueries {
          |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.46
          |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      Similarity.nearDupPairs(
+      PairKernels.cosinePairs(
         Tables.T(s, dir).embeddings, "vec_id", "embedding", 0.46)
         .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
         .orderBy("id_a", "id_b")

@@ -339,15 +339,15 @@ object RelationalQueries {
     },
 
     Q("q_setop_intersect", Some(
-      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 1000
         |INTERSECT
-        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+        |SELECT s_nationkey FROM supplier WHERE s_acctbal > 1000
         |ORDER BY nk""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
         val t = Tables.T(s, dir)
-        t.customer.filter($"c_acctbal" > 9000).select($"c_nationkey".as("nk"))
-          .intersect(t.supplier.filter($"s_acctbal" > 9000)
+        t.customer.filter($"c_acctbal" > 1000).select($"c_nationkey".as("nk"))
+          .intersect(t.supplier.filter($"s_acctbal" > 1000)
             .select($"s_nationkey"))
           .orderBy("nk")
     },

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.aggregates.GeoMean
+import graft.sources.ExternalTables
+import graft.sql.GpSqlDialect
+
+/** SURVEY §2.1 external tables / COPY, §3 DDL dialect, §2.11 UDx surface. */
+object StorageQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val defs: Seq[Q] = Seq(
+
+    // GP DDL dialect → CTAS with distribution + storage options lowered
+    // onto repartition + Parquet codec (GpSqlDialect).
+    Q("q_ddl_ctas", Some(
+      s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val ddl = GpSqlDialect.parse(
+          """CREATE TABLE orders_98
+            |WITH (appendonly=true, orientation=column, compresstype=zlib)
+            |DISTRIBUTED BY (o_custkey)""".stripMargin)
+        assert(ddl.distributionCols == Seq("o_custkey"))
+        val sel = Tables.T(s, dir).orders.filter($"o_orderdate" >= "1998-01-01")
+        GpSqlDialect.createTableAs(s, ddl, sel, tmp("ctas_orders98"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
+    // External CSV round-trip with COPY reject-limit semantics
+    // (writable external table → external scan → aggregate).
+    Q("q_external_csv", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("ext_lineitem_csv")
+        ExternalTables.writeCsv(
+          Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 1000)
+            .select("l_orderkey", "l_returnflag", "l_quantity"), path)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_returnflag", StringType),
+          StructField("l_quantity", DoubleType)))
+        ExternalTables.readCsvWithRejectLimit(s, path, schema, rejectLimit = 0)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), Q.dsum($"l_quantity").as("qty"))
+          .orderBy("l_returnflag")
+    },
+
+    // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
+    // finish) — geometric mean, planned partial/final across the shuffle.
+    Q("q_udaf_geomean", Some(
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(round(GeoMean.asColumn($"l_quantity"), 4).as("geo_qty"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    }
+  )
+}

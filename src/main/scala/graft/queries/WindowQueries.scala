@@ -123,6 +123,26 @@ object WindowQueries {
         .orderBy("s_nationkey", "s_suppkey")
     },
 
+    // RANGE frame over timestamps via interval (SURVEY §7.4 watch list:
+    // Spark numeric rangeBetween over epoch seconds ≡ interval frames).
+    Q("q_window_range_time", Some(
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |      RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |    AS n_last_90d
+        |FROM orders WHERE o_custkey <= 150
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(unix_timestamp($"o_orderdate"))
+        .rangeBetween(-90L * 86400, Window.currentRow)
+      Tables.T(s, dir).orders
+        .filter($"o_custkey" <= 150)
+        .select($"o_custkey", $"o_orderkey",
+          count(lit(1)).over(w).as("n_last_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // RANGE frame with a value offset (FRAMEOPTION value PRECEDING).
     Q("q_window_range", Some(
       """SELECT s_nationkey, s_suppkey, s_acctbal,

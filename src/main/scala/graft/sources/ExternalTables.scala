@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** External-table surface (SURVEY §2.1): the reference reads external
+  * data through `CREATE EXTERNAL TABLE` + COPY with single-row error
+  * handling (`SEGMENT REJECT LIMIT`, reference:
+  * src/backend/executor/nodeExternalscan.c:202, commands/copy.c:959,
+  * error tables cdb/cdbsreh.c). Spark mapping: `spark.read.csv` in
+  * PERMISSIVE mode with a corrupt-record column; the reject limit is a
+  * post-scan count gate.
+  */
+object ExternalTables {
+
+  final case class RejectLimitExceeded(rejected: Long, limit: Long)
+    extends RuntimeException(
+      s"external scan rejected $rejected rows (limit $limit)")
+
+  /** Read CSV with COPY-style reject handling: malformed rows are counted
+    * (and dropped) rather than failing the scan; more than `rejectLimit`
+    * bad rows fails the load like SEGMENT REJECT LIMIT does. */
+  def readCsvWithRejectLimit(
+      spark: SparkSession, path: String, schema: StructType,
+      rejectLimit: Long, header: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache() // one pass for the reject count + the clean rows
+    val rejected = raw.filter(col("_corrupt_record").isNotNull).count()
+    if (rejected > rejectLimit) throw RejectLimitExceeded(rejected, rejectLimit)
+    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
+  /** Writable external table (reference: fileam.c:705 external_insert):
+    * parallel CSV export. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Semantics unit tests for the custom operators. */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("RecursiveCte.unionDistinct reaches the fixpoint") {
+    import spark.implicits._
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    val seed = Seq(0).toDF("node")
+    val out = RecursiveCte.unionDistinct(seed, d =>
+      edges.join(d, edges("src") === d("node")).select(edges("dst").as("node")))
+      .as[Int].collect().sorted
+    assert(out.toSeq == Seq(0, 1, 2, 3)) // cycle 1→2→3→1 terminates
+  }
+
+  test("RecursiveCte.unionAll bounds runaway recursion") {
+    import spark.implicits._
+    val seed = Seq(1).toDF("n")
+    intercept[IllegalStateException] {
+      RecursiveCte.unionAll(seed, d => d.select(($"n" + 1).as("n")),
+        maxIterations = 5)
+    }
+  }
+
+  test("AsOfJoin.leftAsOf picks latest right row at-or-before left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 100L, 1.0), (10L, 200L, 2.0), (10L, 300L, 3.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rt", Seq("rt", "v"))
+      .select("id", "rt", "v").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(100L), Some(1.0)))) // exactly-at matches
+    assert(out(1) == ((2L, Some(200L), Some(2.0)))) // latest ≤ 250
+    assert(out(2) == ((3L, None, None)))            // no right rows for key
+  }
+
+  test("Dedup.minhashCandidates finds word-order shuffles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"), // same token set
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("Dedup.simhash32 identical token sets have hamming 0") {
+    import spark.implicits._
+    val df = Seq(("a b c d e f", "f e d c b a"), ("a b c", "x y z"))
+      .toDF("t1", "t2")
+      .select(Dedup.hamming32(Dedup.simhash32(col("t1")),
+        Dedup.simhash32(col("t2"))).as("h")).as[Int].collect()
+    assert(df(0) == 0)
+    assert(df(1) > 0)
+  }
+
+  test("Dedup.jaccardPairs exact set jaccard") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    assert(pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    assert(math.abs(pairs(0)._3 - 3.0 / 5.0) < 1e-12) // |∩|=3, |∪|=5
+  }
+
+  test("Similarity.cosine on known vectors") {
+    import spark.implicits._
+    val v = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f)))
+      .toDF("a", "b", "c")
+    val row = v.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).head()
+    assert(math.abs(row.getDouble(0)) < 1e-12)       // orthogonal
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12) // parallel
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(1f, 0f))).toDF("q_id", "q_vec")
+    val corpus = Seq(
+      (1L, Array(1f, 0.1f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0.5f)))
+      .toDF("c_id", "c_vec")
+    val top = Similarity.bruteForceTopK(queries, corpus, 2, dim = 2)
+      .orderBy("rk").select("c_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("TextAnalysis basics") {
+    import spark.implicits._
+    val df = Seq("The quick brown fox, the lazy dog! 42 times.")
+      .toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.digitRatio(col("text")).as("dr"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).head()
+    assert(r.getAs[Int]("n") == 9)
+    assert(r.getAs[Double]("sw") > 0.2) // 'the' twice / 9
+    assert(r.getAs[Double]("dr") > 0)
+    assert(r.getAs[String]("fp").length == 32)
+  }
+
+  test("TextAnalysis.langId picks marker-dominant language") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog is in that house with it",
+      "der hund und die katze ist nicht mit auf",
+      "el perro es un animal que vive por la casa").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "es"))
+  }
+
+  test("Multimodal.featurize round-trips payload sizes") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
+    val f = graft.multimodal.Multimodal
+      .featurize(spark, graft.multimodal.Multimodal.mediaTable(docs)).head()
+    assert(f.n_bytes == 5L)
+    assert(f.width == 8 && f.height == 8) // 7 % 640 + 1
+    assert(f.mime == "image/png;src=src0")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the 100 TB design gates (SURVEY §7 / prompt):
+  * filters and projections reach the Parquet scan, small dims broadcast,
+  * aggregation is partial/final, expressions stay in whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE reaches its final plan (codegen visible)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_filter pushes predicates and prunes columns at the scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // projection pruning: quantity columns only, no l_returnflag in schema
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_returnflag"), "scan reads pruned column")
+  }
+
+  test("q_join_multiway broadcasts the small dimensions") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1_agg is a partial/final hash aggregate inside codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "no partial (map-side) aggregation")
+    // '*(n)' is the whole-stage-codegen marker in AQE final plans
+    assert(p.contains("*("), s"no whole-stage codegen span: $p")
+  }
+
+  test("q_join_semi plans a semi join, q_join_anti an anti join") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_topk is TakeOrderedAndProject (bounded heap, no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_limit_offset does not scan-and-sort the world twice") {
+    assert(plan("q_limit_offset").contains("TakeOrderedAndProject"))
+  }
+}
