@@ -288,6 +288,23 @@ object AggregateQueries {
           .orderBy("l_returnflag")
     },
 
+    // json_agg (utils/adt/json.c) → to_json(collect_list(struct)), with a
+    // sort for determinism; both engines emit compact JSON.
+    Q("q_json_agg", Some(
+      """SELECT n_regionkey,
+        |  to_json(list({'k': n_nationkey, 'n': n_name} ORDER BY n_nationkey))
+        |    AS nations_json
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).nation
+          .groupBy($"n_regionkey")
+          .agg(to_json(array_sort(collect_list(
+            struct($"n_nationkey".as("k"), $"n_name".as("n")))))
+            .as("nations_json"))
+          .orderBy("n_regionkey")
+    },
+
     // HLL cardinality estimation (GP: gp_hyperloglog.c). Spark HLL++ and
     // DuckDB's HLL differ by design → rows-only check (no oracle).
     Q("q_agg_approx_distinct", None) { (s, dir) =>

@@ -52,6 +52,22 @@ object ExtensionQueries {
           .orderBy("w_start", "event_type")
     },
 
+    // Sliding windows (1 h window, 15 min slide): every event counted in
+    // 4 overlapping windows; oracle expands via generate_series.
+    Q("q_stream_sliding", Some(
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+        |    AS w_start,
+        |  count(*) AS n
+        |FROM events, generate_series(0, 3) g(k)
+        |GROUP BY 1 ORDER BY w_start""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val agg = EventStreams.slidingCounts(
+        EventStreams.readEvents(s, dir), "1 hour", "15 minutes")
+      EventStreams.runToCompletion(s, agg, "graft_stream_sliding")
+        .select($"w_start".cast("timestamp").as("w_start"), $"n")
+        .orderBy("w_start")
+    },
+
     // Session windows (10-minute gap) — Spark session_window; oracle:
     // gaps-and-islands (new session when the gap is >= the duration,
     // matching session_window's exclusive end).

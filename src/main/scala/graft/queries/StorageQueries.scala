@@ -57,6 +57,66 @@ object StorageQueries {
           .orderBy("l_returnflag")
     },
 
+    // Hive-style partitioned table (GP range partitioning by year,
+    // SURVEY §1.3, cdbpartition.c) → static partition pruning at the scan
+    // (PruneFileSourcePartitions ≡ GP's static PartitionSelector).
+    Q("q_partitioned_scan", Some(
+      s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM orders WHERE year(o_orderdate) = 1998
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("orders_by_year")
+        Tables.T(s, dir).orders
+          .withColumn("o_year", year($"o_orderdate"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+        s.read.parquet(path)
+          .filter($"o_year" === 1998) // pruned to one partition directory
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
+    // Dynamic partition pruning (GP: PartitionSelector + Sequence,
+    // nodePartitionSelector.c:125; Spark: DPP InSubquery filter): the
+    // fact's scanned partitions are decided by the filtered dim at runtime.
+    Q("q_dpp", Some(
+      s"""SELECT count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM orders WHERE year(o_orderdate) >= 2000""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("orders_by_year")
+        Tables.T(s, dir).orders
+          .withColumn("o_year", year($"o_orderdate"))
+          .write.mode("overwrite").partitionBy("o_year").parquet(path)
+        val fact = s.read.parquet(path)
+        val dim = Tables.T(s, dir).orders
+          .select(year($"o_orderdate").as("d_year")).distinct()
+          .withColumn("is_recent", $"d_year" >= 2000)
+        fact.join(dim.filter($"is_recent"), fact("o_year") === dim("d_year"))
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+    },
+
+    // Salted skew join ≡ plain join on a heavily-skewed key (3 distinct
+    // values over 600k rows) — SkewJoin spreads each hot key over 8 salts.
+    Q("q_skew_join", Some(
+      s"""SELECT flag_label, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem JOIN (
+         |  SELECT DISTINCT l_returnflag AS flag, 'flag=' || l_returnflag AS flag_label
+         |  FROM lineitem) d ON lineitem.l_returnflag = d.flag
+         |GROUP BY flag_label ORDER BY flag_label""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.T(s, dir).lineitem
+      val dim = li.select($"l_returnflag".as("flag")).distinct()
+        .withColumn("flag_label", concat(lit("flag="), $"flag"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(li.withColumnRenamed("l_returnflag", "flag"), dim,
+          "flag", salts = 8)
+        .groupBy($"flag_label")
+        .agg(count(lit(1)).as("n"), Q.dsum($"l_quantity").as("qty"))
+        .orderBy("flag_label")
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

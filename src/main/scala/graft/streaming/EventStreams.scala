@@ -40,11 +40,11 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
-  /** Sliding-window rates (1h window, 15m slide). */
-  def slidingCounts(events: DataFrame): DataFrame =
+  /** Sliding-window counts (each event lands in window/slide windows). */
+  def slidingCounts(
+      events: DataFrame, window: String, slide: String): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour", "15 minutes"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 

@@ -120,6 +120,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "de", "es"))
   }
 
+  test("SkewJoin.saltedInnerJoin equals the plain inner join") {
+    import spark.implicits._
+    val big = Seq((1, "a"), (1, "b"), (2, "c"), (1, "d"), (3, "e"))
+      .toDF("k", "v")
+    val small = Seq((1, "one"), (2, "two")).toDF("k", "label")
+    val salted = operators.SkewJoin.saltedInnerJoin(big, small, "k", salts = 4)
+      .select("k", "v", "label").as[(Int, String, String)].collect().toSet
+    val plain = big.join(small, "k")
+      .select("k", "v", "label").as[(Int, String, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 4) // key 3 unmatched
+  }
+
+  test("StatefulOps.userStats accumulates per-key streaming state") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StatefulOps.EventIn]
+    mem.addData(
+      StatefulOps.EventIn(1L, "click", 1.0),
+      StatefulOps.EventIn(1L, "purchase", 5.0),
+      StatefulOps.EventIn(2L, "view", 2.0))
+    val out = StatefulOps.runUserStats(spark, mem.toDS(), "graft_user_stats")
+      .collect().map(u => u.user_id -> u).toMap
+    assert(out(1L).n_events == 2 && out(1L).n_purchases == 1
+      && math.abs(out(1L).total_value - 6.0) < 1e-12)
+    assert(out(2L).n_events == 1 && out(2L).n_purchases == 0)
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")

@@ -51,4 +51,17 @@ class PlanSpec extends AnyFunSuite {
   test("q_limit_offset does not scan-and-sort the world twice") {
     assert(plan("q_limit_offset").contains("TakeOrderedAndProject"))
   }
+
+  test("q_partitioned_scan prunes partitions at the scan") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters: [") &&
+      p.contains("(o_year"), p.linesIterator.filter(_.contains("FileScan"))
+        .mkString("\n"))
+  }
+
+  test("q_dpp plans dynamic partition pruning on the fact scan") {
+    val p = plan("q_dpp")
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
 }
