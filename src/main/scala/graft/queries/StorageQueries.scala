@@ -117,6 +117,59 @@ object StorageQueries {
         .orderBy("flag_label")
     },
 
+    // ModifyTable / INSERT INTO (nodeModifyTable.c:1771): write a table,
+    // append a second batch, scan the union back.
+    Q("q_insert_append", Some(
+      s"""SELECT o_orderstatus, count(*) AS n
+         |FROM (SELECT * FROM orders WHERE o_orderkey <= 1000
+         |      UNION ALL
+         |      SELECT * FROM orders
+         |      WHERE o_orderkey > 1000 AND o_orderkey <= 2000) t
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val o = Tables.T(s, dir).orders
+        val path = tmp("insert_orders")
+        o.filter($"o_orderkey" <= 1000)
+          .write.mode("overwrite").parquet(path)
+        o.filter($"o_orderkey" > 1000 && $"o_orderkey" <= 2000)
+          .write.mode("append").parquet(path)
+        s.read.parquet(path)
+          .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+    },
+
+    // Bucketed co-located join (GP: both sides DISTRIBUTED BY the join key
+    // → no Motion, SURVEY §2.8): bucketBy the join key at write time, the
+    // sort-merge join then reads both sides shuffle-free (PlanSpec
+    // asserts no Exchange).
+    Q("q_bucketed_join", Some(
+      s"""SELECT o.o_orderpriority, count(*) AS n,
+         |  ${Q.oSum("l.l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey <= 5000
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val t = Tables.T(s, dir)
+        t.lineitem.filter($"l_orderkey" <= 5000)
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", tmp("bkt_lineitem"))
+          .saveAsTable("graft_bkt_lineitem")
+        t.orders.filter($"o_orderkey" <= 5000)
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", tmp("bkt_orders"))
+          .saveAsTable("graft_bkt_orders")
+        s.table("graft_bkt_lineitem")
+          .join(s.table("graft_bkt_orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), Q.dsum($"l_extendedprice").as("revenue"))
+          .orderBy("o_orderpriority")
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

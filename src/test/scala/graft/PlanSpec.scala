@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
         .mkString("\n"))
   }
 
+  test("q_bucketed_join joins without shuffling either side") {
+    val p = plan("q_bucketed_join") // creates the bucketed tables
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side re-shuffled despite bucketing")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side re-shuffled despite bucketing")
+    // with broadcast off, the bucketed sort-merge join is co-located:
+    // no exchange under the join (GP: no Motion when both sides are
+    // DISTRIBUTED BY the join key)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.table("graft_bkt_lineitem")
+        .join(spark.table("graft_bkt_orders"),
+          spark.table("graft_bkt_lineitem")("l_orderkey") ===
+            spark.table("graft_bkt_orders")("o_orderkey"))
+      df.collect()
+      val p2 = df.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(!p2.contains("Exchange"), s"co-located join still shuffled: $p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_dpp plans dynamic partition pruning on the fact scan") {
     val p = plan("q_dpp")
     assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators._
+
+/** Property tests (SURVEY §5): operator equivalences on ScalaCheck-
+  * generated data, sampled with fixed seeds for reproducibility. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+
+  private val kvGen = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(1, 5), Gen.alphaStr.map(_.take(6))))
+
+  test("salted join ≡ plain join on arbitrary key distributions") {
+    import spark.implicits._
+    for ((big, smallKeys) <- samples(Gen.zip(kvGen, Gen.someOf(1 to 5)), 5)
+         if big.nonEmpty) {
+      val b = big.toList.toDF("k", "v")
+      val sm = smallKeys.toList.map(k => (k, s"label$k")).toDF("k", "label")
+      val plain = b.join(sm, "k").select("k", "v", "label")
+        .as[(Int, String, String)].collect().sorted.toSeq
+      val salted = SkewJoin.saltedInnerJoin(b, sm, "k", salts = 3)
+        .select("k", "v", "label")
+        .as[(Int, String, String)].collect().sorted.toSeq
+      assert(salted == plain, s"big=$big small=$smallKeys")
+    }
+  }
+
+  test("decimal dsum ≡ exact rational sum for 2-decimal money values") {
+    import spark.implicits._
+    for (cents <- samples(Gen.nonEmptyListOf(Gen.choose(-99999L, 99999L)), 5)
+         if cents.nonEmpty) {
+      val df = cents.map(c => c / 100.0).toDF("v")
+      val got = df.agg(graft.queries.Q.dsum(col("v"))).head.getDouble(0)
+      val want = cents.map(BigDecimal(_) / 100).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"$got != $want for $cents")
+    }
+  }
+
+  test("tokenCount ≡ reference tokenizer") {
+    import spark.implicits._
+    val textGen = Gen.listOf(Gen.oneOf("the", "cat", "42", "x!", " ", "dog"))
+      .map(_.mkString(" "))
+    for (text <- samples(textGen, 10)) {
+      val got = Seq(text).toDF("t")
+        .select(TextAnalysis.tokenCount(col("t"))).head.getInt(0)
+      val want = text.toLowerCase.trim.split("\\s+").count(_.nonEmpty)
+      assert(got == want, s"'$text'")
+    }
+  }
+
+  test("recursive closure ≡ in-memory BFS") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(8, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5)))
+    for (edges <- samples(edgeGen, 4)) {
+      val reach = scala.collection.mutable.Set(0)
+      var grew = true
+      while (grew) {
+        grew = false
+        edges.foreach { case (s2, d) =>
+          if (reach(s2) && !reach(d)) { reach += d; grew = true }
+        }
+      }
+      val df = edges.toDF("src", "dst")
+      val got = RecursiveCte.unionDistinct(
+        Seq(0).toDF("node"),
+        delta => df.join(delta, df("src") === delta("node"))
+          .select(df("dst").as("node")))
+        .as[Int].collect().toSet
+      assert(got == reach.toSet, s"edges=$edges")
+    }
+  }
+}
