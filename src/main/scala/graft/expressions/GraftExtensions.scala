@@ -1,0 +1,31 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Lower}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Engine extension registration (SURVEY §4.2: the only Catalyst
+  * extension points graft needs — SQL-callable custom expressions and a
+  * small optimizer rule; everything else is built-in machinery). Session
+  * wiring: `GraftSession.builder` applies `.withExtensions(new
+  * GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32Expr(exprs.head)))
+    ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
+  }
+}
+
+/** simhash32 lowercases internally — `simhash32(lower(x))` re-scans the
+  * string for nothing. Remove the inner Lower (idempotent; converges). */
+object SimplifyRedundantLowerUnderSimhash extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case SimHash32Expr(Lower(inner)) => SimHash32Expr(inner)
+    }
+}

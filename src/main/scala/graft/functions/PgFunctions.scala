@@ -44,10 +44,15 @@ object PgFunctions {
     * 1-based — alias kept for the PG surface. */
   def arrayAt(arr: Column, idx: Column): Column = element_at(arr, idx)
 
-  /** Register SQL-callable names for the PG surface. */
+  /** Register SQL-callable names for the PG surface. Also covers sessions
+    * created without GraftExtensions (e.g. the driver's own session). */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("linear_interpolate",
       (x: Double, x0: Double, y0: Double, x1: Double, y1: Double) =>
         if (x1 == x0) y0 else y0 + (y1 - y0) * (x - x0) / (x1 - x0))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32",
+      exprs => graft.expressions.SimHash32Expr(exprs.head),
+      "built-in")
   }
 }

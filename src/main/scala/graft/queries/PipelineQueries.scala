@@ -198,9 +198,12 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val sh = Dedup.simhashSignatures(
-        Tables.T(s, dir).documents, "text", "doc_id")
-      PairKernels.hammingPairs(sh, "id", "simhash", maxDist = 6)
+      import s.implicits._
+      // native codegen expression (graft.expressions.SimHash32Expr):
+      // one pass per row, no explode/shuffle for the signatures
+      val sh = Tables.T(s, dir).documents.select($"doc_id",
+        graft.expressions.SimHash32Expr.simhash32($"text").as("simhash"))
+      PairKernels.hammingPairs(sh, "doc_id", "simhash", maxDist = 6)
         .orderBy("id_a", "id_b")
     },
 

@@ -26,6 +26,8 @@ object GpSqlDialect {
       replicated: Boolean,
       storageOptions: Map[String, String])
 
+  private val Ctas =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s+AS\\s+(SELECT.*)$".r
   private val DistBy = "(?is)\\bDISTRIBUTED\\s+BY\\s*\\(([^)]*)\\)".r
   private val DistRandom = "(?is)\\bDISTRIBUTED\\s+RANDOMLY\\b".r
   private val DistRepl = "(?is)\\bDISTRIBUTED\\s+REPLICATED\\b".r
@@ -60,6 +62,24 @@ object GpSqlDialect {
       case "zstd" => "zstd"
       case _ => "snappy"
     }
+
+  /** Execute a GP-dialect SQL string end-to-end. `CREATE TABLE t
+    * [WITH(...)] [DISTRIBUTED ...] AS SELECT ...` runs the select, writes
+    * the table with the lowered physics under `basePath/t`, and registers
+    * temp view `t`; anything else passes through `spark.sql` with the GP
+    * clauses stripped. */
+  def execute(
+      spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
+    val ddl = parse(gpSql)
+    ddl.cleanSql match {
+      case Ctas(name, select) =>
+        val written = createTableAs(
+          spark, ddl, spark.sql(select), s"$basePath/$name")
+        written.createOrReplaceTempView(name)
+        written
+      case other => spark.sql(other)
+    }
+  }
 
   /** CTAS with GP physics: repartition per the distribution policy, write
     * Parquet with the mapped codec. Returns the re-read table. */
