@@ -14,6 +14,7 @@ object SparkEntry {
   /** All query groups, in SURVEY §2 order. */
   def groups: Seq[Seq[Q]] = Seq(
     RelationalQueries.defs,
+    TpchQueries.defs,
     AggregateQueries.defs,
     WindowQueries.defs,
     SubqueryQueries.defs,
