@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
@@ -95,6 +96,57 @@ object ExtensionQueries {
         .select($"user_id", $"session_window.start".as("s_start"),
           $"session_window.end".as("s_end"), $"n")
         .orderBy("user_id", "s_start")
+    },
+
+    // Time-series gap filling with linear interpolation (the
+    // linear_interpolate use case, reference: utils/adt/interpolate.c +
+    // date_trunc/window time-series support per SURVEY §1.4): 'error'
+    // events lose their value; fill from the temporal neighbors.
+    Q("q_ts_gapfill", Some(
+      """WITH e AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS x,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 10),
+        |n AS (
+        |  SELECT user_id, ts, x, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN {'x': x, 'v': v} END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        |    first_value(CASE WHEN v IS NOT NULL THEN {'x': x, 'v': v} END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM e)
+        |SELECT user_id, ts, v,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN p IS NULL OR nx IS NULL THEN NULL
+        |    WHEN nx['x'] = p['x'] THEN p['v']
+        |    ELSE p['v'] + (nx['v'] - p['v']) * (x - p['x']) / (nx['x'] - p['x'])
+        |  END, 6) AS v_filled
+        |FROM n ORDER BY user_id, ts""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PgFunctions
+      val wPrev = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val e = Tables.T(s, dir).events
+        .filter($"user_id" < 10)
+        .select($"user_id", $"ts", unix_micros($"ts").as("x"),
+          when($"event_type" === "error", lit(null)).otherwise($"value").as("v"))
+      val point = when($"v".isNotNull, struct($"x", $"v"))
+      e.withColumn("p", last(point, ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(point, ignoreNulls = true).over(wNext))
+        .select($"user_id", $"ts", $"v",
+          round(
+            when($"v".isNotNull, $"v")
+              .when($"p".isNull || $"nx".isNull, lit(null))
+              .otherwise(PgFunctions.linearInterpolate(
+                $"x".cast("double"),
+                $"p.x".cast("double"), $"p.v",
+                $"nx.x".cast("double"), $"nx.v")), 6).as("v_filled"))
+        .orderBy("user_id", "ts")
     },
 
     // Multimodal plumbing: binary payload column + partition-wise decode
