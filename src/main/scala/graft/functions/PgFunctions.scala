@@ -44,6 +44,15 @@ object PgFunctions {
     * 1-based — alias kept for the PG surface. */
   def arrayAt(arr: Column, idx: Column): Column = element_at(arr, idx)
 
+  /** PG `time`-of-day (SURVEY §1.4: no native Spark time type → micros
+    * since midnight as LongType + helpers). */
+  def timeOfDayMicros(ts: Column): Column =
+    unix_micros(ts) - unix_micros(date_trunc("day", ts))
+
+  /** time-of-day micros back to a 'HH:mm:ss.SSSSSS' display string. */
+  def timeOfDayString(todMicros: Column): Column =
+    date_format(timestamp_micros(todMicros), "HH:mm:ss.SSSSSS")
+
   /** Register SQL-callable names for the PG surface. Also covers sessions
     * created without GraftExtensions (e.g. the driver's own session). */
   def registerAll(spark: SparkSession): Unit = {

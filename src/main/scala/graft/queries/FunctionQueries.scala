@@ -298,6 +298,22 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // PG `time` type gap (§1.4): micros-since-midnight + display string.
+    Q("q_fn_timeofday", Some(
+      """SELECT event_id,
+        |  epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS tod_us,
+        |  hour(ts) AS h, minute(ts) AS m, second(ts) AS sec
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).events.filter($"event_id" < 200).select(
+          $"event_id",
+          PgFunctions.timeOfDayMicros($"ts").as("tod_us"),
+          hour($"ts").as("h"), minute($"ts").as("m"),
+          second($"ts").as("sec"))
+          .orderBy("event_id")
+    },
+
     // ---- hashing / encoding (encode.c, uuid.c) ---------------------
     Q("q_fn_hash_encode", Some(
       """SELECT n_nationkey,

@@ -63,6 +63,23 @@ object GpSqlDialect {
       case _ => "snappy"
     }
 
+  /** GP surfaces with no Spark analogue (SURVEY §7.3 documented gaps):
+    * rejected loudly rather than silently misexecuted. */
+  private val Unsupported: Seq[(scala.util.matching.Regex, String)] = Seq(
+    "(?is)\\bFOR\\s+UPDATE\\b".r ->
+      "FOR UPDATE row locks (no lock manager; Spark has no row locks)",
+    "(?is)\\bCREATE\\s+(UNIQUE\\s+)?INDEX\\b".r ->
+      "CREATE INDEX (use Parquet min/max + filter pushdown instead)",
+    "(?is)\\bCREATE\\s+TRIGGER\\b".r -> "CREATE TRIGGER (no trigger engine)",
+    "(?is)\\bDECLARE\\s+\\w+\\s+CURSOR\\b".r ->
+      "cursors (use Dataset.toLocalIterator)")
+
+  def rejectUnsupported(sql: String): Unit =
+    Unsupported.foreach { case (re, why) =>
+      if (re.findFirstIn(sql).isDefined)
+        throw new UnsupportedOperationException(s"graft does not support $why")
+    }
+
   /** Execute a GP-dialect SQL string end-to-end. `CREATE TABLE t
     * [WITH(...)] [DISTRIBUTED ...] AS SELECT ...` runs the select, writes
     * the table with the lowered physics under `basePath/t`, and registers
@@ -70,6 +87,7 @@ object GpSqlDialect {
     * clauses stripped. */
   def execute(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
+    rejectUnsupported(gpSql)
     val ddl = parse(gpSql)
     ddl.cleanSql match {
       case Ctas(name, select) =>

@@ -50,6 +50,19 @@ class ExpressionSpec extends AnyFunSuite {
       .replicated)
   }
 
+  test("GpSqlDialect rejects unsupported GP surfaces loudly") {
+    Seq(
+      "SELECT * FROM orders FOR UPDATE",
+      "CREATE INDEX idx ON orders(o_orderkey)",
+      "CREATE TRIGGER t AFTER INSERT ON orders EXECUTE f()",
+      "DECLARE c1 CURSOR FOR SELECT 1"
+    ).foreach { sql =>
+      intercept[UnsupportedOperationException] {
+        GpSqlDialect.execute(spark, sql, "/tmp/never")
+      }
+    }
+  }
+
   test("GpSqlDialect.execute runs GP-dialect CTAS end-to-end") {
     Tables.registerAll(spark, sf)
     val out = GpSqlDialect.execute(spark,
