@@ -24,6 +24,10 @@ object AsOfJoin {
       key: String, leftTime: String, rightTime: String,
       valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns
+    // null keys never match under join equality; dropping them from the
+    // right side keeps null-key left rows from seeing null-key right rows
+    // (which would otherwise share a window partition)
+    val rightKeyed = right.filter(col(key).isNotNull)
     val tagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
@@ -32,7 +36,7 @@ object AsOfJoin {
           valueCols.map(c => lit(null).cast(right.schema(c).dataType)
             .as(s"__r_$c")): _*)
       .unionByName(
-        right
+        rightKeyed
           .withColumn("__t", col(rightTime))
           .withColumn("__is_left", lit(0))
           .select(

@@ -17,10 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   */
 object PairKernels {
 
-  /** Row indices spread over tasks; consecutive indices land in different
-    * tasks so the triangular workload (row i scores n−i pairs) balances. */
-  private def stripes(spark: SparkSession, n: Int) =
-    spark.sparkContext.parallelize(0 until n, math.min(n max 1, 64))
+  /** Row indices striped over tasks: task s gets rows s, s+S, s+2S, … so
+    * the triangular workload (row i scores n−i pairs) balances instead of
+    * the first contiguous block owning the widest rows. */
+  private def stripes(spark: SparkSession, n: Int) = {
+    val slices = math.min(n max 1, 64)
+    val interleaved = (0 until slices).flatMap(s => s until n by slices)
+    spark.sparkContext.parallelize(interleaved, slices)
+  }
 
   /** All pairs (i<j) with cosine ≥ threshold. */
   def cosinePairs(

@@ -41,6 +41,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2) == ((3L, None, None)))            // no right rows for key
   }
 
+  test("AsOfJoin: null keys never match (PG equality semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], 100L), (2L, Option(10L), 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((Option.empty[Long], 50L, 9.0), (Option(10L), 50L, 1.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(out(0) == ((1L, None)))      // null key matched nothing
+    assert(out(1) == ((2L, Some(1.0))))
+  }
+
   test("Dedup.minhashCandidates finds word-order shuffles") {
     import spark.implicits._
     val docs = Seq(
