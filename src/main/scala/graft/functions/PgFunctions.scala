@@ -44,6 +44,27 @@ object PgFunctions {
     * 1-based — alias kept for the PG surface. */
   def arrayAt(arr: Column, idx: Column): Column = element_at(arr, idx)
 
+  /** PG `to_char(numeric, template)` shim for the common money/number
+    * templates (reference: src/backend/utils/adt/formatting.c). Supported
+    * template subset: 9/0 digit positions, D or '.' decimal point, G or
+    * ',' grouping, optional FM prefix. Grouping → format_number;
+    * plain → printf-style %.Nf. */
+  def toCharNumeric(c: Column, template: String): Column = {
+    val t = template.stripPrefix("FM")
+    val decimals = {
+      val i = t.indexWhere(ch => ch == 'D' || ch == '.')
+      if (i < 0) 0 else t.substring(i + 1).count(ch => ch == '9' || ch == '0')
+    }
+    if (t.contains('G') || t.contains(','))
+      format_number(c, decimals)
+    else
+      format_string(s"%.${decimals}f", c)
+  }
+
+  /** GP hidden column `gp_segment_id` (SURVEY §1.5) — compatibility only:
+    * the Spark partition id, a physical (non-deterministic) property. */
+  def gpSegmentId(): Column = spark_partition_id()
+
   /** PG `time`-of-day (SURVEY §1.4: no native Spark time type → micros
     * since midnight as LongType + helpers). */
   def timeOfDayMicros(ts: Column): Column =

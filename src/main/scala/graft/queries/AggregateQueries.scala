@@ -288,6 +288,22 @@ object AggregateQueries {
           .orderBy("l_returnflag")
     },
 
+    // Hypothetical-set aggregate rank(x) WITHIN GROUP (orderedsetaggs.c):
+    // the rank a hypothetical value would take — count(v < x) + 1.
+    Q("q_agg_hypothetical_rank", Some(
+      """SELECT c_nationkey,
+        |  count(CASE WHEN c_acctbal < 5000.0 THEN 1 END) + 1 AS rank_5000,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).customer
+          .groupBy($"c_nationkey")
+          .agg((count(when($"c_acctbal" < 5000.0, 1)) + 1).as("rank_5000"),
+            count(lit(1)).as("n"))
+          .orderBy("c_nationkey")
+    },
+
     // json_agg (utils/adt/json.c) → to_json(collect_list(struct)), with a
     // sort for determinism; both engines emit compact JSON.
     Q("q_json_agg", Some(

@@ -298,6 +298,25 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // to_char numeric templates (formatting.c) — grouped and plain forms.
+    Q("q_fn_tochar", Some(
+      """SELECT o_orderkey,
+        |  format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+        |    printf('%02d', CAST(round((o_totalprice - floor(o_totalprice)) * 100)
+        |      AS INT)) AS grouped,
+        |  printf('%.2f', o_totalprice) AS plain,
+        |  printf('%.0f', o_totalprice) AS whole
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 200).select(
+          $"o_orderkey",
+          PgFunctions.toCharNumeric($"o_totalprice", "9G999G999D99").as("grouped"),
+          PgFunctions.toCharNumeric($"o_totalprice", "FM9999999.99").as("plain"),
+          PgFunctions.toCharNumeric($"o_totalprice", "FM9999999").as("whole"))
+          .orderBy("o_orderkey")
+    },
+
     // PG `time` type gap (§1.4): micros-since-midnight + display string.
     Q("q_fn_timeofday", Some(
       """SELECT event_id,
