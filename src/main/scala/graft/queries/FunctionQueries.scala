@@ -437,6 +437,33 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // Matrix ops over 2-D arrays (GP matrix.c): add, scale, multiply.
+    // m1 = [[bal/1000, 1],[2, nationkey]], m2 = [[1,2],[3,4]] constant —
+    // the oracle states the closed-form arithmetic.
+    Q("q_fn_matrix", Some(
+      """SELECT s_suppkey,
+        |  [[s_acctbal/1000 + 1.0, 3.0],
+        |   [5.0, CAST(s_nationkey AS DOUBLE) + 4.0]] AS msum,
+        |  [[s_acctbal/1000 * 2, 2.0], [4.0, CAST(s_nationkey AS DOUBLE) * 2]]
+        |    AS mtwice,
+        |  [[s_acctbal/1000 * 1.0 + 1.0 * 3.0, s_acctbal/1000 * 2.0 + 1.0 * 4.0],
+        |   [2.0 * 1.0 + CAST(s_nationkey AS DOUBLE) * 3.0,
+        |    2.0 * 2.0 + CAST(s_nationkey AS DOUBLE) * 4.0]] AS mprod
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.MatrixFunctions._
+      val m1 = array(
+        array($"s_acctbal" / 1000, lit(1.0)),
+        array(lit(2.0), $"s_nationkey".cast("double")))
+      val m2 = array(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey",
+        madd(m1, m2).as("msum"),
+        mscale(m1, lit(2.0)).as("mtwice"),
+        mmul(m1, m2, 2, 2, 2).as("mprod"))
+        .orderBy("s_suppkey")
+    },
+
     // width_bucket (PG histogram bucketing; DuckDB lacks it → CASE oracle).
     Q("q_fn_width_bucket", Some(
       """SELECT c_custkey,
