@@ -101,12 +101,17 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // codegen'd fixed-k match count (a higher-order zip_with/filter would
+    // evaluate interpreted per pair — the hot loop of the whole operator)
+    val matches = (1 to k).map { i =>
+      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+        .otherwise(0)
+    }.reduce((a, b) => a + b)
     pairs
       .join(sigsC.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigsC.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), eq => eq)).cast("double") / k).as("est_jaccard"))
+        (matches.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 

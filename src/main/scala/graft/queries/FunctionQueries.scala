@@ -305,7 +305,7 @@ object FunctionQueries {
         |    printf('%02d', CAST(round((o_totalprice - floor(o_totalprice)) * 100)
         |      AS INT)) AS grouped,
         |  printf('%.2f', o_totalprice) AS plain,
-        |  printf('%.0f', o_totalprice) AS whole
+        |  printf('%.0f', round(o_totalprice, 0)) AS whole
         |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
@@ -313,7 +313,9 @@ object FunctionQueries {
           $"o_orderkey",
           PgFunctions.toCharNumeric($"o_totalprice", "9G999G999D99").as("grouped"),
           PgFunctions.toCharNumeric($"o_totalprice", "FM9999999.99").as("plain"),
-          PgFunctions.toCharNumeric($"o_totalprice", "FM9999999").as("whole"))
+          // pre-round: Java %.0f is HALF_UP, C printf is HALF_EVEN
+          PgFunctions.toCharNumeric(round($"o_totalprice", 0), "FM9999999")
+            .as("whole"))
           .orderBy("o_orderkey")
     },
 
