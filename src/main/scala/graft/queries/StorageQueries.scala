@@ -170,6 +170,66 @@ object StorageQueries {
           .orderBy("o_orderpriority")
     },
 
+    // DELETE — copy-on-write rewrite (ModifyTable delete path).
+    Q("q_dml_delete", Some(
+      s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey <= 3000 AND NOT (o_orderstatus = 'F')
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("dml_delete_orders")
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(path)
+        graft.operators.Dml.deleteWhere(s, path, col("o_orderstatus") === "F")
+        s.read.parquet(path)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
+    // UPDATE — copy-on-write rewrite with per-column CASE.
+    Q("q_dml_update", Some(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${Q.oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END")}
+         |    AS total
+         |FROM orders WHERE o_orderkey <= 3000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("dml_update_orders")
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(path)
+        graft.operators.Dml.updateWhere(s, path,
+          Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+          col("o_orderstatus") === "O")
+        s.read.parquet(path)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+          .orderBy("o_orderstatus")
+    },
+
+    // MERGE (upsert): keys 1501..3000 overwrite with bumped price, keys
+    // 3001..4500 insert; 1..1500 untouched.
+    Q("q_dml_merge", Some(
+      s"""SELECT count(*) AS n, ${Q.oSum("p")} AS total FROM (
+         |  SELECT o_totalprice AS p FROM orders WHERE o_orderkey <= 1500
+         |  UNION ALL
+         |  SELECT o_totalprice + 1000 FROM orders
+         |  WHERE o_orderkey > 1500 AND o_orderkey <= 4500) t""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val path = tmp("dml_merge_orders")
+        val o = Tables.T(s, dir).orders
+        o.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(path)
+        val source = o.filter($"o_orderkey" > 1500 && $"o_orderkey" <= 4500)
+          .withColumn("o_totalprice", $"o_totalprice" + 1000)
+        graft.operators.Dml.mergeInto(s, path, source, "o_orderkey")
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(
