@@ -84,5 +84,6 @@ object PgFunctions {
       "simhash32",
       exprs => graft.expressions.SimHash32Expr(exprs.head),
       "built-in")
+    JsonbFunctions.register(spark)
   }
 }

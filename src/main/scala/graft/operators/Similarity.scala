@@ -93,6 +93,44 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroid vectors, search only the query's `nProbe` nearest cells.
+    * Centroids are a deterministic sample (id % modulus == 0) — a real
+    * deployment would k-means them; the index/probe dataflow (assign →
+    * equi-join on cell → score) is identical and is the part that has to
+    * scale. Corpus vectors live in exactly one cell, so probing never
+    * duplicates a candidate. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, dim: Int,
+      centroidModulus: Int = 100,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val cents = corpus.filter(col(cId) % centroidModulus === 0)
+      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", cosineWithNorms(
+          dotFixed(col(vec), col("cent_vec"), dim),
+          sqrt(dotFixed(col(vec), col(vec), dim)),
+          sqrt(dotFixed(col("cent_vec"), col("cent_vec"), dim))))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .select((col("cent_id").as("cell") +: df.columns.map(col)): _*)
+    }
+    val index = assign(corpus, cId, cVec, 1)
+    val probes = assign(queries, qId, qVec, nProbe)
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
+    probes.join(index, "cell")
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId),
+        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
+          sqrt(dotFixed(col(qVec), col(qVec), dim)),
+          sqrt(dotFixed(col(cVec), col(cVec), dim))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Norms are computed once per row (not per pair) and the per-pair dot
     * is the codegen'd fixed-dim chain. Block-nested self-join at small

@@ -335,6 +335,29 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // jsonb containment `@>` + object merge `||` (jsonb.c operators).
+    Q("q_fn_jsonb", Some(
+      """SELECT event_id,
+        |  json_contains(props, '{"k": 69}') AS has_k69,
+        |  json_contains(props, '{"missing": 1}') AS has_missing,
+        |  CAST(json_merge_patch(props, '{"src": "graft"}') AS VARCHAR)
+        |    AS enriched
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        PgFunctions.registerAll(s)
+        Tables.T(s, dir).events.filter($"event_id" < 200).select(
+          $"event_id",
+          call_udf("jsonb_contains", $"props", lit("""{"k": 69}"""))
+            .as("has_k69"),
+          call_udf("jsonb_contains", $"props", lit("""{"missing": 1}"""))
+            .as("has_missing"),
+          to_json(struct(
+            get_json_object($"props", "$.k").cast("int").as("k"),
+            lit("graft").as("src"))).as("enriched"))
+          .orderBy("event_id")
+    },
+
     // ---- hashing / encoding (encode.c, uuid.c) ---------------------
     Q("q_fn_hash_encode", Some(
       """SELECT n_nationkey,

@@ -262,6 +262,39 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF-cell ANN: deterministic centroid sample (vec_id % 100 == 0),
+    // corpus assigned to nearest cell, queries probe 2 cells.
+    Q("q_ann_ivf", Some(
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |asgn AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${oCos("e.embedding", "c.cv")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM asgn),
+         |cells AS (SELECT vec_id, embedding, cent_id AS cell
+         |  FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, embedding AS qe, cent_id AS cell
+         |  FROM ranked WHERE vec_id < 8 AND rn <= 2),
+         |cand AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM probes p JOIN cells c ON p.cell = c.cell
+         |   AND c.vec_id <> p.q_id),
+         |r AS (SELECT q_id, c_id, raw, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.ivfTopK(queries, corpus, k = 3, nProbe = 2, dim = 64)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
     // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
     // generation is an equi-join on the sign-bucket, not a cross join.
     Q("q_ann_lsh", Some {
