@@ -86,20 +86,37 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, k)
-    // materialize signatures once — both join sides reuse this instead of
-    // recomputing k·|tokens| md5s per side (at cluster scale this is a
-    // persisted signature table)
-    val sigsC = sigs.cache()
-    // slim band join (ids only), dedup pairs, then join the signatures
-    // back for the estimate — keeps the bucket-join shuffle narrow
-    val banded = sigsC.select(
-      col("id"), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+    // MinHash depends only on the token SET, so docs with identical sets
+    // (word-order shuffles — the common near-dup) collapse to one
+    // representative before any signature or band work. Identical-set
+    // pairs are emitted directly with est = 1.0 (their signatures are
+    // equal by construction); distinct sets go through LSH and the
+    // resulting set-pairs expand back to doc pairs.
+    val withFp = df.select(col(idCol).as("id"),
+      TextAnalysis.bowFingerprint(col(textCol)).as("fp"),
+      TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val groups = withFp.groupBy("fp")
+      .agg(array_sort(collect_list(col("id"))).as("ids"),
+        first(col("ts")).as("ts"))
+      .cache()
+    // signatures per distinct token set
+    val sigs = groups.select(col("fp"), explode(col("ts")).as("tok"))
+      .select(col("fp"), col("tok"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy("fp", "i")
+      .agg(min(md5(concat(col("i"), lit(":"), col("tok")).cast("binary")))
+        .as("mh"))
+      .groupBy("fp")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+      .cache()
+    val banded = sigs.select(
+      col("fp"), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val pairs = banded.alias("a")
+    val fpPairs = banded.alias("a")
       .join(banded.alias("b"), Seq("band", "band_key"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
     // codegen'd fixed-k match count (a higher-order zip_with/filter would
     // evaluate interpreted per pair — the hot loop of the whole operator)
@@ -107,11 +124,24 @@ object Dedup {
       when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
         .otherwise(0)
     }.reduce((a, b) => a + b)
-    pairs
-      .join(sigsC.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigsC.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val crossSetPairs = fpPairs
+      .join(sigs.select(col("fp").as("fp_a"), col("sig").as("sig_a")), "fp_a")
+      .join(sigs.select(col("fp").as("fp_b"), col("sig").as("sig_b")), "fp_b")
+      .select(col("fp_a"), col("fp_b"),
         (matches.cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("est_jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("est_jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("est_jaccard"))
+    val withinSetPairs = groups.filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("pa", "id_a")), col("ids"))
+      .select(col("pa"), col("id_a"), posexplode(col("ids")).as(Seq("pb", "id_b")))
+      .filter(col("pa") < col("pb"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
+    crossSetPairs.unionByName(withinSetPairs)
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
