@@ -48,6 +48,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("n"))
 
+  /** Incremental micro-batch load: stream → foreachBatch → parquet append,
+    * Trigger.AvailableNow (process everything pending, then stop) — the
+    * continuous-ingest analogue of GP's external-table COPY loop
+    * (SURVEY §2.12, fileam.c). Each batch lands atomically; the
+    * checkpoint makes restarts exactly-once per batch. */
+  def incrementalLoad(
+      spark: SparkSession, dir: String, outPath: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = readEvents(spark, dir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", outPath + ".ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 6))).cast("double")
+              .as("total"))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation to completion against the (static) file
     * source via the memory sink; returns the materialized result. */
   def runToCompletion(

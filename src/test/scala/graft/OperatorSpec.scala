@@ -162,6 +162,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L).n_events == 1 && out(2L).n_purchases == 0)
   }
 
+  test("EventStreams.incrementalLoad drains the source via AvailableNow") {
+    import org.apache.hadoop.fs.Path
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_incr_load"
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(out), true)
+    fs.delete(new Path(out + ".ckpt"), true)
+    graft.streaming.EventStreams.incrementalLoad(spark, sf, out)
+    val loaded = spark.read.parquet(out)
+    assert(loaded.columns.toSet == Set("event_type", "n", "total"))
+    assert(loaded.select("event_type").distinct().count() == 5)
+    // second run: checkpoint says nothing new is pending → no duplicates
+    graft.streaming.EventStreams.incrementalLoad(spark, sf, out)
+    assert(spark.read.parquet(out).count() == loaded.count())
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")

@@ -48,6 +48,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_sort_multikey (orderBy+limit) avoids a global sort too") {
+    assert(plan("q_sort_multikey").contains("TakeOrderedAndProject"))
+  }
+
   test("q_limit_offset does not scan-and-sort the world twice") {
     assert(plan("q_limit_offset").contains("TakeOrderedAndProject"))
   }
