@@ -61,6 +61,84 @@ object PgFunctions {
       format_string(s"%.${decimals}f", c)
   }
 
+  /** PG `to_char(timestamp/date, template)` (reference:
+    * src/backend/utils/adt/formatting.c, DCH_* keywords): translates the
+    * PG template into a concat of codegen'd date_format/arithmetic parts.
+    * Supported: YYYY YY MM DD DDD D HH24 HH12 HH MI SS MS US AM PM Q WW J
+    * TZ, name forms Month/Mon/Day/Dy in upper/lower/capitalized case,
+    * double-quoted literals, punctuation passthrough, and the FM modifier
+    * (suppresses the blank-padding of name fields / zero-padding of the
+    * numeric field that follows, per PG "modifies only the specification
+    * that follows"). */
+  def toChar(ts: Column, template: String): Column = {
+    def fmt(p: String) = date_format(ts, p)
+    def blankPad(c: Column, w: Int, fm: Boolean) =
+      if (fm) c else rpad(c, w, " ")
+    def num(c: Column, w: Int, fm: Boolean) =
+      if (fm) c.cast("string") else lpad(c.cast("string"), w, "0")
+    // (token, fm => column); longest tokens first so HH24 wins over HH
+    val tokens: Seq[(String, Boolean => Column)] = Seq(
+      "HH24" -> (_ => fmt("HH")),
+      "HH12" -> (_ => fmt("hh")),
+      "YYYY" -> (fm => num(year(ts), 4, fm)),
+      "Month" -> (fm => blankPad(fmt("MMMM"), 9, fm)),
+      "MONTH" -> (fm => upper(blankPad(fmt("MMMM"), 9, fm))),
+      "month" -> (fm => lower(blankPad(fmt("MMMM"), 9, fm))),
+      "Mon" -> (_ => fmt("MMM")),
+      "MON" -> (_ => upper(fmt("MMM"))),
+      "mon" -> (_ => lower(fmt("MMM"))),
+      "Day" -> (fm => blankPad(fmt("EEEE"), 9, fm)),
+      "DAY" -> (fm => upper(blankPad(fmt("EEEE"), 9, fm))),
+      "day" -> (fm => lower(blankPad(fmt("EEEE"), 9, fm))),
+      "Dy" -> (_ => fmt("EEE")),
+      "DY" -> (_ => upper(fmt("EEE"))),
+      "dy" -> (_ => lower(fmt("EEE"))),
+      "DDD" -> (fm => num(dayofyear(ts), 3, fm)),
+      "DD" -> (fm => num(dayofmonth(ts), 2, fm)),
+      "D" -> (_ => dayofweek(ts).cast("string")), // PG: Sunday = 1
+      "MM" -> (fm => num(month(ts), 2, fm)),
+      "MI" -> (_ => fmt("mm")),
+      "SS" -> (_ => fmt("ss")),
+      "MS" -> (_ => fmt("SSS")),
+      "US" -> (fm => num(unix_micros(ts) % 1000000L, 6, fm)),
+      "AM" -> (_ => fmt("a")),
+      "PM" -> (_ => fmt("a")),
+      "am" -> (_ => lower(fmt("a"))),
+      "pm" -> (_ => lower(fmt("a"))),
+      "HH" -> (_ => fmt("hh")),
+      "YY" -> (_ => fmt("yy")),
+      "Q" -> (_ => quarter(ts).cast("string")),
+      "WW" -> (fm => num((dayofyear(ts) - 1) / 7 + 1, 2, fm)),
+      "J" -> (_ => (datediff(ts.cast("date"), to_date(lit("1970-01-01")))
+        + 2440588).cast("string")),
+      "TZ" -> (_ => lit("UTC")) // session timezone is pinned UTC
+    )
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var i = 0
+    var fmNext = false
+    while (i < template.length) {
+      val rest = template.substring(i)
+      if (rest.startsWith("\"")) {
+        val end = template.indexOf('"', i + 1)
+        val stop = if (end < 0) template.length else end
+        parts += lit(template.substring(i + 1, stop))
+        i = if (end < 0) template.length else end + 1
+      } else if (rest.startsWith("FM")) {
+        fmNext = true
+        i += 2
+      } else tokens.find { case (tok, _) => rest.startsWith(tok) } match {
+        case Some((tok, f)) =>
+          parts += f(fmNext)
+          fmNext = false
+          i += tok.length
+        case None =>
+          parts += lit(rest.head.toString)
+          i += 1
+      }
+    }
+    concat(parts.toSeq: _*)
+  }
+
   /** GP hidden column `gp_segment_id` (SURVEY §1.5) — compatibility only:
     * the Spark partition id, a physical (non-deterministic) property. */
   def gpSegmentId(): Column = spark_partition_id()

@@ -81,10 +81,19 @@ object Dedup {
     * buckets → distinct pairs. At 100 TB the band-key shuffle partitions
     * evenly (md5 keys), and bucket skew is bounded because identical docs
     * share all bands but still join within one partition.
+    *
+    * `maxBucketSize` is the scale guard (opt-in; None = exact): a
+    * pathological band key (boilerplate-heavy shard) makes the
+    * within-bucket join quadratic, so buckets above the cap are DROPPED
+    * from candidate generation, with the drop count logged. Capping
+    * trades recall on mega-clusters for a hard per-bucket work bound —
+    * at 100 TB run with a cap sized so cap² × buckets fits the shuffle
+    * budget; leave None when exact parity with the LSH spec is required.
     */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+      k: Int = 16, bands: Int = 4, minEstJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / bands
     // MinHash depends only on the token SET, so docs with identical sets
     // (word-order shuffles — the common near-dup) collapse to one
@@ -110,9 +119,23 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
         s => s.getField("mh")).as("sig"))
       .cache()
-    val banded = sigs.select(
+    val banded0 = sigs.select(
       col("fp"), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = maxBucketSize match {
+      case None => banded0
+      case Some(cap) =>
+        val sized = banded0.join(
+          banded0.groupBy("band", "band_key")
+            .agg(count(lit(1)).as("__bsz")),
+          Seq("band", "band_key"))
+        val dropped = sized.filter(col("__bsz") > cap)
+          .select(countDistinct(col("band"), col("band_key"))).first().getLong(0)
+        if (dropped > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"minhashCandidates: dropped $dropped band buckets over cap=$cap")
+        sized.filter(col("__bsz") <= cap).drop("__bsz")
+    }
     val fpPairs = banded.alias("a")
       .join(banded.alias("b"), Seq("band", "band_key"))
       .filter(col("a.fp") < col("b.fp"))
@@ -188,13 +211,55 @@ object Dedup {
       when(shiftright(a.bitwiseXOR(b), j).bitwiseAND(1) === 1, 1).otherwise(0)
     }.reduce((x, y) => x + y)
 
+  /** All pairs (id_a < id_b) of signatures within `maxDist` Hamming
+    * distance — EXACT, via multi-index banding: the signature is split
+    * into maxDist+1 disjoint bit bands; any pair with ≤ maxDist differing
+    * bits leaves at least one band untouched (pigeonhole), so an equi-join
+    * on (band, band bits) generates a complete candidate set, verified by
+    * popcount. One shuffle on the band key; no driver state — the 100 TB
+    * formulation (GP analogue: redistribute Motion on a computed key).
+    * Bucket fan-out is 2^(bits/bands) per band — use wider signatures
+    * (e.g. 64-bit) at larger corpus sizes to keep buckets sparse. */
+  def hammingPairsBanded(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int, bits: Int = 32): DataFrame = {
+    val bands = maxDist + 1
+    val base = bits / bands
+    val extra = bits % bands
+    val widths = (0 until bands).map(b => base + (if (b < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // the signature expression (e.g. SimHash over full text) is the
+    // expensive per-row work — cache it so the self-join's two sides
+    // don't recompute it (at 100 TB: persist the signature table)
+    val s = sigs.select(
+      col(idCol).cast("long").as("id"), col(sigCol).cast("long").as("sig"))
+      .cache()
+    val bandKeys = array((0 until bands).map { b =>
+      shiftrightunsigned(col("sig"), offsets(b))
+        .bitwiseAND((1L << widths(b)) - 1)
+    }: _*)
+    val banded = s
+      .select(col("id"), col("sig"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val a = banded.select(
+      col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
+    val b = banded.select(
+      col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   // ---- n-gram Jaccard (inverted-index join) ------------------------
 
   /** Exact token-set Jaccard over candidate pairs that share ≥1 token.
     * Inverted-index join: explode distinct tokens → self-join on token →
     * count shared per pair → |A∪B| = |A|+|B|−shared. The token join is the
     * scalable candidate generator (pairs with zero overlap never meet). */
-  def jaccardPairs(
+  def jaccardPairsInverted(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
@@ -212,5 +277,78 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact all-pairs token-set Jaccard ≥ threshold — the scale
+    * formulation (AllPairs/PPJoin prefix filtering, Bayardo et al. WWW'07):
+    *
+    *  1. identical token sets collapse to one representative (word-order
+    *     shuffles — the dominant near-dup class — never reach the join);
+    *  2. each distinct set indexes only its PREFIX under a global
+    *     rare-token-first order: p = n − floor(t·n) + 1 tokens. Two sets
+    *     with J ≥ t provably share a prefix token, so the inverted-index
+    *     join over prefixes alone is a complete candidate generator —
+    *     and hot (stop-word-like) tokens sit at the END of sets, mostly
+    *     outside prefixes, bounding per-token bucket blowup;
+    *  3. candidates verify with one codegen'd array_intersect.
+    *
+    * Exact same result set as [[jaccardPairsInverted]]; shuffles on token
+    * and pair keys only, zero driver state. */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double): DataFrame = {
+    val withFp = df.select(col(idCol).cast("long").as("id"),
+      TextAnalysis.bowFingerprint(col(textCol)).as("fp"),
+      TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val groups = withFp.groupBy("fp")
+      .agg(array_sort(collect_list(col("id"))).as("ids"),
+        first(col("ts")).as("ts"))
+      .cache()
+    // global rare-first order: (set frequency, token) — any total order
+    // works for correctness; rare-first minimizes candidate volume
+    val inv = groups.select(col("fp"), explode(col("ts")).as("tok"))
+    val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val ordered = inv.join(dfreq, "tok")
+      .groupBy("fp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dfq"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .cache() // three consumers: prefix ×2 (self-join sides), verify sets
+    // floor (not ceil) of t·n guards against fp error in the prefix bound:
+    // a 1-ulp-low product only lengthens the prefix (more candidates,
+    // never a miss)
+    val prefixLen = greatest(lit(1),
+      (col("n") - floor(lit(minJaccard) * col("n")) + 1).cast("int"))
+    val prefix = ordered.select(col("fp"),
+      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    val candPairs = prefix.alias("x").join(prefix.alias("y"),
+        col("x.tok") === col("y.tok") && col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    val sets = ordered.select(col("fp"), col("toks"), col("n"))
+    val crossSet = candPairs
+      .join(sets.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
+        col("n").as("na")), "fp_a")
+      .join(sets.select(col("fp").as("fp_b"), col("toks").as("ts_b"),
+        col("n").as("nb")), "fp_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .select(col("fp_a"), col("fp_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val withinSet = groups.filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("pa", "id_a")), col("ids"))
+      .select(col("pa"), col("id_a"),
+        posexplode(col("ids")).as(Seq("pb", "id_b")))
+      .filter(col("pa") < col("pb"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    crossSet.unionByName(withinSet).filter(col("jaccard") >= minJaccard)
   }
 }

@@ -18,16 +18,26 @@ import org.apache.spark.sql.functions._
   * table. */
 object Dml {
 
-  /** Atomically replace the table at `path` with `next`. */
+  /** Replace the table at `path` with `next` via rename-aside swap:
+    * write tmp → move live dir aside → move tmp into place → drop the
+    * old copy. A crash at any step leaves either the old or the new
+    * table recoverable on disk (the previous delete-then-rename lost
+    * the published table if it died between the two calls). */
   private def overwriteInPlace(
       spark: SparkSession, path: String, next: DataFrame): Unit = {
     val tmp = path + ".cow-tmp"
+    val old = path + ".cow-old"
     next.write.mode("overwrite").parquet(tmp)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    if (!fs.rename(new Path(tmp), new Path(path)))
+    fs.delete(new Path(old), true) // leftover from a previous crash
+    if (fs.exists(new Path(path)) && !fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"rename $path -> $old failed")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(new Path(old), new Path(path)) // roll back
       throw new java.io.IOException(s"rename $tmp -> $path failed")
+    }
+    fs.delete(new Path(old), true)
   }
 
   /** DELETE FROM path WHERE cond (SQL semantics: rows where cond is
@@ -50,6 +60,85 @@ object Dml {
       }
     }: _*)
     overwriteInPlace(spark, path, updated)
+  }
+
+  /** Hive-style partition values under `path` for `partitionCol`. */
+  private def partitionValues(
+      spark: SparkSession, path: String, partitionCol: String): Seq[String] = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(partitionCol + "="))
+      .map(_.stripPrefix(partitionCol + "="))
+  }
+
+  /** DELETE at PARTITION granularity (GP analogue: the planner's
+    * PartitionSelector limits ModifyTable to affected leaves): only the
+    * Hive partitions that contain matching rows are rewritten; all other
+    * partition directories are left byte-identical. The affected-set
+    * probe collects only partition VALUES (catalog-scale metadata, not
+    * data) to the driver. */
+  def deleteWherePartitioned(
+      spark: SparkSession, path: String, partitionCol: String,
+      cond: Column): Unit = {
+    val df = spark.read.parquet(path)
+    val affected = df.filter(coalesce(cond, lit(false)))
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    affected.foreach { pv =>
+      val pdir = s"$path/$partitionCol=$pv"
+      val part = spark.read.parquet(pdir)
+        .withColumn(partitionCol, lit(pv).cast(df.schema(partitionCol).dataType))
+      overwriteInPlace(spark, pdir,
+        part.filter(!coalesce(cond, lit(false))).drop(partitionCol))
+    }
+  }
+
+  /** UPDATE at partition granularity. If the assignment touches the
+    * partition column itself, rows can MOVE partitions (GP SplitUpdate,
+    * nodeSplitUpdate.c:124) — that case falls back to a full partitioned
+    * rewrite (delete+insert everywhere); otherwise only affected
+    * partitions are rewritten in place. */
+  def updateWherePartitioned(
+      spark: SparkSession, path: String, partitionCol: String,
+      assignments: Map[String, Column], cond: Column): Unit = {
+    val df = spark.read.parquet(path)
+    def applyTo(d: DataFrame): DataFrame = d.select(d.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(coalesce(cond, lit(false)), v)
+          .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    if (assignments.contains(partitionCol)) {
+      // SplitUpdate: rewrite the whole table, re-partitioned
+      val tmp = path + ".cow-tmp"
+      applyTo(df).write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = path + ".cow-old"
+      fs.delete(new Path(old), true)
+      if (!fs.rename(new Path(path), new Path(old)))
+        throw new java.io.IOException(s"rename $path -> $old failed")
+      if (!fs.rename(new Path(tmp), new Path(path))) {
+        fs.rename(new Path(old), new Path(path))
+        throw new java.io.IOException(s"rename $tmp -> $path failed")
+      }
+      fs.delete(new Path(old), true)
+    } else {
+      val affected = df.filter(coalesce(cond, lit(false)))
+        .select(col(partitionCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      affected.foreach { pv =>
+        val pdir = s"$path/$partitionCol=$pv"
+        val part = spark.read.parquet(pdir)
+          .withColumn(partitionCol,
+            lit(pv).cast(df.schema(partitionCol).dataType))
+        overwriteInPlace(spark, pdir, applyTo(part).drop(partitionCol))
+      }
+    }
   }
 
   /** MERGE INTO path USING source ON key: matched rows take the source's

@@ -218,8 +218,11 @@ object AggregateQueries {
           .orderBy("n_regionkey")
     },
 
+    // array_agg output serialized to CSV text so the pandas compare never
+    // sees ndarray cells (driver gate can't sort those).
     Q("q_array_agg", Some(
-      """SELECT c_mktsegment, array_agg(c_custkey ORDER BY c_custkey) AS custs
+      """SELECT c_mktsegment,
+        |  array_to_string(array_agg(c_custkey ORDER BY c_custkey), ',') AS custs
         |FROM customer WHERE c_custkey <= 60
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) {
       (s, dir) =>
@@ -227,7 +230,7 @@ object AggregateQueries {
         Tables.T(s, dir).customer
           .filter($"c_custkey" <= 60)
           .groupBy($"c_mktsegment")
-          .agg(array_sort(collect_list($"c_custkey")).as("custs"))
+          .agg(array_join(array_sort(collect_list($"c_custkey")), ",").as("custs"))
           .orderBy("c_mktsegment")
     },
 
@@ -235,18 +238,46 @@ object AggregateQueries {
     // Spark `percentile` is the exact interpolated quantile = quantile_cont.
     Q("q_percentile", Some(
       """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
         |  quantile_cont(l_quantity, 0.5) AS p50,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
         |  median(l_extendedprice) AS med_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
         Tables.T(s, dir).lineitem
           .groupBy($"l_returnflag")
-          .agg(percentile($"l_quantity", lit(0.5)).as("p50"),
-            percentile($"l_quantity", array(lit(0.25), lit(0.5), lit(0.75)))
-              .as("quartiles"),
+          .agg(percentile($"l_quantity", lit(0.25)).as("p25"),
+            percentile($"l_quantity", lit(0.5)).as("p50"),
+            percentile($"l_quantity", lit(0.75)).as("p75"),
             median($"l_extendedprice").as("med_price"))
+          .orderBy("l_returnflag")
+    },
+
+    // percentile_disc(f) WITHIN GROUP (orderedsetaggs.c:404-454): the
+    // discrete quantile — smallest value whose cume_dist ≥ f. Spark 3.4+
+    // ships the SQL-standard WITHIN GROUP form; DuckDB's quantile_disc
+    // has identical semantics (probed: sorted[ceil(f*n)]).
+    Q("q_percentile_disc", Some(
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p25"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p50"),
+            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+              .as("p75"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+              .as("p90_price"))
           .orderBy("l_returnflag")
     },
 

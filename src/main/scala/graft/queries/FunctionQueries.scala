@@ -122,13 +122,13 @@ object FunctionQueries {
         |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
         |  dayofweek(o_orderdate) + 1 AS dow,
         |  dayofyear(o_orderdate) AS doy,
-        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
-        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qstart,
-        |  last_day(CAST(o_orderdate AS DATE)) AS meow,
-        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
-        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mstart,
+        |  CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS qstart,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS meow,
+        |  CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+        |  CAST(CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS VARCHAR) AS plus45d,
         |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to,
-        |  epoch(o_orderdate) AS epoch_s
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
@@ -138,11 +138,14 @@ object FunctionQueries {
           dayofmonth($"o_orderdate").as("d"), quarter($"o_orderdate").as("q"),
           dayofweek($"o_orderdate").as("dow"),
           dayofyear($"o_orderdate").as("doy"),
-          date_trunc("month", $"o_orderdate").cast("date").as("mstart"),
-          date_trunc("quarter", $"o_orderdate").cast("date").as("qstart"),
-          last_day($"o_orderdate").as("meow"),
-          ($"o_orderdate" + expr("INTERVAL 3 MONTH")).cast("date").as("plus3m"),
-          ($"o_orderdate" + expr("INTERVAL 45 DAY")).cast("date").as("plus45d"),
+          // date results rendered as ISO strings: DATE columns read back
+          // as date32 vs datetime64 depending on the reader, breaking the
+          // exact compare even when values agree
+          date_trunc("month", $"o_orderdate").cast("date").cast("string").as("mstart"),
+          date_trunc("quarter", $"o_orderdate").cast("date").cast("string").as("qstart"),
+          last_day($"o_orderdate").cast("string").as("meow"),
+          ($"o_orderdate" + expr("INTERVAL 3 MONTH")).cast("date").cast("string").as("plus3m"),
+          ($"o_orderdate" + expr("INTERVAL 45 DAY")).cast("date").cast("string").as("plus45d"),
           datediff(lit("2002-01-01"), $"o_orderdate").as("days_to"),
           unix_timestamp($"o_orderdate").as("epoch_s"))
           .orderBy("o_orderkey")
@@ -196,8 +199,8 @@ object FunctionQueries {
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip,
         |  CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-        |  CAST(o_orderdate AS DATE) AS as_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS as_date,
         |  CAST(o_orderkey % 2 = 0 AS INT) AS even_flag,
         |  CAST('123' AS INT) + o_orderkey AS lit_cast
         |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin)) {
@@ -208,43 +211,47 @@ object FunctionQueries {
           $"o_orderkey".cast("string").as("key_str"),
           $"o_orderkey".cast("string").cast("long").as("roundtrip"),
           expr("CAST(o_totalprice AS BIGINT)").as("price_trunc"),
-          $"o_totalprice".cast("decimal(18,2)").as("price_dec"),
-          $"o_orderdate".cast("date").as("as_date"),
+          // decimal → double for the compare: pandas renders DECIMAL(18,2)
+          // with trailing zeros ("123.40") vs float64 "123.4"
+          $"o_totalprice".cast("decimal(18,2)").cast("double").as("price_dec"),
+          $"o_orderdate".cast("date").cast("string").as("as_date"),
           ($"o_orderkey" % 2 === 0).cast("int").as("even_flag"),
           (lit("123").cast("int") + $"o_orderkey").as("lit_cast"))
           .orderBy("o_orderkey")
     },
 
     // ---- arrays (arrayfuncs.c, array_userfuncs.c) ------------------
+    // Array outputs are serialized with array_to_string/array_join so the
+    // driver's pandas compare (which can't sort ndarray cells) sees VARCHAR.
     Q("q_fn_array", Some(
       """SELECT n_nationkey,
-        |  range(1, (n_nationkey % 5) + 3) AS arr,
+        |  array_to_string(range(1, (n_nationkey % 5) + 3), ',') AS arr,
         |  len(range(1, (n_nationkey % 5) + 3)) AS alen,
         |  (range(1, (n_nationkey % 5) + 3))[2] AS second,
         |  list_contains(range(1, (n_nationkey % 5) + 3), 3) AS has3,
         |  list_position(range(1, (n_nationkey % 5) + 3), 2) AS pos2,
-        |  list_slice(range(1, (n_nationkey % 5) + 3), 1, 2) AS head2,
-        |  list_sort(list_reverse_sort(range(1, (n_nationkey % 5) + 3))) AS sorted_back,
+        |  array_to_string(list_slice(range(1, (n_nationkey % 5) + 3), 1, 2), ',') AS head2,
+        |  array_to_string(list_sort(list_reverse_sort(range(1, (n_nationkey % 5) + 3))), ',') AS sorted_back,
         |  list_reduce(range(1, (n_nationkey % 5) + 3), (a, x) -> a + x) AS total,
-        |  list_transform(range(1, (n_nationkey % 5) + 3), x -> x * 10) AS tens,
-        |  list_filter(range(1, (n_nationkey % 5) + 3), x -> x % 2 = 0) AS evens,
-        |  flatten([range(1, (n_nationkey % 5) + 3), [99]]) AS with99
+        |  array_to_string(list_transform(range(1, (n_nationkey % 5) + 3), x -> x * 10), ',') AS tens,
+        |  array_to_string(list_filter(range(1, (n_nationkey % 5) + 3), x -> x % 2 = 0), ',') AS evens,
+        |  array_to_string(flatten([range(1, (n_nationkey % 5) + 3), [99]]), ',') AS with99
         |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
       import s.implicits._
       val arr = sequence(lit(1L), ($"n_nationkey" % 5 + 2).cast("long"))
       Tables.T(s, dir).nation.select(
         $"n_nationkey",
-        arr.as("arr"),
+        array_join(arr, ",").as("arr"),
         size(arr).as("alen"),
         element_at(arr, 2).as("second"),
         array_contains(arr, 3).as("has3"),
         array_position(arr, 2).as("pos2"),
-        slice(arr, 1, 2).as("head2"),
-        array_sort(reverse(array_sort(arr))).as("sorted_back"),
+        array_join(slice(arr, 1, 2), ",").as("head2"),
+        array_join(array_sort(reverse(array_sort(arr))), ",").as("sorted_back"),
         aggregate(arr, lit(0L), (a, x) => a + x).as("total"),
-        transform(arr, x => x * 10).as("tens"),
-        filter(arr, x => x % 2 === 0).as("evens"),
-        flatten(array(arr, array(lit(99L)))).as("with99"))
+        array_join(transform(arr, x => x * 10), ",").as("tens"),
+        array_join(filter(arr, x => x % 2 === 0), ",").as("evens"),
+        array_join(flatten(array(arr, array(lit(99L)))), ",").as("with99"))
         .orderBy("n_nationkey")
     },
 
@@ -319,6 +326,33 @@ object FunctionQueries {
           .orderBy("o_orderkey")
     },
 
+    // to_char(timestamp, template) through the full PG template engine
+    // (formatting.c DCH keywords): name fields with PG's blank-padding,
+    // FM modifier, numeric fields, quoted literals.
+    Q("q_fn_tochar_date", Some(
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+        |  strftime(ts, '%A, %d %B %Y') AS verbose,
+        |  rpad(strftime(ts, '%A'), 9, ' ') AS day_padded,
+        |  CAST(quarter(ts) AS VARCHAR) AS qtr,
+        |  strftime(ts, '%j') AS doy3,
+        |  CAST(dayofweek(ts) + 1 AS VARCHAR) AS dnum,
+        |  strftime(ts, '%Y') || ' y ' || CAST(quarter(ts) AS VARCHAR) AS lit_mix
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).events.filter($"event_id" < 200).select(
+          $"event_id",
+          PgFunctions.toChar($"ts", "YYYY-MM-DD HH24:MI:SS").as("iso"),
+          PgFunctions.toChar($"ts", "FMDay, DD FMMonth YYYY").as("verbose"),
+          PgFunctions.toChar($"ts", "Day").as("day_padded"),
+          PgFunctions.toChar($"ts", "Q").as("qtr"),
+          PgFunctions.toChar($"ts", "DDD").as("doy3"),
+          PgFunctions.toChar($"ts", "D").as("dnum"),
+          PgFunctions.toChar($"ts", "YYYY \"y\" Q").as("lit_mix"))
+          .orderBy("event_id")
+    },
+
     // PG `time` type gap (§1.4): micros-since-midnight + display string.
     Q("q_fn_timeofday", Some(
       """SELECT event_id,
@@ -377,15 +411,18 @@ object FunctionQueries {
     },
 
     // ---- composite/row types (rowtypes.c → StructType) -------------
+    // Struct output serialized as compact JSON (identical on both engines)
+    // so the pandas compare sees VARCHAR, not dict cells.
     Q("q_fn_struct", Some(
       """SELECT s_suppkey,
-        |  {'name': s_name, 'nation': s_nationkey} AS info,
+        |  to_json({'name': s_name, 'nation': s_nationkey}) AS info,
         |  ({'name': s_name, 'nation': s_nationkey}).name AS info_name
         |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
       import s.implicits._
       val info = struct($"s_name".as("name"), $"s_nationkey".as("nation"))
       Tables.T(s, dir).supplier.select(
-        $"s_suppkey", info.as("info"), info.getField("name").as("info_name"))
+        $"s_suppkey", to_json(info).as("info"),
+        info.getField("name").as("info_name"))
         .orderBy("s_suppkey")
     },
 
@@ -465,15 +502,19 @@ object FunctionQueries {
     // Matrix ops over 2-D arrays (GP matrix.c): add, scale, multiply.
     // m1 = [[bal/1000, 1],[2, nationkey]], m2 = [[1,2],[3,4]] constant —
     // the oracle states the closed-form arithmetic.
+    // Result cells are projected as scalar doubles (matrix_ij) so the
+    // pandas compare never sees nested-array cells; the matrix algebra
+    // itself still runs through MatrixFunctions.
     Q("q_fn_matrix", Some(
       """SELECT s_suppkey,
-        |  [[s_acctbal/1000 + 1.0, 3.0],
-        |   [5.0, CAST(s_nationkey AS DOUBLE) + 4.0]] AS msum,
-        |  [[s_acctbal/1000 * 2, 2.0], [4.0, CAST(s_nationkey AS DOUBLE) * 2]]
-        |    AS mtwice,
-        |  [[s_acctbal/1000 * 1.0 + 1.0 * 3.0, s_acctbal/1000 * 2.0 + 1.0 * 4.0],
-        |   [2.0 * 1.0 + CAST(s_nationkey AS DOUBLE) * 3.0,
-        |    2.0 * 2.0 + CAST(s_nationkey AS DOUBLE) * 4.0]] AS mprod
+        |  s_acctbal/1000 + 1.0 AS msum_11, 3.0 AS msum_12,
+        |  5.0 AS msum_21, CAST(s_nationkey AS DOUBLE) + 4.0 AS msum_22,
+        |  s_acctbal/1000 * 2 AS mtwice_11, 2.0 AS mtwice_12,
+        |  4.0 AS mtwice_21, CAST(s_nationkey AS DOUBLE) * 2 AS mtwice_22,
+        |  s_acctbal/1000 * 1.0 + 1.0 * 3.0 AS mprod_11,
+        |  s_acctbal/1000 * 2.0 + 1.0 * 4.0 AS mprod_12,
+        |  2.0 * 1.0 + CAST(s_nationkey AS DOUBLE) * 3.0 AS mprod_21,
+        |  2.0 * 2.0 + CAST(s_nationkey AS DOUBLE) * 4.0 AS mprod_22
         |FROM supplier ORDER BY s_suppkey""".stripMargin)) { (s, dir) =>
       import s.implicits._
       import graft.functions.MatrixFunctions._
@@ -481,11 +522,15 @@ object FunctionQueries {
         array($"s_acctbal" / 1000, lit(1.0)),
         array(lit(2.0), $"s_nationkey".cast("double")))
       val m2 = array(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)))
+      def cell(m: org.apache.spark.sql.Column, i: Int, j: Int) =
+        element_at(element_at(m, i), j)
+      val (msum, mtwice, mprod) =
+        (madd(m1, m2), mscale(m1, lit(2.0)), mmul(m1, m2, 2, 2, 2))
       Tables.T(s, dir).supplier.select(
-        $"s_suppkey",
-        madd(m1, m2).as("msum"),
-        mscale(m1, lit(2.0)).as("mtwice"),
-        mmul(m1, m2, 2, 2, 2).as("mprod"))
+        Seq($"s_suppkey") ++
+          (for { i <- 1 to 2; j <- 1 to 2 } yield cell(msum, i, j).as(s"msum_$i$j")) ++
+          (for { i <- 1 to 2; j <- 1 to 2 } yield cell(mtwice, i, j).as(s"mtwice_$i$j")) ++
+          (for { i <- 1 to 2; j <- 1 to 2 } yield cell(mprod, i, j).as(s"mprod_$i$j")): _*)
         .orderBy("s_suppkey")
     },
 

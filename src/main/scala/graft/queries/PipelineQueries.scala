@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, PairKernels, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
   * text analysis, dedup (exact / bag-of-words / MinHash-LSH / SimHash /
@@ -143,13 +143,14 @@ object PipelineQueries {
          |    md5(array_to_string(list_sort($tokset), ' ')) AS fp
          |  FROM documents)
          |SELECT fp, count(*) AS n, min(doc_id) AS canonical_id,
-         |  array_agg(doc_id ORDER BY doc_id) AS ids
+         |  array_to_string(array_agg(doc_id ORDER BY doc_id), ',') AS ids
          |FROM fp GROUP BY fp HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin)) { (s, dir) =>
       import s.implicits._
       Dedup.exactGroups(
         Tables.T(s, dir).documents,
         TextAnalysis.bowFingerprint($"text"), "doc_id")
+        .withColumn("ids", array_join($"ids", ","))
         .orderBy("canonical_id")
     },
 
@@ -198,12 +199,13 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      import s.implicits._
       // native codegen expression (graft.expressions.SimHash32Expr):
-      // one pass per row, no explode/shuffle for the signatures
+      // one pass per row, no explode/shuffle for the signatures; pair
+      // generation is the exact multi-index band join (7 bands ⊢ d ≤ 6),
+      // one shuffle, zero driver state
       val sh = Tables.T(s, dir).documents.select($"doc_id",
         graft.expressions.SimHash32Expr.simhash32($"text").as("simhash"))
-      PairKernels.hammingPairs(sh, "doc_id", "simhash", maxDist = 6)
+      Dedup.hammingPairsBanded(sh, "doc_id", "simhash", maxDist = 6)
         .orderBy("id_a", "id_b")
     },
 
@@ -220,7 +222,9 @@ object PipelineQueries {
          |WHERE CAST(inter AS DOUBLE) / (na.nt + nb.nt - inter) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      PairKernels.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
+      // prefix-filtered AllPairs join (identical-set collapse + rare-first
+      // prefix index) — exact, distributed, zero collect
+      Dedup.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     },
@@ -233,8 +237,41 @@ object PipelineQueries {
          |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.46
          |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      PairKernels.cosinePairs(
+      // distributed block-tiled all-pairs kernel (primitive-array tile
+      // loops, no driver state) — exact; the approximate sub-quadratic
+      // path is q_dedup_embedding_lsh below
+      Similarity.nearDupPairsBlocked(
         Tables.T(s, dir).embeddings, "vec_id", "embedding", 0.46)
+        .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // LSH-bucketed embedding near-dup: candidates from the hyperplane
+    // sign-bucket equi-join, exact cosine re-score — the 100 TB path
+    // (sub-quadratic; recall traded via plane count). The oracle mirrors
+    // the bucketing exactly, so the check is bit-exact on the algorithm
+    // as specified, not on a lucky sample.
+    Q("q_dedup_embedding_lsh", Some {
+      val planes = 4
+      val bucket = (0 until planes).map { p =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(p, d))
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1,65),
+           |  i -> CAST(e.embedding[i] AS DOUBLE) * ($w)[i])) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT e.vec_id, e.embedding, $bucket AS bucket
+         |  FROM embeddings e)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(${oCos("a.embedding", "c.embedding")}, 4) AS cos
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${oCos("a.embedding", "c.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Similarity.lshNearDupPairs(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.4, planes = 4, dim = 64)
         .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
         .orderBy("id_a", "id_b")
     },

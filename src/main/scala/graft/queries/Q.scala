@@ -16,8 +16,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 final case class Q(
     name: String,
-    oracle: Option[String])(
-    val fn: (SparkSession, String) => DataFrame)
+    oracle: Option[String],
+    prepare: Option[(SparkSession, String) => Unit] = None)(
+    val query: (SparkSession, String) => DataFrame) {
+  /** Full body (fixture writes + query) — the driver-facing contract.
+    * Bench runs `prepare` untimed and times only `query`, so fixture
+    * setup (partitioned/bucketed copies, DML base tables) doesn't count
+    * against query cost. */
+  val fn: (SparkSession, String) => DataFrame = (s, d) => {
+    prepare.foreach(_(s, d))
+    query(s, d)
+  }
+}
 
 object Q {
   /** Order-insensitive exact sum of a double column: sum in decimal,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.aggregates.GeoMean
-import graft.sources.ExternalTables
+import graft.sources.{ExternalTables, ForeignTables}
 import graft.sql.GpSqlDialect
 
 /** SURVEY §2.1 external tables / COPY, §3 DDL dialect, §2.11 UDx surface. */
@@ -12,6 +12,15 @@ object StorageQueries {
 
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  /** Shared fixture: orders partitioned by year (q_partitioned_scan, q_dpp). */
+  private val writeOrdersByYear: (org.apache.spark.sql.SparkSession, String) => Unit =
+    (s, dir) => {
+      import org.apache.spark.sql.functions.year
+      Tables.T(s, dir).orders
+        .withColumn("o_year", year(org.apache.spark.sql.functions.col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp("orders_by_year"))
+    }
 
   val defs: Seq[Q] = Seq(
 
@@ -40,13 +49,17 @@ object StorageQueries {
     Q("q_external_csv", Some(
       s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
          |FROM lineitem WHERE l_orderkey <= 1000
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        ExternalTables.writeCsv(
+          Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 1000)
+            .select("l_orderkey", "l_returnflag", "l_quantity"),
+          tmp("ext_lineitem_csv"))
+      }) {
       (s, dir) =>
         import s.implicits._
         val path = tmp("ext_lineitem_csv")
-        ExternalTables.writeCsv(
-          Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 1000)
-            .select("l_orderkey", "l_returnflag", "l_quantity"), path)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),
           StructField("l_returnflag", StringType),
@@ -63,14 +76,11 @@ object StorageQueries {
     Q("q_partitioned_scan", Some(
       s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
          |FROM orders WHERE year(o_orderdate) = 1998
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      prepare = Some(writeOrdersByYear)) {
       (s, dir) =>
         import s.implicits._
-        val path = tmp("orders_by_year")
-        Tables.T(s, dir).orders
-          .withColumn("o_year", year($"o_orderdate"))
-          .write.mode("overwrite").partitionBy("o_year").parquet(path)
-        s.read.parquet(path)
+        s.read.parquet(tmp("orders_by_year"))
           .filter($"o_year" === 1998) // pruned to one partition directory
           .groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
@@ -82,14 +92,11 @@ object StorageQueries {
     // fact's scanned partitions are decided by the filtered dim at runtime.
     Q("q_dpp", Some(
       s"""SELECT count(*) AS n, ${Q.oSum("o_totalprice")} AS total
-         |FROM orders WHERE year(o_orderdate) >= 2000""".stripMargin)) {
+         |FROM orders WHERE year(o_orderdate) >= 2000""".stripMargin),
+      prepare = Some(writeOrdersByYear)) {
       (s, dir) =>
         import s.implicits._
-        val path = tmp("orders_by_year")
-        Tables.T(s, dir).orders
-          .withColumn("o_year", year($"o_orderdate"))
-          .write.mode("overwrite").partitionBy("o_year").parquet(path)
-        val fact = s.read.parquet(path)
+        val fact = s.read.parquet(tmp("orders_by_year"))
         val dim = Tables.T(s, dir).orders
           .select(year($"o_orderdate").as("d_year")).distinct()
           .withColumn("is_recent", $"d_year" >= 2000)
@@ -148,8 +155,8 @@ object StorageQueries {
          |  ${Q.oSum("l.l_extendedprice")} AS revenue
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |WHERE o.o_orderkey <= 5000
-         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)) {
-      (s, dir) =>
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+      prepare = Some { (s, dir) =>
         import s.implicits._
         val t = Tables.T(s, dir)
         t.lineitem.filter($"l_orderkey" <= 5000)
@@ -162,6 +169,9 @@ object StorageQueries {
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", tmp("bkt_orders"))
           .saveAsTable("graft_bkt_orders")
+      }) {
+      (s, dir) =>
+        import s.implicits._
         s.table("graft_bkt_lineitem")
           .join(s.table("graft_bkt_orders"),
             $"l_orderkey" === $"o_orderkey")
@@ -175,12 +185,15 @@ object StorageQueries {
       s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
          |FROM orders
          |WHERE o_orderkey <= 3000 AND NOT (o_orderstatus = 'F')
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(tmp("dml_delete_orders"))
+      }) {
       (s, dir) =>
         import s.implicits._
         val path = tmp("dml_delete_orders")
-        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
-          .write.mode("overwrite").parquet(path)
         graft.operators.Dml.deleteWhere(s, path, col("o_orderstatus") === "F")
         s.read.parquet(path)
           .groupBy($"o_orderstatus")
@@ -194,12 +207,15 @@ object StorageQueries {
          |  ${Q.oSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END")}
          |    AS total
          |FROM orders WHERE o_orderkey <= 3000
-         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(tmp("dml_update_orders"))
+      }) {
       (s, dir) =>
         import s.implicits._
         val path = tmp("dml_update_orders")
-        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
-          .write.mode("overwrite").parquet(path)
         graft.operators.Dml.updateWhere(s, path,
           Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
           col("o_orderstatus") === "O")
@@ -216,18 +232,104 @@ object StorageQueries {
          |  SELECT o_totalprice AS p FROM orders WHERE o_orderkey <= 1500
          |  UNION ALL
          |  SELECT o_totalprice + 1000 FROM orders
-         |  WHERE o_orderkey > 1500 AND o_orderkey <= 4500) t""".stripMargin)) {
+         |  WHERE o_orderkey > 1500 AND o_orderkey <= 4500) t""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(tmp("dml_merge_orders"))
+      }) {
       (s, dir) =>
         import s.implicits._
         val path = tmp("dml_merge_orders")
         val o = Tables.T(s, dir).orders
-        o.filter($"o_orderkey" <= 3000)
-          .write.mode("overwrite").parquet(path)
         val source = o.filter($"o_orderkey" > 1500 && $"o_orderkey" <= 4500)
           .withColumn("o_totalprice", $"o_totalprice" + 1000)
         graft.operators.Dml.mergeInto(s, path, source, "o_orderkey")
         s.read.parquet(path)
           .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+    },
+
+    // ForeignScan (nodeForeignscan.c:89): nation published to an embedded
+    // Derby "foreign server", bound back as a partitioned JDBC scan with
+    // the filter pushed into the remote WHERE. Oracle runs on the local
+    // parquet nation — values must round-trip exactly.
+    Q("q_foreign_scan", Some(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation WHERE n_nationkey >= 2
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+      prepare = Some { (s, dir) =>
+        ForeignTables.writeForeign(
+          Tables.T(s, dir).nation,
+          ForeignTables.derbyUrl(tmp("derby_nation")), "NATION_FT")
+      }) { (s, dir) =>
+      import s.implicits._
+      ForeignTables.readForeign(s,
+        ForeignTables.derbyUrl(tmp("derby_nation")), "NATION_FT",
+        partitionCol = Some("n_nationkey"), lower = 0L, upper = 25L,
+        numPartitions = 4)
+        .filter($"n_nationkey" >= 2)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n"), min($"n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    // GP partitioned-table DDL from SQL TEXT (parse_partition.c): CREATE
+    // TABLE with column defs + DISTRIBUTED BY + PARTITION BY RANGE, then
+    // INSERT INTO, then a pruned scan — all through GpSqlDialect.
+    Q("q_sql_ddl_partition", Some(
+      s"""SELECT o_year, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM (SELECT year(o_orderdate) AS o_year, o_totalprice FROM orders) t
+         |WHERE o_year >= 1997
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("sqlddl")
+      GpSqlDialect.execute(s,
+        """CREATE TABLE orders_sqlpart (
+          |  o_orderkey bigint,
+          |  o_totalprice double precision,
+          |  o_year int)
+          |WITH (appendonly=true, orientation=column, compresstype=zstd)
+          |DISTRIBUTED BY (o_orderkey)
+          |PARTITION BY RANGE (o_year)
+          |  (START (1992) END (1999) EVERY (1))""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO orders_sqlpart
+          |SELECT o_orderkey, o_totalprice, year(o_orderdate) FROM orders""".stripMargin,
+        base)
+      GpSqlDialect.execute(s,
+        s"""SELECT o_year, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+           |FROM orders_sqlpart WHERE o_year >= 1997
+           |GROUP BY o_year ORDER BY o_year""".stripMargin, base)
+    },
+
+    // CREATE EXTERNAL TABLE from SQL TEXT (pg_exttable.h:124): binds the
+    // CSV fixture with COPY reject semantics, then aggregates through the
+    // registered view.
+    Q("q_sql_external", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem WHERE l_orderkey <= 1000
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        ExternalTables.writeCsv(
+          Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 1000)
+            .select("l_orderkey", "l_returnflag", "l_quantity"),
+          tmp("ext_lineitem_csv"))
+      }) { (s, dir) =>
+      GpSqlDialect.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_li_sql (
+           |  l_orderkey bigint,
+           |  l_returnflag text,
+           |  l_quantity double precision)
+           |LOCATION ('file://${tmp("ext_lineitem_csv")}')
+           |FORMAT 'CSV' SEGMENT REJECT LIMIT 5""".stripMargin,
+        tmp("sqlext"))
+      GpSqlDialect.execute(s,
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS qty
+          |FROM ext_li_sql GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        tmp("sqlext"))
     },
 
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/

@@ -146,6 +146,33 @@ object SubqueryQueries {
         edges.join(delta, edges("src") === delta("node"))
           .select(edges("dst").as("node")))
         .orderBy("node")
+    },
+
+    // The same reachability, but executed FROM the GP SQL TEXT through
+    // GpSqlDialect (gram.y:12165 WITH RECURSIVE) — parser + semi-naive
+    // fixpoint, not hand-built DataFrames.
+    Q("q_sql_recursive", Some(
+      """WITH RECURSIVE edges AS (
+        |  SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+        |  FROM nation WHERE n_nationkey + 5 <= 24),
+        |reach(node) AS (
+        |  SELECT 0
+        |  UNION
+        |  SELECT e.dst FROM edges e JOIN reach r ON e.src = r.node)
+        |SELECT CAST(node AS BIGINT) AS node FROM reach ORDER BY node""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql(
+          """SELECT n_nationkey AS src, n_nationkey + 5 AS dst
+            |FROM nation WHERE n_nationkey + 5 <= 24""".stripMargin)
+          .createOrReplaceTempView("edges")
+        graft.sql.GpSqlDialect.execute(s,
+          """WITH RECURSIVE reach(node) AS (
+            |  SELECT CAST(0 AS BIGINT)
+            |  UNION
+            |  SELECT e.dst FROM edges e JOIN reach r ON e.src = r.node)
+            |SELECT node FROM reach ORDER BY node""".stripMargin,
+          System.getProperty("java.io.tmpdir"))
     }
   )
 }

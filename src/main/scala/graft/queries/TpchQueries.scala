@@ -137,6 +137,179 @@ object TpchQueries {
         .limit(100)
     },
 
+    // Q2 — minimum-cost supplier (adapted: no partsupp table in the
+    // harness schema, so lineitem's (partkey, suppkey, price/qty) stands
+    // in for partsupp.ps_supplycost). Shape preserved: region-filtered
+    // multi-join + correlated min subquery (decorrelated to a
+    // groupBy-min + equality join).
+    Q("q2_min_cost", Some(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |asia AS (
+        |  SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s.s_name
+        |  FROM cost c
+        |  JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT p.p_partkey, p.p_brand, a.s_name, a.unit_cost
+        |FROM asia a
+        |JOIN part p ON p.p_partkey = a.l_partkey
+        |WHERE p.p_size <= 5
+        |  AND a.unit_cost = (SELECT min(a2.unit_cost) FROM asia a2
+        |                     WHERE a2.l_partkey = a.l_partkey)
+        |ORDER BY p.p_partkey, a.s_name""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val cost = t.lineitem
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+      val asia = cost
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"l_partkey", $"unit_cost", $"s_name")
+      val minCost = asia.groupBy($"l_partkey".as("mk"))
+        .agg(min($"unit_cost").as("min_cost"))
+      asia.join(minCost,
+          $"l_partkey" === $"mk" && $"unit_cost" === $"min_cost")
+        .join(t.part.filter($"p_size" <= 5), $"l_partkey" === $"p_partkey")
+        .select($"p_partkey", $"p_brand", $"s_name", $"unit_cost")
+        .orderBy("p_partkey", "s_name")
+    },
+
+    // Q4 — order priority checking (adapted: no commit/receipt dates in
+    // the harness schema; the EXISTS probe tests for returned lines).
+    // Shape preserved: filtered orders semi-joined to lineitem, grouped
+    // by priority.
+    Q("q4_priority", Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val t = Tables.T(s, dir)
+        t.orders
+          .filter($"o_orderdate" >= "1998-01-01" && $"o_orderdate" < "1998-04-01")
+          .join(t.lineitem.filter($"l_returnflag" === "R"),
+            $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+    },
+
+    // Q8 — national market share: the share of ASIA-region revenue on
+    // PROMO parts supplied by NATION_5, per order year. 6-way join with
+    // two roles for nation (customer's region, supplier's nation).
+    Q("q8_market_share", Some {
+      val vol = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))"
+      s"""SELECT year(o.o_orderdate) AS o_year,
+         |  round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5' THEN $vol
+         |                 ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+         |        CAST(sum($vol) AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+         |JOIN region r ON r.r_regionkey = n1.n_regionkey
+         |JOIN supplier sup ON sup.s_suppkey = l.l_suppkey
+         |JOIN nation n2 ON n2.n_nationkey = sup.s_nationkey
+         |WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+         |GROUP BY o_year ORDER BY o_year""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.T(s, dir)
+      val vol = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast(DecimalType(28, 6))
+      t.lineitem
+        .join(t.orders, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t.part.filter($"p_type" === "PROMO")),
+          $"p_partkey" === $"l_partkey")
+        .join(t.customer, $"c_custkey" === $"o_custkey")
+        .join(broadcast(t.nation.select($"n_nationkey".as("n1_key"),
+          $"n_regionkey")), $"n1_key" === $"c_nationkey")
+        .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+          $"r_regionkey" === $"n_regionkey")
+        .join(broadcast(t.supplier), $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(t.nation.select($"n_nationkey".as("n2_key"),
+          $"n_name".as("supp_nation"))), $"n2_key" === $"s_nationkey")
+        .groupBy(year($"o_orderdate").as("o_year"))
+        .agg(round(
+          sum(when($"supp_nation" === "NATION_5", vol)
+            .otherwise(lit(0).cast(DecimalType(28, 6)))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q9 — product-type profit (adapted: no ps_supplycost; cost proxy is
+    // half the part's retail price per unit). Profit by supplier nation ×
+    // order year over a 5-way join, parts filtered by name pattern.
+    Q("q9_profit", Some {
+      val amount = "CAST(l.l_extendedprice * (1 - l.l_discount) " +
+        "- 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(28,6))"
+      s"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         |  CAST(round(sum($amount), 2) AS DOUBLE) AS profit
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |JOIN supplier sup ON sup.s_suppkey = l.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN nation n ON n.n_nationkey = sup.s_nationkey
+         |WHERE p.p_name LIKE '%red%'
+         |GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.T(s, dir)
+      val amount = ($"l_extendedprice" * (lit(1) - $"l_discount")
+        - lit(0.5) * $"p_retailprice" * $"l_quantity").cast(DecimalType(28, 6))
+      t.lineitem
+        .join(broadcast(t.part.filter($"p_name".like("%red%"))),
+          $"p_partkey" === $"l_partkey")
+        .join(broadcast(t.supplier), $"s_suppkey" === $"l_suppkey")
+        .join(t.orders, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(t.nation), $"n_nationkey" === $"s_nationkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("profit"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+
+    // Q17 — small-quantity-order revenue: correlated per-part average
+    // (decorrelated to groupBy-avg + join; Q.davg decimal discipline so
+    // the threshold is bit-identical across engines).
+    Q("q17_small_qty", Some(
+      s"""WITH pavg AS (
+         |  SELECT l_partkey, ${Q.oAvg("l_quantity", 6)} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT count(*) AS n_lines, ${Q.oSum("l.l_extendedprice")} AS total_rev
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |JOIN pavg a ON a.l_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#23'
+         |  AND l.l_quantity < 0.2 * a.avg_qty""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val pavg = t.lineitem.groupBy($"l_partkey".as("pk"))
+        .agg(Q.davg($"l_quantity", 6).as("avg_qty"))
+      t.lineitem
+        .join(broadcast(t.part.filter($"p_brand" === "Brand#23")),
+          $"p_partkey" === $"l_partkey")
+        .join(pavg, $"pk" === $"l_partkey")
+        .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+        .agg(count(lit(1)).as("n_lines"),
+          Q.dsum($"l_extendedprice").as("total_rev"))
+    },
+
     // AssertOp (nodeAssertOp.c:98): runtime constraint check — passes
     // rows through when the constraint holds, errors otherwise.
     Q("q_assert_op", Some(

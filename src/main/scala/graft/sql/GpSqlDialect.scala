@@ -1,6 +1,7 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 /** GPDB DDL dialect shim (SURVEY §3.4 / §7.3): accepts the MPP clauses of
   * `CREATE TABLE` — `DISTRIBUTED BY (cols)` / `DISTRIBUTED RANDOMLY` /
@@ -80,22 +81,327 @@ object GpSqlDialect {
         throw new UnsupportedOperationException(s"graft does not support $why")
     }
 
-  /** Execute a GP-dialect SQL string end-to-end. `CREATE TABLE t
-    * [WITH(...)] [DISTRIBUTED ...] AS SELECT ...` runs the select, writes
-    * the table with the lowered physics under `basePath/t`, and registers
-    * temp view `t`; anything else passes through `spark.sql` with the GP
-    * clauses stripped. */
+  /** Execute a GP-dialect SQL string end-to-end (SURVEY §3 phase 2).
+    * Dispatch:
+    *  - `WITH RECURSIVE name AS (seed UNION [ALL] step) main` → semi-naive
+    *    fixpoint via [[graft.operators.RecursiveCte]] (reference grammar:
+    *    src/backend/parser/gram.y:12165, executor nodeRecursiveunion.c);
+    *  - `CREATE [WRITABLE] EXTERNAL TABLE t (cols) LOCATION(...) FORMAT
+    *    'CSV' [SEGMENT REJECT LIMIT n]` → [[graft.sources.ExternalTables]]
+    *    (reference: src/include/catalog/pg_exttable.h:124);
+    *  - `CREATE TABLE t (col defs) [WITH(...)] [DISTRIBUTED ...]
+    *    [PARTITION BY RANGE|LIST (col) (...)]` → empty partitioned parquet
+    *    table + catalog entry; GP's static partition spec list lowers onto
+    *    Hive-style dynamic partition directories (reference:
+    *    src/backend/parser/parse_partition.c);
+    *  - `INSERT INTO t ...` for a catalog table → append write with the
+    *    table's distribution + partitioning physics;
+    *  - `CREATE TABLE t [WITH(...)] [DISTRIBUTED ...] AS SELECT ...` →
+    *    CTAS with lowered physics;
+    *  - anything else passes through `spark.sql` with GP clauses stripped.
+    */
   def execute(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
     rejectUnsupported(gpSql)
-    val ddl = parse(gpSql)
+    val trimmed = gpSql.trim
+    if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
+      return executeWithRecursive(spark, trimmed)
+    if (ExternalStart.findFirstIn(trimmed).isDefined)
+      return executeCreateExternal(spark, trimmed, basePath)
+    InsertIntoStart.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeInsertInto(spark, m.group(1).toLowerCase,
+          trimmed.substring(m.end))
+      case _ =>
+    }
+    val ddl = parse(stripPartitionBy(gpSql)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
         val written = createTableAs(
           spark, ddl, spark.sql(select), s"$basePath/$name")
         written.createOrReplaceTempView(name)
         written
-      case other => spark.sql(other)
+      case other =>
+        CreateWithCols.findFirstMatchIn(other) match {
+          case Some(_) => executeCreateTable(spark, gpSql, basePath)
+          case None => spark.sql(other)
+        }
+    }
+  }
+
+  // ---- phase 2: WITH RECURSIVE --------------------------------------
+
+  private val WithRecursiveStart = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
+  private val ExternalStart =
+    "(?is)^\\s*CREATE\\s+(WRITABLE\\s+)?EXTERNAL\\s+TABLE\\b".r
+  private val InsertIntoStart = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)".r
+  private val CreateWithCols =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\(".r
+
+  /** Index of the ')' matching the '(' at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a CTE body at the top-level UNION [ALL]. */
+  private def splitTopLevelUnion(body: String): (String, String, Boolean) = {
+    val upper = body.toUpperCase
+    var d = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && upper.startsWith("UNION", i) &&
+        (i == 0 || !body.charAt(i - 1).isLetterOrDigit) &&
+        (i + 5 >= body.length || !body.charAt(i + 5).isLetterOrDigit)) {
+        val rest = body.substring(i + 5)
+        val restTrim = rest.dropWhile(_.isWhitespace)
+        val isAll = restTrim.toUpperCase.startsWith("ALL") &&
+          (restTrim.length == 3 || !restTrim.charAt(3).isLetterOrDigit)
+        val step = if (isAll) restTrim.substring(3) else rest
+        return (body.substring(0, i).trim, step.trim, isAll)
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "WITH RECURSIVE body has no top-level UNION")
+  }
+
+  /** `WITH RECURSIVE name [(cols)] AS ( seed UNION [ALL] step ) main`:
+    * seed/step/main run through spark.sql; the recursive reference `name`
+    * is bound to the DELTA each iteration (semi-naive, ≡ WorkTableScan),
+    * then to the fixpoint for the main query. */
+  def executeWithRecursive(spark: SparkSession, sql: String): DataFrame = {
+    val m = "(?is)^\\s*WITH\\s+RECURSIVE\\s+(\\w+)\\s*(\\(([^)]*)\\))?\\s*AS\\s*"
+      .r.findFirstMatchIn(sql)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse WITH RECURSIVE: $sql"))
+    val name = m.group(1)
+    val cols = Option(m.group(3))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val open = m.end
+    require(open < sql.length && sql.charAt(open) == '(',
+      "expected ( after AS in WITH RECURSIVE")
+    val close = matchParen(sql, open)
+    require(close > 0, "unbalanced parens in WITH RECURSIVE body")
+    val (seedSql, stepSql, isAll) =
+      splitTopLevelUnion(sql.substring(open + 1, close))
+    val mainSql = sql.substring(close + 1).trim
+    val rename = (df: DataFrame) =>
+      if (cols.nonEmpty) df.toDF(cols: _*) else df
+    val seed = rename(spark.sql(seedSql))
+    val step: DataFrame => DataFrame = { delta =>
+      delta.createOrReplaceTempView(name)
+      rename(spark.sql(stepSql))
+    }
+    val result =
+      if (isAll) graft.operators.RecursiveCte.unionAll(seed, step)
+      else graft.operators.RecursiveCte.unionDistinct(seed, step)
+    result.createOrReplaceTempView(name)
+    if (mainSql.isEmpty) result else spark.sql(mainSql)
+  }
+
+  // ---- phase 2: column-def CREATE TABLE + PARTITION BY ---------------
+
+  /** GP type name → Spark type (reference: pg_type.h naming). */
+  def sparkType(gp: String): DataType = {
+    val t = gp.trim.toLowerCase.replaceAll("\\s+", " ")
+    val Decimal = "(?:numeric|decimal)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+    t match {
+      case "int" | "integer" | "int4" => IntegerType
+      case "bigint" | "int8" => LongType
+      case "smallint" | "int2" => ShortType
+      case "double precision" | "float8" => DoubleType
+      case "real" | "float4" => FloatType
+      case "boolean" | "bool" => BooleanType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" | "timestamp with time zone" |
+           "timestamp without time zone" => TimestampType
+      case Decimal(p, s) => DecimalType(p.toInt, s.toInt)
+      case "numeric" | "decimal" => DecimalType(38, 18)
+      case s if s.startsWith("varchar") || s.startsWith("char") ||
+        s == "text" => StringType
+      case "bytea" => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unmapped GP type: $other")
+    }
+  }
+
+  final case class GpTable(
+      name: String, path: String, schema: StructType,
+      partitionCols: Seq[String], distributionCols: Seq[String])
+
+  /** Session-local GP catalog (name → table physics). */
+  private val catalog =
+    scala.collection.concurrent.TrieMap.empty[String, GpTable]
+
+  def catalogTable(name: String): Option[GpTable] =
+    catalog.get(name.toLowerCase)
+
+  private val PartitionBy =
+    "(?is)\\bPARTITION\\s+BY\\s+(?:RANGE|LIST)\\s*\\(([^)]*)\\)".r
+
+  /** Remove `PARTITION BY ...(col) ( ...spec... )` (spec list optional),
+    * returning (sql-without-clause, partition cols). */
+  private def stripPartitionBy(sql: String): (String, Seq[String]) =
+    PartitionBy.findFirstMatchIn(sql) match {
+      case None => (sql, Seq.empty)
+      case Some(m) =>
+        val cols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // the GP per-partition spec list is the next balanced paren group
+        val after = sql.indexWhere(!_.isWhitespace, m.end)
+        val end =
+          if (after >= 0 && sql.charAt(after) == '(')
+            matchParen(sql, after) + 1
+          else m.end
+        (sql.substring(0, m.start) + " " + sql.substring(end), cols)
+    }
+
+  /** Split top-level-comma column defs "a int, b text" into (name, type). */
+  private def parseColumnDefs(defs: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0
+    var start = 0
+    var i = 0
+    while (i < defs.length) {
+      val c = defs.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { out += defs.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += defs.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty).map { cd =>
+      val sp = cd.indexWhere(_.isWhitespace)
+      require(sp > 0, s"cannot parse column def: $cd")
+      val name = cd.substring(0, sp)
+      // drop trailing constraints we lower as no-ops
+      val tpe = cd.substring(sp + 1).trim
+        .replaceAll("(?is)\\b(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE|DEFAULT\\s+\\S+)\\b", "")
+        .trim
+      (name, tpe)
+    }
+  }
+
+  /** `CREATE TABLE t (col defs) [WITH(...)] [DISTRIBUTED ...] [PARTITION
+    * BY ...]` → empty parquet table at basePath/t + catalog entry + temp
+    * view. */
+  def executeCreateTable(
+      spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
+    val (noPart, partCols) = stripPartitionBy(gpSql)
+    val ddl = parse(noPart)
+    val m = CreateWithCols.findFirstMatchIn(ddl.cleanSql)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse CREATE TABLE: $gpSql"))
+    val name = m.group(1).toLowerCase
+    val open = ddl.cleanSql.indexOf('(', m.start)
+    val close = matchParen(ddl.cleanSql, open)
+    val colDefs = parseColumnDefs(ddl.cleanSql.substring(open + 1, close))
+    val schema = StructType(colDefs.map { case (n, t) =>
+      StructField(n, sparkType(t))
+    })
+    partCols.foreach(p => require(schema.fieldNames.contains(p),
+      s"PARTITION BY column $p not in column list"))
+    val path = s"$basePath/$name"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val w = empty.write.mode("overwrite")
+      .option("compression", parquetCodec(ddl))
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path)
+    catalog(name) = GpTable(name, path, schema, partCols, ddl.distributionCols)
+    refreshView(spark, catalog(name))
+  }
+
+  /** `INSERT INTO t [(cols)] SELECT ...` / `... VALUES ...` for a catalog
+    * table: positional alignment onto the table schema, distribution
+    * repartition, Hive-style dynamic partition append. */
+  def executeInsertInto(
+      spark: SparkSession, name: String, rest: String): DataFrame = {
+    val t = catalog(name)
+    val body = rest.trim
+    val src0 =
+      if (body.toUpperCase.startsWith("VALUES"))
+        spark.sql(s"SELECT * FROM ($body) AS v")
+      else spark.sql(body)
+    require(src0.columns.length == t.schema.length,
+      s"INSERT INTO $name: ${src0.columns.length} columns, expected ${t.schema.length}")
+    val aligned = src0.toDF(t.schema.fieldNames: _*)
+      .select(t.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)).toSeq: _*)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val distributed =
+      if (t.distributionCols.nonEmpty)
+        aligned.repartition(parts, t.distributionCols.map(aligned.col): _*)
+      else aligned
+    val w = distributed.write.mode("append")
+    (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*) else w)
+      .parquet(t.path)
+    refreshView(spark, t)
+  }
+
+  private def refreshView(spark: SparkSession, t: GpTable): DataFrame = {
+    // partition columns come back last after a partitioned write; restore
+    // declared order so SELECT * matches the DDL
+    val back = spark.read.schema(
+      StructType(t.schema.filterNot(f => t.partitionCols.contains(f.name)) ++
+        t.schema.filter(f => t.partitionCols.contains(f.name))))
+      .parquet(t.path)
+      .select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    back.createOrReplaceTempView(t.name)
+    back
+  }
+
+  // ---- phase 2: CREATE EXTERNAL TABLE --------------------------------
+
+  /** `CREATE [WRITABLE] EXTERNAL TABLE t (cols) LOCATION ('file://…')
+    * FORMAT 'CSV' [(...)] [SEGMENT REJECT LIMIT n]` — readable form binds
+    * an ExternalTables CSV scan with COPY reject semantics and registers
+    * view t; writable form records the sink in the catalog (INSERT INTO
+    * writes CSV). */
+  def executeCreateExternal(
+      spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
+    val m = ("(?is)^\\s*CREATE\\s+(WRITABLE\\s+)?EXTERNAL\\s+TABLE\\s+" +
+      "(\\w+)\\s*\\(").r.findFirstMatchIn(gpSql)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse CREATE EXTERNAL TABLE: $gpSql"))
+    val writable = m.group(1) != null
+    val name = m.group(2).toLowerCase
+    val open = gpSql.indexOf('(', m.start + m.group(0).length - 1)
+    val close = matchParen(gpSql, open)
+    val schema = StructType(
+      parseColumnDefs(gpSql.substring(open + 1, close)).map { case (n, t) =>
+        StructField(n, sparkType(t))
+      })
+    val loc = "(?is)\\bLOCATION\\s*\\(\\s*'([^']*)'".r
+      .findFirstMatchIn(gpSql)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException("EXTERNAL TABLE needs LOCATION"))
+    val path = loc.replaceFirst("^(gpfdist|file)://[^/]*", "")
+    val fmt = "(?is)\\bFORMAT\\s+'(\\w+)'".r.findFirstMatchIn(gpSql)
+      .map(_.group(1).toUpperCase).getOrElse("CSV")
+    require(fmt == "CSV" || fmt == "TEXT",
+      s"external format $fmt not bound (offline harness: file CSV/TEXT only)")
+    val rejectLimit = "(?is)\\bSEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)".r
+      .findFirstMatchIn(gpSql).map(_.group(1).toInt).getOrElse(0)
+    if (writable) {
+      catalog(name) = GpTable(name, path, schema, Seq.empty, Seq.empty)
+      spark.emptyDataFrame
+    } else {
+      val df = graft.sources.ExternalTables
+        .readCsvWithRejectLimit(spark, path, schema, rejectLimit)
+      df.createOrReplaceTempView(name)
+      df
     }
   }
 
