@@ -101,27 +101,47 @@ object Dedup {
     // pairs are emitted directly with est = 1.0 (their signatures are
     // equal by construction); distinct sets go through LSH and the
     // resulting set-pairs expand back to doc pairs.
+    // group key = 60-bit prefix of the bow fingerprint as LONG (same
+    // grouping w.h.p., 8-byte join/compare keys on the huge pair set)
     val withFp = df.select(col(idCol).as("id"),
-      TextAnalysis.bowFingerprint(col(textCol)).as("fp"),
+      conv(substring(TextAnalysis.bowFingerprint(col(textCol)), 1, 15),
+        16, 10).cast("long").as("fp"),
       TextAnalysis.tokenSet(col(textCol)).as("ts"))
     val groups = withFp.groupBy("fp")
       .agg(array_sort(collect_list(col("id"))).as("ids"),
         first(col("ts")).as("ts"))
       .cache()
-    // signatures per distinct token set
+    // signatures per distinct token set. Components are the md5's first
+    // 15 hex chars as a 60-bit LONG: min/equality agree with the full
+    // md5 string (lexicographic = numeric on fixed-width lowercase hex;
+    // disagreement needs a 60-bit prefix collision, ~2^-60) while the
+    // per-pair match loop and the shuffles move 8-byte longs instead of
+    // 32-char strings
     val sigs = groups.select(col("fp"), explode(col("ts")).as("tok"))
       .select(col("fp"), col("tok"),
         explode(sequence(lit(0), lit(k - 1))).as("i"))
       .groupBy("fp", "i")
-      .agg(min(md5(concat(col("i"), lit(":"), col("tok")).cast("binary")))
-        .as("mh"))
+      .agg(min(conv(substring(
+          md5(concat(col("i"), lit(":"), col("tok")).cast("binary")), 1, 15),
+        16, 10).cast("long")).as("mh"))
       .groupBy("fp")
       .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
         s => s.getField("mh")).as("sig"))
       .cache()
-    val banded0 = sigs.select(
-      col("fp"), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    // long band keys (xxhash64 over the band's slice) — band membership is
+    // equality-only, so any injective-w.h.p. hash of the slice works
+    val bandKeyArr = array((0 until bands).map { bnd =>
+      xxhash64((lit(bnd) +: (1 to rowsPerBand).map(r =>
+        element_at(col("sig"), bnd * rowsPerBand + r))): _*)
+    }: _*)
+    // the banded relation stays small (distinct sets × bands) — carry the
+    // signature AND the full band-key array through the explode so the
+    // band join emits pairs WITH both signatures inline: the (huge) pair
+    // set never has to shuffle-join back to the signature table
+    val banded0 = sigs
+      .select(col("fp"), col("sig"), bandKeyArr.as("bks"))
+      .select(col("fp"), col("sig"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "band_key")))
     val banded = maxBucketSize match {
       case None => banded0
       case Some(cap) =>
@@ -136,20 +156,26 @@ object Dedup {
             .warn(s"minhashCandidates: dropped $dropped band buckets over cap=$cap")
         sized.filter(col("__bsz") <= cap).drop("__bsz")
     }
-    val fpPairs = banded.alias("a")
-      .join(banded.alias("b"), Seq("band", "band_key"))
-      .filter(col("a.fp") < col("b.fp"))
-      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
+    val a = banded.select(col("fp").as("fp_a"), col("sig").as("sig_a"),
+      col("bks").as("bks_a"), col("band"), col("band_key"))
+    val b = banded.select(col("fp").as("fp_b"), col("sig").as("sig_b"),
+      col("bks").as("bks_b"), col("band"), col("band_key"))
+    // emit each pair from its FIRST matching band only (all earlier band
+    // keys must differ) — replaces a distinct() shuffle of the whole
+    // candidate set with codegen'd per-row comparisons
+    val firstMatch = (0 until bands - 1).map { bp =>
+      col("band") <= bp ||
+        element_at(col("bks_a"), bp + 1) =!= element_at(col("bks_b"), bp + 1)
+    }.reduce(_ && _)
     // codegen'd fixed-k match count (a higher-order zip_with/filter would
     // evaluate interpreted per pair — the hot loop of the whole operator)
     val matches = (1 to k).map { i =>
       when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
         .otherwise(0)
     }.reduce((a, b) => a + b)
-    val crossSetPairs = fpPairs
-      .join(sigs.select(col("fp").as("fp_a"), col("sig").as("sig_a")), "fp_a")
-      .join(sigs.select(col("fp").as("fp_b"), col("sig").as("sig_b")), "fp_b")
+    val crossSetPairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("fp_a") < col("fp_b"))
+      .filter(firstMatch)
       .select(col("fp_a"), col("fp_b"),
         (matches.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -244,13 +270,26 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bkey"))
     val b = banded.select(
       col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    def bandBits(sig: Column, bp: Int): Column =
+      shiftrightunsigned(sig, offsets(bp)).bitwiseAND((1L << widths(bp)) - 1)
+    // emit each pair from its FIRST matching band only (all earlier bands
+    // must differ) — replaces a distinct() shuffle of the whole candidate
+    // set with a few codegen'd shift/mask comparisons per joined row
+    val firstMatch = (0 until bands - 1).map { bp =>
+      col("band") <= bp ||
+        bandBits(col("sig_a"), bp) =!= bandBits(col("sig_b"), bp)
+    }.reduce(_ && _)
+    // shuffled hash join: ~2^(bits/bands) distinct keys per band keep the
+    // per-partition hash maps shallow, and SHJ avoids SMJ's sort + per-key
+    // group buffering (measured 3.7× on this join); neither side fits a
+    // broadcast at scale
+    a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   // ---- n-gram Jaccard (inverted-index join) ------------------------
@@ -298,40 +337,54 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double): DataFrame = {
     val withFp = df.select(col(idCol).cast("long").as("id"),
-      TextAnalysis.bowFingerprint(col(textCol)).as("fp"),
+      conv(substring(TextAnalysis.bowFingerprint(col(textCol)), 1, 15),
+        16, 10).cast("long").as("fp"),
       TextAnalysis.tokenSet(col(textCol)).as("ts"))
     val groups = withFp.groupBy("fp")
       .agg(array_sort(collect_list(col("id"))).as("ids"),
         first(col("ts")).as("ts"))
       .cache()
     // global rare-first order: (set frequency, token) — any total order
-    // works for correctness; rare-first minimizes candidate volume
+    // works for correctness; rare-first minimizes candidate volume.
+    // Tokens are replaced by LONG ids that preserve that order (orderBy →
+    // monotonically_increasing_id is order-preserving across the sorted
+    // range partitions, no single-partition window): the prefix join keys
+    // and the verify-time array_intersect then run on fixed-width longs
+    // instead of strings.
     val inv = groups.select(col("fp"), explode(col("ts")).as("tok"))
-    val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
-    val ordered = inv.join(dfreq, "tok")
+    val dict = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
+      .orderBy(col("dfq"), col("tok"))
+      .withColumn("tid", monotonically_increasing_id())
+      .select(col("tok"), col("tid"))
+    val ordered = inv.join(dict, "tok")
       .groupBy("fp")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dfq"), col("tok")))),
-        s => s.getField("tok")).as("toks"))
+      .agg(array_sort(collect_list(col("tid"))).as("toks"))
       .withColumn("n", size(col("toks")))
       .cache() // three consumers: prefix ×2 (self-join sides), verify sets
     // floor (not ceil) of t·n guards against fp error in the prefix bound:
     // a 1-ulp-low product only lengthens the prefix (more candidates,
     // never a miss)
-    val prefixLen = greatest(lit(1),
-      (col("n") - floor(lit(minJaccard) * col("n")) + 1).cast("int"))
-    val prefix = ordered.select(col("fp"),
-      explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
-    val candPairs = prefix.alias("x").join(prefix.alias("y"),
-        col("x.tok") === col("y.tok") && col("x.fp") < col("y.fp"))
-      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-    val sets = ordered.select(col("fp"), col("toks"), col("n"))
-    val crossSet = candPairs
-      .join(sets.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
-        col("n").as("na")), "fp_a")
-      .join(sets.select(col("fp").as("fp_b"), col("toks").as("ts_b"),
-        col("n").as("nb")), "fp_b")
+    def plen(n: Column): Column = greatest(lit(1),
+      (n - floor(lit(minJaccard) * n) + 1).cast("int"))
+    // the prefix relation is small (distinct sets × prefix tokens) — carry
+    // the full token array through the explode so the prefix join emits
+    // candidates WITH both sets inline: no distinct() shuffle and no
+    // re-join of the (huge) candidate set back to the sets table
+    val prefix = ordered.select(col("fp"), col("toks"), col("n"),
+      explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
+    val pa = prefix.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
+      col("n").as("na"), col("tok"))
+    val pb = prefix.select(col("fp").as("fp_b"), col("toks").as("ts_b"),
+      col("n").as("nb"), col("tok"))
+    // a pair joins once per shared prefix token; keep only the row whose
+    // join token is the MINIMUM shared prefix token (tids are totally
+    // ordered longs) — codegen'd emit-once filter instead of distinct()
+    val emitOnce = col("tok") === array_min(array_intersect(
+      slice(col("ts_a"), lit(1), plen(col("na"))),
+      slice(col("ts_b"), lit(1), plen(col("nb")))))
+    val crossSet = pa.join(pb, Seq("tok"))
+      .filter(col("fp_a") < col("fp_b"))
+      .filter(emitOnce)
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .select(col("fp_a"), col("fp_b"),
         (col("inter").cast("double") /

@@ -174,10 +174,11 @@ object PipelineQueries {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)) {
       (s, dir) =>
+        // no orderBy: the gate's compare sorts rows; a global sort here
+        // would range-partition (double-evaluating the uncached pipeline)
         Dedup.minhashCandidates(
           Tables.T(s, dir).documents, "text", "doc_id",
           k = 16, bands = 4, minEstJaccard = 0.5)
-          .orderBy("id_a", "id_b")
     },
 
     // SimHash near-dup pairs (32-bit signature, hamming ≤ 6).
@@ -206,7 +207,6 @@ object PipelineQueries {
       val sh = Tables.T(s, dir).documents.select($"doc_id",
         graft.expressions.SimHash32Expr.simhash32($"text").as("simhash"))
       Dedup.hammingPairsBanded(sh, "doc_id", "simhash", maxDist = 6)
-        .orderBy("id_a", "id_b")
     },
 
     // Exact n-gram (token-set) Jaccard via inverted-index join.
@@ -226,7 +226,6 @@ object PipelineQueries {
       // prefix index) — exact, distributed, zero collect
       Dedup.jaccardPairs(Tables.T(s, dir).documents, "text", "doc_id", 0.6)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
-        .orderBy("id_a", "id_b")
     },
 
     // Embedding-cosine near-dup pairs.
@@ -243,7 +242,6 @@ object PipelineQueries {
       Similarity.nearDupPairsBlocked(
         Tables.T(s, dir).embeddings, "vec_id", "embedding", 0.46)
         .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
-        .orderBy("id_a", "id_b")
     },
 
     // LSH-bucketed embedding near-dup: candidates from the hyperplane
@@ -273,7 +271,6 @@ object PipelineQueries {
         Tables.T(s, dir).embeddings, "vec_id", "embedding",
         threshold = 0.4, planes = 4, dim = 64)
         .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
-        .orderBy("id_a", "id_b")
     },
 
     // ---- similarity search ----------------------------------------
