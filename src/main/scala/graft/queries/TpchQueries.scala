@@ -310,6 +310,347 @@ object TpchQueries {
           Q.dsum($"l_extendedprice").as("total_rev"))
     },
 
+    // Q5 — local supplier volume: 6-way join where the supplier must sit
+    // in the customer's nation (the classic co-location predicate).
+    Q("q5_local_supplier", Some(
+      s"""SELECT n.n_name, ${Q.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey
+         |JOIN region r ON r.r_regionkey = n.n_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val t = Tables.T(s, dir)
+        t.customer
+          .join(t.orders.filter($"o_orderdate" >= "1997-01-01" &&
+            $"o_orderdate" < "1998-01-01"), $"c_custkey" === $"o_custkey")
+          .join(t.lineitem, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t.supplier),
+            $"s_suppkey" === $"l_suppkey" && $"s_nationkey" === $"c_nationkey")
+          .join(broadcast(t.nation), $"n_nationkey" === $"s_nationkey")
+          .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+            $"r_regionkey" === $"n_regionkey")
+          .groupBy($"n_name")
+          .agg(Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // Q7 — volume shipping between two nations, by ship year (nation
+    // plays two roles; the symmetric pair predicate).
+    Q("q7_volume_shipping", Some(
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year,
+         |  ${Q.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM supplier s
+         |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         |   OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      t.supplier
+        .join(t.lineitem, $"s_suppkey" === $"l_suppkey")
+        .join(t.orders, $"o_orderkey" === $"l_orderkey")
+        .join(t.customer, $"c_custkey" === $"o_custkey")
+        .join(broadcast(t.nation.select($"n_nationkey".as("n1_key"),
+          $"n_name".as("supp_nation"))), $"n1_key" === $"s_nationkey")
+        .join(broadcast(t.nation.select($"n_nationkey".as("n2_key"),
+          $"n_name".as("cust_nation"))), $"n2_key" === $"c_nationkey")
+        .filter(($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18") ||
+          ($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").as("l_year"))
+        .agg(Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q11 — important stock (adapted: lineitem supply value stands in
+    // for partsupp). Group total vs a scalar-subquery fraction of the
+    // whole — the self-referential HAVING shape.
+    Q("q11_important_stock", Some(
+      """WITH supply AS (
+        |  SELECT l.l_partkey,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) AS val
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE n.n_name = 'NATION_19')
+        |SELECT l_partkey, CAST(round(sum(val), 2) AS DOUBLE) AS value
+        |FROM supply GROUP BY l_partkey
+        |HAVING CAST(sum(val) AS DOUBLE) >
+        |  (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM supply)
+        |ORDER BY value DESC, l_partkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.T(s, dir)
+      val supply = t.lineitem
+        .join(broadcast(t.supplier), $"s_suppkey" === $"l_suppkey")
+        .join(broadcast(t.nation.filter($"n_name" === "NATION_19")),
+          $"n_nationkey" === $"s_nationkey")
+        .select($"l_partkey",
+          ($"l_extendedprice" * (lit(1) - $"l_discount"))
+            .cast(DecimalType(28, 6)).as("val"))
+      val threshold = supply.agg(
+        (sum($"val").cast("double") * 0.001).as("thr"))
+      supply.groupBy($"l_partkey")
+        .agg(round(sum($"val"), 2).cast("double").as("value"),
+          sum($"val").cast("double").as("raw"))
+        .crossJoin(broadcast(threshold))
+        .filter($"raw" > $"thr")
+        .select($"l_partkey", $"value")
+        .orderBy($"value".desc, $"l_partkey")
+    },
+
+    // Q12 — shipping modes / priority (adapted: late lines = shipped 60+
+    // days after the order date; linestatus stands in for shipmode).
+    Q("q12_late_lines", Some(
+      """SELECT l.l_linestatus,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val t = Tables.T(s, dir)
+        t.orders
+          .join(t.lineitem, $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)
+              .otherwise(0)).as("high_line_count"),
+            sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)
+              .otherwise(0)).as("low_line_count"))
+          .orderBy("l_linestatus")
+    },
+
+    // Q13 — customer order-count distribution: outer join with an ON
+    // filter, then an aggregate of an aggregate.
+    Q("q13_cust_distribution", Some(
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      t.customer
+        .join(t.orders.filter($"o_orderpriority" =!= "1-URGENT"),
+          $"o_custkey" === $"c_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // Q15 — top supplier: aggregate view + scalar-max equality probe.
+    Q("q15_top_supplier", Some(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${Q.oSum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s.s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val revenue = t.lineitem
+        .filter($"l_shipdate" >= "1998-01-01" && $"l_shipdate" < "1998-04-01")
+        .groupBy($"l_suppkey".as("supplier_no"))
+        .agg(Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount"))
+          .as("total_revenue"))
+      val top = revenue.agg(max($"total_revenue").as("max_rev"))
+      t.supplier
+        .join(revenue, $"s_suppkey" === $"supplier_no")
+        .crossJoin(broadcast(top))
+        .filter($"total_revenue" === $"max_rev")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // Q16 — supplier counts by part attributes with a NOT IN exclusion
+    // (suppliers in bad standing), distinct-count aggregate.
+    Q("q16_supplier_cnt", Some(
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#4' AND p.p_type NOT LIKE 'PROMO%'
+        |  AND p.p_size IN (1,4,7,10,13,16,19,22)
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val t = Tables.T(s, dir)
+        t.lineitem
+          .join(broadcast(t.part.filter($"p_brand" =!= "Brand#4" &&
+            !$"p_type".like("PROMO%") &&
+            $"p_size".isin(1, 4, 7, 10, 13, 16, 19, 22))),
+            $"p_partkey" === $"l_partkey")
+          .join(broadcast(t.supplier.filter($"s_acctbal" < 0)
+            .select($"s_suppkey")), $"l_suppkey" === $"s_suppkey", "left_anti")
+          .groupBy($"p_brand", $"p_type", $"p_size")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+
+    // Q19 — discounted revenue under disjunctive brand/quantity/size
+    // predicates (the OR-of-conjuncts pushdown shape).
+    Q("q19_disjunctive", Some(
+      s"""SELECT ${Q.oSum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 1 AND 11
+         |       AND p.p_size BETWEEN 1 AND 5)
+         |   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 10 AND 20
+         |       AND p.p_size BETWEEN 1 AND 10)
+         |   OR (p.p_brand = 'Brand#17' AND l.l_quantity BETWEEN 20 AND 30
+         |       AND p.p_size BETWEEN 1 AND 15)""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), $"p_partkey" === $"l_partkey")
+        .filter(
+          ($"p_brand" === "Brand#2" && $"l_quantity".between(1, 11) &&
+            $"p_size".between(1, 5)) ||
+          ($"p_brand" === "Brand#19" && $"l_quantity".between(10, 20) &&
+            $"p_size".between(1, 10)) ||
+          ($"p_brand" === "Brand#17" && $"l_quantity".between(20, 30) &&
+            $"p_size".between(1, 15)))
+        .agg(Q.dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+    },
+
+    // Q20 — excess supply (adapted: shipped quantity of 'red' parts
+    // stands in for ps_availqty): nested IN subqueries lowered to
+    // semi joins over an aggregate-HAVING inner.
+    Q("q20_excess_supply", Some(
+      """SELECT s.s_name, CAST(s.s_nationkey AS INT) AS s_nationkey
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_name = 'NATION_19'
+        |  AND s.s_suppkey IN (
+        |    SELECT l.l_suppkey FROM lineitem l
+        |    WHERE l.l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    GROUP BY l.l_suppkey HAVING sum(l.l_quantity) > 100)
+        |ORDER BY s.s_name""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val redParts = t.part.filter($"p_name".like("%red%")).select($"p_partkey")
+      val bigSuppliers = t.lineitem
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 100)
+        .select($"l_suppkey")
+      t.supplier
+        .join(broadcast(t.nation.filter($"n_name" === "NATION_19")),
+          $"n_nationkey" === $"s_nationkey", "left_semi")
+        .join(bigSuppliers, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_name", $"s_nationkey".cast("int").as("s_nationkey"))
+        .orderBy("s_name")
+    },
+
+    // Q21 — suppliers who kept orders waiting (adapted: the returned
+    // line is "late"): correlated EXISTS + NOT EXISTS pair on the same
+    // fact table, lowered to semi + anti joins with non-equi terms.
+    Q("q21_waiting_supplier", Some(
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_19'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val l2 = t.lineitem.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+      val l3 = t.lineitem.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+      t.supplier
+        .join(broadcast(t.nation.filter($"n_name" === "NATION_19")),
+          $"n_nationkey" === $"s_nationkey", "left_semi")
+        .join(t.lineitem.filter($"l_returnflag" === "R"),
+          $"s_suppkey" === $"l_suppkey")
+        .join(t.orders.filter($"o_orderstatus" === "F"),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .join(l2, $"k2" === $"l_orderkey" && $"s2" =!= $"l_suppkey", "left_semi")
+        .join(l3, $"k3" === $"l_orderkey" && $"s3" =!= $"l_suppkey", "left_anti")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    },
+
+    // Q22 — global sales opportunity (adapted: country code = nationkey
+    // mod 5; "no urgent orders" replaces "no orders" — every harness
+    // customer has orders): scalar-average threshold + anti join.
+    Q("q22_global_sales", Some(
+      s"""WITH pot AS (
+         |  SELECT c.c_custkey, c.c_acctbal,
+         |    CAST(c.c_nationkey % 5 AS INT) AS cntrycode
+         |  FROM customer c
+         |  WHERE c.c_nationkey % 5 IN (0, 1, 2)
+         |    AND c.c_acctbal >
+         |      (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+         |         / count(*)
+         |       FROM customer c2
+         |       WHERE c2.c_acctbal > 0 AND c2.c_nationkey % 5 IN (0, 1, 2)))
+         |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+         |  ${Q.oSum("c_acctbal")} AS totacctbal
+         |FROM pot p
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |  WHERE o.o_custkey = p.c_custkey
+         |    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.T(s, dir)
+      val inScope = t.customer.filter(($"c_nationkey" % 5).isin(0, 1, 2))
+      val avgBal = inScope.filter($"c_acctbal" > 0)
+        .agg((sum($"c_acctbal".cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      inScope
+        .crossJoin(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(t.orders.filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey"), $"o_custkey" === $"c_custkey", "left_anti")
+        .groupBy(($"c_nationkey" % 5).cast("int").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), Q.dsum($"c_acctbal").as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+
     // AssertOp (nodeAssertOp.c:98): runtime constraint check — passes
     // rows through when the constraint holds, errors otherwise.
     Q("q_assert_op", Some(

@@ -20,7 +20,11 @@ object ExternalTables {
 
   /** Read CSV with COPY-style reject handling: malformed rows are counted
     * (and dropped) rather than failing the scan; more than `rejectLimit`
-    * bad rows fails the load like SEGMENT REJECT LIMIT does. */
+    * bad rows in any one partition fails the load during the scan, like
+    * `SEGMENT REJECT LIMIT` does per segment (cdbsreh.c) — one streaming
+    * pass, no cache of the full scan, no driver-side count job. The
+    * failure surfaces when the returned frame is first materialized
+    * (GP likewise errors mid-load, not at parse time). */
   def readCsvWithRejectLimit(
       spark: SparkSession, path: String, schema: StructType,
       rejectLimit: Long, header: Boolean = true): DataFrame = {
@@ -31,10 +35,19 @@ object ExternalTables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache() // one pass for the reject count + the clean rows
-    val rejected = raw.filter(col("_corrupt_record").isNotNull).count()
-    if (rejected > rejectLimit) throw RejectLimitExceeded(rejected, rejectLimit)
-    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val corruptIdx = withCorrupt.fieldIndex("_corrupt_record")
+    raw.mapPartitions { it =>
+      var rejected = 0L
+      it.flatMap { r =>
+        if (!r.isNullAt(corruptIdx)) {
+          rejected += 1
+          if (rejected > rejectLimit)
+            throw RejectLimitExceeded(rejected, rejectLimit)
+          Iterator.empty
+        } else Iterator.single(r)
+      }
+    }(org.apache.spark.sql.Encoders.row(withCorrupt))
+      .drop("_corrupt_record")
   }
 
   /** Writable external table (reference: fileam.c:705 external_insert):
