@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // static conf, takes effect only when this builder CREATES the
+      // session: the generated-class cache defaults to 100 entries, and a
+      // 140-query sweep evicts constantly — every run then re-invokes
+      // Janino instead of reusing warm classes (on a long-lived cluster
+      // the same eviction churn shows up as steady-state compile load)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
   }
 

@@ -21,13 +21,17 @@ object TextAnalysis {
   /** Distinct token set — the unit for set-based similarity. */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the token array: one codegen'd
+    * regex pass (a \S+ run IS a token of the \s+ split). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** BPE-ish subword count estimate: words + extra tokens for long words
-    * (a word of length L costs ~ceil(L/4) subwords). */
+    * (a word of length L costs ~ceil(L/4) subwords). Greedy \S{1,4} runs
+    * chunk each token 4-chars-at-a-time, so the match count is exactly
+    * Σ ceil(L/4) — one codegen'd pass instead of an interpreted
+    * per-token aggregate lambda. */
   def subwordCountEstimate(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+    regexp_count(text, lit("\\S{1,4}")).cast("long")
 
   /** Ratio of punctuation chars to total chars. */
   def punctRatio(text: Column): Column =
@@ -40,11 +44,14 @@ object TextAnalysis {
     when(length(text) === 0, 0.0).otherwise(
       length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
 
-  /** Mean token length. */
+  /** Mean token length. Σ token lengths = count of non-whitespace chars
+    * (every non-ws char belongs to exactly one \s+-split token), so both
+    * numerator and denominator are single codegen'd regex passes — no
+    * token array, no interpreted aggregate lambda. */
   def avgWordLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, 0.0).otherwise(
-      aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") / size(ts))
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s", "")).cast("double") / n)
   }
 
   /** English stopwords used for the quality heuristic. */
@@ -52,12 +59,15 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
 
-  /** Fraction of tokens that are (English) stopwords — prose indicator. */
+  /** Fraction of tokens that are (English) stopwords — prose indicator.
+    * Counted with the same one-pass padded-text regex as [[langScore]]
+    * (interpreted filter-lambda over the token array was the hot spot of
+    * the quality sweep). */
   def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
-    val sw = array(EnStopwords.map(lit): _*)
-    when(size(ts) === 0, 0.0).otherwise(
-      size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
+    val n = tokenCount(text)
+    val hits = regexp_count(concat(lit(" "), lower(trim(text)), lit(" ")),
+      lit("\\s(" + EnStopwords.mkString("|") + ")(?=\\s)"))
+    when(n === 0, 0.0).otherwise(hits.cast("double") / n)
   }
 
   /** Composite document quality score in [0,1]: length sweet-spot,
