@@ -352,43 +352,103 @@ object Dedup {
     // and the verify-time array_intersect then run on fixed-width longs
     // instead of strings.
     val inv = groups.select(col("fp"), explode(col("ts")).as("tok"))
-    val dict = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
-      .orderBy(col("dfq"), col("tok"))
-      .withColumn("tid", monotonically_increasing_id())
-      .select(col("tok"), col("tid"))
-    val ordered = inv.join(dict, "tok")
-      .groupBy("fp")
-      .agg(array_sort(collect_list(col("tid"))).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .cache() // three consumers: prefix ×2 (self-join sides), verify sets
+    val dictBase = inv.groupBy("tok").agg(count(lit(1)).as("dfq")).cache()
     // floor (not ceil) of t·n guards against fp error in the prefix bound:
     // a 1-ulp-low product only lengthens the prefix (more candidates,
     // never a miss)
     def plen(n: Column): Column = greatest(lit(1),
       (n - floor(lit(minJaccard) * n) + 1).cast("int"))
-    // the prefix relation is small (distinct sets × prefix tokens) — carry
-    // the full token array through the explode so the prefix join emits
-    // candidates WITH both sets inline: no distinct() shuffle and no
-    // re-join of the (huge) candidate set back to the sets table
-    val prefix = ordered.select(col("fp"), col("toks"), col("n"),
-      explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
-    val pa = prefix.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
-      col("n").as("na"), col("tok"))
-    val pb = prefix.select(col("fp").as("fp_b"), col("toks").as("ts_b"),
-      col("n").as("nb"), col("tok"))
-    // a pair joins once per shared prefix token; keep only the row whose
-    // join token is the MINIMUM shared prefix token (tids are totally
-    // ordered longs) — codegen'd emit-once filter instead of distinct()
-    val emitOnce = col("tok") === array_min(array_intersect(
-      slice(col("ts_a"), lit(1), plen(col("na"))),
-      slice(col("ts_b"), lit(1), plen(col("nb")))))
-    val crossSet = pa.join(pb, Seq("tok"))
-      .filter(col("fp_a") < col("fp_b"))
-      .filter(emitOnce)
-      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
-      .select(col("fp_a"), col("fp_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    // pair-level length pruning (safe BEFORE the emit-once filter: na/nb
+    // are constant across a pair's joined rows, so it drops all of a
+    // pair's rows or none): J ≥ t ⇒ |A∩B| ≤ min ⇒ min(n) ≥ t·max(n)
+    val lengthOk = least(col("na"), col("nb")).cast("double") >=
+      lit(minJaccard) * greatest(col("na"), col("nb"))
+    // vocabulary size decides the verify representation. This one count
+    // is catalog-scale metadata (the dict aggregate is needed anyway and
+    // is cached); it does NOT collect the dictionary itself.
+    val vocab = dictBase.count()
+    val crossSet0 = if (vocab <= 64) {
+      // ---- dense/small-vocabulary fast path --------------------------
+      // Every token set is one LONG bitmask (bit = rare-first rank), so
+      // the 10⁷-scale joined-row hot loop runs pure integer ops:
+      // |A∩B| = bit_count(mask&mask), and the emit-once filter compares
+      // the join token's bit against the lowest shared prefix bit —
+      // no array slices, no array_intersect, no array_min.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dfq"), col("tok")) // ≤64 rows: 1-partition window ok
+      val dict = dictBase
+        .withColumn("tid", row_number().over(w).cast("long") - 1)
+        .select(col("tok"), col("tid"))
+      val ordered = inv.join(dict, "tok")
+        .groupBy("fp")
+        .agg(array_sort(collect_list(col("tid"))).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("fp"), col("n"),
+          aggregate(col("toks"), lit(0L),
+            (acc, t) => acc.bitwiseOR(
+              call_function("shiftleft", lit(1L), t.cast("int"))))
+            .as("mask"),
+          aggregate(slice(col("toks"), lit(1), plen(col("n"))), lit(0L),
+            (acc, t) => acc.bitwiseOR(
+              call_function("shiftleft", lit(1L), t.cast("int"))))
+            .as("pmask"), // interpreted HOF, but over sets × ≤64 only
+          explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
+      val pa = ordered.select(col("fp").as("fp_a"), col("mask").as("m_a"),
+        col("pmask").as("pm_a"), col("n").as("na"), col("tok"))
+      val pb = ordered.select(col("fp").as("fp_b"), col("mask").as("m_b"),
+        col("pmask").as("pm_b"), col("n").as("nb"), col("tok"))
+      val sharedPrefix = col("pm_a").bitwiseAND(col("pm_b"))
+      val lowestSharedBit = sharedPrefix.bitwiseAND(-sharedPrefix)
+      val emitOnce =
+        call_function("shiftleft", lit(1L), col("tok").cast("int")) ===
+          lowestSharedBit
+      val inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
+      pa.join(pb.hint("SHUFFLE_HASH"), Seq("tok"))
+        .filter(col("fp_a") < col("fp_b") && lengthOk)
+        .filter(emitOnce)
+        .select(col("fp_a"), col("fp_b"),
+          (inter.cast("double") /
+            (col("na") + col("nb") - inter)).as("jaccard"))
+    } else {
+      // ---- general path (web-scale vocabulary) -----------------------
+      // Tokens are replaced by LONG ids preserving the rare-first order
+      // (orderBy → monotonically_increasing_id is order-preserving across
+      // the sorted range partitions, no single-partition window): join
+      // keys and verify-time array_intersect run on fixed-width longs.
+      val dict = dictBase
+        .orderBy(col("dfq"), col("tok"))
+        .withColumn("tid", monotonically_increasing_id())
+        .select(col("tok"), col("tid"))
+      val ordered = inv.join(dict, "tok")
+        .groupBy("fp")
+        .agg(array_sort(collect_list(col("tid"))).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .cache() // consumed by both self-join sides
+      // the prefix relation is small (distinct sets × prefix tokens) —
+      // carry the full token array through the explode so the prefix join
+      // emits candidates WITH both sets inline: no distinct() shuffle and
+      // no re-join of the (huge) candidate set back to the sets table
+      val prefix = ordered.select(col("fp"), col("toks"), col("n"),
+        explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
+      val pa = prefix.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
+        col("n").as("na"), col("tok"))
+      val pb = prefix.select(col("fp").as("fp_b"), col("toks").as("ts_b"),
+        col("n").as("nb"), col("tok"))
+      // a pair joins once per shared prefix token; keep only the row whose
+      // join token is the MINIMUM shared prefix token (tids are totally
+      // ordered longs) — codegen'd emit-once filter instead of distinct()
+      val emitOnce = col("tok") === array_min(array_intersect(
+        slice(col("ts_a"), lit(1), plen(col("na"))),
+        slice(col("ts_b"), lit(1), plen(col("nb")))))
+      pa.join(pb.hint("SHUFFLE_HASH"), Seq("tok"))
+        .filter(col("fp_a") < col("fp_b") && lengthOk)
+        .filter(emitOnce)
+        .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+        .select(col("fp_a"), col("fp_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    }
+    val crossSet = crossSet0
       .filter(col("jaccard") >= minJaccard)
       .join(groups.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
       .join(groups.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")

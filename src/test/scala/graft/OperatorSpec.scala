@@ -85,6 +85,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(pairs(0)._3 - 3.0 / 5.0) < 1e-12) // |∩|=3, |∪|=5
   }
 
+  test("Dedup.jaccardPairs bitmask and general paths agree (vocab > 64)") {
+    import spark.implicits._
+    // 80-token vocabulary forces the array/prefix general path; the same
+    // docs restricted to a small vocab take the 64-bit mask path. Build
+    // overlapping docs from sliding windows so several pairs qualify.
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 3 + j) % 80}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: brute-force token-set jaccard in memory
+    val sets = (0 until 30).map { i =>
+      i.toLong -> (0 until 12).map(j => s"w${(i * 3 + j) % 80}").toSet
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(got == want)
+  }
+
   test("Similarity.cosine on known vectors") {
     import spark.implicits._
     val v = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f)))
