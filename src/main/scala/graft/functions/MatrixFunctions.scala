@@ -32,4 +32,30 @@ object MatrixFunctions {
         }.reduce((x, y) => x + y)
       }: _*)
     }: _*)
+
+  // ---- N-dim array surface (reference: arrayfuncs.c array_dims/
+  // array_ndims/array slicing, funcapi generate_subscripts) -----------
+
+  /** PG `array_dims` for a rectangular 2-D nested array: "[1:r][1:c]"
+    * (lower bounds are always 1 on the Spark side — nested arrays have
+    * no custom bounds). Dynamic dims, not compile-time. */
+  def dims2d(a: Column): Column =
+    concat(lit("[1:"), size(a).cast("string"), lit("][1:"),
+      size(element_at(a, 1)).cast("string"), lit("]"))
+
+  /** Nesting depth of a 2-D array column (PG array_ndims analogue; the
+    * depth is a property of the column's TYPE, so it is a literal). */
+  def ndims2d: Column = lit(2)
+
+  /** PG 2-D slice `a[r1:r2][c1:c2]` with dynamic bounds (1-based,
+    * inclusive, like PG): outer slice then per-row inner slice. */
+  def slice2d(a: Column, r1: Column, r2: Column,
+      c1: Column, c2: Column): Column =
+    transform(slice(a, r1, r2 - r1 + lit(1)),
+      row => slice(row, c1, c2 - c1 + lit(1)))
+
+  /** PG `generate_subscripts(arr, dim)` for dim=1: the subscript range
+    * of the outer dimension. Explode it for the SRF-in-FROM shape. */
+  def generateSubscripts(a: Column): Column =
+    sequence(lit(1), size(a))
 }

@@ -534,6 +534,39 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // N-dim array surface (reference: arrayfuncs.c array_dims/array_ndims/
+    // slicing, generate_subscripts as SRF-in-FROM): a per-nation dynamic
+    // 2-D matrix, PG-style dims string, a[1:2][2:3] slice (flattened to a
+    // compare-friendly string), and the exploded subscript range.
+    Q("q_fn_array_nd", Some(
+      """WITH m AS (
+        |  SELECT n_nationkey,
+        |    list_transform(range(1, (n_nationkey % 3) + 3), i ->
+        |      list_transform(range(1, 4), j -> i * 10 + j)) AS mat
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  '[1:' || len(mat) || '][1:' || len(mat[1]) || ']' AS dims,
+        |  2 AS ndims,
+        |  array_to_string(flatten(list_transform(mat[1:2], r -> r[2:3])),
+        |    ',') AS sliced,
+        |  CAST(s AS INT) AS sub
+        |FROM m, unnest(range(1, len(mat) + 1)) t(s)
+        |ORDER BY n_nationkey, sub""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.MatrixFunctions._
+      val mat = transform(sequence(lit(1), ($"n_nationkey" % 3 + 2).cast("int")),
+        i => transform(sequence(lit(1), lit(3)), j => i * 10 + j))
+      Tables.T(s, dir).nation
+        .select($"n_nationkey", mat.as("mat"))
+        .select($"n_nationkey",
+          dims2d($"mat").as("dims"),
+          ndims2d.as("ndims"),
+          array_join(flatten(
+            slice2d($"mat", lit(1), lit(2), lit(2), lit(3))), ",").as("sliced"),
+          explode(generateSubscripts($"mat")).as("sub"))
+        .orderBy("n_nationkey", "sub")
+    },
+
     // width_bucket (PG histogram bucketing; DuckDB lacks it → CASE oracle).
     Q("q_fn_width_bucket", Some(
       """SELECT c_custkey,
