@@ -108,6 +108,17 @@ object GpSqlDialect {
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
       return executeCreateExternal(spark, trimmed, basePath)
+    CopyFromRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCopyFrom(spark, m.group(1), m.group(2), m.group(3))
+      case _ =>
+    }
+    CopyToRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCopyTo(spark,
+          Option(m.group(1)), Option(m.group(2)), m.group(3), m.group(4))
+      case _ =>
+    }
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
