@@ -108,7 +108,9 @@ object PgFunctions {
       "HH" -> (_ => fmt("hh")),
       "YY" -> (_ => fmt("yy")),
       "Q" -> (_ => quarter(ts).cast("string")),
-      "WW" -> (fm => num((dayofyear(ts) - 1) / 7 + 1, 2, fm)),
+      // integer week arithmetic (formatting.c): Column `/` is fp-divide,
+      // so floor+cast back to int or lpad sees "5.0"
+      "WW" -> (fm => num(floor((dayofyear(ts) - 1) / 7).cast("int") + 1, 2, fm)),
       "J" -> (_ => (datediff(ts.cast("date"), to_date(lit("1970-01-01")))
         + 2440588).cast("string")),
       "TZ" -> (_ => lit("UTC")) // session timezone is pinned UTC

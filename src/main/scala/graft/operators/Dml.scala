@@ -62,6 +62,27 @@ object Dml {
     overwriteInPlace(spark, path, updated)
   }
 
+  /** Hive directory name for one partition value: special characters use
+    * Hive's percent-escaping and NULL maps to the default-partition dir,
+    * exactly as Spark's partitioned writer produced them — building the
+    * raw "col=value" string instead would silently miss escaped/null
+    * partitions. */
+  private def partitionDir(
+      spark: SparkSession, path: String, partitionCol: String,
+      value: String): Path = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val leaf =
+      if (value == null)
+        s"$partitionCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+      else s"$partitionCol=${ExternalCatalogUtils.escapePathName(value)}"
+    val p = new Path(path, leaf)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new java.io.IOException(
+        s"partition directory $p not found for $partitionCol=$value")
+    p
+  }
+
   /** Hive-style partition values under `path` for `partitionCol`. */
   private def partitionValues(
       spark: SparkSession, path: String, partitionCol: String): Seq[String] = {
@@ -88,7 +109,7 @@ object Dml {
       .select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0))
     affected.foreach { pv =>
-      val pdir = s"$path/$partitionCol=$pv"
+      val pdir = partitionDir(spark, path, partitionCol, pv).toString
       val part = spark.read.parquet(pdir)
         .withColumn(partitionCol, lit(pv).cast(df.schema(partitionCol).dataType))
       overwriteInPlace(spark, pdir,
@@ -132,7 +153,7 @@ object Dml {
         .select(col(partitionCol).cast("string")).distinct()
         .collect().map(_.getString(0))
       affected.foreach { pv =>
-        val pdir = s"$path/$partitionCol=$pv"
+        val pdir = partitionDir(spark, path, partitionCol, pv).toString
         val part = spark.read.parquet(pdir)
           .withColumn(partitionCol,
             lit(pv).cast(df.schema(partitionCol).dataType))

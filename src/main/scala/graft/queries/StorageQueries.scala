@@ -332,6 +332,51 @@ object StorageQueries {
         tmp("sqlext"))
     },
 
+    // COPY FROM / COPY TO as dialect statements (commands/copy.c:959
+    // DoCopy, :2590 DoCopyTo; reject handling cdb/cdbsreh.c:367): load a
+    // CSV containing 2 malformed rows into a dialect-created table under
+    // SEGMENT REJECT LIMIT 5 (bad rows dropped, limit not reached), export
+    // with COPY TO, and aggregate the re-read export. Oracle runs the same
+    // aggregate on the clean parquet source.
+    Q("q_sql_copy", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem WHERE l_orderkey <= 800
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        ExternalTables.writeCsv(
+          Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 800)
+            .select("l_orderkey", "l_returnflag", "l_quantity"),
+          tmp("copy_in_csv"))
+        // a file of malformed rows in the same location: COPY's
+        // single-row error handling must skip them without aborting
+        val bad = new java.io.File(tmp("copy_in_csv"), "zz_bad.csv")
+        val w = new java.io.PrintWriter(bad)
+        try w.print("l_orderkey,l_returnflag,l_quantity\nnot_a_key,X,oops\n\"unterminated,Y,1.0\n")
+        finally w.close()
+      }) { (s, dir) =>
+      val base = tmp("sqlcopy")
+      GpSqlDialect.execute(s,
+        """CREATE TABLE li_copy (
+          |  l_orderkey bigint,
+          |  l_returnflag text,
+          |  l_quantity double precision)
+          |DISTRIBUTED BY (l_orderkey)""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        s"COPY li_copy FROM '${tmp("copy_in_csv")}' CSV HEADER SEGMENT REJECT LIMIT 5",
+        base)
+      GpSqlDialect.execute(s,
+        s"COPY li_copy TO '${tmp("copy_out_csv")}' CSV HEADER", base)
+      s.read.schema(StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType))))
+        .option("header", "true").csv(tmp("copy_out_csv"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Q.dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

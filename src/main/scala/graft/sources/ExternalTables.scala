@@ -19,12 +19,13 @@ object ExternalTables {
       s"external scan rejected $rejected rows (limit $limit)")
 
   /** Read CSV with COPY-style reject handling: malformed rows are counted
-    * (and dropped) rather than failing the scan; more than `rejectLimit`
+    * (and dropped) rather than failing the scan; reaching `rejectLimit`
     * bad rows in any one partition fails the load during the scan, like
-    * `SEGMENT REJECT LIMIT` does per segment (cdbsreh.c) — one streaming
-    * pass, no cache of the full scan, no driver-side count job. The
-    * failure surfaces when the returned frame is first materialized
-    * (GP likewise errors mid-load, not at parse time). */
+    * `SEGMENT REJECT LIMIT` does per segment (cdbsreh.c:367 errors when
+    * rejectcount >= rejectlimit) — one streaming pass, no cache of the
+    * full scan, no driver-side count job. The failure surfaces when the
+    * returned frame is first materialized (GP likewise errors mid-load,
+    * not at parse time). `rejectLimit` 0 ⇒ no tolerance (plain COPY). */
   def readCsvWithRejectLimit(
       spark: SparkSession, path: String, schema: StructType,
       rejectLimit: Long, header: Boolean = true): DataFrame = {
@@ -41,7 +42,7 @@ object ExternalTables {
       it.flatMap { r =>
         if (!r.isNullAt(corruptIdx)) {
           rejected += 1
-          if (rejected > rejectLimit)
+          if (rejected >= rejectLimit.max(1L))
             throw RejectLimitExceeded(rejected, rejectLimit)
           Iterator.empty
         } else Iterator.single(r)
@@ -52,6 +53,7 @@ object ExternalTables {
 
   /** Writable external table (reference: fileam.c:705 external_insert):
     * parallel CSV export. */
-  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode("overwrite").option("header", header.toString).csv(path)
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
 }

@@ -140,6 +140,62 @@ object GpSqlDialect {
     }
   }
 
+  // ---- phase 2: COPY FROM / COPY TO ---------------------------------
+
+  /** `COPY tbl FROM 'path' [CSV] [HEADER] [SEGMENT REJECT LIMIT n]`
+    * (reference: commands/copy.c:959 DoCopy). */
+  private val CopyFromRe =
+    "(?is)^\\s*COPY\\s+(\\w+)\\s+FROM\\s+'([^']*)'(.*)$".r
+
+  /** `COPY tbl TO 'path' [...]` or `COPY (SELECT ...) TO 'path' [...]`
+    * (reference: commands/copy.c:2590 DoCopyTo). */
+  private val CopyToRe =
+    "(?is)^\\s*COPY\\s+(?:(\\w+)|\\((.+)\\))\\s+TO\\s+'([^']*)'(.*)$".r
+
+  private def copyHasHeader(opts: String): Boolean =
+    "(?i)\\bHEADER\\b".r.findFirstIn(opts).isDefined
+
+  private def copyRejectLimit(opts: String): Long =
+    "(?is)\\bSEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)".r
+      .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(0L)
+
+  /** COPY FROM: load a server-side CSV into a catalog table with GP's
+    * single-row error handling — bad rows are skipped until the segment
+    * reject limit trips (cdb/cdbsreh.c:367). The load lands with the
+    * table's distribution/partition physics via [[appendFrame]]. */
+  def executeCopyFrom(
+      spark: SparkSession, table: String, path: String,
+      opts: String): DataFrame = {
+    val t = catalog.getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"COPY FROM target $table is not a graft catalog table"))
+    val src = graft.sources.ExternalTables.readCsvWithRejectLimit(
+      spark, path, t.schema, copyRejectLimit(opts),
+      header = copyHasHeader(opts))
+    appendFrame(spark, t, src)
+  }
+
+  /** COPY TO: export a table or a parenthesised query to server-side CSV
+    * (parallel, one file per partition — the MPP reading of copy.c's
+    * single-file semantics; `ON SEGMENT` in GP likewise writes per-segment
+    * files). Returns the exported frame. */
+  def executeCopyTo(
+      spark: SparkSession, table: Option[String], query: Option[String],
+      path: String, opts: String): DataFrame = {
+    val src = table match {
+      case Some(tn) => catalog.get(tn.toLowerCase) match {
+        case Some(t) if t.format == "csv" =>
+          spark.read.schema(t.schema).option("header", "true").csv(t.path)
+        case _ => spark.table(tn)
+      }
+      case None => spark.sql(query.getOrElse(
+        throw new IllegalArgumentException("COPY TO needs a table or query")))
+    }
+    graft.sources.ExternalTables.writeCsv(
+      src, path, header = copyHasHeader(opts))
+    src
+  }
+
   // ---- phase 2: WITH RECURSIVE --------------------------------------
 
   private val WithRecursiveStart = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
@@ -250,7 +306,8 @@ object GpSqlDialect {
 
   final case class GpTable(
       name: String, path: String, schema: StructType,
-      partitionCols: Seq[String], distributionCols: Seq[String])
+      partitionCols: Seq[String], distributionCols: Seq[String],
+      format: String = "parquet")
 
   /** Session-local GP catalog (name → table physics). */
   private val catalog =
@@ -346,6 +403,16 @@ object GpSqlDialect {
       else spark.sql(body)
     require(src0.columns.length == t.schema.length,
       s"INSERT INTO $name: ${src0.columns.length} columns, expected ${t.schema.length}")
+    appendFrame(spark, t, src0)
+  }
+
+  /** Append a frame into a catalog table with its declared physics:
+    * positional alignment + cast to the table schema, distribution
+    * repartition, Hive-style dynamic partition append. Writable EXTERNAL
+    * tables write CSV to their LOCATION (reference: fileam.c:705
+    * external_insert emits the external format, not heap pages). */
+  private def appendFrame(
+      spark: SparkSession, t: GpTable, src0: DataFrame): DataFrame = {
     val aligned = src0.toDF(t.schema.fieldNames: _*)
       .select(t.schema.fields.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
@@ -355,10 +422,16 @@ object GpSqlDialect {
       if (t.distributionCols.nonEmpty)
         aligned.repartition(parts, t.distributionCols.map(aligned.col): _*)
       else aligned
-    val w = distributed.write.mode("append")
-    (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*) else w)
-      .parquet(t.path)
-    refreshView(spark, t)
+    if (t.format == "csv") {
+      graft.sources.ExternalTables.writeCsv(
+        distributed, t.path, mode = "append")
+      distributed
+    } else {
+      val w = distributed.write.mode("append")
+      (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*) else w)
+        .parquet(t.path)
+      refreshView(spark, t)
+    }
   }
 
   private def refreshView(spark: SparkSession, t: GpTable): DataFrame = {
@@ -406,7 +479,8 @@ object GpSqlDialect {
     val rejectLimit = "(?is)\\bSEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)".r
       .findFirstMatchIn(gpSql).map(_.group(1).toInt).getOrElse(0)
     if (writable) {
-      catalog(name) = GpTable(name, path, schema, Seq.empty, Seq.empty)
+      catalog(name) = GpTable(name, path, schema, Seq.empty, Seq.empty,
+        format = "csv")
       spark.emptyDataFrame
     } else {
       val df = graft.sources.ExternalTables
