@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a kernel's (small) result set, then RELEASE its (large)
+    * cached intermediates. The kernels below cache signature/dictionary
+    * relations consumed by both self-join sides; without this, a
+    * long-lived session running repeated dedup sweeps accretes executor
+    * storage until eviction pressure. The result is a localCheckpoint —
+    * already computed, lineage truncated — so unpersisting the inputs is
+    * safe; callers own (and may unpersist) the returned frame. */
+  private def finishKernel(result: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   // ---- exact -------------------------------------------------------
 
   /** Exact duplicates on a dedup key (e.g. TextAnalysis.fingerprint or
@@ -37,29 +50,13 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------
 
-  /** k-component MinHash signature over the document's distinct tokens.
-    * Hash family i is md5(i || ':' || token); the signature component is
-    * the lexicographic min — deterministic and portable (the oracle SQL
-    * computes the identical value). One codegen'd expression: no explode,
-    * no shuffle until the band join. */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokenSet(text)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(toks, t => md5(concat(i, lit(":"), t).cast("binary")))))
-  }
-
-  /** LSH band keys: the signature is cut into `bands` slices of `rowsPerBand`
-    * and each slice is hashed; docs sharing any band key are candidates. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|",
-        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")))
-
-  /** MinHash signatures via explode → min-aggregate → re-assemble: the
-    * codegen-friendly formulation of [[minhashSignature]] (same values).
-    * The nested higher-order expression evaluates interpreted per element;
-    * this path keeps md5+min inside whole-stage codegen and scales as a
-    * plain shuffle aggregation. */
+  /** MinHash signatures via explode → min-aggregate → re-assemble. Hash
+    * family i is md5(i || ':' || token); the signature component is the
+    * lexicographic min — deterministic and portable (the oracle SQL
+    * computes the identical value). A nested higher-order-function
+    * formulation computes the same values but evaluates interpreted per
+    * element; this path keeps md5+min inside whole-stage codegen and
+    * scales as a plain shuffle aggregation. */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"),
@@ -190,8 +187,10 @@ object Dedup {
       .select(col("pa"), col("id_a"), posexplode(col("ids")).as(Seq("pb", "id_b")))
       .filter(col("pa") < col("pb"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
-    crossSetPairs.unionByName(withinSetPairs)
-      .filter(col("est_jaccard") >= minEstJaccard)
+    finishKernel(
+      crossSetPairs.unionByName(withinSetPairs)
+        .filter(col("est_jaccard") >= minEstJaccard),
+      groups, sigs)
   }
 
   // ---- SimHash -----------------------------------------------------
@@ -283,40 +282,18 @@ object Dedup {
     // per-partition hash maps shallow, and SHJ avoids SMJ's sort + per-key
     // group buffering (measured 3.7× on this join); neither side fits a
     // broadcast at scale
-    a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(firstMatch)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
-          .as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    finishKernel(
+      a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(firstMatch)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= maxDist),
+      s)
   }
 
-  // ---- n-gram Jaccard (inverted-index join) ------------------------
-
-  /** Exact token-set Jaccard over candidate pairs that share ≥1 token.
-    * Inverted-index join: explode distinct tokens → self-join on token →
-    * count shared per pair → |A∪B| = |A|+|B|−shared. The token join is the
-    * scalable candidate generator (pairs with zero overlap never meet). */
-  def jaccardPairsInverted(
-      df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      TextAnalysis.tokenSet(col(textCol)).as("ts"))
-    val sizes = toks.select(col("id"), size(col("ts")).as("n"))
-    val inv = toks.select(col("id"), explode(col("ts")).as("tok")).cache()
-    val shared = inv.alias("x").join(inv.alias("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-  }
+  // ---- n-gram Jaccard (prefix-filtered inverted-index join) --------
 
   /** Exact all-pairs token-set Jaccard ≥ threshold — the scale
     * formulation (AllPairs/PPJoin prefix filtering, Bayardo et al. WWW'07):
@@ -331,8 +308,8 @@ object Dedup {
     *     outside prefixes, bounding per-token bucket blowup;
     *  3. candidates verify with one codegen'd array_intersect.
     *
-    * Exact same result set as [[jaccardPairsInverted]]; shuffles on token
-    * and pair keys only, zero driver state. */
+    * Exact same result set as a naive full inverted-index join; shuffles
+    * on token and pair keys only, zero driver state. */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double): DataFrame = {
@@ -353,6 +330,8 @@ object Dedup {
     // instead of strings.
     val inv = groups.select(col("fp"), explode(col("ts")).as("tok"))
     val dictBase = inv.groupBy("tok").agg(count(lit(1)).as("dfq")).cache()
+    val kernelCaches =
+      scala.collection.mutable.ArrayBuffer[DataFrame](groups, dictBase)
     // floor (not ceil) of t·n guards against fp error in the prefix bound:
     // a 1-ulp-low product only lengthens the prefix (more candidates,
     // never a miss)
@@ -423,7 +402,8 @@ object Dedup {
         .groupBy("fp")
         .agg(array_sort(collect_list(col("tid"))).as("toks"))
         .withColumn("n", size(col("toks")))
-        .cache() // consumed by both self-join sides
+        .cache() // consumed by both self-join sides; released in finishKernel
+      kernelCaches += ordered
       // the prefix relation is small (distinct sets × prefix tokens) —
       // carry the full token array through the explode so the prefix join
       // emits candidates WITH both sets inline: no distinct() shuffle and
@@ -462,6 +442,8 @@ object Dedup {
         posexplode(col("ids")).as(Seq("pb", "id_b")))
       .filter(col("pa") < col("pb"))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    crossSet.unionByName(withinSet).filter(col("jaccard") >= minJaccard)
+    finishKernel(
+      crossSet.unionByName(withinSet).filter(col("jaccard") >= minJaccard),
+      kernelCaches.toSeq: _*)
   }
 }

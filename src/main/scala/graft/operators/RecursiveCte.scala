@@ -15,6 +15,14 @@ import org.apache.spark.sql.DataFrame
   */
 object RecursiveCte {
 
+  /** Iterations between accumulator checkpoints. Without this, `acc`'s
+    * plan is a union of every delta so far: iteration i re-plans (and for
+    * the distinct variant's anti-join, re-reads) i checkpointed inputs —
+    * linear lineage, quadratic total cost, and eventual planner blow-up
+    * at depth. Truncating `acc` every K iterations keeps any plan's
+    * lineage depth ≤ K. */
+  private val CheckpointEvery = 8
+
   /** UNION ALL variant (`WITH RECURSIVE t AS (seed UNION ALL step)`).
     * Termination: step returns empty. */
   def unionAll(
@@ -27,6 +35,8 @@ object RecursiveCte {
     while (i < maxIterations && !delta.isEmpty) {
       delta = step(delta).localCheckpoint(eager = true)
       acc = acc.unionAll(delta)
+      if ((i + 1) % CheckpointEvery == 0)
+        acc = acc.localCheckpoint(eager = true)
       i += 1
     }
     if (i == maxIterations)
@@ -36,7 +46,10 @@ object RecursiveCte {
   }
 
   /** UNION (distinct) variant: new rows are deduped against everything seen
-    * so far (semi-naive evaluation — only genuinely-new rows recirculate). */
+    * so far (semi-naive evaluation — only genuinely-new rows recirculate).
+    * The anti-join target `acc` is re-checkpointed every few iterations so
+    * the per-iteration scan reads one materialized table, not the full
+    * chain of historical deltas. */
   def unionDistinct(
       seed: DataFrame,
       step: DataFrame => DataFrame,
@@ -47,6 +60,8 @@ object RecursiveCte {
     while (i < maxIterations && !delta.isEmpty) {
       delta = step(delta).distinct().exceptAll(acc).localCheckpoint(eager = true)
       acc = acc.unionAll(delta)
+      if ((i + 1) % CheckpointEvery == 0)
+        acc = acc.localCheckpoint(eager = true)
       i += 1
     }
     if (i == maxIterations)

@@ -103,17 +103,23 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroid vectors, search only the query's `nProbe` nearest cells.
-    * Centroids are a deterministic sample (id % modulus == 0) — a real
-    * deployment would k-means them; the index/probe dataflow (assign →
+    * Centroids are a FIXED-COUNT deterministic sample: the sampling
+    * modulus grows with the corpus so ~`numCentroids` survive no matter
+    * the corpus size — the broadcast centroid set stays bounded at 100 TB
+    * (a corpus-proportional centroid count would grow the broadcast and
+    * the assignment cross join without bound). A real deployment would
+    * k-means the same fixed k; the index/probe dataflow (assign →
     * equi-join on cell → score) is identical and is the part that has to
-    * scale. Corpus vectors live in exactly one cell, so probing never
-    * duplicates a candidate. */
+    * scale. The corpus count is a catalog-scale driver scalar (one
+    * aggregate job, no row data collected). Corpus vectors live in
+    * exactly one cell, so probing never duplicates a candidate. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int, dim: Int,
-      centroidModulus: Int = 100,
+      numCentroids: Int = 64,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    val cents = corpus.filter(col(cId) % centroidModulus === 0)
+    val modulus = math.max(1L, corpus.count() / numCentroids)
+    val cents = corpus.filter(col(cId) % modulus === 0)
       .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
     def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val w = Window.partitionBy(id)
@@ -228,24 +234,4 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Norms are computed once per row (not per pair) and the per-pair dot
-    * is the codegen'd fixed-dim chain. Block-nested self-join at small
-    * scale; at 100 TB swap the crossJoin for lshBucket candidate
-    * generation (same scoring expression). */
-  def nearDupPairs(
-      df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int = 64): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(dotFixed(col(vecCol), col(vecCol), dim)).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosineWithNorms(dotFixed(col("va"), col("vb"), dim),
-          col("na"), col("nb")).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
 }

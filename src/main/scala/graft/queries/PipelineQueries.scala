@@ -300,7 +300,8 @@ object PipelineQueries {
     // corpus assigned to nearest cell, queries probe 2 cells.
     Q("q_ann_ivf", Some(
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |  FROM embeddings WHERE vec_id %
+         |    (SELECT greatest(1, count(*) // 64) FROM embeddings) = 0),
          |asgn AS (SELECT e.vec_id, e.embedding, c.cent_id,
          |    ${oCos("e.embedding", "c.cv")} AS ccos
          |  FROM embeddings e CROSS JOIN cents c),

@@ -111,7 +111,12 @@ object TpchQueries {
             sum(disc).cast("double"), 4).as("promo_revenue_pct"))
     },
 
-    // Q18 — large-volume customers: HAVING over a join-aggregate.
+    // Q18 — large-volume customers. Classic plan: pre-aggregate lineitem
+    // by l_orderkey and apply HAVING FIRST — the survivor set is tiny
+    // (few orders exceed 270 units), so the customer⋈orders join sees
+    // ~100 keys instead of the full fact table and both joins broadcast.
+    // Aggregating the 3-way join result instead shuffles the wide join
+    // on a 5-column key — ~100× more shuffle volume for the same answer.
     Q("q18_large_orders", Some(
       s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
          |  o.o_totalprice, ${Q.oSum("l.l_quantity")} AS sum_qty
@@ -125,14 +130,16 @@ object TpchQueries {
          |LIMIT 100""".stripMargin)) { (s, dir) =>
       import s.implicits._
       val t = Tables.T(s, dir)
-      t.customer
-        .join(t.orders, $"c_custkey" === $"o_custkey")
-        .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
-        .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
-          $"o_totalprice")
+      val big = t.lineitem.groupBy($"l_orderkey")
         .agg(Q.dsum($"l_quantity").as("sum_qty"),
           sum($"l_quantity").as("raw_qty"))
         .filter($"raw_qty" > 270).drop("raw_qty")
+      // no static broadcast hints: the survivor set grows with SF, so
+      // AQE's runtime size check decides broadcast vs shuffle join
+      t.orders.join(big, $"o_orderkey" === $"l_orderkey")
+        .join(t.customer, $"c_custkey" === $"o_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", $"sum_qty")
         .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
         .limit(100)
     },

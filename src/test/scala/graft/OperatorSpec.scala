@@ -18,6 +18,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(0, 1, 2, 3)) // cycle 1→2→3→1 terminates
   }
 
+  test("RecursiveCte survives depth-50 recursion (lineage stays bounded)") {
+    import spark.implicits._
+    // a 51-node chain: 0→1→…→50; reachability from 0 needs 50 iterations
+    val edges = (0 until 50).map(i => (i, i + 1)).toDF("src", "dst")
+    val seed = Seq(0).toDF("node")
+    val out = RecursiveCte.unionDistinct(seed, d =>
+      edges.join(d, edges("src") === d("node"))
+        .select(edges("dst").as("node")),
+      maxIterations = 60)
+    assert(out.count() == 51)
+    // distinct variant dedupes a diamond: both paths reach the same node
+    val all = RecursiveCte.unionAll(seed, d =>
+      edges.join(d, edges("src") === d("node"))
+        .select(edges("dst").as("node")),
+      maxIterations = 60)
+    assert(all.count() == 51)
+  }
+
   test("RecursiveCte.unionAll bounds runaway recursion") {
     import spark.implicits._
     val seed = Seq(1).toDF("n")
