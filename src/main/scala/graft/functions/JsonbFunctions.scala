@@ -1,7 +1,9 @@
 package graft.functions
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, StructType}
 
 /** PG jsonb operator semantics (reference: src/backend/utils/adt/jsonb.c
   * — containment `@>`, jsonfuncs.c): recursive structural containment.
@@ -52,6 +54,43 @@ object JsonbFunctions {
       h.decimalValue().compareTo(n.decimalValue()) == 0
     } else h == n
   }
+
+  /** PG `#>` / `#>>` path elements → a JsonPath string: integer steps
+    * are 0-based array subscripts (`{vals,0}` ≡ `$.vals[0]`, reference:
+    * jsonfuncs.c get_path_all), names are object keys. */
+  private def jsonPath(path: Seq[String]): String =
+    "$" + path.map { p =>
+      if (p.forall(_.isDigit)) s"[$p]" else s".$p"
+    }.mkString
+
+  /** jsonb `#>> '{a,b,...}'` — extract at path as TEXT (scalars come back
+    * unquoted). Codegen'd get_json_object, no UDF. */
+  def extractPathText(c: Column, path: String*): Column =
+    get_json_object(c, jsonPath(path))
+
+  /** jsonb `#> '{a,b,...}'` — extract at path as JSON. Exact for object/
+    * array targets (Spark returns their JSON text); scalar strings come
+    * back unquoted like `#>>` — the one divergence of this mapping. */
+  def extractPath(c: Column, path: String*): Column =
+    get_json_object(c, jsonPath(path))
+
+  /** PG `json_each(json)` — explode a one-level object into (key, value)
+    * rows (jsonfuncs.c json_each). Use in a select with further exprs:
+    * the returned column is a generator. Values surface as text, like
+    * json_each_text; nested values keep their JSON form. */
+  def jsonEach(c: Column): Column =
+    explode(from_json(c, MapType(StringType, StringType)))
+
+  /** PG `row_to_json(record)` — alias for to_json(struct(...)) spelled
+    * for the PG surface (json.c row_to_json). */
+  def rowToJson(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** PG `json_populate_record(base, json)` — parse JSON into a typed
+    * record (jsonfuncs.c json_populate_record). DDL-style schema, e.g.
+    * "a INT, b STRING"; unknown keys dropped, missing keys null — PG's
+    * lax population semantics match from_json's. */
+  def jsonPopulateRecord(c: Column, ddl: String): Column =
+    from_json(c, StructType.fromDDL(ddl))
 
   def register(spark: SparkSession): Unit =
     spark.udf.register("jsonb_contains",

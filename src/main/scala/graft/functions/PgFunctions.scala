@@ -44,21 +44,78 @@ object PgFunctions {
     * 1-based — alias kept for the PG surface. */
   def arrayAt(arr: Column, idx: Column): Column = element_at(arr, idx)
 
-  /** PG `to_char(numeric, template)` shim for the common money/number
-    * templates (reference: src/backend/utils/adt/formatting.c). Supported
-    * template subset: 9/0 digit positions, D or '.' decimal point, G or
-    * ',' grouping, optional FM prefix. Grouping → format_number;
-    * plain → printf-style %.Nf. */
+  /** PG `to_char(numeric, template)` (reference:
+    * src/backend/utils/adt/formatting.c NUM_* keywords). Supported
+    * template classes: 9/0 digit positions, D or '.' decimal point,
+    * G or ',' grouping, sign modes S (anchored +/-), MI (trailing
+    * minus-or-blank), PR (angle brackets for negatives), L currency
+    * prefix (C-locale '$'), RN/rn Roman numerals, d.ddEEEE scientific
+    * notation, and the FM fill-mode modifier. All codegen'd column
+    * expressions — no UDF. */
   def toCharNumeric(c: Column, template: String): Column = {
+    val fm = template.startsWith("FM")
     val t = template.stripPrefix("FM")
+    val up = t.toUpperCase
+    if (up == "RN") return romanNumeral(c, toLower = t != "RN", fm = fm)
+    if (up.endsWith("EEEE")) return scientific(c, t, fm)
+    val hasS = t.contains('S')
+    val hasMI = up.endsWith("MI")
+    val hasPR = up.endsWith("PR")
+    val hasL = up.contains('L')
+    val core = t.replaceAll("(?i)(MI|PR)$", "").replaceAll("[SsLl]", "")
     val decimals = {
-      val i = t.indexWhere(ch => ch == 'D' || ch == '.')
-      if (i < 0) 0 else t.substring(i + 1).count(ch => ch == '9' || ch == '0')
+      val i = core.indexWhere(ch => ch == 'D' || ch == '.')
+      if (i < 0) 0 else core.substring(i + 1).count(ch => ch == '9' || ch == '0')
     }
-    if (t.contains('G') || t.contains(','))
-      format_number(c, decimals)
-    else
-      format_string(s"%.${decimals}f", c)
+    def magOf(x: Column) =
+      if (core.contains('G') || core.contains(',')) format_number(x, decimals)
+      else format_string(s"%.${decimals}f", x)
+    if (!hasS && !hasMI && !hasPR && !hasL) return magOf(c)
+    val cur = if (hasL) concat(lit("$"), magOf(abs(c))) else magOf(abs(c))
+    val neg = c < 0
+    if (hasS) concat(when(neg, lit("-")).otherwise(lit("+")), cur)
+    else if (hasMI)
+      concat(cur, when(neg, lit("-")).otherwise(lit(if (fm) "" else " ")))
+    else if (hasPR) when(neg, concat(lit("<"), cur, lit(">")))
+      .otherwise(if (fm) cur else concat(lit(" "), cur, lit(" ")))
+    else concat(when(neg, lit("-")).otherwise(lit("")), cur) // L without sign mode
+  }
+
+  /** `RN`/`rn` Roman numerals (formatting.c NUM_RN, values 1–3999);
+    * PG right-aligns to width 15 unless FM. */
+  private def romanNumeral(c: Column, toLower: Boolean, fm: Boolean): Column = {
+    val v = c.cast("int")
+    def pick(vals: Seq[String], idx: Column) =
+      element_at(array(vals.map(lit): _*), idx.cast("int") + 1)
+    val r = concat(
+      pick(Seq("", "M", "MM", "MMM"), floor(v / 1000)),
+      pick(Seq("", "C", "CC", "CCC", "CD", "D", "DC", "DCC", "DCCC", "CM"),
+        pmod(floor(v / 100), lit(10))),
+      pick(Seq("", "X", "XX", "XXX", "XL", "L", "LX", "LXX", "LXXX", "XC"),
+        pmod(floor(v / 10), lit(10))),
+      pick(Seq("", "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX"),
+        pmod(v, lit(10))))
+    val cased = if (toLower) lower(r) else r
+    if (fm) cased else lpad(cased, 15, " ")
+  }
+
+  /** `d.ddEEEE` scientific notation (formatting.c NUM_E). The mantissa is
+    * derived arithmetically (floor-log10 exponent + DECIMAL rounding)
+    * rather than printf %e so an independent engine computes the
+    * bit-identical string (Java %e rounds HALF_UP, C %e HALF_EVEN). */
+  private def scientific(c: Column, t: String, fm: Boolean): Column = {
+    val d = {
+      val i = t.indexWhere(ch => ch == 'D' || ch == '.')
+      if (i < 0) 0
+      else t.substring(i + 1).takeWhile(ch => ch == '9' || ch == '0').length
+    }
+    val ex = floor(log10(abs(c))).cast("int")
+    val man = round((c / pow(lit(10.0), ex))
+      .cast(org.apache.spark.sql.types.DecimalType(28, 10)), d)
+    val body = concat(format_string(s"%.${d}f", man.cast("double")), lit("e"),
+      when(ex < 0, lit("-")).otherwise(lit("+")),
+      lpad(abs(ex).cast("string"), 2, "0"))
+    if (fm) body else concat(when(c < 0, lit("")).otherwise(lit(" ")), body)
   }
 
   /** PG `to_char(timestamp/date, template)` (reference:

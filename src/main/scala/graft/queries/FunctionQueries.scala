@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.PgFunctions
+import graft.functions.{JsonbFunctions, PgFunctions}
 
 /** SURVEY §2.10 scalar function surface (reference: src/backend/utils/adt/
   * — varlena.c, oracle_compat.c, numeric.c, timestamp.c, arrayfuncs.c,
@@ -326,6 +326,52 @@ object FunctionQueries {
           .orderBy("o_orderkey")
     },
 
+    // to_char numeric templates, round 2 (formatting.c NUM_S/MI/PR/L/RN/
+    // EEEE): sign anchoring, trailing minus, angle-bracket negatives,
+    // currency, Roman numerals, scientific notation. The oracle spells
+    // out each template's construction rule.
+    Q("q_fn_tochar_numeric2", Some(
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+        |    o_totalprice - 200000 AS amt FROM orders WHERE o_orderkey <= 200)
+        |SELECT o_orderkey,
+        |  CASE WHEN amt < 0 THEN '-' ELSE '+' END ||
+        |    printf('%.2f', abs(amt)) AS sgn,
+        |  printf('%.2f', abs(amt)) ||
+        |    CASE WHEN amt < 0 THEN '-' ELSE ' ' END AS mi,
+        |  CASE WHEN amt < 0 THEN '<' || printf('%.2f', abs(amt)) || '>'
+        |    ELSE printf('%.2f', abs(amt)) END AS pr,
+        |  CASE WHEN amt < 0 THEN '-' ELSE '' END || '$' ||
+        |    format('{:,}', CAST(floor(abs(amt)) AS BIGINT)) || '.' ||
+        |    printf('%02d', CAST(round((abs(amt) - floor(abs(amt))) * 100)
+        |      AS INT)) AS cur,
+        |  lpad((['','M','MM','MMM'])[(o_orderkey % 3999 + 1) // 1000 + 1] ||
+        |    (['','C','CC','CCC','CD','D','DC','DCC','DCCC','CM'])
+        |      [((o_orderkey % 3999 + 1) // 100) % 10 + 1] ||
+        |    (['','X','XX','XXX','XL','L','LX','LXX','LXXX','XC'])
+        |      [((o_orderkey % 3999 + 1) // 10) % 10 + 1] ||
+        |    (['','I','II','III','IV','V','VI','VII','VIII','IX'])
+        |      [(o_orderkey % 3999 + 1) % 10 + 1], 15, ' ') AS rn,
+        |  ' ' || printf('%.2f', CAST(round(CAST(o_totalprice /
+        |      pow(10, CAST(floor(log10(o_totalprice)) AS INT))
+        |      AS DECIMAL(28,10)), 2) AS DOUBLE)) || 'e+' ||
+        |    lpad(CAST(CAST(floor(log10(o_totalprice)) AS INT) AS VARCHAR),
+        |      2, '0') AS sci
+        |FROM t ORDER BY o_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).orders.filter($"o_orderkey" <= 200)
+        .withColumn("amt", $"o_totalprice" - 200000)
+        .select(
+          $"o_orderkey",
+          PgFunctions.toCharNumeric($"amt", "S9999999D99").as("sgn"),
+          PgFunctions.toCharNumeric($"amt", "9999999D99MI").as("mi"),
+          PgFunctions.toCharNumeric($"amt", "FM9999999D99PR").as("pr"),
+          PgFunctions.toCharNumeric($"amt", "L9G999G999D99").as("cur"),
+          PgFunctions.toCharNumeric(pmod($"o_orderkey", lit(3999)) + 1, "RN")
+            .as("rn"),
+          PgFunctions.toCharNumeric($"o_totalprice", "9.99EEEE").as("sci"))
+        .orderBy("o_orderkey")
+    },
+
     // to_char(timestamp, template) through the full PG template engine
     // (formatting.c DCH keywords): name fields with PG's blank-padding,
     // FM modifier, numeric fields, quoted literals.
@@ -389,6 +435,43 @@ object FunctionQueries {
           to_json(struct(
             get_json_object($"props", "$.k").cast("int").as("k"),
             lit("graft").as("src"))).as("enriched"))
+          .orderBy("event_id")
+    },
+
+    // jsonb breadth round 2 (jsonfuncs.c): #>/#>> path extraction over a
+    // nested document, json_each explosion, row_to_json →
+    // json_populate_record round-trip.
+    Q("q_fn_jsonb2", Some(
+      """SELECT e.event_id,
+        |  k.jkey AS jkey,
+        |  json_extract_string(e.props, '$.' || k.jkey) AS jval,
+        |  json_extract_string(
+        |    json_object('meta', json_object('type', e.event_type,
+        |      'k', CAST(e.props->>'k' AS INT)), 'id', e.event_id),
+        |    '$.meta.type') AS ptext,
+        |  CAST(json_extract(
+        |    json_object('meta', json_object('type', e.event_type,
+        |      'k', CAST(e.props->>'k' AS INT)), 'id', e.event_id),
+        |    '$.meta') AS VARCHAR) AS pj,
+        |  e.event_type AS rt_type,
+        |  CAST(e.props->>'k' AS INT) AS rt_k
+        |FROM events e, unnest(json_keys(e.props)) AS k(jkey)
+        |WHERE e.event_id < 200 ORDER BY e.event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val kInt = get_json_object($"props", "$.k").cast("int")
+        val nested = JsonbFunctions.rowToJson(
+          struct($"event_type".as("type"), kInt.as("k")).as("meta"),
+          $"event_id".as("id"))
+        Tables.T(s, dir).events.filter($"event_id" < 200)
+          .withColumn("rec", JsonbFunctions.jsonPopulateRecord(
+            JsonbFunctions.rowToJson($"event_type".as("type"), kInt.as("k")),
+            "type STRING, k INT"))
+          .select($"event_id",
+            JsonbFunctions.jsonEach($"props").as(Seq("jkey", "jval")),
+            JsonbFunctions.extractPathText(nested, "meta", "type").as("ptext"),
+            JsonbFunctions.extractPath(nested, "meta").as("pj"),
+            $"rec.type".as("rt_type"), $"rec.k".as("rt_k"))
           .orderBy("event_id")
     },
 

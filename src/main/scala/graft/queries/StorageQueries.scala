@@ -303,6 +303,42 @@ object StorageQueries {
            |GROUP BY o_year ORDER BY o_year""".stripMargin, base)
     },
 
+    // Multi-level (sub)partitioned DDL (cdbpartition.c nesting): LIST
+    // outer × RANGE inner lowers to two nested Hive partition levels;
+    // the filtered scan prunes on BOTH columns (PlanSpec asserts).
+    Q("q_sql_ddl_subpartition", Some(
+      s"""SELECT o_year, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM (SELECT o_orderstatus, year(o_orderdate) AS o_year,
+         |        o_totalprice FROM orders) t
+         |WHERE o_orderstatus = 'F' AND o_year BETWEEN 1995 AND 1997
+         |GROUP BY o_year ORDER BY o_year""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("sqlsubpart")
+      GpSqlDialect.execute(s,
+        """CREATE TABLE orders_subpart (
+          |  o_orderkey bigint,
+          |  o_totalprice double precision,
+          |  o_orderstatus text,
+          |  o_year int)
+          |DISTRIBUTED BY (o_orderkey)
+          |PARTITION BY LIST (o_orderstatus)
+          |  SUBPARTITION BY RANGE (o_year)
+          |  SUBPARTITION TEMPLATE (START (1992) END (1999) EVERY (1))
+          |  (PARTITION pf VALUES ('F'),
+          |   PARTITION po VALUES ('O'),
+          |   PARTITION pp VALUES ('P'))""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO orders_subpart
+          |SELECT o_orderkey, o_totalprice, o_orderstatus,
+          |  year(o_orderdate) FROM orders""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        s"""SELECT o_year, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+           |FROM orders_subpart
+           |WHERE o_orderstatus = 'F' AND o_year BETWEEN 1995 AND 1997
+           |GROUP BY o_year ORDER BY o_year""".stripMargin, base)
+    },
+
     // CREATE EXTERNAL TABLE from SQL TEXT (pg_exttable.h:124): binds the
     // CSV fixture with COPY reject semantics, then aggregates through the
     // registered view.

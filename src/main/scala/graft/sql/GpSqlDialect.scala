@@ -319,20 +319,49 @@ object GpSqlDialect {
   private val PartitionBy =
     "(?is)\\bPARTITION\\s+BY\\s+(?:RANGE|LIST)\\s*\\(([^)]*)\\)".r
 
-  /** Remove `PARTITION BY ...(col) ( ...spec... )` (spec list optional),
-    * returning (sql-without-clause, partition cols). */
+  /** Remove `PARTITION BY ...(col) [SUBPARTITION BY ...(col2)]...
+    * [SUBPARTITION TEMPLATE (...)] ( ...spec... )` (spec list optional),
+    * returning (sql-without-clause, partition cols outermost-first).
+    * Multi-level subpartitioning (reference: cdbpartition.c, GP's
+    * range-in-list nesting) lowers onto nested Hive partition
+    * directories — one `partitionBy` column per level, outer level
+    * first, so partition pruning composes across levels exactly like
+    * GP's PartitionSelector walking the partition hierarchy. */
   private def stripPartitionBy(sql: String): (String, Seq[String]) =
     PartitionBy.findFirstMatchIn(sql) match {
       case None => (sql, Seq.empty)
       case Some(m) =>
-        val cols = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        // the GP per-partition spec list is the next balanced paren group
-        val after = sql.indexWhere(!_.isWhitespace, m.end)
-        val end =
-          if (after >= 0 && sql.charAt(after) == '(')
-            matchParen(sql, after) + 1
-          else m.end
-        (sql.substring(0, m.start) + " " + sql.substring(end), cols)
+        val cols = scala.collection.mutable.ArrayBuffer(
+          m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+        val SubBy =
+          "(?is)^\\s*SUBPARTITION\\s+BY\\s+(?:RANGE|LIST)\\s*\\(([^)]*)\\)".r
+        val SubTemplate = "(?is)^\\s*SUBPARTITION\\s+TEMPLATE\\b".r
+        var pos = m.end
+        var done = false
+        while (!done) {
+          val rest = sql.substring(pos)
+          SubBy.findFirstMatchIn(rest) match {
+            case Some(sm) =>
+              cols ++= sm.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+              pos += sm.end
+            case None => SubTemplate.findFirstMatchIn(rest) match {
+              case Some(tm) =>
+                // skip the template's balanced paren group
+                val open = sql.indexWhere(!_.isWhitespace, pos + tm.end)
+                pos =
+                  if (open >= 0 && sql.charAt(open) == '(')
+                    matchParen(sql, open) + 1
+                  else pos + tm.end
+              case None =>
+                // the GP per-partition spec list is the next balanced group
+                val after = sql.indexWhere(!_.isWhitespace, pos)
+                if (after >= 0 && sql.charAt(after) == '(')
+                  pos = matchParen(sql, after) + 1
+                done = true
+            }
+          }
+        }
+        (sql.substring(0, m.start) + " " + sql.substring(pos), cols.toSeq)
     }
 
   /** Split top-level-comma column defs "a int, b text" into (name, type). */

@@ -87,6 +87,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_sql_ddl_subpartition prunes on both partition levels") {
+    val p = plan("q_sql_ddl_subpartition")
+    assert(p.contains("PartitionFilters: ["), p)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("o_orderstatus") && pf.contains("o_year"),
+      s"expected both-level pruning, got: $pf")
+  }
+
   test("q_dpp plans dynamic partition pruning on the fact scan") {
     val p = plan("q_dpp")
     assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
