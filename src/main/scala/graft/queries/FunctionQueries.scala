@@ -475,6 +475,42 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // Interval surface (timestamp.c): age() with PG's field borrowing,
+    // justify_hours text of an exact difference, epoch extraction, and
+    // native ANSI interval arithmetic (ts + make_interval, day-time
+    // interval * scalar — Catalyst's own interval types, no UDFs).
+    Q("q_fn_interval", Some(
+      """SELECT event_id,
+        |  CAST(age(ts, TIMESTAMP '2022-12-25 10:45:30') AS VARCHAR) AS age_txt,
+        |  CAST(date_part('year', age(ts, TIMESTAMP '2022-12-25 10:45:30')) AS INT) AS age_y,
+        |  CAST(date_part('month', age(ts, TIMESTAMP '2022-12-25 10:45:30')) AS INT) AS age_m,
+        |  CAST(date_part('day', age(ts, TIMESTAMP '2022-12-25 10:45:30')) AS INT) AS age_d,
+        |  CAST(ts - TIMESTAMP '2022-12-25 10:45:30' AS VARCHAR) AS dt_txt,
+        |  CAST(floor(epoch(ts - TIMESTAMP '2022-12-25 10:45:30')) AS BIGINT) AS ep,
+        |  ts + INTERVAL '1 month 15 days' AS plus_ts,
+        |  ts + INTERVAL '1 day 2 hours' * 3 AS mul_ts
+        |FROM events WHERE event_id < 400 ORDER BY event_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        import graft.functions.IntervalFunctions
+        val anchor = lit("2022-12-25 10:45:30").cast("timestamp")
+        val (y, m, d, _) = IntervalFunctions.ageParts($"ts", anchor)
+        Tables.T(s, dir).events.filter($"event_id" < 400)
+          .select($"event_id",
+            IntervalFunctions.ageText($"ts", anchor).as("age_txt"),
+            y.cast("int").as("age_y"),
+            m.cast("int").as("age_m"),
+            d.cast("int").as("age_d"),
+            IntervalFunctions.diffJustifyHoursText($"ts", anchor).as("dt_txt"),
+            IntervalFunctions.epochSeconds($"ts", anchor).as("ep"),
+            ($"ts" + make_interval(
+              lit(0), lit(1), lit(0), lit(15), lit(0), lit(0), lit(0)))
+              .as("plus_ts"),
+            ($"ts" + make_dt_interval(lit(1), lit(2), lit(0), lit(0)) * 3)
+              .as("mul_ts"))
+          .orderBy("event_id")
+    },
+
     // ---- hashing / encoding (encode.c, uuid.c) ---------------------
     Q("q_fn_hash_encode", Some(
       """SELECT n_nationkey,

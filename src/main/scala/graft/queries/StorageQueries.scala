@@ -413,6 +413,57 @@ object StorageQueries {
         .orderBy("l_returnflag")
     },
 
+    // SQL-language UDFs (reference: src/pl/ SQL functions; PG inlines
+    // them into the caller, optimizer/util/clauses.c inline_function).
+    // Three shapes: scalar expression, function-composed-of-function
+    // (fixpoint expansion), and a FROM-body that becomes a correlated
+    // scalar subquery. Everything stays inside whole-stage codegen —
+    // no UDF registration, no serialization wall.
+    Q("q_sql_udf", Some(
+      s"""WITH base AS (
+         |  SELECT l_returnflag,
+         |         l_extendedprice * (1 - l_discount) AS dp,
+         |         (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS ch,
+         |         (SELECT max(o_totalprice) FROM orders o
+         |            WHERE o.o_custkey = l.l_suppkey) AS topo
+         |  FROM lineitem l WHERE l_orderkey <= 2000)
+         |SELECT l_returnflag, count(*) AS n,
+         |  ${Q.oSum("dp")} AS disc,
+         |  ${Q.oSum("ch")} AS chg,
+         |  ${Q.oSum("topo")} AS topo_sum
+         |FROM base GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("sqludf")
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION disc_price(p double precision, d double precision)
+            |RETURNS double precision AS $$ SELECT p * (1 - d) $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION charged(p double precision, d double precision,
+            |  t double precision)
+            |RETURNS double precision AS $$ SELECT disc_price(p, d) * (1 + t) $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION top_order(ck bigint) RETURNS double precision
+            |AS $$ SELECT max(o_totalprice) FROM orders o
+            |       WHERE o.o_custkey = ck $$
+            |LANGUAGE SQL STABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """WITH base AS (
+            |  SELECT l_returnflag,
+            |         disc_price(l_extendedprice, l_discount) AS dp,
+            |         charged(l_extendedprice, l_discount, l_tax) AS ch,
+            |         top_order(l.l_suppkey) AS topo
+            |  FROM lineitem l WHERE l_orderkey <= 2000)
+            |SELECT l_returnflag, count(*) AS n,
+            |  CAST(round(sum(CAST(dp AS DECIMAL(28,6))), 2) AS DOUBLE) AS disc,
+            |  CAST(round(sum(CAST(ch AS DECIMAL(28,6))), 2) AS DOUBLE) AS chg,
+            |  CAST(round(sum(CAST(topo AS DECIMAL(28,6))), 2) AS DOUBLE) AS topo_sum
+            |FROM base GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+          base)
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

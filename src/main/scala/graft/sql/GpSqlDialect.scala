@@ -103,7 +103,9 @@ object GpSqlDialect {
   def execute(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
     rejectUnsupported(gpSql)
-    val trimmed = gpSql.trim
+    if (CreateFunctionRe.findFirstIn(gpSql).isDefined)
+      return executeCreateFunction(spark, gpSql)
+    val trimmed = inlineSqlFunctions(gpSql.trim)
     if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
@@ -125,7 +127,7 @@ object GpSqlDialect {
           trimmed.substring(m.end))
       case _ =>
     }
-    val ddl = parse(stripPartitionBy(gpSql)._1)
+    val ddl = parse(stripPartitionBy(trimmed)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
         val written = createTableAs(
@@ -134,10 +136,150 @@ object GpSqlDialect {
         written
       case other =>
         CreateWithCols.findFirstMatchIn(other) match {
-          case Some(_) => executeCreateTable(spark, gpSql, basePath)
+          case Some(_) => executeCreateTable(spark, trimmed, basePath)
           case None => spark.sql(other)
         }
     }
+  }
+
+  // ---- phase 3: CREATE FUNCTION ... LANGUAGE SQL ---------------------
+
+  /** A registered SQL-language function: parameter names (positional order,
+    * also addressable as PG's `$1..$n`) and the body to expand. `scalarExpr`
+    * bodies are bare `SELECT expr` (no FROM) and inline as `(expr)`; bodies
+    * with a FROM inline as a parenthesised scalar subquery — exactly PG's
+    * two inlining shapes (optimizer/util/clauses.c inline_function). */
+  private final case class SqlFunction(
+      params: Seq[String], body: String, scalarExpr: Boolean)
+
+  private val sqlFunctions =
+    scala.collection.concurrent.TrieMap.empty[String, SqlFunction]
+
+  private val CreateFunctionRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*" +
+      "\\(([^)]*)\\)\\s*RETURNS\\s+.*?\\bAS\\s+\\$\\$(.*)\\$\\$\\s*" +
+      "LANGUAGE\\s+SQL\\b.*$").r
+
+  /** True iff `kw` occurs at paren depth 0 of `s` (outside any subquery). */
+  private def hasTopLevelKeyword(s: String, kw: String): Boolean = {
+    val upper = s.toUpperCase
+    var d = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (d == 0 && upper.startsWith(kw, i) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + kw.length >= s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + kw.length)))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Split `s` at top-level commas (outside parens). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') d -= 1
+      else if (c == ',' && d == 0) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `CREATE [OR REPLACE] FUNCTION f(a type, ...) RETURNS type AS
+    * $$ SELECT ... $$ LANGUAGE SQL` → register for call-site inlining
+    * (reference: src/pl/ SQL-language functions; PG plans these by
+    * substituting the body into the caller, which is what keeps them
+    * inside whole-stage codegen here — no UDF, no serialization wall). */
+  def executeCreateFunction(spark: SparkSession, gpSql: String): DataFrame = {
+    val m = CreateFunctionRe.findFirstMatchIn(gpSql).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE FUNCTION: $gpSql"))
+    val name = m.group(1).toLowerCase
+    val params = splitTopLevelCommas(m.group(2)).map { p =>
+      val sp = p.indexWhere(_.isWhitespace)
+      if (sp < 0) p else p.substring(0, sp)
+    }
+    val body = m.group(3).trim.stripSuffix(";").trim
+    val SelectExpr = "(?is)^SELECT\\s+(.*)$".r
+    val (stored, scalar) = body match {
+      case SelectExpr(e) if !hasTopLevelKeyword(body, "FROM") => (e.trim, true)
+      case _ => (body, false)
+    }
+    sqlFunctions(name) = SqlFunction(params, stored, scalar)
+    spark.emptyDataFrame
+  }
+
+  /** Expand registered SQL-function calls in `sql` to their bodies with
+    * arguments substituted (by parameter name and `$n`), repeating until
+    * fixpoint so functions composed of functions flatten completely.
+    * PG's inline depth guard → 16 rounds. */
+  def inlineSqlFunctions(sql: String): String = {
+    if (sqlFunctions.isEmpty) return sql
+    var cur = sql
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 16) {
+      changed = false
+      rounds += 1
+      for ((name, fn) <- sqlFunctions) {
+        val call = s"(?i)\\b$name\\s*\\(".r
+        val out = new StringBuilder
+        var pos = 0
+        var m = call.findFirstMatchIn(cur.substring(pos))
+        while (m.isDefined) {
+          val mm = m.get
+          val abs = pos + mm.start
+          // skip if preceded by identifier char or '.' (qualified name)
+          val prevOk = abs == 0 || {
+            val pc = cur.charAt(abs - 1)
+            !Character.isLetterOrDigit(pc) && pc != '_' && pc != '.'
+          }
+          val open = pos + mm.end - 1
+          val close = matchParen(cur, open)
+          if (!prevOk || close < 0) {
+            out ++= cur.substring(pos, open + 1)
+            pos = open + 1
+          } else {
+            val args = splitTopLevelCommas(cur.substring(open + 1, close))
+            require(args.length == fn.params.length,
+              s"$name() expects ${fn.params.length} args, got ${args.length}")
+            // one simultaneous pass: args containing other parameter names
+            // must not be re-substituted (inline_function does the same
+            // via parse-tree param nodes)
+            val byName = fn.params.zipWithIndex
+              .map { case (p, i) => p.toLowerCase -> i }.toMap
+            val paramPat = (if (fn.params.isEmpty) "(?i)\\$(\\d+)"
+              else "(?i)(?<![\\w.$])(" +
+                fn.params.map(java.util.regex.Pattern.quote).mkString("|") +
+                ")\\b|\\$(\\d+)").r
+            val expanded = paramPat.replaceAllIn(fn.body, pm => {
+              val i =
+                if (pm.group(1) != null) byName(pm.group(1).toLowerCase)
+                else pm.group(if (fn.params.isEmpty) 1 else 2).toInt - 1
+              java.util.regex.Matcher.quoteReplacement(s"(${args(i)})")
+            })
+            val rendered = s"($expanded)"
+            out ++= cur.substring(pos, abs)
+            out ++= rendered
+            pos = close + 1
+            changed = true
+          }
+          m = call.findFirstMatchIn(cur.substring(pos))
+        }
+        out ++= cur.substring(pos)
+        cur = out.toString
+      }
+    }
+    cur
   }
 
   // ---- phase 2: COPY FROM / COPY TO ---------------------------------

@@ -50,6 +50,55 @@ class ExpressionSpec extends AnyFunSuite {
       .replicated)
   }
 
+  test("SQL-language functions inline with capture-safe substitution") {
+    val base = "/tmp/graft_fnspec"
+    // swap-shaped call: naive sequential substitution would rewrite the
+    // already-substituted first arg with the second parameter
+    GpSqlDialect.execute(spark,
+      "CREATE FUNCTION swapfn(p double precision, d double precision) " +
+        "RETURNS double precision AS $$ SELECT p * (1 - d) $$ LANGUAGE SQL",
+      base)
+    assert(GpSqlDialect.inlineSqlFunctions("SELECT swapfn(d, p) FROM t")
+      == "SELECT ((d) * (1 - (p))) FROM t")
+    // positional $n references
+    GpSqlDialect.execute(spark,
+      "CREATE FUNCTION posfn(a int, b int) RETURNS int " +
+        "AS $$ SELECT $1 + 10 * $2 $$ LANGUAGE SQL", base)
+    assert(GpSqlDialect.inlineSqlFunctions("SELECT posfn(x, y)")
+      == "SELECT ((x) + 10 * (y))")
+    // function-of-function flattens to fixpoint
+    GpSqlDialect.execute(spark,
+      "CREATE FUNCTION twicefn(v int) RETURNS int " +
+        "AS $$ SELECT posfn(v, v) $$ LANGUAGE SQL", base)
+    assert(GpSqlDialect.inlineSqlFunctions("SELECT twicefn(z)")
+      == "SELECT ((((z)) + 10 * ((z))))")
+    val out = GpSqlDialect.execute(spark,
+      "SELECT CAST(swapfn(10.0, 0.5) AS DOUBLE) AS r", base)
+    assert(out.head.getDouble(0) == 5.0)
+  }
+
+  test("IntervalFunctions: age borrowing, text rendering, epoch") {
+    import graft.functions.IntervalFunctions
+    val df = spark.sql(
+      """SELECT CAST('2024-03-10 05:30:00.123456' AS TIMESTAMP) AS a,
+        |       CAST('2022-12-25 10:45:30' AS TIMESTAMP) AS b""".stripMargin)
+    val r = df.select(
+      IntervalFunctions.ageText(col("a"), col("b")),
+      IntervalFunctions.diffJustifyHoursText(col("a"), col("b")),
+      IntervalFunctions.epochSeconds(col("a"), col("b")),
+      IntervalFunctions.ageText(col("b"), col("b")),
+      IntervalFunctions.intervalText(lit(1), lit(0), lit(1), lit(0))).head
+    assert(r.getString(0) == "1 year 2 months 15 days 18:44:30.123456")
+    assert(r.getString(1) == "440 days 18:44:30.123456")
+    assert(r.getLong(2) == 38083470L)
+    assert(r.getString(3) == "00:00:00") // all-zero interval
+    assert(r.getString(4) == "1 year 1 day") // singular, zero fields dropped
+    val jd = df.select(
+      IntervalFunctions.justifyDays(lit(65))._1,
+      IntervalFunctions.justifyDays(lit(65))._2).head
+    assert(jd.getInt(0) == 2 && jd.getInt(1) == 5)
+  }
+
   test("GpSqlDialect rejects unsupported GP surfaces loudly") {
     Seq(
       "SELECT * FROM orders FOR UPDATE",
