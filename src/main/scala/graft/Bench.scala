@@ -28,19 +28,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.configure(spark)
 
+    // optional arg: comma-separated query-name filter (dev iteration)
+    val only = args.headOption.map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.allQueries.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name)))
     // fixtures + warm-up (untimed)
     qs.foreach { q =>
       try {
         q.prepare.foreach(_(spark, sfDir))
         force(q.query(spark, sfDir))
       } catch { case _: Throwable => }
+      graft.operators.KernelCaches.releaseAll()
     }
     val results = qs.map { q =>
       val t0 = System.nanoTime()
       try force(q.query(spark, sfDir))
       catch { case _: Throwable => }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.KernelCaches.releaseAll()
+      q.name -> dt
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

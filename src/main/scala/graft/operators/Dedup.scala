@@ -14,17 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialize a kernel's (small) result set, then RELEASE its (large)
-    * cached intermediates. The kernels below cache signature/dictionary
-    * relations consumed by both self-join sides; without this, a
-    * long-lived session running repeated dedup sweeps accretes executor
-    * storage until eviction pressure. The result is a localCheckpoint —
-    * already computed, lineage truncated — so unpersisting the inputs is
-    * safe; callers own (and may unpersist) the returned frame. */
+  /** Hand a kernel's cached intermediates to the pipeline-scope owner
+    * ([[KernelCaches]]) and return the result lazily. The caches stay
+    * alive through the caller's consuming action (both self-join sides
+    * read them once) and are released by the driver's
+    * `KernelCaches.releaseAll()` afterwards — no eager extra
+    * materialization of the (possibly huge) pair-set result, no storage
+    * accretion across repeated sweeps. */
   private def finishKernel(result: DataFrame, caches: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    caches.foreach(_.unpersist(blocking = false))
-    out
+    KernelCaches.register(caches: _*)
+    result
   }
 
   // ---- exact -------------------------------------------------------
@@ -372,6 +371,8 @@ object Dedup {
               call_function("shiftleft", lit(1L), t.cast("int"))))
             .as("pmask"), // interpreted HOF, but over sets × ≤64 only
           explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
+        .cache() // both self-join sides; released in finishKernel
+      kernelCaches += ordered
       val pa = ordered.select(col("fp").as("fp_a"), col("mask").as("m_a"),
         col("pmask").as("pm_a"), col("n").as("na"), col("tok"))
       val pb = ordered.select(col("fp").as("fp_b"), col("mask").as("m_b"),
@@ -382,7 +383,19 @@ object Dedup {
         call_function("shiftleft", lit(1L), col("tok").cast("int")) ===
           lowestSharedBit
       val inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
-      pa.join(pb.hint("SHUFFLE_HASH"), Seq("tok"))
+      // grid salt: with ≤64 distinct join keys the per-token buckets are
+      // few and fat — a plain hash join runs the whole n² hot loop on
+      // ≤64 tasks no matter how many cores exist. Split each bucket into
+      // a GRID×GRID task grid (a replicated to its row, b to every
+      // column): joined-row volume is unchanged, task count × GRID²,
+      // so the integer hot loop actually spreads across the cluster.
+      val GRID = 8
+      val gridIdx = explode(array((0 until GRID).map(lit): _*))
+      val paS = pa.withColumn("ga", pmod(hash(col("fp_a")), lit(GRID)))
+        .withColumn("gb", gridIdx)
+      val pbS = pb.withColumn("gb", pmod(hash(col("fp_b")), lit(GRID)))
+        .withColumn("ga", gridIdx)
+      paS.join(pbS.hint("SHUFFLE_HASH"), Seq("tok", "ga", "gb"))
         .filter(col("fp_a") < col("fp_b") && lengthOk)
         .filter(emitOnce)
         .select(col("fp_a"), col("fp_b"),

@@ -37,6 +37,7 @@ object GoldenGen {
       val h =
         try hashOf(q.fn(spark, sfDir))
         catch { case e: Throwable => s"ERROR:${e.getClass.getSimpleName}" }
+      graft.operators.KernelCaches.releaseAll()
       s"${q.name} $h"
     }
     Files.createDirectories(Paths.get(goldenPath).getParent)

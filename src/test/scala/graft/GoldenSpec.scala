@@ -26,7 +26,9 @@ class GoldenSpec extends AnyFunSuite {
     test(s"golden: ${q.name}") {
       golden.get(q.name).foreach { expected =>
         assert(!expected.startsWith("ERROR"), s"golden recorded a failure")
-        val actual = GoldenGen.hashOf(q.fn(spark, GoldenGen.sfDir))
+        val actual =
+          try GoldenGen.hashOf(q.fn(spark, GoldenGen.sfDir))
+          finally graft.operators.KernelCaches.releaseAll()
         assert(actual == expected,
           s"${q.name} result drifted from golden hash — if intentional, " +
             "regenerate with runMain graft.tools.GoldenGen")
