@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32Expr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dotf"),
+      new ExpressionInfo(classOf[DotFExpr].getName, "dotf"),
+      (exprs: Seq[Expression]) => DotFExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
   }
 }

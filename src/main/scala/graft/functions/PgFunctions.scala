@@ -221,6 +221,14 @@ object PgFunctions {
       "simhash32",
       exprs => graft.expressions.SimHash32Expr(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotf",
+      exprs => graft.expressions.DotFExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket",
+      exprs => graft.expressions.LshBucketExpr(exprs(0), exprs(1)),
+      "built-in")
     JsonbFunctions.register(spark)
   }
 }

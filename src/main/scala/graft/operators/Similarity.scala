@@ -31,13 +31,21 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
 
   /** Known-dimension dot product as a left-deep Add chain — identical
-    * value to [[dot]] (same fold order) but stays inside whole-stage
-    * codegen instead of the interpreted higher-order-function path;
-    * ~an order of magnitude faster in the pairwise hot loop. */
+    * value to [[dot]] (same fold order). Superseded in the hot paths by
+    * the native [[graft.expressions.DotFExpr]]: the unrolled chain is
+    * numerically exact but costs hundreds of Catalyst nodes per call
+    * site, and with several dots per operator the per-invocation
+    * analysis/optimization/codegen time dwarfed the actual work. Kept
+    * as the cross-checked reference spelling (ExpressionSpec asserts
+    * bit-equality against dotf). */
   def dotFixed(a: Column, b: Column, dim: Int): Column =
     (1 to dim).map { i =>
       element_at(a, i).cast("double") * element_at(b, i).cast("double")
     }.reduce((x, y) => x + y)
+
+  /** Native one-node dot product (bit-equal to [[dotFixed]]). */
+  private def dotf(a: Column, b: Column): Column =
+    graft.expressions.DotFExpr.dotf(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,12 +62,12 @@ object Similarity {
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec",
       dim: Int = 64): DataFrame = {
-    val qn = queries.withColumn("qnrm", sqrt(dotFixed(col(qVec), col(qVec), dim)))
-    val cn = corpus.withColumn("cnrm", sqrt(dotFixed(col(cVec), col(cVec), dim)))
+    val qn = queries.withColumn("qnrm", sqrt(dotf(col(qVec), col(qVec))))
+    val cn = corpus.withColumn("cnrm", sqrt(dotf(col(cVec), col(cVec))))
     val scored = cn.crossJoin(broadcast(qn))
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId),
-        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
+        cosineWithNorms(dotf(col(qVec), col(cVec)),
           col("qnrm"), col("cnrm")).as("cos"))
     val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -75,12 +83,10 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** Sign-bucket id from `planes` random hyperplanes. */
+  /** Sign-bucket id from `planes` random hyperplanes (native expression;
+    * value-identical to the unrolled when-chain spelling). */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
-      when(dotFixed(vec, w, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
+    graft.expressions.LshBucketExpr.lshBucket(vec, planes)
 
   /** ANN top-k: bucket corpus and queries by hyperplane signs, join on
     * bucket (the scale path — one shuffle on a small key), rank within
@@ -95,9 +101,9 @@ object Similarity {
     qb.join(cb, "bucket")
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId),
-        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
-          sqrt(dotFixed(col(qVec), col(qVec), dim)),
-          sqrt(dotFixed(col(cVec), col(cVec), dim))).as("cos"))
+        cosineWithNorms(dotf(col(qVec), col(cVec)),
+          sqrt(dotf(col(qVec), col(qVec))),
+          sqrt(dotf(col(cVec), col(cVec)))).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
@@ -126,9 +132,9 @@ object Similarity {
         .orderBy(col("cent_cos").desc, col("cent_id"))
       df.crossJoin(broadcast(cents))
         .withColumn("cent_cos", cosineWithNorms(
-          dotFixed(col(vec), col("cent_vec"), dim),
-          sqrt(dotFixed(col(vec), col(vec), dim)),
-          sqrt(dotFixed(col("cent_vec"), col("cent_vec"), dim))))
+          dotf(col(vec), col("cent_vec")),
+          sqrt(dotf(col(vec), col(vec))),
+          sqrt(dotf(col("cent_vec"), col("cent_vec")))))
         .withColumn("cell_rank", row_number().over(w))
         .filter(col("cell_rank") <= n)
         .select((col("cent_id").as("cell") +: df.columns.map(col)): _*)
@@ -139,9 +145,9 @@ object Similarity {
     probes.join(index, "cell")
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(cId),
-        cosineWithNorms(dotFixed(col(qVec), col(cVec), dim),
-          sqrt(dotFixed(col(qVec), col(qVec), dim)),
-          sqrt(dotFixed(col(cVec), col(cVec), dim))).as("cos"))
+        cosineWithNorms(dotf(col(qVec), col(cVec)),
+          sqrt(dotf(col(qVec), col(qVec))),
+          sqrt(dotf(col(cVec), col(cVec)))).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
@@ -156,7 +162,7 @@ object Similarity {
       threshold: Double, planes: Int, dim: Int): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), planes, dim).as("bucket"),
-      sqrt(dotFixed(col(vecCol), col(vecCol), dim)).as("nrm"))
+      sqrt(dotf(col(vecCol), col(vecCol))).as("nrm"))
     val a = withB.select(col("id").as("id_a"), col("v").as("va"),
       col("bucket"), col("nrm").as("na"))
     val b = withB.select(col("id").as("id_b"), col("v").as("vb"),
@@ -164,7 +170,7 @@ object Similarity {
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosineWithNorms(dotFixed(col("va"), col("vb"), dim),
+        cosineWithNorms(dotf(col("va"), col("vb")),
           col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }

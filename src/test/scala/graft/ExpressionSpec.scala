@@ -77,6 +77,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out.head.getDouble(0) == 5.0)
   }
 
+  test("native dotf / lsh_bucket are bit-equal to the unrolled spellings") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.expressions.{DotFExpr, LshBucketExpr}
+    val dim = 64
+    val df = Tables.T(spark, sf).embeddings.limit(50)
+      .select($"vec_id", $"embedding".as("v"))
+    val r = df.select(
+      DotFExpr.dotf($"v", $"v").as("n"),
+      Similarity.dotFixed($"v", $"v", dim).as("u"),
+      LshBucketExpr.lshBucket($"v", 6).as("bn"),
+      (0 until 6).map { p =>
+        val w = array((0 until dim).map(d =>
+          lit(Similarity.planeWeight(p, d))): _*)
+        when(Similarity.dotFixed($"v", w, dim) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce((a, b) => a + b).as("bu")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1)) // bit-equal doubles
+      assert(row.getLong(2) == row.getLong(3))
+    }
+  }
+
   test("IntervalFunctions: age borrowing, text rendering, epoch") {
     import graft.functions.IntervalFunctions
     val df = spark.sql(
