@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucketExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("arr_eq_count"),
+      new ExpressionInfo(classOf[ArrEqCountExpr].getName, "arr_eq_count"),
+      (exprs: Seq[Expression]) => ArrEqCountExpr(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
   }
 }

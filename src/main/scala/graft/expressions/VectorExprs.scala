@@ -71,6 +71,55 @@ object DotFExpr {
     org.apache.spark.sql.functions.call_function("dotf", a, b)
 }
 
+/** Count of positions where two LONG arrays hold equal values — the
+  * native form of the unrolled 16-way element_at comparison chain in the
+  * minhash estimator (identical values; min length if they differ). */
+case class ArrEqCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"arr_eq_count requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "arr_eq_count"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    ArrEqCountExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.ArrEqCountExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrEqCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrEqCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def arrEqCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("arr_eq_count", a, b)
+}
+
 /** Sign-bucket id from `planes` deterministic hyperplanes — the native
   * form of [[graft.operators.Similarity.lshBucket]] (identical values:
   * same splitmix weights, same left-deep double dot, same sign rule). */

@@ -229,6 +229,10 @@ object PgFunctions {
       "lsh_bucket",
       exprs => graft.expressions.LshBucketExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arr_eq_count",
+      exprs => graft.expressions.ArrEqCountExpr(exprs(0), exprs(1)),
+      "built-in")
     JsonbFunctions.register(spark)
   }
 }

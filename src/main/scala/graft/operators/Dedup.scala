@@ -163,12 +163,12 @@ object Dedup {
       col("band") <= bp ||
         element_at(col("bks_a"), bp + 1) =!= element_at(col("bks_b"), bp + 1)
     }.reduce(_ && _)
-    // codegen'd fixed-k match count (a higher-order zip_with/filter would
-    // evaluate interpreted per pair — the hot loop of the whole operator)
-    val matches = (1 to k).map { i =>
-      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
-        .otherwise(0)
-    }.reduce((a, b) => a + b)
+    // native fixed-k match count (one plan node, primitive loop — the
+    // unrolled when-chain and higher-order spellings both lose: the
+    // former to per-element null-checked codegen and plan-tree size,
+    // the latter to interpreted per-pair evaluation)
+    val matches =
+      graft.expressions.ArrEqCountExpr.arrEqCount(col("sig_a"), col("sig_b"))
     val crossSetPairs = a.join(b, Seq("band", "band_key"))
       .filter(col("fp_a") < col("fp_b"))
       .filter(firstMatch)
