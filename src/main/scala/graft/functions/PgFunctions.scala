@@ -198,6 +198,55 @@ object PgFunctions {
     concat(parts.toSeq: _*)
   }
 
+  /** PG `to_number(text, template)` (formatting.c numeric input): the
+    * template drives which decorations exist, but parsing only needs to
+    * strip them — currency/grouping/space removed, sign from a leading
+    * `-`, `<...>` (PR) or trailing `-` (MI). C locale. */
+  def toNumber(c: Column, template: String): Column = {
+    val neg = c.startsWith("-") || c.startsWith("<") || c.endsWith("-")
+    val v = regexp_replace(c, "[^0-9.]", "").cast("double")
+    when(neg, -v).otherwise(v)
+  }
+
+  /** SQL `(s1, e1) OVERLAPS (s2, e2)` (PG datetime.c): each pair is
+    * normalized (start ≤ end), then strict-inequality overlap. */
+  def overlaps(s1: Column, e1: Column, s2: Column, e2: Column): Column = {
+    val a1 = least(s1, e1); val b1 = greatest(s1, e1)
+    val a2 = least(s2, e2); val b2 = greatest(s2, e2)
+    a1 < b2 && a2 < b1
+  }
+
+  /** PG DCH template → Java time pattern (the input-side counterpart of
+    * [[toChar]]'s subset; formatting.c DCH keywords). */
+  private def dchToJava(template: String): String = {
+    val tokens: Seq[(String, String)] = Seq(
+      "HH24" -> "HH", "HH12" -> "hh", "YYYY" -> "yyyy", "Month" -> "MMMM",
+      "Mon" -> "MMM", "MM" -> "MM", "DD" -> "dd", "MI" -> "mm",
+      "SS" -> "ss", "MS" -> "SSS", "AM" -> "a", "PM" -> "a", "HH" -> "hh",
+      "YY" -> "yy")
+    val out = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      val rest = template.substring(i)
+      tokens.find { case (tok, _) => rest.startsWith(tok) } match {
+        case Some((tok, j)) => out ++= j; i += tok.length
+        case None =>
+          val ch = template.charAt(i)
+          if (ch.isLetter) out ++= s"'$ch'" else out += ch
+          i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** PG `to_timestamp(text, template)` through the DCH subset. */
+  def toTimestampPg(c: Column, template: String): Column =
+    to_timestamp(c, dchToJava(template))
+
+  /** PG `to_date(text, template)`. */
+  def toDatePg(c: Column, template: String): Column =
+    to_date(c, dchToJava(template))
+
   /** GP hidden column `gp_segment_id` (SURVEY §1.5) — compatibility only:
     * the Spark partition id, a physical (non-deterministic) property. */
   def gpSegmentId(): Column = spark_partition_id()

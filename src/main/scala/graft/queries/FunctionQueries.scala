@@ -475,6 +475,39 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // Input-side formatting surface (formatting.c): to_timestamp/to_date
+    // through the DCH templates, to_number parsing back a currency
+    // rendering (round-trip with to_char), and SQL OVERLAPS
+    // (datetime.c) with pair normalization.
+    Q("q_fn_datetime2", Some(
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 12:30:45' AS TIMESTAMP)
+        |    AS back_ts,
+        |  o_totalprice AS n_back,
+        |  (o_orderdate < TIMESTAMP '1996-07-01'
+        |    AND TIMESTAMP '1996-01-01' < o_orderdate + INTERVAL '60 days')
+        |    AS ovl
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val dstr = PgFunctions.toChar($"o_orderdate", "YYYY-MM-DD")
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 500)
+          .select($"o_orderkey",
+            dstr.as("dstr"),
+            PgFunctions.toTimestampPg(
+              concat(dstr, lit(" 12:30:45")), "YYYY-MM-DD HH24:MI:SS")
+              .as("back_ts"),
+            PgFunctions.toNumber(
+              PgFunctions.toCharNumeric($"o_totalprice", "L9G999G999D99"),
+              "L9G999G999D99").as("n_back"),
+            PgFunctions.overlaps($"o_orderdate",
+              $"o_orderdate" + make_dt_interval(lit(60), lit(0), lit(0), lit(0)),
+              lit("1996-01-01").cast("timestamp"),
+              lit("1996-07-01").cast("timestamp")).as("ovl"))
+          .orderBy("o_orderkey")
+    },
+
     // Interval surface (timestamp.c): age() with PG's field borrowing,
     // justify_hours text of an exact difference, epoch extraction, and
     // native ANSI interval arithmetic (ts + make_interval, day-time

@@ -118,6 +118,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Repetition quality signals (Gopher-style filters): fraction of the
+    // doc covered by its most frequent bigram, fraction of repeated
+    // tokens. Bigrams via a per-doc lead() window over the exploded
+    // token stream (codegen) — NOT nested higher-order functions, which
+    // evaluate interpreted per element.
+    Q("q_text_repetition", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS totb FROM bc GROUP BY 1),
+        |tk AS (SELECT doc_id, count(*) AS nt, count(DISTINCT t2) AS nd
+        |  FROM (SELECT doc_id, unnest(toks) AS t2 FROM t) GROUP BY 1)
+        |SELECT tk.doc_id,
+        |  round(CAST(bm.maxc AS DOUBLE) / bm.totb, 6) AS top_bigram_frac,
+        |  round(1.0 - CAST(tk.nd AS DOUBLE) / tk.nt, 6) AS repeated_tok_frac,
+        |  CAST(tk.nt AS INT) AS n_tokens
+        |FROM tk JOIN bm ON bm.doc_id = tk.doc_id
+        |ORDER BY tk.doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val toks = Tables.T(s, dir).documents
+        .select($"doc_id",
+          posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+      val bc = toks.withColumn("nxt", lead($"tok", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"doc_id", concat($"tok", lit(" "), $"nxt").as("bg"))
+        .agg(count(lit(1)).as("c"))
+      val bm = bc.groupBy("doc_id")
+        .agg(max($"c").as("maxc"), sum($"c").as("totb"))
+      val tk = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"), countDistinct($"tok").as("nd"))
+      tk.join(bm, "doc_id")
+        .select($"doc_id",
+          round($"maxc".cast("double") / $"totb", 6).as("top_bigram_frac"),
+          round(lit(1.0) - $"nd".cast("double") / $"nt", 6)
+            .as("repeated_tok_frac"),
+          $"nt".cast("int").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ----------------------------------------------------
     // Exact dedup summary (hash-groupBy on the normalized fingerprint).
     Q("q_dedup_exact", Some {
