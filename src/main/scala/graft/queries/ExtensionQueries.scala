@@ -69,6 +69,24 @@ object ExtensionQueries {
         .orderBy("w_start")
     },
 
+    // Stream-stream inner join (click → purchase conversion within 1 h,
+    // per user): both sides watermarked, time-interval condition bounds
+    // the join state, append mode. Oracle: the equivalent batch join.
+    Q("q_stream_join", Some(
+      """SELECT a.event_id AS click_id, b.event_id AS p_id, a.user_id,
+        |  a.ts AS click_ts, b.ts AS p_ts, b.value
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, p_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val joined = EventStreams.clickPurchaseJoin(
+        EventStreams.readEvents(s, dir), "1 HOUR")
+      EventStreams.runToCompletion(s, joined, "graft_stream_join",
+        mode = "append")
+        .orderBy("click_id", "p_id")
+    },
+
     // Session windows (10-minute gap) — Spark session_window; oracle:
     // gaps-and-islands (new session when the gap is >= the duration,
     // matching session_window's exclusive end).

@@ -73,6 +73,29 @@ object EventStreams {
 
   /** Run a streaming aggregation to completion against the (static) file
     * source via the memory sink; returns the materialized result. */
+  /** Stream-stream inner join: click → purchase conversion within
+    * `within` per user. Both sides are watermarked, and the time-interval
+    * join condition lets Spark bound the buffered state on each side
+    * (rows older than watermark + interval are dropped) — the state
+    * never grows with stream length, which is what a 100 TB/day
+    * conversion join needs. Inner join ⇒ append mode. */
+  def clickPurchaseJoin(events: DataFrame, within: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $within"))
+      .select(col("click_id"), col("p_id"), col("user_id"),
+        col("click_ts"), col("p_ts"), col("value"))
+  }
+
   def runToCompletion(
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
