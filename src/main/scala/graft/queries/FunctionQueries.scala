@@ -544,6 +544,47 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // inet/cidr surface (network.c): host/masklen/network/broadcast and
+    // `<<` containment, all as integer arithmetic over a synthesized
+    // IPv4 per customer (no inet column in the fixtures; the functions
+    // are generic).
+    Q("q_fn_network", Some(
+      """WITH c AS (SELECT c_custkey,
+        |    (c_custkey * 2654435761) % 4294967296 AS ipn
+        |  FROM customer WHERE c_custkey <= 500),
+        |i AS (SELECT c_custkey, ipn,
+        |    printf('%d.%d.%d.%d', CAST(ipn//16777216 AS INT)%256,
+        |      CAST(ipn//65536 AS INT)%256, CAST(ipn//256 AS INT)%256,
+        |      CAST(ipn%256 AS INT)) AS ip FROM c)
+        |SELECT c_custkey, ip,
+        |  ip AS host24,
+        |  24 AS mlen,
+        |  printf('%d.%d.%d.0', CAST(ipn//16777216 AS INT)%256,
+        |    CAST(ipn//65536 AS INT)%256, CAST(ipn//256 AS INT)%256)
+        |    || '/24' AS net24,
+        |  printf('%d.%d.%d.255', CAST(ipn//16777216 AS INT)%256,
+        |    CAST(ipn//65536 AS INT)%256, CAST(ipn//256 AS INT)%256)
+        |    || '/24' AS bcast24,
+        |  ipn >= 2147483648 AS in_top_half,
+        |  (ipn - ipn % 65536) =
+        |    (CAST(192 AS BIGINT)*16777216 + 168*65536) AS in_192_168
+        |FROM i ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.NetworkFunctions._
+      val ipn = pmod($"c_custkey" * 2654435761L, lit(4294967296L))
+      Tables.T(s, dir).customer.filter($"c_custkey" <= 500)
+        .withColumn("ip", inetNtoa(ipn))
+        .withColumn("cidr24", concat($"ip", lit("/24")))
+        .select($"c_custkey", $"ip",
+          host($"cidr24").as("host24"),
+          maskLen($"cidr24").as("mlen"),
+          network($"cidr24").as("net24"),
+          broadcastAddr($"cidr24").as("bcast24"),
+          containedIn($"ip", lit("128.0.0.0/1")).as("in_top_half"),
+          containedIn($"ip", lit("192.168.0.0/16")).as("in_192_168"))
+        .orderBy("c_custkey")
+    },
+
     // ---- hashing / encoding (encode.c, uuid.c) ---------------------
     Q("q_fn_hash_encode", Some(
       """SELECT n_nationkey,

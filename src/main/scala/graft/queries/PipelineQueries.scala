@@ -118,6 +118,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Full-text search (tsvector.c / tsquery, `simple` config):
+    // tsvectorout rendering, AND-match, frequency rank.
+    Q("q_fn_tsvector", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |e AS (SELECT doc_id, lex,
+        |    '''' || lex || ''':' ||
+        |      string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry,
+        |    count(*) AS freq
+        |  FROM p WHERE lex <> '' GROUP BY doc_id, lex),
+        |v AS (SELECT doc_id, string_agg(entry, ' ' ORDER BY entry) AS tsv,
+        |    sum(CASE WHEN lex IN ('hash','join') THEN freq ELSE 0 END) AS qf,
+        |    sum(freq) AS total,
+        |    count(CASE WHEN lex IN ('hash','join') THEN 1 END) AS nm
+        |  FROM e GROUP BY doc_id)
+        |SELECT doc_id, tsv, nm = 2 AS match,
+        |  round(CAST(qf AS DOUBLE) / total, 6) AS rank
+        |FROM v WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        TextAnalysis.tsvectors(
+          Tables.T(s, dir).documents.filter($"doc_id" < 300),
+          "text", "doc_id", Seq("hash", "join"))
+          .orderBy("doc_id")
+    },
+
     // Repetition quality signals (Gopher-style filters): fraction of the
     // doc covered by its most frequent bigram, fraction of repeated
     // tokens. Bigrams via a per-doc lead() window over the exploded
