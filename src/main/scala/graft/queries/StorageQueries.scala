@@ -413,6 +413,65 @@ object StorageQueries {
         .orderBy("l_returnflag")
     },
 
+    // Partition maintenance (cdbpartition.c ATPExec*): the rolling-
+    // warehouse idiom — EXCHANGE a partition with a loaded staging
+    // table, DROP an expired partition, then query. The staging table
+    // ends up holding the swapped-out rows (checked in the result).
+    Q("q_sql_alter_partition", Some(
+      s"""WITH exch AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+         |    'P' AS o_orderstatus
+         |  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey <= 2000)
+         |SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total
+         |FROM (
+         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         |  WHERE o_orderstatus = 'O'
+         |  UNION ALL SELECT * FROM exch)
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'staging', count(*), ${Q.oSum("o_totalprice")}
+         |FROM orders WHERE o_orderstatus = 'P'
+         |ORDER BY o_orderstatus""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("sqlalter")
+      GpSqlDialect.execute(s,
+        """CREATE TABLE orders_mnt (
+          |  o_orderkey bigint,
+          |  o_totalprice double precision,
+          |  o_orderstatus text)
+          |DISTRIBUTED BY (o_orderkey)
+          |PARTITION BY LIST (o_orderstatus)
+          |  (PARTITION pf VALUES ('F'),
+          |   PARTITION po VALUES ('O'),
+          |   PARTITION pp VALUES ('P'))""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO orders_mnt
+          |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""".stripMargin,
+        base)
+      GpSqlDialect.execute(s,
+        """CREATE TABLE orders_stage (
+          |  o_orderkey bigint,
+          |  o_totalprice double precision,
+          |  o_orderstatus text)""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO orders_stage
+          |SELECT o_orderkey, o_totalprice * 2, 'P' FROM orders
+          |WHERE o_orderstatus = 'P' AND o_orderkey <= 2000""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        "ALTER TABLE orders_mnt EXCHANGE PARTITION FOR ('P') WITH TABLE orders_stage",
+        base)
+      GpSqlDialect.execute(s,
+        "ALTER TABLE orders_mnt DROP PARTITION FOR ('F')", base)
+      GpSqlDialect.execute(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+           |FROM orders_mnt GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT 'staging', count(*),
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+           |FROM orders_stage
+           |ORDER BY o_orderstatus""".stripMargin, base)
+    },
+
     // SQL-language UDFs (reference: src/pl/ SQL functions; PG inlines
     // them into the caller, optimizer/util/clauses.c inline_function).
     // Three shapes: scalar expression, function-composed-of-function

@@ -127,6 +127,18 @@ object GpSqlDialect {
           trimmed.substring(m.end))
       case _ =>
     }
+    AlterPartitionRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeAlterPartition(spark, m.group(1).toLowerCase,
+          m.group(2).toUpperCase, m.group(3),
+          Option(m.group(4)).map(_.toLowerCase))
+      case _ =>
+    }
+    TruncateRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeTruncate(spark, m.group(1).toLowerCase)
+      case _ =>
+    }
     val ddl = parse(stripPartitionBy(trimmed)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
@@ -336,6 +348,93 @@ object GpSqlDialect {
     graft.sources.ExternalTables.writeCsv(
       src, path, header = copyHasHeader(opts))
     src
+  }
+
+  // ---- partition maintenance (cdbpartition.c) -----------------------
+
+  /** `ALTER TABLE t DROP|TRUNCATE|EXCHANGE PARTITION FOR ('value')
+    * [WITH TABLE s]` (reference: cdbpartition.c ATPExec* paths,
+    * ALTER grammar gram.y). Partitions are Hive directories here, so
+    * maintenance is directory surgery — the catalog-scale metadata ops
+    * GP runs daily on rolling warehouses:
+    *  - DROP: remove the partition directory;
+    *  - TRUNCATE: same data effect (the spec lives in the writer, not a
+    *    catalog, so there is no definition to keep);
+    *  - EXCHANGE: swap the partition's contents with staging table s
+    *    (the load-then-swap idiom; s ends up holding the old rows). */
+  private val AlterPartitionRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+(DROP|TRUNCATE|EXCHANGE)\\s+" +
+      "PARTITION\\s+FOR\\s*\\(\\s*'?([^')]*?)'?\\s*\\)" +
+      "(?:\\s+WITH\\s+TABLE\\s+(\\w+))?\\s*$").r
+
+  private val TruncateRe = "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*$".r
+
+  def executeAlterPartition(
+      spark: SparkSession, table: String, op: String, value: String,
+      withTable: Option[String]): DataFrame = {
+    val t = catalog.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"ALTER TABLE target $table is not a graft catalog table"))
+    require(t.partitionCols.nonEmpty, s"$table is not partitioned")
+    val pcol = t.partitionCols.head
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(value)
+    val dir = new java.io.File(
+      t.path.stripPrefix("file:"), s"$pcol=$escaped")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    op match {
+      case "DROP" | "TRUNCATE" =>
+        if (dir.exists()) deleteRec(dir)
+      case "EXCHANGE" =>
+        val s = catalog.getOrElse(withTable.getOrElse(
+          throw new IllegalArgumentException(
+            "EXCHANGE PARTITION needs WITH TABLE")),
+          throw new IllegalArgumentException(
+            s"EXCHANGE staging table not in catalog"))
+        // old partition rows -> staging table (partition col re-added)
+        val dataCols = t.schema.fieldNames.filterNot(_ == pcol)
+        val old =
+          if (dir.exists())
+            spark.read.schema(StructType(
+                t.schema.filter(f => dataCols.contains(f.name))))
+              .parquet(dir.toString)
+              .withColumn(pcol, org.apache.spark.sql.functions.lit(value)
+                .cast(t.schema(pcol).dataType))
+              .select(s.schema.fieldNames.map(
+                org.apache.spark.sql.functions.col).toSeq: _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], s.schema)
+        // staging rows -> the partition directory (without partition col)
+        val incoming = spark.read.schema(s.schema).parquet(s.path)
+          .select(dataCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        val stage = new java.io.File(dir.getParent, s".exchange_$escaped")
+        incoming.write.mode("overwrite").parquet(stage.toString)
+        old.write.mode("overwrite").parquet(s.path)
+        if (dir.exists()) deleteRec(dir)
+        stage.renameTo(dir)
+        refreshView(spark, s)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER PARTITION op $other")
+    }
+    spark.catalog.refreshByPath(t.path)
+    refreshView(spark, t)
+  }
+
+  /** `TRUNCATE TABLE t` — replace contents with an empty relation,
+    * keeping schema and physics (commands/tablecmds.c ExecuteTruncate). */
+  def executeTruncate(spark: SparkSession, table: String): DataFrame = {
+    val t = catalog(table)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], t.schema)
+    val w = empty.write.mode("overwrite")
+    (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*) else w)
+      .parquet(t.path)
+    spark.catalog.refreshByPath(t.path)
+    refreshView(spark, t)
   }
 
   // ---- phase 2: WITH RECURSIVE --------------------------------------
