@@ -544,6 +544,41 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // Geometric surface (geo_ops.c): point distance, box containment /
+    // area / center with corner normalization, circle containment /
+    // area — plain arithmetic over synthesized coordinates.
+    Q("q_fn_geometric", Some(
+      """WITH g AS (SELECT c_custkey,
+        |    (c_custkey % 97) / 7.0 AS x, (c_custkey % 61) / 5.0 AS y,
+        |    1.0 + (c_custkey % 4) AS r
+        |  FROM customer WHERE c_custkey <= 500)
+        |SELECT c_custkey,
+        |  sqrt((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0)) AS dist,
+        |  (5.0 >= least(x, x+3.0) AND 5.0 <= greatest(x, x+3.0)
+        |    AND 5.0 >= least(y, y-2.0) AND 5.0 <= greatest(y, y-2.0))
+        |    AS in_box,
+        |  abs(((x+3.0)-x) * ((y-2.0)-y)) AS barea,
+        |  {'x': (x + (x+3.0))/2, 'y': (y + (y-2.0))/2} AS bcenter,
+        |  sqrt((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0)) <= r AS in_circle,
+        |  pi() * r * r AS carea
+        |FROM g ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GeometricFunctions._
+      val x = (pmod($"c_custkey", lit(97))) / 7.0
+      val y = (pmod($"c_custkey", lit(61))) / 5.0
+      val r = lit(1.0) + pmod($"c_custkey", lit(4))
+      Tables.T(s, dir).customer.filter($"c_custkey" <= 500)
+        .select($"c_custkey",
+          pointDistance(x, y, lit(5.0), lit(5.0)).as("dist"),
+          boxContainsPoint(x, y, x + 3.0, y - 2.0, lit(5.0), lit(5.0))
+            .as("in_box"),
+          boxArea(x, y, x + 3.0, y - 2.0).as("barea"),
+          boxCenter(x, y, x + 3.0, y - 2.0).as("bcenter"),
+          circleContainsPoint(x, y, r, lit(5.0), lit(5.0)).as("in_circle"),
+          circleArea(r).as("carea"))
+        .orderBy("c_custkey")
+    },
+
     // inet/cidr surface (network.c): host/masklen/network/broadcast and
     // `<<` containment, all as integer arithmetic over a synthesized
     // IPv4 per customer (no inet column in the fixtures; the functions
