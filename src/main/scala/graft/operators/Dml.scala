@@ -134,9 +134,14 @@ object Dml {
       }
     }: _*)
     if (assignments.contains(partitionCol)) {
-      // SplitUpdate: rewrite the whole table, re-partitioned
+      // SplitUpdate: rewrite the whole table, re-partitioned. Cluster by
+      // target partition (+ small salt) so each Hive partition lands in a
+      // bounded number of files rather than one per input task.
       val tmp = path + ".cow-tmp"
-      applyTo(df).write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+      val out = applyTo(df)
+      val salt = pmod(hash(out.columns.map(col).toSeq: _*), lit(4))
+      out.repartition(col(partitionCol), salt)
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val old = path + ".cow-old"

@@ -688,8 +688,23 @@ object GpSqlDialect {
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
           .as(f.name)).toSeq: _*)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // Partitioned tables: cluster rows by target Hive partition plus a
+    // small distribution-key salt, so each partition lands in a bounded
+    // number of files (≤ salt buckets) instead of one file per shuffle
+    // task per partition — the dynamic-partition small-files explosion
+    // that kills object stores at scale. Unpartitioned tables keep the
+    // plain DISTRIBUTED BY shuffle (reference: cdbhash.c row routing).
     val distributed =
-      if (t.distributionCols.nonEmpty)
+      if (t.partitionCols.nonEmpty) {
+        val saltSrc =
+          if (t.distributionCols.nonEmpty) t.distributionCols
+          else t.schema.fieldNames.toSeq
+        val salt = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(saltSrc.map(aligned.col): _*),
+          org.apache.spark.sql.functions.lit(4))
+        aligned.repartition(parts,
+          t.partitionCols.map(aligned.col) :+ salt: _*)
+      } else if (t.distributionCols.nonEmpty)
         aligned.repartition(parts, t.distributionCols.map(aligned.col): _*)
       else aligned
     if (t.format == "csv") {
