@@ -82,8 +82,7 @@ object ExtensionQueries {
       import s.implicits._
       val joined = EventStreams.clickPurchaseJoin(
         EventStreams.readEvents(s, dir), "1 HOUR")
-      EventStreams.runToCompletion(s, joined, "graft_stream_join",
-        mode = "append")
+      EventStreams.runToParquet(s, joined, "stream_join")
         .orderBy("click_id", "p_id")
     },
 

@@ -96,12 +96,60 @@ object EventStreams {
         col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** State-store partition count for the one-shot demo streams. The
+    * stateful-operator partitioning is fixed per checkpoint at first run
+    * (spark.sql.shuffle.partitions at plan time); these demos use fresh
+    * temp checkpoints, so the knob applies every run. Each partition
+    * carries fixed provider overhead (an in-memory version map + a
+    * maintenance-thread slot + delta files) — a stream-stream join holds
+    * FOUR stores per partition, so 32 partitions means 128 providers for
+    * ~40k buffered rows. On a real cluster you size this to state volume,
+    * exactly like sizing shuffle partitions to data volume. */
+  private val streamStatePartitions = "8"
+
+  private def withStreamConf[A](spark: SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // Unload every cached state-store provider and stop the maintenance
+      // pool: a finished one-shot query otherwise leaves its providers
+      // (in-memory version maps) resident in the executor JVM — across a
+      // 150-query sweep that accumulated hundreds of providers and
+      // measurably slowed unrelated batch queries. StateStore lazily
+      // re-initializes on the next streaming query.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   def runToCompletion(
       spark: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete"): DataFrame = withStreamConf(spark) {
     val q = agg.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Run an append-mode stream to completion into a parquet file sink and
+    * return the materialized result. Unlike the memory sink (which
+    * collects every output row into driver memory), the file sink keeps
+    * row-level output distributed — the only 100 TB-viable shape for a
+    * stream whose output grows with the input (e.g. a stream-stream
+    * join). Complete/update aggregates stay on the memory sink above:
+    * their output is aggregate-sized, not input-sized. */
+  def runToParquet(
+      spark: SparkSession, stream: DataFrame, name: String): DataFrame =
+    withStreamConf(spark) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_$name").toString
+      val q = stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$out/data")
+    }
 }
