@@ -115,6 +115,32 @@ object AggregateQueries {
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // Aggregate FILTER clause (SQL:2003, PG/GP parse_agg.c aggfilter):
+    // per-aggregate predicates in one pass — no self-joins, no CASE
+    // boilerplate. Both Spark ≥3.0 and DuckDB accept the clause natively;
+    // Catalyst folds it into the partial aggregate, so it stays a single
+    // scan + one shuffle.
+    Q("q_agg_filter", Some(
+      s"""SELECT o_orderpriority, count(*) AS n_all,
+         |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+         |  count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+         |    AS n_f_cust,
+         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+         |    FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS sum_open
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n_all,
+           |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           |  count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+           |    AS n_f_cust,
+           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+           |    FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS sum_open
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
     Q("q_agg_rollup", Some(
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          |  ${Q.oSum("o_totalprice")} AS total

@@ -190,6 +190,108 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- sampling / corpus pipeline --------------------------------
+    // Deterministic hash sampling: the reproducible way to downsample a
+    // corpus (TABLESAMPLE BERNOULLI's seed is engine-private; a hash of
+    // the key gives the same 10% on any engine, any cluster size, any
+    // partitioning — and composes with incremental ingest: a doc's
+    // in/out decision never changes). Reference: TABLESAMPLE grammar
+    // src/backend/parser/gram.y (tablesample_clause).
+    Q("q_sample_hash", Some(
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents
+        .filter(
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100 < 10)
+        .select($"doc_id", $"source", $"lang")
+        .orderBy("doc_id")
+    },
+
+    // Stratified sampling: top-K per stratum (source) under a
+    // deterministic order — per-group quotas are how training mixes are
+    // balanced. One shuffle on the stratum key; the rank is a bounded
+    // per-partition window, no global sort.
+    Q("q_sample_stratified", Some(
+      """SELECT source, rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+      Tables.T(s, dir).documents
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"source", $"rk", $"doc_id", $"n_chars")
+        .orderBy("source", "rk")
+    },
+
+    // End-to-end corpus cleaning — the composed LLM-data pipeline:
+    // language-ID gate → quality gate → exact dedup (keep lowest doc_id
+    // per fingerprint) → per-source stats. Everything stays one
+    // declarative plan: the gates push into the scan, the dedup is one
+    // hash shuffle on the fingerprint, the stats a second on source.
+    Q("q_pipeline_corpus", Some {
+      def score(markers: Seq[String]) = {
+        val m = markers.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter($toks, t -> list_contains($m, t)))"
+      }
+      val Seq(en, de, es, fr) = TextAnalysis.LangMarkers.map(p => score(p._2))
+      val langPred =
+        s"""CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+           |     WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+           |     WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+           |     WHEN $de >= $es AND $de >= $fr THEN 'de'
+           |     WHEN $es >= $fr THEN 'es'
+           |     ELSE 'fr' END""".stripMargin
+      val punct = """length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))"""
+      val digit = """length(regexp_replace(text, '[^0-9]', '', 'g'))"""
+      val nTok = s"len($toks)"
+      val sumLen = s"list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT)))"
+      val punctR = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($punct AS DOUBLE) / length(text) END)"
+      val digitR = s"(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($digit AS DOUBLE) / length(text) END)"
+      val awl = s"(CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($sumLen AS DOUBLE) / $nTok END)"
+      val quality =
+        s"""round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+           |  + (1.0 - least($punctR * 5.0, 1.0)) * 0.2
+           |  + (1.0 - least($digitR * 5.0, 1.0)) * 0.2
+           |  + (CASE WHEN $awl >= 3.0 AND $awl <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+           |  6)""".stripMargin
+      val norm =
+        """regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9\x{4e00}-\x{9fff} ]', ' ', 'g')), '\s+', ' ', 'g')"""
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, md5($norm) AS fp,
+         |    CAST(len($toks) AS BIGINT) AS nt
+         |  FROM documents
+         |  WHERE ($langPred) = 'en' AND ($quality) >= 0.7),
+         |kept AS (
+         |  SELECT source, doc_id, nt,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM scored)
+         |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM kept WHERE rn = 1
+         |GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val scored = Tables.T(s, dir).documents.select(
+        $"doc_id", $"source",
+        TextAnalysis.langId($"text").as("lang_pred"),
+        TextAnalysis.qualityScore($"text").as("quality"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCount($"text").cast("long").as("nt"))
+      val kept = scored
+        .filter($"lang_pred" === "en" && $"quality" >= 0.7)
+      graft.operators.Dedup.exactDedup(kept, $"fp", "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+        .orderBy("source")
+    },
+
     // ---- dedup ----------------------------------------------------
     // Exact dedup summary (hash-groupBy on the normalized fingerprint).
     Q("q_dedup_exact", Some {
