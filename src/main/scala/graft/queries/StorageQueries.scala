@@ -523,6 +523,70 @@ object StorageQueries {
           base)
     },
 
+    // PG DISTINCT ON — first row per group in ORDER BY order (gram.y
+    // distinct_clause): each customer's highest-value order. Lowered to
+    // one row_number window = one hash shuffle on the ON exprs.
+    Q("q_sql_distinct_on", Some(
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        GpSqlDialect.execute(s,
+          """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+            |FROM orders
+            |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+          tmp("distinct_on"))
+    },
+
+    // SQL:2008 FETCH FIRST ... WITH TIES (PG 13 limit_clause): LIMIT that
+    // never cuts a tie group. Spark has no native WITH TIES; the dialect
+    // ranks on the sort key and Catalyst's InferWindowGroupLimit keeps it
+    // a bounded per-partition top-n, not a global sort.
+    Q("q_sql_limit_ties", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    rank() OVER (ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem WHERE l_orderkey <= 2000) t
+        |WHERE rk <= 10 ORDER BY l_quantity DESC, l_orderkey, l_linenumber""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        GpSqlDialect.execute(s,
+          """SELECT l_orderkey, l_linenumber, l_quantity
+            |FROM lineitem WHERE l_orderkey <= 2000
+            |ORDER BY l_quantity DESC
+            |FETCH FIRST 10 ROWS WITH TIES""".stripMargin,
+          tmp("limit_ties"))
+    },
+
+    // CREATE VIEW (commands/view.c) — define once, compose in later
+    // statements; the body goes through the full dialect.
+    Q("q_sql_view", Some(
+      """WITH cust_sales AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(v.total AS DECIMAL(28,6))), 2) AS DOUBLE) AS seg_total
+        |FROM cust_sales v JOIN customer c ON c.c_custkey = v.o_custkey
+        |WHERE v.n_orders >= 5
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("sqlview")
+        GpSqlDialect.execute(s,
+          """CREATE OR REPLACE VIEW cust_sales AS
+            |SELECT o_custkey, count(*) AS n_orders,
+            |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+            |FROM orders GROUP BY o_custkey""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """SELECT c.c_mktsegment, count(*) AS n_cust,
+            |  CAST(round(sum(CAST(v.total AS DECIMAL(28,6))), 2) AS DOUBLE) AS seg_total
+            |FROM cust_sales v JOIN customer c ON c.c_custkey = v.o_custkey
+            |WHERE v.n_orders >= 5
+            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin, base)
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

@@ -121,6 +121,30 @@ object GpSqlDialect {
           Option(m.group(1)), Option(m.group(2)), m.group(3), m.group(4))
       case _ =>
     }
+    CreateViewRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateView(spark, m.group(1).toLowerCase,
+          m.group(2), basePath)
+      case _ =>
+    }
+    DropViewRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        spark.catalog.dropTempView(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DistinctOnRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeDistinctOn(spark, m.group(1), m.group(2), m.group(3),
+          Option(m.group(4)))
+      case _ =>
+    }
+    FetchTiesRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeFetchTies(spark, m.group(1), m.group(2),
+          m.group(3).toInt)
+      case _ =>
+    }
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
@@ -348,6 +372,83 @@ object GpSqlDialect {
     graft.sources.ExternalTables.writeCsv(
       src, path, header = copyHasHeader(opts))
     src
+  }
+
+  // ---- SELECT-side PG dialect rewrites -------------------------------
+
+  /** `SELECT DISTINCT ON (exprs) list FROM ... [ORDER BY ...]`
+    * (reference grammar: gram.y distinct_clause, planner
+    * optimizer/plan/planner.c create_distinct_paths uniqueness on the ON
+    * exprs picking the FIRST row per group in ORDER BY order). PG
+    * requires the ON exprs to be the leftmost ORDER BY prefix; we
+    * additionally require ORDER BY items to be output columns of the
+    * select list (true of every regress-style use). Lowered to one
+    * row_number window — a single hash shuffle on the ON exprs. */
+  private val DistinctOnRe =
+    ("(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]+)\\)\\s+(.+?)" +
+      "\\s+FROM\\s+(.+?)(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*$").r
+
+  /** `ORDER BY ... FETCH FIRST n ROWS WITH TIES` (SQL:2008 / PG 13
+    * limit_clause WITH TIES, gram.y). Spark's LIMIT cuts mid-tie, so
+    * the rewrite ranks on the sort key instead; Catalyst's
+    * InferWindowGroupLimit turns rank()<=n into a bounded top-n per
+    * partition (WindowGroupLimit), not a global sort-everything. */
+  private val FetchTiesRe =
+    ("(?is)^(.+?)\\s+ORDER\\s+BY\\s+(.+?)\\s+FETCH\\s+FIRST\\s+(\\d+)" +
+      "\\s+ROWS?\\s+(?:ONLY\\s+)?WITH\\s+TIES\\s*$").r
+
+  private val CreateViewRe =
+    "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.+)$".r
+  private val DropViewRe =
+    "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** One textual ORDER BY item → a Spark sort Column. */
+  private def orderCol(item: String): org.apache.spark.sql.Column = {
+    val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+      .findFirstMatchIn(item.trim).get
+    val base = org.apache.spark.sql.functions.expr(m.group(1))
+    val desc = Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))
+    Option(m.group(3)).map(_.toUpperCase) match {
+      case Some("FIRST") => if (desc) base.desc_nulls_first else base.asc_nulls_first
+      case Some("LAST") => if (desc) base.desc_nulls_last else base.asc_nulls_last
+      case _ => if (desc) base.desc else base.asc
+    }
+  }
+
+  private def orderCols(orderSql: String): Seq[org.apache.spark.sql.Column] =
+    orderSql.split(",").map(orderCol).toSeq
+
+  def executeDistinctOn(
+      spark: SparkSession, on: String, select: String, from: String,
+      orderBy: Option[String]): DataFrame = {
+    val order = orderBy.getOrElse(on)
+    val picked = spark.sql(
+      s"""SELECT $select, row_number()
+         |  OVER (PARTITION BY $on ORDER BY $order) AS __rn
+         |FROM $from""".stripMargin)
+      .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn")
+    orderBy.map(o => picked.orderBy(orderCols(o): _*)).getOrElse(picked)
+  }
+
+  def executeFetchTies(
+      spark: SparkSession, core: String, orderSql: String,
+      n: Int): DataFrame =
+    spark.sql(
+      s"SELECT __q.*, rank() OVER (ORDER BY $orderSql) AS __rk FROM ($core) __q")
+      .filter(org.apache.spark.sql.functions.col("__rk") <= n)
+      .drop("__rk")
+      .orderBy(orderCols(orderSql): _*)
+
+  /** CREATE VIEW → temporary view (no persistent catalog here); the view
+    * body goes through the full dialect strip so GP clauses inside it
+    * work. Reference: commands/view.c DefineView. */
+  def executeCreateView(
+      spark: SparkSession, name: String, body: String,
+      basePath: String): DataFrame = {
+    val df = execute(spark, body, basePath)
+    df.createOrReplaceTempView(name)
+    df
   }
 
   // ---- partition maintenance (cdbpartition.c) -----------------------

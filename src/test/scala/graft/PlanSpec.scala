@@ -101,4 +101,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
       p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
+
+  test("q_sql_limit_ties plans a bounded WindowGroupLimit, not rank-everything") {
+    val p = plan("q_sql_limit_ties")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank()<=n not rewritten to a group-limit: $p")
+  }
+
+  test("q_sql_distinct_on keeps one shuffle on the ON exprs") {
+    val p = plan("q_sql_distinct_on")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"DISTINCT ON did not lower to a window: $p")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected at most 1 shuffle, got $exchanges:\n$p")
+  }
 }
