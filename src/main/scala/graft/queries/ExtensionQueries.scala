@@ -86,6 +86,24 @@ object ExtensionQueries {
         .orderBy("click_id", "p_id")
     },
 
+    // Streaming dedup-on-ingest: admit each (user_id, event_type) once,
+    // state keyed by those columns and expired by the watermark. The
+    // ingest half of the dedup kernels — the batch sweep catches
+    // re-arrivals beyond the watermark horizon. Only the dedup keys are
+    // projected (which row of a duplicate group arrives first is
+    // partition-order-dependent; the admitted KEY SET is deterministic).
+    Q("q_stream_dedup", Some(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val deduped = EventStreams.dedupWithinWatermark(
+        EventStreams.readEvents(s, dir), "1 hour",
+        Seq("user_id", "event_type"))
+      EventStreams.runToParquet(s, deduped, "stream_dedup")
+        .select($"user_id", $"event_type")
+        .orderBy("user_id", "event_type")
+    },
+
     // Session windows (10-minute gap) — Spark session_window; oracle:
     // gaps-and-islands (new session when the gap is >= the duration,
     // matching session_window's exclusive end).

@@ -123,6 +123,18 @@ object EventStreams {
     }
   }
 
+  /** Streaming dedup-on-ingest: drop rows whose `keys` were already seen,
+    * with state expired by the watermark — the ingest-side half of the
+    * batch dedup kernels (a doc seen twice within the watermark horizon
+    * is admitted once; re-arrivals beyond it are a batch-side sweep's
+    * job). State is keyed by `keys` only and bounded by the watermark,
+    * so it never grows with stream length. */
+  def dedupWithinWatermark(
+      events: DataFrame, delay: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", delay)
+      .select((keys :+ "ts").map(col): _*)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   def runToCompletion(
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = withStreamConf(spark) {
