@@ -127,6 +127,57 @@ object Similarity {
     val modulus = math.max(1L, corpus.count() / numCentroids)
     val cents = corpus.filter(col(cId) % modulus === 0)
       .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+    ivfTopKWith(queries, corpus, cents, k, nProbe, qId, qVec, cId, cVec)
+  }
+
+  /** Lloyd's k-means over the corpus, expressed as DataFrame ops — the
+    * production way to train the IVF codebook at a fixed k. Each
+    * iteration is (a) assign: broadcast the k centroids, nearest-by-
+    * cosine per vector (one corpus scan, no shuffle of the corpus), and
+    * (b) update: element-wise member mean via posexplode → groupBy
+    * (cell, dim) — one shuffle whose key space is k·dim, independent of
+    * corpus size. Init is the deterministic fixed-k sample, so runs are
+    * reproducible. A cell that loses all members drops out (k shrinks) —
+    * standard Lloyd's behavior. Returns (cent_id, cent_vec). */
+  def kmeansCentroids(
+      corpus: DataFrame, k: Int, iters: Int,
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val modulus = math.max(1L, corpus.count() / k)
+    var cents = corpus.filter(col(cId) % modulus === 0)
+      .limit(k)
+      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(cId)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", cosineWithNorms(
+          dotf(col(cVec), col("cent_vec")),
+          sqrt(dotf(col(cVec), col(cVec))),
+          sqrt(dotf(col("cent_vec"), col("cent_vec")))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cent_id").as("cell"), col(cVec).as("v"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("mx"))
+        .groupBy("cell")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx").cast("float")).as("cent_vec"))
+        .select(col("cell").as("cent_id"), col("cent_vec"))
+    }
+    cents
+  }
+
+  /** IVF search against an explicit centroid codebook (e.g. from
+    * [[kmeansCentroids]]); the index/probe dataflow is the same
+    * assign → equi-join on cell → score as [[ivfTopK]]. */
+  def ivfTopKWith(
+      queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
       val w = Window.partitionBy(id)
         .orderBy(col("cent_cos").desc, col("cent_id"))

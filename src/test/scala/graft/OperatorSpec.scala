@@ -147,6 +147,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(1L, 3L))
   }
 
+  test("Similarity.kmeansCentroids trains a codebook that beats sampled IVF recall floor") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = emb
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cents = Similarity.kmeansCentroids(corpus, k = 8, iters = 3)
+      .cache()
+    val got = cents.collect()
+    assert(got.length >= 4 && got.length <= 8,
+      s"expected 4..8 surviving centroids, got ${got.length}")
+    assert(got.forall(_.getSeq[Float](1).length == 64))
+
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, arr) => q -> arr.map(_._2).toSet }
+    val exact = topkSet(
+      Similarity.bruteForceTopK(queries, corpus, k = 3, dim = 64))
+    val ivf = topkSet(Similarity.ivfTopKWith(
+      queries, corpus, cents, k = 3, nProbe = 2))
+    val recall = exact.map { case (q, want) =>
+      ivf.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / exact.size
+    cents.unpersist()
+    assert(recall >= 0.4, f"kmeans-IVF recall@3 too low: $recall%.2f")
+  }
+
   test("TextAnalysis basics") {
     import spark.implicits._
     val df = Seq("The quick brown fox, the lazy dog! 42 times.")
