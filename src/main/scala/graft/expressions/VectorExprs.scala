@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -185,4 +185,110 @@ object LshBucketExpr {
   def lshBucket(vec: Column, planes: Int): Column =
     org.apache.spark.sql.functions.call_function(
       "lsh_bucket", vec, org.apache.spark.sql.functions.lit(planes))
+}
+
+/** SQ8 scalar quantization: 1 byte per dimension against per-dimension
+  * [mn, mx] ranges — the standard 4× compression for an embedding store
+  * (FAISS ScalarQuantizer QT_8bit; IVF codebooks ship the same ranges).
+  * code(i) = floor((x-mn)/(mx-mn)·255 + 0.5); floor(+0.5) rather than
+  * round() so the rule is identical on every engine (no banker's-
+  * rounding divergence). Encode → BINARY(dim); [[Sq8DecodeExpr]]
+  * reconstructs mn + code/255·(mx-mn) as ARRAY<FLOAT>. */
+case class Sq8EncodeExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sq8_encode requires (ARRAY<FLOAT|DOUBLE>, ARRAY<DOUBLE> mn, ARRAY<DOUBLE> mx)")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_encode"
+
+  private def isF =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(v: Any, mn: Any, mx: Any): Any =
+    Sq8Expr.encode(v.asInstanceOf[ArrayData], mn.asInstanceOf[ArrayData],
+      mx.asInstanceOf[ArrayData], isF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mn, mx) =>
+      s"graft.expressions.Sq8Expr.encode($v, $mn, $mx, $isF)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8EncodeExpr =
+    copy(first = f, second = s, third = t)
+}
+
+case class Sq8DecodeExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sq8_decode requires (BINARY, ARRAY<DOUBLE> mn, ARRAY<DOUBLE> mx)")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_decode"
+
+  protected override def nullSafeEval(b: Any, mn: Any, mx: Any): Any =
+    Sq8Expr.decode(b.asInstanceOf[Array[Byte]], mn.asInstanceOf[ArrayData],
+      mx.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, mn, mx) =>
+      s"graft.expressions.Sq8Expr.decode($b, $mn, $mx)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Sq8DecodeExpr =
+    copy(first = f, second = s, third = t)
+}
+
+object Sq8Expr {
+  def encode(v: ArrayData, mn: ArrayData, mx: ArrayData,
+      isFloat: Boolean): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val lo = mn.getDouble(i)
+      val hi = mx.getDouble(i)
+      val code =
+        if (hi == lo) 0.0
+        else math.floor((x - lo) / (hi - lo) * 255.0 + 0.5)
+      out(i) = math.max(0.0, math.min(255.0, code)).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  def decode(b: Array[Byte], mn: ArrayData,
+      mx: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = b.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val code = (b(i) & 0xff).toDouble
+      val lo = mn.getDouble(i)
+      val hi = mx.getDouble(i)
+      out(i) = (lo + code / 255.0 * (hi - lo)).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def sq8Encode(v: Column, mn: Column, mx: Column): Column =
+    org.apache.spark.sql.functions.call_function("sq8_encode", v, mn, mx)
+
+  def sq8Decode(b: Column, mn: Column, mx: Column): Column =
+    org.apache.spark.sql.functions.call_function("sq8_decode", b, mn, mx)
 }

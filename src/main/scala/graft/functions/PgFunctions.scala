@@ -282,6 +282,14 @@ object PgFunctions {
       "arr_eq_count",
       exprs => graft.expressions.ArrEqCountExpr(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_encode",
+      exprs => graft.expressions.Sq8EncodeExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_decode",
+      exprs => graft.expressions.Sq8DecodeExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
     JsonbFunctions.register(spark)
   }
 }

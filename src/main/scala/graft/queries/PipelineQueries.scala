@@ -504,6 +504,66 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
+    // SQ8 scalar quantization round-trip: per-dimension [min,max] ranges
+    // (one aggregate whose key space is `dim`, independent of corpus
+    // size) → 1-byte codes via the native sq8_encode/sq8_decode
+    // expressions (4× smaller embedding store; the ranges are the
+    // codebook). Verified end-to-end: the oracle re-derives the codes
+    // in SQL and the reconstruction cosine must match bit-for-bit.
+    Q("q_embed_quantize", Some {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH d AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos),
+         |enc AS (
+         |  SELECT vec_id, pos, x,
+         |    CASE WHEN mx = mn THEN 0
+         |         ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END AS code,
+         |    mn, mx
+         |  FROM d JOIN mm USING (pos)),
+         |dec AS (
+         |  SELECT vec_id, pos, x,
+         |    CAST(CAST(mn + code / 255.0 * (mx - mn) AS FLOAT) AS DOUBLE) AS xh
+         |  FROM enc),
+         |arr AS (
+         |  SELECT vec_id, array_agg(x ORDER BY pos) AS xs,
+         |    array_agg(xh ORDER BY pos) AS hs
+         |  FROM dec GROUP BY vec_id)
+         |SELECT vec_id, 64 AS n_bytes,
+         |  round(${d("xs", "hs")} / (sqrt(${d("xs", "xs")}) * sqrt(${d("hs", "hs")})), 6)
+         |    AS cos_rt
+         |FROM arr ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.expressions.Sq8Expr
+      val emb = Tables.T(s, dir).embeddings
+      val ranges = emb
+        .select(posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+        .groupBy()
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"mn"))),
+            c => c.getField("mn")).as("mn"),
+          transform(sort_array(collect_list(struct($"pos", $"mx"))),
+            c => c.getField("mx")).as("mx"))
+      val enc = emb.crossJoin(broadcast(ranges))
+        .withColumn("codes", Sq8Expr.sq8Encode($"embedding", $"mn", $"mx"))
+      val dec = Sq8Expr.sq8Decode($"codes", $"mn", $"mx")
+      def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.expressions.DotFExpr.dotf(a, b)
+      enc.withColumn("dec", dec)
+        .select($"vec_id",
+          length($"codes").cast("int").as("n_bytes"),
+          round(dotf($"embedding", $"dec") /
+            (sqrt(dotf($"embedding", $"embedding")) * sqrt(dotf($"dec", $"dec"))),
+            6).as("cos_rt"))
+        .orderBy("vec_id")
+    },
+
     // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
     // generation is an equi-join on the sign-bucket, not a cross join.
     Q("q_ann_lsh", Some {

@@ -100,6 +100,29 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 encode/decode round-trip: bounded error, endpoints exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.expressions.Sq8Expr
+    val df = Seq((Array(-1f, 0f, 1f, 0.5f), Array(-1.0, -1.0, -1.0, -1.0),
+        Array(1.0, 1.0, 1.0, 1.0)))
+      .toDF("v", "mn", "mx")
+    val r = df.select(
+      Sq8Expr.sq8Encode($"v", $"mn", $"mx").as("codes"),
+      Sq8Expr.sq8Decode(
+        Sq8Expr.sq8Encode($"v", $"mn", $"mx"), $"mn", $"mx").as("dec"))
+      .head()
+    val codes = r.getAs[Array[Byte]]("codes").map(_ & 0xff)
+    assert(codes.toSeq == Seq(0, 128, 255, 191), codes.toSeq)
+    val dec = r.getSeq[Float](1)
+    // range endpoints reconstruct exactly; interior within half a step
+    assert(dec(0) == -1f && dec(2) == 1f)
+    val step = 2.0 / 255
+    Seq(0f, 0.5f).zip(Seq(dec(1), dec(3))).foreach { case (x, xh) =>
+      assert(math.abs(xh - x) <= step / 2 + 1e-7, s"$x -> $xh")
+    }
+  }
+
   test("IntervalFunctions: age borrowing, text rendering, epoch") {
     import graft.functions.IntervalFunctions
     val df = spark.sql(
