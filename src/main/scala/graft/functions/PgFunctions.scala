@@ -260,6 +260,14 @@ object PgFunctions {
   def timeOfDayString(todMicros: Column): Column =
     date_format(timestamp_micros(todMicros), "HH:mm:ss.SSSSSS")
 
+  /** PG 14 date_bin (utils/adt/timestamp.c timestamp_bin): floor `ts`
+    * into `stepMicros`-wide buckets anchored at `origin`. pmod keeps the
+    * floor correct for timestamps before the origin too. */
+  def dateBin(stepMicros: Long, ts: Column, origin: Column): Column = {
+    val us = unix_micros(ts)
+    timestamp_micros(us - pmod(us - unix_micros(origin), lit(stepMicros)))
+  }
+
   /** Register SQL-callable names for the PG surface. Also covers sessions
     * created without GraftExtensions (e.g. the driver's own session). */
   def registerAll(spark: SparkSession): Unit = {

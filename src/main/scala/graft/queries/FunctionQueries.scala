@@ -415,6 +415,39 @@ object FunctionQueries {
           .orderBy("event_id")
     },
 
+    // PG 14 date_bin (timestamp.c timestamp_bin): arbitrary-origin time
+    // bucketing — the time-series roll-up primitive (15-minute buckets
+    // anchored 5 minutes past the hour). Pure integer-micros arithmetic,
+    // stays in codegen; oracle is DuckDB's time_bucket with origin.
+    Q("q_fn_datebin", Some(
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts,
+        |    TIMESTAMP '1970-01-01 00:05:00') AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).events
+          .groupBy(PgFunctions.dateBin(15L * 60 * 1000000, $"ts",
+            to_timestamp(lit("1970-01-01 00:05:00"))).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+    },
+
+    // generate_series over timestamps (SRF, utils/adt/timestamp.c
+    // generate_series_timestamp) — the scaffold relation for gap-free
+    // time-series joins; Spark: sequence() + explode.
+    Q("q_generate_series_ts", Some(
+      """SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-08', INTERVAL 6 HOUR)) AS ts
+        |ORDER BY ts""".stripMargin)) { (s, _) =>
+      import s.implicits._
+      s.range(1).select(explode(sequence(
+          to_timestamp(lit("2024-01-01")),
+          to_timestamp(lit("2024-01-08")),
+          expr("INTERVAL 6 HOURS"))).as("ts"))
+        .orderBy("ts")
+    },
+
     // jsonb containment `@>` + object merge `||` (jsonb.c operators).
     Q("q_fn_jsonb", Some(
       """SELECT event_id,
