@@ -564,6 +564,78 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ADC search over the quantized store: float queries scored against
+    // the SQ8-decoded corpus (asymmetric distance) — the full
+    // compressed-search path: the corpus lives as 1-byte codes, only the
+    // query side stays float. One corpus scan, decode inside codegen.
+    Q("q_ann_sq8", Some {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH d AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY pos),
+         |dec AS (
+         |  SELECT vec_id, pos, x,
+         |    CAST(CAST(mn + (CASE WHEN mx = mn THEN 0
+         |        ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END)
+         |      / 255.0 * (mx - mn) AS FLOAT) AS DOUBLE) AS xh
+         |  FROM d JOIN mm USING (pos)),
+         |arr AS (
+         |  SELECT vec_id, array_agg(x ORDER BY pos) AS xs,
+         |    array_agg(xh ORDER BY pos) AS hs
+         |  FROM dec GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, xs AS qv FROM arr WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, hs AS cv FROM arr),
+         |cand AS (
+         |  SELECT q_id, c_id,
+         |    ${d("qv", "cv")} / (sqrt(${d("qv", "qv")}) * sqrt(${d("cv", "cv")}))
+         |      AS raw
+         |  FROM q CROSS JOIN c WHERE c_id <> q_id),
+         |r AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.expressions.Sq8Expr
+      def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.expressions.DotFExpr.dotf(a, b)
+      val emb = Tables.T(s, dir).embeddings
+      val ranges = emb
+        .select(posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+        .groupBy()
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"mn"))),
+            c => c.getField("mn")).as("mn"),
+          transform(sort_array(collect_list(struct($"pos", $"mx"))),
+            c => c.getField("mx")).as("mx"))
+      // the stored state: 1-byte codes per vector
+      val store = emb.crossJoin(broadcast(ranges))
+        .select($"vec_id".as("c_id"),
+          Sq8Expr.sq8Encode($"embedding", $"mn", $"mx").as("codes"),
+          $"mn", $"mx")
+      val corpus = store
+        .select($"c_id", Sq8Expr.sq8Decode($"codes", $"mn", $"mx").as("cv"))
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy($"raw".desc, $"c_id")
+      corpus.crossJoin(broadcast(queries))
+        .filter($"c_id" =!= $"q_id")
+        .select($"q_id", $"c_id",
+          (dotf($"qv", $"cv") /
+            (sqrt(dotf($"qv", $"qv")) * sqrt(dotf($"cv", $"cv")))).as("raw"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"c_id", $"rk", round($"raw", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
     // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
     // generation is an equi-join on the sign-bucket, not a cross join.
     Q("q_ann_lsh", Some {

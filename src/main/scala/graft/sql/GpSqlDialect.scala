@@ -121,6 +121,11 @@ object GpSqlDialect {
           Option(m.group(1)), Option(m.group(2)), m.group(3), m.group(4))
       case _ =>
     }
+    ExplainRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeExplain(spark, Option(m.group(1)), m.group(2), basePath)
+      case _ =>
+    }
     CreateViewRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateView(spark, m.group(1).toLowerCase,
@@ -401,6 +406,25 @@ object GpSqlDialect {
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.+)$".r
   private val DropViewRe =
     "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** `EXPLAIN [ANALYZE|VERBOSE] stmt` (commands/explain.c ExplainQuery):
+    * one `plan` row per line of the physical plan. ANALYZE executes the
+    * statement and explains the final (AQE-resolved) plan, like GP's
+    * instrumented run; plain EXPLAIN only plans. */
+  private val ExplainRe =
+    "(?is)^\\s*EXPLAIN\\s+(ANALYZE\\s+|VERBOSE\\s+)?(.+)$".r
+
+  def executeExplain(
+      spark: SparkSession, mode: Option[String], stmt: String,
+      basePath: String): DataFrame = {
+    import spark.implicits._
+    val df = execute(spark, stmt, basePath)
+    val analyze = mode.exists(_.trim.equalsIgnoreCase("ANALYZE"))
+    if (analyze) df.write.format("noop").mode("overwrite").save()
+    val text = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    text.linesIterator.toSeq.toDF("plan")
+  }
 
   /** One textual ORDER BY item → a Spark sort Column. */
   private def orderCol(item: String): org.apache.spark.sql.Column = {

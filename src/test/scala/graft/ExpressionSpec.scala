@@ -158,6 +158,18 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("GpSqlDialect EXPLAIN returns the physical plan; ANALYZE runs it") {
+    Tables.registerAll(spark, sf)
+    val plan = GpSqlDialect.execute(spark,
+      "EXPLAIN SELECT o_orderstatus, count(*) FROM orders GROUP BY 1",
+      "/tmp/never")
+    val lines = plan.collect().map(_.getString(0))
+    assert(lines.exists(_.contains("HashAggregate")), lines.mkString("\n"))
+    val analyzed = GpSqlDialect.execute(spark,
+      "EXPLAIN ANALYZE SELECT count(*) FROM nation", "/tmp/never")
+    assert(analyzed.count() > 0)
+  }
+
   test("GpSqlDialect.execute runs GP-dialect CTAS end-to-end") {
     Tables.registerAll(spark, sf)
     val out = GpSqlDialect.execute(spark,
