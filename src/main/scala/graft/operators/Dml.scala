@@ -62,6 +62,29 @@ object Dml {
     overwriteInPlace(spark, path, updated)
   }
 
+  /** UPDATE path SET assignments FROM source WHERE joinCond — PG/GP's
+    * correlated UPDATE ... FROM (grammar gram.y UpdateStmt from_clause;
+    * executor joins the result relation to the FROM list). Implemented
+    * as one left join; matched rows take the assignments (which may
+    * reference source columns), unmatched rows pass through. Like PG,
+    * which of several matching source rows wins is unspecified — pass a
+    * deduplicated source for deterministic results. */
+  def updateFrom(
+      spark: SparkSession, path: String, source: DataFrame,
+      joinCond: Column, assignments: Map[String, Column]): Unit = {
+    val df = spark.read.parquet(path)
+    val src = source.withColumn("__matched", lit(true))
+    val joined = df.join(src, joinCond, "left")
+    val matched = coalesce(col("__matched"), lit(false))
+    val updated = joined.select(df.columns.map { c =>
+      assignments.get(c) match {
+        case Some(v) => when(matched, v).otherwise(df(c)).as(c)
+        case None => df(c).as(c)
+      }
+    }: _*)
+    overwriteInPlace(spark, path, updated)
+  }
+
   /** Hive directory name for one partition value: special characters use
     * Hive's percent-escaping and NULL maps to the default-partition dir,
     * exactly as Spark's partitioned writer produced them — building the

@@ -225,6 +225,34 @@ object StorageQueries {
           .orderBy("o_orderstatus")
     },
 
+    // UPDATE ... FROM (PG correlated update, gram.y UpdateStmt
+    // from_clause): BUILDING-segment customers get a 10% discount on
+    // their orders — one left join, matched rows take the assignment.
+    Q("q_dml_update_from", Some(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${Q.oSum("CASE WHEN o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') THEN o_totalprice * 0.9 ELSE o_totalprice END")}
+         |    AS total
+         |FROM orders WHERE o_orderkey <= 3000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 3000)
+          .write.mode("overwrite").parquet(tmp("dml_updfrom_orders"))
+      }) { (s, dir) =>
+      import s.implicits._
+      val path = tmp("dml_updfrom_orders")
+      val building = Tables.T(s, dir).customer
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      graft.operators.Dml.updateFrom(s, path, building,
+        col("o_custkey") === col("c_custkey"),
+        Map("o_totalprice" -> (col("o_totalprice") * 0.9)))
+      s.read.parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // MERGE (upsert): keys 1501..3000 overwrite with bumped price, keys
     // 3001..4500 insert; 1..1500 untouched.
     Q("q_dml_merge", Some(
@@ -585,6 +613,47 @@ object StorageQueries {
             |FROM cust_sales v JOIN customer c ON c.c_custkey = v.o_custkey
             |WHERE v.n_orders >= 5
             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin, base)
+    },
+
+    // CREATE MATERIALIZED VIEW / REFRESH (commands/matview.c): the
+    // materialization is STALE after base-table inserts until REFRESH
+    // re-runs the definition — PG's non-incremental semantics, shown in
+    // one result (phase column): stale counts, then refreshed counts.
+    Q("q_sql_matview", Some(
+      s"""SELECT 'stale' AS phase, o_orderstatus, count(*) AS n,
+         |  ${Q.oSum("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'fresh', o_orderstatus, count(*), ${Q.oSum("o_totalprice")}
+         |FROM orders WHERE o_orderkey <= 2500 GROUP BY o_orderstatus
+         |ORDER BY phase, o_orderstatus""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.registerAll(s, dir)
+      val base = tmp("matview")
+      GpSqlDialect.execute(s,
+        """CREATE TABLE mvbase AS
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderkey <= 2000""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """CREATE MATERIALIZED VIEW mv_sales AS
+          |SELECT o_orderstatus, count(*) AS n,
+          |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+          |FROM mvbase GROUP BY o_orderstatus""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO mvbase
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2500""".stripMargin,
+        base)
+      // still the pre-insert materialization — snapshot it (rows are
+      // aggregate-sized) before REFRESH overwrites the backing parquet
+      val staleRows = s.table("mv_sales").collect().toSeq
+      val stale = s.createDataFrame(
+        s.sparkContext.parallelize(staleRows), s.table("mv_sales").schema)
+      GpSqlDialect.execute(s, "REFRESH MATERIALIZED VIEW mv_sales", base)
+      stale.select(lit("stale").as("phase"), $"o_orderstatus", $"n", $"total")
+        .unionAll(s.table("mv_sales")
+          .select(lit("fresh").as("phase"), $"o_orderstatus", $"n", $"total"))
+        .orderBy("phase", "o_orderstatus")
     },
 
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/

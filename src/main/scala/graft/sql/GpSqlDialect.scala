@@ -126,6 +126,17 @@ object GpSqlDialect {
         return executeExplain(spark, Option(m.group(1)), m.group(2), basePath)
       case _ =>
     }
+    CreateMatViewRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateMatView(spark, m.group(1).toLowerCase,
+          m.group(2), basePath)
+      case _ =>
+    }
+    RefreshMatViewRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return refreshMatView(spark, m.group(1).toLowerCase, basePath)
+      case _ =>
+    }
     CreateViewRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateView(spark, m.group(1).toLowerCase,
@@ -174,6 +185,11 @@ object GpSqlDialect {
         val written = createTableAs(
           spark, ddl, spark.sql(select), s"$basePath/$name")
         written.createOrReplaceTempView(name)
+        // CTAS tables join the session catalog so later INSERT INTO /
+        // COPY / partition maintenance address them like CREATE TABLE
+        catalog.put(name.toLowerCase, GpTable(name.toLowerCase,
+          s"$basePath/$name", written.schema, Seq.empty,
+          ddl.distributionCols))
         written
       case other =>
         CreateWithCols.findFirstMatchIn(other) match {
@@ -406,6 +422,40 @@ object GpSqlDialect {
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.+)$".r
   private val DropViewRe =
     "(?is)^\\s*DROP\\s+VIEW\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** `CREATE MATERIALIZED VIEW name AS select` / `REFRESH MATERIALIZED
+    * VIEW name` (commands/matview.c ExecRefreshMatView): the defining
+    * query is recorded, its result materialized to parquet, and the name
+    * reads the MATERIALIZATION — stale after base-table changes until a
+    * REFRESH re-runs the definition, exactly PG's non-incremental
+    * semantics. */
+  private val CreateMatViewRe =
+    "(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+AS\\s+(.+)$".r
+  private val RefreshMatViewRe =
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*$".r
+
+  private final case class MatView(sql: String, path: String)
+  private val matviews =
+    scala.collection.concurrent.TrieMap.empty[String, MatView]
+
+  def executeCreateMatView(
+      spark: SparkSession, name: String, body: String,
+      basePath: String): DataFrame = {
+    val mv = MatView(body, s"$basePath/matview_$name")
+    matviews.put(name, mv)
+    refreshMatView(spark, name, basePath)
+  }
+
+  def refreshMatView(
+      spark: SparkSession, name: String, basePath: String): DataFrame = {
+    val mv = matviews.getOrElse(name, throw new IllegalArgumentException(
+      s"$name is not a materialized view"))
+    execute(spark, mv.sql, basePath)
+      .write.mode("overwrite").parquet(mv.path)
+    val df = spark.read.parquet(mv.path)
+    df.createOrReplaceTempView(name)
+    df
+  }
 
   /** `EXPLAIN [ANALYZE|VERBOSE] stmt` (commands/explain.c ExplainQuery):
     * one `plan` row per line of the physical plan. ANALYZE executes the
