@@ -86,6 +86,30 @@ object ExtensionQueries {
         .orderBy("click_id", "p_id")
     },
 
+    // Stream-static enrichment join — THE production streaming shape:
+    // the event stream joins a static dimension (customer) read fresh
+    // per micro-batch; no watermark needed (the static side is not
+    // stateful), aggregation in complete mode. At scale the static side
+    // broadcasts per batch exactly like a batch broadcast join.
+    Q("q_stream_enrich", Some(
+      """SELECT c.c_mktsegment, count(*) AS n
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val dim = Tables.T(s, dir).customer
+          .select($"c_custkey", $"c_mktsegment")
+        val enriched = EventStreams.readEvents(s, dir)
+          .filter($"event_type" === "purchase")
+          .join(dim, $"user_id" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+        EventStreams.runToCompletion(s, enriched, "graft_stream_enrich")
+          .select($"c_mktsegment", $"n")
+          .orderBy("c_mktsegment")
+    },
+
     // Streaming dedup-on-ingest: admit each (user_id, event_type) once,
     // state keyed by those columns and expired by the watermark. The
     // ingest half of the dedup kernels — the batch sweep catches

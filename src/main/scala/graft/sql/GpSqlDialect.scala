@@ -126,6 +126,25 @@ object GpSqlDialect {
         return executeExplain(spark, Option(m.group(1)), m.group(2), basePath)
       case _ =>
     }
+    PrepareRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        prepared.put(m.group(1).toLowerCase, m.group(3))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    ExecutePrepRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if prepared.contains(m.group(1).toLowerCase) =>
+        val args = Option(m.group(2)).map(_.split(",").toSeq)
+          .getOrElse(Seq.empty).map(_.trim).filter(_.nonEmpty)
+        return executePrepared(spark, m.group(1).toLowerCase, args, basePath)
+      case _ =>
+    }
+    DeallocateRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        prepared.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     CreateMatViewRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateMatView(spark, m.group(1).toLowerCase,
@@ -393,6 +412,72 @@ object GpSqlDialect {
     graft.sources.ExternalTables.writeCsv(
       src, path, header = copyHasHeader(opts))
     src
+  }
+
+  // ---- scripts / prepared statements ---------------------------------
+
+  /** Run a multi-statement script (`;`-separated, `--` comments and
+    * dollar-quoted bodies respected) and return the last statement's
+    * result — the psql-script entry point. */
+  def executeScript(
+      spark: SparkSession, script: String, basePath: String): DataFrame = {
+    val stmts = splitStatements(script)
+    if (stmts.isEmpty) return spark.emptyDataFrame
+    stmts.map(execute(spark, _, basePath)).last
+  }
+
+  /** Split on top-level semicolons: quotes ('...', "..."), dollar-quoted
+    * bodies ($$...$$) and `--` line comments hide their contents. */
+  private[graft] def splitStatements(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inS = false; var inD = false; var inDollar = false; var inC = false
+    while (i < script.length) {
+      val c = script.charAt(i)
+      val two = if (i + 1 < script.length) script.substring(i, i + 2) else ""
+      if (inC) { if (c == '\n') inC = false; cur += c; i += 1 }
+      else if (inDollar) {
+        if (two == "$$") { inDollar = false; cur ++= two; i += 2 }
+        else { cur += c; i += 1 }
+      }
+      else if (inS) { if (c == '\'') inS = false; cur += c; i += 1 }
+      else if (inD) { if (c == '"') inD = false; cur += c; i += 1 }
+      else if (two == "--") { inC = true; cur ++= two; i += 2 }
+      else if (two == "$$") { inDollar = true; cur ++= two; i += 2 }
+      else if (c == '\'') { inS = true; cur += c; i += 1 }
+      else if (c == '"') { inD = true; cur += c; i += 1 }
+      else if (c == ';') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** `PREPARE name [(types)] AS stmt` / `EXECUTE name (args)` /
+    * `DEALLOCATE name` (commands/prepare.c): the statement is recorded
+    * with `$n` parameter slots; EXECUTE substitutes argument literals
+    * and runs through the full dialect. */
+  private val PrepareRe =
+    "(?is)^\\s*PREPARE\\s+(\\w+)\\s*(?:\\(([^)]*)\\))?\\s+AS\\s+(.+)$".r
+  private val ExecutePrepRe =
+    "(?is)^\\s*EXECUTE\\s+(\\w+)\\s*(?:\\((.*)\\))?\\s*$".r
+  private val DeallocateRe =
+    "(?is)^\\s*DEALLOCATE\\s+(?:PREPARE\\s+)?(\\w+)\\s*$".r
+
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def executePrepared(
+      spark: SparkSession, name: String, args: Seq[String],
+      basePath: String): DataFrame = {
+    val body = prepared.getOrElse(name, throw new IllegalArgumentException(
+      s"prepared statement $name does not exist"))
+    val sub = args.zipWithIndex.foldLeft(body) { case (b, (a, i)) =>
+      b.replaceAll("\\$" + (i + 1) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(a.trim))
+    }
+    execute(spark, sub, basePath)
   }
 
   // ---- SELECT-side PG dialect rewrites -------------------------------

@@ -158,6 +158,26 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("GpSqlDialect scripts split correctly and PREPARE/EXECUTE substitutes") {
+    Tables.registerAll(spark, sf)
+    // splitter: quotes, $$ bodies and -- comments hide semicolons
+    assert(GpSqlDialect.splitStatements(
+      "SELECT 'a;b'; -- c;\nSELECT $$x;y$$; SELECT 1").size == 3)
+    val last = GpSqlDialect.executeScript(spark,
+      """PREPARE topn AS
+        |  SELECT n_name FROM nation WHERE n_regionkey = $1
+        |  ORDER BY n_name LIMIT $2;
+        |EXECUTE topn (2, 3);""".stripMargin, "/tmp/never")
+    assert(last.count() == 3)
+    assert(last.collect().forall(_.getString(0).nonEmpty))
+    val n2 = GpSqlDialect.execute(spark, "EXECUTE topn (0, 2)", "/tmp/never")
+    assert(n2.count() == 2)
+    GpSqlDialect.execute(spark, "DEALLOCATE topn", "/tmp/never")
+    intercept[IllegalArgumentException] {
+      GpSqlDialect.executePrepared(spark, "topn", Seq("1"), "/tmp/never")
+    }
+  }
+
   test("GpSqlDialect EXPLAIN returns the physical plan; ANALYZE runs it") {
     Tables.registerAll(spark, sf)
     val plan = GpSqlDialect.execute(spark,
