@@ -615,6 +615,29 @@ object StorageQueries {
             |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin, base)
     },
 
+    // PG pattern/null-comparison surface through the dialect: ILIKE and
+    // IS DISTINCT FROM pass to Spark natively; SIMILAR TO (full-anchored
+    // SQL-wildcard regex, similar_escape) and BETWEEN SYMMETRIC are
+    // textual rewrites (Spark's parser lacks both).
+    Q("q_sql_pattern", Some(
+      """SELECT n_name,
+        |  n_name ILIKE '%an%' AS ilike_an,
+        |  n_name SIMILAR TO '(A|I|U)%' AS sim_aiu,
+        |  n_name NOT SIMILAR TO '%(A|N)' AS nsim_an,
+        |  n_regionkey IS DISTINCT FROM (n_nationkey % 5) AS key_differs,
+        |  (n_nationkey BETWEEN least(20, 10) AND greatest(20, 10)) AS in_band
+        |FROM nation ORDER BY n_name""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      GpSqlDialect.execute(s,
+        """SELECT n_name,
+          |  n_name ILIKE '%an%' AS ilike_an,
+          |  n_name SIMILAR TO '(A|I|U)%' AS sim_aiu,
+          |  n_name NOT SIMILAR TO '%(A|N)' AS nsim_an,
+          |  n_regionkey IS DISTINCT FROM (n_nationkey % 5) AS key_differs,
+          |  n_nationkey BETWEEN SYMMETRIC 20 AND 10 AS in_band
+          |FROM nation ORDER BY n_name""".stripMargin, tmp("pattern"))
+    },
+
     // CREATE MATERIALIZED VIEW / REFRESH (commands/matview.c): the
     // materialization is STALE after base-table inserts until REFRESH
     // re-runs the definition — PG's non-incremental semantics, shown in

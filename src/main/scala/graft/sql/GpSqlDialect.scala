@@ -105,7 +105,7 @@ object GpSqlDialect {
     rejectUnsupported(gpSql)
     if (CreateFunctionRe.findFirstIn(gpSql).isDefined)
       return executeCreateFunction(spark, gpSql)
-    val trimmed = inlineSqlFunctions(gpSql.trim)
+    val trimmed = rewriteExpressions(inlineSqlFunctions(gpSql.trim))
     if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
@@ -412,6 +412,45 @@ object GpSqlDialect {
     graft.sources.ExternalTables.writeCsv(
       src, path, header = copyHasHeader(opts))
     src
+  }
+
+  // ---- expression-level PG rewrites ----------------------------------
+
+  /** PG expression syntax Spark's parser lacks, rewritten textually
+    * before execution:
+    *  - `x SIMILAR TO 'pat'` → `regexp_like(x, '^pat′$')` with SQL
+    *    wildcards converted (% → .*, _ → .) — PG's similar_escape
+    *    (utils/adt/regexp.c:687), full-anchored like PG;
+    *  - `x NOT SIMILAR TO 'pat'` → `NOT regexp_like(...)`;
+    *  - `x BETWEEN SYMMETRIC a AND b` → least/greatest bounds
+    *    (gram.y b_expr BETWEEN SYMMETRIC). */
+  private val SimilarToRe =
+    "(?is)([\\w.]+)\\s+(NOT\\s+)?SIMILAR\\s+TO\\s+'([^']*)'".r
+  private val BetweenSymRe =
+    ("(?is)([\\w.]+)\\s+BETWEEN\\s+SYMMETRIC\\s+" +
+      "([\\w.']+)\\s+AND\\s+([\\w.']+)").r
+
+  private[graft] def similarToRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '%' => sb ++= ".*"
+      case '_' => sb += '.'
+      case c => sb += c
+    }
+    sb += '$'
+    sb.toString
+  }
+
+  private def rewriteExpressions(sql: String): String = {
+    val afterSimilar = SimilarToRe.replaceAllIn(sql, m => {
+      val not = if (m.group(2) != null) "NOT " else ""
+      java.util.regex.Matcher.quoteReplacement(
+        s"${not}regexp_like(${m.group(1)}, '${similarToRegex(m.group(3))}')")
+    })
+    BetweenSymRe.replaceAllIn(afterSimilar, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} BETWEEN least(${m.group(2)}, ${m.group(3)}) " +
+          s"AND greatest(${m.group(2)}, ${m.group(3)})"))
   }
 
   // ---- scripts / prepared statements ---------------------------------
