@@ -62,6 +62,27 @@ object Dml {
     overwriteInPlace(spark, path, updated)
   }
 
+  /** VACUUM FULL analogue (commands/vacuum.c; GP reclaims AO segment
+    * files the same way): rewrite the table into ~`targetBytes` files.
+    * Every DML here is copy-on-write, so the small-file problem arrives
+    * with frequent updates exactly like AO segment bloat — compaction is
+    * the maintenance op that keeps scan task counts sane at 100 TB.
+    * Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(new Path(path)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    overwriteInPlace(spark, path, df.coalesce(nOut))
+    (before.size, dataFiles.size)
+  }
+
   /** UPDATE path SET assignments FROM source WHERE joinCond — PG/GP's
     * correlated UPDATE ... FROM (grammar gram.y UpdateStmt from_clause;
     * executor joins the result relation to the FROM list). Implemented

@@ -248,6 +248,37 @@ object RelationalQueries {
           .orderBy("a", "b")
     },
 
+    // Pure interval join (NO equi key) — naively a BroadcastNestedLoop;
+    // operators.RangeJoin bins the range dimension so both sides meet
+    // through a plain equi-join shuffle + residual filter. Exact results,
+    // plan-asserted no-nested-loop in PlanSpec: shipments falling inside
+    // 7-day promo windows derived from the first 100 orders.
+    Q("q_range_join", Some(
+      """SELECT w.o_orderkey AS window_id, count(*) AS n_ship,
+        |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS total
+        |FROM (SELECT o_orderkey, o_orderdate,
+        |        o_orderdate + INTERVAL 7 DAY AS o_end
+        |      FROM orders WHERE o_orderkey <= 100) w
+        |JOIN lineitem l
+        |  ON l.l_shipdate >= w.o_orderdate AND l.l_shipdate < w.o_end
+        |GROUP BY w.o_orderkey ORDER BY window_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val points = t.lineitem
+        .select($"l_extendedprice",
+          unix_date($"l_shipdate".cast("date")).cast("long").as("p_day"))
+      val windows = t.orders.filter($"o_orderkey" <= 100)
+        .select($"o_orderkey",
+          unix_date($"o_orderdate".cast("date")).cast("long").as("w_start"))
+        .withColumn("w_end", $"w_start" + 7)
+      graft.operators.RangeJoin.pointInInterval(
+          points, col("p_day"), windows, col("w_start"), col("w_end"),
+          binWidth = 7)
+        .groupBy($"o_orderkey".as("window_id"))
+        .agg(count(lit(1)).as("n_ship"), Q.dsum($"l_extendedprice").as("total"))
+        .orderBy("window_id")
+    },
+
     // TPC-H Q5 shape: 6-way join, small dims broadcast, one shuffle for the
     // fact-fact join — the plan GP reaches with Motions we reach with AQE.
     Q("q_join_multiway", Some(

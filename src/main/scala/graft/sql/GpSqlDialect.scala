@@ -198,6 +198,11 @@ object GpSqlDialect {
         return executeTruncate(spark, m.group(1).toLowerCase)
       case _ =>
     }
+    VacuumRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeVacuum(spark, m.group(1).toLowerCase)
+      case _ =>
+    }
     val ddl = parse(stripPartitionBy(trimmed)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
@@ -667,6 +672,20 @@ object GpSqlDialect {
       "(?:\\s+WITH\\s+TABLE\\s+(\\w+))?\\s*$").r
 
   private val TruncateRe = "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*$".r
+
+  /** `VACUUM [FULL] table` (commands/vacuum.c) → file compaction of the
+    * catalog table ([[graft.operators.Dml.compact]]). */
+  private val VacuumRe =
+    "(?is)^\\s*VACUUM\\s+(?:FULL\\s+)?(\\w+)\\s*$".r
+
+  def executeVacuum(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val t = catalog.getOrElse(table, throw new IllegalArgumentException(
+      s"VACUUM target $table is not a graft catalog table"))
+    val (before, after) = graft.operators.Dml.compact(spark, t.path)
+    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    Seq((table, before, after)).toDF("table", "files_before", "files_after")
+  }
 
   def executeAlterPartition(
       spark: SparkSession, table: String, op: String, value: String,

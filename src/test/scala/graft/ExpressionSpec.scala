@@ -190,6 +190,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(analyzed.count() > 0)
   }
 
+  test("VACUUM compacts a fragmented catalog table without changing data") {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE vac_orders AS SELECT * FROM orders", base)
+    // fragment: rewrite as 16 splinter files
+    val path = s"$base/vac_orders"
+    val df = spark.read.parquet(path)
+    val sum0 = df.agg(sum("o_orderkey")).head.getLong(0)
+    df.repartition(16).write.mode("overwrite").parquet(path + ".tmp")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(path + ".tmp"),
+      new org.apache.hadoop.fs.Path(path))
+    val r = GpSqlDialect.execute(spark, "VACUUM FULL vac_orders", base).head
+    assert(r.getInt(1) == 16, s"expected 16 splinters, got ${r.getInt(1)}")
+    assert(r.getInt(2) < 16, s"vacuum did not shrink files: $r")
+    val after = spark.read.parquet(path).agg(sum("o_orderkey")).head.getLong(0)
+    assert(after == sum0)
+  }
+
   test("GpSqlDialect.execute runs GP-dialect CTAS end-to-end") {
     Tables.registerAll(spark, sf)
     val out = GpSqlDialect.execute(spark,

@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("q_range_join meets through an equi-join on bins, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop: $p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_sql_limit_ties plans a bounded WindowGroupLimit, not rank-everything") {
     val p = plan("q_sql_limit_ties")
     assert(p.contains("WindowGroupLimit"),
