@@ -679,6 +679,59 @@ object StorageQueries {
         .orderBy("phase", "o_orderstatus")
     },
 
+    // Sequences (commands/sequence.c; GP's master seqserver is the
+    // documented bulk-load bottleneck — cdb/cdbvars.c). Bulk nextval
+    // reserves ONE contiguous block and assigns ids distributed
+    // (range-partition + per-partition offsets, SequenceOps.assignIds):
+    // no per-row driver traffic, no single-partition window.
+    Q("q_sql_sequence", Some(
+      """SELECT CAST(998 + 2 * row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS seq_id,
+        |  c_custkey, c_name
+        |FROM customer WHERE c_custkey <= 60
+        |ORDER BY c_custkey""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        GpSqlDialect.execute(s, "DROP SEQUENCE IF EXISTS cust_seq", tmp("seq"))
+        GpSqlDialect.execute(s,
+          "CREATE SEQUENCE cust_seq START WITH 1000 INCREMENT BY 2",
+          tmp("seq"))
+        GpSqlDialect.execute(s,
+          """SELECT nextval('cust_seq') AS seq_id, c_custkey, c_name
+            |FROM customer WHERE c_custkey <= 60
+            |ORDER BY c_custkey""".stripMargin, tmp("seq"))
+          .orderBy("c_custkey")
+    },
+
+    // Cursors (portalcmds.c; GP gp_parallel_retrieve_cursor): DECLARE
+    // spools the query once into an indexed parquet (PG WITH HOLD
+    // tuplestore), FETCH is a pruned range read — paged retrieval of a
+    // huge result without re-running the query per page.
+    Q("q_sql_cursor", Some(
+      """SELECT * FROM (
+        |  SELECT 1 AS batch, c_custkey, c_name FROM
+        |    (SELECT * FROM customer WHERE c_custkey <= 40
+        |     ORDER BY c_custkey LIMIT 10)
+        |  UNION ALL
+        |  SELECT 2 AS batch, c_custkey, c_name FROM
+        |    (SELECT * FROM customer WHERE c_custkey <= 40
+        |     ORDER BY c_custkey LIMIT 10 OFFSET 10)
+        |) ORDER BY batch, c_custkey""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("cursor")
+        GpSqlDialect.execute(s,
+          """DECLARE top_cust CURSOR FOR
+            |SELECT c_custkey, c_name FROM customer
+            |WHERE c_custkey <= 40 ORDER BY c_custkey""".stripMargin, base)
+        val b1 = GpSqlDialect.execute(s, "FETCH 10 FROM top_cust", base)
+        val b2 = GpSqlDialect.execute(s, "FETCH FORWARD 10 FROM top_cust", base)
+        GpSqlDialect.execute(s, "CLOSE top_cust", base)
+        b1.select(lit(1).as("batch"), col("c_custkey"), col("c_name"))
+          .unionAll(
+            b2.select(lit(2).as("batch"), col("c_custkey"), col("c_name")))
+          .orderBy("batch", "c_custkey")
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

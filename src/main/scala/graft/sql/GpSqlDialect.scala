@@ -3,6 +3,8 @@ package graft.sql
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import graft.operators.SequenceOps
+
 /** GPDB DDL dialect shim (SURVEY §3.4 / §7.3): accepts the MPP clauses of
   * `CREATE TABLE` — `DISTRIBUTED BY (cols)` / `DISTRIBUTED RANDOMLY` /
   * `DISTRIBUTED REPLICATED` (reference: src/include/catalog/gp_policy.h:99-124,
@@ -71,9 +73,7 @@ object GpSqlDialect {
       "FOR UPDATE row locks (no lock manager; Spark has no row locks)",
     "(?is)\\bCREATE\\s+(UNIQUE\\s+)?INDEX\\b".r ->
       "CREATE INDEX (use Parquet min/max + filter pushdown instead)",
-    "(?is)\\bCREATE\\s+TRIGGER\\b".r -> "CREATE TRIGGER (no trigger engine)",
-    "(?is)\\bDECLARE\\s+\\w+\\s+CURSOR\\b".r ->
-      "cursors (use Dataset.toLocalIterator)")
+    "(?is)\\bCREATE\\s+TRIGGER\\b".r -> "CREATE TRIGGER (no trigger engine)")
 
   def rejectUnsupported(sql: String): Unit =
     Unsupported.foreach { case (re, why) =>
@@ -143,6 +143,48 @@ object GpSqlDialect {
       case Some(m) =>
         prepared.remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateSeqRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateSequence(spark, m.group(1), m.group(2))
+      case _ =>
+    }
+    DropSeqRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        SequenceOps.drop(m.group(1))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    SelectSeqFnRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeSequenceFn(spark, m.group(1).toLowerCase, m.group(2),
+          Option(m.group(3)))
+      case _ =>
+    }
+    BulkNextvalRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeBulkNextval(spark, m)
+      case _ =>
+    }
+    DeclareCursorRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeDeclareCursor(spark, m.group(1), m.group(2), basePath)
+      case _ =>
+    }
+    FetchRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeFetch(spark, Option(m.group(1)), m.group(2))
+      case _ =>
+    }
+    CloseCursorRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCloseCursor(spark, m.group(1))
+      case _ =>
+    }
+    AnalyzeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeAnalyze(spark, m.group(1))
       case _ =>
     }
     CreateMatViewRe.findFirstMatchIn(trimmed) match {
@@ -522,6 +564,205 @@ object GpSqlDialect {
         java.util.regex.Matcher.quoteReplacement(a.trim))
     }
     execute(spark, sub, basePath)
+  }
+
+  // ---- sequences (commands/sequence.c; GP seqserver cdb/cdbvars.c) ---
+
+  private val CreateSeqRe =
+    "(?is)^\\s*CREATE\\s+SEQUENCE\\s+(\\w+)\\b(.*)$".r
+  private val DropSeqRe =
+    "(?is)^\\s*DROP\\s+SEQUENCE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val SeqStartRe = "(?is)START\\s+(?:WITH\\s+)?(-?\\d+)".r
+  private val SeqIncRe = "(?is)INCREMENT\\s+(?:BY\\s+)?(-?\\d+)".r
+  private val SelectSeqFnRe =
+    ("(?is)^\\s*SELECT\\s+(nextval|currval|setval)\\s*\\(\\s*'(\\w+)'\\s*" +
+      "(?:,\\s*(-?\\d+)\\s*)?\\)\\s*$").r
+
+  /** `SELECT nextval('seq') AS alias, rest FROM ... ORDER BY ...` —
+    * the bulk-load shape. PG assigns in scan order (no guarantee); we
+    * require an ORDER BY and assign in that order, distributed via
+    * [[SequenceOps.assignIds]] (one reserved block, no per-row driver
+    * traffic, no single-partition window). ORDER BY items must be
+    * output columns of the select list. */
+  private val BulkNextvalRe =
+    ("(?is)^\\s*SELECT\\s+nextval\\s*\\(\\s*'(\\w+)'\\s*\\)\\s+AS\\s+(\\w+)" +
+      "\\s*,\\s*(.+?\\s+FROM\\s+.+?)\\s+ORDER\\s+BY\\s+(.+?)\\s*$").r
+
+  def executeCreateSequence(
+      spark: SparkSession, name: String, opts: String): DataFrame = {
+    val start = SeqStartRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      .getOrElse(1L)
+    val inc = SeqIncRe.findFirstMatchIn(opts).map(_.group(1).toLong)
+      .getOrElse(1L)
+    SequenceOps.create(name, start, inc)
+    spark.emptyDataFrame
+  }
+
+  private def executeSequenceFn(
+      spark: SparkSession, fn: String, seq: String,
+      arg: Option[String]): DataFrame = {
+    val v = fn match {
+      case "nextval" => SequenceOps.nextval(seq)
+      case "currval" => SequenceOps.currval(seq)
+      case "setval" => SequenceOps.setval(seq, arg.map(_.toLong).getOrElse(
+        throw new IllegalArgumentException("setval requires a value")))
+    }
+    spark.createDataFrame(
+      java.util.List.of(Row(v)), StructType(Seq(StructField(fn, LongType))))
+  }
+
+  private def executeBulkNextval(
+      spark: SparkSession, m: scala.util.matching.Regex.Match): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (seq, alias, body, order) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    val src = spark.sql(s"SELECT $body ORDER BY $order")
+    val orderCols = order.split(",").map(_.trim).filter(_.nonEmpty).map { o =>
+      val desc = o.matches("(?is).*\\sDESC\\s*$")
+      val c = expr(o.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", ""))
+      if (desc) c.desc else c
+    }
+    val withId =
+      SequenceOps.assignFromSequence(src, seq, alias, orderCols.toSeq)
+    withId.select((col(alias) +: src.columns.map(col)).toIndexedSeq: _*)
+  }
+
+  /** Run a SELECT body that may carry the bulk-nextval shape. */
+  private def selectWithSequences(
+      spark: SparkSession, body: String): DataFrame =
+    BulkNextvalRe.findFirstMatchIn(body) match {
+      case Some(m) => executeBulkNextval(spark, m)
+      case None => spark.sql(body)
+    }
+
+  // ---- cursors (commands/portalcmds.c PerformCursorOpen/PerformPortalFetch;
+  // GP parallel retrieve: gpcontrib/gp_parallel_retrieve_cursor) --------
+
+  /** DECLARE snapshots the query ONCE into an indexed parquet spool —
+    * exactly PG's WITH HOLD tuplestore (`portalcmds.c` PersistHoldablePortal):
+    * every FETCH is then a pruned range read, consistent across fetches
+    * regardless of concurrent DML. The row index is assigned with the
+    * same two-pass zip as [[SequenceOps.assignIds]] (no single-partition
+    * window), so spooling a 100 TB result is a distributed write and a
+    * FETCH reads only the rows it returns. For streaming retrieval
+    * without a spool (the parallel-retrieve use case) Spark's answer is
+    * `Dataset.toLocalIterator` — same one-partition-at-a-time contract
+    * as a segment endpoint. */
+  private val DeclareCursorRe =
+    ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:PARALLEL\\s+RETRIEVE\\s+)?" +
+      "(?:NO\\s+SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+)?FOR\\s+(.+)$").r
+  private val FetchRe =
+    ("(?is)^\\s*FETCH\\s+(?:(?:FORWARD|NEXT)\\s+)?(ALL|\\d+)?\\s*" +
+      "(?:FROM|IN)\\s+(\\w+)\\s*$").r
+  private val CloseCursorRe = "(?is)^\\s*CLOSE\\s+(\\w+)\\s*$".r
+
+  private final case class CursorState(path: String, var pos: Long)
+  private val cursors =
+    scala.collection.concurrent.TrieMap.empty[String, CursorState]
+
+  def executeDeclareCursor(
+      spark: SparkSession, name: String, select: String,
+      basePath: String): DataFrame = {
+    val df = execute(spark, select, basePath)
+    val schema = df.schema.add(StructField("__pos", LongType, false))
+    val indexed = spark.createDataFrame(
+      df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cursor_${name.toLowerCase}"
+    indexed.write.mode("overwrite").parquet(path)
+    cursors.put(name.toLowerCase, CursorState(path, 0L))
+    spark.emptyDataFrame
+  }
+
+  /** FETCH [FORWARD|NEXT] [n|ALL] FROM name. Bare FETCH = 1 row (PG).
+    * The page is materialized before returning — FETCH delivers rows to
+    * the client in PG, and eager delivery keeps a later CLOSE (which
+    * drops the spool) from invalidating pages already handed out. Page
+    * size is the client's fetch count; FETCH ALL of a huge cursor is
+    * driver-sized, exactly like PG's client buffering. */
+  def executeFetch(
+      spark: SparkSession, count: Option[String], name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val c = cursors.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"cursor $name does not exist"))
+    val snap = spark.read.parquet(c.path)
+    val page = count.map(_.toUpperCase) match {
+      case Some("ALL") =>
+        val o = snap.filter(col("__pos") >= c.pos)
+        c.pos = Long.MaxValue
+        o
+      case other =>
+        val n = other.map(_.toLong).getOrElse(1L)
+        val o = snap.filter(col("__pos") >= c.pos && col("__pos") < c.pos + n)
+        c.pos += n
+        o
+    }
+    val ordered = page.orderBy("__pos").drop("__pos")
+    spark.createDataFrame(
+      java.util.Arrays.asList(ordered.collect(): _*), ordered.schema)
+  }
+
+  def executeCloseCursor(spark: SparkSession, name: String): DataFrame = {
+    cursors.remove(name.toLowerCase).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c.path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    spark.emptyDataFrame
+  }
+
+  // ---- ANALYZE (commands/analyze.c; GP merges per-segment samples) ----
+
+  /** `ANALYZE table` → one-pass per-column statistics (row count, null
+    * count, NDV estimate, min/max) into the stats catalog, returned as
+    * one row per column — pg_statistic's shape. NDV is HLL
+    * (approx_count_distinct) exactly like PG's sampled estimate: at
+    * 100 TB you never compute exact per-column distincts for stats.
+    * The whole table is read ONCE (all stats fold into one partial/final
+    * aggregate); min/max surface as strings like pg_stats. */
+  private val AnalyzeRe =
+    "(?is)^\\s*ANALYZE\\s+(?:VERBOSE\\s+)?(\\w+)\\s*$".r
+
+  /** Last ANALYZE result per table — the pg_statistic analogue. */
+  val tableStats =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def executeAnalyze(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = catalog.get(table.toLowerCase) match {
+      case Some(t) if t.format != "csv" => spark.read.parquet(t.path)
+      case _ => spark.table(table)
+    }
+    val cols = df.schema.fields.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    })
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(when(c.isNull, 1)).as(s"__nulls_${f.name}"),
+        approx_count_distinct(c).as(s"__ndv_${f.name}"),
+        min(c).cast("string").as(s"__min_${f.name}"),
+        max(c).cast("string").as(s"__max_${f.name}"))
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    val stats = cols.map { f =>
+      Row(table.toLowerCase, f.name, n,
+        row.getAs[Long](s"__nulls_${f.name}"),
+        row.getAs[Long](s"__ndv_${f.name}"),
+        row.getAs[String](s"__min_${f.name}"),
+        row.getAs[String](s"__max_${f.name}"))
+    }
+    val schema = StructType(Seq(
+      StructField("tablename", StringType), StructField("attname", StringType),
+      StructField("n_rows", LongType), StructField("n_nulls", LongType),
+      StructField("n_distinct", LongType), StructField("min_value", StringType),
+      StructField("max_value", StringType)))
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(stats: _*), schema)
+    tableStats.put(table.toLowerCase, out)
+    out
   }
 
   // ---- SELECT-side PG dialect rewrites -------------------------------
@@ -988,7 +1229,7 @@ object GpSqlDialect {
     val src0 =
       if (body.toUpperCase.startsWith("VALUES"))
         spark.sql(s"SELECT * FROM ($body) AS v")
-      else spark.sql(body)
+      else selectWithSequences(spark, body)
     require(src0.columns.length == t.schema.length,
       s"INSERT INTO $name: ${src0.columns.length} columns, expected ${t.schema.length}")
     appendFrame(spark, t, src0)

@@ -149,13 +149,45 @@ class ExpressionSpec extends AnyFunSuite {
     Seq(
       "SELECT * FROM orders FOR UPDATE",
       "CREATE INDEX idx ON orders(o_orderkey)",
-      "CREATE TRIGGER t AFTER INSERT ON orders EXECUTE f()",
-      "DECLARE c1 CURSOR FOR SELECT 1"
+      "CREATE TRIGGER t AFTER INSERT ON orders EXECUTE f()"
     ).foreach { sql =>
       intercept[UnsupportedOperationException] {
         GpSqlDialect.execute(spark, sql, "/tmp/never")
       }
     }
+  }
+
+  test("cursors: DECLARE spools once, FETCH pages, CLOSE releases") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cur_spec"
+    GpSqlDialect.execute(spark,
+      """DECLARE c1 CURSOR WITH HOLD FOR
+        |SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""".stripMargin,
+      base)
+    // bare FETCH = 1 row (PG); numbered FETCH pages forward; ALL drains
+    val first = GpSqlDialect.execute(spark, "FETCH FROM c1", base).collect()
+    assert(first.map(_.getInt(0)).toSeq == Seq(0))
+    val page = GpSqlDialect.execute(spark, "FETCH 5 FROM c1", base).collect()
+    assert(page.map(_.getInt(0)).toSeq == (1 to 5))
+    val rest = GpSqlDialect.execute(spark, "FETCH ALL FROM c1", base).collect()
+    assert(rest.map(_.getInt(0)).toSeq == (6 to 24))
+    // drained cursor fetches empty; CLOSE then invalidates the name
+    assert(GpSqlDialect.execute(spark, "FETCH 5 FROM c1", base).isEmpty)
+    GpSqlDialect.execute(spark, "CLOSE c1", base)
+    intercept[IllegalArgumentException] {
+      GpSqlDialect.execute(spark, "FETCH 1 FROM c1", base)
+    }
+  }
+
+  test("ANALYZE computes pg_statistic-shaped per-column stats in one pass") {
+    Tables.registerAll(spark, sf)
+    val stats = GpSqlDialect.execute(spark, "ANALYZE nation", "/tmp/never")
+      .collect().map(r => r.getString(1) -> r).toMap
+    val key = stats("n_nationkey")
+    assert(key.getLong(2) == 25L && key.getLong(3) == 0L) // rows, nulls
+    assert(key.getString(5) == "0" && key.getString(6) == "24") // min/max
+    assert(math.abs(key.getLong(4) - 25L) <= 2) // HLL NDV estimate
+    assert(GpSqlDialect.tableStats.contains("nation"))
   }
 
   test("GpSqlDialect scripts split correctly and PREPARE/EXECUTE substitutes") {

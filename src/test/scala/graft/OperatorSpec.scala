@@ -245,6 +245,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == loaded.count())
   }
 
+  test("SequenceOps.assignIds is dense, ordered, distributed") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      (lit(999) - $"id").as("key"), ($"id" % 7).as("v"))
+      .repartition(8) // scrambled input partitions
+    val out = SequenceOps.assignIds(df, "seq", 100L, Seq($"key"))
+    val rows = out.select("key", "seq").as[(Long, Long)].collect().sortBy(_._1)
+    // key k (0..999) gets id 100+k — dense, in key order, regardless of
+    // input partitioning; no single-partition window involved
+    assert(rows.zipWithIndex.forall { case ((k, s), i) =>
+      k == i && s == 100L + i })
+    graft.operators.KernelCaches.releaseAll()
+  }
+
+  test("SequenceOps nextval/currval/reserve semantics") {
+    SequenceOps.create("t_seq", start = 5, increment = 3)
+    intercept[IllegalStateException](SequenceOps.currval("t_seq"))
+    assert(SequenceOps.nextval("t_seq") == 5)   // first call = START
+    assert(SequenceOps.nextval("t_seq") == 8)
+    assert(SequenceOps.currval("t_seq") == 8)
+    val base = SequenceOps.reserve("t_seq", 4)  // block 11,14,17,20
+    assert(base == 11)
+    assert(SequenceOps.nextval("t_seq") == 23)  // continues past block
+    SequenceOps.setval("t_seq", 100, isCalled = false)
+    assert(SequenceOps.nextval("t_seq") == 100) // is_called=false → next returns v
+    SequenceOps.drop("t_seq")
+    intercept[IllegalArgumentException](SequenceOps.nextval("t_seq"))
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
