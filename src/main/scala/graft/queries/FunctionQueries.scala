@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{JsonbFunctions, PgFunctions}
+import graft.functions.{JsonbFunctions, PgFunctions, RangeFunctions}
 
 /** SURVEY §2.10 scalar function surface (reference: src/backend/utils/adt/
   * — varlena.c, oracle_compat.c, numeric.c, timestamp.c, arrayfuncs.c,
@@ -842,6 +842,49 @@ object FunctionQueries {
           PgFunctions.widthBucket($"c_acctbal", lit(0d), lit(10000d), lit(10L))
             .cast("int").as("bucket"))
           .orderBy("c_custkey")
+    },
+
+    // Range types (rangetypes.c): tsrange in canonical half-open form as
+    // struct(lower, upper) + pure-Column operators (@>, &&, *, -) — all
+    // codegen'd comparisons, so range predicates push down like any
+    // scalar filter. The 30-day ship window vs the fixed 95Q2 quarter.
+    Q("q_fn_range", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_shipdate < TIMESTAMP '1995-07-01'
+        |   AND TIMESTAMP '1995-04-01' < l_shipdate + INTERVAL 30 DAY) AS in_q2,
+        |  (l_shipdate <= TIMESTAMP '1995-05-15'
+        |   AND TIMESTAMP '1995-05-15' < l_shipdate + INTERVAL 30 DAY) AS has_mid,
+        |  GREATEST(0, CAST(epoch(LEAST(l_shipdate + INTERVAL 30 DAY, TIMESTAMP '1995-07-01'))
+        |    - epoch(GREATEST(l_shipdate, TIMESTAMP '1995-04-01')) AS BIGINT)) AS isect_sec,
+        |  CASE
+        |    WHEN l_shipdate + INTERVAL 30 DAY <= TIMESTAMP '1995-04-01'
+        |      OR TIMESTAMP '1995-07-01' <= l_shipdate THEN 2592000
+        |    WHEN l_shipdate < TIMESTAMP '1995-04-01'
+        |      THEN CAST(epoch(TIMESTAMP '1995-04-01') - epoch(l_shipdate) AS BIGINT)
+        |    WHEN l_shipdate + INTERVAL 30 DAY > TIMESTAMP '1995-07-01'
+        |      THEN CAST(epoch(l_shipdate + INTERVAL 30 DAY) - epoch(TIMESTAMP '1995-07-01') AS BIGINT)
+        |    ELSE 0 END AS minus_sec
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        import RangeFunctions._
+        val shipWin = range($"l_shipdate",
+          $"l_shipdate" + expr("INTERVAL 30 DAY"))
+        val q2 = range(lit("1995-04-01").cast("timestamp"),
+          lit("1995-07-01").cast("timestamp"))
+        val isect = intersect(shipWin, q2)
+        val diff = minus(shipWin, q2)
+        def secs(r: org.apache.spark.sql.Column) = greatest(lit(0L),
+          unix_timestamp(upperBound(r)) - unix_timestamp(lowerBound(r)))
+        Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 2000).select(
+          $"l_orderkey", $"l_linenumber",
+          overlaps(shipWin, q2).as("in_q2"),
+          containsElem(shipWin, lit("1995-05-15").cast("timestamp"))
+            .as("has_mid"),
+          secs(isect).as("isect_sec"),
+          coalesce(secs(diff), lit(0L)).as("minus_sec"))
+          .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }

@@ -158,6 +158,86 @@ object WindowQueries {
         .select($"s_nationkey", $"s_suppkey", $"s_acctbal",
           count(lit(1)).over(w).as("n_near"))
         .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+    },
+
+    // GROUPS frame mode (parsenodes.h FRAMEOPTION_GROUPS; PG 11+,
+    // nodeWindowAgg.c update_frameheadpos GROUPS branches). Spark has no
+    // GROUPS mode — the distributed formulation collapses each peer
+    // group to ONE row (partial agg before the window shuffle), runs a
+    // ROWS frame over the collapsed groups (ROWS ≡ GROUPS when every
+    // group is one row), and joins the framed value back. The collapsed
+    // relation is |distinct keys| — tiny next to the input — so the
+    // extra join broadcasts at scale. Oracle uses the spec identity
+    // GROUPS ≡ RANGE over dense_rank(), executed natively by DuckDB.
+    Q("q_window_groups", Some(
+      """WITH d AS (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    dense_rank() OVER (PARTITION BY s_nationkey
+        |      ORDER BY CAST(floor(s_acctbal/1000) AS INTEGER)) AS drk
+        |  FROM supplier)
+        |SELECT s_nationkey, s_suppkey,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY s_nationkey ORDER BY drk
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+        |FROM d ORDER BY s_nationkey, s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val sup = Tables.T(s, dir).supplier
+        .withColumn("gkey", floor($"s_acctbal" / 1000).cast("int"))
+      val groups = sup.groupBy($"s_nationkey", $"gkey")
+        .agg(sum($"s_acctbal".cast(DecimalType(28, 6))).as("g_sum"))
+      val wg = Window.partitionBy($"s_nationkey").orderBy($"gkey")
+        .rowsBetween(-1, 1)
+      val framed = groups.select($"s_nationkey", $"gkey",
+        sum($"g_sum").over(wg).cast("double").as("grp_sum"))
+      sup.join(broadcast(framed), Seq("s_nationkey", "gkey"))
+        .select($"s_nationkey", $"s_suppkey", $"grp_sum")
+        .orderBy("s_nationkey", "s_suppkey")
+    },
+
+    // Frame EXCLUDE clauses (FRAMEOPTION_EXCLUDE_*; PG 11+). Spark has
+    // none — but with a RANGE frame every peer of the current row is
+    // inside the frame, so all three modes are frame-sum arithmetic:
+    //   EXCLUDE CURRENT ROW = frame − current
+    //   EXCLUDE GROUP       = frame − peer-group sum
+    //   EXCLUDE TIES        = frame − peer-group sum + current
+    // One window shuffle total: the peer-group sum is a second window
+    // over (partition, order-value) — same hash partitioning, no extra
+    // Exchange. DuckDB executes the real EXCLUDE natively.
+    Q("q_window_exclude", Some(
+      """SELECT s_nationkey, s_suppkey,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY s_nationkey ORDER BY CAST(floor(s_acctbal/500) AS INTEGER)
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |    EXCLUDE CURRENT ROW) AS DOUBLE) AS ex_cur,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY s_nationkey ORDER BY CAST(floor(s_acctbal/500) AS INTEGER)
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |    EXCLUDE GROUP) AS DOUBLE) AS ex_grp,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY s_nationkey ORDER BY CAST(floor(s_acctbal/500) AS INTEGER)
+        |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+        |    EXCLUDE TIES) AS DOUBLE) AS ex_ties
+        |FROM supplier ORDER BY s_nationkey, s_suppkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val dec = $"s_acctbal".cast(DecimalType(28, 6))
+      val sup = Tables.T(s, dir).supplier
+        .withColumn("k", floor($"s_acctbal" / 500).cast("int"))
+      val wFrame = Window.partitionBy($"s_nationkey").orderBy($"k")
+        .rangeBetween(-2, 2)
+      val wPeers = Window.partitionBy($"s_nationkey", $"k")
+      val frameSum = sum(dec).over(wFrame)
+      val peerSum = sum(dec).over(wPeers)
+      // SQL spec: an aggregate over a frame that the EXCLUDE clause
+      // empties returns NULL (sum of no rows), not 0 — gate each mode
+      // on the surviving row count.
+      val frameCnt = count(lit(1)).over(wFrame)
+      val peerCnt = count(lit(1)).over(wPeers)
+      sup.select($"s_nationkey", $"s_suppkey",
+          when(frameCnt > 1, (frameSum - dec).cast("double")).as("ex_cur"),
+          when(frameCnt > peerCnt, (frameSum - peerSum).cast("double"))
+            .as("ex_grp"),
+          (frameSum - peerSum + dec).cast("double").as("ex_ties"))
+        .orderBy("s_nationkey", "s_suppkey")
     }
   )
 }

@@ -157,6 +157,35 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeFunctions: PG range operator semantics on struct ranges") {
+    import spark.implicits._
+    import graft.functions.RangeFunctions._
+    // int ranges [lo, hi) — canonical discrete form (rangetypes.c)
+    val df = Seq((1, 5, 3, 8), (1, 5, 5, 9), (1, 5, 6, 9), (2, 8, 3, 5),
+        (5, 5, 1, 9))
+      .toDF("a_lo", "a_hi", "b_lo", "b_hi")
+      .select(range($"a_lo", $"a_hi").as("a"), range($"b_lo", $"b_hi").as("b"))
+    val r = df.select(
+      overlaps($"a", $"b"), adjacent($"a", $"b"), strictlyLeft($"a", $"b"),
+      containsRange($"a", $"b"), isEmpty($"a"),
+      upperBound(intersect($"a", $"b")) - lowerBound(intersect($"a", $"b")),
+      lowerBound(unionSpan($"a", $"b")), upperBound(unionSpan($"a", $"b")),
+      lowerBound(minus($"a", $"b")), upperBound(minus($"a", $"b"))).collect()
+    // [1,5) vs [3,8): overlap, isect width 2, union [1,8), minus [1,3)
+    assert(r(0).getBoolean(0) && !r(0).getBoolean(1) && !r(0).getBoolean(2))
+    assert(r(0).getInt(5) == 2 && r(0).getInt(6) == 1 && r(0).getInt(7) == 8)
+    assert(r(0).getInt(8) == 1 && r(0).getInt(9) == 3)
+    // [1,5) vs [5,9): adjacent (half-open touch), union spans [1,9)
+    assert(!r(1).getBoolean(0) && r(1).getBoolean(1) && r(1).getBoolean(2))
+    assert(r(1).getInt(6) == 1 && r(1).getInt(7) == 9)
+    // [1,5) vs [6,9): disjoint non-adjacent → unionSpan null (PG errors)
+    assert(!r(2).getBoolean(0) && !r(2).getBoolean(1) && r(2).isNullAt(6))
+    // [2,8) ⊇ [3,5); minus would split → null (PG errors, range_minus)
+    assert(r(3).getBoolean(3) && r(3).isNullAt(8))
+    // empty [5,5): contained by everything, contains nothing non-empty
+    assert(r(4).getBoolean(4) && !r(4).getBoolean(3) && !r(4).getBoolean(0))
+  }
+
   test("cursors: DECLARE spools once, FETCH pages, CLOSE releases") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cur_spec"
