@@ -328,6 +328,43 @@ object PipelineQueries {
         .orderBy("canonical_id")
     },
 
+    // Duplicate-cluster canonicalization: near-dup kernels emit PAIRS;
+    // keep-one-per-cluster needs the connected COMPONENT of each doc.
+    // Distributed min-label propagation (Components.scala) over chain
+    // edges linking each doc to its next BOW-equal doc — multi-hop
+    // components, so single-round propagation would get this wrong.
+    // Oracle: WITH RECURSIVE reachability + min(comp), per nodeRecursiveunion.c.
+    Q("q_dedup_components", Some(
+      s"""WITH RECURSIVE
+         |fp AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort($tokset), ' ')) AS fp
+         |  FROM documents),
+         |e0 AS (SELECT a.doc_id AS src, min(b.doc_id) AS dst
+         |       FROM fp a JOIN fp b ON a.fp = b.fp AND b.doc_id > a.doc_id
+         |       GROUP BY a.doc_id),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val fp = Tables.T(s, dir).documents
+        .select($"doc_id", TextAnalysis.bowFingerprint($"text").as("fp"))
+      val e0 = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("b.doc_id") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("src"))
+        .agg(min(col("b.doc_id")).as("dst"))
+      graft.operators.Components.connectedComponents(e0, "src", "dst")
+        .select($"id".as("doc_id"), $"component")
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),

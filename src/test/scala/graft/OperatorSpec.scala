@@ -245,6 +245,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == loaded.count())
   }
 
+  test("Components: multi-hop chains, rings, and canonicalization") {
+    import spark.implicits._
+    // chain 1-2-3-4, ring 10-11-12-10, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val comps = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+    // canonicalize: singleton docs become their own cluster
+    val docs = (1L to 6L).toDF("doc_id")
+    val canon = Components
+      .canonicalize(docs, "doc_id", Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+        "a", "b")
+      .select($"doc_id", $"cluster", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(canon.toSeq == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false), (4L, 4L, true), (5L, 5L, true), (6L, 6L, true)))
+    // unconverged graphs fail loudly rather than returning wrong labels
+    val chain = (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "a", "b", maxIter = 3)
+    }
+  }
+
   test("SequenceOps.assignIds is dense, ordered, distributed") {
     import spark.implicits._
     val df = spark.range(0, 1000).select(
