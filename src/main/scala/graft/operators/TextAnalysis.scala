@@ -132,6 +132,40 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
 
+  // ---- PII scrubbing -------------------------------------------------
+  // Training corpora are scrubbed before use; these are the standard
+  // pattern classes (emails, IPv4s, 13-19-digit card runs, +CC phone
+  // numbers). Pure regexp_replace/regexp_count chains — codegen'd, one
+  // pass per pattern, no UDFs — so a 100 TB scrub is a map-only stage.
+  // Patterns stay within the RE2 ∩ java.util.regex common subset so an
+  // independent engine (the oracle) reproduces them exactly.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val CardRe = "\\b\\d{13,19}\\b"
+  val PhoneRe = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{4}\\b"
+
+  /** Replace each PII class with a typed placeholder. Order matters:
+    * emails first (digits inside are protected by the @-context), then
+    * IPs (dot-separated short digit runs), then card runs (13-19
+    * digits), then phones — each later pattern cannot match inside an
+    * earlier placeholder. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        CardRe, "<CARD>"),
+      PhoneRe, "<PHONE>")
+
+  /** Occurrence counts per class on the UNREDACTED text (audit metric). */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).as("n_email"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ip"),
+    regexp_count(text, lit(CardRe)).as("n_card"),
+    regexp_count(text, lit(PhoneRe)).as("n_phone"))
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
     * catches duplicates that only differ by word order. */
   def bowFingerprint(text: Column): Column =

@@ -328,6 +328,41 @@ object PipelineQueries {
         .orderBy("canonical_id")
     },
 
+    // PII scrubbing: the synthetic docs carry no PII, so deterministic
+    // per-doc email/phone/IP/card strings are appended first — the
+    // redaction machinery (pattern classes, replacement order, audit
+    // counts) is what's under test. Map-only, codegen'd, no shuffle.
+    Q("q_text_redact", Some(
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +1 555-' ||
+        |  printf('%04d', doc_id % 10000) || ' ip 10.0.' || (doc_id % 256) ||
+        |  '.' || (doc_id % 100) || ' card 4111111111111' ||
+        |  printf('%03d', doc_id % 1000) AS t FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{13,19}\b', '<CARD>', 'g'),
+        |    '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{13,19}\b')) AS n_card,
+        |  len(regexp_extract_all(t, '\+\d{1,3}[ -]\d{3}[ -]\d{4}\b')) AS n_phone
+        |FROM p ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val withPii = Tables.T(s, dir).documents.select($"doc_id", concat(
+        $"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or +1 555-"), format_string("%04d", $"doc_id" % 10000),
+        lit(" ip 10.0."), ($"doc_id" % 256).cast("string"),
+        lit("."), ($"doc_id" % 100).cast("string"),
+        lit(" card 4111111111111"), format_string("%03d", $"doc_id" % 1000))
+        .as("t"))
+      withPii.select(
+        ($"doc_id" +: md5(TextAnalysis.redactPii($"t").cast("binary"))
+          .as("redacted_md5") +: TextAnalysis.piiCounts($"t")): _*)
+        .orderBy("doc_id")
+    },
+
     // Duplicate-cluster canonicalization: near-dup kernels emit PAIRS;
     // keep-one-per-cluster needs the connected COMPONENT of each doc.
     // Distributed min-label propagation (Components.scala) over chain
