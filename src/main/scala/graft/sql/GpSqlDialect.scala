@@ -187,6 +187,26 @@ object GpSqlDialect {
         return executeAnalyze(spark, m.group(1))
       case _ =>
     }
+    SetGucRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeSetGuc(spark, m.group(2).toLowerCase, m.group(3))
+      case _ =>
+    }
+    ShowGucRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeShowGuc(spark, m.group(1).toLowerCase)
+      case _ =>
+    }
+    ResetGucRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        gucs.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    if (CatalogViewRe.findFirstIn(trimmed).isDefined) {
+      refreshCatalogViews(spark)
+      return spark.sql(rewriteCatalogNames(trimmed))
+    }
     CreateMatViewRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateMatView(spark, m.group(1).toLowerCase,
@@ -207,6 +227,7 @@ object GpSqlDialect {
     DropViewRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         spark.catalog.dropTempView(m.group(1).toLowerCase)
+        sessionViews.remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
       case _ =>
     }
@@ -765,6 +786,111 @@ object GpSqlDialect {
     out
   }
 
+  // ---- session GUCs (guc.c / guc_gp.c; every GP script opens with
+  // SETs: optimizer, search_path, gp_autostats_mode, work_mem...) ------
+
+  private val SetGucRe =
+    ("(?is)^\\s*SET\\s+(LOCAL\\s+|SESSION\\s+)?([\\w.]+)\\s*" +
+      "(?:=|\\bTO\\b)\\s*(.+?)\\s*;?\\s*$").r
+  private val ShowGucRe = "(?is)^\\s*SHOW\\s+([\\w.]+)\\s*$".r
+  private val ResetGucRe = "(?is)^\\s*RESET\\s+([\\w.]+)\\s*$".r
+
+  private val gucs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** SET records the GUC (PG semantics: SHOW returns it back; GP
+    * planner/resource GUCs are accepted compatibility no-ops — Catalyst
+    * replaces the knobs they tune); `spark.*` keys additionally pass
+    * through to the live Spark conf so real tuning stays reachable. */
+  def executeSetGuc(
+      spark: SparkSession, name: String, rawValue: String): DataFrame = {
+    val v = rawValue.trim.stripPrefix("'").stripSuffix("'")
+    gucs.put(name, v)
+    if (name.startsWith("spark.")) spark.conf.set(name, v)
+    spark.emptyDataFrame
+  }
+
+  def executeShowGuc(spark: SparkSession, name: String): DataFrame = {
+    if (name == "all")
+      return spark.createDataFrame(
+        java.util.Arrays.asList(
+          gucs.toSeq.sortBy(_._1).map(kv => Row(kv._1, kv._2)): _*),
+        StructType(Seq(StructField("name", StringType),
+          StructField("setting", StringType))))
+    val v = gucs.get(name)
+      .orElse(if (name.startsWith("spark.")) spark.conf.getOption(name)
+        else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"""unrecognized configuration parameter "$name""""))
+    spark.createDataFrame(java.util.List.of(Row(v)),
+      StructType(Seq(StructField(name.replace('.', '_'), StringType))))
+  }
+
+  // ---- catalog introspection (pg_tables / pg_matviews /
+  // gp_distribution_policy / information_schema.columns) ---------------
+
+  private val CatalogViewRe =
+    ("(?i)\\b(pg_tables|pg_views|pg_matviews|gp_distribution_policy|" +
+      "information_schema\\.columns)\\b").r
+
+  private def rewriteCatalogNames(sql: String): String =
+    sql.replaceAll("(?i)\\binformation_schema\\.columns\\b",
+      "information_schema_columns")
+      .replaceAll("(?i)\\bpg_catalog\\.", "")
+
+  /** Materialize the introspection views from the session catalog —
+    * catalog-scale rows, rebuilt per query like PG's syscache reads. */
+  def refreshCatalogViews(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tables = catalog.values.toSeq.sortBy(_.name)
+    spark.createDataFrame(
+      tables.map(t => Row("public", t.name, "graft", t.format,
+        t.partitionCols.mkString(","))).asJava,
+      StructType(Seq(
+        StructField("schemaname", StringType),
+        StructField("tablename", StringType),
+        StructField("tableowner", StringType),
+        StructField("storage", StringType),
+        StructField("partitionkey", StringType))))
+      .createOrReplaceTempView("pg_tables")
+    spark.createDataFrame(
+      tables.map(t => Row(t.name,
+        if (t.distributionCols.nonEmpty) t.distributionCols.mkString(",") else null)).asJava,
+      StructType(Seq(
+        StructField("localoid", StringType),
+        StructField("distkey", StringType))))
+      .createOrReplaceTempView("gp_distribution_policy")
+    spark.createDataFrame(
+      matviews.keys.toSeq.sorted.map(Row("public", _, "graft")).asJava,
+      StructType(Seq(
+        StructField("schemaname", StringType),
+        StructField("matviewname", StringType),
+        StructField("matviewowner", StringType))))
+      .createOrReplaceTempView("pg_matviews")
+    spark.createDataFrame(
+      sessionViews.asScala.toSeq.sorted.map(Row("public", _, "graft")).asJava,
+      StructType(Seq(
+        StructField("schemaname", StringType),
+        StructField("viewname", StringType),
+        StructField("viewowner", StringType))))
+      .createOrReplaceTempView("pg_views")
+    spark.createDataFrame(
+      tables.flatMap(t => t.schema.fields.zipWithIndex.map { case (f, i) =>
+        Row("public", t.name, f.name, i + 1, f.dataType.sql.toLowerCase,
+          f.nullable)
+      }).asJava,
+      StructType(Seq(
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("column_name", StringType),
+        StructField("ordinal_position", IntegerType),
+        StructField("data_type", StringType),
+        StructField("is_nullable", BooleanType))))
+      .createOrReplaceTempView("information_schema_columns")
+  }
+
+  private val sessionViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   // ---- SELECT-side PG dialect rewrites -------------------------------
 
   /** `SELECT DISTINCT ON (exprs) list FROM ... [ORDER BY ...]`
@@ -892,6 +1018,7 @@ object GpSqlDialect {
       basePath: String): DataFrame = {
     val df = execute(spark, body, basePath)
     df.createOrReplaceTempView(name)
+    sessionViews.add(name)
     df
   }
 

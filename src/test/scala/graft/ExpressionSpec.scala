@@ -157,6 +157,39 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("GUCs: SET/SHOW/RESET round-trip; catalog views reflect DDL") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_guc_spec"
+    // GP script preamble: planner GUCs are accepted + SHOWable no-ops
+    GpSqlDialect.execute(spark, "SET optimizer = off", base)
+    GpSqlDialect.execute(spark, "SET search_path TO public, ext", base)
+    assert(GpSqlDialect.execute(spark, "SHOW optimizer", base)
+      .head.getString(0) == "off")
+    assert(GpSqlDialect.execute(spark, "SHOW search_path", base)
+      .head.getString(0) == "public, ext")
+    assert(GpSqlDialect.execute(spark, "SHOW ALL", base).count() >= 2)
+    GpSqlDialect.execute(spark, "RESET optimizer", base)
+    intercept[IllegalArgumentException] {
+      GpSqlDialect.execute(spark, "SHOW optimizer", base)
+    }
+    // introspection: a created table appears in pg_tables with its
+    // distribution key in gp_distribution_policy and typed columns
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE guc_t (a bigint, b text) DISTRIBUTED BY (a)", base)
+    val pt = GpSqlDialect.execute(spark,
+      "SELECT tablename FROM pg_tables WHERE tablename = 'guc_t'", base)
+    assert(pt.count() == 1)
+    val dk = GpSqlDialect.execute(spark,
+      "SELECT distkey FROM gp_distribution_policy WHERE localoid = 'guc_t'",
+      base)
+    assert(dk.head.getString(0) == "a")
+    val cols = GpSqlDialect.execute(spark,
+      """SELECT column_name, data_type FROM information_schema.columns
+        |WHERE table_name = 'guc_t' ORDER BY ordinal_position""".stripMargin,
+      base).collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(cols.map(_.getString(1)).toSeq == Seq("bigint", "string"))
+  }
+
   test("RangeFunctions: PG range operator semantics on struct ranges") {
     import spark.implicits._
     import graft.functions.RangeFunctions._
