@@ -23,6 +23,10 @@ object Dml {
     * old copy. A crash at any step leaves either the old or the new
     * table recoverable on disk (the previous delete-then-rename lost
     * the published table if it died between the two calls). */
+  private[graft] def overwrite(
+      spark: SparkSession, path: String, next: DataFrame): Unit =
+    overwriteInPlace(spark, path, next)
+
   private def overwriteInPlace(
       spark: SparkSession, path: String, next: DataFrame): Unit = {
     val tmp = path + ".cow-tmp"

@@ -266,6 +266,12 @@ object GpSqlDialect {
         return executeVacuum(spark, m.group(1).toLowerCase)
       case _ =>
     }
+    ClusterRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeCluster(spark, m.group(1).toLowerCase,
+          m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case _ =>
+    }
     val ddl = parse(stripPartitionBy(trimmed)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
@@ -1045,6 +1051,22 @@ object GpSqlDialect {
     * catalog table ([[graft.operators.Dml.compact]]). */
   private val VacuumRe =
     "(?is)^\\s*VACUUM\\s+(?:FULL\\s+)?(\\w+)\\s*$".r
+
+  /** `CLUSTER table BY (cols)` (commands/cluster.c; GP REORGANIZE) →
+    * Z-order rewrite of the backing parquet so min/max file skipping
+    * stays effective on every listed column ([[graft.operators.Layout]]). */
+  private val ClusterRe =
+    "(?is)^\\s*CLUSTER\\s+(\\w+)\\s+BY\\s*\\(([^)]*)\\)\\s*$".r
+
+  def executeCluster(
+      spark: SparkSession, table: String, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val t = catalog(table)
+    val files = graft.operators.Layout.clusterTable(spark, t.path, cols)
+    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    Seq((table, cols.mkString(","), files))
+      .toDF("table", "cluster_key", "files")
+  }
 
   def executeVacuum(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

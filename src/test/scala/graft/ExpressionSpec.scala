@@ -307,6 +307,42 @@ class ExpressionSpec extends AnyFunSuite {
     assert(after == sum0)
   }
 
+  test("CLUSTER BY z-orders the table: per-file ranges narrow on BOTH keys") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE zc AS
+        |SELECT o_custkey, o_totalprice, o_orderkey FROM orders""".stripMargin,
+      base)
+    // spread = avg over files of (file's key range / global key range);
+    // 1.0 ≈ every file covers the whole domain (no skipping possible)
+    def spread(c: String): Double = {
+      val t = spark.read.parquet(s"$base/zc")
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .agg(avg($"w")).head.getDouble(0)
+      val g = spark.read.parquet(s"$base/zc")
+        .agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      t / g
+    }
+    // randomize layout first so the baseline has full-domain files
+    graft.operators.Dml.overwrite(spark, s"$base/zc",
+      spark.read.parquet(s"$base/zc").repartition(8))
+    val (s1, s2) = (spread("o_custkey"), spread("o_totalprice"))
+    val r = GpSqlDialect.execute(spark,
+      "CLUSTER zc BY (o_custkey, o_totalprice)", base)
+    assert(r.head.getString(1) == "o_custkey,o_totalprice")
+    val (z1, z2) = (spread("o_custkey"), spread("o_totalprice"))
+    // both dimensions narrow substantially at once — the Z-order claim
+    assert(z1 < s1 * 0.6, s"o_custkey spread $s1 -> $z1")
+    assert(z2 < s2 * 0.6, s"o_totalprice spread $s2 -> $z2")
+    // and the data survives the rewrite byte-for-byte
+    val sum0 = Tables.T(spark, sf).orders.agg(sum($"o_orderkey")).head.getLong(0)
+    assert(spark.read.parquet(s"$base/zc").agg(sum($"o_orderkey"))
+      .head.getLong(0) == sum0)
+  }
+
   test("GpSqlDialect.execute runs GP-dialect CTAS end-to-end") {
     Tables.registerAll(spark, sf)
     val out = GpSqlDialect.execute(spark,
