@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{JsonbFunctions, PgFunctions, RangeFunctions}
+import graft.sql.GpSqlDialect
 
 /** SURVEY §2.10 scalar function surface (reference: src/backend/utils/adt/
   * — varlena.c, oracle_compat.c, numeric.c, timestamp.c, arrayfuncs.c,
@@ -842,6 +843,35 @@ object FunctionQueries {
           PgFunctions.widthBucket($"c_acctbal", lit(0d), lit(10000d), lit(10L))
             .cast("int").as("bucket"))
           .orderBy("c_custkey")
+    },
+
+    // Enum types (enum.c, typecmds.c): comparison follows DECLARATION
+    // order, not label text — the enum here reverses the lexical order
+    // of the priority labels, so an enum-ordered sort differs from a
+    // string sort (which is exactly what the oracle CASE encodes).
+    Q("q_fn_enum", Some(
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE o_orderpriority
+        |    WHEN '5-LOW' THEN 0 WHEN '4-NOT SPECIFIED' THEN 1
+        |    WHEN '3-MEDIUM' THEN 2 WHEN '2-HIGH' THEN 3
+        |    WHEN '1-URGENT' THEN 4 END AS prio_ord,
+        |  '5-LOW' AS prio_first, '1-URGENT' AS prio_last
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY prio_ord, o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        GpSqlDialect.execute(s,
+          """CREATE TYPE prio AS ENUM
+            |('5-LOW', '4-NOT SPECIFIED', '3-MEDIUM', '2-HIGH', '1-URGENT')""".stripMargin,
+          "/tmp/never")
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 2000).select(
+          $"o_orderkey",
+          GpSqlDialect.enumAssert("prio", $"o_orderpriority")
+            .as("o_orderpriority"),
+          GpSqlDialect.enumOrdinal("prio", $"o_orderpriority").as("prio_ord"),
+          lit(GpSqlDialect.enumFirst("prio")).as("prio_first"),
+          lit(GpSqlDialect.enumLast("prio")).as("prio_last"))
+          .orderBy("prio_ord", "o_orderkey")
     },
 
     // Range types (rangetypes.c): tsrange in canonical half-open form as

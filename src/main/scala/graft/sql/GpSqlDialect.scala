@@ -187,6 +187,20 @@ object GpSqlDialect {
         return executeAnalyze(spark, m.group(1))
       case _ =>
     }
+    CreateEnumRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        enums.put(m.group(1).toLowerCase,
+          m.group(2).split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+            .filter(_.nonEmpty).toSeq)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropTypeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if enums.contains(m.group(1).toLowerCase) =>
+        enums.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     SetGucRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeSetGuc(spark, m.group(2).toLowerCase, m.group(3))
@@ -791,6 +805,47 @@ object GpSqlDialect {
     tableStats.put(table.toLowerCase, out)
     out
   }
+
+  // ---- enum types (utils/adt/enum.c, commands/typecmds.c) ------------
+
+  private val CreateEnumRe =
+    "(?is)^\\s*CREATE\\s+TYPE\\s+(\\w+)\\s+AS\\s+ENUM\\s*\\(([^)]*)\\)\\s*$".r
+  private val DropTypeRe =
+    "(?is)^\\s*DROP\\s+TYPE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  /** Enum catalog: type name → labels in DECLARATION order (the order
+    * enum comparison follows — enum.c enum_cmp_internal sorts by
+    * enumsortorder, not by label text). */
+  val enums = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Declaration-order ordinal of `c` (0-based); null for labels not in
+    * the type — a when-chain of literals, codegen'd, no lookup table to
+    * broadcast. Sorting/comparing by this column IS enum comparison. */
+  def enumOrdinal(typeName: String, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val labels = enums.getOrElse(typeName.toLowerCase,
+      throw new IllegalArgumentException(s"type $typeName does not exist"))
+    labels.zipWithIndex.tail.foldLeft(
+      when(c === labels.head, lit(0))) { case (acc, (l, i)) =>
+      acc.when(c === l, lit(i))
+    }
+  }
+
+  /** Runtime domain check (AssertOp over the enum): any non-null value
+    * outside the label set raises, like PG's invalid-enum-value error. */
+  def enumAssert(typeName: String, c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(c.isNotNull && enumOrdinal(typeName, c).isNull,
+      raise_error(concat(lit(s"invalid input value for enum $typeName: "),
+        c))).otherwise(c)
+  }
+
+  def enumFirst(typeName: String): String =
+    enums(typeName.toLowerCase).head
+  def enumLast(typeName: String): String =
+    enums(typeName.toLowerCase).last
 
   // ---- session GUCs (guc.c / guc_gp.c; every GP script opens with
   // SETs: optimizer, search_path, gp_autostats_mode, work_mem...) ------

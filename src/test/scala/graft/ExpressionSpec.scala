@@ -190,6 +190,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(cols.map(_.getString(1)).toSeq == Seq("bigint", "string"))
   }
 
+  test("enum types: declaration-order comparison, invalid label raises") {
+    import spark.implicits._
+    GpSqlDialect.execute(spark,
+      "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')", "/tmp/never")
+    val df = Seq("happy", "sad", "ok").toDF("m")
+    val ord = df.select(GpSqlDialect.enumOrdinal("mood", $"m")).as[Int]
+      .collect().toSeq
+    assert(ord == Seq(2, 0, 1))
+    assert(GpSqlDialect.enumFirst("mood") == "sad")
+    assert(GpSqlDialect.enumLast("mood") == "happy")
+    intercept[Exception] {
+      Seq("angry").toDF("m")
+        .select(GpSqlDialect.enumAssert("mood", $"m")).collect()
+    }
+    GpSqlDialect.execute(spark, "DROP TYPE mood", "/tmp/never")
+    intercept[IllegalArgumentException] {
+      GpSqlDialect.enumOrdinal("mood", $"m")
+    }
+  }
+
   test("RangeFunctions: PG range operator semantics on struct ranges") {
     import spark.implicits._
     import graft.functions.RangeFunctions._
