@@ -286,6 +286,18 @@ object GpSqlDialect {
           m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case _ =>
     }
+    DeleteRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeDelete(spark, m.group(1).toLowerCase,
+          Option(m.group(2)), Option(m.group(3)))
+      case _ =>
+    }
+    UpdateRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeUpdate(spark, m.group(1).toLowerCase, m.group(2),
+          Option(m.group(3)), Option(m.group(4)))
+      case _ =>
+    }
     val ddl = parse(stripPartitionBy(trimmed)._1)
     ddl.cleanSql match {
       case Ctas(name, select) =>
@@ -1106,6 +1118,82 @@ object GpSqlDialect {
     * catalog table ([[graft.operators.Dml.compact]]). */
   private val VacuumRe =
     "(?is)^\\s*VACUUM\\s+(?:FULL\\s+)?(\\w+)\\s*$".r
+
+  // ---- SQL DML over catalog tables (nodeModifyTable.c; RETURNING per
+  // PG: DELETE returns the removed rows, UPDATE the post-assignment
+  // rows). The returned set is checkpointed BEFORE the copy-on-write
+  // swap so it survives the file rewrite; without RETURNING the result
+  // is the PG command tag (affected-row count). -----------------------
+
+  private val DeleteRe =
+    ("(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)" +
+      "(?:\\s+WHERE\\s+(.+?))??(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+  private val UpdateRe =
+    ("(?is)^\\s*UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+?))??(?:\\s+RETURNING\\s+(.+?))?\\s*$").r
+
+  def executeDelete(
+      spark: SparkSession, table: String, where: Option[String],
+      returning: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    import spark.implicits._
+    val t = catalog(table)
+    val df = spark.read.parquet(t.path)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val hit = df.filter(coalesce(cond, lit(false)))
+    val out = returning match {
+      case Some(r) =>
+        hit.selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true)
+      case None => Seq(hit.count()).toDF("deleted")
+    }
+    graft.operators.Dml.deleteWhere(spark, t.path, cond)
+    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    out
+  }
+
+  def executeUpdate(
+      spark: SparkSession, table: String, setClause: String,
+      where: Option[String], returning: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    import spark.implicits._
+    val t = catalog(table)
+    val assignments = splitTopLevel(setClause, ',').map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim.toLowerCase -> expr(v.trim)
+    }.toMap
+    val cond = where.map(expr).getOrElse(lit(true))
+    val df = spark.read.parquet(t.path)
+    val out = returning match {
+      case Some(r) =>
+        val updated = df.filter(coalesce(cond, lit(false)))
+          .select(df.columns.map(c =>
+            assignments.getOrElse(c.toLowerCase,
+              org.apache.spark.sql.functions.col(c)).as(c)): _*)
+        updated.selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true)
+      case None =>
+        Seq(df.filter(coalesce(cond, lit(false))).count()).toDF("updated")
+    }
+    graft.operators.Dml.updateWhere(spark, t.path, assignments, cond)
+    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    out
+  }
+
+  /** Split on top-level `sep` (parens and quotes hide theirs). */
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inQ =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   /** `CLUSTER table BY (cols)` (commands/cluster.c; GP REORGANIZE) →
     * Z-order rewrite of the backing parquet so min/max file skipping

@@ -363,6 +363,32 @@ class ExpressionSpec extends AnyFunSuite {
       .head.getLong(0) == sum0)
   }
 
+  test("SQL DELETE/UPDATE with RETURNING over catalog tables") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dmlret"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE dml_n AS SELECT n_nationkey, n_name, n_regionkey FROM nation",
+      base)
+    // UPDATE ... RETURNING yields POST-assignment rows (PG semantics)
+    val upd = GpSqlDialect.execute(spark,
+      """UPDATE dml_n SET n_regionkey = n_regionkey + 100
+        |WHERE n_nationkey < 3 RETURNING n_nationkey, n_regionkey""".stripMargin,
+      base).collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(upd.length == 3 && upd.forall(_._2 >= 100))
+    // the rewrite actually landed
+    assert(spark.sql(
+      "SELECT count(*) FROM dml_n WHERE n_regionkey >= 100").head.getLong(0) == 3)
+    // DELETE ... RETURNING yields the removed rows; count tag without
+    val del = GpSqlDialect.execute(spark,
+      "DELETE FROM dml_n WHERE n_nationkey >= 20 RETURNING n_name", base)
+    assert(del.count() == 5)
+    val tag = GpSqlDialect.execute(spark,
+      "DELETE FROM dml_n WHERE n_nationkey = 0", base)
+    assert(tag.head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM dml_n").head.getLong(0) == 19)
+  }
+
   test("GpSqlDialect.execute runs GP-dialect CTAS end-to-end") {
     Tables.registerAll(spark, sf)
     val out = GpSqlDialect.execute(spark,
