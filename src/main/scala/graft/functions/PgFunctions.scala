@@ -31,6 +31,31 @@ object PgFunctions {
 
   /** PG `width_bucket(v, lo, hi, n)` (histogram bucketing). Spark ships
     * width_bucket since 3.1; re-exported for the PG function surface. */
+  /** RFC 4122 name-based (v3, md5) UUID from text — uuid-ossp's
+    * uuid_generate_v3 shape (reference: utils/adt/uuid.c for the type,
+    * contrib uuid-ossp for generation). Deterministic, so bulk surrogate
+    * keys are reproducible across engines and re-runs — the property
+    * that matters in a pipeline (gen_random_uuid can't be oracle-checked
+    * or replayed). Version nibble forced to 3, variant to RFC 10xx. */
+  def uuidFromText(c: Column): Column = {
+    val h = md5(c.cast("binary"))
+    val variantIdx =
+      (conv(substring(h, 17, 1), 16, 10).cast("int") % 4) + 1
+    val variant = element_at(
+      array(lit("8"), lit("9"), lit("a"), lit("b")), variantIdx)
+    lower(concat_ws("-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      concat(lit("3"), substring(h, 14, 3)),
+      concat(variant, substring(h, 18, 3)),
+      substring(h, 21, 12)))
+  }
+
+  /** uuid_in validation (uuid.c string_to_uuid, canonical form only). */
+  def isUuid(c: Column): Column =
+    c.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
   def widthBucket(v: Column, lo: Column, hi: Column, n: Column): Column =
     width_bucket(v, lo, hi, n)
 

@@ -845,6 +845,29 @@ object FunctionQueries {
           .orderBy("c_custkey")
     },
 
+    // uuid (uuid.c + uuid-ossp v3): name-based md5 UUIDs — the
+    // deterministic generation a replayable pipeline needs; random v4
+    // can't be verified or reproduced.
+    Q("q_fn_uuid", Some(
+      """WITH h AS (SELECT c_custkey, md5(c_name) AS h
+        |           FROM customer WHERE c_custkey <= 200)
+        |SELECT c_custkey,
+        |  lower(substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3)
+        |    || '-' || substr('89ab',
+        |         ((strpos('0123456789abcdef', substr(h,17,1)) - 1) % 4) + 1, 1)
+        |    || substr(h,18,3) || '-' || substr(h,21,12)) AS uuid,
+        |  true AS valid, '3' AS ver
+        |FROM h ORDER BY c_custkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val u = PgFunctions.uuidFromText($"c_name")
+        Tables.T(s, dir).customer.filter($"c_custkey" <= 200).select(
+          $"c_custkey", u.as("uuid"),
+          PgFunctions.isUuid(u).as("valid"),
+          substring(u, 15, 1).as("ver"))
+          .orderBy("c_custkey")
+    },
+
     // Enum types (enum.c, typecmds.c): comparison follows DECLARATION
     // order, not label text — the enum here reverses the lexical order
     // of the priority labels, so an enum-ordered sort differs from a
