@@ -51,6 +51,52 @@ object ExternalTables {
       .drop("_corrupt_record")
   }
 
+  /** COPY ... LOG ERRORS (error tables, cdb/cdbsreh.c; read back with
+    * gp_read_error_log): malformed rows are PERSISTED to an error-log
+    * relation instead of silently dropped, then the reject gate applies.
+    * Routing one scan to two sinks needs the raw scan cached (released
+    * by the pipeline owner via KernelCaches) — the analogue of GP's
+    * per-row error-table write during the load. The reject limit here is
+    * the global count (the error pass materializes it anyway); the
+    * unlogged [[readCsvWithRejectLimit]] keeps the stricter one-pass
+    * per-partition gate. */
+  def readCsvLogErrors(
+      spark: SparkSession, path: String, schema: StructType,
+      rejectLimit: Long, errorLogPath: String, relname: String,
+      header: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    graft.operators.KernelCaches.register(raw)
+    val corrupt = col("_corrupt_record")
+    val errs = raw.filter(corrupt.isNotNull).select(
+      current_timestamp().as("cmdtime"),
+      lit(relname).as("relname"),
+      input_file_name().as("filename"),
+      lit("invalid row format").as("errmsg"),
+      corrupt.as("rawdata"))
+    errs.write.mode("append").parquet(errorLogPath)
+    val rejected = errs.count()
+    if (rejected >= rejectLimit.max(1L))
+      throw RejectLimitExceeded(rejected, rejectLimit)
+    raw.filter(corrupt.isNull).drop("_corrupt_record")
+  }
+
+  /** gp_read_error_log('relname') over the persisted error relation. */
+  def readErrorLog(
+      spark: SparkSession, errorLogPath: String,
+      relname: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(errorLogPath)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.emptyDataFrame
+    spark.read.parquet(errorLogPath).filter(col("relname") === relname)
+  }
+
   /** Writable external table (reference: fileam.c:705 external_insert):
     * parallel CSV export. */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,

@@ -121,6 +121,13 @@ object GpSqlDialect {
           Option(m.group(1)), Option(m.group(2)), m.group(3), m.group(4))
       case _ =>
     }
+    ReadErrorLogRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        val t = catalog(m.group(1).toLowerCase)
+        return graft.sources.ExternalTables.readErrorLog(
+          spark, t.path + ".errlog", t.name)
+      case _ =>
+    }
     ExplainRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeExplain(spark, Option(m.group(1)), m.group(2), basePath)
@@ -487,11 +494,22 @@ object GpSqlDialect {
     val t = catalog.getOrElse(table.toLowerCase,
       throw new IllegalArgumentException(
         s"COPY FROM target $table is not a graft catalog table"))
-    val src = graft.sources.ExternalTables.readCsvWithRejectLimit(
-      spark, path, t.schema, copyRejectLimit(opts),
-      header = copyHasHeader(opts))
+    val src =
+      if ("(?is)\\bLOG\\s+ERRORS\\b".r.findFirstIn(opts).isDefined)
+        graft.sources.ExternalTables.readCsvLogErrors(
+          spark, path, t.schema, copyRejectLimit(opts),
+          errorLogPath = t.path + ".errlog", relname = t.name,
+          header = copyHasHeader(opts))
+      else graft.sources.ExternalTables.readCsvWithRejectLimit(
+        spark, path, t.schema, copyRejectLimit(opts),
+        header = copyHasHeader(opts))
     appendFrame(spark, t, src)
   }
+
+  /** `SELECT * FROM gp_read_error_log('t')` (cdbsreh.c error tables). */
+  private val ReadErrorLogRe =
+    ("(?is)^\\s*SELECT\\s+\\*\\s+FROM\\s+gp_read_error_log\\s*\\(\\s*" +
+      "'(\\w+)'\\s*\\)\\s*$").r
 
   /** COPY TO: export a table or a parenthesised query to server-side CSV
     * (parallel, one file per partition — the MPP reading of copy.c's

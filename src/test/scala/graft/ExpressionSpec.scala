@@ -363,6 +363,37 @@ class ExpressionSpec extends AnyFunSuite {
       .head.getLong(0) == sum0)
   }
 
+  test("COPY LOG ERRORS persists rejects; gp_read_error_log reads them") {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_errlog"
+    // error logs APPEND by design — start from a clean relation
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val csvDir = new java.io.File(s"$base/in"); csvDir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(csvDir, "d.csv"))
+    try w.print("a,b\n1,x\nbad_row_no_int,y\n2,z\n\"unterminated,q\n")
+    finally w.close()
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE errl (a bigint, b text)", base)
+    GpSqlDialect.execute(spark,
+      s"COPY errl FROM '$csvDir' CSV HEADER LOG ERRORS SEGMENT REJECT LIMIT 5",
+      base)
+    graft.operators.KernelCaches.releaseAll()
+    // good rows landed; both bad rows in the error log with raw data
+    assert(spark.sql("SELECT count(*) FROM errl").head.getLong(0) == 2)
+    val log = GpSqlDialect.execute(spark,
+      "SELECT * FROM gp_read_error_log('errl')", base).collect()
+    assert(log.length == 2)
+    assert(log.map(_.getAs[String]("rawdata")).exists(_.contains("bad_row")))
+    // over the limit still fails the load
+    intercept[Exception] {
+      GpSqlDialect.execute(spark,
+        s"COPY errl FROM '$csvDir' CSV HEADER LOG ERRORS SEGMENT REJECT LIMIT 2",
+        base).count()
+    }
+  }
+
   test("SQL DELETE/UPDATE with RETURNING over catalog tables") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
