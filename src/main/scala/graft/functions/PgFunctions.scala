@@ -323,6 +323,19 @@ object PgFunctions {
       "sq8_decode",
       exprs => graft.expressions.Sq8DecodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
+    // hidden/system-column compatibility (SURVEY §1.5): gp_segment_id →
+    // the partition a row is processed in; ctid-ish row address → a
+    // per-partition monotonic id. Observability shims, not semantics —
+    // values change with repartitioning exactly as segment ids change
+    // with redistribution.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gp_segment_id",
+      _ => org.apache.spark.sql.catalyst.expressions.SparkPartitionID(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gp_row_id",
+      _ => org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID(),
+      "built-in")
     JsonbFunctions.register(spark)
   }
 }

@@ -328,6 +328,52 @@ object PipelineQueries {
         .orderBy("canonical_id")
     },
 
+    // Dedup END-TO-END: candidate pairs → components → keep one doc per
+    // cluster → corpus stats. The keep-decision is the point: every
+    // near-dup kernel's output is only useful once the cluster collapse
+    // actually drops rows. One declarative plan — candidate join,
+    // log-round component loop, anti-join-free keep filter (canonical =
+    // least id ⇒ keep is a null-safe flag from one left join).
+    Q("q_pipeline_dedup", Some(
+      s"""WITH RECURSIVE
+         |fp AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort($tokset), ' ')) AS fp
+         |  FROM documents),
+         |e0 AS (SELECT a.doc_id AS src, min(b.doc_id) AS dst
+         |       FROM fp a JOIN fp b ON a.fp = b.fp AND b.doc_id > a.doc_id
+         |       GROUP BY a.doc_id),
+         |edges AS (SELECT src, dst FROM e0
+         |          UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id
+         |),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+         |WHERE c.id IS NULL OR c.component = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      val fp = docs
+        .select($"doc_id", TextAnalysis.bowFingerprint($"text").as("fp"))
+      val e0 = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("b.doc_id") > col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("src"))
+        .agg(min(col("b.doc_id")).as("dst"))
+      graft.operators.Components
+        .canonicalize(docs, "doc_id", e0, "src", "dst")
+        .filter($"is_canonical")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount($"text").cast("long")).as("n_tokens"))
+        .orderBy("source")
+    },
+
     // PII scrubbing: the synthetic docs carry no PII, so deterministic
     // per-doc email/phone/IP/card strings are appended first — the
     // redaction machinery (pattern classes, replacement order, audit

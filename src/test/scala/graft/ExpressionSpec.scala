@@ -190,6 +190,15 @@ class ExpressionSpec extends AnyFunSuite {
     assert(cols.map(_.getString(1)).toSeq == Seq("bigint", "string"))
   }
 
+  test("gp_segment_id / gp_row_id compatibility functions") {
+    graft.functions.PgFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT gp_segment_id() AS seg, gp_row_id() AS rid FROM range(10)")
+      .collect()
+    assert(r.forall(_.getInt(0) >= 0))
+    assert(r.map(_.getLong(1)).distinct.length == 10) // unique row address
+  }
+
   test("enum types: declaration-order comparison, invalid label raises") {
     import spark.implicits._
     GpSqlDialect.execute(spark,
