@@ -116,11 +116,46 @@ class PlanSpec extends AnyFunSuite {
       s"rank()<=n not rewritten to a group-limit: $p")
   }
 
+  /** Hash-shuffle count in the FINAL plan (AQE's toString appends the
+    * initial plan too — counting that would double every exchange).
+    * rangepartitioning (the presentation ORDER BY for the oracle
+    * compare) is not a dataflow shuffle and is not counted. */
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(p.split("== Initial Plan ==").head).length
+
   test("q_sql_distinct_on keeps one shuffle on the ON exprs") {
     val p = plan("q_sql_distinct_on")
     assert(p.contains("WindowGroupLimit") || p.contains("Window"),
       s"DISTINCT ON did not lower to a window: $p")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"expected at most 1 shuffle, got $exchanges:\n$p")
+    assert(hashExchanges(p) <= 1,
+      s"expected at most 1 hash shuffle, got ${hashExchanges(p)}:\n$p")
+  }
+
+  test("q_window_groups broadcasts the collapsed groups, no global window") {
+    val p = plan("q_window_groups")
+    assert(p.contains("BroadcastHashJoin"),
+      s"collapsed-group join did not broadcast: $p")
+    // the window runs over the tiny collapsed relation, partitioned by
+    // nation — never an empty-PARTITION BY (single-partition) window
+    assert(!p.contains("SinglePartition"), s"single-partition window: $p")
+  }
+
+  test("q_window_exclude computes all three modes in ONE window shuffle") {
+    val p = plan("q_window_exclude")
+    assert(hashExchanges(p) <= 1,
+      s"frame+peer windows should share one hash partitioning, got ${hashExchanges(p)}:\n$p")
+  }
+
+  test("q_fn_range predicates stay in whole-stage codegen (no UDFs)") {
+    val p = plan("q_fn_range")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.contains("*("), s"no codegen span: $p")
+  }
+
+  test("q_text_redact scrub stage never hash-shuffles") {
+    val p = plan("q_text_redact")
+    // only the presentation ORDER BY (rangepartitioning) may appear
+    assert(hashExchanges(p) == 0, s"a scrub stage must not shuffle: $p")
   }
 }
