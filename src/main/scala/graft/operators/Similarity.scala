@@ -107,6 +107,41 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Multi-table LSH top-k — the recall repair for sign-LSH on weakly
+    * correlated corpora: T independent hash tables lift recall from
+    * p^planes to 1-(1-p^planes)^T. All T tables come from ONE native
+    * bucket evaluation (`tables*planes` sign bits, sliced per table
+    * with shifts), so the per-row cost is a single weight-matrix pass;
+    * candidates are the union of per-table bucket joins, deduped by a
+    * (q,c) group-by before ranking. Still sub-quadratic: T small-key
+    * equi-joins, no all-pairs anywhere. */
+  def lshTopKMulti(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
+      tables: Int, dim: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val bits = tables * planes
+    require(bits <= 62, s"tables*planes = $bits exceeds a long's sign bits")
+    def tableBuckets(vec: Column): Column = {
+      val full = lshBucket(vec, bits, dim)
+      array((0 until tables).map { t =>
+        shiftrightunsigned(full, t * planes)
+          .bitwiseAND(lit((1L << planes) - 1)) + lit(t.toLong << 32)
+      }: _*)
+    }
+    val qb = queries.withColumn("bucket", explode(tableBuckets(col(qVec))))
+    val cb = corpus.withColumn("bucket", explode(tableBuckets(col(cVec))))
+    val scored = qb.join(cb, "bucket")
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId),
+        cosineWithNorms(dotf(col(qVec), col(cVec)),
+          sqrt(dotf(col(qVec), col(qVec))),
+          sqrt(dotf(col(cVec), col(cVec)))).as("cos"))
+      .groupBy(col(qId), col(cId)).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroid vectors, search only the query's `nProbe` nearest cells.
     * Centroids are a FIXED-COUNT deterministic sample: the sampling

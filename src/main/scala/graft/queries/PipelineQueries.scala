@@ -786,6 +786,48 @@ object PipelineQueries {
       Similarity.lshTopK(queries, corpus, k = 3, planes = 6, dim = 64)
         .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
         .orderBy("q_id", "rk")
+    },
+
+    // Multi-table LSH (the recall repair on weakly correlated corpora:
+    // T tables lift recall p^planes → 1-(1-p^planes)^T). All tables
+    // come from one native 24-bit bucket evaluation sliced per table;
+    // the oracle joins on ANY-table bucket equality.
+    Q("q_ann_lsh_multi", Some {
+      val planes = 6
+      val tables = 4
+      def bucketSql(t: Int) = (0 until planes).map { p =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(t * planes + p, d))
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1,65),
+           |  i -> CAST(e.embedding[i] AS DOUBLE) * ($w)[i])) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      val bCols = (0 until tables).map(t => s"${bucketSql(t)} AS b$t")
+        .mkString(",\n")
+      val anyEq = (0 until tables).map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH b AS (SELECT e.vec_id, e.embedding, $bCols
+         |  FROM embeddings e),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe,
+         |    ${(0 until tables).map(t => s"b$t").mkString(", ")}
+         |  FROM b WHERE vec_id < 10),
+         |cand AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN b c ON ($anyEq) AND c.vec_id <> q_id),
+         |r AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+      Similarity.lshTopKMulti(queries, corpus, k = 3, planes = 6,
+        tables = 4, dim = 64)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("q_id", "rk")
     }
   )
 }

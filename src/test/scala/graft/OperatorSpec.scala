@@ -245,6 +245,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == loaded.count())
   }
 
+  test("ANN quality gate: LSH recall@5 vs brute force stays usable") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.T(spark, sf).embeddings
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, 5))
+    val single = pairs(Similarity.lshTopK(queries, corpus, 5, planes = 6,
+      dim = 64))
+    val multi = pairs(Similarity.lshTopKMulti(queries, corpus, 5,
+      planes = 6, tables = 8, dim = 64))
+    def recall(a: Set[(Long, Long)]) =
+      (exact intersect a).size.toDouble / exact.size
+    // this corpus is weakly correlated (near-random): per-plane match
+    // ~0.6 ⇒ single-table recall ~0.6^6 ≈ 0.05 — the gate is that 8
+    // tables lift it by the 1-(1-p)^T law, not that one table is good
+    assert(recall(multi) >= 4 * recall(single).max(0.01),
+      f"multi ${recall(multi)}%.2f vs single ${recall(single)}%.2f")
+    assert(recall(multi) >= 0.2, f"multi-table recall@5 = ${recall(multi)}%.2f")
+    assert(exact.size == 100) // 20 queries × k=5, sanity
+  }
+
   test("Components: multi-hop chains, rings, and canonicalization") {
     import spark.implicits._
     // chain 1-2-3-4, ring 10-11-12-10, isolated edge 20-21
