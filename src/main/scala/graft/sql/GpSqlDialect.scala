@@ -270,6 +270,12 @@ object GpSqlDialect {
           trimmed.substring(m.end))
       case _ =>
     }
+    AlterColumnRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeAlterColumn(spark, m.group(1).toLowerCase,
+          trimmed.substring(m.end(1)))
+      case _ =>
+    }
     AlterPartitionRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeAlterPartition(spark, m.group(1).toLowerCase,
@@ -1136,6 +1142,67 @@ object GpSqlDialect {
     * catalog table ([[graft.operators.Dml.compact]]). */
   private val VacuumRe =
     "(?is)^\\s*VACUUM\\s+(?:FULL\\s+)?(\\w+)\\s*$".r
+
+  // ---- ALTER TABLE column DDL (commands/tablecmds.c ATExec*) ---------
+
+  /** ADD/DROP/RENAME COLUMN as copy-on-write rewrites. PG 9.x-era GP
+    * rewrites the table for most ALTERs too (ADD COLUMN DEFAULT before
+    * PG 11 = full rewrite); a metadata-only ADD needs a table format
+    * with schema evolution (Delta/Iceberg) — with plain Parquet the
+    * honest move is the rewrite, which also keeps every reader simple
+    * (no read-time schema merging). Partition-granular at scale like
+    * the other Dml rewrites. */
+  private val AlterColumnRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
+      "(?=(?:ADD|DROP|RENAME)\\s+(?!PARTITION\\b))").r
+
+  private val AddColRe =
+    ("(?is)^\\s*ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+([\\w ()]+?)" +
+      "(?:\\s+DEFAULT\\s+(.+?))?\\s*$").r
+  private val DropColRe =
+    "(?is)^\\s*DROP\\s+(?:COLUMN\\s+)?(\\w+)\\s*$".r
+  private val RenameColRe =
+    "(?is)^\\s*RENAME\\s+(?:COLUMN\\s+)?(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
+
+  def executeAlterColumn(
+      spark: SparkSession, table: String, action: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val t = catalog(table)
+    val df = spark.read.parquet(t.path)
+    val next = action match {
+      case AddColRe(name, sqlType, default) =>
+        val d = Option(default).map(expr)
+          .getOrElse(lit(null)).cast(toSparkType(sqlType.trim))
+        df.withColumn(name.toLowerCase, d)
+      case DropColRe(name) =>
+        require(df.columns.map(_.toLowerCase).contains(name.toLowerCase),
+          s"column $name of $table does not exist")
+        df.drop(name)
+      case RenameColRe(from, to) =>
+        df.withColumnRenamed(from, to)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $table: unsupported action '${other.trim}'")
+    }
+    graft.operators.Dml.overwrite(spark, t.path, next)
+    val reloaded = spark.read.parquet(t.path)
+    reloaded.createOrReplaceTempView(table)
+    catalog.put(table, t.copy(schema = reloaded.schema))
+    spark.emptyDataFrame
+  }
+
+  /** GP/PG column type name → Spark cast target. */
+  private def toSparkType(t: String): String = t.toLowerCase match {
+    case "text" | "varchar" | "char" => "string"
+    case s if s.startsWith("varchar") || s.startsWith("char") => "string"
+    case "int8" | "bigserial" => "bigint"
+    case "int4" | "integer" | "serial" => "int"
+    case "int2" => "smallint"
+    case "float8" | "double precision" => "double"
+    case "float4" | "real" => "float"
+    case "bool" => "boolean"
+    case "timestamptz" => "timestamp"
+    case other => other
+  }
 
   // ---- SQL DML over catalog tables (nodeModifyTable.c; RETURNING per
   // PG: DELETE returns the removed rows, UPDATE the post-assignment

@@ -403,6 +403,33 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN rewrites the table") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_altcol"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE alt_t AS SELECT n_nationkey, n_name FROM nation", base)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt_t ADD COLUMN score double precision DEFAULT 1.5", base)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt_t ADD COLUMN note text", base)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt_t RENAME COLUMN n_name TO nation_name", base)
+    GpSqlDialect.execute(spark, "ALTER TABLE alt_t DROP COLUMN note", base)
+    val t = spark.table("alt_t")
+    assert(t.columns.toSeq == Seq("n_nationkey", "nation_name", "score"))
+    assert(t.filter($"score" === 1.5).count() == 25)
+    // catalog schema follows (introspection sees the new shape)
+    val cols = GpSqlDialect.execute(spark,
+      """SELECT column_name FROM information_schema.columns
+        |WHERE table_name = 'alt_t' ORDER BY ordinal_position""".stripMargin,
+      base).collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("n_nationkey", "nation_name", "score"))
+    intercept[Exception] {
+      GpSqlDialect.execute(spark, "ALTER TABLE alt_t DROP COLUMN ghost", base)
+    }
+  }
+
   test("SQL DELETE/UPDATE with RETURNING over catalog tables") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
