@@ -86,6 +86,41 @@ object ExtensionQueries {
         .orderBy("click_id", "p_id")
     },
 
+    // Stream-stream LEFT OUTER join: unmatched clicks surface with null
+    // purchase columns — emitted only once the watermark proves no match
+    // can arrive. The compare is on the CLOSED region (click_ts ≤
+    // max(ts) - watermark - interval): beyond it a streaming engine
+    // cannot yet have emitted nulls, so batch and stream legitimately
+    // differ there. NULLS FIRST pinned on both sides.
+    Q("q_stream_join_outer", Some(
+      """WITH b AS (SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN ts END),
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END))
+        |  - INTERVAL 125 MINUTE AS cutoff FROM events)
+        |SELECT a.event_id AS click_id, p.event_id AS p_id, a.user_id,
+        |  a.ts AS click_ts, p.value
+        |FROM events a LEFT JOIN events p ON a.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts > a.ts AND p.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click' AND a.ts <= (SELECT cutoff FROM b)
+        |ORDER BY click_id, p_id NULLS FIRST""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val joined = EventStreams.clickPurchaseLeftJoin(
+        EventStreams.readEvents(s, dir), "1 HOUR")
+      // the global watermark is min over BOTH inputs' (max ts - delay):
+      // the closed region ends at the earlier side's horizon
+      val cutoff = Tables.load(s, dir, "events")
+        .agg((least(
+          max(when($"event_type" === "click", $"ts")),
+          max(when($"event_type" === "purchase", $"ts")))
+          - expr("INTERVAL 125 MINUTE")).as("c"))
+        .head.getTimestamp(0)
+      EventStreams.runToParquet(s, joined, "stream_join_outer")
+        .filter($"click_ts" <= lit(cutoff))
+        .select($"click_id", $"p_id", $"user_id", $"click_ts", $"value")
+        .orderBy($"click_id", $"p_id".asc_nulls_first)
+    },
+
     // Stream-static enrichment join — THE production streaming shape:
     // the event stream joins a static dimension (customer) read fresh
     // per micro-batch; no watermark needed (the static side is not

@@ -96,6 +96,33 @@ object EventStreams {
         col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** Left-outer variant of [[clickPurchaseJoin]]: clicks with no
+    * purchase inside the window emit with null purchase columns — but
+    * only once the watermark has passed `click_ts + within` (the engine
+    * must know no match can still arrive before it may emit the null
+    * row). Consequence for consumers: rows near the head of the stream
+    * are withheld until the watermark closes them; a one-shot run emits
+    * nulls only for the CLOSED region (the final no-data micro-batch
+    * advances the watermark to max(ts) - delay). Same bounded state as
+    * the inner join. */
+  def clickPurchaseLeftJoin(events: DataFrame, within: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      "leftOuter")
+      .select(col("click_id"), col("p_id"), col("user_id"),
+        col("click_ts"), col("p_ts"), col("value"))
+  }
+
   /** State-store partition count for the one-shot demo streams. The
     * stateful-operator partitioning is fixed per checkpoint at first run
     * (spark.sql.shuffle.partitions at plan time); these demos use fresh
