@@ -160,6 +160,35 @@ object WindowQueries {
         .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
     },
 
+    // FILTER clause on WINDOW aggregates (PG allows `agg(x) FILTER
+    // (WHERE c) OVER w`; Spark only on plain aggregates) — lowered to
+    // the conditional-aggregation identity: count→sum(indicator),
+    // sum→sum(CASE WHEN). Same single window shuffle; NULL (not 0) when
+    // no frame row passes the filter, per the sum-over-empty rule.
+    Q("q_window_filter", Some(
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) FILTER (WHERE o_totalprice > 150000) OVER w AS big_so_far,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'F') OVER w AS DOUBLE) AS f_spend
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.T(s, dir).orders
+        .filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum(when($"o_totalprice" > 150000, 1L).otherwise(0L)).over(w)
+            .as("big_so_far"),
+          sum(when($"o_orderstatus" === "F",
+            $"o_totalprice".cast(DecimalType(28, 6)))).over(w)
+            .cast("double").as("f_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // GROUPS frame mode (parsenodes.h FRAMEOPTION_GROUPS; PG 11+,
     // nodeWindowAgg.c update_frameheadpos GROUPS branches). Spark has no
     // GROUPS mode — the distributed formulation collapses each peer

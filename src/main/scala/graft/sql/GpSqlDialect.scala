@@ -267,7 +267,9 @@ object GpSqlDialect {
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
-          trimmed.substring(m.end))
+          trimmed.substring(m.end),
+          Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSeq))
       case _ =>
     }
     AlterColumnRe.findFirstMatchIn(trimmed) match {
@@ -309,6 +311,12 @@ object GpSqlDialect {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeUpdate(spark, m.group(1).toLowerCase, m.group(2),
           Option(m.group(3)), Option(m.group(4)))
+      case _ =>
+    }
+    CreateLikeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateLike(spark, m.group(1).toLowerCase,
+          m.group(2).toLowerCase, trimmed, basePath)
       case _ =>
     }
     val ddl = parse(stripPartitionBy(trimmed)._1)
@@ -1378,7 +1386,8 @@ object GpSqlDialect {
   private val WithRecursiveStart = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
   private val ExternalStart =
     "(?is)^\\s*CREATE\\s+(WRITABLE\\s+)?EXTERNAL\\s+TABLE\\b".r
-  private val InsertIntoStart = "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)".r
+  private val InsertIntoStart =
+    "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([\\w\\s,]+)\\)\\s*)?".r
   private val CreateWithCols =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\(".r
 
@@ -1570,6 +1579,29 @@ object GpSqlDialect {
   /** `CREATE TABLE t (col defs) [WITH(...)] [DISTRIBUTED ...] [PARTITION
     * BY ...]` → empty parquet table at basePath/t + catalog entry + temp
     * view. */
+  /** `CREATE TABLE t (LIKE src [INCLUDING ...]) [DISTRIBUTED ...]`
+    * (gram.y TableLikeClause; GP regress uses it for staging tables —
+    * notably the EXCHANGE PARTITION idiom). Copies the source's column
+    * shape; INCLUDING/EXCLUDING options are storage/constraint details
+    * with no parquet analogue and are accepted as no-ops. */
+  private val CreateLikeRe =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\(\\s*LIKE\\s+(\\w+)[^)]*\\)(.*)$".r
+
+  def executeCreateLike(
+      spark: SparkSession, name: String, src: String, fullSql: String,
+      basePath: String): DataFrame = {
+    val schema = catalog.get(src).map(_.schema)
+      .getOrElse(spark.table(src).schema)
+    val ddl = parse(fullSql)
+    val path = s"$basePath/$name"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .write.mode("overwrite").option("compression", parquetCodec(ddl))
+      .parquet(path)
+    catalog(name) = GpTable(name, path, schema, Seq.empty,
+      ddl.distributionCols)
+    refreshView(spark, catalog(name))
+  }
+
   def executeCreateTable(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
     val (noPart, partCols) = stripPartitionBy(gpSql)
@@ -1600,16 +1632,37 @@ object GpSqlDialect {
     * table: positional alignment onto the table schema, distribution
     * repartition, Hive-style dynamic partition append. */
   def executeInsertInto(
-      spark: SparkSession, name: String, rest: String): DataFrame = {
+      spark: SparkSession, name: String, rest: String,
+      colList: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val t = catalog(name)
     val body = rest.trim
     val src0 =
       if (body.toUpperCase.startsWith("VALUES"))
         spark.sql(s"SELECT * FROM ($body) AS v")
       else selectWithSequences(spark, body)
-    require(src0.columns.length == t.schema.length,
-      s"INSERT INTO $name: ${src0.columns.length} columns, expected ${t.schema.length}")
-    appendFrame(spark, t, src0)
+    val src = colList match {
+      case Some(cs) =>
+        // PG column-list insert: named targets take the select output
+        // positionally; unlisted columns fill with NULL (no DEFAULT
+        // expressions in the catalog)
+        require(src0.columns.length == cs.length,
+          s"INSERT INTO $name (${cs.mkString(",")}): " +
+            s"${src0.columns.length} values for ${cs.length} columns")
+        cs.foreach(c => require(t.schema.fieldNames.contains(c),
+          s"column $c of $name does not exist"))
+        val renamed = src0.toDF(cs: _*)
+        renamed.select(t.schema.map { f =>
+          if (cs.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case None =>
+        require(src0.columns.length == t.schema.length,
+          s"INSERT INTO $name: ${src0.columns.length} columns, " +
+            s"expected ${t.schema.length}")
+        src0
+    }
+    appendFrame(spark, t, src)
   }
 
   /** Append a frame into a catalog table with its declared physics:

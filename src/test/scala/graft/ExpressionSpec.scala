@@ -403,6 +403,30 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT with column list and CREATE TABLE (LIKE t)") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_inslike"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE ins_t (a bigint, b text, c double precision)", base)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO ins_t (c, a) SELECT 2.5, 7", base)
+    val r = spark.table("ins_t").head
+    assert(r.getLong(0) == 7L && r.isNullAt(1) && r.getDouble(2) == 2.5)
+    intercept[Exception] {
+      GpSqlDialect.execute(spark, "INSERT INTO ins_t (ghost) SELECT 1", base)
+    }
+    // LIKE copies the shape, INCLUDING options are accepted no-ops
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE ins_clone (LIKE ins_t INCLUDING DEFAULTS)
+        |DISTRIBUTED BY (a)""".stripMargin, base)
+    assert(spark.table("ins_clone").schema == spark.table("ins_t").schema)
+    assert(spark.table("ins_clone").count() == 0)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO ins_clone SELECT a, b, c FROM ins_t", base)
+    assert(spark.table("ins_clone").count() == 1)
+  }
+
   test("ALTER TABLE ADD/DROP/RENAME COLUMN rewrites the table") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
