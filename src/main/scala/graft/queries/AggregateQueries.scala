@@ -233,6 +233,34 @@ object AggregateQueries {
 
     // string_agg(x, ',' ORDER BY x) — ordered-input agg (GP: ordered
     // transition, array_userfuncs.c). Spark: sort_array(collect_list).
+    // GROUPING()/GROUPING_ID() — the report idiom that labels subtotal
+    // rows in ROLLUP output (reference: parse_agg.c GroupingFunc; GP
+    // planner Repeat node emits the grouping bitmap).
+    Q("q_agg_grouping", Some(
+      """SELECT n_regionkey, n_nationkey,
+        |  CAST(GROUPING(n_regionkey) AS INT) AS g_region,
+        |  CAST(GROUPING(n_regionkey, n_nationkey) AS INT) AS gid,
+        |  CASE CAST(GROUPING(n_regionkey, n_nationkey) AS INT)
+        |    WHEN 0 THEN 'detail' WHEN 1 THEN 'region total'
+        |    ELSE 'grand total' END AS row_kind,
+        |  count(*) AS n
+        |FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
+        |ORDER BY gid, n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).nation
+          .rollup($"n_regionkey", $"n_nationkey")
+          .agg(
+            grouping($"n_regionkey").cast("int").as("g_region"),
+            grouping_id().cast("int").as("gid"),
+            when(grouping_id() === 0, "detail")
+              .when(grouping_id() === 1, "region total")
+              .otherwise("grand total").as("row_kind"),
+            count(lit(1)).as("n"))
+          .orderBy($"gid", $"n_regionkey".asc_nulls_first,
+            $"n_nationkey".asc_nulls_first)
+    },
+
     Q("q_string_agg", Some(
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)) {
