@@ -754,6 +754,102 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
+    // IVF + SQ8 (the FAISS-style quantized index, composed from the two
+    // verified kernels): corpus vectors live as 1-byte/dim codes inside
+    // IVF cells; a query probes its nProbe nearest cells and scores
+    // candidates against DECODED codes (asymmetric distance — full-
+    // precision query, quantized corpus). At 100 TB this is the memory
+    // architecture that works: 64 B/vector in the cells, full vectors
+    // never shuffled, candidate generation an equi-join on cell id.
+    Q("q_ann_ivf_sq8", Some {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def cos(a: String, b: String) =
+        s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+      s"""WITH dd AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dd GROUP BY pos),
+         |dec AS (
+         |  SELECT vec_id, pos, x,
+         |    CAST(CAST(mn + (CASE WHEN mx = mn THEN 0
+         |        ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END)
+         |      / 255.0 * (mx - mn) AS FLOAT) AS DOUBLE) AS xh
+         |  FROM dd JOIN mm USING (pos)),
+         |arr AS (
+         |  SELECT vec_id, array_agg(x ORDER BY pos) AS xs,
+         |    array_agg(xh ORDER BY pos) AS hs
+         |  FROM dec GROUP BY vec_id),
+         |cents AS (SELECT vec_id AS cent_id, xs AS cv FROM arr
+         |  WHERE vec_id %
+         |    (SELECT greatest(1, count(*) // 64) FROM embeddings) = 0),
+         |asgn AS (SELECT a.vec_id, a.xs, a.hs, c.cent_id,
+         |    ${cos("a.xs", "c.cv")} AS ccos
+         |  FROM arr a CROSS JOIN cents c),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM asgn),
+         |cells AS (SELECT vec_id, hs, cent_id AS cell
+         |  FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, xs AS qe, cent_id AS cell
+         |  FROM ranked WHERE vec_id < 8 AND rn <= 2),
+         |cand AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${cos("qe", "c.hs")} AS raw
+         |  FROM probes p JOIN cells c ON p.cell = c.cell
+         |   AND c.vec_id <> p.q_id),
+         |r AS (SELECT q_id, c_id, raw, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.expressions.Sq8Expr
+      def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.expressions.DotFExpr.dotf(a, b)
+      def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dotf(a, b) / (sqrt(dotf(a, a)) * sqrt(dotf(b, b)))
+      val emb = Tables.T(s, dir).embeddings
+      val ranges = emb
+        .select(posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+        .groupBy()
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"mn"))),
+            c => c.getField("mn")).as("mn"),
+          transform(sort_array(collect_list(struct($"pos", $"mx"))),
+            c => c.getField("mx")).as("mx"))
+      // stored state: cell id + 1-byte codes; decode only for scoring
+      val modulus = greatest(lit(1L), floor(count(lit(1)) / 64))
+      val nMod = emb.agg(modulus.as("m")).head.getLong(0)
+      val cents = emb.filter($"vec_id" % nMod === 0)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      val wAsgn = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy($"ccos".desc, $"cent_id")
+      val ranked = emb.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosC($"embedding", $"cent_vec"))
+        .withColumn("rn", row_number().over(wAsgn))
+      val cells = ranked.filter($"rn" === 1)
+        .crossJoin(broadcast(ranges))
+        .select($"vec_id".as("c_id"), $"cent_id".as("cell"),
+          Sq8Expr.sq8Encode($"embedding", $"mn", $"mx").as("codes"),
+          $"mn", $"mx")
+      val probes = ranked.filter($"vec_id" < 8 && $"rn" <= 2)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"),
+          $"cent_id".as("cell"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy($"raw".desc, $"c_id")
+      probes.join(cells, "cell")
+        .filter($"c_id" =!= $"q_id")
+        .select($"q_id", $"c_id",
+          cosC($"qe", Sq8Expr.sq8Decode($"codes", $"mn", $"mx")).as("raw"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"c_id", $"rk", round($"raw", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
     // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
     // generation is an equi-join on the sign-bucket, not a cross join.
     Q("q_ann_lsh", Some {
