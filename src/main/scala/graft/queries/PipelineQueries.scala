@@ -147,6 +147,52 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // tsquery operators beyond AND (tsquery.c / tsvector_op.c TS_execute):
+    // | (OR), ! (NOT), <-> (phrase/adjacency). Presence flags fold into
+    // one grouped scan; phrase = a positional self-join (y.pos = x.pos+1)
+    // on the exploded token stream — no per-row array walking.
+    Q("q_fn_tsquery", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |f AS (SELECT doc_id,
+        |    (count(CASE WHEN lex='spark' THEN 1 END) > 0
+        |     AND count(CASE WHEN lex='fast' THEN 1 END) > 0) AS m_and,
+        |    count(CASE WHEN lex IN ('merge','window') THEN 1 END) > 0 AS m_or,
+        |    (count(CASE WHEN lex='spark' THEN 1 END) > 0
+        |     AND count(CASE WHEN lex='slow' THEN 1 END) = 0) AS m_not
+        |  FROM p WHERE lex <> '' GROUP BY doc_id),
+        |ph AS (SELECT DISTINCT x.doc_id FROM p x JOIN p y
+        |    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |    AND x.lex = 'fast' AND y.lex = 'table')
+        |SELECT f.doc_id, m_and, m_or, m_not,
+        |  (ph.doc_id IS NOT NULL) AS m_phrase
+        |FROM f LEFT JOIN ph ON f.doc_id = ph.doc_id
+        |ORDER BY f.doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.T(s, dir).documents.select($"doc_id",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos0", "lex")))
+      val present = toks.filter($"lex" =!= "")
+      val flags = present.groupBy($"doc_id").agg(
+        ((count(when($"lex" === "spark", 1)) > 0) &&
+          (count(when($"lex" === "fast", 1)) > 0)).as("m_and"),
+        (count(when($"lex".isin("merge", "window"), 1)) > 0).as("m_or"),
+        ((count(when($"lex" === "spark", 1)) > 0) &&
+          (count(when($"lex" === "slow", 1)) === 0)).as("m_not"))
+      val phrase = toks.as("x").join(toks.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos0") === col("x.pos0") + 1 &&
+            col("x.lex") === "fast" && col("y.lex") === "table")
+        .select(col("x.doc_id").as("doc_id")).distinct()
+        .withColumn("m_phrase", lit(true))
+      flags.join(phrase, Seq("doc_id"), "left")
+        .select($"doc_id", $"m_and", $"m_or", $"m_not",
+          coalesce($"m_phrase", lit(false)).as("m_phrase"))
+        .orderBy("doc_id")
+    },
+
     // Repetition quality signals (Gopher-style filters): fraction of the
     // doc covered by its most frequent bigram, fraction of repeated
     // tokens. Bigrams via a per-doc lead() window over the exploded
