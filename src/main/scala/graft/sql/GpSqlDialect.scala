@@ -272,6 +272,12 @@ object GpSqlDialect {
             .filter(_.nonEmpty).toSeq))
       case _ =>
     }
+    RenameTableRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeRenameTable(spark, m.group(1).toLowerCase,
+          m.group(2).toLowerCase)
+      case _ =>
+    }
     AlterColumnRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeAlterColumn(spark, m.group(1).toLowerCase,
@@ -1150,6 +1156,29 @@ object GpSqlDialect {
     * catalog table ([[graft.operators.Dml.compact]]). */
   private val VacuumRe =
     "(?is)^\\s*VACUUM\\s+(?:FULL\\s+)?(\\w+)\\s*$".r
+
+  /** `ALTER TABLE t RENAME TO u` (tablecmds.c RenameRelation) — a
+    * catalog + view rename; the backing files move so a later CREATE
+    * TABLE t starts clean. */
+  private val RenameTableRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+TO\\s+(\\w+)\\s*$".r
+
+  def executeRenameTable(
+      spark: SparkSession, from: String, to: String): DataFrame = {
+    require(!catalog.contains(to), s"table $to already exists")
+    val t = catalog(from)
+    val newPath = t.path.replaceAll(s"/$from$$", s"/$to")
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val moved = newPath != t.path &&
+      fs.rename(new org.apache.hadoop.fs.Path(t.path),
+        new org.apache.hadoop.fs.Path(newPath))
+    val renamed = t.copy(name = to, path = if (moved) newPath else t.path)
+    catalog.remove(from)
+    spark.catalog.dropTempView(from)
+    catalog.put(to, renamed)
+    refreshView(spark, renamed)
+  }
 
   // ---- ALTER TABLE column DDL (commands/tablecmds.c ATExec*) ---------
 

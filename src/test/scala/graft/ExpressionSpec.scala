@@ -403,6 +403,25 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE RENAME TO moves catalog entry, view, and files") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rename"
+    new java.io.File(base).mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ren_b"), true)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE ren_a AS SELECT n_nationkey FROM nation", base)
+    GpSqlDialect.execute(spark, "ALTER TABLE ren_a RENAME TO ren_b", base)
+    assert(spark.table("ren_b").count() == 25)
+    assert(GpSqlDialect.catalogTable("ren_b").isDefined)
+    assert(GpSqlDialect.catalogTable("ren_a").isEmpty)
+    // old name is free for reuse; INSERT targets the renamed table
+    GpSqlDialect.execute(spark, "INSERT INTO ren_b SELECT 99", base)
+    assert(spark.table("ren_b").count() == 26)
+  }
+
   test("INSERT with column list and CREATE TABLE (LIKE t)") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
