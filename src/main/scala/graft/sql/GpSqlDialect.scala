@@ -313,6 +313,12 @@ object GpSqlDialect {
           Option(m.group(2)), Option(m.group(3)))
       case _ =>
     }
+    UpdateFromRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeUpdateFrom(spark, m.group(1).toLowerCase, m.group(2),
+          m.group(3), m.group(4))
+      case _ =>
+    }
     UpdateRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeUpdate(spark, m.group(1).toLowerCase, m.group(2),
@@ -1298,6 +1304,35 @@ object GpSqlDialect {
     graft.operators.Dml.updateWhere(spark, t.path, assignments, cond)
     spark.read.parquet(t.path).createOrReplaceTempView(table)
     out
+  }
+
+  /** `UPDATE t SET a = expr, ... FROM src WHERE cond` (PG's correlated
+    * update; gram.y update from_clause) → one left join via
+    * [[graft.operators.Dml.updateFrom]]. Assignment expressions and the
+    * join condition may reference `src` columns; `src` can be any
+    * registered relation or catalog table. */
+  private val UpdateFromRe =
+    ("(?is)^\\s*UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+      "\\s+WHERE\\s+(.+?)\\s*$").r
+
+  def executeUpdateFrom(
+      spark: SparkSession, table: String, setClause: String,
+      srcName: String, whereCond: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val t = catalog(table)
+    val assignments = splitTopLevel(setClause, ',').map { a =>
+      val Array(k, v) = a.split("=", 2)
+      k.trim.toLowerCase -> expr(v.trim)
+    }.toMap
+    val src = catalog.get(srcName.toLowerCase) match {
+      case Some(s) if s.format != "csv" => spark.read.parquet(s.path)
+      case _ => spark.table(srcName)
+    }
+    graft.operators.Dml.updateFrom(
+      spark, t.path, src, expr(whereCond), assignments)
+    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    Seq(table).toDF("updated_table")
   }
 
   /** Split on top-level `sep` (parens and quotes hide theirs). */

@@ -403,6 +403,24 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE ... FROM as a dialect statement") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_updfrom"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE uf_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation",
+      base)
+    Seq((0, 1000), (2, 2000)).toDF("rk", "bonus")
+      .createOrReplaceTempView("uf_src")
+    GpSqlDialect.execute(spark,
+      """UPDATE uf_t SET n_regionkey = n_regionkey + bonus
+        |FROM uf_src WHERE n_regionkey = rk""".stripMargin, base)
+    val r = spark.table("uf_t")
+    assert(r.filter($"n_regionkey" === 1000).count() == 5) // region 0 rows
+    assert(r.filter($"n_regionkey" === 2002).count() == 5) // region 2 rows
+    assert(r.filter($"n_regionkey" < 100).count() == 15)   // untouched
+  }
+
   test("ALTER TABLE RENAME TO moves catalog entry, view, and files") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
