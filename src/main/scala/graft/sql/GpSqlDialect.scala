@@ -291,6 +291,12 @@ object GpSqlDialect {
           Option(m.group(4)).map(_.toLowerCase))
       case _ =>
     }
+    DropTableRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeDropTable(spark, m.group(1).toLowerCase,
+          ifExists = m.group(0).toLowerCase.contains("if exists"))
+      case _ =>
+    }
     TruncateRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeTruncate(spark, m.group(1).toLowerCase)
@@ -1157,6 +1163,30 @@ object GpSqlDialect {
       "(?:\\s+WITH\\s+TABLE\\s+(\\w+))?\\s*$").r
 
   private val TruncateRe = "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*$".r
+
+  /** `DROP TABLE [IF EXISTS] t [CASCADE]` (tablecmds.c RemoveRelations):
+    * catalog entry, temp view, backing files and error log all go. */
+  private val DropTableRe =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)" +
+      "\\s*(?:CASCADE|RESTRICT)?\\s*$").r
+
+  def executeDropTable(
+      spark: SparkSession, table: String, ifExists: Boolean): DataFrame = {
+    catalog.remove(table) match {
+      case Some(t) =>
+        spark.catalog.dropTempView(table)
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        fs.delete(new org.apache.hadoop.fs.Path(t.path + ".errlog"), true)
+      case None =>
+        if (spark.catalog.tableExists(table))
+          spark.catalog.dropTempView(table) // CTAS-era plain view
+        else if (!ifExists) throw new IllegalArgumentException(
+          s"""table "$table" does not exist""")
+    }
+    spark.emptyDataFrame
+  }
 
   /** `VACUUM [FULL] table` (commands/vacuum.c) → file compaction of the
     * catalog table ([[graft.operators.Dml.compact]]). */

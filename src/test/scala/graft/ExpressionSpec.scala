@@ -403,6 +403,22 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP TABLE removes catalog entry, view, and files") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_drop"
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE drop_t AS SELECT n_nationkey FROM nation", base)
+    assert(GpSqlDialect.catalogTable("drop_t").isDefined)
+    GpSqlDialect.execute(spark, "DROP TABLE drop_t", base)
+    assert(GpSqlDialect.catalogTable("drop_t").isEmpty)
+    assert(!new java.io.File(s"$base/drop_t").exists())
+    assert(!spark.catalog.tableExists("drop_t"))
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS drop_t", base) // noop
+    intercept[IllegalArgumentException] {
+      GpSqlDialect.execute(spark, "DROP TABLE drop_t", base)
+    }
+  }
+
   test("UPDATE ... FROM as a dialect statement") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
