@@ -272,6 +272,27 @@ object AggregateQueries {
           .orderBy("n_regionkey")
     },
 
+    // DISTINCT-modified ordered-input aggregates (PG allows
+    // string_agg(DISTINCT x, sep ORDER BY x) — parse_agg.c enforces the
+    // ORDER BY ⊆ DISTINCT args rule): collect_set + array_sort gives
+    // identical semantics with partial/final planning, where a naive
+    // global DISTINCT pre-shuffle would not.
+    Q("q_agg_distinct_ordered", Some(
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT CAST(c_nationkey AS VARCHAR) ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).customer
+          .groupBy($"c_mktsegment")
+          .agg(
+            array_join(array_sort(
+              collect_set($"c_nationkey".cast("string"))), ",").as("nations"),
+            countDistinct($"c_nationkey").as("n_nations"))
+          .orderBy("c_mktsegment")
+    },
+
     // array_agg output serialized to CSV text so the pandas compare never
     // sees ndarray cells (driver gate can't sort those).
     Q("q_array_agg", Some(
