@@ -18,6 +18,36 @@ class PropertySpec extends AnyFunSuite {
   private val kvGen = Gen.nonEmptyListOf(
     Gen.zip(Gen.choose(1, 5), Gen.alphaStr.map(_.take(6))))
 
+  test("range algebra invariants on arbitrary integer ranges") {
+    import spark.implicits._
+    import graft.functions.RangeFunctions._
+    val rangeGen = Gen.zip(Gen.choose(-20, 20), Gen.choose(-20, 20),
+      Gen.choose(-20, 20), Gen.choose(-20, 20))
+    val cases = samples(Gen.nonEmptyListOf(rangeGen), 4).flatten.distinct
+    val df = cases.toDF("alo", "ahi", "blo", "bhi")
+      .select(range($"alo", $"ahi").as("a"), range($"blo", $"bhi").as("b"))
+    val rows = df.select(
+      // set-model reference: containment/overlap via element sets
+      overlaps($"a", $"b"), containsRange($"a", $"b"),
+      upperBound(intersect($"a", $"b")) - lowerBound(intersect($"a", $"b")),
+      lowerBound($"a"), upperBound($"a"), lowerBound($"b"), upperBound($"b"))
+      .collect()
+    rows.foreach { r =>
+      val (alo, ahi, blo, bhi) =
+        (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val sa = (alo until math.max(alo, ahi)).toSet
+      val sb = (blo until math.max(blo, bhi)).toSet
+      assert(r.getBoolean(0) == sa.intersect(sb).nonEmpty,
+        s"overlaps [$alo,$ahi) [$blo,$bhi)")
+      assert(r.getBoolean(1) == sb.subsetOf(sa),
+        s"contains [$alo,$ahi) [$blo,$bhi)")
+      // intersection width (clamped at 0) equals the set model's size
+      assert(math.max(0, r.getInt(2)) == sa.intersect(sb).size ||
+        sa.isEmpty || sb.isEmpty,
+        s"intersect width [$alo,$ahi) [$blo,$bhi)")
+    }
+  }
+
   test("salted join ≡ plain join on arbitrary key distributions") {
     import spark.implicits._
     for ((big, smallKeys) <- samples(Gen.zip(kvGen, Gen.someOf(1 to 5)), 5)
