@@ -845,6 +845,34 @@ object FunctionQueries {
           .orderBy("c_custkey")
     },
 
+    // Multi-argument unnest WITH ORDINALITY (PG's ROWS FROM zip —
+    // funcapi.c; shorter arrays pad with NULL): arrays_zip + posexplode
+    // gives the same element-wise zip with a 1-based ordinal.
+    Q("q_fn_unnest_multi", Some(
+      """WITH src AS (SELECT n_nationkey AS id,
+        |    [n_nationkey, n_regionkey, len(n_name)] AS a,
+        |    [upper(substr(n_name,1,2)), CAST(n_regionkey AS VARCHAR)] AS b
+        |  FROM nation WHERE n_nationkey < 5)
+        |SELECT id, CAST(generate_subscripts(a, 1) AS INT) AS ord,
+        |  unnest(a) AS x,
+        |  CASE WHEN generate_subscripts(a, 1) <= len(b)
+        |       THEN b[generate_subscripts(a, 1)] END AS y
+        |FROM src ORDER BY id, ord""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Tables.T(s, dir).nation.filter($"n_nationkey" < 5).select(
+          $"n_nationkey".as("id"),
+          array($"n_nationkey".cast("long"), $"n_regionkey".cast("long"),
+            length($"n_name").cast("long")).as("a"),
+          array(upper(substring($"n_name", 1, 2)),
+            $"n_regionkey".cast("string")).as("b"))
+        src.select($"id",
+          posexplode(arrays_zip($"a", $"b")).as(Seq("ord0", "z")))
+          .select($"id", ($"ord0" + 1).cast("int").as("ord"),
+            $"z.a".as("x"), $"z.b".as("y"))
+          .orderBy("id", "ord")
+    },
+
     // uuid (uuid.c + uuid-ossp v3): name-based md5 UUIDs — the
     // deterministic generation a replayable pipeline needs; random v4
     // can't be verified or reproduced.
