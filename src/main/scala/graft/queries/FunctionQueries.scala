@@ -845,6 +845,29 @@ object FunctionQueries {
           .orderBy("c_custkey")
     },
 
+    // EXTRACT field breadth (timestamp.c timestamp_part): quarter, ISO
+    // week (both engines implement ISO 8601 week-of-year), ISO day of
+    // week (PG isodow Monday=1 — Spark's dayofweek is Sunday=1, so the
+    // mapping is ((dow+5) mod 7)+1), day of year.
+    Q("q_fn_extract", Some(
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(week(o_orderdate) AS INT) AS iso_week,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).orders.filter($"o_orderkey" <= 1000).select(
+          $"o_orderkey",
+          quarter($"o_orderdate").as("qtr"),
+          weekofyear($"o_orderdate").as("iso_week"),
+          (((dayofweek($"o_orderdate") + 5) % 7) + 1).as("iso_dow"),
+          dayofyear($"o_orderdate").as("doy"))
+          .orderBy("o_orderkey")
+    },
+
     // Multi-argument unnest WITH ORDINALITY (PG's ROWS FROM zip —
     // funcapi.c; shorter arrays pad with NULL): arrays_zip + posexplode
     // gives the same element-wise zip with a 1-based ordinal.
