@@ -245,6 +245,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == loaded.count())
   }
 
+  test("approx_percentile accuracy gate vs exact (the 100 TB quantile path)") {
+    import spark.implicits._
+    // exact percentile buffers values per group (ObjectHashAggregate) —
+    // at 100 TB the quantile path is the mergeable approx sketch; this
+    // gate bounds its error so swapping it in is a measured trade
+    val li = Tables.T(spark, sf).lineitem
+    val r = li.agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)"),
+      expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"),
+      expr("approx_percentile(l_extendedprice, 0.95, 1000)")).head
+    val (e50, a50, e95, a95) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(a50 - e50) / e50 < 0.02, s"p50 exact=$e50 approx=$a50")
+    assert(math.abs(a95 - e95) / e95 < 0.02, s"p95 exact=$e95 approx=$a95")
+  }
+
   test("ANN quality gate: LSH recall@5 vs brute force stays usable") {
     import spark.implicits._
     import graft.operators.Similarity
