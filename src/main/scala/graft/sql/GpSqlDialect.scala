@@ -331,6 +331,17 @@ object GpSqlDialect {
           Option(m.group(3)), Option(m.group(4)))
       case _ =>
     }
+    SelectIntoRe.findFirstMatchIn(trimmed) match {
+      // quote-parity guard: an INTO inside a string literal is not an
+      // into_clause
+      case Some(m) if m.group(1).count(_ == '\'') % 2 == 0 =>
+        // SELECT ... INTO t FROM ... (gram.y into_clause) ≡ CTAS — PG
+        // itself rewrites it to CreateTableAs (createas.c)
+        return execute(spark,
+          s"CREATE TABLE ${m.group(2)} AS ${m.group(1)} ${m.group(3)}",
+          basePath)
+      case _ =>
+    }
     CreateLikeRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateLike(spark, m.group(1).toLowerCase,
@@ -1673,6 +1684,9 @@ object GpSqlDialect {
   /** `CREATE TABLE t (col defs) [WITH(...)] [DISTRIBUTED ...] [PARTITION
     * BY ...]` → empty parquet table at basePath/t + catalog entry + temp
     * view. */
+  private val SelectIntoRe =
+    "(?is)^\\s*(SELECT\\s+.+?)\\s+INTO\\s+(?:TABLE\\s+)?(\\w+)\\s+(FROM\\s+.+)$".r
+
   /** `CREATE TABLE t (LIKE src [INCLUDING ...]) [DISTRIBUTED ...]`
     * (gram.y TableLikeClause; GP regress uses it for staging tables —
     * notably the EXCHANGE PARTITION idiom). Copies the source's column

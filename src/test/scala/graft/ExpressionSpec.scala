@@ -403,6 +403,22 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("SELECT INTO rewrites to CTAS; string INTO is untouched") {
+    import spark.implicits._
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_selinto"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS si_t", base)
+    GpSqlDialect.execute(spark,
+      "SELECT n_nationkey, n_name INTO si_t FROM nation WHERE n_regionkey = 1",
+      base)
+    assert(spark.table("si_t").count() == 5)
+    assert(GpSqlDialect.catalogTable("si_t").isDefined)
+    // a quoted INTO is data, not an into_clause
+    val r = GpSqlDialect.execute(spark,
+      "SELECT 'went INTO the x FROM y' AS s FROM nation LIMIT 1", base)
+    assert(r.head.getString(0).contains("INTO"))
+  }
+
   test("DROP TABLE removes catalog entry, view, and files") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_drop"
