@@ -147,6 +147,35 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Corpus length gating — the standard quality filter that drops the
+    // tails of the token-count distribution (too short = boilerplate,
+    // too long = concatenation junk). Bounds are corpus statistics
+    // (exact percentiles here; approx_percentile is the 100 TB swap,
+    // error-gated in OperatorSpec) broadcast against the doc stream.
+    Q("q_pipeline_lengthgate", Some(
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT quantile_cont(n, 0.05) AS lo,
+         |    quantile_cont(n, 0.95) AS hi FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(min(n) AS BIGINT) AS min_toks,
+         |  CAST(max(n) AS BIGINT) AS max_toks
+         |FROM t, b WHERE n >= lo AND n <= hi
+         |GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val toksN = Tables.T(s, dir).documents.select($"doc_id", $"source",
+        TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      val bounds = toksN.agg(
+        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY n)").as("lo"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY n)").as("hi"))
+      toksN.crossJoin(broadcast(bounds))
+        .filter($"n" >= $"lo" && $"n" <= $"hi")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n").as("min_toks"), max($"n").as("max_toks"))
+        .orderBy("source")
+    },
+
     // tsquery operators beyond AND (tsquery.c / tsvector_op.c TS_execute):
     // | (OR), ! (NOT), <-> (phrase/adjacency). Presence flags fold into
     // one grouped scan; phrase = a positional self-join (y.pos = x.pos+1)
