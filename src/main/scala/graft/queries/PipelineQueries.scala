@@ -147,6 +147,49 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Word n-gram mining (shingle statistics beyond the bigram
+    // repetition signals): per-source top trigram by frequency — the
+    // building block of n-gram LM corpus stats and contamination
+    // checks. Trigrams via two leads over the exploded token stream
+    // (codegen window), never per-row array walking.
+    Q("q_text_ngrams", Some(
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |g AS (SELECT source,
+        |    lex || ' ' || lead(lex, 1) OVER w || ' ' || lead(lex, 2) OVER w
+        |      AS tri
+        |  FROM p WHERE lex <> ''
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c AS (SELECT source, tri, count(*) AS n FROM g
+        |  WHERE tri IS NOT NULL GROUP BY source, tri),
+        |r AS (SELECT source, tri, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n DESC, tri) AS rk
+        |  FROM c)
+        |SELECT source, tri AS top_trigram, n FROM r WHERE rk = 1
+        |ORDER BY source""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.T(s, dir).documents.select($"doc_id", $"source",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "lex")))
+        .filter($"lex" =!= "")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val tri = toks.select($"source",
+        concat_ws(" ", $"lex", lead($"lex", 1).over(wDoc),
+          lead($"lex", 2).over(wDoc)).as("tri"),
+        lead($"lex", 2).over(wDoc).as("l2"))
+        .filter($"l2".isNotNull)
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc, $"tri")
+      tri.groupBy($"source", $"tri").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(wSrc))
+        .filter($"rk" === 1)
+        .select($"source", $"tri".as("top_trigram"), $"n")
+        .orderBy("source")
+    },
+
     // Corpus length gating — the standard quality filter that drops the
     // tails of the token-count distribution (too short = boilerplate,
     // too long = concatenation junk). Bounds are corpus statistics
