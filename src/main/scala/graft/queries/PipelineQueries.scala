@@ -147,6 +147,52 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Decontamination: overlap of 3-gram shingles between a candidate
+    // corpus and a held-out set (here: two sources of the docs table).
+    // A training doc sharing many shingles with an eval doc is
+    // contaminated. Candidate generation is an equi-join on the shingle
+    // (at 100 TB: on its hash) — never doc×doc pairs; per-doc counts of
+    // DISTINCT shared shingles rank the offenders.
+    Q("q_text_contamination", Some(
+      """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |g AS (SELECT doc_id, source,
+        |    lex || ' ' || lead(lex,1) OVER w || ' ' || lead(lex,2) OVER w AS sh
+        |  FROM p WHERE lex <> ''
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |train AS (SELECT DISTINCT doc_id, sh FROM g
+        |  WHERE source = 'src0' AND sh IS NOT NULL),
+        |eval AS (SELECT DISTINCT sh FROM g
+        |  WHERE source = 'src1' AND sh IS NOT NULL)
+        |SELECT t.doc_id, count(*) AS shared_shingles
+        |FROM train t JOIN eval e ON t.sh = e.sh
+        |GROUP BY t.doc_id HAVING count(*) >= 2
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val sh = Tables.T(s, dir).documents.select($"doc_id", $"source",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "lex")))
+        .filter($"lex" =!= "")
+        .select($"doc_id", $"source",
+          concat_ws(" ", $"lex", lead($"lex", 1).over(w),
+            lead($"lex", 2).over(w)).as("sh"),
+          lead($"lex", 2).over(w).as("l2"))
+        .filter($"l2".isNotNull)
+      val train = sh.filter($"source" === "src0")
+        .select($"doc_id", $"sh").distinct()
+      val eval5 = sh.filter($"source" === "src1")
+        .select($"sh").distinct()
+      train.join(eval5, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("shared_shingles"))
+        .filter($"shared_shingles" >= 2)
+        .orderBy("doc_id")
+    },
+
     // Word n-gram mining (shingle statistics beyond the bigram
     // repetition signals): per-source top trigram by frequency — the
     // building block of n-gram LM corpus stats and contamination
