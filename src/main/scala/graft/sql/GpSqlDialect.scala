@@ -602,16 +602,38 @@ object GpSqlDialect {
     sb.toString
   }
 
+  /** `t TABLESAMPLE BERNOULLI(p) [REPEATABLE(s)]` (gram.y
+    * tablesample_clause; PG's BERNOULLI scans all rows and keeps each
+    * with probability p). Engine RNG sampling is not reproducible
+    * across engines, cluster sizes, or re-runs — the property a data
+    * pipeline actually needs — so this lowers onto DETERMINISTIC hash
+    * sampling: keep rows where hash(whole row, seed) mod 1e6 < p·1e4.
+    * Same row set every run, every partitioning; REPEATABLE picks the
+    * hash seed (default seed 0). SYSTEM (page sampling) has no parquet
+    * analogue and maps to the same rewrite. */
+  private val TablesampleRe =
+    ("(?is)\\b(\\w+)\\s+TABLESAMPLE\\s+(?:BERNOULLI|SYSTEM)\\s*\\(\\s*" +
+      "([\\d.]+)\\s*(?:PERCENT)?\\s*\\)" +
+      "(?:\\s+REPEATABLE\\s*\\(\\s*(\\d+)\\s*\\))?").r
+
   private def rewriteExpressions(sql: String): String = {
     val afterSimilar = SimilarToRe.replaceAllIn(sql, m => {
       val not = if (m.group(2) != null) "NOT " else ""
       java.util.regex.Matcher.quoteReplacement(
         s"${not}regexp_like(${m.group(1)}, '${similarToRegex(m.group(3))}')")
     })
-    BetweenSymRe.replaceAllIn(afterSimilar, m =>
+    val afterBetween = BetweenSymRe.replaceAllIn(afterSimilar, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} BETWEEN least(${m.group(2)}, ${m.group(3)}) " +
           s"AND greatest(${m.group(2)}, ${m.group(3)})"))
+    TablesampleRe.replaceAllIn(afterBetween, m => {
+      val table = m.group(1)
+      val permille = (m.group(2).toDouble * 10000).round
+      val seed = Option(m.group(3)).getOrElse("0")
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * FROM $table WHERE pmod(abs(hash(struct(*), $seed)), " +
+          s"1000000) < $permille) $table")
+    })
   }
 
   // ---- scripts / prepared statements ---------------------------------

@@ -403,6 +403,22 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("TABLESAMPLE lowers to deterministic hash sampling") {
+    Tables.registerAll(spark, sf)
+    def run() = GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE BERNOULLI(10) REPEATABLE(7)",
+      "/tmp/never").head.getLong(0)
+    val total = spark.table("lineitem").count()
+    val n1 = run()
+    assert(n1 == run(), "sample must be identical across runs")
+    // ~10% within a loose band (hash-uniformity, not RNG)
+    assert(n1 > total / 20 && n1 < total / 5, s"n=$n1 of $total")
+    val other = GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE BERNOULLI(10) REPEATABLE(8)",
+      "/tmp/never").head.getLong(0)
+    assert(other != n1, "different REPEATABLE seed → different sample")
+  }
+
   test("SELECT INTO rewrites to CTAS; string INTO is untouched") {
     import spark.implicits._
     Tables.registerAll(spark, sf)
