@@ -1292,7 +1292,18 @@ object GpSqlDialect {
     graft.operators.Dml.overwrite(spark, t.path, next)
     val reloaded = spark.read.parquet(t.path)
     reloaded.createOrReplaceTempView(table)
-    catalog.put(table, t.copy(schema = reloaded.schema))
+    val defaults = action match {
+      // ADD COLUMN ... DEFAULT applies to future inserts too
+      case AddColRe(name, _, default) if default != null =>
+        t.defaults + (name.toLowerCase -> default)
+      case DropColRe(name) => t.defaults - name.toLowerCase
+      case RenameColRe(from, to) =>
+        t.defaults.get(from.toLowerCase)
+          .map(d => t.defaults - from.toLowerCase + (to.toLowerCase -> d))
+          .getOrElse(t.defaults)
+      case _ => t.defaults
+    }
+    catalog.put(table, t.copy(schema = reloaded.schema, defaults = defaults))
     spark.emptyDataFrame
   }
 
@@ -1620,7 +1631,7 @@ object GpSqlDialect {
   final case class GpTable(
       name: String, path: String, schema: StructType,
       partitionCols: Seq[String], distributionCols: Seq[String],
-      format: String = "parquet")
+      format: String = "parquet", defaults: Map[String, String] = Map.empty)
 
   /** Session-local GP catalog (name → table physics). */
   private val catalog =
@@ -1678,7 +1689,10 @@ object GpSqlDialect {
     }
 
   /** Split top-level-comma column defs "a int, b text" into (name, type). */
-  private def parseColumnDefs(defs: String): Seq[(String, String)] = {
+  /** (name, type, DEFAULT expr if any). Constraints we lower as no-ops
+    * are stripped from the type; DEFAULT is captured first so
+    * column-list INSERTs can fill it (PG build_column_default). */
+  private def parseColumnDefs(defs: String): Seq[(String, String, Option[String])] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var d = 0
     var start = 0
@@ -1695,11 +1709,14 @@ object GpSqlDialect {
       val sp = cd.indexWhere(_.isWhitespace)
       require(sp > 0, s"cannot parse column def: $cd")
       val name = cd.substring(0, sp)
+      val default = "(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)".r
+        .findFirstMatchIn(cd).map(_.group(1))
       // drop trailing constraints we lower as no-ops
       val tpe = cd.substring(sp + 1).trim
-        .replaceAll("(?is)\\b(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE|DEFAULT\\s+\\S+)\\b", "")
+        .replaceAll("(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)", "")
+        .replaceAll("(?is)\\b(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE)\\b", "")
         .trim
-      (name, tpe)
+      (name, tpe, default)
     }
   }
 
@@ -1743,9 +1760,11 @@ object GpSqlDialect {
     val open = ddl.cleanSql.indexOf('(', m.start)
     val close = matchParen(ddl.cleanSql, open)
     val colDefs = parseColumnDefs(ddl.cleanSql.substring(open + 1, close))
-    val schema = StructType(colDefs.map { case (n, t) =>
+    val schema = StructType(colDefs.map { case (n, t, _) =>
       StructField(n, sparkType(t))
     })
+    val defaults = colDefs.collect { case (n, _, Some(d)) =>
+      n.toLowerCase -> d }.toMap
     partCols.foreach(p => require(schema.fieldNames.contains(p),
       s"PARTITION BY column $p not in column list"))
     val path = s"$basePath/$name"
@@ -1754,7 +1773,8 @@ object GpSqlDialect {
     val w = empty.write.mode("overwrite")
       .option("compression", parquetCodec(ddl))
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path)
-    catalog(name) = GpTable(name, path, schema, partCols, ddl.distributionCols)
+    catalog(name) = GpTable(name, path, schema, partCols,
+      ddl.distributionCols, defaults = defaults)
     refreshView(spark, catalog(name))
   }
 
@@ -1784,7 +1804,14 @@ object GpSqlDialect {
         val renamed = src0.toDF(cs: _*)
         renamed.select(t.schema.map { f =>
           if (cs.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          else t.defaults.get(f.name.toLowerCase) match {
+            // unlisted column: its DEFAULT expression, else NULL (PG
+            // build_column_default)
+            case Some(d) =>
+              org.apache.spark.sql.functions.expr(d)
+                .cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
         }: _*)
       case None =>
         require(src0.columns.length == t.schema.length,
@@ -1868,7 +1895,7 @@ object GpSqlDialect {
     val open = gpSql.indexOf('(', m.start + m.group(0).length - 1)
     val close = matchParen(gpSql, open)
     val schema = StructType(
-      parseColumnDefs(gpSql.substring(open + 1, close)).map { case (n, t) =>
+      parseColumnDefs(gpSql.substring(open + 1, close)).map { case (n, t, _) =>
         StructField(n, sparkType(t))
       })
     val loc = "(?is)\\bLOCATION\\s*\\(\\s*'([^']*)'".r

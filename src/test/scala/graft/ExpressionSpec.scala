@@ -498,6 +498,18 @@ class ExpressionSpec extends AnyFunSuite {
       "INSERT INTO ins_t (c, a) SELECT 2.5, 7", base)
     val r = spark.table("ins_t").head
     assert(r.getLong(0) == 7L && r.isNullAt(1) && r.getDouble(2) == 2.5)
+    // DEFAULT expressions fill unlisted columns (build_column_default)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE ins_d (a bigint, b text DEFAULT 'none', c double precision DEFAULT (1.0 + 0.5))",
+      base)
+    GpSqlDialect.execute(spark, "INSERT INTO ins_d (a) SELECT 1", base)
+    val rd = spark.table("ins_d").head
+    assert(rd.getLong(0) == 1L && rd.getString(1) == "none" &&
+      rd.getDouble(2) == 1.5)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE ins_d ADD COLUMN tag text DEFAULT 'new'", base)
+    GpSqlDialect.execute(spark, "INSERT INTO ins_d (a) SELECT 2", base)
+    assert(spark.table("ins_d").filter(col("tag") === "new").count() == 2)
     intercept[Exception] {
       GpSqlDialect.execute(spark, "INSERT INTO ins_t (ghost) SELECT 1", base)
     }
