@@ -264,6 +264,11 @@ object GpSqlDialect {
           m.group(3).toInt)
       case _ =>
     }
+    InsertDefaultsRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeInsertDefaults(spark, m.group(1).toLowerCase)
+      case _ =>
+    }
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
@@ -986,11 +991,13 @@ object GpSqlDialect {
 
   private val CatalogViewRe =
     ("(?i)\\b(pg_tables|pg_views|pg_matviews|gp_distribution_policy|" +
-      "information_schema\\.columns)\\b").r
+      "information_schema\\.columns|information_schema\\.tables)\\b").r
 
   private def rewriteCatalogNames(sql: String): String =
     sql.replaceAll("(?i)\\binformation_schema\\.columns\\b",
       "information_schema_columns")
+      .replaceAll("(?i)\\binformation_schema\\.tables\\b",
+        "information_schema_tables")
       .replaceAll("(?i)\\bpg_catalog\\.", "")
 
   /** Materialize the introspection views from the session catalog —
@@ -1042,6 +1049,15 @@ object GpSqlDialect {
         StructField("data_type", StringType),
         StructField("is_nullable", BooleanType))))
       .createOrReplaceTempView("information_schema_columns")
+    spark.createDataFrame(
+      (tables.map(t => Row("public", t.name, "BASE TABLE")) ++
+        (sessionViews.asScala.toSeq ++ matviews.keys).sorted
+          .map(Row("public", _, "VIEW"))).asJava,
+      StructType(Seq(
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("table_type", StringType))))
+      .createOrReplaceTempView("information_schema_tables")
   }
 
   private val sessionViews =
@@ -1781,6 +1797,22 @@ object GpSqlDialect {
   /** `INSERT INTO t [(cols)] SELECT ...` / `... VALUES ...` for a catalog
     * table: positional alignment onto the table schema, distribution
     * repartition, Hive-style dynamic partition append. */
+  /** `INSERT INTO t DEFAULT VALUES` — one row of catalog defaults. */
+  private val InsertDefaultsRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+DEFAULT\\s+VALUES\\s*$".r
+
+  def executeInsertDefaults(
+      spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val t = catalog(name)
+    val row = spark.range(1).select(t.schema.map { f =>
+      t.defaults.get(f.name.toLowerCase)
+        .map(d => expr(d).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
+    }: _*)
+    appendFrame(spark, t, row)
+  }
+
   def executeInsertInto(
       spark: SparkSession, name: String, rest: String,
       colList: Option[Seq[String]] = None): DataFrame = {

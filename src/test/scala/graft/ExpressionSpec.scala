@@ -188,6 +188,15 @@ class ExpressionSpec extends AnyFunSuite {
       base).collect()
     assert(cols.map(_.getString(0)).toSeq == Seq("a", "b"))
     assert(cols.map(_.getString(1)).toSeq == Seq("bigint", "string"))
+    // information_schema.tables lists base tables and views with type
+    GpSqlDialect.execute(spark,
+      "CREATE VIEW guc_v AS SELECT a FROM guc_t", base)
+    val tt = GpSqlDialect.execute(spark,
+      """SELECT table_name, table_type FROM information_schema.tables
+        |WHERE table_name IN ('guc_t', 'guc_v') ORDER BY 1""".stripMargin,
+      base).collect()
+    assert(tt.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
   test("gp_segment_id / gp_row_id compatibility functions") {
@@ -510,6 +519,11 @@ class ExpressionSpec extends AnyFunSuite {
       "ALTER TABLE ins_d ADD COLUMN tag text DEFAULT 'new'", base)
     GpSqlDialect.execute(spark, "INSERT INTO ins_d (a) SELECT 2", base)
     assert(spark.table("ins_d").filter(col("tag") === "new").count() == 2)
+    // INSERT ... DEFAULT VALUES: one all-defaults row (NULL where none)
+    GpSqlDialect.execute(spark, "INSERT INTO ins_d DEFAULT VALUES", base)
+    val dv = spark.table("ins_d").filter(col("a").isNull).head
+    assert(dv.getString(1) == "none" && dv.getDouble(2) == 1.5 &&
+      dv.getString(3) == "new")
     intercept[Exception] {
       GpSqlDialect.execute(spark, "INSERT INTO ins_t (ghost) SELECT 1", base)
     }
