@@ -46,27 +46,33 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (a) pull the neighbour labels, keep the min of (own, neighbours)
+      // (a) pull the neighbour labels, keep the min of (own, neighbours).
+      // The vertex's own row rides along with `own` = its current label,
+      // so convergence is decided in this same pass (no probe join).
       val pulled = edges
         .join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), col("component"))
-      val minned = labels.select(col("id"), col("component"))
+        .select(edges("dst").as("id"), col("component"),
+          lit(null).cast("long").as("own"))
+      val minned = labels.select(col("id"), col("component"),
+          col("component").as("own"))
         .union(pulled)
-        .groupBy("id").agg(min("component").as("component"))
+        .groupBy("id")
+        .agg(min("component").as("component"), max("own").as("own"))
       // (b) pointer jump: comp := label(comp). Labels only decrease, so
       // the shortcut is sound and doubles reach per round.
-      val jump = minned.toDF("cid", "ccomp")
+      val jump = minned.select(col("id").as("cid"),
+        col("component").as("ccomp"))
       val next = minned
         .join(jump, minned("component") === jump("cid"), "left")
         .select(minned("id").as("id"),
-          coalesce(jump("ccomp"), minned("component")).as("component"))
+          coalesce(col("ccomp"), minned("component")).as("component"),
+          (coalesce(col("ccomp"), minned("component")) =!= col("own"))
+            .as("changed"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          "id")
-        .filter(col("component") =!= col("old"))
-        .limit(1).count() // any-change probe, stops at the first hit
-      converged = changed == 0
-      labels = next
+      // any-change probe over the in-memory checkpoint — no join, no
+      // shuffle, early-stops at the first changed partition
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select("id", "component")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
