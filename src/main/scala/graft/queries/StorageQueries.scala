@@ -732,6 +732,31 @@ object StorageQueries {
           .orderBy("batch", "c_custkey")
     },
 
+    // Schemas + search_path (commands/schemacmds.c, namespace.c
+    // RangeVarGetRelid): CREATE SCHEMA, schema-qualified CTAS, then an
+    // unqualified reference resolved through search_path joining back
+    // to a default-schema relation. Oracle replays the equivalent
+    // SELECT over the base tables.
+    Q("q_sql_schema", Some(
+      """SELECT r_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE n_nationkey < 20
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("sqlschema")
+      GpSqlDialect.execute(s, "CREATE SCHEMA IF NOT EXISTS staging", base)
+      GpSqlDialect.execute(s,
+        """CREATE TABLE staging.nat AS
+          |SELECT * FROM nation WHERE n_nationkey < 20""".stripMargin, base)
+      GpSqlDialect.execute(s, "SET search_path TO staging, public", base)
+      val out = GpSqlDialect.execute(s,
+        """SELECT r_name, count(*) AS n
+          |FROM nat JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin, base)
+      GpSqlDialect.execute(s, "RESET search_path", base)
+      out
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

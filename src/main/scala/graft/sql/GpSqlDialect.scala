@@ -105,7 +105,8 @@ object GpSqlDialect {
     rejectUnsupported(gpSql)
     if (CreateFunctionRe.findFirstIn(gpSql).isDefined)
       return executeCreateFunction(spark, gpSql)
-    val trimmed = rewriteExpressions(inlineSqlFunctions(gpSql.trim))
+    val trimmed =
+      resolveSchemas(rewriteExpressions(inlineSqlFunctions(gpSql.trim)))
     if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
@@ -222,6 +223,17 @@ object GpSqlDialect {
       case Some(m) =>
         gucs.remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateSchemaRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateSchema(spark, m.group(1).toLowerCase)
+      case _ =>
+    }
+    DropSchemaRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeDropSchema(spark, m.group(1).toLowerCase,
+          cascade = m.group(2) != null)
       case _ =>
     }
     if (CatalogViewRe.findFirstIn(trimmed).isDefined) {
@@ -986,11 +998,113 @@ object GpSqlDialect {
       StructType(Seq(StructField(name.replace('.', '_'), StringType))))
   }
 
+  // ---- schemas (commands/schemacmds.c, catalog/namespace.c: CREATE
+  // SCHEMA + search_path name resolution). The session catalog stays
+  // flat: relation `s.t` lives under the key `s__t` (`public` keeps
+  // bare names, so unqualified DDL is unchanged), and resolution
+  // happens once, at the string level, before dispatch — the same
+  // place PG's parser calls RangeVarGetRelid. -------------------------
+
+  private val CreateSchemaRe =
+    "(?is)^\\s*CREATE\\s+SCHEMA\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val DropSchemaRe =
+    ("(?is)^\\s*DROP\\s+SCHEMA\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*" +
+      "(CASCADE)?\\s*$").r
+
+  private val schemas =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  schemas.add("public")
+
+  def searchPath: Seq[String] =
+    gucs.getOrElse("search_path", "public").split(",")
+      .map(_.trim.toLowerCase.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+
+  /** Flat session-catalog key for (schema, relation). */
+  def flatName(schema: String, base: String): String =
+    if (schema == "public") base else s"${schema}__$base"
+
+  /** Inverse of [[flatName]] — which schema owns this catalog key. */
+  def schemaOf(flat: String): (String, String) =
+    flat.split("__", 2) match {
+      case Array(s, base) if schemas.contains(s) => (s, base)
+      case _ => ("public", flat)
+    }
+
+  private def relationExists(flat: String): Boolean =
+    catalog.contains(flat) || sessionViews.contains(flat) ||
+      matviews.contains(flat)
+
+  // table-reference positions where an unqualified name is
+  // unambiguously a relation (never a column or alias)
+  private val TableRefCtx =
+    ("(?i)\\b(FROM|JOIN|INTO|UPDATE|TABLE|COPY|ANALYZE|VACUUM)" +
+      "\\s+(\\w+)").r
+  private val CreateRelRe =
+    ("(?is)^(\\s*CREATE\\s+(?:TABLE|VIEW|MATERIALIZED\\s+VIEW)\\s+" +
+      "(?:IF\\s+NOT\\s+EXISTS\\s+)?)(\\w+)").r
+
+  /** Lower schema-qualified references onto flat catalog keys and
+    * resolve unqualified relation references through search_path (the
+    * first schema owning the relation wins; CREATEs land in the first
+    * search_path schema, like PG). String-level like the rest of the
+    * dialect; dotted names inside string literals are not excluded. */
+  def resolveSchemas(sql: String): String = {
+    var out = sql
+    import scala.jdk.CollectionConverters._
+    schemas.asScala.toSeq.sortBy(-_.length).foreach { s =>
+      val repl = if (s == "public") "$1" else s + "__$1"
+      out = out.replaceAll(
+        "(?i)\\b" + java.util.regex.Pattern.quote(s) + "\\.(\\w+)", repl)
+    }
+    val sp = searchPath
+    if (sp != Seq("public")) {
+      out = CreateRelRe.replaceAllIn(out, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + flatName(sp.headOption.getOrElse("public"),
+            m.group(2).toLowerCase)))
+      out = TableRefCtx.replaceAllIn(out, m => {
+        val base = m.group(2).toLowerCase
+        val resolved = sp.iterator.map(flatName(_, base))
+          .find(relationExists).getOrElse(base)
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} $resolved")
+      })
+    }
+    out
+  }
+
+  def executeCreateSchema(spark: SparkSession, name: String): DataFrame = {
+    schemas.add(name)
+    spark.emptyDataFrame
+  }
+
+  def executeDropSchema(
+      spark: SparkSession, name: String, cascade: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    if (name == "public")
+      throw new IllegalArgumentException("cannot drop schema public")
+    if (!schemas.contains(name))
+      throw new IllegalArgumentException(s"""schema "$name" does not exist""")
+    val owned = catalog.keys.filter(schemaOf(_)._1 == name).toSeq
+    val views = sessionViews.asScala.filter(schemaOf(_)._1 == name).toSeq
+    if ((owned.nonEmpty || views.nonEmpty) && !cascade)
+      throw new IllegalStateException(
+        s"""schema "$name" is not empty (use DROP SCHEMA ... CASCADE)""")
+    owned.foreach(executeDropTable(spark, _, ifExists = true))
+    views.foreach { v =>
+      spark.catalog.dropTempView(v); sessionViews.remove(v)
+    }
+    schemas.remove(name)
+    spark.emptyDataFrame
+  }
+
   // ---- catalog introspection (pg_tables / pg_matviews /
   // gp_distribution_policy / information_schema.columns) ---------------
 
   private val CatalogViewRe =
     ("(?i)\\b(pg_tables|pg_views|pg_matviews|gp_distribution_policy|" +
+      "pg_namespace|" +
       "information_schema\\.columns|information_schema\\.tables)\\b").r
 
   private def rewriteCatalogNames(sql: String): String =
@@ -1006,8 +1120,10 @@ object GpSqlDialect {
     import scala.jdk.CollectionConverters._
     val tables = catalog.values.toSeq.sortBy(_.name)
     spark.createDataFrame(
-      tables.map(t => Row("public", t.name, "graft", t.format,
-        t.partitionCols.mkString(","))).asJava,
+      tables.map { t =>
+        val (s, base) = schemaOf(t.name)
+        Row(s, base, "graft", t.format, t.partitionCols.mkString(","))
+      }.asJava,
       StructType(Seq(
         StructField("schemaname", StringType),
         StructField("tablename", StringType),
@@ -1030,17 +1146,29 @@ object GpSqlDialect {
         StructField("matviewowner", StringType))))
       .createOrReplaceTempView("pg_matviews")
     spark.createDataFrame(
-      sessionViews.asScala.toSeq.sorted.map(Row("public", _, "graft")).asJava,
+      sessionViews.asScala.toSeq.sorted.map { v =>
+        val (s, base) = schemaOf(v)
+        Row(s, base, "graft")
+      }.asJava,
       StructType(Seq(
         StructField("schemaname", StringType),
         StructField("viewname", StringType),
         StructField("viewowner", StringType))))
       .createOrReplaceTempView("pg_views")
     spark.createDataFrame(
-      tables.flatMap(t => t.schema.fields.zipWithIndex.map { case (f, i) =>
-        Row("public", t.name, f.name, i + 1, f.dataType.sql.toLowerCase,
-          f.nullable)
-      }).asJava,
+      schemas.asScala.toSeq.sorted.map(Row(_, "graft")).asJava,
+      StructType(Seq(
+        StructField("nspname", StringType),
+        StructField("nspowner", StringType))))
+      .createOrReplaceTempView("pg_namespace")
+    spark.createDataFrame(
+      tables.flatMap { t =>
+        val (s, base) = schemaOf(t.name)
+        t.schema.fields.zipWithIndex.map { case (f, i) =>
+          Row(s, base, f.name, i + 1, f.dataType.sql.toLowerCase,
+            f.nullable)
+        }
+      }.asJava,
       StructType(Seq(
         StructField("table_schema", StringType),
         StructField("table_name", StringType),
@@ -1050,9 +1178,14 @@ object GpSqlDialect {
         StructField("is_nullable", BooleanType))))
       .createOrReplaceTempView("information_schema_columns")
     spark.createDataFrame(
-      (tables.map(t => Row("public", t.name, "BASE TABLE")) ++
-        (sessionViews.asScala.toSeq ++ matviews.keys).sorted
-          .map(Row("public", _, "VIEW"))).asJava,
+      (tables.map { t =>
+        val (s, base) = schemaOf(t.name)
+        Row(s, base, "BASE TABLE")
+      } ++
+        (sessionViews.asScala.toSeq ++ matviews.keys).sorted.map { v =>
+          val (s, base) = schemaOf(v)
+          Row(s, base, "VIEW")
+        }).asJava,
       StructType(Seq(
         StructField("table_schema", StringType),
         StructField("table_name", StringType),

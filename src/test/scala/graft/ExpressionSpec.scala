@@ -199,6 +199,52 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("schemas: qualified names, search_path, DROP SCHEMA semantics") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_spec"
+    GpSqlDialect.execute(spark, "CREATE SCHEMA IF NOT EXISTS stg", base)
+    // qualified DDL + DML land in the schema
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE stg.t1 (a bigint, b text)", base)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO stg.t1 SELECT 1, 'x'", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT a, b FROM stg.t1", base).head.getLong(0) == 1L)
+    // introspection: schemaname is real, pg_namespace lists the schema
+    val ns = GpSqlDialect.execute(spark,
+      "SELECT nspname FROM pg_namespace ORDER BY nspname", base)
+      .collect().map(_.getString(0)).toSeq
+    assert(ns.contains("stg") && ns.contains("public"))
+    val pt = GpSqlDialect.execute(spark,
+      "SELECT schemaname, tablename FROM pg_tables WHERE tablename = 't1'",
+      base).head
+    assert(pt.getString(0) == "stg" && pt.getString(1) == "t1")
+    // search_path: unqualified reference resolves through the schema,
+    // and unqualified CREATE lands in the first search_path schema
+    GpSqlDialect.execute(spark, "SET search_path TO stg, public", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM t1", base).head.getLong(0) == 1L)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE t2 AS SELECT 7 AS v", base)
+    assert(GpSqlDialect.execute(spark,
+      """SELECT schemaname FROM pg_tables
+        |WHERE tablename = 't2'""".stripMargin, base)
+      .head.getString(0) == "stg")
+    GpSqlDialect.execute(spark, "RESET search_path", base)
+    // after reset, the unqualified name no longer resolves into stg
+    intercept[Exception] {
+      GpSqlDialect.execute(spark, "SELECT * FROM t1", base).collect()
+    }
+    // DROP SCHEMA refuses while non-empty; CASCADE drops the contents
+    intercept[IllegalStateException] {
+      GpSqlDialect.execute(spark, "DROP SCHEMA stg", base)
+    }
+    GpSqlDialect.execute(spark, "DROP SCHEMA stg CASCADE", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM pg_tables WHERE tablename = 't1'",
+      base).head.getLong(0) == 0L)
+  }
+
   test("gp_segment_id / gp_row_id compatibility functions") {
     graft.functions.PgFunctions.registerAll(spark)
     val r = spark.sql(
