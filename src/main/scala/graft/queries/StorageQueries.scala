@@ -679,6 +679,47 @@ object StorageQueries {
         .orderBy("phase", "o_orderstatus")
     },
 
+    // Incremental matview REFRESH (IVM decomposition for distributive
+    // aggs; matview.c itself is recompute-only): after an append-only
+    // INSERT, REFRESH aggregates only the NEW parquet files and merges
+    // into the stored matview (count⊕=sum, sum⊕=sum, min⊕=min,
+    // max⊕=max) — O(delta) instead of O(base) at 100 TB. The require()
+    // makes the query fail loudly if the delta-merge path didn't fire.
+    Q("q_sql_matview_inc", Some(
+      s"""SELECT o_orderstatus, count(*) AS n, ${Q.oSum("o_totalprice")} AS total,
+         |  min(o_custkey) AS lo, max(o_custkey) AS hi
+         |FROM orders WHERE o_orderkey <= 4000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("ivmq")
+        GpSqlDialect.execute(s, "DROP TABLE IF EXISTS ivmq_base", base)
+        GpSqlDialect.execute(s,
+          """CREATE TABLE ivmq_base AS
+            |SELECT o_orderstatus, o_custkey,
+            |  CAST(o_totalprice AS DECIMAL(28,6)) AS price
+            |FROM orders WHERE o_orderkey <= 2000""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE MATERIALIZED VIEW ivmq_mv AS
+            |SELECT o_orderstatus, count(*) AS n, sum(price) AS total_raw,
+            |  min(o_custkey) AS lo, max(o_custkey) AS hi
+            |FROM ivmq_base GROUP BY o_orderstatus""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """INSERT INTO ivmq_base
+            |SELECT o_orderstatus, o_custkey,
+            |  CAST(o_totalprice AS DECIMAL(28,6))
+            |FROM orders
+            |WHERE o_orderkey > 2000 AND o_orderkey <= 4000""".stripMargin,
+          base)
+        GpSqlDialect.execute(s, "REFRESH MATERIALIZED VIEW ivmq_mv", base)
+        require(GpSqlDialect.lastRefreshIncremental,
+          "expected the delta-merge refresh path")
+        GpSqlDialect.execute(s,
+          """SELECT o_orderstatus, n,
+            |  CAST(round(total_raw, 2) AS DOUBLE) AS total, lo, hi
+            |FROM ivmq_mv ORDER BY o_orderstatus""".stripMargin, base)
+    },
+
     // Sequences (commands/sequence.c; GP's master seqserver is the
     // documented bulk-load bottleneck — cdb/cdbvars.c). Bulk nextval
     // reserves ONE contiguous block and assigns ids distributed

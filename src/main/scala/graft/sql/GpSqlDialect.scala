@@ -1235,7 +1235,8 @@ object GpSqlDialect {
   private val RefreshMatViewRe =
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*$".r
 
-  private final case class MatView(sql: String, path: String)
+  private final case class MatView(
+      sql: String, path: String, baseFiles: Set[String] = Set.empty)
   private val matviews =
     scala.collection.concurrent.TrieMap.empty[String, MatView]
 
@@ -1247,12 +1248,126 @@ object GpSqlDialect {
     refreshMatView(spark, name, basePath)
   }
 
+  /** Incremental-refresh shape: a distributive aggregate (count / sum /
+    * min / max) over ONE catalog base table, plain grouping columns.
+    * Under append-only changes the delta aggregate over just the NEW
+    * parquet files merges into the stored matview (count⊕=sum, sum⊕=sum,
+    * min⊕=min, max⊕=max) — at 100 TB a refresh then costs O(delta), not
+    * O(base). PG's matview.c is recompute-only; the incremental form
+    * follows the standard IVM decomposition for distributive aggs. */
+  private final case class IncAgg(
+      table: String, where: Option[String], groupCols: Seq[String],
+      aggs: Seq[(String, String, String)]) // (fn, argExpr, alias)
+
+  private val IncMatViewRe =
+    ("(?is)^\\s*SELECT\\s+(.+?)\\s+FROM\\s+(\\w+)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+([\\w\\s,]+?)\\s*$").r
+  private val IncAggItemRe =
+    "(?is)^\\s*(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w.]+)\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
+
+  /** Split a select list on top-level commas (parens stay intact). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def parseIncremental(sql: String): Option[IncAgg] =
+    IncMatViewRe.findFirstMatchIn(sql).flatMap { m =>
+      val groupCols = m.group(4).split(",").map(_.trim.toLowerCase).toSeq
+      if (!groupCols.forall(_.matches("\\w+"))) return None
+      val items = splitTopLevel(m.group(1))
+      val aggs = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      val ok = items.forall {
+        case item if groupCols.contains(item.trim.toLowerCase) => true
+        case IncAggItemRe(fn, arg, alias) =>
+          aggs += ((fn.toLowerCase, arg, alias.toLowerCase)); true
+        case _ => false
+      }
+      if (ok && aggs.nonEmpty)
+        Some(IncAgg(m.group(2).toLowerCase, Option(m.group(3)), groupCols,
+          aggs.toSeq))
+      else None
+    }
+
+  /** Whether the last REFRESH took the incremental (delta-merge) path —
+    * observable for tests and operational sanity checks. */
+  @volatile var lastRefreshIncremental: Boolean = false
+
+  private def aggColumns(aggs: Seq[(String, String, String)]) = {
+    import org.apache.spark.sql.functions._
+    aggs.map {
+      case ("count", "*", a) => count(lit(1)).as(a)
+      case ("count", arg, a) => count(col(arg)).as(a)
+      case ("sum", arg, a) => sum(col(arg)).as(a)
+      case ("min", arg, a) => min(col(arg)).as(a)
+      case ("max", arg, a) => max(col(arg)).as(a)
+    }
+  }
+
   def refreshMatView(
       spark: SparkSession, name: String, basePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     val mv = matviews.getOrElse(name, throw new IllegalArgumentException(
       s"$name is not a materialized view"))
-    execute(spark, mv.sql, basePath)
-      .write.mode("overwrite").parquet(mv.path)
+    lastRefreshIncremental = false
+    val inc = parseIncremental(mv.sql)
+    val baseTable = inc.flatMap(ia => catalog.get(ia.table))
+    val nowFiles: Set[String] = baseTable match {
+      case Some(t) =>
+        try spark.read.parquet(t.path).inputFiles.toSet
+        catch { case _: Throwable => Set.empty }
+      case None => Set.empty
+    }
+    val newFiles = nowFiles -- mv.baseFiles
+    val appendOnly = mv.baseFiles.nonEmpty &&
+      mv.baseFiles.subsetOf(nowFiles) && newFiles.nonEmpty
+    (inc, baseTable) match {
+      case (Some(ia), Some(t)) if appendOnly =>
+        // delta aggregate over just the new files, merged into the
+        // stored matview with each agg's combine function
+        val delta0 = spark.read.option("basePath", t.path)
+          .schema(spark.read.parquet(t.path).schema)
+          .parquet(newFiles.toSeq: _*)
+        val delta = ia.where.map(delta0.filter).getOrElse(delta0)
+          .groupBy(ia.groupCols.map(col): _*)
+          .agg(aggColumns(ia.aggs).head, aggColumns(ia.aggs).tail: _*)
+        val merged = spark.read.parquet(mv.path)
+          .unionByName(delta)
+          .groupBy(ia.groupCols.map(col): _*)
+          .agg(ia.aggs.map {
+            case ("min", _, a) => min(col(a)).as(a)
+            case ("max", _, a) => max(col(a)).as(a)
+            case (_, _, a) => sum(col(a)).as(a) // count/sum combine = sum
+          }.head, ia.aggs.map {
+            case ("min", _, a) => min(col(a)).as(a)
+            case ("max", _, a) => max(col(a)).as(a)
+            case (_, _, a) => sum(col(a)).as(a)
+          }.tail: _*)
+        // cast merged combine outputs back onto the stored schema (sum
+        // of longs widens count columns consistently; decimals align)
+        val stored = spark.read.parquet(mv.path).schema
+        val aligned = merged.select(stored.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        val tmpPath = mv.path + "_delta_tmp"
+        aligned.write.mode("overwrite").parquet(tmpPath)
+        spark.read.parquet(tmpPath).write.mode("overwrite").parquet(mv.path)
+        val tp = new org.apache.hadoop.fs.Path(tmpPath)
+        tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(tp, true)
+        lastRefreshIncremental = true
+      case _ =>
+        execute(spark, mv.sql, basePath)
+          .write.mode("overwrite").parquet(mv.path)
+    }
+    matviews.put(name, mv.copy(baseFiles = nowFiles))
     val df = spark.read.parquet(mv.path)
     df.createOrReplaceTempView(name)
     df

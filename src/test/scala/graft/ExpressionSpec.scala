@@ -199,6 +199,51 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("incremental matview REFRESH merges only the append delta") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivm"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS ivm_base", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE ivm_base AS
+        |SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+        |WHERE o_orderkey <= 2000""".stripMargin, base)
+    GpSqlDialect.execute(spark,
+      """CREATE MATERIALIZED VIEW ivm_mv AS
+        |SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total,
+        |  min(o_custkey) AS lo, max(o_custkey) AS hi
+        |FROM ivm_base GROUP BY o_orderstatus""".stripMargin, base)
+    assert(!GpSqlDialect.lastRefreshIncremental) // first build is full
+    GpSqlDialect.execute(spark,
+      """INSERT INTO ivm_base
+        |SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+        |WHERE o_orderkey > 2000 AND o_orderkey <= 4000""".stripMargin, base)
+    GpSqlDialect.execute(spark, "REFRESH MATERIALIZED VIEW ivm_mv", base)
+    assert(GpSqlDialect.lastRefreshIncremental)
+    // delta-merged result ≡ from-scratch recompute
+    val got = spark.sql(
+      "SELECT * FROM ivm_mv ORDER BY o_orderstatus").collect()
+    val want = spark.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total,
+        |  min(o_custkey) AS lo, max(o_custkey) AS hi
+        |FROM ivm_base GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <
+        1e-9 * math.abs(w.getDouble(2)))
+      assert(g.getLong(3) == w.getLong(3) && g.getLong(4) == w.getLong(4))
+    }
+    // a base rewrite breaks append-only → REFRESH falls back to full
+    GpSqlDialect.execute(spark,
+      "DELETE FROM ivm_base WHERE o_orderstatus = 'F'", base)
+    GpSqlDialect.execute(spark, "REFRESH MATERIALIZED VIEW ivm_mv", base)
+    assert(!GpSqlDialect.lastRefreshIncremental)
+    assert(spark.sql("SELECT * FROM ivm_mv").collect()
+      .forall(_.getString(0) != "F"))
+  }
+
   test("schemas: qualified names, search_path, DROP SCHEMA semantics") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_schema_spec"
