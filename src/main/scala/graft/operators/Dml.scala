@@ -233,4 +233,32 @@ object Dml {
       }: _*)
     overwriteInPlace(spark, path, merged)
   }
+
+  /** `INSERT ... ON CONFLICT DO UPDATE` lowering (nodeModifyTable.c
+    * speculative insertion): ONE full-outer join on the conflict keys.
+    * Conflicting target rows take the assignment expressions — which may
+    * reference target columns by name and the proposed source row via
+    * `__exc_`-prefixed columns (the dialect rewrites `EXCLUDED.c` to
+    * `__exc_c`) — unmatched source rows insert, other target rows keep.
+    * NULL keys never conflict (unique-index semantics: === join). */
+  def upsert(
+      spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], assignments: Map[String, Column]): Unit = {
+    val target = spark.read.parquet(path)
+    val cols = target.columns
+    val tgt = target.withColumn("__t_present", lit(true))
+    val exc = cols.foldLeft(source.toDF(cols.toSeq: _*))((d, c) =>
+      d.withColumnRenamed(c, s"__exc_$c"))
+      .withColumn("__s_present", lit(true))
+    val joinCond = keys.map(k => tgt(k) === exc(s"__exc_$k")).reduce(_ && _)
+    val merged = tgt.join(exc, joinCond, "full_outer")
+      .select(cols.map { c =>
+        when(col("__t_present") && col("__s_present"),
+          assignments.getOrElse(c.toLowerCase, tgt(c)))
+          .when(col("__s_present"), col(s"__exc_$c"))
+          .otherwise(tgt(c))
+          .cast(target.schema(c).dataType).as(c)
+      }: _*)
+    overwriteInPlace(spark, path, merged)
+  }
 }

@@ -679,6 +679,39 @@ object StorageQueries {
         .orderBy("phase", "o_orderstatus")
     },
 
+    // INSERT ... ON CONFLICT DO UPDATE (gram.y on_conflict, executor
+    // speculative insertion): overlapping load windows — the second load
+    // updates the overlap in place (EXCLUDED row) and inserts the rest.
+    // Oracle derives the same final state arithmetically from orders.
+    Q("q_sql_upsert", Some(
+      """SELECT o_orderkey AS k,
+        |  CAST(CASE WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS DOUBLE) AS price,
+        |  CAST(CASE WHEN o_orderkey BETWEEN 501 AND 1000 THEN 2
+        |       ELSE 1 END AS BIGINT) AS hits
+        |FROM orders WHERE o_orderkey <= 1500
+        |ORDER BY k""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("upsertq")
+      GpSqlDialect.execute(s, "DROP TABLE IF EXISTS ups_orders", base)
+      GpSqlDialect.execute(s,
+        """CREATE TABLE ups_orders (
+          |  k bigint, price double precision, hits bigint)
+          |DISTRIBUTED BY (k)""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO ups_orders
+          |SELECT o_orderkey, o_totalprice, 1 FROM orders
+          |WHERE o_orderkey <= 1000""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        """INSERT INTO ups_orders
+          |SELECT o_orderkey, o_totalprice * 2, 1 FROM orders
+          |WHERE o_orderkey BETWEEN 501 AND 1500
+          |ON CONFLICT (k) DO UPDATE SET price = EXCLUDED.price,
+          |  hits = hits + EXCLUDED.hits""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        "SELECT k, price, hits FROM ups_orders ORDER BY k", base)
+    },
+
     // Incremental matview REFRESH (IVM decomposition for distributive
     // aggs; matview.c itself is recompute-only): after an append-only
     // INSERT, REFRESH aggregates only the NEW parquet files and merges

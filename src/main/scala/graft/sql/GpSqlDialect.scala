@@ -281,6 +281,25 @@ object GpSqlDialect {
         return executeInsertDefaults(spark, m.group(1).toLowerCase)
       case _ =>
     }
+    InsertConflictRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeInsertConflict(spark, m.group(1).toLowerCase,
+          Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSeq),
+          m.group(3), m.group(4), m.group(5))
+      case _ =>
+    }
+    GrantRevokeRe.findFirstMatchIn(trimmed) match {
+      case Some(_) => return spark.emptyDataFrame
+      case _ =>
+    }
+    CommentOnRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        comments.put(s"${m.group(1).toLowerCase} ${m.group(2).toLowerCase}",
+          m.group(3))
+        return spark.emptyDataFrame
+      case _ =>
+    }
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
@@ -2045,6 +2064,23 @@ object GpSqlDialect {
   /** `INSERT INTO t [(cols)] SELECT ...` / `... VALUES ...` for a catalog
     * table: positional alignment onto the table schema, distribution
     * repartition, Hive-style dynamic partition append. */
+  /** GRANT/REVOKE (aclchk.c) — single-tenant engine, accepted as
+    * compatibility no-ops so GP deployment scripts run unchanged;
+    * COMMENT ON (commands/comment.c) records the description like
+    * pg_description, readable via [[objComment]]. */
+  private val GrantRevokeRe =
+    "(?is)^\\s*(?:GRANT|REVOKE)\\s+.+$".r
+  private val CommentOnRe =
+    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|COLUMN|VIEW|SCHEMA|FUNCTION)\\s+" +
+      "([\\w.]+)\\s+IS\\s+'((?:[^']|'')*)'\\s*$").r
+  private val comments =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The recorded COMMENT ON text for e.g. ("table", "orders"). */
+  def objComment(kind: String, obj: String): Option[String] =
+    comments.get(s"${kind.toLowerCase} ${obj.toLowerCase}")
+      .map(_.replace("''", "'"))
+
   /** `INSERT INTO t DEFAULT VALUES` — one row of catalog defaults. */
   private val InsertDefaultsRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s+DEFAULT\\s+VALUES\\s*$".r
@@ -2064,8 +2100,30 @@ object GpSqlDialect {
   def executeInsertInto(
       spark: SparkSession, name: String, rest: String,
       colList: Option[Seq[String]] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    // trailing RETURNING list (PG returns the inserted rows post-cast/
+    // default); quote-parity guard like SelectIntoRe
+    "(?is)^(.*?)\\s+RETURNING\\s+(.+?)\\s*$".r.findFirstMatchIn(rest) match {
+      case Some(m) if m.group(1).count(_ == '\'') % 2 == 0 =>
+        val t = catalog(name)
+        val inserted = insertSource(spark, t, m.group(1), colList)
+          .localCheckpoint(true)
+        appendFrame(spark, t, inserted)
+        return inserted.selectExpr(
+          splitTopLevel(m.group(2), ','): _*)
+      case _ =>
+    }
     val t = catalog(name)
+    appendFrame(spark, t, insertSource(spark, t, rest, colList))
+  }
+
+  /** Build the aligned source frame of an INSERT: VALUES or SELECT body,
+    * PG column-list semantics (unlisted columns fill their catalog
+    * DEFAULT, else NULL). */
+  private def insertSource(
+      spark: SparkSession, t: GpTable, rest: String,
+      colList: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val name = t.name
     val body = rest.trim
     val src0 =
       if (body.toUpperCase.startsWith("VALUES"))
@@ -2099,7 +2157,57 @@ object GpSqlDialect {
             s"expected ${t.schema.length}")
         src0
     }
-    appendFrame(spark, t, src)
+    src.toDF(t.schema.fieldNames.toSeq: _*)
+      .select(t.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** `INSERT INTO t [(cols)] src ON CONFLICT (keys) DO NOTHING |
+    * DO UPDATE SET ...` (gram.y on_conflict; executor speculative
+    * insertion nodeModifyTable.c). DO NOTHING anti-joins the source on
+    * the conflict keys and appends only genuinely-new rows; DO UPDATE
+    * runs one full-outer upsert ([[graft.operators.Dml.upsert]]) with
+    * `EXCLUDED.c` addressing the proposed row. */
+  private val InsertConflictRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([^()]*)\\)\\s*)?" +
+      "((?:VALUES|SELECT).+?)\\s+ON\\s+CONFLICT\\s*\\(([^)]*)\\)\\s+DO\\s+" +
+      "(NOTHING|UPDATE\\s+SET\\s+.+?)\\s*$").r
+
+  def executeInsertConflict(
+      spark: SparkSession, name: String, colList: Option[Seq[String]],
+      body: String, keyList: String, action: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, expr,
+      lit, struct}
+    import spark.implicits._
+    val t = catalog(name)
+    val keys = keyList.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    keys.foreach(k => require(t.schema.fieldNames.map(_.toLowerCase)
+      .contains(k), s"conflict column $k not in $name"))
+    val src = insertSource(spark, t, body, colList).localCheckpoint(true)
+    if (action.trim.equalsIgnoreCase("NOTHING")) {
+      val target = spark.read.parquet(t.path).select(keys.map(col): _*)
+      val fresh = src.join(target, keys, "left_anti")
+      appendFrame(spark, t, fresh)
+    } else {
+      // PG: "ON CONFLICT DO UPDATE command cannot affect row a second
+      // time" — two proposed rows with the same key are an error
+      val (n, d) = src
+        .agg(count(lit(1)), countDistinct(struct(keys.map(col): _*)))
+        .as[(Long, Long)].head()
+      require(n == d,
+        "ON CONFLICT DO UPDATE cannot affect the same row a second time")
+      val setClause = "(?is)^UPDATE\\s+SET\\s+(.+)$".r
+        .findFirstMatchIn(action.trim).get.group(1)
+      val assignments = splitTopLevel(setClause, ',').map { a =>
+        val Array(k, v) = a.split("=", 2)
+        // EXCLUDED.c → the renamed proposed-row column in the upsert join
+        k.trim.toLowerCase ->
+          expr(v.trim.replaceAll("(?i)\\bEXCLUDED\\.(\\w+)", "__exc_$1"))
+      }.toMap
+      graft.operators.Dml.upsert(spark, t.path, src, keys, assignments)
+      refreshView(spark, t)
+    }
   }
 
   /** Append a frame into a catalog table with its declared physics:

@@ -199,6 +199,54 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("INSERT ON CONFLICT upsert, INSERT RETURNING, GRANT/COMMENT") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS ups_t", base)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE ups_t (k bigint, v text, hits bigint)", base)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO ups_t VALUES (1, 'a', 1), (2, 'b', 1)", base)
+    // DO NOTHING: conflicting row dropped, new row appended
+    GpSqlDialect.execute(spark,
+      """INSERT INTO ups_t VALUES (2, 'DUP', 9), (3, 'c', 1)
+        |ON CONFLICT (k) DO NOTHING""".stripMargin, base)
+    val afterNothing = spark.table("ups_t").orderBy("k").collect()
+    assert(afterNothing.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(afterNothing(1).getString(1) == "b") // not overwritten
+    // DO UPDATE: EXCLUDED addresses the proposed row; target cols by name
+    GpSqlDialect.execute(spark,
+      """INSERT INTO ups_t VALUES (2, 'b2', 5), (4, 'd', 1)
+        |ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v,
+        |  hits = hits + EXCLUDED.hits""".stripMargin, base)
+    val afterUpdate = spark.table("ups_t").orderBy("k").collect()
+    assert(afterUpdate.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(afterUpdate(1).getString(1) == "b2" &&
+      afterUpdate(1).getLong(2) == 6L)
+    assert(afterUpdate(3).getString(1) == "d" &&
+      afterUpdate(3).getLong(2) == 1L)
+    // two proposed rows on the same key = PG's cannot-affect-twice error
+    intercept[Exception] {
+      GpSqlDialect.execute(spark,
+        """INSERT INTO ups_t VALUES (9, 'x', 1), (9, 'y', 1)
+          |ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v""".stripMargin, base)
+    }
+    // INSERT ... RETURNING: the inserted rows post-cast
+    val ret = GpSqlDialect.execute(spark,
+      "INSERT INTO ups_t VALUES (5, 'e', 2) RETURNING k, hits", base)
+    assert(ret.columns.toSeq == Seq("k", "hits"))
+    assert(ret.head.getLong(0) == 5L && ret.head.getLong(1) == 2L)
+    assert(spark.table("ups_t").count() == 5)
+    // GRANT/REVOKE accepted as no-ops; COMMENT ON recorded
+    GpSqlDialect.execute(spark,
+      "GRANT SELECT, INSERT ON ups_t TO analyst", base)
+    GpSqlDialect.execute(spark, "REVOKE INSERT ON ups_t FROM analyst", base)
+    GpSqlDialect.execute(spark,
+      "COMMENT ON TABLE ups_t IS 'it''s the upsert table'", base)
+    assert(GpSqlDialect.objComment("table", "ups_t")
+      .contains("it's the upsert table"))
+  }
+
   test("incremental matview REFRESH merges only the append delta") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_ivm"
