@@ -314,6 +314,14 @@ object GpSqlDialect {
           m.group(2).toLowerCase)
       case _ =>
     }
+    SetDistRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeSetDistributed(spark, m.group(1).toLowerCase,
+          Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSeq),
+          randomly = m.group(3) != null)
+      case _ =>
+    }
     AlterColumnRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeAlterColumn(spark, m.group(1).toLowerCase,
@@ -1512,6 +1520,38 @@ object GpSqlDialect {
   /** `ALTER TABLE t RENAME TO u` (tablecmds.c RenameRelation) — a
     * catalog + view rename; the backing files move so a later CREATE
     * TABLE t starts clean. */
+  /** `ALTER TABLE t SET DISTRIBUTED BY (cols) | SET DISTRIBUTED
+    * RANDOMLY | SET WITH (REORGANIZE=true)` (GP ATExecSetDistributedBy;
+    * the REORGANIZE idiom rebalances after skewed loads): update the
+    * distribution policy and physically redistribute — a rewrite
+    * clustered on the new key, so co-located joins and bounded file
+    * counts hold afterward. */
+  private val SetDistRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s+(?:" +
+      "DISTRIBUTED\\s+BY\\s*\\(([^)]*)\\)|" +
+      "DISTRIBUTED\\s+(RANDOMLY)|" +
+      "WITH\\s*\\(\\s*REORGANIZE\\s*=\\s*'?true'?\\s*\\))\\s*$").r
+
+  def executeSetDistributed(
+      spark: SparkSession, table: String, cols: Option[Seq[String]],
+      randomly: Boolean): DataFrame = {
+    val t = catalog(table)
+    cols.toSeq.flatten.foreach(c =>
+      require(t.schema.fieldNames.map(_.toLowerCase).contains(c),
+        s"distribution column $c not in $table"))
+    val newDist =
+      if (randomly) Seq.empty[String]
+      else cols.getOrElse(t.distributionCols) // REORGANIZE keeps policy
+    val df = spark.read.parquet(t.path)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val redistributed =
+      if (newDist.nonEmpty) df.repartition(parts, newDist.map(df.col): _*)
+      else df.repartition(parts)
+    graft.operators.Dml.overwrite(spark, t.path, redistributed)
+    catalog.put(table, t.copy(distributionCols = newDist))
+    refreshView(spark, catalog(table))
+  }
+
   private val RenameTableRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+TO\\s+(\\w+)\\s*$".r
 

@@ -199,6 +199,33 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("ALTER TABLE SET DISTRIBUTED BY redistributes and updates policy") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_setdist"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS sd_t", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE sd_t DISTRIBUTED BY (n_nationkey) AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+      base)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE sd_t SET DISTRIBUTED BY (n_regionkey)", base)
+    assert(GpSqlDialect.catalogTable("sd_t").get.distributionCols ==
+      Seq("n_regionkey"))
+    assert(spark.table("sd_t").count() == 25) // data intact
+    val dk = GpSqlDialect.execute(spark,
+      "SELECT distkey FROM gp_distribution_policy WHERE localoid = 'sd_t'",
+      base)
+    assert(dk.head.getString(0) == "n_regionkey")
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE sd_t SET WITH (REORGANIZE=true)", base)
+    assert(GpSqlDialect.catalogTable("sd_t").get.distributionCols ==
+      Seq("n_regionkey")) // policy kept
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE sd_t SET DISTRIBUTED RANDOMLY", base)
+    assert(GpSqlDialect.catalogTable("sd_t").get.distributionCols.isEmpty)
+    assert(spark.table("sd_t").count() == 25)
+  }
+
   test("INSERT ON CONFLICT upsert, INSERT RETURNING, GRANT/COMMENT") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert"
