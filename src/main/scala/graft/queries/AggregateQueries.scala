@@ -320,12 +320,15 @@ object AggregateQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
+        // one percentile buffer serves all three quantiles (array form)
+        // instead of three independent per-group value buffers
         Tables.T(s, dir).lineitem
           .groupBy($"l_returnflag")
-          .agg(percentile($"l_quantity", lit(0.25)).as("p25"),
-            percentile($"l_quantity", lit(0.5)).as("p50"),
-            percentile($"l_quantity", lit(0.75)).as("p75"),
+          .agg(percentile($"l_quantity",
+              array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
             median($"l_extendedprice").as("med_price"))
+          .select($"l_returnflag", $"ps"(0).as("p25"), $"ps"(1).as("p50"),
+            $"ps"(2).as("p75"), $"med_price")
           .orderBy("l_returnflag")
     },
 
@@ -342,17 +345,18 @@ object AggregateQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
+        // array form: one per-group value buffer serves the three
+        // l_quantity quantiles (the WITHIN GROUP spelling buffers per
+        // agg expression), one more for the price column
         Tables.T(s, dir).lineitem
           .groupBy($"l_returnflag")
           .agg(
-            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
-              .as("p25"),
-            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
-              .as("p50"),
-            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
-              .as("p75"),
+            expr("percentile_disc(array(0.25, 0.5, 0.75)) " +
+              "WITHIN GROUP (ORDER BY l_quantity)").as("ps"),
             expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
               .as("p90_price"))
+          .select($"l_returnflag", $"ps"(0).as("p25"), $"ps"(1).as("p50"),
+            $"ps"(2).as("p75"), $"p90_price")
           .orderBy("l_returnflag")
     },
 
