@@ -322,6 +322,16 @@ object GpSqlDialect {
           randomly = m.group(3) != null)
       case _ =>
     }
+    SetSchemaRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        val target = m.group(2).toLowerCase
+        require(schemas.contains(target),
+          s"""schema "$target" does not exist""")
+        val base = schemaOf(m.group(1).toLowerCase)._2
+        return executeRenameTable(spark, m.group(1).toLowerCase,
+          flatName(target, base))
+      case _ =>
+    }
     AlterColumnRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeAlterColumn(spark, m.group(1).toLowerCase,
@@ -1552,6 +1562,11 @@ object GpSqlDialect {
     refreshView(spark, catalog(table))
   }
 
+  /** `ALTER TABLE t SET SCHEMA s` (AlterObjectNamespace) — re-keys the
+    * flat catalog entry into the target schema via the rename path. */
+  private val SetSchemaRe =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s+SCHEMA\\s+(\\w+)\\s*$".r
+
   private val RenameTableRe =
     "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+TO\\s+(\\w+)\\s*$".r
 
@@ -1583,7 +1598,7 @@ object GpSqlDialect {
     * the other Dml rewrites. */
   private val AlterColumnRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
-      "(?=(?:ADD|DROP|RENAME)\\s+(?!PARTITION\\b))").r
+      "(?=(?:ADD|DROP|RENAME|ALTER)\\s+(?!PARTITION\\b))").r
 
   private val AddColRe =
     ("(?is)^\\s*ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+([\\w ()]+?)" +
@@ -1592,30 +1607,49 @@ object GpSqlDialect {
     "(?is)^\\s*DROP\\s+(?:COLUMN\\s+)?(\\w+)\\s*$".r
   private val RenameColRe =
     "(?is)^\\s*RENAME\\s+(?:COLUMN\\s+)?(\\w+)\\s+TO\\s+(\\w+)\\s*$".r
+  // ATExecAlterColumnType: TYPE change rewrites through a cast (or the
+  // USING expression); SET/DROP DEFAULT are catalog-only (ATExec
+  // ColumnDefault touches no heap pages — here: no parquet rewrite).
+  private val AlterTypeRe =
+    ("(?is)^\\s*ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+(?:SET\\s+DATA\\s+)?" +
+      "TYPE\\s+([\\w ()]+?)(?:\\s+USING\\s+(.+?))?\\s*$").r
+  private val SetDefaultRe =
+    "(?is)^\\s*ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+SET\\s+DEFAULT\\s+(.+?)\\s*$".r
+  private val DropDefaultRe =
+    "(?is)^\\s*ALTER\\s+(?:COLUMN\\s+)?(\\w+)\\s+DROP\\s+DEFAULT\\s*$".r
 
   def executeAlterColumn(
       spark: SparkSession, table: String, action: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     val t = catalog(table)
     val df = spark.read.parquet(t.path)
-    val next = action match {
+    val next: Option[DataFrame] = action match {
       case AddColRe(name, sqlType, default) =>
         val d = Option(default).map(expr)
           .getOrElse(lit(null)).cast(toSparkType(sqlType.trim))
-        df.withColumn(name.toLowerCase, d)
+        Some(df.withColumn(name.toLowerCase, d))
       case DropColRe(name) =>
         require(df.columns.map(_.toLowerCase).contains(name.toLowerCase),
           s"column $name of $table does not exist")
-        df.drop(name)
+        Some(df.drop(name))
       case RenameColRe(from, to) =>
-        df.withColumnRenamed(from, to)
+        Some(df.withColumnRenamed(from, to))
+      case AlterTypeRe(name, sqlType, usingExpr) =>
+        require(df.columns.map(_.toLowerCase).contains(name.toLowerCase),
+          s"column $name of $table does not exist")
+        val v = Option(usingExpr).map(expr).getOrElse(df.col(name))
+          .cast(toSparkType(sqlType.trim))
+        Some(df.withColumn(name.toLowerCase, v))
+      case SetDefaultRe(_, _) | DropDefaultRe(_) => None // catalog-only
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE $table: unsupported action '${other.trim}'")
     }
-    graft.operators.Dml.overwrite(spark, t.path, next)
+    next.foreach(graft.operators.Dml.overwrite(spark, t.path, _))
     val reloaded = spark.read.parquet(t.path)
     reloaded.createOrReplaceTempView(table)
     val defaults = action match {
+      case SetDefaultRe(name, d) => t.defaults + (name.toLowerCase -> d)
+      case DropDefaultRe(name) => t.defaults - name.toLowerCase
       // ADD COLUMN ... DEFAULT applies to future inserts too
       case AddColRe(name, _, default) if default != null =>
         t.defaults + (name.toLowerCase -> default)

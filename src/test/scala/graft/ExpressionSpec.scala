@@ -199,6 +199,43 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("ALTER COLUMN TYPE/SET DEFAULT/DROP DEFAULT and SET SCHEMA") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_altcol2"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS alt2", base)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE alt2 (a bigint, b text)", base)
+    GpSqlDialect.execute(spark, "INSERT INTO alt2 SELECT 1, '5'", base)
+    // TYPE change with USING rewrites through the expression
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt2 ALTER COLUMN b TYPE bigint USING CAST(b AS bigint)",
+      base)
+    val r1 = spark.table("alt2").head
+    assert(r1.getLong(1) == 5L)
+    // plain TYPE change casts in place
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt2 ALTER COLUMN a SET DATA TYPE text", base)
+    assert(spark.table("alt2").head.getString(0) == "1")
+    // SET DEFAULT is catalog-only and applies to later inserts
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt2 ALTER COLUMN a SET DEFAULT 'z'", base)
+    GpSqlDialect.execute(spark, "INSERT INTO alt2 (b) SELECT 7", base)
+    assert(spark.table("alt2").filter(col("a") === "z").count() == 1)
+    GpSqlDialect.execute(spark,
+      "ALTER TABLE alt2 ALTER COLUMN a DROP DEFAULT", base)
+    GpSqlDialect.execute(spark, "INSERT INTO alt2 (b) SELECT 8", base)
+    assert(spark.table("alt2").filter(col("a").isNull).count() == 1)
+    // SET SCHEMA re-keys the relation into the target schema
+    GpSqlDialect.execute(spark, "CREATE SCHEMA IF NOT EXISTS arch", base)
+    GpSqlDialect.execute(spark, "ALTER TABLE alt2 SET SCHEMA arch", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM arch.alt2", base).head.getLong(0) == 3L)
+    val pt = GpSqlDialect.execute(spark,
+      "SELECT schemaname FROM pg_tables WHERE tablename = 'alt2'", base)
+    assert(pt.head.getString(0) == "arch")
+    GpSqlDialect.execute(spark, "DROP SCHEMA arch CASCADE", base)
+  }
+
   test("ALTER TABLE SET DISTRIBUTED BY redistributes and updates policy") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_setdist"
