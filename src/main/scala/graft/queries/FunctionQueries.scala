@@ -73,6 +73,34 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // PG split SRFs (regexp.c regexp_split_to_table, varlena.c
+    // string_to_table with a LITERAL delimiter): pre-registered SQL
+    // bodies inline to explode(split(...)) — one generator per branch.
+    // DuckDB oracle: unnest over its split functions.
+    Q("q_fn_split_table", Some(
+      """SELECT src, part FROM (
+        |  SELECT 'regex' AS src,
+        |    unnest(string_split_regex(n_name, 'A')) AS part FROM nation
+        |  UNION ALL
+        |  SELECT 'literal' AS src,
+        |    unnest(string_split(concat(s_name, '.', s_nationkey), '.'))
+        |      AS part
+        |  FROM supplier WHERE s_suppkey <= 5)
+        |ORDER BY src, part""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      // the literal branch splits on '.' — a regex metachar — so a
+      // broken \Q..\E quoting would shred every character
+      GpSqlDialect.execute(s,
+        """SELECT src, part FROM (
+          |  SELECT 'regex' AS src, regexp_split_to_table(n_name, 'A') AS part
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT 'literal' AS src,
+          |    string_to_table(concat(s_name, '.', s_nationkey), '.') AS part
+          |  FROM supplier WHERE s_suppkey <= 5)
+          |ORDER BY src, part""".stripMargin, "/tmp/never")
+    },
+
     // ---- math (float.c, int.c, numeric.c) --------------------------
     Q("q_fn_math", Some(
       """SELECT l_orderkey, l_linenumber,

@@ -435,6 +435,25 @@ object GpSqlDialect {
   private val sqlFunctions =
     scala.collection.concurrent.TrieMap.empty[String, SqlFunction]
 
+  // PG split SRFs absent from Spark's registry (utils/adt/regexp.c
+  // regexp_split_to_table/_to_array; varlena.c string_to_table/_to_array
+  // take a LITERAL delimiter — \Q..\E regex-quotes it): pre-registered
+  // as SQL-language bodies, inlined at call sites like any CREATE
+  // FUNCTION ... LANGUAGE SQL, so they stay in whole-stage codegen.
+  locally {
+    sqlFunctions("regexp_split_to_table") = SqlFunction(
+      Seq("str", "pat"), "explode(split(str, pat, -1))", scalarExpr = true)
+    sqlFunctions("regexp_split_to_array") = SqlFunction(
+      Seq("str", "pat"), "split(str, pat, -1)", scalarExpr = true)
+    sqlFunctions("string_to_table") = SqlFunction(
+      Seq("str", "delim"),
+      "explode(split(str, concat('\\\\Q', delim, '\\\\E'), -1))",
+      scalarExpr = true)
+    sqlFunctions("string_to_array") = SqlFunction(
+      Seq("str", "delim"),
+      "split(str, concat('\\\\Q', delim, '\\\\E'), -1)", scalarExpr = true)
+  }
+
   private val CreateFunctionRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?FUNCTION\\s+(\\w+)\\s*" +
       "\\(([^)]*)\\)\\s*RETURNS\\s+.*?\\bAS\\s+\\$\\$(.*)\\$\\$\\s*" +
@@ -547,7 +566,12 @@ object GpSqlDialect {
                 else pm.group(if (fn.params.isEmpty) 1 else 2).toInt - 1
               java.util.regex.Matcher.quoteReplacement(s"(${args(i)})")
             })
-            val rendered = s"($expanded)"
+            // a generator body must stay bare — Spark rejects explode()
+            // nested inside any expression, including plain parens
+            val rendered =
+              if ("(?is)^\\s*(explode|posexplode)\\b".r
+                .findFirstIn(expanded).isDefined) expanded
+              else s"($expanded)"
             out ++= cur.substring(pos, abs)
             out ++= rendered
             pos = close + 1
