@@ -209,6 +209,19 @@ object GpSqlDialect {
         return spark.emptyDataFrame
       case _ =>
     }
+    CreateDomainRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        domains.put(m.group(1).toLowerCase,
+          GpDomain(m.group(2).trim, Option(m.group(3)), Option(m.group(4))))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropDomainRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        domains.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     SetGucRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeSetGuc(spark, m.group(2).toLowerCase, m.group(3))
@@ -1058,6 +1071,24 @@ object GpSqlDialect {
     spark.createDataFrame(java.util.List.of(Row(v)),
       StructType(Seq(StructField(name.replace('.', '_'), StringType))))
   }
+
+  // ---- domains (commands/typecmds.c DefineDomain): the base type
+  // substitutes in DDL, the domain DEFAULT backs absent column
+  // defaults, and CHECK (VALUE ...) is enforced on every INSERT inside
+  // the write dataflow (raise_error behind CASE — per-row like PG's
+  // domain_check, no extra pass). NULL passes a CHECK, per spec. -----
+
+  final case class GpDomain(
+      base: String, default: Option[String], check: Option[String])
+  private val domains =
+    scala.collection.concurrent.TrieMap.empty[String, GpDomain]
+
+  private val CreateDomainRe =
+    ("(?is)^\\s*CREATE\\s+DOMAIN\\s+(\\w+)\\s+AS\\s+([\\w ()]+?)" +
+      "(?:\\s+DEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+))?" +
+      "(?:\\s+CHECK\\s*\\((.+)\\))?\\s*$").r
+  private val DropDomainRe =
+    "(?is)^\\s*DROP\\s+DOMAIN\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
 
   // ---- schemas (commands/schemacmds.c, catalog/namespace.c: CREATE
   // SCHEMA + search_path name resolution). The session catalog stays
@@ -1990,6 +2021,7 @@ object GpSqlDialect {
     val t = gp.trim.toLowerCase.replaceAll("\\s+", " ")
     val Decimal = "(?:numeric|decimal)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
     t match {
+      case d if domains.contains(d) => sparkType(domains(d).base)
       case "int" | "integer" | "int4" => IntegerType
       case "bigint" | "int8" => LongType
       case "smallint" | "int2" => ShortType
@@ -2012,7 +2044,8 @@ object GpSqlDialect {
   final case class GpTable(
       name: String, path: String, schema: StructType,
       partitionCols: Seq[String], distributionCols: Seq[String],
-      format: String = "parquet", defaults: Map[String, String] = Map.empty)
+      format: String = "parquet", defaults: Map[String, String] = Map.empty,
+      checks: Seq[String] = Seq.empty)
 
   /** Session-local GP catalog (name → table physics). */
   private val catalog =
@@ -2144,7 +2177,18 @@ object GpSqlDialect {
     val schema = StructType(colDefs.map { case (n, t, _) =>
       StructField(n, sparkType(t))
     })
-    val defaults = colDefs.collect { case (n, _, Some(d)) =>
+    // domain columns: the domain DEFAULT backs columns without their
+    // own; CHECK (VALUE ...) binds to the column name
+    val domainDefaults = colDefs.collect {
+      case (n, tpe, None)
+        if domains.get(tpe.trim.toLowerCase).exists(_.default.isDefined) =>
+        n.toLowerCase -> domains(tpe.trim.toLowerCase).default.get
+    }.toMap
+    val checks = colDefs.flatMap { case (n, tpe, _) =>
+      domains.get(tpe.trim.toLowerCase).flatMap(_.check)
+        .map(_.replaceAll("(?i)\\bVALUE\\b", n.toLowerCase))
+    }
+    val defaults = domainDefaults ++ colDefs.collect { case (n, _, Some(d)) =>
       n.toLowerCase -> d }.toMap
     partCols.foreach(p => require(schema.fieldNames.contains(p),
       s"PARTITION BY column $p not in column list"))
@@ -2155,7 +2199,7 @@ object GpSqlDialect {
       .option("compression", parquetCodec(ddl))
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(path)
     catalog(name) = GpTable(name, path, schema, partCols,
-      ddl.distributionCols, defaults = defaults)
+      ddl.distributionCols, defaults = defaults, checks = checks)
     refreshView(spark, catalog(name))
   }
 
@@ -2315,10 +2359,18 @@ object GpSqlDialect {
     * external_insert emits the external format, not heap pages). */
   private def appendFrame(
       spark: SparkSession, t: GpTable, src0: DataFrame): DataFrame = {
-    val aligned = src0.toDF(t.schema.fieldNames: _*)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, raise_error, when}
+    val cast = src0.toDF(t.schema.fieldNames: _*)
       .select(t.schema.fields.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
           .as(f.name)).toSeq: _*)
+    // domain CHECKs ride in the write dataflow: a failing row raises,
+    // a NULL check result passes (SQL CHECK semantics)
+    val aligned = t.checks.foldLeft(cast)((d, chk) =>
+      d.filter(when(coalesce(expr(chk), lit(true)), lit(true))
+        .otherwise(raise_error(
+          lit(s"""new row violates domain check ($chk) of "${t.name}""""))
+          .cast("boolean"))))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // Partitioned tables: cluster rows by target Hive partition plus a
     // small distribution-key salt, so each partition lands in a bounded

@@ -199,6 +199,42 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("CREATE DOMAIN: base type, DEFAULT, CHECK enforced on INSERT") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_domain"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS dom_t", base)
+    GpSqlDialect.execute(spark,
+      "CREATE DOMAIN posint AS bigint DEFAULT 1 CHECK (VALUE > 0)", base)
+    GpSqlDialect.execute(spark,
+      "CREATE DOMAIN shortname AS text CHECK (length(VALUE) <= 8)", base)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE dom_t (qty posint, tag shortname)", base)
+    // base types substituted in the schema
+    assert(spark.table("dom_t").schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO dom_t VALUES (5, 'ok')", base)
+    // domain DEFAULT fills the unlisted column
+    GpSqlDialect.execute(spark, "INSERT INTO dom_t (tag) VALUES ('dflt')",
+      base)
+    assert(spark.table("dom_t").filter(col("qty") === 1).count() == 1)
+    // NULL passes a CHECK (SQL semantics)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO dom_t VALUES (2, NULL)", base)
+    assert(spark.table("dom_t").count() == 3)
+    // violations raise during the insert
+    intercept[Exception] {
+      GpSqlDialect.execute(spark, "INSERT INTO dom_t VALUES (-4, 'x')", base)
+    }
+    intercept[Exception] {
+      GpSqlDialect.execute(spark,
+        "INSERT INTO dom_t VALUES (4, 'waytoolongtag')", base)
+    }
+    assert(spark.table("dom_t").count() == 3)
+    GpSqlDialect.execute(spark, "DROP DOMAIN posint", base)
+    GpSqlDialect.execute(spark, "DROP DOMAIN shortname", base)
+  }
+
   test("ALTER COLUMN TYPE/SET DEFAULT/DROP DEFAULT and SET SCHEMA") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_altcol2"
