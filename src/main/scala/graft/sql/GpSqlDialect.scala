@@ -2102,11 +2102,21 @@ object GpSqlDialect {
         (sql.substring(0, m.start) + " " + sql.substring(pos), cols.toSeq)
     }
 
-  /** Split top-level-comma column defs "a int, b text" into (name, type). */
-  /** (name, type, DEFAULT expr if any). Constraints we lower as no-ops
-    * are stripped from the type; DEFAULT is captured first so
-    * column-list INSERTs can fill it (PG build_column_default). */
-  private def parseColumnDefs(defs: String): Seq[(String, String, Option[String])] = {
+  /** One parsed column definition: type with constraints stripped,
+    * DEFAULT (build_column_default), CHECK expr, NOT NULL flag. */
+  private final case class ColDef(
+      name: String, tpe: String, default: Option[String],
+      check: Option[String], notNull: Boolean)
+
+  private val CheckClauseRe = "(?is)\\bCHECK\\s*\\((.+)\\)".r
+  private val TableConstraintRe =
+    "(?is)^\\s*(CONSTRAINT\\b|CHECK\\b|PRIMARY\\s+KEY|UNIQUE\\b|FOREIGN\\s+KEY)".r
+
+  /** Split top-level-comma column defs into [[ColDef]]s plus the
+    * table-level CHECK expressions. PRIMARY KEY / UNIQUE / FOREIGN KEY
+    * entries lower as no-ops (no index machinery); CHECK and NOT NULL
+    * are enforced on INSERT through the table's check list. */
+  private def parseColumnDefs(defs: String): (Seq[ColDef], Seq[String]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var d = 0
     var start = 0
@@ -2119,19 +2129,30 @@ object GpSqlDialect {
       i += 1
     }
     out += defs.substring(start)
-    out.toSeq.map(_.trim).filter(_.nonEmpty).map { cd =>
-      val sp = cd.indexWhere(_.isWhitespace)
-      require(sp > 0, s"cannot parse column def: $cd")
-      val name = cd.substring(0, sp)
-      val default = "(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)".r
-        .findFirstMatchIn(cd).map(_.group(1))
-      // drop trailing constraints we lower as no-ops
-      val tpe = cd.substring(sp + 1).trim
-        .replaceAll("(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)", "")
-        .replaceAll("(?is)\\b(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE)\\b", "")
-        .trim
-      (name, tpe, default)
+    val tableChecks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cols = out.toSeq.map(_.trim).filter(_.nonEmpty).flatMap { cd =>
+      if (TableConstraintRe.findFirstIn(cd).isDefined) {
+        CheckClauseRe.findFirstMatchIn(cd).foreach(m => tableChecks += m.group(1))
+        None
+      } else {
+        val sp = cd.indexWhere(_.isWhitespace)
+        require(sp > 0, s"cannot parse column def: $cd")
+        val name = cd.substring(0, sp)
+        val noCheck = CheckClauseRe.replaceAllIn(cd, "")
+        val default = "(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)".r
+          .findFirstMatchIn(noCheck).map(_.group(1))
+        val check = CheckClauseRe.findFirstMatchIn(cd).map(_.group(1))
+        val notNull =
+          "(?is)\\bNOT\\s+NULL\\b".r.findFirstIn(noCheck).isDefined
+        // drop trailing constraints from the type
+        val tpe = noCheck.substring(sp + 1).trim
+          .replaceAll("(?is)\\bDEFAULT\\s+('[^']*'|\\([^)]*\\)|\\S+)", "")
+          .replaceAll("(?is)\\b(NOT\\s+NULL|NULL|PRIMARY\\s+KEY|UNIQUE)\\b", "")
+          .trim
+        Some(ColDef(name, tpe, default, check, notNull))
+      }
     }
+    (cols, tableChecks.toSeq)
   }
 
   /** `CREATE TABLE t (col defs) [WITH(...)] [DISTRIBUTED ...] [PARTITION
@@ -2173,23 +2194,29 @@ object GpSqlDialect {
     val name = m.group(1).toLowerCase
     val open = ddl.cleanSql.indexOf('(', m.start)
     val close = matchParen(ddl.cleanSql, open)
-    val colDefs = parseColumnDefs(ddl.cleanSql.substring(open + 1, close))
-    val schema = StructType(colDefs.map { case (n, t, _) =>
-      StructField(n, sparkType(t))
-    })
+    val (colDefs, tableChecks) =
+      parseColumnDefs(ddl.cleanSql.substring(open + 1, close))
+    val schema = StructType(colDefs.map(c =>
+      StructField(c.name, sparkType(c.tpe))))
     // domain columns: the domain DEFAULT backs columns without their
-    // own; CHECK (VALUE ...) binds to the column name
+    // own; CHECK (VALUE ...) binds to the column name. Column-level
+    // CHECK / NOT NULL and table-level CHECK join the same check list.
     val domainDefaults = colDefs.collect {
-      case (n, tpe, None)
-        if domains.get(tpe.trim.toLowerCase).exists(_.default.isDefined) =>
-        n.toLowerCase -> domains(tpe.trim.toLowerCase).default.get
+      case c if c.default.isEmpty &&
+        domains.get(c.tpe.trim.toLowerCase).exists(_.default.isDefined) =>
+        c.name.toLowerCase -> domains(c.tpe.trim.toLowerCase).default.get
     }.toMap
-    val checks = colDefs.flatMap { case (n, tpe, _) =>
-      domains.get(tpe.trim.toLowerCase).flatMap(_.check)
-        .map(_.replaceAll("(?i)\\bVALUE\\b", n.toLowerCase))
-    }
-    val defaults = domainDefaults ++ colDefs.collect { case (n, _, Some(d)) =>
-      n.toLowerCase -> d }.toMap
+    val checks =
+      colDefs.flatMap(c =>
+        domains.get(c.tpe.trim.toLowerCase).flatMap(_.check)
+          .map(_.replaceAll("(?i)\\bVALUE\\b", c.name.toLowerCase))) ++
+      colDefs.flatMap(_.check) ++
+      colDefs.collect { case c if c.notNull =>
+        s"${c.name.toLowerCase} IS NOT NULL" } ++
+      tableChecks
+    val defaults = domainDefaults ++ colDefs.collect {
+      case c if c.default.isDefined => c.name.toLowerCase -> c.default.get
+    }.toMap
     partCols.foreach(p => require(schema.fieldNames.contains(p),
       s"PARTITION BY column $p not in column list"))
     val path = s"$basePath/$name"
@@ -2433,9 +2460,8 @@ object GpSqlDialect {
     val open = gpSql.indexOf('(', m.start + m.group(0).length - 1)
     val close = matchParen(gpSql, open)
     val schema = StructType(
-      parseColumnDefs(gpSql.substring(open + 1, close)).map { case (n, t, _) =>
-        StructField(n, sparkType(t))
-      })
+      parseColumnDefs(gpSql.substring(open + 1, close))._1.map(c =>
+        StructField(c.name, sparkType(c.tpe))))
     val loc = "(?is)\\bLOCATION\\s*\\(\\s*'([^']*)'".r
       .findFirstMatchIn(gpSql)
       .map(_.group(1)).getOrElse(

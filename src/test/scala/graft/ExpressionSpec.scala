@@ -199,6 +199,38 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("table CHECK and NOT NULL constraints enforced on INSERT") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_check"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS chk_t", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE chk_t (
+        |  id bigint NOT NULL,
+        |  qty bigint CHECK (qty >= 0),
+        |  lo bigint,
+        |  hi bigint,
+        |  CONSTRAINT ordered CHECK (lo <= hi))""".stripMargin, base)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO chk_t VALUES (1, 5, 10, 20)", base)
+    // NULL passes a CHECK (qty), but not NOT NULL (id)
+    GpSqlDialect.execute(spark,
+      "INSERT INTO chk_t VALUES (2, NULL, NULL, NULL)", base)
+    assert(spark.table("chk_t").count() == 2)
+    intercept[Exception] { // column CHECK
+      GpSqlDialect.execute(spark,
+        "INSERT INTO chk_t VALUES (3, -1, 0, 1)", base)
+    }
+    intercept[Exception] { // table CHECK
+      GpSqlDialect.execute(spark,
+        "INSERT INTO chk_t VALUES (4, 1, 9, 3)", base)
+    }
+    intercept[Exception] { // NOT NULL
+      GpSqlDialect.execute(spark,
+        "INSERT INTO chk_t VALUES (NULL, 1, 0, 1)", base)
+    }
+    assert(spark.table("chk_t").count() == 2)
+  }
+
   test("CREATE DOMAIN: base type, DEFAULT, CHECK enforced on INSERT") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_domain"
