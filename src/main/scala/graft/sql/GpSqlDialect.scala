@@ -306,6 +306,11 @@ object GpSqlDialect {
       case Some(_) => return spark.emptyDataFrame
       case _ =>
     }
+    if (TxnNoopRe.findFirstIn(trimmed).isDefined) return spark.emptyDataFrame
+    if (RollbackRe.findFirstIn(trimmed).isDefined)
+      throw new UnsupportedOperationException(
+        "ROLLBACK: statements are individually atomic (copy-on-write " +
+          "publish); there is no transaction to roll back")
     CommentOnRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         comments.put(s"${m.group(1).toLowerCase} ${m.group(2).toLowerCase}",
@@ -707,6 +712,14 @@ object GpSqlDialect {
       "([\\d.]+)\\s*(?:PERCENT)?\\s*\\)" +
       "(?:\\s+REPEATABLE\\s*\\(\\s*(\\d+)\\s*\\))?").r
 
+  /** `expr AT TIME ZONE 'zone'` (timestamp.c timestamp_zone): Spark
+    * timestamps are UTC instants, so the common timestamptz→wall-time
+    * reading lowers to from_utc_timestamp. Simple operands only
+    * (identifier, literal, or an already-parenthesised expression). */
+  private val AtTimeZoneRe =
+    ("(?is)((?:TIMESTAMP\\s+)?'[^']+'|[\\w.]+|\\([^()]*\\))" +
+      "\\s+AT\\s+TIME\\s+ZONE\\s+'([^']+)'").r
+
   private def rewriteExpressions(sql: String): String = {
     val afterSimilar = SimilarToRe.replaceAllIn(sql, m => {
       val not = if (m.group(2) != null) "NOT " else ""
@@ -717,7 +730,10 @@ object GpSqlDialect {
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} BETWEEN least(${m.group(2)}, ${m.group(3)}) " +
           s"AND greatest(${m.group(2)}, ${m.group(3)})"))
-    TablesampleRe.replaceAllIn(afterBetween, m => {
+    val afterTz = AtTimeZoneRe.replaceAllIn(afterBetween, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"from_utc_timestamp(${m.group(1)}, '${m.group(2)}')"))
+    TablesampleRe.replaceAllIn(afterTz, m => {
       val table = m.group(1)
       val permille = (m.group(2).toDouble * 10000).round
       val seed = Option(m.group(3)).getOrElse("0")
@@ -2239,6 +2255,18 @@ object GpSqlDialect {
     * pg_description, readable via [[objComment]]. */
   private val GrantRevokeRe =
     "(?is)^\\s*(?:GRANT|REVOKE)\\s+.+$".r
+
+  /** Transaction control (xact.c) — accepted no-ops: each statement is
+    * individually atomic here (the copy-on-write swap publishes a table
+    * version all-or-nothing), so BEGIN/COMMIT bracketing in GP scripts
+    * runs unchanged. ROLLBACK cannot undo — it raises, loudly, rather
+    * than silently acknowledging an impossible request. */
+  private val TxnNoopRe =
+    ("(?is)^\\s*(?:BEGIN(?:\\s+(?:TRANSACTION|WORK))?|" +
+      "START\\s+TRANSACTION|COMMIT(?:\\s+(?:TRANSACTION|WORK))?|END|" +
+      "SAVEPOINT\\s+\\w+|RELEASE\\s+(?:SAVEPOINT\\s+)?\\w+)\\s*$").r
+  private val RollbackRe =
+    "(?is)^\\s*ROLLBACK\\b.*$".r
   private val CommentOnRe =
     ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|COLUMN|VIEW|SCHEMA|FUNCTION)\\s+" +
       "([\\w.]+)\\s+IS\\s+'((?:[^']|'')*)'\\s*$").r

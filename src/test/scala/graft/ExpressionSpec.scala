@@ -199,6 +199,26 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("transaction no-ops, ROLLBACK rejection, AT TIME ZONE rewrite") {
+    val base = "/tmp/never"
+    Seq("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION", "COMMIT",
+      "END", "SAVEPOINT sp1", "RELEASE SAVEPOINT sp1").foreach { s =>
+      assert(GpSqlDialect.execute(spark, s, base).isEmpty)
+    }
+    intercept[UnsupportedOperationException] {
+      GpSqlDialect.execute(spark, "ROLLBACK", base)
+    }
+    val got = GpSqlDialect.execute(spark,
+      """SELECT TIMESTAMP '2024-01-01 12:00:00'
+        |AT TIME ZONE 'America/New_York' AS local_ts""".stripMargin, base)
+      .head.getTimestamp(0)
+    val want = spark.sql(
+      """SELECT from_utc_timestamp(TIMESTAMP '2024-01-01 12:00:00',
+        |'America/New_York') AS local_ts""".stripMargin)
+      .head.getTimestamp(0)
+    assert(got == want)
+  }
+
   test("table CHECK and NOT NULL constraints enforced on INSERT") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_check"
