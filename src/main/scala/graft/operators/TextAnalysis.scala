@@ -35,14 +35,18 @@ object TextAnalysis {
 
   /** Ratio of punctuation chars to total chars. */
   def punctRatio(text: Column): Column =
+    // translate is a char-table delete — same count as the regex
+    // class strip ([^.,;:!?'"()-] keep ≡ delete those chars and diff
+    // lengths) at a fraction of the per-char cost
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double") /
-        length(text))
+      (length(text) - length(translate(text, ".,;:!?'\"()-", "")))
+        .cast("double") / length(text))
 
   /** Ratio of digit chars to total chars. */
   def digitRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+      (length(text) - length(translate(text, "0123456789", "")))
+        .cast("double") / length(text))
 
   /** Mean token length. Σ token lengths = count of non-whitespace chars
     * (every non-ws char belongs to exactly one \s+-split token), so both
