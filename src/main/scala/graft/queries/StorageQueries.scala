@@ -712,6 +712,44 @@ object StorageQueries {
         "SELECT k, price, hits FROM ups_orders ORDER BY k", base)
     },
 
+    // SQL MERGE statement (PG 15 / GP 7 parse_merge.c, ExecMerge): one
+    // full-outer join drives all three branches — matched rows update
+    // (or DELETE under a guard), source-only rows insert, target-only
+    // rows keep. Oracle derives the final state arithmetically.
+    Q("q_sql_merge_stmt", Some(
+      """SELECT k, v, CAST(touched AS BIGINT) AS touched FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v, 0 AS touched
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), concat('X-', n_name), 1
+        |  FROM nation WHERE n_nationkey BETWEEN 11 AND 14
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT), concat('X-', n_name), 2
+        |  FROM nation WHERE n_nationkey BETWEEN 15 AND 19
+        |) ORDER BY k""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("mergestmt")
+      GpSqlDialect.execute(s, "DROP TABLE IF EXISTS mq_t", base)
+      GpSqlDialect.execute(s,
+        """CREATE TABLE mq_t AS
+          |SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,
+          |  CAST(0 AS BIGINT) AS touched
+          |FROM nation WHERE n_nationkey < 15""".stripMargin, base)
+      s.sql(
+        """SELECT CAST(n_nationkey AS BIGINT) AS k,
+          |  concat('X-', n_name) AS v FROM nation
+          |WHERE n_nationkey BETWEEN 10 AND 19""".stripMargin)
+        .createOrReplaceTempView("mq_s")
+      GpSqlDialect.execute(s,
+        """MERGE INTO mq_t USING mq_s ON mq_t.k = mq_s.k
+          |WHEN MATCHED AND mq_s.k = 10 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = mq_s.v, touched = 1
+          |WHEN NOT MATCHED THEN INSERT (k, v, touched)
+          |  VALUES (mq_s.k, mq_s.v, 2)""".stripMargin, base)
+      GpSqlDialect.execute(s,
+        "SELECT k, v, touched FROM mq_t ORDER BY k", base)
+    },
+
     // Incremental matview REFRESH (IVM decomposition for distributive
     // aggs; matview.c itself is recompute-only): after an append-only
     // INSERT, REFRESH aggregates only the NEW parquet files and merges

@@ -294,6 +294,13 @@ object GpSqlDialect {
         return executeInsertDefaults(spark, m.group(1).toLowerCase)
       case _ =>
     }
+    MergeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeMerge(spark, m.group(1).toLowerCase,
+          Option(m.group(2)), m.group(3).toLowerCase, Option(m.group(4)),
+          m.group(5), m.group(6))
+      case _ =>
+    }
     InsertConflictRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertConflict(spark, m.group(1).toLowerCase,
@@ -2357,6 +2364,137 @@ object GpSqlDialect {
     src.toDF(t.schema.fieldNames.toSeq: _*)
       .select(t.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** `MERGE INTO t [AS a] USING s [AS b] ON cond
+    *    WHEN MATCHED [AND guard] THEN UPDATE SET ... | DELETE
+    *    WHEN NOT MATCHED [AND guard] THEN INSERT [(cols)] VALUES (...)`
+    * (PG 15 / GP 7 parse_merge.c, executor nodeModifyTable.c
+    * ExecMerge): ONE full-outer join on the merge condition; each
+    * output row picks its branch — matched rows update in place or
+    * drop (DELETE), source-only rows insert, target-only rows keep.
+    * Source columns are addressable via the source alias; alias
+    * references are rewritten onto the prefixed join columns. */
+  private val MergeRe =
+    ("(?is)^\\s*MERGE\\s+INTO\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+      "\\s+USING\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)" +
+      "(\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+)$").r
+  private val WhenClauseRe =
+    ("(?is)\\bWHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\b.*?)" +
+      "(?=\\s+WHEN\\s+(?:NOT\\s+)?MATCHED|\\s*$)").r
+
+  def executeMerge(
+      spark: SparkSession, tName: String, tAlias: Option[String],
+      sName: String, sAlias: Option[String], onCond: String,
+      whenClauses: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    import spark.implicits._
+    val t = catalog(tName)
+    val src0 = catalog.get(sName) match {
+      case Some(s) if s.format != "csv" => spark.read.parquet(s.path)
+      case _ => spark.table(sName)
+    }
+    // alias-qualified references: source alias → prefixed join columns,
+    // target alias → bare; bare source-only columns also prefix
+    val srcCols = src0.columns.map(_.toLowerCase).toSet
+    val tgtCols = t.schema.fieldNames.map(_.toLowerCase).toSet
+    def rewrite(e: String): String = {
+      var out = e
+      sAlias.orElse(Some(sName)).foreach { a =>
+        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
+          "\\.(\\w+)", "__src_$1")
+      }
+      tAlias.orElse(Some(tName)).foreach { a =>
+        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
+          "\\.(\\w+)", "$1")
+      }
+      // bare names only the source has
+      (srcCols -- tgtCols).foreach { c =>
+        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(c) +
+          "\\b(?!\\w)", s"__src_$c")
+      }
+      out
+    }
+    val exc = src0.columns.foldLeft(src0)((d, c) =>
+      d.withColumnRenamed(c, s"__src_${c.toLowerCase}"))
+      .withColumn("__s_present", lit(true))
+    val tgt = spark.read.parquet(t.path).withColumn("__t_present", lit(true))
+    val joined = tgt.join(exc, expr(rewrite(onCond)), "full_outer")
+
+    var updateSet: Option[Map[String, org.apache.spark.sql.Column]] = None
+    var updateGuard: Option[String] = None
+    var delete = false
+    var deleteGuard: Option[String] = None
+    var insertCols: Option[Seq[String]] = None
+    var insertVals: Option[Seq[String]] = None
+    var insertGuard: Option[String] = None
+    WhenClauseRe.findAllMatchIn(whenClauses).foreach { m =>
+      val notMatched = m.group(1) != null
+      val guard = Option(m.group(2)).map(rewrite)
+      val action = m.group(3).trim
+      if (notMatched) {
+        val im = ("(?is)^INSERT\\s*(?:\\(([^)]*)\\)\\s*)?" +
+          "VALUES\\s*\\((.+)\\)\\s*$").r.findFirstMatchIn(action)
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE: cannot parse NOT MATCHED action: $action"))
+        insertCols = Option(im.group(1)).map(_.split(",")
+          .map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+        insertVals = Some(splitTopLevel(im.group(2), ',').map(rewrite))
+        insertGuard = guard
+      } else if (action.equalsIgnoreCase("DELETE")) {
+        delete = true; deleteGuard = guard
+      } else {
+        val setClause = "(?is)^UPDATE\\s+SET\\s+(.+)$".r
+          .findFirstMatchIn(action).get.group(1)
+        updateSet = Some(splitTopLevel(setClause, ',').map { a =>
+          val Array(k, v) = a.split("=", 2)
+          k.trim.toLowerCase -> expr(rewrite(v.trim))
+        }.toMap)
+        updateGuard = guard
+      }
+    }
+    def guarded(g: Option[String]) =
+      g.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+    val matched = coalesce(col("__t_present"), lit(false)) &&
+      coalesce(col("__s_present"), lit(false))
+    val srcOnly = coalesce(col("__s_present"), lit(false)) &&
+      !coalesce(col("__t_present"), lit(false))
+    val updCond = matched && guarded(updateGuard)
+    val delCond = matched && guarded(deleteGuard)
+    val insCond = srcOnly && guarded(insertGuard)
+    val keep =
+      (if (delete) !delCond else lit(true)) &&
+        (!srcOnly || (if (insertVals.isDefined) insCond else lit(false)))
+    val insertByCol: Map[String, String] = (insertCols, insertVals) match {
+      case (Some(cs), Some(vs)) =>
+        require(cs.length == vs.length, "MERGE INSERT arity mismatch")
+        cs.zip(vs).toMap
+      case (None, Some(vs)) =>
+        require(vs.length == t.schema.length, "MERGE INSERT arity mismatch")
+        t.schema.fieldNames.map(_.toLowerCase).zip(vs).toMap
+      case _ => Map.empty
+    }
+    val merged = joined.filter(keep).select(t.schema.fields.map { f =>
+      val c = f.name
+      val base = col(c)
+      val withUpd = updateSet match {
+        case Some(as) => when(updCond, as.getOrElse(c.toLowerCase, base))
+          .otherwise(base)
+        case None => base
+      }
+      val withIns =
+        if (insertVals.isDefined)
+          when(insCond, insertByCol.get(c.toLowerCase).map(expr)
+            .getOrElse(t.defaults.get(c.toLowerCase).map(expr)
+              .getOrElse(lit(null))))
+            .otherwise(withUpd)
+        else withUpd
+      withIns.cast(f.dataType).as(c)
+    }.toSeq: _*)
+    graft.operators.Dml.overwrite(spark, t.path, merged)
+    refreshView(spark, t)
+    Seq(tName).toDF("merged_table")
   }
 
   /** `INSERT INTO t [(cols)] src ON CONFLICT (keys) DO NOTHING |

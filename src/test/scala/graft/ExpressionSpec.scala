@@ -199,6 +199,36 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("MERGE INTO statement: update, delete, and insert branches") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS mrg_t", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE mrg_t AS
+        |SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v,
+        |  CAST(0 AS BIGINT) AS touched
+        |FROM nation WHERE n_nationkey < 15""".stripMargin, base)
+    spark.sql(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  concat('X-', n_name) AS v FROM nation
+        |WHERE n_nationkey BETWEEN 10 AND 19""".stripMargin)
+      .createOrReplaceTempView("mrg_s")
+    GpSqlDialect.execute(spark,
+      """MERGE INTO mrg_t USING mrg_s ON mrg_t.k = mrg_s.k
+        |WHEN MATCHED AND mrg_s.k = 10 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = mrg_s.v, touched = 1
+        |WHEN NOT MATCHED THEN INSERT (k, v, touched)
+        |  VALUES (mrg_s.k, mrg_s.v, 2)""".stripMargin, base)
+    val rows = spark.table("mrg_t").orderBy("k").collect()
+    assert(!rows.map(_.getLong(0)).contains(10L)) // deleted
+    assert(rows.count(_.getLong(2) == 0L) == 10)  // k<10 untouched
+    assert(rows.filter(r => r.getLong(0) >= 11 && r.getLong(0) <= 14)
+      .forall(r => r.getLong(2) == 1L && r.getString(1).startsWith("X-")))
+    assert(rows.filter(_.getLong(0) >= 15)
+      .forall(r => r.getLong(2) == 2L && r.getString(1).startsWith("X-")))
+    assert(rows.length == 19) // 10 keep + 4 update + 5 insert
+  }
+
   test("transaction no-ops, ROLLBACK rejection, AT TIME ZONE rewrite") {
     val base = "/tmp/never"
     Seq("BEGIN", "BEGIN TRANSACTION", "START TRANSACTION", "COMMIT",
