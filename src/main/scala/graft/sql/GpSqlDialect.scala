@@ -392,6 +392,13 @@ object GpSqlDialect {
           m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case _ =>
     }
+    DeleteUsingRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        return executeDeleteUsing(spark, m.group(1).toLowerCase,
+          Option(m.group(2)), m.group(3).toLowerCase, Option(m.group(4)),
+          m.group(5))
+      case _ =>
+    }
     DeleteRe.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeDelete(spark, m.group(1).toLowerCase,
@@ -2379,6 +2386,61 @@ object GpSqlDialect {
     ("(?is)^\\s*MERGE\\s+INTO\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
       "\\s+USING\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s+ON\\s+(.+?)" +
       "(\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+)$").r
+
+  /** Rewrite relation-qualified references for the two-table DML joins:
+    * source alias → `__src_`-prefixed join columns, target alias →
+    * bare names, bare source-only columns → prefixed. */
+  private def rewriteRelRefs(
+      e: String, tName: String, tAlias: Option[String], sName: String,
+      sAlias: Option[String], srcCols: Set[String],
+      tgtCols: Set[String]): String = {
+    var out = e
+    sAlias.orElse(Some(sName)).foreach { a =>
+      out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
+        "\\.(\\w+)", "__src_$1")
+    }
+    tAlias.orElse(Some(tName)).foreach { a =>
+      out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
+        "\\.(\\w+)", "$1")
+    }
+    (srcCols -- tgtCols).foreach { c =>
+      out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(c) +
+        "\\b(?!\\w)", s"__src_$c")
+    }
+    out
+  }
+
+  /** `DELETE FROM t [AS a] USING s [AS b] WHERE cond` (PG gram.y
+    * using_clause; the relational idiom for "delete what matches
+    * another relation"): one left-anti join — target rows with ANY
+    * matching source row drop, the rest keep. */
+  private val DeleteUsingRe =
+    ("(?is)^\\s*DELETE\\s+FROM\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+      "\\s+USING\\s+(\\w+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
+      "\\s+WHERE\\s+(.+?)\\s*$").r
+
+  def executeDeleteUsing(
+      spark: SparkSession, tName: String, tAlias: Option[String],
+      sName: String, sAlias: Option[String], cond: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import spark.implicits._
+    val t = catalog(tName)
+    val src0 = catalog.get(sName) match {
+      case Some(s) if s.format != "csv" => spark.read.parquet(s.path)
+      case _ => spark.table(sName)
+    }
+    val srcCols = src0.columns.map(_.toLowerCase).toSet
+    val tgtCols = t.schema.fieldNames.map(_.toLowerCase).toSet
+    val exc = src0.columns.foldLeft(src0)((d, c) =>
+      d.withColumnRenamed(c, s"__src_${c.toLowerCase}"))
+    val target = spark.read.parquet(t.path)
+    val remaining = target.join(exc,
+      expr(rewriteRelRefs(cond, tName, tAlias, sName, sAlias,
+        srcCols, tgtCols)), "left_anti")
+    graft.operators.Dml.overwrite(spark, t.path, remaining)
+    refreshView(spark, t)
+    Seq(tName).toDF("deleted_from")
+  }
   private val WhenClauseRe =
     ("(?is)\\bWHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
       "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\b.*?)" +
@@ -2399,23 +2461,8 @@ object GpSqlDialect {
     // target alias → bare; bare source-only columns also prefix
     val srcCols = src0.columns.map(_.toLowerCase).toSet
     val tgtCols = t.schema.fieldNames.map(_.toLowerCase).toSet
-    def rewrite(e: String): String = {
-      var out = e
-      sAlias.orElse(Some(sName)).foreach { a =>
-        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
-          "\\.(\\w+)", "__src_$1")
-      }
-      tAlias.orElse(Some(tName)).foreach { a =>
-        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(a) +
-          "\\.(\\w+)", "$1")
-      }
-      // bare names only the source has
-      (srcCols -- tgtCols).foreach { c =>
-        out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(c) +
-          "\\b(?!\\w)", s"__src_$c")
-      }
-      out
-    }
+    def rewrite(e: String): String =
+      rewriteRelRefs(e, tName, tAlias, sName, sAlias, srcCols, tgtCols)
     val exc = src0.columns.foldLeft(src0)((d, c) =>
       d.withColumnRenamed(c, s"__src_${c.toLowerCase}"))
       .withColumn("__s_present", lit(true))

@@ -199,6 +199,25 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("DELETE FROM ... USING drops rows matching another relation") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_delusing"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS du_t", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE du_t AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+      base)
+    spark.sql("SELECT r_regionkey FROM region WHERE r_regionkey IN (1, 3)")
+      .createOrReplaceTempView("du_kill")
+    GpSqlDialect.execute(spark,
+      """DELETE FROM du_t USING du_kill
+        |WHERE du_t.n_regionkey = du_kill.r_regionkey""".stripMargin, base)
+    val left = spark.table("du_t").select("n_regionkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(left == Set(0, 2, 4))
+    assert(spark.table("du_t").count() == 15)
+  }
+
   test("MERGE INTO statement: update, delete, and insert branches") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_merge"
