@@ -22,16 +22,24 @@ object Dml {
     * write tmp → move live dir aside → move tmp into place → drop the
     * old copy. A crash at any step leaves either the old or the new
     * table recoverable on disk (the previous delete-then-rename lost
-    * the published table if it died between the two calls). */
+    * the published table if it died between the two calls).
+    * `partitionCols` keeps a partitioned table's Hive directory layout
+    * through the rewrite (columns no longer present are skipped, for
+    * DROP COLUMN of a partition key). */
   private[graft] def overwrite(
-      spark: SparkSession, path: String, next: DataFrame): Unit =
-    overwriteInPlace(spark, path, next)
+      spark: SparkSession, path: String, next: DataFrame,
+      partitionCols: Seq[String] = Seq.empty): Unit =
+    overwriteInPlace(spark, path, next, partitionCols)
 
   private def overwriteInPlace(
-      spark: SparkSession, path: String, next: DataFrame): Unit = {
+      spark: SparkSession, path: String, next: DataFrame,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
     val tmp = path + ".cow-tmp"
     val old = path + ".cow-old"
-    next.write.mode("overwrite").parquet(tmp)
+    val keep = partitionCols.filter(next.columns.map(_.toLowerCase)
+      .contains(_))
+    val w = next.write.mode("overwrite")
+    (if (keep.nonEmpty) w.partitionBy(keep: _*) else w).parquet(tmp)
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(old), true) // leftover from a previous crash
@@ -243,7 +251,8 @@ object Dml {
     * NULL keys never conflict (unique-index semantics: === join). */
   def upsert(
       spark: SparkSession, path: String, source: DataFrame,
-      keys: Seq[String], assignments: Map[String, Column]): Unit = {
+      keys: Seq[String], assignments: Map[String, Column],
+      partitionCols: Seq[String] = Seq.empty): Unit = {
     val target = spark.read.parquet(path)
     val cols = target.columns
     val tgt = target.withColumn("__t_present", lit(true))
@@ -259,6 +268,6 @@ object Dml {
           .otherwise(tgt(c))
           .cast(target.schema(c).dataType).as(c)
       }: _*)
-    overwriteInPlace(spark, path, merged)
+    overwriteInPlace(spark, path, merged, partitionCols)
   }
 }

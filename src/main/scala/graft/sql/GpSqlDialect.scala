@@ -1642,7 +1642,8 @@ object GpSqlDialect {
     val redistributed =
       if (newDist.nonEmpty) df.repartition(parts, newDist.map(df.col): _*)
       else df.repartition(parts)
-    graft.operators.Dml.overwrite(spark, t.path, redistributed)
+    graft.operators.Dml.overwrite(spark, t.path, redistributed,
+      t.partitionCols)
     catalog.put(table, t.copy(distributionCols = newDist))
     refreshView(spark, catalog(table))
   }
@@ -1729,7 +1730,8 @@ object GpSqlDialect {
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE $table: unsupported action '${other.trim}'")
     }
-    next.foreach(graft.operators.Dml.overwrite(spark, t.path, _))
+    next.foreach(graft.operators.Dml.overwrite(spark, t.path, _,
+      t.partitionCols))
     val reloaded = spark.read.parquet(t.path)
     reloaded.createOrReplaceTempView(table)
     val defaults = action match {
@@ -1745,7 +1747,9 @@ object GpSqlDialect {
           .getOrElse(t.defaults)
       case _ => t.defaults
     }
-    catalog.put(table, t.copy(schema = reloaded.schema, defaults = defaults))
+    catalog.put(table, t.copy(schema = reloaded.schema, defaults = defaults,
+      partitionCols = t.partitionCols.filter(
+        reloaded.columns.map(_.toLowerCase).contains(_))))
     spark.emptyDataFrame
   }
 
@@ -2437,7 +2441,8 @@ object GpSqlDialect {
     val remaining = target.join(exc,
       expr(rewriteRelRefs(cond, tName, tAlias, sName, sAlias,
         srcCols, tgtCols)), "left_anti")
-    graft.operators.Dml.overwrite(spark, t.path, remaining)
+    graft.operators.Dml.overwrite(spark, t.path, remaining,
+      t.partitionCols)
     refreshView(spark, t)
     Seq(tName).toDF("deleted_from")
   }
@@ -2539,7 +2544,8 @@ object GpSqlDialect {
         else withUpd
       withIns.cast(f.dataType).as(c)
     }.toSeq: _*)
-    graft.operators.Dml.overwrite(spark, t.path, merged)
+    graft.operators.Dml.overwrite(spark, t.path, merged,
+      t.partitionCols)
     refreshView(spark, t)
     Seq(tName).toDF("merged_table")
   }
@@ -2587,7 +2593,8 @@ object GpSqlDialect {
         k.trim.toLowerCase ->
           expr(v.trim.replaceAll("(?i)\\bEXCLUDED\\.(\\w+)", "__exc_$1"))
       }.toMap
-      graft.operators.Dml.upsert(spark, t.path, src, keys, assignments)
+      graft.operators.Dml.upsert(spark, t.path, src, keys, assignments,
+        t.partitionCols)
       refreshView(spark, t)
     }
   }

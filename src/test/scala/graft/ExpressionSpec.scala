@@ -199,6 +199,40 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("DML rewrites keep a partitioned table's Hive layout") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partdml"
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS pd_t", base)
+    GpSqlDialect.execute(spark,
+      """CREATE TABLE pd_t (k bigint, v text, region int)
+        |DISTRIBUTED BY (k) PARTITION BY LIST (region)
+        |  (PARTITION p0 VALUES (0), PARTITION p1 VALUES (1))""".stripMargin,
+      base)
+    GpSqlDialect.execute(spark,
+      """INSERT INTO pd_t
+        |SELECT CAST(n_nationkey AS BIGINT), n_name,
+        |  CAST(n_regionkey % 2 AS INT) FROM nation""".stripMargin, base)
+    val path = GpSqlDialect.catalogTable("pd_t").get.path
+    def partDirs() = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("region="))
+      .map(_.getName).toSet
+    assert(partDirs() == Set("region=0", "region=1"))
+    // upsert rewrite keeps the directory layout
+    GpSqlDialect.execute(spark,
+      """INSERT INTO pd_t VALUES (100, 'new', 1)
+        |ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v""".stripMargin, base)
+    assert(partDirs() == Set("region=0", "region=1"))
+    assert(spark.table("pd_t").count() == 26)
+    // MERGE rewrite too
+    spark.sql("SELECT CAST(5 AS BIGINT) AS k, 'merged' AS v")
+      .createOrReplaceTempView("pd_s")
+    GpSqlDialect.execute(spark,
+      """MERGE INTO pd_t USING pd_s ON pd_t.k = pd_s.k
+        |WHEN MATCHED THEN UPDATE SET v = pd_s.v""".stripMargin, base)
+    assert(partDirs() == Set("region=0", "region=1"))
+    assert(spark.table("pd_t").filter(col("v") === "merged").count() == 1)
+  }
+
   test("DELETE FROM ... USING drops rows matching another relation") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_delusing"
