@@ -249,6 +249,19 @@ object GpSqlDialect {
           cascade = m.group(2) != null)
       case _ =>
     }
+    RelSizeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
+        // dbsize.c pg_total_relation_size: bytes on disk for the
+        // relation — the backing parquet's content summary
+        val t = catalog(m.group(1).toLowerCase)
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        return spark.createDataFrame(
+          java.util.List.of(Row(bytes)),
+          StructType(Seq(StructField("size_bytes", LongType))))
+      case _ =>
+    }
     if (CatalogViewRe.findFirstIn(trimmed).isDefined) {
       refreshCatalogViews(spark)
       return spark.sql(rewriteCatalogNames(trimmed))
@@ -484,6 +497,14 @@ object GpSqlDialect {
     sqlFunctions("string_to_array") = SqlFunction(
       Seq("str", "delim"),
       "split(str, concat('\\\\Q', delim, '\\\\E'), -1)", scalarExpr = true)
+    // quote_literal / quote_ident (ruleutils.c): char(39)=' char(34)="
+    // keeps the bodies free of string-escape ambiguity
+    sqlFunctions("quote_literal") = SqlFunction(Seq("s"),
+      "concat(char(39), replace(cast(s AS string), char(39), " +
+        "concat(char(39), char(39))), char(39))", scalarExpr = true)
+    sqlFunctions("quote_ident") = SqlFunction(Seq("s"),
+      "concat(char(34), replace(cast(s AS string), char(34), " +
+        "concat(char(34), char(34))), char(34))", scalarExpr = true)
   }
 
   private val CreateFunctionRe =
@@ -747,7 +768,16 @@ object GpSqlDialect {
     val afterTz = AtTimeZoneRe.replaceAllIn(afterBetween, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"from_utc_timestamp(${m.group(1)}, '${m.group(2)}')"))
-    TablesampleRe.replaceAllIn(afterTz, m => {
+    // current_setting('x') (guc.c): substituted with the session GUC's
+    // value at statement time, like PG's stable-function snapshot
+    val afterGuc = "(?i)\\bcurrent_setting\\s*\\(\\s*'([\\w.]+)'\\s*\\)".r
+      .replaceAllIn(afterTz, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          "'" + gucs.getOrElse(m.group(1).toLowerCase,
+            throw new IllegalArgumentException(
+              s"""unrecognized configuration parameter "${m.group(1)}""""))
+            .replace("'", "''") + "'"))
+    TablesampleRe.replaceAllIn(afterGuc, m => {
       val table = m.group(1)
       val permille = (m.group(2).toDouble * 10000).round
       val seed = Option(m.group(3)).getOrElse("0")
@@ -1228,6 +1258,10 @@ object GpSqlDialect {
     ("(?i)\\b(pg_tables|pg_views|pg_matviews|gp_distribution_policy|" +
       "pg_namespace|" +
       "information_schema\\.columns|information_schema\\.tables)\\b").r
+
+  private val RelSizeRe =
+    ("(?is)^\\s*SELECT\\s+pg_(?:total_)?relation_size\\s*\\(\\s*" +
+      "'(\\w+)'\\s*\\)\\s*(?:AS\\s+\\w+)?\\s*$").r
 
   private def rewriteCatalogNames(sql: String): String =
     sql.replaceAll("(?i)\\binformation_schema\\.columns\\b",

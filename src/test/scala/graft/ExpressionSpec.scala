@@ -199,6 +199,25 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("guc_t", "BASE TABLE"), ("guc_v", "VIEW")))
   }
 
+  test("current_setting, quote_literal/ident, pg_total_relation_size") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_util"
+    GpSqlDialect.execute(spark, "SET app.tenant TO 'acme'", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT current_setting('app.tenant') AS t", base)
+      .head.getString(0) == "acme")
+    val q = GpSqlDialect.execute(spark,
+      """SELECT quote_literal('it''s') AS ql, quote_ident('a"b') AS qi""",
+      base).head
+    assert(q.getString(0) == "'it''s'" && q.getString(1) == "\"a\"\"b\"")
+    GpSqlDialect.execute(spark, "DROP TABLE IF EXISTS sz_t", base)
+    GpSqlDialect.execute(spark,
+      "CREATE TABLE sz_t AS SELECT * FROM range(1000)", base)
+    val sz = GpSqlDialect.execute(spark,
+      "SELECT pg_total_relation_size('sz_t')", base).head.getLong(0)
+    assert(sz > 0L)
+    GpSqlDialect.execute(spark, "RESET app.tenant", base)
+  }
+
   test("DML rewrites keep a partitioned table's Hive layout") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_partdml"
