@@ -106,13 +106,18 @@ object AggregateQueries {
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)) {
       (s, dir) =>
-        Tables.registerAll(s, dir)
-        s.sql(
-          s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  ${Q.oSum("l_quantity")} AS qty
-             |FROM lineitem
-             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        import s.implicits._
+        import graft.operators.MultiPhaseAgg
+        // GP-style multi-phase: one finest-group agg, coarser sets
+        // derived from the 6-row intermediate (vs Expand's 3× shuffle).
+        MultiPhaseAgg.groupingSets(
+          Tables.T(s, dir).lineitem,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Nil),
+          Seq(MultiPhaseAgg.countAll("n"),
+            MultiPhaseAgg.splitSum($"l_quantity", "qty")))
+          .orderBy($"l_returnflag".asc_nulls_first,
+            $"l_linestatus".asc_nulls_first)
     },
 
     // Aggregate FILTER clause (SQL:2003, PG/GP parse_agg.c aggfilter):
@@ -148,9 +153,12 @@ object AggregateQueries {
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
-        Tables.T(s, dir).orders
-          .rollup($"o_orderstatus", $"o_orderpriority")
-          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("total"))
+        import graft.operators.MultiPhaseAgg
+        MultiPhaseAgg.rollup(
+          Tables.T(s, dir).orders,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq(MultiPhaseAgg.countAll("n"),
+            MultiPhaseAgg.splitSum($"o_totalprice", "total")))
           .orderBy($"o_orderstatus".asc_nulls_first,
             $"o_orderpriority".asc_nulls_first)
     },
@@ -160,10 +168,12 @@ object AggregateQueries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)) {
       (s, dir) =>
+        import graft.operators.MultiPhaseAgg
         import s.implicits._
-        Tables.T(s, dir).lineitem
-          .cube($"l_returnflag", $"l_linestatus")
-          .agg(count(lit(1)).as("n"))
+        MultiPhaseAgg.cube(
+          Tables.T(s, dir).lineitem,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(MultiPhaseAgg.countAll("n")))
           .orderBy($"l_returnflag".asc_nulls_first,
             $"l_linestatus".asc_nulls_first)
     },

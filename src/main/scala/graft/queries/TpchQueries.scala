@@ -170,20 +170,25 @@ object TpchQueries {
         |ORDER BY p.p_partkey, a.s_name""".stripMargin)) { (s, dir) =>
       import s.implicits._
       val t = Tables.T(s, dir)
-      val cost = t.lineitem
+      // ASIA suppliers is a dim-sized relation: reduce it first, then
+      // broadcast so the big per-(part,supp) agg never reshuffles.
+      val asiaSupp = broadcast(
+        t.supplier
+          .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"s_suppkey", $"s_name"))
+      val asia = t.lineitem
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
-      val asia = cost
-        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(t.region.filter($"r_name" === "ASIA")),
-          $"n_regionkey" === $"r_regionkey")
-        .select($"l_partkey", $"unit_cost", $"s_name")
-      val minCost = asia.groupBy($"l_partkey".as("mk"))
-        .agg(min($"unit_cost").as("min_cost"))
-      asia.join(minCost,
-          $"l_partkey" === $"mk" && $"unit_cost" === $"min_cost")
-        .join(t.part.filter($"p_size" <= 5), $"l_partkey" === $"p_partkey")
+        .join(asiaSupp, $"l_suppkey" === $"s_suppkey")
+      // per-part minimum via one window pass instead of a self-join
+      // (computes `asia` once; same all-rows-at-min semantics).
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_partkey")
+      asia.withColumn("min_cost", min($"unit_cost").over(w))
+        .filter($"unit_cost" === $"min_cost")
+        .join(broadcast(t.part.filter($"p_size" <= 5)),
+          $"l_partkey" === $"p_partkey")
         .select($"p_partkey", $"p_brand", $"s_name", $"unit_cost")
         .orderBy("p_partkey", "s_name")
     },

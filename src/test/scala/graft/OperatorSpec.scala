@@ -343,6 +343,37 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SequenceOps.nextval("t_seq"))
   }
 
+  test("MultiPhaseAgg matches native Expand-based grouping sets") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x", 1.25), ("a", "x", 2.50), ("a", "y", 0.75),
+      ("b", "x", 4.00), ("b", null, 3.125))
+      .toDF("k1", "k2", "v")
+    val aggs = Seq(
+      MultiPhaseAgg.countAll("n"),
+      MultiPhaseAgg.splitSum($"v", "s", 4),
+      MultiPhaseAgg.minOf($"v", "lo"),
+      MultiPhaseAgg.maxOf($"v", "hi"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"k1".asc_nulls_first, $"k2".asc_nulls_first,
+        $"n", $"s").collect().toSeq
+    val twoPhaseRollup =
+      MultiPhaseAgg.rollup(df, Seq("k1", "k2"), aggs)
+    val nativeRollup = df.rollup($"k1", $"k2")
+      .agg(count(lit(1)).as("n"), round(sum($"v".cast("decimal(28,6)")), 4)
+        .cast("double").as("s"), min($"v").as("lo"), max($"v").as("hi"))
+    assert(canon(twoPhaseRollup) == canon(nativeRollup))
+    val twoPhaseCube = MultiPhaseAgg.cube(df, Seq("k1", "k2"), aggs)
+    val nativeCube = df.cube($"k1", $"k2")
+      .agg(count(lit(1)).as("n"), round(sum($"v".cast("decimal(28,6)")), 4)
+        .cast("double").as("s"), min($"v").as("lo"), max($"v").as("hi"))
+    assert(canon(twoPhaseCube) == canon(nativeCube))
+    // caveat case: data NULL in k2 and rolled-up NULL coexist — both
+    // formulations produce the same (ambiguous) rows
+    assert(twoPhaseCube.filter($"k1" === "b" && $"k2".isNull).count() == 2)
+    KernelCaches.releaseAll()
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
