@@ -265,6 +265,59 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // Training-sequence packing: concatenate docs in id order into one
+    // token stream cut every 512 tokens; each doc reports its global
+    // offset and first/last sequence. Spark side is the distributed
+    // prefix sum in operators/Packing.scala (no global window); the
+    // oracle is the single-node window form of the same arithmetic.
+    Q("q_pipeline_pack", Some(
+      s"""WITH tok AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |  sum(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tok)
+         |SELECT doc_id, n_tok, CAST(cum - n_tok AS BIGINT) AS tok_start,
+         |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_first,
+         |  greatest(CAST(floor((cum - 1) / 512.0) AS BIGINT),
+         |    CAST(floor((cum - n_tok) / 512.0) AS BIGINT)) AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Packing.packSequences(
+        Tables.T(s, dir).documents, "doc_id",
+        TextAnalysis.tokenCount($"text"), budget = 512)
+        .orderBy("doc_id")
+    },
+
+    // Context-window chunking: fixed 200-char windows, stride 150 —
+    // the long-document split step before tokenization. Pure composed
+    // ops (sequence + explode + substr), fully codegen'd; chunk count
+    // derives per row, so the explode is bounded by doc length.
+    Q("q_pipeline_chunk", Some(
+      """WITH c AS (
+        |  SELECT doc_id, text, unnest(range(0,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |      ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
+        |    END)) AS chunk_id
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(chunk_id*150 + 1 AS INT), 200) AS chunk,
+        |  CAST(length(substr(text, CAST(chunk_id*150 + 1 AS INT), 200))
+        |    AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0L),
+            when(length($"text") <= 200, 0L)
+              .otherwise(ceil((length($"text") - 200) / lit(150.0))
+                .cast("long")))).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          expr("substr(text, CAST(chunk_id*150 + 1 AS INT), 200)").as("chunk"))
+        .withColumn("n_chars", length($"chunk").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // tsquery operators beyond AND (tsquery.c / tsvector_op.c TS_execute):
     // | (OR), ! (NOT), <-> (phrase/adjacency). Presence flags fold into
     // one grouped scan; phrase = a positional self-join (y.pos = x.pos+1)

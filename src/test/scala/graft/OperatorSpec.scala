@@ -374,6 +374,27 @@ class OperatorSpec extends AnyFunSuite {
     KernelCaches.releaseAll()
   }
 
+  test("Packing.packSequences offsets are a gapless prefix sum") {
+    import spark.implicits._
+    // 10, 0, 5, 512, 1 tokens with budget 8: exercises zero-token docs,
+    // exact-boundary landings, and multi-sequence straddles
+    val docs = Seq((1L, 10L), (2L, 0L), (3L, 5L), (4L, 512L), (5L, 1L))
+      .toDF("doc_id", "n")
+    val out = Packing.packSequences(docs, "doc_id", col("n"), budget = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "tok_start", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 0L, 0L, 1L),     // tokens 0..9 → seqs 0,1
+      (2L, 0L, 10L, 1L, 1L),     // empty doc pins to seq at offset 10
+      (3L, 5L, 10L, 1L, 1L),     // 10..14 inside seq 1
+      (4L, 512L, 15L, 1L, 65L),  // long doc straddles 65 sequences
+      (5L, 1L, 527L, 65L, 65L)))
+    // offsets are gapless: tok_start == prior cumulative size
+    assert(out.scanLeft(0L)((acc, r) => acc + r._2).init == out.map(_._3))
+    KernelCaches.releaseAll()
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
