@@ -130,8 +130,7 @@ object AggregateQueries {
          |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
          |  count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
          |    AS n_f_cust,
-         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
-         |    FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS sum_open
+         |  ${Q.pSum("o_totalprice", 2, "o_orderstatus = 'O'")} AS sum_open
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin)) { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -140,8 +139,7 @@ object AggregateQueries {
            |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
            |  count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
            |    AS n_f_cust,
-           |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6)))
-           |    FILTER (WHERE o_orderstatus = 'O'), 2) AS DOUBLE) AS sum_open
+           |  ${Q.pSum("o_totalprice", 2, "o_orderstatus = 'O'")} AS sum_open
            |FROM orders GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin)
     },

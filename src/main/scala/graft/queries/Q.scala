@@ -73,6 +73,20 @@ object Q {
       scale)
   }
 
+  /** Engine-portable split-sum fragment (valid Spark SQL AND DuckDB —
+    * for queries whose Spark side is SQL text, e.g. through the GP
+    * dialect). `filter` optionally adds a FILTER (WHERE …) clause to
+    * both halves. The hi-sum casts to DECIMAL(38,0) before the ×1e6 so
+    * the recombine never overflows BIGINT on either engine. */
+  def pSum(expr: String, scale: Int = 2, filter: String = ""): String = {
+    val f = if (filter.isEmpty) "" else s" FILTER (WHERE $filter)"
+    val v = s"CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)"
+    val hi = s"CAST(floor($v / 1000000.0) AS BIGINT)"
+    val lo = s"($v - $hi * 1000000)"
+    s"CAST(round(CAST(CAST(sum($hi)$f AS DECIMAL(38,0)) * 1000000 + " +
+      s"sum($lo)$f AS DECIMAL(38,6)) / 1000000, $scale) AS DOUBLE)"
+  }
+
   def oAvg(expr: String, scale: Int = 4): String = {
     val v = s"CAST(floor(($expr) * 1000000 + 0.5) AS BIGINT)"
     val hi = s"CAST(floor($v / 1000000.0) AS BIGINT)"
