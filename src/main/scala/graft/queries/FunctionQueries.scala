@@ -73,6 +73,54 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // pg_trgm similarity + fuzzystrmatch levenshtein (contrib/pg_trgm
+    // trgm_op.c, contrib/fuzzystrmatch): trigram sets with pg_trgm's
+    // exact normalization — lowercase, split on non-alnum, each word
+    // padded '  w ' — similarity = |∩|/|∪| of the distinct sets. Both
+    // engines build the sets with the same nested-lambda expression
+    // tree; row counts are dim-scale so interpreted HOFs are fine
+    // (the bulk-dedup path for big relations is Dedup.jaccardPairs).
+    Q("q_fn_fuzzy", Some {
+      def words(c: String) =
+        s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), w -> len(w) > 0)"
+      def tgs(c: String) =
+        s"""list_distinct(flatten(list_transform(${words(c)},
+           |    w -> list_transform(range(1, len(w) + 2),
+           |      i -> substr(concat('  ', w, ' '), CAST(i AS INT), 3)))))""".stripMargin
+      def sim(a: String, b: String) =
+        s"""(CASE WHEN len(list_distinct(list_concat(${tgs(a)}, ${tgs(b)}))) = 0
+           |  THEN 0.0
+           |  ELSE CAST(len(list_intersect(${tgs(a)}, ${tgs(b)})) AS DOUBLE)
+           |    / len(list_distinct(list_concat(${tgs(a)}, ${tgs(b)}))) END)""".stripMargin
+      s"""SELECT s_suppkey,
+         |  levenshtein(s_name, replace(s_name, '0', 'O')) AS lev,
+         |  ${sim("s_name", "CAST(s_suppkey AS VARCHAR)")} AS sim_key,
+         |  ${sim("s_name", "replace(s_name, 'Supplier', 'Suplier')")} AS sim_typo
+         |FROM supplier ORDER BY s_suppkey""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def words(c: org.apache.spark.sql.Column) =
+        filter(split(lower(c), "[^a-z0-9]+"), w => length(w) > 0)
+      def tgs(c: org.apache.spark.sql.Column) =
+        array_distinct(flatten(transform(words(c), w => {
+          val p = concat(lit("  "), w, lit(" "))
+          transform(sequence(lit(1), length(w) + 1),
+            i => p.substr(i, lit(3)))
+        })))
+      def sim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val u = size(array_union(tgs(a), tgs(b)))
+        when(u === 0, 0.0)
+          .otherwise(size(array_intersect(tgs(a), tgs(b))).cast("double") / u)
+      }
+      Tables.T(s, dir).supplier.select(
+        $"s_suppkey",
+        levenshtein($"s_name", regexp_replace($"s_name", "0", "O")).as("lev"),
+        sim($"s_name", $"s_suppkey".cast("string")).as("sim_key"),
+        sim($"s_name", regexp_replace($"s_name", "Supplier", "Suplier"))
+          .as("sim_typo"))
+        .orderBy("s_suppkey")
+    },
+
     // PG split SRFs (regexp.c regexp_split_to_table, varlena.c
     // string_to_table with a LITERAL delimiter): pre-registered SQL
     // bodies inline to explode(split(...)) — one generator per branch.

@@ -158,4 +158,16 @@ class PlanSpec extends AnyFunSuite {
     // only the presentation ORDER BY (rangepartitioning) may appear
     assert(hashExchanges(p) == 0, s"a scrub stage must not shuffle: $p")
   }
+
+  test("q_agg_groupingsets scans the base relation once (multi-phase)") {
+    val p = plan("q_agg_groupingsets")
+    // the finest-group aggregate is cached; every grouping set re-reads
+    // the in-memory intermediate (InMemoryTableScan — the plan string
+    // re-renders the cached build plan per branch, so FileScan text
+    // counts are not meaningful), and the Expand operator (native
+    // grouping-sets ×sets row blowup) is absent
+    assert(!p.contains("Expand"), s"multi-phase plan must not Expand:\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+    graft.operators.KernelCaches.releaseAll()
+  }
 }
