@@ -213,4 +213,57 @@ object TextAnalysis {
           sum(when(isQ, col("freq")).otherwise(0L)).cast("double") /
             sum(col("freq")), 6).as("rank"))
   }
+
+  /** Okapi BM25 relevance of each document to a fixed bag of query
+    * terms (the retrieval-ranking step the reference serves with
+    * ts_rank, src/backend/utils/adt/tsrank.c:1-14 — BM25 is the
+    * standard re-imagining: idf-weighted tf with length
+    * normalization).
+    *
+    * Dataflow is an inverted index restricted to the query: postings
+    * are exploded tokens FILTERED to `terms` before the (doc, term)
+    * aggregate, so the shuffle carries only matching postings — at
+    * 100 TB the candidate set is driven by the query's selectivity,
+    * never the corpus token count. Corpus stats (N, Σdl) are one
+    * 1-row aggregate broadcast to the scorer; df is one tiny
+    * (≤|terms|-row) broadcast join. Per-document totals fold the
+    * per-term contributions in the fixed order of `terms`, so the
+    * double result is reproducible bit-for-bit at any parallelism.
+    *
+    * Output: (idCol, nterms, bm25) for documents matching ≥1 term;
+    * bm25 is truncated to 6 decimals via the half-up floor discipline
+    * (contributions are nonnegative by the +1 inside the idf log). */
+  def bm25(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), size(tokens(col(textCol))).as("dl"),
+      tokens(col(textCol)).as("toks"))
+    val stats = base.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val postings = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("lex"))
+      .filter(col("lex").isInCollection(terms))
+      .groupBy(col(idCol), col("dl"), col("lex"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("lex")).agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfreq), "lex")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sumdl").cast("double") / col("n"))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          // (expr)*k1 ≡ k1*(expr): IEEE multiply is commutative, so the
+          // oracle's `k1 * (...)` spelling is bit-identical
+          (col("tf") +
+            (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")) * k1))
+    val perTerm = terms.map(t =>
+      coalesce(max(when(col("lex") === t, col("contrib"))), lit(0.0)))
+    val total = perTerm.reduce(_ + _)
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("nterms"),
+        (floor(total * 1e6 + 0.5) / 1e6).as("bm25"))
+  }
 }

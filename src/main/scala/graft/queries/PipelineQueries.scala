@@ -364,6 +364,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Okapi BM25 retrieval ranking (the reference's ts_rank slot,
+    // utils/adt/tsrank.c, re-imagined as the standard idf-weighted,
+    // length-normalized scorer). Postings are filtered to the query's
+    // terms BEFORE the (doc, term) aggregate — the inverted-index
+    // shuffle carries matching postings only; corpus stats and df are
+    // 1-row / |terms|-row broadcasts. Per-doc totals fold per-term
+    // contributions in fixed term order → bit-reproducible doubles.
+    Q("q_text_bm25", Some(
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        |s AS (SELECT count(*) AS n, sum(len(toks)) AS sumdl FROM t),
+        |p AS (SELECT doc_id, len(toks) AS dl, lex, count(*) AS tf
+        |  FROM t, unnest(toks) AS u(lex)
+        |  WHERE lex IN ('hash','join') GROUP BY 1, 2, 3),
+        |d AS (SELECT lex, count(*) AS df FROM p GROUP BY lex),
+        |c AS (SELECT p.doc_id, p.lex,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * tf * 2.2
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+        |          / (CAST(sumdl AS DOUBLE) / n))) AS contrib
+        |  FROM p JOIN d ON p.lex = d.lex CROSS JOIN s)
+        |SELECT doc_id, CAST(count(*) AS INT) AS nterms,
+        |  floor((coalesce(max(CASE WHEN lex='hash' THEN contrib END), 0)
+        |       + coalesce(max(CASE WHEN lex='join' THEN contrib END), 0))
+        |      * 1e6 + 0.5) / 1e6 AS bm25
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.bm25(
+          Tables.T(s, dir).documents, "text", "doc_id",
+          Seq("hash", "join"))
+          .orderBy("doc_id")
+    },
+
     // Repetition quality signals (Gopher-style filters): fraction of the
     // doc covered by its most frequent bigram, fraction of repeated
     // tokens. Bigrams via a per-doc lead() window over the exploded
