@@ -439,6 +439,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Token-distribution Shannon entropy — the information-density
+    // quality signal (templated/repetitive text scores low; a
+    // perplexity proxy that needs no model). Per-token terms
+    // -p·log2(p) are doubles, so the per-doc sum goes through the
+    // split-sum discipline (Q.dsum): order-insensitive and exact,
+    // identical at any parallelism. nt rides the explode as a
+    // functionally-dependent grouping key — no second shuffle or
+    // window to attach the doc length.
+    Q("q_text_entropy", Some {
+      val p = "(CAST(c AS DOUBLE) / nt)"
+      val term = s"-($p * log2($p))"
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |p AS (SELECT doc_id, len(toks) AS nt, lex, count(*) AS c
+         |  FROM t, unnest(toks) AS u(lex) GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(max(nt) AS INT) AS n_tokens,
+         |  CAST(count(*) AS INT) AS n_distinct,
+         |  ${Q.oSum(term, 6)} AS entropy
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.T(s, dir).documents.select($"doc_id",
+        size(TextAnalysis.tokens($"text")).as("nt"),
+        explode(TextAnalysis.tokens($"text")).as("lex"))
+      val tc = toks.groupBy($"doc_id", $"nt", $"lex")
+        .agg(count(lit(1)).as("c"))
+      val p = $"c".cast("double") / $"nt"
+      tc.groupBy("doc_id")
+        .agg(max($"nt").cast("int").as("n_tokens"),
+          count(lit(1)).cast("int").as("n_distinct"),
+          Q.dsum(-(p * log2(p)), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // ---- sampling / corpus pipeline --------------------------------
     // Deterministic hash sampling: the reproducible way to downsample a
     // corpus (TABLESAMPLE BERNOULLI's seed is engine-private; a hash of
