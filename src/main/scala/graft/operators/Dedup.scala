@@ -308,10 +308,22 @@ object Dedup {
     *  3. candidates verify with one codegen'd array_intersect.
     *
     * Exact same result set as a naive full inverted-index join; shuffles
-    * on token and pair keys only, zero driver state. */
+    * on token and pair keys only, zero driver state.
+    *
+    * `maxDf` (opt-in, general path) is the 100 TB stop-word guard: tokens
+    * appearing in more than `maxDf` distinct sets are excluded from
+    * CANDIDATE GENERATION — their inverted-index buckets are the O(hot²)
+    * blowup — while verification still scores the FULL token sets, so
+    * every emitted jaccard is exact. The trade is recall-only and
+    * one-sided: a pair whose shared prefix tokens are all hotter than
+    * `maxDf` is never considered (standard stop-word pruning in
+    * set-similarity search). Because the dictionary is rare-first, the
+    * cutoff is one scalar count and a codegen'd `tid < cutoff` filter;
+    * the emit-once minimum-shared-token rule needs no change (a shared
+    * token below the cutoff implies the minimum shared token is too). */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxDf: Option[Long] = None): DataFrame = {
     val withFp = df.select(col(idCol).cast("long").as("id"),
       conv(substring(TextAnalysis.bowFingerprint(col(textCol)), 1, 15),
         16, 10).cast("long").as("fp"),
@@ -407,11 +419,16 @@ object Dedup {
       // (orderBy → monotonically_increasing_id is order-preserving across
       // the sorted range partitions, no single-partition window): join
       // keys and verify-time array_intersect run on fixed-width longs.
-      val dict = dictBase
+      val dict0 = dictBase
         .orderBy(col("dfq"), col("tok"))
         .withColumn("tid", monotonically_increasing_id())
-        .select(col("tok"), col("tid"))
-      val ordered = inv.join(dict, "tok")
+        .select(col("tok"), col("tid"), col("dfq"))
+      // with a df cutoff the dict is read twice (tid assignment + the
+      // threshold scalar) — cache so both reads see ONE id assignment
+      val dict = if (maxDf.isDefined) {
+        val d = dict0.cache(); kernelCaches += d; d
+      } else dict0
+      val ordered = inv.join(dict.select(col("tok"), col("tid")), "tok")
         .groupBy("fp")
         .agg(array_sort(collect_list(col("tid"))).as("toks"))
         .withColumn("n", size(col("toks")))
@@ -421,8 +438,17 @@ object Dedup {
       // carry the full token array through the explode so the prefix join
       // emits candidates WITH both sets inline: no distinct() shuffle and
       // no re-join of the (huge) candidate set back to the sets table
-      val prefix = ordered.select(col("fp"), col("toks"), col("n"),
+      // df cutoff: rare-first ordering puts every "df ≤ maxDf" token
+      // below every hotter one, so pruning is one catalog-scale scalar
+      // (the max allowed tid) plus a codegen'd filter on the exploded
+      // prefix tokens. None → lossless PPJoin.
+      val cutoff = maxDf.map { m =>
+        val r = dict.filter(col("dfq") <= m).agg(max(col("tid"))).head
+        if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+      }
+      val prefix0 = ordered.select(col("fp"), col("toks"), col("n"),
         explode(slice(col("toks"), lit(1), plen(col("n")))).as("tok"))
+      val prefix = cutoff.fold(prefix0)(c => prefix0.filter(col("tok") < c))
       val pa = prefix.select(col("fp").as("fp_a"), col("toks").as("ts_a"),
         col("n").as("na"), col("tok"))
       val pb = prefix.select(col("fp").as("fp_b"), col("toks").as("ts_b"),

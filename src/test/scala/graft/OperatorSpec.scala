@@ -125,6 +125,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("Dedup.jaccardPairs df cutoff: subset of exact, scores exact") {
+    import spark.implicits._
+    // >64 vocab (general path). Docs share a hot token "hot" (df = all
+    // docs) plus sliding-window rare tokens; with maxDf pruning the hot
+    // token, pairs can only meet on rare shared prefix tokens.
+    val docs = (0 until 30).map { i =>
+      (i.toLong,
+        ("hot" +: (0 until 11).map(j => s"w${(i * 3 + j) % 80}"))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // generous cutoff (≥ every df) — lossless, identical to exact
+    val loose = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5, Some(100L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose == exact)
+    // tight cutoff (prunes the df=30 hot token) — a subset, and every
+    // emitted score matches the exact score for that pair
+    val tight = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5, Some(5L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tight.subsetOf(exact))
+    val exactByPair = exact.map(p => (p._1, p._2) -> p._3).toMap
+    tight.foreach { case (a, b, j) => assert(exactByPair((a, b)) == j) }
+  }
+
   test("Similarity.cosine on known vectors") {
     import spark.implicits._
     val v = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f)))
