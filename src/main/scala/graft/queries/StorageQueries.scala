@@ -624,6 +624,10 @@ object StorageQueries {
         |  n_name ILIKE '%an%' AS ilike_an,
         |  n_name SIMILAR TO '(A|I|U)%' AS sim_aiu,
         |  n_name NOT SIMILAR TO '%(A|N)' AS nsim_an,
+        |  regexp_matches(n_name, 'IA') AS re_ia,
+        |  regexp_matches(n_name, '(?i)^i.*a') AS re_ci,
+        |  NOT regexp_matches(n_name, 'A') AS nre_a,
+        |  NOT regexp_matches(n_name, '(?i)n$') AS nre_ci,
         |  n_regionkey IS DISTINCT FROM (n_nationkey % 5) AS key_differs,
         |  (n_nationkey BETWEEN least(20, 10) AND greatest(20, 10)) AS in_band
         |FROM nation ORDER BY n_name""".stripMargin)) { (s, dir) =>
@@ -633,6 +637,10 @@ object StorageQueries {
           |  n_name ILIKE '%an%' AS ilike_an,
           |  n_name SIMILAR TO '(A|I|U)%' AS sim_aiu,
           |  n_name NOT SIMILAR TO '%(A|N)' AS nsim_an,
+          |  n_name ~ 'IA' AS re_ia,
+          |  n_name ~* '^i.*a' AS re_ci,
+          |  n_name !~ 'A' AS nre_a,
+          |  n_name !~* 'n$' AS nre_ci,
           |  n_regionkey IS DISTINCT FROM (n_nationkey % 5) AS key_differs,
           |  n_nationkey BETWEEN SYMMETRIC 20 AND 10 AS in_band
           |FROM nation ORDER BY n_name""".stripMargin, tmp("pattern"))

@@ -718,6 +718,13 @@ object GpSqlDialect {
     *    (gram.y b_expr BETWEEN SYMMETRIC). */
   private val SimilarToRe =
     "(?is)([\\w.]+)\\s+(NOT\\s+)?SIMILAR\\s+TO\\s+'([^']*)'".r
+  /** PG regex-match operators (gram.y a_expr `~` / `~*` / `!~` / `!~*`,
+    * utils/adt/regexp.c textregexeq): `x ~ 'pat'` → regexp_like, `*`
+    * variants case-insensitive via an inline (?i). Pattern must be a
+    * string literal (the overwhelmingly common form); alternatives are
+    * ordered longest-first so `!~*` never half-matches as `~`. */
+  private val RegexOpRe =
+    "(?s)([\\w.]+|'[^']*')\\s*(!~\\*|!~|~\\*|~)\\s*'([^']*)'".r
   private val BetweenSymRe =
     ("(?is)([\\w.]+)\\s+BETWEEN\\s+SYMMETRIC\\s+" +
       "([\\w.']+)\\s+AND\\s+([\\w.']+)").r
@@ -761,7 +768,13 @@ object GpSqlDialect {
       java.util.regex.Matcher.quoteReplacement(
         s"${not}regexp_like(${m.group(1)}, '${similarToRegex(m.group(3))}')")
     })
-    val afterBetween = BetweenSymRe.replaceAllIn(afterSimilar, m =>
+    val afterRegexOp = RegexOpRe.replaceAllIn(afterSimilar, m => {
+      val not = if (m.group(2).startsWith("!")) "NOT " else ""
+      val ci = if (m.group(2).endsWith("*")) "(?i)" else ""
+      java.util.regex.Matcher.quoteReplacement(
+        s"${not}regexp_like(${m.group(1)}, '$ci${m.group(3)}')")
+    })
+    val afterBetween = BetweenSymRe.replaceAllIn(afterRegexOp, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)} BETWEEN least(${m.group(2)}, ${m.group(3)}) " +
           s"AND greatest(${m.group(2)}, ${m.group(3)})"))

@@ -170,4 +170,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
     graft.operators.KernelCaches.releaseAll()
   }
+
+  test("q_text_bm25 joins stats and df by broadcast, never sort-merge") {
+    val p = plan("q_text_bm25")
+    // df is a ≤|terms|-row broadcast, corpus stats a 1-row broadcast
+    // nested loop; the only shuffles are the posting/doc aggregates
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bm25 scorer must not sort-merge join: $p")
+  }
 }
