@@ -286,6 +286,9 @@ object StorageQueries {
         |FROM nation WHERE n_nationkey >= 2
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
       prepare = Some { (s, dir) =>
+        // wipe first: an embedded-Derby dir left by a killed JVM can be
+        // unbootable (stale db.lck), and overwrite can't recover that
+        ForeignTables.resetDb(tmp("derby_nation"))
         ForeignTables.writeForeign(
           Tables.T(s, dir).nation,
           ForeignTables.derbyUrl(tmp("derby_nation")), "NATION_FT")

@@ -20,6 +20,18 @@ object ForeignTables {
 
   def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
 
+  /** Delete an embedded-Derby database directory. A dir abandoned by a
+    * killed JVM may fail to boot (stale lock / unclean log) and
+    * `mode("overwrite")` cannot recover that — fixtures wipe + recreate. */
+  def resetDb(dbDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dbDir))
+  }
+
   /** Publish `df` to the foreign server (CREATE + INSERT over JDBC). */
   def writeForeign(df: DataFrame, url: String, table: String): Unit =
     df.write.mode("overwrite")
