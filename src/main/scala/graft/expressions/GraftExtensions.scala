@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("arr_eq_count"),
       new ExpressionInfo(classOf[ArrEqCountExpr].getName, "arr_eq_count"),
       (exprs: Seq[Expression]) => ArrEqCountExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[TokenEntropyExpr].getName, "token_entropy"),
+      (exprs: Seq[Expression]) => TokenEntropyExpr(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
   }
 }

@@ -316,6 +316,10 @@ object PgFunctions {
       exprs => graft.expressions.ArrEqCountExpr(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_entropy",
+      exprs => graft.expressions.TokenEntropyExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode",
       exprs => graft.expressions.Sq8EncodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")

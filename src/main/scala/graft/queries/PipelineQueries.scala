@@ -441,12 +441,14 @@ object PipelineQueries {
 
     // Token-distribution Shannon entropy — the information-density
     // quality signal (templated/repetitive text scores low; a
-    // perplexity proxy that needs no model). Per-token terms
-    // -p·log2(p) are doubles, so the per-doc sum goes through the
-    // split-sum discipline (Q.dsum): order-insensitive and exact,
-    // identical at any parallelism. nt rides the explode as a
-    // functionally-dependent grouping key — no second shuffle or
-    // window to attach the doc length.
+    // perplexity proxy that needs no model). Entropy is a PER-DOCUMENT
+    // statistic, so it is computed by a native one-pass expression
+    // (TokenEntropyExpr) inside the scan stage — no explode, no
+    // shuffle; the previous explode → groupBy(doc,tok) → groupBy(doc)
+    // formulation shipped every token through two hash shuffles to
+    // compute a map-side metric. The expression replicates Q.dsum's
+    // fixed-point split-sum per term, so values are bit-identical to
+    // the declarative form and the oracle at any parallelism.
     Q("q_text_entropy", Some {
       val p = "(CAST(c AS DOUBLE) / nt)"
       val term = s"-($p * log2($p))"
@@ -459,16 +461,10 @@ object PipelineQueries {
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val toks = Tables.T(s, dir).documents.select($"doc_id",
-        size(TextAnalysis.tokens($"text")).as("nt"),
-        explode(TextAnalysis.tokens($"text")).as("lex"))
-      val tc = toks.groupBy($"doc_id", $"nt", $"lex")
-        .agg(count(lit(1)).as("c"))
-      val p = $"c".cast("double") / $"nt"
-      tc.groupBy("doc_id")
-        .agg(max($"nt").cast("int").as("n_tokens"),
-          count(lit(1)).cast("int").as("n_distinct"),
-          Q.dsum(-(p * log2(p)), 6).as("entropy"))
+      Tables.T(s, dir).documents
+        .select($"doc_id",
+          graft.expressions.TokenEntropyExpr.tokenEntropy($"text").as("m"))
+        .select($"doc_id", $"m.n_tokens", $"m.n_distinct", $"m.entropy")
         .orderBy("doc_id")
     },
 

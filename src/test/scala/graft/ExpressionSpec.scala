@@ -22,6 +22,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native token_entropy ≡ declarative explode/groupBy entropy") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.queries.Q
+    val docs = Tables.T(spark, sf).documents.limit(80)
+    val native = docs
+      .select($"doc_id",
+        graft.expressions.TokenEntropyExpr.tokenEntropy($"text").as("m"))
+      .select($"doc_id", $"m.n_tokens", $"m.n_distinct", $"m.entropy")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val toks = docs.select($"doc_id",
+      size(TextAnalysis.tokens($"text")).as("nt"),
+      explode(TextAnalysis.tokens($"text")).as("lex"))
+    val tc = toks.groupBy($"doc_id", $"nt", $"lex")
+      .agg(count(lit(1)).as("c"))
+    val p = $"c".cast("double") / $"nt"
+    val declarative = tc.groupBy("doc_id")
+      .agg(max($"nt").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        Q.dsum(-(p * log2(p)), 6).as("entropy"))
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(native == declarative)
+    assert(native.nonEmpty)
+  }
+
   test("simhash32 is SQL-callable via the function registry") {
     graft.functions.PgFunctions.registerAll(spark)
     val v = spark.sql("SELECT simhash32('alpha beta gamma') AS s")
