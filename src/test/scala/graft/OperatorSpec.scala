@@ -332,7 +332,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(canon.toSeq == Seq((1L, 1L, true), (2L, 1L, false),
       (3L, 1L, false), (4L, 4L, true), (5L, 5L, true), (6L, 6L, true)))
     // unconverged graphs fail loudly rather than returning wrong labels
-    val chain = (1L to 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+    // (depth 1000: even with the init pull and double pointer jump —
+    // reach ≈ 4r+3 per round — 3 rounds cover ≪ 1000 hops)
+    val chain = (1L to 1000L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("a", "b")
     intercept[IllegalStateException] {
       Components.connectedComponents(chain, "a", "b", maxIter = 3)
