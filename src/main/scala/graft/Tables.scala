@@ -21,12 +21,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by
-      // default; read the raw int64 nanos and truncate to micros (exactly
-      // what DuckDB does when it coerces nanos → its micro TIMESTAMP).
+      // events.ts has shipped as TIMESTAMP(NANOS) (Spark 4 refuses unless
+      // read as raw int64 nanos) and as TIMESTAMP(MICROS, utc=false)
+      // (which reads as TIMESTAMP_NTZ). Normalise either encoding to a
+      // session-zone TIMESTAMP at micro precision — the session zone is
+      // pinned to UTC (GraftSession), so the cast is value-preserving and
+      // matches DuckDB's plain micro TIMESTAMP view of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(path(dir, name))
 
   /** Register every harness table as a temp view (idempotent, cheap —

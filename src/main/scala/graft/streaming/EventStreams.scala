@@ -14,20 +14,29 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Batch schema of events.parquet with ts as raw int64 nanos (Spark 4
-    * cannot natively read parquet TIMESTAMP(NANOS) — see Tables.load). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Batch schema of events.parquet with `ts` as written on disk — int64
+    * nanos for TIMESTAMP(NANOS) files (Spark 4 cannot natively read those —
+    * see Tables.load) or TIMESTAMP_NTZ for micro-precision files. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of the events parquet with micro-second timestamps. */
+  /** Streaming read of the events parquet with micro-second timestamps.
+    * The on-disk ts encoding is sniffed from the batch reader (footer-only,
+    * cheap) so nanos- and micros-written files both stream identically. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event type. */
