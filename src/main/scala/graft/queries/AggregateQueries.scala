@@ -439,14 +439,26 @@ object AggregateQueries {
           .orderBy("n_regionkey")
     },
 
-    // HLL cardinality estimation (GP: gp_hyperloglog.c). Spark HLL++ and
-    // DuckDB's HLL differ by design → rows-only check (no oracle).
-    Q("q_agg_approx_distinct", None) { (s, dir) =>
+    // HLL cardinality estimation (GP: gp_hyperloglog.c). Raw HLL values
+    // differ across engines by design, so the oracle checks the *error
+    // bound* instead: each engine asserts its own approx is within 5% of
+    // the exact count — a boolean that hash-matches when both HLLs meet
+    // the published accuracy, which they do at these cardinalities.
+    Q("q_agg_approx_distinct", Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    / CAST(count(DISTINCT l_partkey) AS DOUBLE) < 0.05 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
       import s.implicits._
       Tables.T(s, dir).lineitem
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-          countDistinct($"l_partkey").as("exact_parts"))
+        .agg(countDistinct($"l_partkey").as("exact_parts"),
+          (abs(approx_count_distinct($"l_partkey") -
+            countDistinct($"l_partkey")).cast("double") /
+            countDistinct($"l_partkey").cast("double") < 0.05)
+            .as("approx_ok"))
         .orderBy("l_returnflag")
     }
   )

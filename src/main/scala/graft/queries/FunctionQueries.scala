@@ -668,7 +668,8 @@ object FunctionQueries {
         |    AND 5.0 >= least(y, y-2.0) AND 5.0 <= greatest(y, y-2.0))
         |    AS in_box,
         |  abs(((x+3.0)-x) * ((y-2.0)-y)) AS barea,
-        |  {'x': (x + (x+3.0))/2, 'y': (y + (y-2.0))/2} AS bcenter,
+        |  (x + (x+3.0))/2 AS bcenter_x,
+        |  (y + (y-2.0))/2 AS bcenter_y,
         |  sqrt((x-5.0)*(x-5.0) + (y-5.0)*(y-5.0)) <= r AS in_circle,
         |  pi() * r * r AS carea
         |FROM g ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
@@ -683,7 +684,8 @@ object FunctionQueries {
           boxContainsPoint(x, y, x + 3.0, y - 2.0, lit(5.0), lit(5.0))
             .as("in_box"),
           boxArea(x, y, x + 3.0, y - 2.0).as("barea"),
-          boxCenter(x, y, x + 3.0, y - 2.0).as("bcenter"),
+          boxCenter(x, y, x + 3.0, y - 2.0).getField("x").as("bcenter_x"),
+          boxCenter(x, y, x + 3.0, y - 2.0).getField("y").as("bcenter_y"),
           circleContainsPoint(x, y, r, lit(5.0), lit(5.0)).as("in_circle"),
           circleArea(r).as("carea"))
         .orderBy("c_custkey")

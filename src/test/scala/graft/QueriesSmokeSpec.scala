@@ -28,9 +28,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented reason not to") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.allQueries.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q_agg_approx_distinct"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
   }
 }
