@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_entropy"),
       new ExpressionInfo(classOf[TokenEntropyExpr].getName, "token_entropy"),
       (exprs: Seq[Expression]) => TokenEntropyExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("text_quality"),
+      new ExpressionInfo(classOf[TextQualityExpr].getName, "text_quality"),
+      (exprs: Seq[Expression]) => TextQualityExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
   }
 }

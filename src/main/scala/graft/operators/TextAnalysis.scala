@@ -63,28 +63,26 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "this", "be", "are")
 
-  /** Fraction of tokens that are (English) stopwords — prose indicator.
-    * Counted with the same one-pass padded-text regex as [[langScore]]
-    * (interpreted filter-lambda over the token array was the hot spot of
-    * the quality sweep). */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    val hits = regexp_count(concat(lit(" "), lower(trim(text)), lit(" ")),
-      lit("\\s(" + EnStopwords.mkString("|") + ")(?=\\s)"))
-    when(n === 0, 0.0).otherwise(hits.cast("double") / n)
-  }
+  /** All quality metrics in ONE scan — native expression (struct of
+    * punct_ratio / digit_ratio / avg_word_len / stopword_ratio /
+    * quality, raw doubles). The per-metric regex formulations this
+    * replaces re-read the text 8× per row; at 100 TB a map stage's
+    * per-row constant is the whole cost. Identical subexpressions are
+    * collapsed by codegen subexpression elimination, so selecting
+    * several fields still costs one scan. */
+  def textQuality(text: Column): Column =
+    graft.expressions.TextQualityExpr.textQuality(text)
+
+  /** Fraction of tokens that are (English) stopwords — prose
+    * indicator. One-pass native scan (whole-token membership, same
+    * semantics as the padded-text regex alternation it replaces). */
+  def stopwordRatio(text: Column): Column =
+    textQuality(text).getField("stopword_ratio")
 
   /** Composite document quality score in [0,1]: length sweet-spot,
     * low punctuation/digit noise, words of natural length. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
-    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
-    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
-    val wl = avgWordLen(text)
-    val wordScore = when(wl >= 3.0 && wl <= 8.0, 1.0).otherwise(0.5)
-    round(lenScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2 +
-      (lit(1.0) - digitPenalty) * 0.2 + wordScore * 0.2, 6)
-  }
+  def qualityScore(text: Column): Column =
+    round(textQuality(text).getField("quality"), 6)
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic, SQL-mirrorable. */
@@ -94,33 +92,13 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"))
 
-  /** Score for one language = number of tokens that are markers.
-    *
-    * Counted with one codegen'd regex pass over the space-padded
-    * lowercased text (every token is then whitespace-delimited on both
-    * sides; the lookahead keeps the trailing delimiter available to the
-    * next token) — a higher-order `filter(tokens, ...)` evaluates
-    * interpreted per element and was ~50× slower here. */
-  def langScore(text: Column, markers: Seq[String]): Column =
-    regexp_count(concat(lit(" "), lower(trim(text)), lit(" ")),
-      lit("\\s(" + markers.mkString("|") + ")(?=\\s)")).cast("int")
-
   /** Heuristic language ID: CJK-codepoint test first, else argmax of
-    * marker-word scores with a deterministic tie order (en>de>es>fr),
-    * 'und' (undetermined) when nothing scores. The flat comparison
-    * chain (vs an argmax fold) keeps the expression tree linear in the
-    * number of languages — a fold doubles each prior score subtree per
-    * step. */
-  def langId(text: Column): Column = {
-    val zh = text.rlike("[\\u4e00-\\u9fff]")
-    val Seq(en, de, es, fr) = LangMarkers.map { case (_, m) => langScore(text, m) }
-    when(zh, "zh")
-      .when(greatest(en, de, es, fr) === 0, "und")
-      .when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
-  }
+    * marker-word counts with a deterministic tie order (en>de>es>fr),
+    * 'und' (undetermined) when nothing scores. One-pass native scan —
+    * the four per-language regex alternation passes this replaces were
+    * the second-slowest map stage of the quality sweep. */
+  def langId(text: Column): Column =
+    graft.expressions.LangIdExpr.langId(text)
 
   /** Document fingerprint: md5 of the normalized text (lowercase,
     * punctuation stripped, whitespace collapsed) — the exact-dedup key.

@@ -72,13 +72,16 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
+      // one text_quality struct per row; the five field extracts share
+      // the single scan via codegen subexpression elimination
+      val tq = TextAnalysis.textQuality($"text")
       Tables.T(s, dir).documents.select(
         $"doc_id",
-        round(TextAnalysis.punctRatio($"text"), 6).as("punct_ratio"),
-        round(TextAnalysis.digitRatio($"text"), 6).as("digit_ratio"),
-        round(TextAnalysis.avgWordLen($"text"), 6).as("avg_word_len"),
-        round(TextAnalysis.stopwordRatio($"text"), 6).as("stopword_ratio"),
-        TextAnalysis.qualityScore($"text").as("quality"))
+        round(tq.getField("punct_ratio"), 6).as("punct_ratio"),
+        round(tq.getField("digit_ratio"), 6).as("digit_ratio"),
+        round(tq.getField("avg_word_len"), 6).as("avg_word_len"),
+        round(tq.getField("stopword_ratio"), 6).as("stopword_ratio"),
+        round(tq.getField("quality"), 6).as("quality"))
         .orderBy("doc_id")
     },
 
