@@ -32,6 +32,12 @@ object GraftSession {
       // Janino instead of reusing warm classes (on a long-lived cluster
       // the same eviction churn shows up as steady-state compile load)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // cost-based planning over ANALYZE-collected stats (reference:
+      // optimizer/path/costsize.c consuming pg_statistic). Without an
+      // ANALYZE nothing injects rowCounts and these are no-ops, so the
+      // pre-stats plans are unchanged — a strict refinement.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
   }
 

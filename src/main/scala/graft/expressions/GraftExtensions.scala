@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
+    // ANALYZE → planner bridge: attach collected stats to parquet scans
+    // ahead of Catalyst's Join Reorder batch (costsize.c analogue).
+    ext.injectOptimizerRule(_ => graft.plans.InjectAnalyzedStats)
   }
 }
 

@@ -1062,6 +1062,27 @@ object GpSqlDialect {
     val out = spark.createDataFrame(
       java.util.Arrays.asList(stats: _*), schema)
     tableStats.put(table.toLowerCase, out)
+    // feed the planner (costsize.c role): key the stats by every parquet
+    // root the analyzed relation reads, so any later scan of those
+    // locations — whatever view name it resolves through — plans with
+    // rowCount/NDV/min-max instead of file-size heuristics.
+    val colStats = cols.map { f =>
+      f.name -> graft.plans.AnalyzedStats.ColStats(
+        ndv = row.getAs[Long](s"__ndv_${f.name}"),
+        nulls = row.getAs[Long](s"__nulls_${f.name}"),
+        min = Option(row.getAs[String](s"__min_${f.name}")),
+        max = Option(row.getAs[String](s"__max_${f.name}")))
+    }.toMap
+    val roots = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    roots.foreach(p => graft.plans.AnalyzedStats.put(
+      p, graft.plans.AnalyzedStats.TableStats(n, colStats)))
     out
   }
 

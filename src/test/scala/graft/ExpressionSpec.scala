@@ -706,6 +706,11 @@ class ExpressionSpec extends AnyFunSuite {
     assert(key.getString(5) == "0" && key.getString(6) == "24") // min/max
     assert(math.abs(key.getLong(4) - 25L) <= 2) // HLL NDV estimate
     assert(GpSqlDialect.tableStats.contains("nation"))
+    // the same ANALYZE feeds the planner's statistics (path-keyed)
+    assert(spark.table("nation")
+      .queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(25)),
+      "ANALYZE stats not injected into plan statistics")
+    graft.plans.AnalyzedStats.clear() // keep suite plans stats-free
   }
 
   test("GpSqlDialect scripts split correctly and PREPARE/EXECUTE substitutes") {

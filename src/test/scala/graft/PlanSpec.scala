@@ -179,4 +179,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"bm25 scorer must not sort-merge join: $p")
   }
+
+  test("ANALYZE stats reach the planner: compressed table stops broadcasting") {
+    import graft.sql.GpSqlDialect
+    graft.plans.AnalyzedStats.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    // low-cardinality key bitpacks + constant pad RLE-compresses: 1M
+    // rows land near 1 MB on disk — the file-size heuristic calls that
+    // broadcastable; the true in-memory size is ~30 MB (the classic
+    // hazardous broadcast of a well-compressed table)
+    spark.range(1000000L)
+      .selectExpr("id % 100 AS k", "repeat('c', 64) AS pad")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/puffy")
+    // incompressible md5 strings: several MB on disk, so only the
+    // compressed side is ever the broadcast candidate
+    spark.range(200000L)
+      .selectExpr("id % 100 AS k", "md5(cast(id AS string)) AS h")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/probe")
+    def dirBytes(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.isFile).map(_.length).sum
+    spark.read.parquet(s"$dir/puffy").createOrReplaceTempView("stats_puffy")
+    spark.read.parquet(s"$dir/probe").createOrReplaceTempView("stats_probe")
+    def joined = spark.table("stats_probe").join(spark.table("stats_puffy"), "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold between the two measured disk sizes: without stats,
+      // only the compressed table qualifies for broadcast
+      val threshold = dirBytes(s"$dir/puffy") * 2
+      assert(threshold < dirBytes(s"$dir/probe"),
+        "fixture sizes drifted — compressed side no longer the only candidate")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      val before = joined.queryExecution.sparkPlan.toString
+      assert(before.contains("BroadcastHashJoin"),
+        s"without stats the file-size heuristic should broadcast:\n$before")
+      GpSqlDialect.executeAnalyze(spark, "stats_puffy")
+      // a fresh resolution of the same view now plans with rowCount/NDV
+      assert(spark.table("stats_puffy")
+        .queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(1000000)),
+        "ANALYZE row count did not reach plan statistics")
+      val after = joined.queryExecution.sparkPlan.toString
+      assert(!after.contains("BroadcastHashJoin"),
+        s"stats say 1M rows (~30 MB in memory) — must not broadcast:\n$after")
+      assert(after.contains("SortMergeJoin") || after.contains("ShuffledHashJoin"),
+        after)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.plans.AnalyzedStats.clear()
+    }
+  }
 }
