@@ -19,23 +19,31 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** events.ts has shipped as TIMESTAMP(NANOS) (Spark 4 refuses unless
+    * read as raw int64 nanos) and as TIMESTAMP(MICROS, utc=false)
+    * (which reads as TIMESTAMP_NTZ). Normalise either encoding to a
+    * session-zone TIMESTAMP at micro precision — the session zone is
+    * pinned to UTC (GraftSession), so the cast is value-preserving and
+    * matches DuckDB's plain micro TIMESTAMP view of the same file.
+    * Shared by the batch reader here and the streaming reader
+    * (EventStreams.readEvents) so the two cannot drift. */
+  def normalizeEventTs(
+      df: DataFrame,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame =
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts has shipped as TIMESTAMP(NANOS) (Spark 4 refuses unless
-      // read as raw int64 nanos) and as TIMESTAMP(MICROS, utc=false)
-      // (which reads as TIMESTAMP_NTZ). Normalise either encoding to a
-      // session-zone TIMESTAMP at micro precision — the session zone is
-      // pinned to UTC (GraftSession), so the cast is value-preserving and
-      // matches DuckDB's plain micro TIMESTAMP view of the same file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
-      }
+      normalizeEventTs(raw, raw.schema("ts").dataType)
     } else spark.read.parquet(path(dir, name))
 
   /** Register every harness table as a temp view (idempotent, cheap —

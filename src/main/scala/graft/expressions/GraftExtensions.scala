@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
+      (exprs: Seq[Expression]) => PorterStemExpr(exprs.head)))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
     // ANALYZE → planner bridge: attach collected stats to parquet scans
     // ahead of Catalyst's Join Reorder batch (costsize.c analogue).

@@ -320,6 +320,10 @@ object PgFunctions {
       exprs => graft.expressions.TokenEntropyExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "porter_stem",
+      exprs => graft.expressions.PorterStemExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode",
       exprs => graft.expressions.Sq8EncodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")

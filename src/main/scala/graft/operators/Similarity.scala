@@ -178,7 +178,12 @@ object Similarity {
       corpus: DataFrame, k: Int, iters: Int,
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     val modulus = math.max(1L, corpus.count() / k)
+    // orderBy before limit → TakeOrdered: the k seeds are the k smallest
+    // ids in the modulus sample, identical across any input partitioning
+    // (a bare limit after a filter picks whichever partitions answer
+    // first, breaking the reproducible-runs contract).
     var cents = corpus.filter(col(cId) % modulus === 0)
+      .orderBy(col(cId))
       .limit(k)
       .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"))
     for (_ <- 0 until iters) {

@@ -192,6 +192,50 @@ object TextAnalysis {
             sum(col("freq")), 6).as("rank"))
   }
 
+  /** PG full-text surface with the `english` configuration: the
+    * snowball dictionary pipeline (reference: src/backend/tsearch/
+    * ts_parse.c LexizeExec → dict_snowball.c) = drop stopwords, then
+    * Porter-stem each remaining lexeme. Positions are assigned BEFORE
+    * the stopword filter — PG's parser numbers every word, so
+    * 'a fat cat' yields 'cat':3 'fat':2 — and tokens that stem to the
+    * same lexeme merge their position lists. Stemming runs through the
+    * native [[graft.expressions.PorterStemExpr]] (one codegen call per
+    * token; map-only until the per-doc aggregate); non-alphabetic
+    * tokens (digits, CJK) bypass the stemmer like PG's parser routes
+    * non-words past the snowball dictionary.
+    *
+    * `queryTerms` are given raw and stemmed internally, exactly as
+    * plainto_tsquery('english', ...) normalizes its input. */
+  def tsvectorsEn(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import graft.expressions.PorterStemExpr.porterStem
+    import graft.functions.PorterStemmer
+    val stemmedTerms = queryTerms.map(PorterStemmer.stem)
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "[^a-z0-9\\u4e00-\\u9fff]+"))
+        .as(Seq("pos0", "lex")))
+      .filter(col("lex") =!= "")
+      .filter(!col("lex").isInCollection(PorterStemmer.EnglishStopwords))
+      .withColumn("lex",
+        when(col("lex").rlike("^[a-z]+$"), porterStem(col("lex")))
+          .otherwise(col("lex")))
+    val isQ = col("lex").isInCollection(stemmedTerms)
+    val entries = toks.groupBy(col(idCol), col("lex"))
+      .agg(
+        concat(lit("'"), col("lex"), lit("':"),
+          array_join(array_sort(collect_list(col("pos0") + 1)), ","))
+          .as("entry"),
+        count(lit(1)).as("freq"))
+    entries.groupBy(idCol)
+      .agg(
+        array_join(array_sort(collect_list(col("entry"))), " ").as("tsv"),
+        (count(when(isQ, 1)) === stemmedTerms.distinct.length).as("match"),
+        round(
+          sum(when(isQ, col("freq")).otherwise(0L)).cast("double") /
+            sum(col("freq")), 6).as("rank"))
+  }
+
   /** Okapi BM25 relevance of each document to a fixed bag of query
     * terms (the retrieval-ranking step the reference serves with
     * ts_rank, src/backend/utils/adt/tsrank.c:1-14 — BM25 is the

@@ -150,6 +150,51 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Full-text search with the `english` configuration: stopword drop
+    // + Porter stemming (snowball dict pipeline). The oracle has no
+    // stemmer offline, so PorterSql renders the SAME published
+    // algorithm as portable SQL stages for DuckDB — anchored by the
+    // golden-vector and SQL≡native specs in ExpressionSpec.
+    Q("q_fn_tsvector_en", Some {
+      import graft.functions.{PorterSql, PorterStemmer}
+      val stops = PorterStemmer.EnglishStopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      val qterms = Seq("merge", "query").map(PorterStemmer.stem)
+        .map(w => s"'$w'").mkString(", ")
+      val inner =
+        s"""SELECT doc_id, CAST(i AS INT) AS pos,
+           |  list_extract(toks, CAST(i AS INT)) AS orig
+           |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           |      FROM documents WHERE doc_id < 300) t,
+           |  unnest(range(1, len(toks)+1)) AS r(i)
+           |WHERE list_extract(toks, CAST(i AS INT)) <> ''
+           |  AND list_extract(toks, CAST(i AS INT)) NOT IN ($stops)""".stripMargin
+      val chain =
+        PorterSql.stemChain(PorterSql.DuckDbDialect, inner, Seq("doc_id", "pos"))
+      s"""WITH s AS (
+         |$chain
+         |),
+         |e AS (SELECT doc_id, stemmed AS lex,
+         |    '''' || stemmed || ''':' ||
+         |      string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry,
+         |    count(*) AS freq
+         |  FROM s GROUP BY doc_id, stemmed),
+         |v AS (SELECT doc_id, string_agg(entry, ' ' ORDER BY entry) AS tsv,
+         |    sum(CASE WHEN lex IN ($qterms) THEN freq ELSE 0 END) AS qf,
+         |    sum(freq) AS total,
+         |    count(CASE WHEN lex IN ($qterms) THEN 1 END) AS nm
+         |  FROM e GROUP BY doc_id)
+         |SELECT doc_id, tsv, nm = 2 AS match,
+         |  round(CAST(qf AS DOUBLE) / total, 6) AS rank
+         |FROM v ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.tsvectorsEn(
+        Tables.T(s, dir).documents.filter($"doc_id" < 300),
+        "text", "doc_id", Seq("merge", "query"))
+        .orderBy("doc_id")
+    },
+
     // Decontamination: overlap of 3-gram shingles between a candidate
     // corpus and a held-out set (here: two sources of the docs table).
     // A training doc sharing many shingles with an eval doc is

@@ -24,19 +24,20 @@ object EventStreams {
 
   /** Streaming read of the events parquet with micro-second timestamps.
     * The on-disk ts encoding is sniffed from the batch reader (footer-only,
-    * cheap) so nanos- and micros-written files both stream identically. */
+    * cheap) so nanos- and micros-written files both stream identically.
+    * If the file does not exist yet (a stream declared over a directory
+    * that will be populated later — the usual streaming bootstrap), the
+    * sniff falls back to the nanos LongType encoding the harness writes,
+    * so stream construction never fails on an empty source. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType =
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => LongType }
     val raw = spark.readStream.schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    tsType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    graft.Tables.normalizeEventTs(raw, tsType)
   }
 
   /** Tumbling-window counts/sums per event type. */

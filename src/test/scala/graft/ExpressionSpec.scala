@@ -173,13 +173,74 @@ class ExpressionSpec extends AnyFunSuite {
   test("GpSqlDialect rejects unsupported GP surfaces loudly") {
     Seq(
       "SELECT * FROM orders FOR UPDATE",
-      "CREATE INDEX idx ON orders(o_orderkey)",
       "CREATE TRIGGER t AFTER INSERT ON orders EXECUTE f()"
     ).foreach { sql =>
       intercept[UnsupportedOperationException] {
         GpSqlDialect.execute(spark, sql, "/tmp/never")
       }
     }
+  }
+
+  test("plpgsql triage: trivial bodies inline, complex ones defer to call time") {
+    // tier 1: RETURN expression with an initialized local → inlined
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION add_tax(amount DOUBLE) RETURNS DOUBLE AS $$
+        |DECLARE rate DOUBLE := 0.07;
+        |BEGIN RETURN amount * (1 + rate); END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val v = GpSqlDialect.execute(spark,
+      "SELECT add_tax(CAST(100.0 AS DOUBLE)) AS v", "/tmp/never")
+      .head.getDouble(0)
+    assert(math.abs(v - 107.0) < 1e-9)
+    // tier 2: IF/ELSIF/ELSE RETURN ladder → CASE (dollar-tag quoting)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION grade(s INT) RETURNS STRING AS $fn$
+        |BEGIN
+        |IF s >= 90 THEN RETURN 'A';
+        |ELSIF s >= 80 THEN RETURN 'B';
+        |ELSE RETURN 'C';
+        |END IF;
+        |END
+        |$fn$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val g = GpSqlDialect.execute(spark,
+      "SELECT grade(95) AS a, grade(85) AS b, grade(10) AS c",
+      "/tmp/never").head
+    assert(g.getString(0) == "A" && g.getString(1) == "B" &&
+      g.getString(2) == "C")
+    // tier 3: a loop body — CREATE is accepted and recorded (pg_dump's
+    // check_function_bodies=off contract), CALLING raises with the reason
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION looper(n INT) RETURNS INT AS $$
+        |BEGIN FOR i IN 1..n LOOP PERFORM 1; END LOOP; RETURN n; END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("looper").exists(_.contains("FOR")))
+    val e = intercept[UnsupportedOperationException] {
+      GpSqlDialect.execute(spark, "SELECT looper(3) AS x", "/tmp/never")
+    }
+    assert(e.getMessage.contains("looper") && e.getMessage.contains("FOR"))
+  }
+
+  test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_spec"
+    // the shape of a real dump preamble: DDL + index + grants + comments
+    // + vacuum, all in one script — none of it may abort execution
+    val last = GpSqlDialect.executeScript(spark,
+      """CREATE TABLE idxt (a int, b text) DISTRIBUTED BY (a);
+        |INSERT INTO idxt VALUES (1, 'x'), (2, 'y'), (3, 'z');
+        |CREATE UNIQUE INDEX idxt_a_idx ON idxt USING btree (a);
+        |CREATE INDEX IF NOT EXISTS idxt_b_idx ON idxt (b);
+        |GRANT SELECT ON idxt TO analyst;
+        |COMMENT ON TABLE idxt IS 'dump fixture';
+        |VACUUM idxt;
+        |SELECT count(*) AS n FROM idxt;""".stripMargin, base)
+    assert(last.head.getLong(0) == 3L)
+    // the definition is recorded (pg_class-style introspection), and
+    // DROP INDEX unrecords it
+    assert(GpSqlDialect.recordedIndex("idxt_a_idx").contains(("idxt", "a")))
+    assert(GpSqlDialect.recordedIndex("idxt_b_idx").contains(("idxt", "b")))
+    GpSqlDialect.execute(spark, "DROP INDEX idxt_b_idx", base)
+    assert(GpSqlDialect.recordedIndex("idxt_b_idx").isEmpty)
+    GpSqlDialect.execute(spark, "DROP TABLE idxt", base)
   }
 
   test("GUCs: SET/SHOW/RESET round-trip; catalog views reflect DDL") {
@@ -675,6 +736,82 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r(4).getBoolean(4) && !r(4).getBoolean(3) && !r(4).getBoolean(0))
   }
 
+  test("Porter stemmer matches the published algorithm's examples") {
+    import graft.functions.PorterStemmer.stem
+    // every worked example in Porter 1980 §"THE ALGORITHM" (full-run
+    // outputs; the per-step examples compose to these)
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+      "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+      "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+      "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+      "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "valenci" -> "valenc", "hesitanci" -> "hesit",
+      "digitizer" -> "digit", "conformabli" -> "conform",
+      "radicalli" -> "radic", "differentli" -> "differ",
+      "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "revival" -> "reviv",
+      "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog",
+      "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll")
+    val bad = vectors.collect {
+      case (in, want) if stem(in) != want => s"$in → ${stem(in)} (want $want)"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+    // k ≤ 1 guard and corpus-vocabulary spot checks
+    assert(stem("as") == "as" && stem("is") == "is" && stem("a") == "a")
+    assert(stem("customer") == "custom" && stem("value") == "valu")
+    assert(stem("query") == "queri" && stem("merge") == "merg")
+    assert(stem("table") == "tabl" && stem("filter") == "filter")
+  }
+
+  test("Porter SQL chain (the oracle's spelling) ≡ native porter_stem") {
+    import spark.implicits._
+    import graft.functions.{PorterSql, PorterStemmer}
+    // corpus vocabulary + the golden words + stopword-ish shorts
+    val corpusVocab = Tables.T(spark, sf).documents
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter($"w" =!= "").distinct().as[String].collect().toSeq
+    val extra = Seq("caresses", "agreed", "sensibiliti", "controll",
+      "vietnamization", "hopefulness", "sky", "enjoyed", "flying",
+      "crying", "dying", "lying", "saying", "trying", "is", "as")
+    (corpusVocab ++ extra).distinct.toDF("orig")
+      .createOrReplaceTempView("porter_words")
+    val chain = PorterSql.stemChain(
+      PorterSql.SparkDialect, "SELECT orig FROM porter_words", Seq.empty)
+    val viaSql = spark.sql(chain)
+      .as[(String, String)].collect().toMap
+    val viaNative = spark.table("porter_words")
+      .select($"orig",
+        graft.expressions.PorterStemExpr.porterStem($"orig").as("s"))
+      .as[(String, String)].collect().toMap
+    val diff = viaNative.collect {
+      case (w, s) if viaSql(w) != (if (w.length > 2 && w.matches("[a-z]+")) s else w) =>
+        s"$w: sql=${viaSql(w)} native=$s"
+    }
+    assert(diff.isEmpty, diff.take(10).mkString("; "))
+  }
+
   test("cursors: DECLARE spools once, FETCH pages, CLOSE releases") {
     Tables.registerAll(spark, sf)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_cur_spec"
@@ -695,6 +832,28 @@ class ExpressionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GpSqlDialect.execute(spark, "FETCH 1 FROM c1", base)
     }
+  }
+
+  test("cursor FETCH ALL drains a multi-partition spool in order") {
+    Tables.registerAll(spark, sf)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cur_all_spec"
+    // distinct keys spread over many partitions: FETCH ALL pages the
+    // spool partition-at-a-time (toLocalIterator) yet must still return
+    // every remaining row in spool order
+    GpSqlDialect.execute(spark,
+      """DECLARE cbig CURSOR WITH HOLD FOR
+        |SELECT o_orderkey FROM orders ORDER BY o_orderkey""".stripMargin,
+      base)
+    val total = spark.table("orders").count()
+    val first = GpSqlDialect.execute(spark, "FETCH 7 FROM cbig", base)
+      .collect().map(_.getLong(0))
+    assert(first.length == 7 && (first sameElements first.sorted))
+    val rest = GpSqlDialect.execute(spark, "FETCH ALL FROM cbig", base)
+      .collect().map(_.getLong(0))
+    assert(rest.length == total - 7)
+    assert(rest sameElements rest.sorted, "FETCH ALL lost spool order")
+    assert(first.last < rest.head, "FETCH ALL re-delivered fetched rows")
+    GpSqlDialect.execute(spark, "CLOSE cbig", base)
   }
 
   test("ANALYZE computes pg_statistic-shaped per-column stats in one pass") {

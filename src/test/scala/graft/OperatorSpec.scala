@@ -200,6 +200,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.4, f"kmeans-IVF recall@3 too low: $recall%.2f")
   }
 
+  test("Similarity.kmeansCentroids init is deterministic across partitionings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // iters = 0 exposes the seed selection itself; the doc contract says
+    // runs are reproducible, so the same corpus under any partitioning
+    // must yield the identical centroid set
+    def seeds(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float])] =
+      Similarity.kmeansCentroids(df, k = 8, iters = 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq
+    val a = seeds(emb.repartition(1))
+    val b = seeds(emb.repartition(17, col("c_id")))
+    assert(a.nonEmpty && a == b,
+      s"centroid seeds differ across partitionings: ${a.map(_._1)} vs ${b.map(_._1)}")
+  }
+
   test("TextAnalysis basics") {
     import spark.implicits._
     val df = Seq("The quick brown fox, the lazy dog! 42 times.")
