@@ -1067,6 +1067,170 @@ object FunctionQueries {
           secs(isect).as("isect_sec"),
           coalesce(secs(diff), lit(0L)).as("minus_sec"))
           .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- time / timetz typed columns (date.c, date.h:25-34) --------
+    // PG `time` = int64 micros-of-day; the full arithmetic surface
+    // (make_time, +/- interval with day wrap, time - time, EXTRACT,
+    // time_out text) as pure integer-micros codegen. The oracle spells
+    // the identical arithmetic over epoch_us, so the compare is exact.
+    Q("q_fn_time", Some(
+      """WITH b AS (
+         |  SELECT event_id,
+         |    epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS tod
+         |  FROM events WHERE event_id < 500)
+         |SELECT event_id, tod AS tod_us,
+         |  (tod + 5400000000) % 86400000000 AS plus90_us,
+         |  ((tod - 14400000000) % 86400000000 + 86400000000)
+         |    % 86400000000 AS minus4h_us,
+         |  (tod + 5400000000) % 86400000000 - tod AS diff_us,
+         |  tod // 3600000000 AS h,
+         |  (tod // 60000000) % 60 AS m,
+         |  (tod // 1000000) % 60 AS s,
+         |  tod % 60000000 AS micros_part,
+         |  (tod // 3600000000) * 3600000000
+         |    + ((tod // 60000000) % 60) * 60000000
+         |    + CAST(floor((tod % 60000000) / 1000000.0 * 1000000 + 0.5)
+         |           AS BIGINT) = tod AS mk_eq,
+         |  printf('%02d:%02d:%02d', tod // 3600000000,
+         |      (tod // 60000000) % 60, (tod // 1000000) % 60)
+         |    || CASE WHEN tod % 1000000 = 0 THEN ''
+         |       ELSE '.' || regexp_replace(
+         |         lpad(CAST(tod % 1000000 AS VARCHAR), 6, '0'), '0+$', '')
+         |       END AS t_text
+         |FROM b ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TimeFunctions._
+      val tod = PgFunctions.timeOfDayMicros($"ts")
+      val secFrac = (tod % lit(60L * UsPerSec)).cast("double") / lit(1e6)
+      Tables.T(s, dir).events.filter($"event_id" < 500).select(
+        $"event_id", tod.as("tod_us"),
+        timePlInterval(tod, lit(90L * 60 * UsPerSec)).as("plus90_us"),
+        timeMiInterval(tod, lit(4L * 3600 * UsPerSec)).as("minus4h_us"),
+        timeMiTime(timePlInterval(tod, lit(90L * 60 * UsPerSec)), tod)
+          .as("diff_us"),
+        timePart(tod, "hour").as("h"),
+        timePart(tod, "minute").as("m"),
+        timePart(tod, "second").as("s"),
+        timePart(tod, "microseconds").as("micros_part"),
+        (makeTime(timePart(tod, "hour"), timePart(tod, "minute"), secFrac)
+          === tod).as("mk_eq"),
+        timeText(tod).as("t_text"))
+        .orderBy("event_id")
+    },
+
+    // PG `timetz` = (micros-of-day, seconds-west zone) — comparison by
+    // GMT-equivalent instant (timetz_cmp_internal date.c:2206), fixed-
+    // offset AT TIME ZONE conversion (timetz_zone date.c:2753), and the
+    // east-positive ±HH[:MM] display. Zones derived per-row so every
+    // half-hour offset in [-6:30, +6:30] is exercised.
+    Q("q_fn_timetz", Some(
+      """WITH b AS (
+         |  SELECT event_id,
+         |    epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS tod,
+         |    CAST(-(((user_id % 27) - 13) * 1800) AS INT) AS zone
+         |  FROM events WHERE event_id < 500)
+         |SELECT event_id, tod AS tod_us, zone,
+         |  tod + CAST(zone AS BIGINT) * 1000000 AS gmt_us,
+         |  ((tod + (CAST(zone AS BIGINT) + 19800) * 1000000) % 86400000000
+         |    + 86400000000) % 86400000000 AS ist_us,
+         |  printf('%02d:%02d:%02d', tod // 3600000000,
+         |      (tod // 60000000) % 60, (tod // 1000000) % 60)
+         |    || CASE WHEN tod % 1000000 = 0 THEN ''
+         |       ELSE '.' || regexp_replace(
+         |         lpad(CAST(tod % 1000000 AS VARCHAR), 6, '0'), '0+$', '')
+         |       END
+         |    || CASE WHEN -zone < 0 THEN '-' ELSE '+' END
+         |    || printf('%02d', abs(-zone) // 3600)
+         |    || CASE WHEN (abs(-zone) // 60) % 60 = 0 THEN ''
+         |       ELSE printf(':%02d', (abs(-zone) // 60) % 60) END
+         |    AS ttz_text
+         |FROM b ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TimeFunctions._
+      val tod = PgFunctions.timeOfDayMicros($"ts")
+      val zoneWest = (-((($"user_id" % 27) - 13) * 1800)).cast("int")
+      val ttz = makeTimeTz(tod, zoneWest)
+      Tables.T(s, dir).events.filter($"event_id" < 500).select(
+        $"event_id", tod.as("tod_us"), zoneWest.as("zone"),
+        timetzGmtMicros(ttz).as("gmt_us"),
+        timetzZone(ttz, lit(-19800)).getField("t_us").as("ist_us"),
+        timetzText(ttz).as("ttz_text"))
+        .orderBy("event_id")
+    },
+
+    // ---- SQL/XML publishing (xml.c:427-726, escape_xml:2285) -------
+    // xmlelement + xmlattributes, xmlforest (null drops the element),
+    // self-closing empty elements, xmlconcat/xmlcomment/xmlpi, and the
+    // escape map (& < > CR, plus " in attributes) — all string-building
+    // codegen; oracle spells identical replace chains.
+    Q("q_fn_xml", Some(
+      """WITH b AS (
+        |  SELECT p_partkey, p_brand, p_type, p_size,
+        |    replace(replace(replace(replace(p_name,
+        |      '&','&amp;'),'<','&lt;'),'>','&gt;'), chr(13),'&#x0d;')
+        |      AS e_name,
+        |    replace(replace(replace(replace(p_type,
+        |      '&','&amp;'),'<','&lt;'),'>','&gt;'), chr(13),'&#x0d;')
+        |      AS e_type,
+        |    replace(replace(replace(replace(p_name || '<&>' || chr(13),
+        |      '&','&amp;'),'<','&lt;'),'>','&gt;'), chr(13),'&#x0d;')
+        |      AS esc
+        |  FROM part WHERE p_partkey <= 400)
+        |SELECT p_partkey,
+        |  '<part id="' || CAST(p_partkey AS VARCHAR) || '" brand="'
+        |    || replace(replace(replace(replace(replace(p_brand,
+        |         '&','&amp;'),'<','&lt;'),'>','&gt;'), chr(13),'&#x0d;'),
+        |         '"','&quot;')
+        |    || '"><name>' || e_name || '</name><type>' || e_type
+        |    || '</type>'
+        |    || CASE WHEN p_size % 2 = 0
+        |       THEN '<size>' || CAST(p_size AS VARCHAR) || '</size>'
+        |       ELSE '' END
+        |    || '</part>' AS el,
+        |  '<empty id="' || CAST(p_partkey AS VARCHAR) || '"/>'
+        |    AS selfclosed,
+        |  '<!--c--><?sort ' || p_type || '?>' AS meta,
+        |  esc
+        |FROM b ORDER BY p_partkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.XmlFunctions._
+      Tables.T(s, dir).part.filter($"p_partkey" <= 400).select(
+        $"p_partkey",
+        xmlElement("part",
+          attrs = Seq("id" -> $"p_partkey", "brand" -> $"p_brand"),
+          content = Seq(xmlForest(
+            "name" -> $"p_name", "type" -> $"p_type",
+            "size" -> when($"p_size" % 2 === 0, $"p_size")))).as("el"),
+        xmlElement("empty", attrs = Seq("id" -> $"p_partkey"))
+          .as("selfclosed"),
+        xmlConcat(xmlComment(lit("c")), xmlPi("sort", $"p_type"))
+          .as("meta"),
+        escapeContent(concat($"p_name", lit("<&>\r"))).as("esc"))
+        .orderBy("p_partkey")
+    },
+
+    // xmlagg(fragment ORDER BY key): document aggregation — partial-agg
+    // friendly collect/sort/join on the Spark side, string_agg ORDER BY
+    // in the oracle.
+    Q("q_fn_xmlagg", Some(
+      """SELECT p_brand,
+        |  '<parts>' || string_agg('<p>' || CAST(p_partkey AS VARCHAR)
+        |      || '</p>', '' ORDER BY p_partkey) || '</parts>' AS doc,
+        |  count(*) AS n
+        |FROM part WHERE p_partkey <= 400
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.XmlFunctions._
+      Tables.T(s, dir).part.filter($"p_partkey" <= 400)
+        .groupBy($"p_brand")
+        .agg(
+          concat(lit("<parts>"),
+            xmlAgg($"p_partkey",
+              concat(lit("<p>"), $"p_partkey".cast("string"), lit("</p>"))),
+            lit("</parts>")).as("doc"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
     }
   )
 }

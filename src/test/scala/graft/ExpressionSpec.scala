@@ -1187,4 +1187,68 @@ class ExpressionSpec extends AnyFunSuite {
       spark.sql("SELECT count(*) FROM nation WHERE n_regionkey = 2")
         .head.getLong(0))
   }
+
+  test("TimeFunctions: day wrap, make_time rounding, timetz order/zone/text") {
+    import spark.implicits._
+    import graft.functions.TimeFunctions._
+    val us = 1000000L
+    val row = Seq(1).toDF("x")
+    def one(c: org.apache.spark.sql.Column): Any = row.select(c).head.get(0)
+
+    // 23:00 + 2h wraps to 01:00; 01:00 - 2h wraps back (date.c:1760).
+    assert(one(timePlInterval(lit(23L * 3600 * us), lit(2L * 3600 * us)))
+      == 1L * 3600 * us)
+    assert(one(timeMiInterval(lit(1L * 3600 * us), lit(2L * 3600 * us)))
+      == 23L * 3600 * us)
+    // time - time is NOT wrapped: may be negative (date.c:1741).
+    assert(one(timeMiTime(lit(1L * 3600 * us), lit(23L * 3600 * us)))
+      == -22L * 3600 * us)
+    // make_time fractional seconds round half-up at micros.
+    assert(one(makeTime(lit(1), lit(2), lit(3.0000005)))
+      == (3600L + 120L + 3L) * us + 1L)
+    // time text parses back: missing seconds read as zero.
+    assert(one(timeIn(lit("12:34"))) == (12L * 3600 + 34 * 60) * us)
+    assert(one(timeIn(lit("12:34:56.25")))
+      == (12L * 3600 + 34 * 60 + 56) * us + 250000L)
+    assert(one(timeText(lit((12L * 3600 + 34 * 60 + 56) * us + 250000L)))
+      == "12:34:56.25")
+
+    // timetz: same wall-clock at different zones is ordered by GMT
+    // instant (zone seconds WEST: 10:00+02 < 10:00 UTC).
+    val plus2 = makeTimeTz(lit(10L * 3600 * us), lit(-7200))
+    val utc = makeTimeTz(lit(10L * 3600 * us), lit(0))
+    assert(one(timetzGmtMicros(plus2)).asInstanceOf[Long]
+      < one(timetzGmtMicros(utc)).asInstanceOf[Long])
+    // 10:00+02:00 AT UTC+05:30 → 13:30 (same instant).
+    val ist = timetzZone(plus2, lit(-19800))
+    assert(one(ist.getField("t_us")) == (13L * 3600 + 1800) * us)
+    assert(one(timetzText(ist)) == "13:30:00+05:30")
+    // whole-hour west offset renders without minutes.
+    assert(one(timetzText(makeTimeTz(lit(9L * 3600 * us), lit(18000))))
+      == "09:00:00-05")
+  }
+
+  test("XmlFunctions: escaping, forest null-drop, self-close, concat nulls") {
+    import spark.implicits._
+    import graft.functions.XmlFunctions._
+    val row = Seq(1).toDF("x")
+    def one(c: org.apache.spark.sql.Column): Any = row.select(c).head.get(0)
+
+    assert(one(escapeContent(lit("a<b>&c\rd"))) == "a&lt;b&gt;&amp;c&#x0d;d")
+    assert(one(escapeAttr(lit("""say "hi" & go"""))) ==
+      "say &quot;hi&quot; &amp; go")
+    // forest drops null elements entirely.
+    assert(one(xmlForest("a" -> lit("x"), "b" -> lit(null))) == "<a>x</a>")
+    // no content → self-closing; with content → paired tags.
+    assert(one(xmlElement("e", attrs = Seq("k" -> lit(1)))) == """<e k="1"/>""")
+    assert(one(xmlElement("e", content = Seq(xmlText(lit("v<w")))))
+      == "<e>v&lt;w</e>")
+    // null attribute omitted.
+    assert(one(xmlElement("e", attrs = Seq("k" -> lit(null)))) == "<e/>")
+    // xmlconcat ignores nulls; all-null is null (xml.c:468).
+    assert(one(xmlConcat(lit("<a/>"), lit(null), lit("<b/>"))) == "<a/><b/>")
+    assert(one(xmlConcat(lit(null), lit(null))) == null)
+    assert(one(xmlComment(lit("c"))) == "<!--c-->")
+    assert(one(xmlPi("tgt", lit("v"))) == "<?tgt v?>")
+  }
 }
