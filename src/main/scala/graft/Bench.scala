@@ -47,8 +47,15 @@ object Bench {
         force(q.query(spark, sfDir))
       } catch { case _: Throwable => }
       graft.operators.KernelCaches.releaseAll()
-      System.gc()
       val dt = (0 until 2).map { _ =>
+        // settle before EACH attempt: a full GC makes the async
+        // ContextCleaner's backlog (dead checkpoint blocks, broadcasts
+        // from ~200 prior queries) collectable, and the short sleep
+        // lets it drain off-thread — otherwise cleanup RPCs land inside
+        // the measurement and both attempts (so the min too) read high
+        // deep into the suite.
+        System.gc()
+        Thread.sleep(150)
         val t0 = System.nanoTime()
         try force(q.query(spark, sfDir))
         catch { case _: Throwable => }

@@ -38,6 +38,10 @@ object GraftSession {
       // pre-stats plans are unchanged — a strict refinement.
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // FAIR scheduling so resource-queue statements land in per-queue
+      // scheduler pools (ResourceQueues sets spark.scheduler.pool per
+      // admitted statement); with a single pool this is FIFO-equivalent
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
   }
 

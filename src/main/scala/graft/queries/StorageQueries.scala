@@ -880,6 +880,44 @@ object StorageQueries {
       out
     },
 
+    // Resource queues (commands/queue.c; gram.y:1301 CreateQueueStmt):
+    // CREATE RESOURCE QUEUE + role binding + SET ROLE, a statement
+    // admitted through the queue's slot, then pg_resqueue /
+    // gp_toolkit.gp_resqueue_status introspection. Admission maps to a
+    // counting semaphore + fair-scheduler pool (ResourceQueues); the
+    // oracle replays the aggregation and pins the catalog constants.
+    Q("q_sql_resqueue", Some(
+      """SELECT 'etl_q' AS rsqname, 2 AS limit_n, 0 AS active_n,
+        |  n_regionkey, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("resq")
+        GpSqlDialect.execute(s, "RESET ROLE", base)
+        GpSqlDialect.execute(s, "DROP ROLE IF EXISTS etl_user", base)
+        try GpSqlDialect.execute(s, "DROP RESOURCE QUEUE etl_q", base)
+        catch { case _: IllegalArgumentException => } // first run
+        GpSqlDialect.execute(s,
+          "CREATE RESOURCE QUEUE etl_q ACTIVE THRESHOLD 2 " +
+            "COST THRESHOLD 1000000.0 NOOVERCOMMIT", base)
+        GpSqlDialect.execute(s,
+          "CREATE ROLE etl_user LOGIN RESOURCE QUEUE etl_q", base)
+        GpSqlDialect.execute(s, "SET ROLE etl_user", base)
+        val agg = GpSqlDialect.execute(s,
+          """SELECT n_regionkey, count(*) AS n
+            |FROM nation GROUP BY n_regionkey""".stripMargin, base)
+        GpSqlDialect.execute(s, "RESET ROLE", base)
+        val meta = GpSqlDialect.execute(s,
+          """SELECT q.rsqname, CAST(q.rsqcountlimit AS INT) AS limit_n,
+            |  s.rsqcountvalue AS active_n
+            |FROM pg_resqueue q
+            |JOIN gp_toolkit.gp_resqueue_status s ON q.rsqname = s.rsqname
+            |WHERE q.rsqname = 'etl_q'""".stripMargin, base)
+        meta.crossJoin(agg)
+          .select("rsqname", "limit_n", "active_n", "n_regionkey", "n")
+          .orderBy("n_regionkey")
+    },
+
     // UDAF via Aggregator (sfunc/combinefunc/finalfunc ≡ reduce/merge/
     // finish) — geometric mean, planned partial/final across the shuffle.
     Q("q_udaf_geomean", Some(

@@ -99,6 +99,13 @@ object GpSqlDialect {
     *  - anything else passes through `spark.sql` with GP clauses stripped.
     */
   def execute(
+      spark: SparkSession, gpSql: String, basePath: String): DataFrame =
+    // statement admission through the session role's resource queue
+    // (queue.c resqueue lock at ExecutorStart); nested dialect calls
+    // ride the already-held slot
+    ResourceQueues.withSlot(spark) { executeImpl(spark, gpSql, basePath) }
+
+  private def executeImpl(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
     rejectUnsupported(gpSql)
     if (CreateFunctionRe.findFirstIn(gpSql).isDefined)
@@ -220,6 +227,78 @@ object GpSqlDialect {
     DropDomainRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         domains.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateResQueueRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.create(m.group(1), parseQueueOpts(m.group(2)))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    AlterResQueueRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.alter(m.group(1), parseQueueOpts(m.group(2)))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropResQueueRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.drop(m.group(1))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateResGroupRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        // GP7 resource groups (resgroupcmds.c): CONCURRENCY plays the
+        // active_statements role; cpu/memory knobs are recorded
+        val opts = parseQueueOpts(m.group(2)).map {
+          case ("concurrency", v) => "active_statements" -> v
+          case kv => kv
+        }
+        ResourceQueues.create(m.group(1), opts)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropResGroupRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.drop(m.group(1))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateRoleRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.createRole(m.group(1),
+          RoleQueueOptRe.findFirstMatchIn(m.group(2)).map(_.group(1)))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    AlterRoleRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        RoleQueueOptRe.findFirstMatchIn(m.group(2)) match {
+          case Some(q) if q.group(1).equalsIgnoreCase("none") =>
+            ResourceQueues.unassignRole(m.group(1))
+          case Some(q) => ResourceQueues.assignRole(m.group(1), q.group(1))
+          case None => // other role attributes: compatibility no-op
+        }
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropRoleRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.dropRole(m.group(1))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    SetRoleNoneRe.findFirstMatchIn(trimmed) match {
+      case Some(_) =>
+        ResourceQueues.setRole(None)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    SetRoleRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        ResourceQueues.setRole(Some(m.group(1)))
         return spark.emptyDataFrame
       case _ =>
     }
@@ -1426,7 +1505,7 @@ object GpSqlDialect {
 
   private val CatalogViewRe =
     ("(?i)\\b(pg_tables|pg_views|pg_matviews|gp_distribution_policy|" +
-      "pg_namespace|" +
+      "pg_namespace|pg_resqueue|pg_roles|gp_resqueue_status|" +
       "information_schema\\.columns|information_schema\\.tables)\\b").r
 
   private val RelSizeRe =
@@ -1439,6 +1518,7 @@ object GpSqlDialect {
       .replaceAll("(?i)\\binformation_schema\\.tables\\b",
         "information_schema_tables")
       .replaceAll("(?i)\\bpg_catalog\\.", "")
+      .replaceAll("(?i)\\bgp_toolkit\\.", "")
 
   /** Materialize the introspection views from the session catalog —
     * catalog-scale rows, rebuilt per query like PG's syscache reads. */
@@ -1517,6 +1597,44 @@ object GpSqlDialect {
         StructField("table_name", StringType),
         StructField("table_type", StringType))))
       .createOrReplaceTempView("information_schema_tables")
+    // pg_resqueue (catalog/pg_resqueue.h column model) + role binding
+    // + gp_toolkit.gp_resqueue_status live counters
+    spark.createDataFrame(
+      ResourceQueues.all.map { q =>
+        Row(q.name,
+          if (q.activeStatements > 0) q.activeStatements.toDouble else -1d,
+          q.maxCost.getOrElse(-1d), q.costOvercommit,
+          q.minCost.getOrElse(0d),
+          q.priority.orNull, q.memoryLimit.orNull)
+      }.asJava,
+      StructType(Seq(
+        StructField("rsqname", StringType),
+        StructField("rsqcountlimit", DoubleType),
+        StructField("rsqcostlimit", DoubleType),
+        StructField("rsqovercommit", BooleanType),
+        StructField("rsqignorecostlimit", DoubleType),
+        StructField("rsqpriority", StringType),
+        StructField("rsqmemorylimit", StringType))))
+      .createOrReplaceTempView("pg_resqueue")
+    spark.createDataFrame(
+      ResourceQueues.roleRows.map { case (r, q) =>
+        Row(r, q.orNull)
+      }.asJava,
+      StructType(Seq(
+        StructField("rolname", StringType),
+        StructField("rolresqueue", StringType))))
+      .createOrReplaceTempView("pg_roles")
+    spark.createDataFrame(
+      ResourceQueues.all.map { q =>
+        Row(q.name,
+          if (q.activeStatements > 0) q.activeStatements.toDouble else -1d,
+          ResourceQueues.inFlight(q.name))
+      }.asJava,
+      StructType(Seq(
+        StructField("rsqname", StringType),
+        StructField("rsqcountlimit", DoubleType),
+        StructField("rsqcountvalue", IntegerType))))
+      .createOrReplaceTempView("gp_resqueue_status")
   }
 
   private val sessionViews =
@@ -2477,6 +2595,62 @@ object GpSqlDialect {
     * pg_description, readable via [[objComment]]. */
   private val GrantRevokeRe =
     "(?is)^\\s*(?:GRANT|REVOKE)\\s+.+$".r
+
+  // ---- resource queues / groups + roles (queue.c, resgroupcmds.c,
+  // grammar gram.y:1301-1383) — see ResourceQueues for the mapping ----
+
+  private val CreateResQueueRe =
+    "(?is)^\\s*CREATE\\s+RESOURCE\\s+QUEUE\\s+(\\w+)\\s*(.*?)\\s*$".r
+  private val AlterResQueueRe =
+    "(?is)^\\s*ALTER\\s+RESOURCE\\s+QUEUE\\s+(\\w+)\\s*(.*?)\\s*$".r
+  private val DropResQueueRe =
+    "(?is)^\\s*DROP\\s+RESOURCE\\s+QUEUE\\s+(\\w+)\\s*$".r
+  private val CreateResGroupRe =
+    "(?is)^\\s*CREATE\\s+RESOURCE\\s+GROUP\\s+(\\w+)\\s*(.*?)\\s*$".r
+  private val DropResGroupRe =
+    "(?is)^\\s*DROP\\s+RESOURCE\\s+GROUP\\s+(\\w+)\\s*$".r
+  private val CreateRoleRe =
+    "(?is)^\\s*CREATE\\s+(?:ROLE|USER)\\s+(\\w+)\\s*(.*?)\\s*$".r
+  private val AlterRoleRe =
+    "(?is)^\\s*ALTER\\s+(?:ROLE|USER)\\s+(\\w+)\\s+(.*?)\\s*$".r
+  private val DropRoleRe =
+    "(?is)^\\s*DROP\\s+(?:ROLE|USER)\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+  private val RoleQueueOptRe =
+    "(?i)\\bRESOURCE\\s+QUEUE\\s+(\\w+)".r
+  private val SetRoleRe =
+    "(?is)^\\s*SET\\s+ROLE\\s+['\"]?(\\w+)['\"]?\\s*$".r
+  private val SetRoleNoneRe =
+    "(?is)^\\s*(?:RESET\\s+ROLE|SET\\s+ROLE\\s+NONE)\\s*$".r
+
+  /** Queue options from either grammar: the legacy clause list
+    * (`ACTIVE THRESHOLD n`, `COST THRESHOLD x`, `IGNORE THRESHOLD x`,
+    * `[NO]OVERCOMMIT` — gram.y:1332-1356) and the definition list
+    * (`WITH (ACTIVE_STATEMENTS=n, PRIORITY='HIGH', MEMORY_LIMIT='2GB',
+    * MAX_COST=.., MIN_COST=.., CONCURRENCY=..)` — queue.c:300-340). */
+  private def parseQueueOpts(s: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    "(?i)\\bACTIVE\\s+THRESHOLD\\s+([\\d.]+)".r.findFirstMatchIn(s)
+      .foreach(m => out("active_statements") = m.group(1))
+    "(?i)(?<!IGNORE\\s)\\bCOST\\s+THRESHOLD\\s+([\\d.eE+]+)".r
+      .findFirstMatchIn(s).foreach(m => out("max_cost") = m.group(1))
+    "(?i)\\bIGNORE\\s+THRESHOLD\\s+([\\d.eE+]+)".r.findFirstMatchIn(s)
+      .foreach(m => out("min_cost") = m.group(1))
+    if ("(?i)\\bNOOVERCOMMIT\\b".r.findFirstIn(s).isDefined)
+      out("cost_overcommit") = "false"
+    else if ("(?i)\\bOVERCOMMIT\\b".r.findFirstIn(s).isDefined)
+      out("cost_overcommit") = "true"
+    "(?is)WITH\\s*\\(([^)]*)\\)".r.findFirstMatchIn(s).foreach { m =>
+      m.group(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            out(k.trim.toLowerCase) =
+              v.trim.stripPrefix("'").stripSuffix("'")
+          case _ =>
+        }
+      }
+    }
+    out.toMap
+  }
 
   /** CREATE INDEX (reference grammar src/backend/parser/gram.y:1262
     * IndexStmt) — a Parquet/Catalyst engine has no secondary-index

@@ -1188,6 +1188,65 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("resource queues: admission gate, catalog views, role lifecycle") {
+    import graft.sql.ResourceQueues
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_resq"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    ResourceQueues.reset()
+    run("CREATE RESOURCE QUEUE rq_test WITH (ACTIVE_STATEMENTS=1, " +
+      "PRIORITY='HIGH', MEMORY_LIMIT='1GB', MAX_COST=50000.0)")
+    run("CREATE ROLE rq_user RESOURCE QUEUE rq_test")
+    run("SET ROLE rq_user")
+
+    // ACTIVE_STATEMENTS=1 admits at most one statement at a time: three
+    // concurrent slot-holders must serialize (the others WAIT, GP
+    // resqueue semantics — never rejected).
+    val inGate = new java.util.concurrent.atomic.AtomicInteger
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 3).map { _ =>
+      new Thread(() => ResourceQueues.withSlot(spark) {
+        val c = inGate.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, c))
+        Thread.sleep(60)
+        inGate.decrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxSeen.get() == 1)
+
+    // catalog views carry the declared options and live counters
+    val q = run("SELECT rsqname, rsqcountlimit, rsqpriority, " +
+      "rsqmemorylimit, rsqcostlimit FROM pg_resqueue " +
+      "WHERE rsqname = 'rq_test'").head
+    assert(q.getString(0) == "rq_test" && q.getDouble(1) == 1.0)
+    assert(q.getString(2) == "HIGH" && q.getString(3) == "1GB")
+    assert(q.getDouble(4) == 50000.0)
+    // the status statement runs under the session role's own slot, so
+    // the live counter includes it — the same self-count a GP admin
+    // sees querying gp_resqueue_status from a queued role
+    val st = run("SELECT rsqcountvalue FROM gp_toolkit.gp_resqueue_status " +
+      "WHERE rsqname = 'rq_test'").head
+    assert(st.getInt(0) == 1)
+    assert(run("SELECT rolresqueue FROM pg_roles WHERE rolname = 'rq_user'")
+      .head.getString(0) == "rq_test")
+
+    // ALTER resizes the admission limit
+    run("ALTER RESOURCE QUEUE rq_test WITH (ACTIVE_STATEMENTS=3)")
+    assert(run("SELECT rsqcountlimit FROM pg_resqueue " +
+      "WHERE rsqname = 'rq_test'").head.getDouble(0) == 3.0)
+
+    // a queue with bound roles cannot be dropped (queue.c DropQueue)
+    intercept[IllegalStateException](run("DROP RESOURCE QUEUE rq_test"))
+    // unknown role is a loud error
+    intercept[IllegalArgumentException](run("SET ROLE ghost_role"))
+
+    run("RESET ROLE")
+    run("ALTER ROLE rq_user RESOURCE QUEUE NONE")
+    run("DROP ROLE rq_user")
+    run("DROP RESOURCE QUEUE rq_test")
+    assert(run("SELECT count(*) AS n FROM pg_resqueue").head.getLong(0) == 0)
+  }
+
   test("TimeFunctions: day wrap, make_time rounding, timetz order/zone/text") {
     import spark.implicits._
     import graft.functions.TimeFunctions._
