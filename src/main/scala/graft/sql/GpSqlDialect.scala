@@ -706,6 +706,8 @@ object GpSqlDialect {
   private val PlBodyRe =
     "(?is)^\\s*(?:DECLARE\\s+(.*?))?\\s*BEGIN\\s+(.*?)\\s*END\\s*;?\\s*$".r
   private val PlReturnRe = "(?is)^\\s*RETURN\\s+(.+?)\\s*;?\\s*$".r
+  private val PlReturnQueryRe =
+    "(?is)^\\s*RETURN\\s+QUERY\\s+(.+?)\\s*;?\\s*$".r
   private val PlIfRe =
     ("(?is)^\\s*IF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;" +
       "(\\s*ELSIF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;)*" +
@@ -750,6 +752,15 @@ object GpSqlDialect {
       cur
     }
     stmts match {
+      // `RETURN QUERY <select>` — plpgsql's set-returning form; lowers
+      // to a SQL-language TABLE function (pl_exec.c exec_stmt_return_
+      // query). The inline renders a parenthesized subquery, so a call
+      // in FROM position becomes a derived table. Checked before the
+      // plain RETURN arm, which would otherwise swallow the QUERY
+      // keyword into the expression.
+      case PlReturnQueryRe(sel) if splitStatements(stmts).size <= 1 =>
+        sqlFunctions(name) =
+          SqlFunction(params, substDecls(sel), scalarExpr = false)
       // single-statement guard: a lazy RETURN-to-$ match across several
       // statements ("RETURN a; x := 1;") must defer, not inline garbage
       case PlReturnRe(expr) if splitStatements(stmts).size <= 1 =>

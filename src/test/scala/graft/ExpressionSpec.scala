@@ -207,6 +207,19 @@ class ExpressionSpec extends AnyFunSuite {
       "/tmp/never").head
     assert(g.getString(0) == "A" && g.getString(1) == "B" &&
       g.getString(2) == "C")
+    // tier 2.5: RETURN QUERY <select> → SQL-language table function,
+    // inlined as a derived table in FROM position
+    Tables.registerAll(spark, sf)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION top_nations(k INT)
+        |RETURNS TABLE(n_name STRING) AS $$
+        |BEGIN RETURN QUERY SELECT n_name FROM nation
+        |ORDER BY n_nationkey LIMIT k; END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val names = GpSqlDialect.execute(spark,
+      "SELECT * FROM top_nations(3) ORDER BY n_name", "/tmp/never")
+      .collect().map(_.getString(0))
+    assert(names.length == 3 && names.sorted.sameElements(names))
     // tier 3: a loop body — CREATE is accepted and recorded (pg_dump's
     // check_function_bodies=off contract), CALLING raises with the reason
     GpSqlDialect.execute(spark,
