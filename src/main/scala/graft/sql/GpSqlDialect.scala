@@ -113,8 +113,11 @@ object GpSqlDialect {
     if (CreatePlpgsqlRe.findFirstIn(gpSql).isDefined)
       return executeCreatePlpgsql(spark, gpSql)
     rejectDeferredCalls(gpSql)
-    val trimmed =
-      resolveSchemas(rewriteExpressions(inlineSqlFunctions(gpSql.trim)))
+    // `pg_catalog.` qualifications drop up front (set_config, setval,
+    // to_char... are all reimplemented under their bare names) — dumps
+    // qualify every call after set_config('search_path', '', false)
+    val trimmed = resolveSchemas(rewriteExpressions(inlineSqlFunctions(
+      gpSql.trim.replaceAll("(?i)\\bpg_catalog\\.", ""))))
     if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
@@ -228,6 +231,28 @@ object GpSqlDialect {
       case Some(m) =>
         domains.remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
+      case _ =>
+    }
+    // pg_dump / psql archive preamble compatibility: these appear in
+    // every dump and must not abort a restore script
+    CreateExtensionRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        extensions.add(m.group(1).replace("\"", "").toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropExtensionRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        extensions.remove(m.group(1).replace("\"", "").toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    if (OwnerToRe.findFirstIn(trimmed).isDefined ||
+      AlterSeqOwnedRe.findFirstIn(trimmed).isDefined)
+      return spark.emptyDataFrame // single-tenant: ownership is a no-op
+    SetConfigRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeSetGuc(spark, m.group(1).toLowerCase, m.group(2))
       case _ =>
     }
     CreateResQueueRe.findFirstMatchIn(trimmed) match {
@@ -1026,7 +1051,11 @@ object GpSqlDialect {
     * result — the psql-script entry point. */
   def executeScript(
       spark: SparkSession, script: String, basePath: String): DataFrame = {
-    val stmts = splitStatements(script)
+    // psql meta-commands (\connect, \set, \echo ...) are client-side
+    // directives, not SQL — dropped line-wise like pg_restore does
+    val sql = script.linesIterator
+      .filterNot(_.trim.startsWith("\\")).mkString("\n")
+    val stmts = splitStatements(sql)
     if (stmts.isEmpty) return spark.emptyDataFrame
     stmts.map(execute(spark, _, basePath)).last
   }
@@ -1094,8 +1123,12 @@ object GpSqlDialect {
   private val SeqStartRe = "(?is)START\\s+(?:WITH\\s+)?(-?\\d+)".r
   private val SeqIncRe = "(?is)INCREMENT\\s+(?:BY\\s+)?(-?\\d+)".r
   private val SelectSeqFnRe =
+    // setval's optional 3rd arg (is_called — pg_dump always emits it)
+    // is accepted; the advance-before-next semantics it toggles
+    // collapse here because currval tracks the last placed value
     ("(?is)^\\s*SELECT\\s+(nextval|currval|setval)\\s*\\(\\s*'(\\w+)'\\s*" +
-      "(?:,\\s*(-?\\d+)\\s*)?\\)\\s*$").r
+      "(?:,\\s*(-?\\d+)\\s*(?:,\\s*(?:true|false)\\s*)?)?\\)" +
+      "(?:\\s+AS\\s+\\w+)?\\s*$").r
 
   /** `SELECT nextval('seq') AS alias, rest FROM ... ORDER BY ...` —
     * the bulk-load shape. PG assigns in scan order (no guarantee); we
@@ -2607,6 +2640,30 @@ object GpSqlDialect {
   private val GrantRevokeRe =
     "(?is)^\\s*(?:GRANT|REVOKE)\\s+.+$".r
 
+  // ---- pg_dump / psql compatibility (gram.y:6133 CreateExtensionStmt,
+  // tablecmds.c ATExecChangeOwner, guc.c set_config_by_name) ----------
+
+  private val CreateExtensionRe =
+    ("(?is)^\\s*CREATE\\s+EXTENSION\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w\"]+).*$").r
+  private val DropExtensionRe =
+    "(?is)^\\s*DROP\\s+EXTENSION\\s+(?:IF\\s+EXISTS\\s+)?([\\w\"]+).*$".r
+  private val OwnerToRe =
+    ("(?is)^\\s*ALTER\\s+(?:TABLE|SCHEMA|SEQUENCE|VIEW|" +
+      "MATERIALIZED\\s+VIEW|FUNCTION|TYPE|DOMAIN|DATABASE|" +
+      "FOREIGN\\s+TABLE)\\s+.+?\\s+OWNER\\s+TO\\s+[\\w\"]+\\s*$").r
+  private val AlterSeqOwnedRe =
+    "(?is)^\\s*ALTER\\s+SEQUENCE\\s+[\\w.]+\\s+OWNED\\s+BY\\s+[\\w.]+\\s*$".r
+  private val SetConfigRe =
+    ("(?is)^\\s*SELECT\\s+(?:pg_catalog\\.)?set_config\\s*\\(\\s*" +
+      "'([^']*)'\\s*,\\s*'([^']*)'\\s*,\\s*(?:true|false)\\s*\\)\\s*$").r
+  private val extensions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Whether a CREATE EXTENSION was recorded (introspection/tests). */
+  def hasExtension(name: String): Boolean =
+    extensions.contains(name.toLowerCase)
+
   // ---- resource queues / groups + roles (queue.c, resgroupcmds.c,
   // grammar gram.y:1301-1383) — see ResourceQueues for the mapping ----
 
@@ -2697,7 +2754,8 @@ object GpSqlDialect {
   private val RollbackRe =
     "(?is)^\\s*ROLLBACK\\b.*$".r
   private val CommentOnRe =
-    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|COLUMN|VIEW|SCHEMA|FUNCTION)\\s+" +
+    ("(?is)^\\s*COMMENT\\s+ON\\s+(TABLE|COLUMN|VIEW|SCHEMA|FUNCTION|" +
+      "EXTENSION|INDEX|SEQUENCE|TYPE|DOMAIN|DATABASE)\\s+" +
       "([\\w.]+)\\s+IS\\s+'((?:[^']|'')*)'\\s*$").r
   private val comments =
     scala.collection.concurrent.TrieMap.empty[String, String]

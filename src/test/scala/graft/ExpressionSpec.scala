@@ -1201,6 +1201,41 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("pg_dump-shaped restore script runs end-to-end") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dump_spec"
+    // the statement classes pg_dump emits, in its order: session GUCs,
+    // set_config, psql meta-lines, extensions + comments, schema DDL,
+    // sequence with OWNED BY + setval, table with OWNER TO, index,
+    // grants, data, and a sanity query at the end
+    val last = GpSqlDialect.executeScript(spark,
+      """SET statement_timeout = 0;
+        |SET client_encoding = 'UTF8';
+        |SET standard_conforming_strings = on;
+        |SELECT pg_catalog.set_config('search_path', '', false);
+        |\connect dumpdb
+        |CREATE EXTENSION IF NOT EXISTS plpgsql WITH SCHEMA pg_catalog;
+        |COMMENT ON EXTENSION plpgsql IS 'PL/pgSQL procedural language';
+        |SET search_path TO public;
+        |CREATE SEQUENCE dump_seq START WITH 10;
+        |ALTER SEQUENCE dump_seq OWNED BY dumpt.id;
+        |CREATE TABLE dumpt (id int, v text) DISTRIBUTED BY (id);
+        |ALTER TABLE dumpt OWNER TO dba;
+        |CREATE INDEX dumpt_v_idx ON dumpt USING btree (v);
+        |GRANT ALL ON TABLE dumpt TO dba;
+        |INSERT INTO dumpt VALUES (1, 'a'), (2, 'b');
+        |SELECT pg_catalog.setval('dump_seq', 42, true);
+        |SELECT count(*) AS n FROM dumpt;""".stripMargin, base)
+    assert(last.head.getLong(0) == 2L)
+    assert(GpSqlDialect.hasExtension("plpgsql"))
+    // setval through the qualified name took effect
+    val nv = GpSqlDialect.execute(spark,
+      "SELECT nextval('dump_seq') AS v", base).head.getLong(0)
+    assert(nv == 43L)
+    GpSqlDialect.execute(spark, "DROP TABLE dumpt", base)
+    GpSqlDialect.execute(spark, "DROP SEQUENCE dump_seq", base)
+    GpSqlDialect.execute(spark, "RESET search_path", base)
+  }
+
   test("resource queues: admission gate, catalog views, role lifecycle") {
     import graft.sql.ResourceQueues
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_resq"
