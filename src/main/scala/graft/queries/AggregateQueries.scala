@@ -328,8 +328,12 @@ object AggregateQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
-        // one percentile buffer serves all three quantiles (array form)
-        // instead of three independent per-group value buffers
+        // buffered exact percentile: the right algorithm HERE — 3
+        // groups means the window/rank-selection alternative
+        // (Quantiles.exactCont, used by q_agg_percentile_user) would
+        // collapse parallelism to 3 partitions; the value buffer
+        // partial-aggregates on every core and merges 3 small maps.
+        // One array buffer serves all three quantiles.
         Tables.T(s, dir).lineitem
           .groupBy($"l_returnflag")
           .agg(percentile($"l_quantity",
@@ -338,6 +342,27 @@ object AggregateQueries {
           .select($"l_returnflag", $"ps"(0).as("p25"), $"ps"(1).as("p50"),
             $"ps"(2).as("p75"), $"med_price")
           .orderBy("l_returnflag")
+    },
+
+    // Exact per-entity quantiles — the many-groups regime where the
+    // aggregate value-buffer flips from friend to foe: thousands of
+    // buffers merging through the shuffle vs ONE spillable window sort
+    // whose parallelism ∝ group count (Quantiles.exactCont; see the
+    // operator's Scaladoc for the regime matrix).
+    Q("q_agg_percentile_user", Some(
+      """SELECT user_id,
+        |  quantile_cont(value, 0.5) AS med_value,
+        |  quantile_cont(value, 0.9) AS p90_value
+        |FROM events WHERE user_id < 4000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Quantiles
+      Quantiles.exactCont(
+        Tables.T(s, dir).events.filter($"user_id" < 4000),
+        $"user_id", $"value",
+        Seq(0.5 -> "med_value", 0.9 -> "p90_value"))
+        .select($"__gout".as("user_id"), $"med_value", $"p90_value")
+        .orderBy("user_id")
     },
 
     // percentile_disc(f) WITHIN GROUP (orderedsetaggs.c:404-454): the
@@ -353,9 +378,8 @@ object AggregateQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
         import s.implicits._
-        // array form: one per-group value buffer serves the three
-        // l_quantity quantiles (the WITHIN GROUP spelling buffers per
-        // agg expression), one more for the price column
+        // buffered WITHIN GROUP form — few groups, small NDV: the
+        // array buffer wins (see q_percentile / q_agg_percentile_user)
         Tables.T(s, dir).lineitem
           .groupBy($"l_returnflag")
           .agg(

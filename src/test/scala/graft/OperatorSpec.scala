@@ -438,6 +438,38 @@ class OperatorSpec extends AnyFunSuite {
     KernelCaches.releaseAll()
   }
 
+  test("Quantiles rank selection ≡ Spark's buffered exact percentile") {
+    import spark.implicits._
+    // continuous column + skewed group sizes (incl. a 1-row group):
+    // the rank-selection path must be bit-identical to the aggregate-
+    // buffer form it replaces for scale reasons
+    val df = Tables.T(spark, sf).events
+      .select(($"event_id" % 7).as("g"), $"value")
+      .union(Seq((99L, 3.25)).toDF("g", "value"))
+    val buffered = df.groupBy($"g")
+      .agg(percentile($"value", array(lit(0.25), lit(0.5), lit(0.9)))
+        .as("ps"))
+      .select($"g", $"ps"(0).as("p25"), $"ps"(1).as("p50"),
+        $"ps"(2).as("p90"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val ranked = Quantiles.exactCont(df, $"g", $"value",
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"))
+      .select($"__gout", $"p25", $"p50", $"p90")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(ranked == buffered && ranked.size >= 8)
+
+    val bufferedDisc = df.groupBy($"g")
+      .agg(expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY value)")
+        .as("d"))
+      .as[(Long, Double)].collect().toMap
+    val rankedDisc = Quantiles.exactDisc(df, $"g", $"value",
+      Seq(0.33 -> "d"))
+      .as[(Long, Double)].collect().toMap
+    assert(rankedDisc == bufferedDisc)
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
