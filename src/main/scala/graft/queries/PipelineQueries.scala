@@ -557,6 +557,38 @@ object PipelineQueries {
         .orderBy("source", "rk")
     },
 
+    // Target-mixture resampling (operators/Mixture.scala): hit a target
+    // language mix at the maximal feasible size. Driver sees one count
+    // per class; the keep-decision is a map-only deterministic hash
+    // filter — no shuffle, same in/out verdict on any engine or
+    // partitioning. The oracle replays the identical two-phase solve
+    // (min n/w over classes → per-class thresholds → hash filter).
+    Q("q_pipeline_mixture", Some(
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |w(lang, w) AS (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+        |  ('fr', 0.1), ('zh', 0.1)),
+        |t AS (SELECT min(c.n / w.w) AS cap FROM counts c JOIN w USING (lang)),
+        |r AS (SELECT w.lang,
+        |    CAST(floor(least(1.0, (SELECT cap FROM t) * w.w / c.n)
+        |      * 1000000 + 0.5) AS BIGINT) AS thr
+        |  FROM w JOIN counts c USING (lang))
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 1000000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Mixture
+      Mixture.resample(
+        Tables.T(s, dir).documents, $"lang", $"doc_id",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1,
+          "zh" -> 0.1))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus cleaning — the composed LLM-data pipeline:
     // language-ID gate → quality gate → exact dedup (keep lowest doc_id
     // per fingerprint) → per-source stats. Everything stays one

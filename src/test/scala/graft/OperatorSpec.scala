@@ -438,6 +438,34 @@ class OperatorSpec extends AnyFunSuite {
     KernelCaches.releaseAll()
   }
 
+  test("Mixture.resample hits the target mix and is partitioning-stable") {
+    import spark.implicits._
+    val docs = Tables.T(spark, sf).documents
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2)
+    val kept = Mixture.resample(docs, $"lang", $"doc_id", weights)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // classes outside the target mixture drop entirely
+    assert(!kept.contains("fr") && !kept.contains("es"))
+    // achieved mix tracks the target: each class within hash-noise of
+    // its weight (small corpus → generous ±0.15 absolute tolerance)
+    val total = kept.values.sum.toDouble
+    weights.foreach { case (c, w) =>
+      assert(math.abs(kept(c) / total - w) < 0.15,
+        s"$c: ${kept(c) / total} vs target $w")
+    }
+    // the binding class keeps ~everything (rate 1): thresholds say which
+    val thr = Mixture.thresholds(docs, $"lang", weights)
+    assert(thr.values.max == 1000000L)
+    // same verdicts under a different physical partitioning
+    val kept2 = Mixture.resample(docs.repartition(7, $"source"),
+      $"lang", $"doc_id", weights)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val kept1 = Mixture.resample(docs, $"lang", $"doc_id", weights)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept1 == kept2 && kept1.nonEmpty)
+  }
+
   test("Quantiles rank selection ≡ Spark's buffered exact percentile") {
     import spark.implicits._
     // continuous column + skewed group sizes (incl. a 1-row group):
