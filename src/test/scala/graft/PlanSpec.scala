@@ -227,4 +227,26 @@ class PlanSpec extends AnyFunSuite {
       graft.plans.AnalyzedStats.clear()
     }
   }
+
+  test("q_agg_percentile_user: the window's hash exchange serves the final agg too") {
+    val p = plan("q_agg_percentile_user")
+    assert(p.contains("Window"), p)
+    // rank-selection promise: ONE hash shuffle total — the final
+    // group-by reuses the window's partitioning on the same key (the
+    // only other exchange is the output sort's rangepartitioning).
+    // AQE prints Final + Initial plans; count the final section only.
+    val finalSection = p.split("== Initial Plan ==").head
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("q_pipeline_mixture keep-filter never hash-shuffles the corpus") {
+    val p = plan("q_pipeline_mixture")
+    // thresholds are a separate catalog-scale job; the output plan is
+    // scan → filter (→ output sort) — a hash exchange would mean the
+    // mixture filter shuffled 100 TB for a map-only decision
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
