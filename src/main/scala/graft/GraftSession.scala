@@ -41,7 +41,8 @@ object GraftSession {
       // FAIR scheduling so resource-queue statements land in per-queue
       // scheduler pools (ResourceQueues sets spark.scheduler.pool per
       // admitted statement); with a single pool this is FIFO-equivalent
-      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
   }
 
