@@ -367,6 +367,11 @@ object GpSqlDialect {
           StructType(Seq(StructField("size_bytes", LongType))))
       case _ =>
     }
+    if (SkewViewRe.findFirstIn(trimmed).isDefined) {
+      refreshSkewView(spark)
+      refreshCatalogViews(spark)
+      return spark.sql(rewriteCatalogNames(trimmed))
+    }
     if (CatalogViewRe.findFirstIn(trimmed).isDefined) {
       refreshCatalogViews(spark)
       return spark.sql(rewriteCatalogNames(trimmed))
@@ -1563,6 +1568,52 @@ object GpSqlDialect {
         "information_schema_tables")
       .replaceAll("(?i)\\bpg_catalog\\.", "")
       .replaceAll("(?i)\\bgp_toolkit\\.", "")
+
+  /** gp_toolkit.gp_skew_coefficients (reference gp_toolkit.sql:688-770):
+    * per-table distribution-skew diagnostic — the view a GP admin reads
+    * before changing a DISTRIBUTED BY clause. Coefficient = sample
+    * stddev of per-segment tuple counts / mean × 100 (gp_toolkit.sql:
+    * 694-697, gpperfmon's measure). Segments here are 32 virtual
+    * buckets of Spark's hash over the distribution key — the same
+    * placement bucketing/repartition uses, so the number predicts
+    * shuffle balance on any cluster size. Computed on demand (the
+    * reference view is equally scan-heavy) over catalog tables that
+    * declare a distribution key. */
+  private val SkewViewRe = "(?i)\\bgp_skew_coefficients\\b".r
+  private val SkewSegments = 32
+
+  def refreshSkewView(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{avg, coalesce, col, count, hash,
+      lit, pmod, stddev_samp}
+    val rows = catalog.values.toSeq.sortBy(_.name)
+      .filter(t => t.distributionCols.nonEmpty && t.format != "csv")
+      .map { t =>
+        // empty segments count as zero rows (gp_skew_details reports a
+        // row per segment) — without them a constant key reads as
+        // perfectly balanced instead of maximally skewed
+        val segs = spark.range(SkewSegments)
+          .select(col("id").cast("int").as("__seg"))
+        val occupied = spark.read.parquet(t.path)
+          .groupBy(pmod(hash(t.distributionCols.map(col): _*),
+            lit(SkewSegments)).as("__seg"))
+          .agg(count(lit(1)).as("__n"))
+        val per = segs.join(occupied, Seq("__seg"), "left")
+          .select(coalesce(col("__n"), lit(0L)).as("__n"))
+          .agg(stddev_samp(col("__n")), avg(col("__n"))).head
+        val coeff =
+          if (per.isNullAt(0) || per.isNullAt(1) || per.getDouble(1) <= 0) 0d
+          else per.getDouble(0) / per.getDouble(1) * 100d
+        val (sch, base) = schemaOf(t.name)
+        Row(sch, base, coeff)
+      }
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(
+        StructField("skcnamespace", StringType),
+        StructField("skcrelname", StringType),
+        StructField("skccoeff", DoubleType))))
+      .createOrReplaceTempView("gp_skew_coefficients")
+  }
 
   /** Materialize the introspection views from the session catalog —
     * catalog-scale rows, rebuilt per query like PG's syscache reads. */

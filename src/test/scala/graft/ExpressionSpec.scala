@@ -1201,6 +1201,30 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("gp_skew_coefficients flags a degenerate distribution key") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_skew_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    Tables.registerAll(spark, sf)
+    // uniform key vs constant key: the constant lands every row in one
+    // virtual segment — the exact pathology the view exists to expose
+    run("""CREATE TABLE skew_good DISTRIBUTED BY (c_custkey)
+          |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+    run("""CREATE TABLE skew_bad DISTRIBUTED BY (one)
+          |AS SELECT 1 AS one, c_custkey FROM customer""".stripMargin)
+    val coeffs = run(
+      """SELECT skcrelname, skccoeff FROM gp_toolkit.gp_skew_coefficients
+        |WHERE skcrelname IN ('skew_good', 'skew_bad')
+        |ORDER BY skcrelname""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // all-in-one-bucket: stddev/mean*100 for (n,0,0,...,0) ≈ 565 at 32
+    // segments; a real key spreads to low double digits
+    assert(coeffs("skew_bad") > 300, coeffs.toString)
+    assert(coeffs("skew_good") < 100, coeffs.toString)
+    assert(coeffs("skew_bad") > 3 * coeffs("skew_good"))
+    run("DROP TABLE skew_good")
+    run("DROP TABLE skew_bad")
+  }
+
   test("pg_dump-shaped restore script runs end-to-end") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_dump_spec"
     // the statement classes pg_dump emits, in its order: session GUCs,
