@@ -214,12 +214,41 @@ object GpSqlDialect {
         return spark.emptyDataFrame
       case _ =>
     }
-    DropTypeRe.findFirstMatchIn(trimmed) match {
-      case Some(m) if enums.contains(m.group(1).toLowerCase) =>
-        enums.remove(m.group(1).toLowerCase)
+    CreateCompositeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        composites.put(m.group(1).toLowerCase,
+          splitTopLevelCommas(m.group(2)).map { f =>
+            val sp = f.trim.indexWhere(_.isWhitespace)
+            (f.trim.substring(0, sp), f.trim.substring(sp + 1).trim)
+          })
         return spark.emptyDataFrame
       case _ =>
     }
+    DropTypeRe.findFirstMatchIn(trimmed) match {
+      case Some(m) if enums.contains(m.group(1).toLowerCase) ||
+        composites.contains(m.group(1).toLowerCase) =>
+        enums.remove(m.group(1).toLowerCase)
+        composites.remove(m.group(1).toLowerCase)
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    CreateAggregateRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        deferredAggregates(m.group(1).toLowerCase.replaceAll("^.*\\.", "")) =
+          "CREATE AGGREGATE needs its sfunc/finalfunc as loadable code; " +
+            "define the aggregate as an Aggregator in Scala instead"
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    DropAggregateRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        deferredAggregates.remove(
+          m.group(1).toLowerCase.replaceAll("^.*\\.", ""))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    if (DeferredDdlNoopRe.findFirstIn(trimmed).isDefined)
+      return spark.emptyDataFrame
     CreateDomainRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         domains.put(m.group(1).toLowerCase,
@@ -724,7 +753,11 @@ object GpSqlDialect {
   def plpgsqlRejection(name: String): Option[String] =
     deferredPlpgsql.get(name.toLowerCase)
 
-  private def rejectDeferredCalls(sql: String): Unit =
+  private def rejectDeferredCalls(sql: String): Unit = {
+    // DROP / re-CREATE of the deferred object mentions its name with a
+    // paren but is not a call — those statements heal, not use
+    if ("(?is)^\\s*(?:DROP\\b|CREATE\\s+(?:OR\\s+REPLACE\\s+)?AGGREGATE\\b)"
+      .r.findFirstIn(sql).isDefined) return
     deferredPlpgsql.foreach { case (name, why) =>
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
         throw new UnsupportedOperationException(
@@ -732,6 +765,12 @@ object GpSqlDialect {
             s"inline (first unsupported statement: $why); only RETURN-" +
             "expression and IF/ELSIF/ELSE-RETURN bodies execute")
     }
+    deferredAggregates.foreach { case (name, why) =>
+      if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
+        throw new UnsupportedOperationException(
+          s"aggregate $name was accepted at CREATE but cannot run: $why")
+    }
+  }
 
   private val PlBodyRe =
     "(?is)^\\s*(?:DECLARE\\s+(.*?))?\\s*BEGIN\\s+(.*?)\\s*END\\s*;?\\s*$".r
@@ -1356,6 +1395,36 @@ object GpSqlDialect {
     "(?is)^\\s*CREATE\\s+TYPE\\s+(\\w+)\\s+AS\\s+ENUM\\s*\\(([^)]*)\\)\\s*$".r
   private val DropTypeRe =
     "(?is)^\\s*DROP\\s+TYPE\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*$".r
+
+  // ---- composite types (rowtypes.c, typecmds.c DefineCompositeType):
+  // CREATE TYPE x AS (a int, b text) → a StructType alias usable as a
+  // column type in later DDL (SURVEY §1.4 composite → StructType) -----
+  private val CreateCompositeRe =
+    "(?is)^\\s*CREATE\\s+TYPE\\s+(\\w+)\\s+AS\\s*(?!ENUM)\\(([^)]*)\\)\\s*$".r
+  val composites =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  // ---- deferred DDL (pg_dump classes needing a loadable C payload:
+  // CREATE AGGREGATE sfuncs, OPERATOR support fns, CASTs). Accepted and
+  // recorded — check_function_bodies=off contract again — and USING the
+  // aggregate raises with the recorded reason. TABLESPACEs are
+  // placement hints with no parquet analogue: accepted no-ops. --------
+  private val CreateAggregateRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?AGGREGATE\\s+" +
+      "([\\w.]+)\\s*\\(.*$").r
+  private val DeferredDdlNoopRe =
+    ("(?is)^\\s*(?:CREATE\\s+OPERATOR(?:\\s+CLASS|\\s+FAMILY)?|" +
+      "CREATE\\s+CAST|CREATE\\s+TABLESPACE|DROP\\s+TABLESPACE|" +
+      "ALTER\\s+TABLE\\s+\\w+\\s+SET\\s+TABLESPACE|" +
+      "DROP\\s+OPERATOR|DROP\\s+CAST|DROP\\s+AGGREGATE)\\b.*$").r
+  private val DropAggregateRe =
+    "(?is)^\\s*DROP\\s+AGGREGATE\\s+(?:IF\\s+EXISTS\\s+)?([\\w.]+).*$".r
+  private val deferredAggregates =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The recorded rejection reason for an unexecutable aggregate. */
+  def aggregateRejection(name: String): Option[String] =
+    deferredAggregates.get(name.toLowerCase)
 
   /** Enum catalog: type name → labels in DECLARATION order (the order
     * enum comparison follows — enum.c enum_cmp_internal sorts by
@@ -2473,6 +2542,10 @@ object GpSqlDialect {
     val Decimal = "(?:numeric|decimal)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
     t match {
       case d if domains.contains(d) => sparkType(domains(d).base)
+      case c if composites.contains(c) =>
+        StructType(composites(c).map { case (n, tp) =>
+          StructField(n, sparkType(tp))
+        })
       case "int" | "integer" | "int4" => IntegerType
       case "bigint" | "int8" => LongType
       case "smallint" | "int2" => ShortType

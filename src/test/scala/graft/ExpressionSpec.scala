@@ -1201,6 +1201,32 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("composite types become struct columns; aggregate DDL defers loudly") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ctype_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    // CREATE TYPE AS (…) → StructType alias usable in later DDL
+    run("CREATE TYPE addr AS (city text, zip int)")
+    run("CREATE TABLE ctype_t (id int, home addr) DISTRIBUTED BY (id)")
+    run("INSERT INTO ctype_t SELECT 1, named_struct('city', 'oslo', 'zip', 55)")
+    val r = run("SELECT id, home.city AS c, home.zip AS z FROM ctype_t").head
+    assert(r.getInt(0) == 1 && r.getString(1) == "oslo" && r.getInt(2) == 55)
+    run("DROP TABLE ctype_t")
+    run("DROP TYPE addr")
+    assert(!GpSqlDialect.composites.contains("addr"))
+    // CREATE AGGREGATE: accepted (dump contract), raises on use with
+    // the recorded reason; operator/cast/tablespace DDL are no-ops
+    run("CREATE AGGREGATE my_concat(text) (sfunc = textcat, stype = text)")
+    assert(GpSqlDialect.aggregateRejection("my_concat").isDefined)
+    val e = intercept[UnsupportedOperationException] {
+      run("SELECT my_concat(n_name) FROM nation")
+    }
+    assert(e.getMessage.contains("my_concat"))
+    run("CREATE OPERATOR CLASS int_ops FOR TYPE int USING btree AS STORAGE int")
+    run("CREATE TABLESPACE fastspace LOCATION '/tmp/fs'")
+    run("DROP TABLESPACE fastspace")
+    run("DROP AGGREGATE my_concat(text)")
+  }
+
   test("gp_skew_coefficients flags a degenerate distribution key") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_skew_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
