@@ -1201,6 +1201,31 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("named WINDOW clause and FILTER-in-SQL pass through the dialect") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_winclause"
+    Tables.registerAll(spark, sf)
+    // gram.y window_clause: one named spec shared by several window fns
+    // (window-FILTER itself is the CASE emulation — q_window_filter)
+    val rows = GpSqlDialect.execute(spark,
+      """SELECT n_regionkey, n_name,
+        |  rank() OVER w AS rk,
+        |  count(*) OVER w AS cnt,
+        |  sum(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY n_regionkey) AS evens
+        |FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)
+        |ORDER BY n_regionkey, rk""".stripMargin, base).collect()
+    assert(rows.length == 25)
+    val r0 = rows.filter(_.getAs[Number]("n_regionkey").longValue == 0L)
+    assert(r0.map(_.getAs[Number]("rk").intValue).toSeq ==
+      (1 to r0.length).toSeq)
+    // ORDER BY in the named spec ⇒ default RANGE-to-current frame, so
+    // count(*) OVER w is the RUNNING count — ties with rank() on a
+    // unique sort key (the SQL-standard subtlety worth pinning)
+    assert(r0.map(_.getAs[Number]("cnt").longValue).toSeq ==
+      r0.map(_.getAs[Number]("rk").longValue).toSeq)
+  }
+
   test("composite types become struct columns; aggregate DDL defers loudly") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_ctype_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
