@@ -262,6 +262,25 @@ object GpSqlDialect {
         return spark.emptyDataFrame
       case _ =>
     }
+    // client connect probes: drivers issue these before the first real
+    // query and parse the answers (fe-protocol version negotiation)
+    VersionFnRe.findFirstMatchIn(trimmed) match {
+      case Some(_) =>
+        return spark.createDataFrame(
+          java.util.List.of(Row(VersionString)),
+          StructType(Seq(StructField("version", StringType))))
+      case _ =>
+    }
+    SessionFnRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        val fn = m.group(1).toLowerCase
+        val v =
+          if (fn == "current_database") "graft"
+          else ResourceQueues.sessionRole.getOrElse("graft")
+        return spark.createDataFrame(java.util.List.of(Row(v)),
+          StructType(Seq(StructField(fn, StringType))))
+      case _ =>
+    }
     // pg_dump / psql archive preamble compatibility: these appear in
     // every dump and must not abort a restore script
     CreateExtensionRe.findFirstMatchIn(trimmed) match {
@@ -1470,6 +1489,11 @@ object GpSqlDialect {
   private val ResetGucRe = "(?is)^\\s*RESET\\s+([\\w.]+)\\s*$".r
 
   private val gucs = scala.collection.concurrent.TrieMap.empty[String, String]
+  // connect-time GUC probes drivers SHOW before anything else
+  // (reference identity: configure.in:23-24)
+  gucs.put("server_version", "9.4.26")
+  gucs.put("server_version_num", "90426")
+  gucs.put("server_encoding", "UTF8")
 
   /** SET records the GUC (PG semantics: SHOW returns it back; GP
     * planner/resource GUCs are accepted compatibility no-ops — Catalyst
@@ -2763,6 +2787,20 @@ object GpSqlDialect {
     * pg_description, readable via [[objComment]]. */
   private val GrantRevokeRe =
     "(?is)^\\s*(?:GRANT|REVOKE)\\s+.+$".r
+
+  // ---- client connect probes (version() fmgr builtins; the reference
+  // identifies as PostgreSQL 9.4.26 / Greenplum 6.0.0 — configure.in:
+  // 23-24) ------------------------------------------------------------
+
+  /** Rendered like version_stamp.pl's PG_VERSION_STR so drivers that
+    * regex the server family keep working. */
+  val VersionString: String =
+    "PostgreSQL 9.4.26 (Greenplum Database 6.0.0 graft/spark) on spark"
+  private val VersionFnRe =
+    "(?is)^\\s*SELECT\\s+version\\s*\\(\\s*\\)\\s*(?:AS\\s+\\w+)?\\s*$".r
+  private val SessionFnRe =
+    ("(?is)^\\s*SELECT\\s+(current_database|current_user|session_user|" +
+      "current_role|user)(?:\\s*\\(\\s*\\))?\\s*(?:AS\\s+\\w+)?\\s*$").r
 
   // ---- pg_dump / psql compatibility (gram.y:6133 CreateExtensionStmt,
   // tablecmds.c ATExecChangeOwner, guc.c set_config_by_name) ----------

@@ -1201,6 +1201,24 @@ class ExpressionSpec extends AnyFunSuite {
         .head.getLong(0))
   }
 
+  test("client connect probes: version(), session identity, server GUCs") {
+    val base = "/tmp/never"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    val v = run("SELECT version()").head.getString(0)
+    assert(v.startsWith("PostgreSQL 9.4.26") && v.contains("Greenplum"))
+    assert(run("SELECT version() AS v").head.getString(0) == v)
+    assert(run("SELECT current_database()").head.getString(0) == "graft")
+    // session_user tracks SET ROLE
+    graft.sql.ResourceQueues.reset()
+    run("CREATE ROLE probe_role")
+    run("SET ROLE probe_role")
+    assert(run("SELECT current_user").head.getString(0) == "probe_role")
+    run("RESET ROLE")
+    run("DROP ROLE probe_role")
+    assert(run("SHOW server_version").head.getString(0) == "9.4.26")
+    assert(run("SHOW server_version_num").head.getString(0) == "90426")
+  }
+
   test("named WINDOW clause and FILTER-in-SQL pass through the dialect") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_winclause"
     Tables.registerAll(spark, sf)
