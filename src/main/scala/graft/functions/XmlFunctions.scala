@@ -80,9 +80,11 @@ object XmlFunctions {
   def xmlComment(c: Column): Column =
     concat(lit("<!--"), c.cast("string"), lit("-->"))
 
-  /** xmlpi(name target [, content]) (xml.c:726). */
+  /** xmlpi(name target [, content]) (xml.c:726) — absent/null content
+    * renders the target alone, `<?target?>`, as xml.c does. */
   def xmlPi(target: String, c: Column): Column =
-    concat(lit(s"<?$target "), c.cast("string"), lit("?>"))
+    when(c.isNull, lit(s"<?$target?>"))
+      .otherwise(concat(lit(s"<?$target "), c.cast("string"), lit("?>")))
 
   /** xmlagg: ordered document aggregation = sort-by-key + join. The
     * Spark shape (collect_list of (key, fragment) structs, array_sort,

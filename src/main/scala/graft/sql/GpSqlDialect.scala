@@ -117,7 +117,8 @@ object GpSqlDialect {
     // to_char... are all reimplemented under their bare names) — dumps
     // qualify every call after set_config('search_path', '', false)
     val trimmed = resolveSchemas(rewriteExpressions(inlineSqlFunctions(
-      gpSql.trim.replaceAll("(?i)\\bpg_catalog\\.", ""))))
+      mapOutsideQuotes(gpSql.trim)(
+        _.replaceAll("(?i)\\bpg_catalog\\.", "")))))
     if (WithRecursiveStart.findFirstIn(trimmed).isDefined)
       return executeWithRecursive(spark, trimmed)
     if (ExternalStart.findFirstIn(trimmed).isDefined)
@@ -219,6 +220,8 @@ object GpSqlDialect {
         composites.put(m.group(1).toLowerCase,
           splitTopLevelCommas(m.group(2)).map { f =>
             val sp = f.trim.indexWhere(_.isWhitespace)
+            if (sp < 0) throw new IllegalArgumentException(
+              s"composite type field needs a name and a type: '${f.trim}'")
             (f.trim.substring(0, sp), f.trim.substring(sp + 1).trim)
           })
         return spark.emptyDataFrame
@@ -1123,6 +1126,39 @@ object GpSqlDialect {
     stmts.map(execute(spark, _, basePath)).last
   }
 
+  /** Apply `f` only to the regions of `sql` outside single-quoted and
+    * double-quoted spans, dollar-quoted bodies and `--` line comments
+    * (same state machine as [[splitStatements]]), so textual rewrites
+    * like the `pg_catalog.` strip never touch string literals or
+    * function bodies — `VALUES ('pg_catalog.pg_class')` keeps its
+    * literal intact while `pg_catalog.setval(...)` still resolves. */
+  private[graft] def mapOutsideQuotes(sql: String)(
+      f: String => String): String = {
+    val out = new StringBuilder
+    val plain = new StringBuilder
+    def flush(): Unit = { out ++= f(plain.toString); plain.clear() }
+    var i = 0
+    var inS = false; var inD = false; var inDollar = false; var inC = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val two = if (i + 1 < sql.length) sql.substring(i, i + 2) else ""
+      if (inC) { if (c == '\n') inC = false; out += c; i += 1 }
+      else if (inDollar) {
+        if (two == "$$") { inDollar = false; out ++= two; i += 2 }
+        else { out += c; i += 1 }
+      }
+      else if (inS) { if (c == '\'') inS = false; out += c; i += 1 }
+      else if (inD) { if (c == '"') inD = false; out += c; i += 1 }
+      else if (two == "--") { inC = true; flush(); out ++= two; i += 2 }
+      else if (two == "$$") { inDollar = true; flush(); out ++= two; i += 2 }
+      else if (c == '\'') { inS = true; flush(); out += c; i += 1 }
+      else if (c == '"') { inD = true; flush(); out += c; i += 1 }
+      else { plain += c; i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** Split on top-level semicolons: quotes ('...', "..."), dollar-quoted
     * bodies ($$...$$) and `--` line comments hide their contents. */
   private[graft] def splitStatements(script: String): Seq[String] = {
@@ -1418,8 +1454,11 @@ object GpSqlDialect {
   // ---- composite types (rowtypes.c, typecmds.c DefineCompositeType):
   // CREATE TYPE x AS (a int, b text) → a StructType alias usable as a
   // column type in later DDL (SURVEY §1.4 composite → StructType) -----
+  // greedy body capture anchored to the statement's final ')', so
+  // parenthesized field types (a numeric(10,2)) stay inside the match;
+  // splitTopLevelCommas re-balances the nesting
   private val CreateCompositeRe =
-    "(?is)^\\s*CREATE\\s+TYPE\\s+(\\w+)\\s+AS\\s*(?!ENUM)\\(([^)]*)\\)\\s*$".r
+    "(?is)^\\s*CREATE\\s+TYPE\\s+(\\w+)\\s+AS\\s*(?!ENUM)\\((.*)\\)\\s*$".r
   val composites =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
@@ -1655,12 +1694,13 @@ object GpSqlDialect {
       "'(\\w+)'\\s*\\)\\s*(?:AS\\s+\\w+)?\\s*$").r
 
   private def rewriteCatalogNames(sql: String): String =
-    sql.replaceAll("(?i)\\binformation_schema\\.columns\\b",
-      "information_schema_columns")
-      .replaceAll("(?i)\\binformation_schema\\.tables\\b",
-        "information_schema_tables")
-      .replaceAll("(?i)\\bpg_catalog\\.", "")
-      .replaceAll("(?i)\\bgp_toolkit\\.", "")
+    mapOutsideQuotes(sql)(
+      _.replaceAll("(?i)\\binformation_schema\\.columns\\b",
+        "information_schema_columns")
+        .replaceAll("(?i)\\binformation_schema\\.tables\\b",
+          "information_schema_tables")
+        .replaceAll("(?i)\\bpg_catalog\\.", "")
+        .replaceAll("(?i)\\bgp_toolkit\\.", ""))
 
   /** gp_toolkit.gp_skew_coefficients (reference gp_toolkit.sql:688-770):
     * per-table distribution-skew diagnostic — the view a GP admin reads

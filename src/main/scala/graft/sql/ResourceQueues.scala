@@ -52,7 +52,15 @@ object ResourceQueues {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val roles =
     scala.collection.mutable.LinkedHashSet.empty[String]
-  @volatile private var currentRole: Option[String] = None
+  // session role is per-thread (InheritableThreadLocal): one thread's
+  // SET ROLE must not change admission or current_user identity for
+  // statements dispatched concurrently on other threads. Child threads
+  // inherit the role at spawn. Cross-thread limitation (a drop/reset on
+  // one thread cannot clear another thread's live role) is documented
+  // next to the lazy-evaluation divergence above.
+  private val currentRole = new InheritableThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
   private val slotDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }
@@ -141,7 +149,7 @@ object ResourceQueues {
   def dropRole(name: String): Unit = {
     roles.synchronized(roles -= name.toLowerCase)
     roleQueue.remove(name.toLowerCase)
-    if (currentRole.contains(name.toLowerCase)) currentRole = None
+    if (currentRole.get.contains(name.toLowerCase)) currentRole.set(None)
   }
 
   def setRole(name: Option[String]): Unit = name match {
@@ -149,11 +157,11 @@ object ResourceQueues {
       val key = r.toLowerCase
       if (!roles.synchronized(roles.contains(key)))
         throw new IllegalArgumentException(s"""role "$r" does not exist""")
-      currentRole = Some(key)
-    case None => currentRole = None
+      currentRole.set(Some(key))
+    case None => currentRole.set(None)
   }
 
-  def sessionRole: Option[String] = currentRole
+  def sessionRole: Option[String] = currentRole.get
 
   // ---- admission ---------------------------------------------------
 
@@ -161,7 +169,7 @@ object ResourceQueues {
     * queue is at ACTIVE_STATEMENTS, tags spawned jobs with the queue's
     * scheduler pool. No queue (or nested call) → straight through. */
   def withSlot[T](spark: SparkSession)(body: => T): T = {
-    val q = currentRole.flatMap(roleQueue.get)
+    val q = currentRole.get.flatMap(roleQueue.get)
     if (q.isEmpty || slotDepth.get() > 0) {
       slotDepth.set(slotDepth.get() + 1)
       try body finally slotDepth.set(slotDepth.get() - 1)
@@ -169,7 +177,9 @@ object ResourceQueues {
       val key = q.get
       val sem = sems.get(key)
       sem.foreach(_.acquire())
-      running(key).incrementAndGet()
+      // guard the counter lookup: a concurrent DROP QUEUE can remove the
+      // entry between admission and bookkeeping — never leak the permit
+      running.get(key).foreach(_.incrementAndGet())
       val sc = spark.sparkContext
       val prevPool = sc.getLocalProperty("spark.scheduler.pool")
       sc.setLocalProperty("spark.scheduler.pool", key)
@@ -177,7 +187,7 @@ object ResourceQueues {
       try body finally {
         slotDepth.set(slotDepth.get() - 1)
         sc.setLocalProperty("spark.scheduler.pool", prevPool)
-        running(key).decrementAndGet()
+        running.get(key).foreach(_.decrementAndGet())
         sem.foreach(_.release())
       }
     }
@@ -197,6 +207,6 @@ object ResourceQueues {
   def reset(): Unit = {
     queues.clear(); sems.clear(); running.clear()
     roleQueue.clear(); roles.synchronized(roles.clear())
-    currentRole = None
+    currentRole.set(None)
   }
 }

@@ -1450,5 +1450,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(one(xmlConcat(lit(null), lit(null))) == null)
     assert(one(xmlComment(lit("c"))) == "<!--c-->")
     assert(one(xmlPi("tgt", lit("v"))) == "<?tgt v?>")
+    // null content renders the target alone (xml.c:726)
+    assert(one(xmlPi("tgt", lit(null))) == "<?tgt?>")
+  }
+
+  test("pg_catalog strip is quote-aware; composite fields keep parens") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_strip_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    // a literal mentioning pg_catalog. must survive the qualifier strip
+    run("CREATE TABLE strip_t (id int, note text) DISTRIBUTED BY (id)")
+    run("INSERT INTO strip_t VALUES (1, 'pg_catalog.pg_class')")
+    val r = run("SELECT note FROM strip_t WHERE id = 1").head
+    assert(r.getString(0) == "pg_catalog.pg_class")
+    // while identifier positions still resolve through the bare name
+    run("CREATE SEQUENCE strip_seq")
+    run("SELECT pg_catalog.setval('strip_seq', 7, true)")
+    assert(run("SELECT currval('strip_seq')").head.getLong(0) == 7L)
+    run("DROP SEQUENCE strip_seq")
+    run("DROP TABLE strip_t")
+    // composite fields with parenthesized types parse to the full type
+    run("CREATE TYPE money_t AS (amount numeric(10,2), cur text)")
+    assert(GpSqlDialect.composites("money_t") ==
+      Seq("amount" -> "numeric(10,2)", "cur" -> "text"))
+    run("DROP TYPE money_t")
+    // a field with no type is a clear error, not an index crash
+    val e = intercept[IllegalArgumentException] {
+      run("CREATE TYPE bad_t AS (lonely)")
+    }
+    assert(e.getMessage.contains("lonely"))
   }
 }
