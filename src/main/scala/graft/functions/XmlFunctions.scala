@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * publishing functions are string builders over escaped content — so the
   * Spark-first mapping is StringType columns + codegen concat/replace
   * chains; no custom type is needed and everything stays in whole-stage
-  * codegen. Parsing/validation (xml_in via libxml) and XPath are out of
-  * scope (COVERAGE.md §2.10 — xpath needs a real XPath engine; the
-  * publishing side is what warehouse queries actually use).
+  * codegen. XPath extraction rides Spark's native UDFXPath family (see
+  * the xpath section below). Parsing/validation (xml_in via libxml) is
+  * out of scope (COVERAGE.md §2.10 — publishing + extraction are what
+  * warehouse queries actually use).
   */
 object XmlFunctions {
 
@@ -85,6 +86,32 @@ object XmlFunctions {
   def xmlPi(target: String, c: Column): Column =
     when(c.isNull, lit(s"<?$target?>"))
       .otherwise(concat(lit(s"<?$target "), c.cast("string"), lit("?>")))
+
+  // ---- XPath extraction (xml.c:4243 xpath, 4340 xpath_exists) ------
+  // PG's argument order (path first) is kept; Spark's native codegen'd
+  // UDFXPath family takes the document first. PG returns matched nodes
+  // as xml[]; Spark's `xpath` returns the nodes' string values — for
+  // text()-selecting paths (the warehouse-query shape) the two agree.
+
+  /** xpath(path, xml) → array of matched string values. */
+  def xpath(path: String, xml: Column): Column =
+    call_function("xpath", xml, lit(path))
+
+  /** First match as text — PG idiom `(xpath(p, x))[1]::text`. */
+  def xpathString(path: String, xml: Column): Column =
+    call_function("xpath_string", xml, lit(path))
+
+  /** First match cast to bigint — PG `(xpath(p, x))[1]::text::bigint`. */
+  def xpathLong(path: String, xml: Column): Column =
+    call_function("xpath_long", xml, lit(path))
+
+  /** First match cast to double. */
+  def xpathDouble(path: String, xml: Column): Column =
+    call_function("xpath_double", xml, lit(path))
+
+  /** xpath_exists(path, xml) (xml.c:4340). */
+  def xpathExists(path: String, xml: Column): Column =
+    call_function("xpath_boolean", xml, lit(path))
 
   /** xmlagg: ordered document aggregation = sort-by-key + join. The
     * Spark shape (collect_list of (key, fragment) structs, array_sort,

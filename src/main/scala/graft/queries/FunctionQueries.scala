@@ -1231,6 +1231,39 @@ object FunctionQueries {
             lit("</parts>")).as("doc"),
           count(lit(1)).as("n"))
         .orderBy("p_brand")
+    },
+
+    // xpath / xpath_exists (xml.c:4243,4340): extraction over documents
+    // built from row data — Spark's native UDFXPath family evaluates
+    // per-row in the map stage (no shuffle). The oracle computes the
+    // same values straight from the source columns, proving round-trip
+    // publish→extract fidelity rather than re-running XPath in DuckDB.
+    Q("q_fn_xpath", Some(
+      """SELECT n_nationkey,
+        |  n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS rk,
+        |  [CAST(n_nationkey AS VARCHAR), CAST(n_nationkey * 2 AS VARCHAR)]
+        |    AS ids,
+        |  true AS has_ids,
+        |  CAST(n_nationkey AS DOUBLE) / 2 AS halfkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.XmlFunctions._
+      val doc = concat(
+        lit("<n><name>"), $"n_name",
+        lit("</name><rk>"), $"n_regionkey".cast("string"),
+        lit("</rk><ids><i>"), $"n_nationkey".cast("string"),
+        lit("</i><i>"), ($"n_nationkey" * 2).cast("string"),
+        lit("</i></ids><hk>"), ($"n_nationkey".cast("double") / 2),
+        lit("</hk></n>"))
+      Tables.T(s, dir).nation.select(
+        $"n_nationkey",
+        xpathString("/n/name", doc).as("name"),
+        xpathLong("/n/rk", doc).as("rk"),
+        xpath("/n/ids/i/text()", doc).as("ids"),
+        xpathExists("/n/ids", doc).as("has_ids"),
+        xpathDouble("/n/hk", doc).as("halfkey"))
+        .orderBy("n_nationkey")
     }
   )
 }

@@ -710,9 +710,12 @@ object GpSqlDialect {
     var d = 0
     var start = 0
     var i = 0
+    var inQ = false // commas and parens inside '...' are literal text
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '(') d += 1
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') d += 1
       else if (c == ')') d -= 1
       else if (c == ',' && d == 0) { out += s.substring(start, i); start = i + 1 }
       i += 1
@@ -1100,7 +1103,7 @@ object GpSqlDialect {
             throw new IllegalArgumentException(
               s"""unrecognized configuration parameter "${m.group(1)}""""))
             .replace("'", "''") + "'"))
-    TablesampleRe.replaceAllIn(afterGuc, m => {
+    val afterSample = TablesampleRe.replaceAllIn(afterGuc, m => {
       val table = m.group(1)
       val permille = (m.group(2).toDouble * 10000).round
       val seed = Option(m.group(3)).getOrElse("0")
@@ -1108,6 +1111,56 @@ object GpSqlDialect {
         s"(SELECT * FROM $table WHERE pmod(abs(hash(struct(*), $seed)), " +
           s"1000000) < $permille) $table")
     })
+    // xpath(path, xml) / xpath_exists(path, xml) (xml.c:4243,4340):
+    // PG passes the path FIRST; Spark's native xpath/xpath_boolean take
+    // the document first — swap at the call site. PG returns matched
+    // nodes as xml[]; Spark returns their string values (documented
+    // divergence — text()-selecting paths are identical).
+    val afterXpath = rewriteCalls(afterSample, "xpath", 2) { args =>
+      s"xpath(${args(1)}, ${args(0)})"
+    }
+    rewriteCalls(afterXpath, "xpath_exists", 2) { args =>
+      s"xpath_boolean(${args(1)}, ${args(0)})"
+    }
+  }
+
+  /** Rewrite every `name(arg, ...)` call with exactly `arity` top-level
+    * arguments through `repl` (balanced parens, single left-to-right
+    * pass — replacements are not rescanned, so a rewrite may reuse the
+    * same function name). Other arities pass through untouched. */
+  private def rewriteCalls(sql: String, name: String, arity: Int)(
+      repl: Seq[String] => String): String = {
+    val call = s"(?i)\\b$name\\s*\\(".r
+    val out = new StringBuilder
+    var pos = 0
+    var m = call.findFirstMatchIn(sql.substring(pos))
+    while (m.isDefined) {
+      val mm = m.get
+      val abs = pos + mm.start
+      val prevOk = abs == 0 || {
+        val pc = sql.charAt(abs - 1)
+        !Character.isLetterOrDigit(pc) && pc != '_' && pc != '.'
+      }
+      val open = pos + mm.end - 1
+      val close = matchParen(sql, open)
+      if (!prevOk || close < 0) {
+        out ++= sql.substring(pos, open + 1)
+        pos = open + 1
+      } else {
+        val args = splitTopLevelCommas(sql.substring(open + 1, close))
+        if (args.length == arity) {
+          out ++= sql.substring(pos, abs)
+          out ++= repl(args.map(_.trim))
+          pos = close + 1
+        } else {
+          out ++= sql.substring(pos, open + 1)
+          pos = open + 1
+        }
+      }
+      m = call.findFirstMatchIn(sql.substring(pos))
+    }
+    out ++= sql.substring(pos)
+    out.toString
   }
 
   // ---- scripts / prepared statements ---------------------------------
@@ -2529,9 +2582,12 @@ object GpSqlDialect {
   private def matchParen(s: String, open: Int): Int = {
     var d = 0
     var i = open
+    var inQ = false // parens inside '...' are literal text
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '(') d += 1
+      if (inQ) { if (c == '\'') inQ = false }
+      else if (c == '\'') inQ = true
+      else if (c == '(') d += 1
       else if (c == ')') { d -= 1; if (d == 0) return i }
       i += 1
     }

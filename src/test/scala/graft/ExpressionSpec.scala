@@ -1479,4 +1479,20 @@ class ExpressionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("lonely"))
   }
+
+  test("xpath keeps PG argument order through the dialect") {
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
+    // PG: xpath(path, xml) — path FIRST (xml.c:4243); swapped into
+    // Spark's document-first natives at the call site
+    val r = run(
+      "SELECT xpath('/a/b/text()', '<a><b>1</b><b>2</b></a>') AS vs, " +
+        "xpath_exists('/a/b', '<a><b>1</b></a>') AS e1, " +
+        "xpath_exists('/a/c', '<a><b>1</b></a>') AS e0").head
+    assert(r.getSeq[String](0) == Seq("1", "2"))
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    // nested calls + literals containing commas stay balanced
+    val r2 = run("SELECT xpath(concat('/a', '/b/text()'), " +
+      "'<a><b>x,y</b></a>') AS v").head
+    assert(r2.getSeq[String](0) == Seq("x,y"))
+  }
 }
