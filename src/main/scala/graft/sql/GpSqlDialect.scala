@@ -751,13 +751,16 @@ object GpSqlDialect {
   //
   // A full PL/pgSQL interpreter (6.6k LoC of statement dispatch) is out
   // of scope, but real dumps are full of LANGUAGE plpgsql bodies, so the
-  // surface degrades in three tiers instead of dying on line one:
+  // surface degrades in tiers instead of dying on line one:
   //  1. `[DECLARE v t := e;...] BEGIN RETURN expr; END` — inlined like a
   //     SQL-language function (declared initializers substitute
   //     textually, PG's exec_assign_value for constant-foldable locals);
   //  2. `BEGIN IF c THEN RETURN e; [ELSIF...] [ELSE RETURN e;] END IF;
   //     END` — lowered to a CASE expression (the plpgsql IF ladder IS a
   //     CASE when every arm is a RETURN);
+  //  2b. any chain of `v := expr;` assignments before the tier-1/2
+  //     terminal — folded sequentially into one expression
+  //     (exec_stmt_assign; a straight-line body IS an expression DAG);
   //  3. anything else — the CREATE is accepted and *recorded* with the
   //     first unsupported statement, exactly pg_dump's
   //     `check_function_bodies = off` contract (function bodies are not
@@ -787,8 +790,8 @@ object GpSqlDialect {
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
         throw new UnsupportedOperationException(
           s"function $name is LANGUAGE plpgsql with a body graft cannot " +
-            s"inline (first unsupported statement: $why); only RETURN-" +
-            "expression and IF/ELSIF/ELSE-RETURN bodies execute")
+            s"inline (first unsupported statement: $why); only assignment " +
+            "chains ending in RETURN or IF/ELSIF/ELSE-RETURN execute")
     }
     deferredAggregates.foreach { case (name, why) =>
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
@@ -830,14 +833,14 @@ object GpSqlDialect {
       case DeclInit(v, init) => Some(v.toLowerCase -> init)
       case _ => None // uninitialized: only fatal if referenced (NULL var)
     }.toMap
-    def substDecls(expr: String): String = {
+    def subst(env: Map[String, String])(expr: String): String = {
       var cur = expr
       var rounds = 0
       var changed = true
       while (changed && rounds < 16) {
         changed = false
         rounds += 1
-        decls.foreach { case (v, init) =>
+        env.foreach { case (v, init) =>
           val next = s"(?i)(?<![\\w.])$v(?![\\w.(])".r
             .replaceAllIn(cur, _ => java.util.regex.Matcher.quoteReplacement(s"($init)"))
           if (next != cur) { cur = next; changed = true }
@@ -845,21 +848,42 @@ object GpSqlDialect {
       }
       cur
     }
-    stmts match {
+    // leading `v := expr;` statements (pl_exec.c exec_stmt_assign) fold
+    // sequentially into the environment: each RHS substitutes the
+    // CURRENT bindings first, so `r := r * 2` composes over r's prior
+    // value and the terminal RETURN sees one straight-line expression.
+    // This keeps the whole body inlined in whole-stage codegen — a
+    // straight-line plpgsql body IS an expression DAG.
+    val parts = splitStatements(stmts)
+    val AssignRe = "(?is)^(\\w+)\\s*:=\\s*(.+)$".r
+    var env = decls
+    var i = 0
+    var assigning = true
+    while (assigning && i < parts.length - 1) {
+      parts(i) match {
+        case AssignRe(v, rhs) =>
+          env = env + (v.toLowerCase -> subst(env)(rhs))
+          i += 1
+        case _ => assigning = false
+      }
+    }
+    // IF ladders span several `;`-split parts — rejoin the tail
+    val tail = parts.drop(i).mkString("; ")
+    tail match {
       // `RETURN QUERY <select>` — plpgsql's set-returning form; lowers
       // to a SQL-language TABLE function (pl_exec.c exec_stmt_return_
       // query). The inline renders a parenthesized subquery, so a call
       // in FROM position becomes a derived table. Checked before the
       // plain RETURN arm, which would otherwise swallow the QUERY
       // keyword into the expression.
-      case PlReturnQueryRe(sel) if splitStatements(stmts).size <= 1 =>
+      case PlReturnQueryRe(sel) if parts.length - i <= 1 =>
         sqlFunctions(name) =
-          SqlFunction(params, substDecls(sel), scalarExpr = false)
-      // single-statement guard: a lazy RETURN-to-$ match across several
+          SqlFunction(params, subst(env)(sel), scalarExpr = false)
+      // single-tail guard: a lazy RETURN-to-$ match across several
       // statements ("RETURN a; x := 1;") must defer, not inline garbage
-      case PlReturnRe(expr) if splitStatements(stmts).size <= 1 =>
+      case PlReturnRe(expr) if parts.length - i <= 1 =>
         sqlFunctions(name) =
-          SqlFunction(params, substDecls(expr), scalarExpr = true)
+          SqlFunction(params, subst(env)(expr), scalarExpr = true)
       case ifBlock if PlIfRe.findFirstIn(ifBlock).isDefined =>
         // the IF/RETURN ladder is a CASE: IF→CASE WHEN, THEN RETURN→THEN,
         // ELSIF→WHEN, ELSE RETURN→ELSE, END IF→END; arm-final ';' drops
@@ -870,7 +894,7 @@ object GpSqlDialect {
           .replaceAll("(?is);\\s*ELSE\\s+RETURN\\s+", " ELSE ")
           .replaceAll("(?is);?\\s*END\\s+IF\\s*;?\\s*$", " END")
         sqlFunctions(name) =
-          SqlFunction(params, substDecls(caseExpr), scalarExpr = true)
+          SqlFunction(params, subst(env)(caseExpr), scalarExpr = true)
       case other =>
         deferredPlpgsql(name) = firstStatement(other)
     }

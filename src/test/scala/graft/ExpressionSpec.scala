@@ -231,6 +231,42 @@ class ExpressionSpec extends AnyFunSuite {
       GpSqlDialect.execute(spark, "SELECT looper(3) AS x", "/tmp/never")
     }
     assert(e.getMessage.contains("looper") && e.getMessage.contains("FOR"))
+    // tier 2b: a chain of `v := expr` assignments folds sequentially —
+    // each RHS sees prior bindings, so self-reassignment composes —
+    // and the terminal may be a plain RETURN or an IF ladder
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION compound(p DOUBLE, years INT) RETURNS DOUBLE AS $$
+        |DECLARE r DOUBLE := 0.05;
+        |BEGIN
+        |  r := 1 + r;
+        |  r := power(r, years);
+        |  RETURN p * r;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val c = GpSqlDialect.execute(spark,
+      "SELECT compound(CAST(100.0 AS DOUBLE), 2) AS v", "/tmp/never")
+      .head.getDouble(0)
+    assert(math.abs(c - 100.0 * 1.05 * 1.05) < 1e-9)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION bucketize(x INT) RETURNS STRING AS $$
+        |DECLARE y INT;
+        |BEGIN
+        |  y := x * 10;
+        |  IF y >= 100 THEN RETURN 'big';
+        |  ELSE RETURN 'small';
+        |  END IF;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val b2 = GpSqlDialect.execute(spark,
+      "SELECT bucketize(20) AS a, bucketize(1) AS b", "/tmp/never").head
+    assert(b2.getString(0) == "big" && b2.getString(1) == "small")
+    // an assignment followed by an unsupported terminal still defers
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION assign_loop(n INT) RETURNS INT AS $$
+        |BEGIN x := n; WHILE x > 0 LOOP x := x - 1; END LOOP; RETURN x; END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("assign_loop")
+      .exists(_.contains("WHILE")))
   }
 
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
