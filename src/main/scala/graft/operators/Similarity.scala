@@ -331,4 +331,74 @@ object Similarity {
     }.toDF("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space, then drop
+    * every vector that has cosine ≥ `threshold` to a MORE CENTRAL
+    * member of its own cluster (higher cosine to the shared centroid;
+    * ties break to the smaller id). Each semantic blob keeps exactly
+    * its most-central representative; cross-cluster pairs are never
+    * scored — that bound is what makes the op sub-quadratic.
+    *
+    * Dataflow: centroids broadcast (fixed k, never corpus-sized);
+    * assignment is one corpus scan + a many-group window (no corpus
+    * shuffle); candidates come from a cluster-id equi-join (cluster-
+    * bounded, never doc×doc); one distinct + left-anti join removes the
+    * dropped ids. Returns (id, cluster, ccos) for the kept rows.
+    *
+    * 100 TB: scale k with corpus size (the paper runs k ≈ 0.1% of n)
+    * so per-cluster cardinality stays bounded; `maxClusterSize` is the
+    * opt-in runaway-cell guard — members beyond the cap (in id order)
+    * skip pair generation, with the drop count logged. `cents` defaults
+    * to the deterministic stride sample; pass [[kmeansCentroids]] for
+    * the trained-codebook path — the dedup dataflow is identical. */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 64,
+      cents: Option[DataFrame] = None,
+      maxClusterSize: Option[Int] = None): DataFrame = {
+    val cs = cents.getOrElse {
+      val modulus = math.max(1L, corpus.count() / numCentroids)
+      corpus.filter(col(idCol) % modulus === 0)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    }
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val asgn0 = corpus.crossJoin(broadcast(cs))
+      .withColumn("cent_cos", cosineWithNorms(
+        dotf(col(vecCol), col("cent_vec")),
+        sqrt(dotf(col(vecCol), col(vecCol))),
+        sqrt(dotf(col("cent_vec"), col("cent_vec")))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("cent_id").as("cluster"), col("cent_cos").as("ccos"),
+        sqrt(dotf(col(vecCol), col(vecCol))).as("nrm"))
+    val asgn = maxClusterSize match {
+      case Some(cap) =>
+        val wc = Window.partitionBy("cluster").orderBy(col("id"))
+        val capped = asgn0.withColumn("__cn", row_number().over(wc))
+        val over = capped.filter(col("__cn") > cap)
+        val nOver = over.count()
+        if (nOver > 0)
+          org.apache.log4j.Logger.getLogger(getClass).warn(
+            s"semanticDedup: $nOver members beyond maxClusterSize=$cap " +
+              "excluded from pair generation (kept unconditionally)")
+        capped.filter(col("__cn") <= cap).drop("__cn")
+      case None => asgn0
+    }
+    val a = asgn.select(col("id").as("id_a"), col("v").as("va"),
+      col("cluster"), col("ccos").as("ca"), col("nrm").as("na"))
+    val b = asgn.select(col("id").as("id_b"), col("v").as("vb"),
+      col("cluster"), col("ccos").as("cb"), col("nrm").as("nb"))
+    val droppedIds = a.join(b, Seq("cluster"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(cosineWithNorms(dotf(col("va"), col("vb")),
+        col("na"), col("nb")) >= threshold)
+      .filter(col("cb") > col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id")).distinct()
+    asgn0.join(droppedIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"), col("ccos"))
+  }
+
 }

@@ -923,6 +923,40 @@ object PipelineQueries {
         .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
     },
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    // the embedding space (deterministic stride centroids — the IVF
+    // pattern), drop any vector with cosine ≥ τ to a MORE CENTRAL
+    // member of its own cluster. Sub-quadratic: pairs only meet through
+    // the cluster-id equi-join. The oracle replays cluster assignment,
+    // the within-cluster dominance rule, and the anti-join exactly.
+    Q("q_dedup_semantic", Some(
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id %
+         |    (SELECT greatest(1, count(*) // 64) FROM embeddings) = 0),
+         |asgn0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${oCos("e.embedding", "c.cv")} AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asgn AS (SELECT * FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM asgn0) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT a.vec_id
+         |  FROM asgn a JOIN asgn b
+         |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         |  WHERE ${oCos("a.embedding", "b.embedding")} >= 0.46
+         |    AND (b.ccos > a.ccos
+         |      OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id AS id, a.cent_id AS cluster,
+         |  round(a.ccos, 4) AS ccos
+         |FROM asgn a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Similarity.semanticDedup(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.46, numCentroids = 64)
+        .select($"id", $"cluster", round($"ccos", 4).as("ccos"))
+        .orderBy("id")
+    },
+
     // ---- similarity search ----------------------------------------
     // Brute-force exact top-3 cosine neighbors for 5 query vectors.
     Q("q_ann_topk", Some(

@@ -249,4 +249,15 @@ class PlanSpec extends AnyFunSuite {
     // mixture filter shuffled 100 TB for a map-only decision
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q_dedup_semantic: centroids broadcast, pairs meet on cluster id") {
+    val p = plan("q_dedup_semantic")
+    // the only nested-loop is the corpus × k-centroid broadcast
+    // (assignment, linear); the within-cluster pair join and the final
+    // anti-join are equi-joins — a CartesianProduct would mean the
+    // doc×doc pair space materialized
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup must never go doc×doc:\n$p")
+  }
 }
