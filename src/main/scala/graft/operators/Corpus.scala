@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly for training-data pipelines (extension alongside
+  * [[Mixture]]): deterministic split assignment and global example
+  * shuffling — the bookkeeping steps between a cleaned corpus and a
+  * training run. Both are engine-portable by construction (md5 over the
+  * id, not a private hash), so a downstream consumer can re-derive the
+  * same assignment without rerunning the pipeline.
+  */
+object Corpus {
+
+  /** 0..99 bucket of an id under a seed — md5 is identical everywhere
+    * (same routine backs [[Mixture]] keeps and the TABLESAMPLE hash). */
+  private def bucket(idCol: String, seed: String) =
+    conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % 100
+
+  /** Deterministic train/val/test assignment: the id's seeded md5
+    * bucket lands in cumulative percent ranges. Map-only — no shuffle,
+    * no state; membership is a pure function of (seed, id), so any
+    * later job (or another engine) recomputes the same split. `splits`
+    * are (name, percent) in range order and must sum to 100. */
+  def splitAssign(
+      df: DataFrame, idCol: String, seed: String,
+      splits: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    val b = bucket(idCol, seed)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cum).init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), hi)) => acc.when(b < hi, name)
+    }.otherwise(splits.last._1)
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic global shuffle: order by the seeded md5 of the id
+    * (id itself breaks ties) and assign 0-based positions. Uses the
+    * distributed two-pass id assignment ([[SequenceOps.assignIds]]:
+    * range-partition + per-partition offsets) — NO single-partition
+    * window, so the sort parallelizes like any range sort. Re-running
+    * with the same seed reproduces the exact training order; changing
+    * the seed is a fresh epoch permutation. */
+  def shuffle(
+      df: DataFrame, idCol: String, seed: String,
+      posCol: String = "pos"): DataFrame = {
+    val keyed = df.withColumn("__shuffle_key",
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    SequenceOps.assignIds(keyed, posCol, 0L,
+      Seq(col("__shuffle_key"), col(idCol)))
+      .drop("__shuffle_key")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
   * text analysis, dedup (exact / bag-of-words / MinHash-LSH / SimHash /
@@ -555,6 +555,43 @@ object PipelineQueries {
         .filter($"rk" <= 5)
         .select($"source", $"rk", $"doc_id", $"n_chars")
         .orderBy("source", "rk")
+    },
+
+    // Train/val/test split assignment (operators/Corpus.scala): the
+    // id's seeded md5 bucket lands in cumulative percent ranges —
+    // map-only, no shuffle, reproducible from (seed, id) alone on any
+    // engine (the oracle literally re-derives it).
+    Q("q_pipeline_split", Some(
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Corpus.splitAssign(Tables.T(s, dir).documents, "doc_id", "42",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select($"doc_id", $"split")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic epoch shuffle (operators/Corpus.scala): global
+    // training order = range sort on the seeded md5 key with positions
+    // assigned by the distributed two-pass offset scheme — NO single-
+    // partition window, so the permutation scales like any range sort.
+    Q("q_pipeline_shuffle", Some(
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Corpus.shuffle(
+        Tables.T(s, dir).documents.select($"doc_id"), "doc_id", "7")
+        .select($"doc_id", $"pos")
+        .orderBy("doc_id")
     },
 
     // Target-mixture resampling (operators/Mixture.scala): hit a target
