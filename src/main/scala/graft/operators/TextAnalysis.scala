@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -287,5 +287,53 @@ object TextAnalysis {
     scored.groupBy(idCol)
       .agg(count(lit(1)).cast("int").as("nterms"),
         (floor(total * 1e6 + 0.5) / 1e6).as("bm25"))
+  }
+
+  /** Heavy hitters: every token with global frequency ≥ 1/supportDen of
+    * all tokens, with EXACT counts — never a full-vocabulary shuffle.
+    *
+    * Pass 1 (candidates): per-partition Misra-Gries summaries with
+    * supportDen counters (Misra & Gries 1982). MG guarantees a token
+    * exceeding 1/supportDen of its partition's tokens survives that
+    * partition's summary, and a token at the global bar must reach the
+    * partition bar somewhere (pigeonhole) — so the summary union is a
+    * candidate SUPERSET of size ≤ partitions·supportDen, catalog-scale.
+    * Pass 2 (exact): re-count only the candidates (broadcast semi-join
+    * → groupBy over the bounded candidate space) and apply the exact
+    * integer threshold cnt·supportDen ≥ N. Output is exact, so the
+    * oracle is a plain GROUP BY/HAVING — approximation lives only in
+    * the candidate bound, never in the answer.
+    *
+    * 100 TB: state is supportDen counters per partition; the only
+    * shuffled keys are candidates. N comes from the one-pass codegen
+    * token counter (no explode). mapPartitions is justified here: MG's
+    * decrement step is inherently imperative per-partition state. */
+  def heavyHitters(
+      df: DataFrame, textCol: String, supportDen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val m = supportDen.toInt
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(v) => counters(t) = v + 1
+          case None if counters.size < m => counters(t) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreachEntry { (k, v) =>
+              if (v == 1L) dead += k else counters(k) = v - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+    val n = df.agg(sum(tokenCount(col(textCol)))).head.getLong(0)
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * supportDen >= n)
   }
 }

@@ -557,6 +557,24 @@ object PipelineQueries {
         .orderBy("source", "rk")
     },
 
+    // Heavy hitters (operators/TextAnalysis.heavyHitters): tokens at
+    // ≥ 1/200 of all token mass. Misra-Gries candidate pass (bounded
+    // per-partition state) + exact broadcast recount — the answer is
+    // exact, so the oracle is plain GROUP BY/HAVING; approximation
+    // lives only in the candidate bound.
+    Q("q_text_heavyhitters", Some(
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM t GROUP BY tok)
+         |SELECT tok, cnt FROM c
+         |WHERE cnt * 200 >= (SELECT count(*) FROM t)
+         |ORDER BY cnt DESC, tok""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.heavyHitters(Tables.T(s, dir).documents, "text", 200L)
+        .select($"tok", $"cnt")
+        .orderBy($"cnt".desc, $"tok")
+    },
+
     // Train/val/test split assignment (operators/Corpus.scala): the
     // id's seeded md5 bucket lands in cumulative percent ranges —
     // map-only, no shuffle, reproducible from (seed, id) alone on any
