@@ -399,6 +399,61 @@ object StorageQueries {
         tmp("sqlext"))
     },
 
+    // PXF-style self-describing external formats (gpcontrib pxf_fdw:
+    // the reference federates parquet/orc/json through PXF; here
+    // Spark's native readers bind them directly). Same oracle trick as
+    // q_sql_external: the fixture file is an exact subset of lineitem,
+    // so DuckDB aggregates the registered table.
+    Q("q_sql_external_parquet", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem WHERE l_orderkey <= 1200
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 1200)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").parquet(tmp("ext_lineitem_parquet"))
+      }) { (s, dir) =>
+      GpSqlDialect.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_li_parquet (
+           |  l_orderkey bigint,
+           |  l_returnflag text,
+           |  l_quantity double precision)
+           |LOCATION ('file://${tmp("ext_lineitem_parquet")}')
+           |FORMAT 'PARQUET'""".stripMargin,
+        tmp("sqlext"))
+      GpSqlDialect.execute(s,
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS qty
+          |FROM ext_li_parquet GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        tmp("sqlext"))
+    },
+
+    Q("q_sql_external_json", Some(
+      s"""SELECT l_returnflag, count(*) AS n, ${Q.oSum("l_quantity")} AS qty
+         |FROM lineitem WHERE l_orderkey <= 600
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      prepare = Some { (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 600)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").json(tmp("ext_lineitem_json"))
+      }) { (s, dir) =>
+      GpSqlDialect.execute(s,
+        s"""CREATE EXTERNAL TABLE ext_li_json (
+           |  l_orderkey bigint,
+           |  l_returnflag text,
+           |  l_quantity double precision)
+           |LOCATION ('file://${tmp("ext_lineitem_json")}')
+           |FORMAT 'JSON'""".stripMargin,
+        tmp("sqlext"))
+      GpSqlDialect.execute(s,
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS qty
+          |FROM ext_li_json GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        tmp("sqlext"))
+    },
+
     // COPY FROM / COPY TO as dialect statements (commands/copy.c:959
     // DoCopy, :2590 DoCopyTo; reject handling cdb/cdbsreh.c:367): load a
     // CSV containing 2 malformed rows into a dialect-created table under

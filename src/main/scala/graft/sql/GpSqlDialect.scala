@@ -3438,19 +3438,34 @@ object GpSqlDialect {
       .map(_.group(1)).getOrElse(
         throw new IllegalArgumentException("EXTERNAL TABLE needs LOCATION"))
     val path = loc.replaceFirst("^(gpfdist|file)://[^/]*", "")
+    // CSV/TEXT are gpfdist's own formats (access/external/); the
+    // columnar/self-describing set (PARQUET/ORC/JSON/AVRO) is the PXF
+    // surface (gpcontrib pxf_fdw) — Spark's native readers bind the
+    // first three (no avro reader on the offline classpath). SEGMENT
+    // REJECT LIMIT applies to text parsing only, as in the reference
+    // (cdbsreh.c handles format errors of the text parser).
     val fmt = "(?is)\\bFORMAT\\s+'(\\w+)'".r.findFirstMatchIn(gpSql)
       .map(_.group(1).toUpperCase).getOrElse("CSV")
-    require(fmt == "CSV" || fmt == "TEXT",
-      s"external format $fmt not bound (offline harness: file CSV/TEXT only)")
+    require(Set("CSV", "TEXT", "PARQUET", "JSON", "ORC")(fmt),
+      s"external format $fmt not bound (file CSV/TEXT/PARQUET/JSON/ORC)")
     val rejectLimit = "(?is)\\bSEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)".r
       .findFirstMatchIn(gpSql).map(_.group(1).toInt).getOrElse(0)
     if (writable) {
+      // writable routing understands csv and parquet sinks (the INSERT
+      // path appends with the recorded format); json/orc export goes
+      // through COPY TO instead
+      require(fmt != "JSON" && fmt != "ORC",
+        s"writable external format $fmt not bound (use CSV or PARQUET)")
       catalog(name) = GpTable(name, path, schema, Seq.empty, Seq.empty,
-        format = "csv")
+        format = if (fmt == "PARQUET") "parquet" else "csv")
       spark.emptyDataFrame
     } else {
-      val df = graft.sources.ExternalTables
-        .readCsvWithRejectLimit(spark, path, schema, rejectLimit)
+      val df = fmt match {
+        case "CSV" | "TEXT" => graft.sources.ExternalTables
+          .readCsvWithRejectLimit(spark, path, schema, rejectLimit)
+        case other => spark.read.format(other.toLowerCase)
+          .schema(schema).load(path)
+      }
       df.createOrReplaceTempView(name)
       df
     }

@@ -1516,6 +1516,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lonely"))
   }
 
+  test("external tables bind ORC reads and PARQUET writable sinks") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_extfmt_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    Tables.registerAll(spark, sf)
+    // ORC readable (PXF-style self-describing format; no DuckDB oracle
+    // — DuckDB has no ORC reader, so the gate lives here)
+    spark.table("nation").select("n_nationkey", "n_name")
+      .write.mode("overwrite").orc(s"$base/nation_orc")
+    run(s"""CREATE EXTERNAL TABLE ext_nation_orc (
+           |  n_nationkey bigint, n_name text)
+           |LOCATION ('file://$base/nation_orc') FORMAT 'ORC'""".stripMargin)
+    assert(run("SELECT count(*) AS n FROM ext_nation_orc").head.getLong(0)
+      == spark.table("nation").count())
+    // writable external PARQUET: INSERT routes through the parquet sink
+    run(s"""CREATE WRITABLE EXTERNAL TABLE ext_out_parquet (
+           |  n_nationkey bigint, n_name text)
+           |LOCATION ('file://$base/out_parquet')
+           |FORMAT 'PARQUET'""".stripMargin)
+    run("INSERT INTO ext_out_parquet SELECT n_nationkey, n_name FROM nation")
+    assert(spark.read.parquet(s"$base/out_parquet").count()
+      == spark.table("nation").count())
+    // json/orc writable reject loudly
+    val e = intercept[IllegalArgumentException] {
+      run(s"""CREATE WRITABLE EXTERNAL TABLE bad_w (a int)
+             |LOCATION ('file://$base/bad') FORMAT 'ORC'""".stripMargin)
+    }
+    assert(e.getMessage.contains("writable external format"))
+  }
+
   test("xpath keeps PG argument order through the dialect") {
     def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
     // PG: xpath(path, xml) — path FIRST (xml.c:4243); swapped into
