@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("porter_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
       (exprs: Seq[Expression]) => PorterStemExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("svec_dot"),
+      new ExpressionInfo(classOf[SvecDotExpr].getName, "svec_dot"),
+      (exprs: Seq[Expression]) =>
+        SvecDotExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
     ext.injectOptimizerRule(_ => SimplifyRedundantLowerUnderSimhash)
     // ANALYZE → planner bridge: attach collected stats to parquet scans
     // ahead of Catalyst's Join Reorder batch (costsize.c analogue).

@@ -324,6 +324,11 @@ object PgFunctions {
       exprs => graft.expressions.PorterStemExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "svec_dot",
+      exprs => graft.expressions.SvecDotExpr(
+        exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq8_encode",
       exprs => graft.expressions.Sq8EncodeExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")

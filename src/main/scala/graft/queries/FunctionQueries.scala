@@ -1264,6 +1264,51 @@ object FunctionQueries {
         xpathExists("/n/ids", doc).as("has_ids"),
         xpathDouble("/n/hk", doc).as("halfkey"))
         .orderBy("n_nationkey")
+    },
+
+    // Sparse-vector algebra (gpcontrib/gp_sparse_vector: svec_dot /
+    // svec_l2norm / svec_l1norm / svec_plus): embeddings thresholded to
+    // COO form, pairwise kernel through the native svec_dot merge loop
+    // (one codegen plan node). The oracle spells the same quantities
+    // densely with zero-filled terms — adding +0.0 in ascending index
+    // order is an exact identity, so the values are bit-equal.
+    Q("q_fn_svec", Some {
+      def kept(e: String, i: String = "i") =
+        s"(CASE WHEN abs(CAST($e[$i] AS DOUBLE)) > 0.15 " +
+          s"THEN CAST($e[$i] AS DOUBLE) ELSE 0 END)"
+      s"""WITH p AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+         |SELECT vec_id,
+         |  CAST(len(list_filter(range(1,65),
+         |    i -> abs(CAST(ea[i] AS DOUBLE)) > 0.15)) AS INT) AS nnz_a,
+         |  round(list_sum(list_transform(range(1,65),
+         |    i -> ${kept("ea")} * ${kept("eb")})), 6) AS sdot,
+         |  round(sqrt(list_sum(list_transform(range(1,65),
+         |    i -> ${kept("ea")} * ${kept("ea")}))), 6) AS l2_a,
+         |  round(list_sum(list_transform(range(1,65),
+         |    i -> abs(${kept("ea")}))), 6) AS l1_a,
+         |  CAST(len(list_filter(range(1,65),
+         |    i -> abs(CAST(ea[i] AS DOUBLE)) > 0.15
+         |      OR abs(CAST(eb[i] AS DOUBLE)) > 0.15)) AS INT) AS nnz_sum
+         |FROM p ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.SvecFunctions._
+      val emb = Tables.T(s, dir).embeddings
+      val pairs = emb.select($"vec_id", $"embedding".as("ea"))
+        .join(emb.select(($"vec_id" - 1).as("vec_id"),
+          $"embedding".as("eb")), "vec_id")
+      val (ai, av) = svecFromDense($"ea", 0.15)
+      val (bi, bv) = svecFromDense($"eb", 0.15)
+      val (si, _) = svecPlus(ai, av, bi, bv)
+      pairs.select(
+        $"vec_id",
+        svecNnz(ai).as("nnz_a"),
+        round(svecDot(ai, av, bi, bv), 6).as("sdot"),
+        round(svecL2norm(ai, av), 6).as("l2_a"),
+        round(svecL1norm(av), 6).as("l1_a"),
+        svecNnz(si).as("nnz_sum"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -1516,6 +1516,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lonely"))
   }
 
+  test("svec algebra: merge dot, union plus, empty and disjoint supports") {
+    import graft.functions.SvecFunctions._
+    import org.apache.spark.sql.Row
+    def arr(xs: Int*) = array(xs.map(lit): _*)
+    def darr(xs: Double*) = array(xs.map(lit): _*)
+    val df = spark.range(1).select(
+      call_function("svec_dot",
+        arr(1, 3, 7), darr(2.0, 4.0, 5.0),
+        arr(0, 3, 7), darr(9.0, 10.0, 0.5)).as("d"),
+      call_function("svec_dot",
+        arr(1, 2), darr(1.0, 1.0), arr(3, 4), darr(1.0, 1.0)).as("disjoint"),
+      call_function("svec_dot",
+        array().cast("array<int>"), array().cast("array<double>"),
+        arr(1), darr(5.0)).as("emptyside"))
+    val r = df.head
+    assert(r.getDouble(0) == 4.0 * 10.0 + 5.0 * 0.5)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    // plus keeps exact-zero sums (union support, like the reference's
+    // element-wise run preservation), and re-sorts to ascending COO
+    val (pi, pv) = svecPlus(
+      arr(1, 5), darr(2.0, -3.0), arr(0, 5), darr(7.0, 3.0))
+    val p = spark.range(1).select(pi.as("i"), pv.as("v")).head
+    assert(p.getSeq[Int](0) == Seq(0, 1, 5))
+    assert(p.getSeq[Double](1) == Seq(7.0, 2.0, 0.0))
+    // fromDense: 0-based ascending indices above the magnitude gate
+    val (fi, fv) = svecFromDense(
+      array(lit(0.1f), lit(-0.9f), lit(0.0f), lit(0.7f)), 0.5)
+    val f = spark.range(1).select(fi.as("i"), fv.as("v")).head
+    assert(f.getSeq[Int](0) == Seq(1, 3))
+    val fvs = f.getSeq[Double](1)
+    assert(math.abs(fvs(0) - (-0.9)) < 1e-6 && math.abs(fvs(1) - 0.7) < 1e-6)
+  }
+
   test("external tables bind ORC reads and PARQUET writable sinks") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_extfmt_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
