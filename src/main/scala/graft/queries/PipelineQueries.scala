@@ -741,6 +741,36 @@ object PipelineQueries {
         .orderBy("canonical_id")
     },
 
+    // Quality-aware survivorship: within each duplicate cluster keep
+    // the BEST document (longest, ties to the smaller id) instead of
+    // the least id — the policy real pipelines use when near-dups
+    // differ in truncation/boilerplate. Both window functions share one
+    // hash shuffle on the fingerprint.
+    Q("q_dedup_survivor", Some(
+      s"""WITH fp AS (SELECT doc_id, n_chars,
+         |    md5(array_to_string(list_sort($tokset), ' ')) AS fp
+         |  FROM documents),
+         |r AS (SELECT fp, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY fp
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY fp) AS grp_n
+         |  FROM fp)
+         |SELECT fp, doc_id AS kept_id, CAST(grp_n AS INT) AS n
+         |FROM r WHERE rn = 1 AND grp_n > 1 ORDER BY fp""".stripMargin)) {
+      (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      Tables.T(s, dir).documents
+        .select($"doc_id", $"n_chars",
+          TextAnalysis.bowFingerprint($"text").as("fp"))
+        .withColumn("rn", row_number().over(
+          w.orderBy($"n_chars".desc, $"doc_id")))
+        .withColumn("grp_n", count(lit(1)).over(w))
+        .filter($"rn" === 1 && $"grp_n" > 1)
+        .select($"fp", $"doc_id".as("kept_id"), $"grp_n".cast("int").as("n"))
+        .orderBy("fp")
+    },
+
     // Dedup END-TO-END: candidate pairs → components → keep one doc per
     // cluster → corpus stats. The keep-decision is the point: every
     // near-dup kernel's output is only useful once the cluster collapse
