@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.operators.AsOfJoin
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, StatefulOps}
 
 /** Beyond-reference extensions (SURVEY §2.12 + BASELINE north star):
   * Structured Streaming windows over `events`, as-of join, batch session
@@ -161,6 +161,50 @@ object ExtensionQueries {
       EventStreams.runToParquet(s, deduped, "stream_dedup")
         .select($"user_id", $"event_type")
         .orderBy("user_id", "event_type")
+    },
+
+    // Streaming sessionization via flatMapGroupsWithState + event-time
+    // timeout (streaming/StatefulOps.sessionize): a session is emitted
+    // when a later event closes it or when the watermark passes its
+    // last-event + gap timeout; a session still open at end of input is
+    // never emitted. The oracle is the session_window gaps-and-islands
+    // shape QUALIFYed by exactly that emission rule (closed-by-event =
+    // not the user's last session; timed-out = end older than the final
+    // watermark, ms-floored like the state timeout clock).
+    Q("q_stream_sessions", Some(
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) AS s_start,
+        |    max(ts) + INTERVAL 10 MINUTE AS s_end,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT) - 600000 AS wm_ms
+        |       FROM events)
+        |SELECT user_id, s_start, s_end, n
+        |FROM sess, wm
+        |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)
+        |     OR CAST(epoch_ms(s_end) AS BIGINT) < wm_ms
+        |ORDER BY user_id, s_start""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val ev = EventStreams.readEvents(s, dir)
+        .select($"user_id", $"ts").as[StatefulOps.SessionEv]
+      val out = StatefulOps.sessionize(s, ev, 10).toDF
+      EventStreams.runToParquet(s, out, "stream_sessions")
+        .select($"user_id",
+          timestamp_micros($"start_us").as("s_start"),
+          timestamp_micros($"end_us").as("s_end"), $"n")
+        .orderBy("user_id", "s_start")
     },
 
     // Session windows (10-minute gap) — Spark session_window; oracle:
