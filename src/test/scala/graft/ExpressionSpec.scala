@@ -1551,6 +1551,9 @@ class ExpressionSpec extends AnyFunSuite {
 
   test("external tables bind ORC reads and PARQUET writable sinks") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_extfmt_spec"
+    // the writable sink APPENDS (external-table contract) — clear prior
+    // runs' output or the count accumulates across JVM invocations
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
     Tables.registerAll(spark, sf)
     // ORC readable (PXF-style self-describing format; no DuckDB oracle
