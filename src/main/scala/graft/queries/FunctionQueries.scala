@@ -1266,6 +1266,44 @@ object FunctionQueries {
         .orderBy("n_nationkey")
     },
 
+    // Oracle-compat functions (gpcontrib/orafce: nvl/nvl2/decode/
+    // add_months/last_day/next_day/instr — the compat pack a migrated
+    // GP warehouse leans on). Spark ships all of them natively; the
+    // oracle spells the PG/ANSI equivalents (COALESCE, CASE, interval
+    // month arithmetic with the same end-of-month clamp, isodow
+    // arithmetic for next-Monday, 1-based instr).
+    Q("q_fn_orafce", Some(
+      """SELECT o_orderkey,
+        |  o_orderpriority AS nv,
+        |  CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT NULL
+        |       THEN 'other' ELSE 'urgent' END AS nv2,
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+        |       WHEN 'P' THEN 'pending' ELSE '?' END AS dec,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |    AS VARCHAR) AS am,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS ld,
+        |  CAST(CAST(CAST(o_orderdate AS DATE)
+        |    + ((7 - isodow(CAST(o_orderdate AS DATE))) % 7 + 1)
+        |      * INTERVAL 1 DAY AS DATE) AS VARCHAR) AS nd,
+        |  CAST(instr(o_orderpriority, 'E') AS INT) AS ins
+        |FROM orders WHERE o_orderkey <= 600 ORDER BY o_orderkey""".stripMargin)) {
+      (s, dir) =>
+      Tables.registerAll(s, dir)
+      GpSqlDialect.execute(s,
+        """SELECT o_orderkey,
+          |  nvl(CAST(NULL AS STRING), o_orderpriority) AS nv,
+          |  nvl2(NULLIF(o_orderpriority, '1-URGENT'), 'other', 'urgent')
+          |    AS nv2,
+          |  decode(o_orderstatus, 'O', 'open', 'F', 'finished',
+          |    'P', 'pending', '?') AS dec,
+          |  CAST(add_months(o_orderdate, 2) AS STRING) AS am,
+          |  CAST(last_day(o_orderdate) AS STRING) AS ld,
+          |  CAST(next_day(o_orderdate, 'MO') AS STRING) AS nd,
+          |  instr(o_orderpriority, 'E') AS ins
+          |FROM orders WHERE o_orderkey <= 600 ORDER BY o_orderkey""".stripMargin,
+        "/tmp/never")
+    },
+
     // Sparse-vector algebra (gpcontrib/gp_sparse_vector: svec_dot /
     // svec_l2norm / svec_l1norm / svec_plus): embeddings thresholded to
     // COO form, pairwise kernel through the native svec_dot merge loop
