@@ -189,12 +189,18 @@ object GpSqlDialect {
     }
     DeclareCursorRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
-        return executeDeclareCursor(spark, m.group(1), m.group(2), basePath)
+        return executeDeclareCursor(spark, m.group(1), m.group(3), basePath,
+          parallel = m.group(2) != null)
       case _ =>
     }
     FetchRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeFetch(spark, Option(m.group(1)), m.group(2))
+      case _ =>
+    }
+    RetrieveRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeRetrieve(spark, m.group(1), m.group(2))
       case _ =>
     }
     CloseCursorRe.findFirstMatchIn(trimmed) match {
@@ -422,6 +428,13 @@ object GpSqlDialect {
       refreshSkewView(spark)
       refreshCatalogViews(spark)
       return spark.sql(rewriteCatalogNames(trimmed))
+    }
+    // gp_endpoints / gp_get_endpoints() (gp_parallel_retrieve_cursor):
+    // rebuilt on demand from the live cursor spools
+    if ("(?i)\\bgp_(?:get_)?endpoints\\b".r.findFirstIn(trimmed).isDefined) {
+      refreshEndpointsView(spark)
+      return spark.sql(rewriteCatalogNames(trimmed)
+        .replaceAll("(?i)\\bgp_get_endpoints\\s*\\(\\s*\\)", "gp_endpoints"))
     }
     if (CatalogViewRe.findFirstIn(trimmed).isDefined) {
       refreshCatalogViews(spark)
@@ -1377,20 +1390,28 @@ object GpSqlDialect {
     * `Dataset.toLocalIterator` — same one-partition-at-a-time contract
     * as a segment endpoint. */
   private val DeclareCursorRe =
-    ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(?:PARALLEL\\s+RETRIEVE\\s+)?" +
+    ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(PARALLEL\\s+RETRIEVE\\s+)?" +
       "(?:NO\\s+SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+)?FOR\\s+(.+)$").r
   private val FetchRe =
     ("(?is)^\\s*FETCH\\s+(?:(?:FORWARD|NEXT)\\s+)?(ALL|\\d+)?\\s*" +
       "(?:FROM|IN)\\s+(\\w+)\\s*$").r
   private val CloseCursorRe = "(?is)^\\s*CLOSE\\s+(\\w+)\\s*$".r
+  // gp_parallel_retrieve_cursor: RETRIEVE [ALL|n] FROM ENDPOINT name —
+  // each endpoint is one spool partition file, retrieved independently
+  // (the reference serves one endpoint per segment on retrieve-mode
+  // connections; here each parquet part IS the per-segment slice)
+  private val RetrieveRe =
+    ("(?is)^\\s*RETRIEVE\\s+(ALL|\\d+)\\s+FROM\\s+ENDPOINT\\s+" +
+      "'?([\\w.-]+)'?\\s*$").r
 
-  private final case class CursorState(path: String, var pos: Long)
+  private final case class CursorState(
+      path: String, var pos: Long, parallel: Boolean = false)
   private val cursors =
     scala.collection.concurrent.TrieMap.empty[String, CursorState]
 
   def executeDeclareCursor(
       spark: SparkSession, name: String, select: String,
-      basePath: String): DataFrame = {
+      basePath: String, parallel: Boolean = false): DataFrame = {
     val df = execute(spark, select, basePath)
     val schema = df.schema.add(StructField("__pos", LongType, false))
     val indexed = spark.createDataFrame(
@@ -1399,8 +1420,60 @@ object GpSqlDialect {
     val path =
       s"${System.getProperty("java.io.tmpdir")}/graft_cursor_${name.toLowerCase}"
     indexed.write.mode("overwrite").parquet(path)
-    cursors.put(name.toLowerCase, CursorState(path, 0L))
+    cursors.put(name.toLowerCase, CursorState(path, 0L, parallel))
     spark.emptyDataFrame
+  }
+
+  /** Endpoint inventory of a parallel-retrieve cursor: one row per
+    * spool partition file (reference gp_get_endpoints(): one endpoint
+    * per segment, utility_mode retrieve connections). */
+  private def endpointFiles(
+      spark: SparkSession, c: CursorState): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(c.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+  }
+
+  /** Rebuild the `gp_endpoints` view (gp_get_endpoints()): cursorname,
+    * endpointname, state — READY until the cursor closes. */
+  def refreshEndpointsView(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rows = cursors.toSeq.filter(_._2.parallel).flatMap { case (cn, c) =>
+      endpointFiles(spark, c).zipWithIndex.map { case (f, i) =>
+        (cn, s"${cn}_ep$i", f.toString, "READY")
+      }
+    }.sortBy(r => (r._1, r._2))
+    rows.toDF("cursorname", "endpointname", "spoolfile", "state")
+      .createOrReplaceTempView("gp_endpoints")
+  }
+
+  /** RETRIEVE [ALL|n] FROM ENDPOINT name: read ONLY that endpoint's
+    * spool file — the per-segment slice, no cross-partition traffic,
+    * which is the entire point of parallel retrieve (a client pool
+    * drains endpoints concurrently instead of serializing through the
+    * coordinator's FETCH). */
+  def executeRetrieve(
+      spark: SparkSession, count: String, endpoint: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val EndpointName = "(?i)^(\\w+)_ep(\\d+)$".r
+    endpoint match {
+      case EndpointName(cn, i) =>
+        val c = cursors.getOrElse(cn.toLowerCase,
+          throw new IllegalArgumentException(
+            s"endpoint $endpoint: cursor $cn does not exist"))
+        require(c.parallel,
+          s"cursor $cn was not declared PARALLEL RETRIEVE")
+        val files = endpointFiles(spark, c)
+        val idx = i.toInt
+        require(idx < files.length,
+          s"endpoint $endpoint: cursor $cn has ${files.length} endpoints")
+        val part = spark.read.parquet(files(idx).toString)
+          .orderBy("__pos").drop("__pos")
+        if (count.equalsIgnoreCase("ALL")) part else part.limit(count.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"unknown endpoint $endpoint (expected <cursor>_ep<n>)")
+    }
   }
 
   /** FETCH [FORWARD|NEXT] [n|ALL] FROM name. Bare FETCH = 1 row (PG).

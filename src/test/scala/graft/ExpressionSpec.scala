@@ -1581,6 +1581,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writable external format"))
   }
 
+  test("parallel retrieve cursor: endpoints enumerate, retrieve per slice") {
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
+    Tables.registerAll(spark, sf)
+    run("DECLARE pr_cur PARALLEL RETRIEVE CURSOR FOR " +
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+    // endpoint inventory: one READY endpoint per spool partition file
+    val eps = run("SELECT cursorname, endpointname, state FROM gp_endpoints" +
+      " WHERE cursorname = 'pr_cur' ORDER BY endpointname").collect()
+    assert(eps.nonEmpty && eps.forall(_.getString(2) == "READY"))
+    // draining every endpoint reassembles the full result exactly once
+    val total = eps.map { ep =>
+      run(s"RETRIEVE ALL FROM ENDPOINT '${ep.getString(1)}'").count()
+    }.sum
+    assert(total == spark.table("nation").count())
+    // a numeric retrieve pages within one endpoint slice
+    val page = run(s"RETRIEVE 3 FROM ENDPOINT '${eps.head.getString(1)}'")
+    assert(page.count() <= 3)
+    // FETCH still works on the same cursor (coordinator-side path)
+    assert(run("FETCH 2 FROM pr_cur").count() == 2)
+    run("CLOSE pr_cur")
+    // retrieve from a plain cursor rejects loudly
+    run("DECLARE plain_cur CURSOR FOR SELECT n_name FROM nation")
+    val e = intercept[IllegalArgumentException] {
+      run("RETRIEVE ALL FROM ENDPOINT 'plain_cur_ep0'")
+    }
+    assert(e.getMessage.contains("PARALLEL RETRIEVE"))
+    run("CLOSE plain_cur")
+  }
+
   test("xpath keeps PG argument order through the dialect") {
     def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
     // PG: xpath(path, xml) — path FIRST (xml.c:4243); swapped into
