@@ -108,4 +108,75 @@ class PropertySpec extends AnyFunSuite {
       assert(got == reach.toSet, s"edges=$edges")
     }
   }
+
+  test("heavyHitters ≡ exact group-count at the threshold") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(40,
+      Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "hot"))
+        .map(_.mkString(" ")))
+    for (docs <- samples(docGen, 3)) {
+      val df = docs.toDF("text").repartition(7) // candidates must survive
+      val den = 10L                             // any partitioning
+      val got = TextAnalysis.heavyHitters(df, "text", den)
+        .as[(String, Long)].collect().toMap
+      val toks = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * den >= toks.size }.toMap
+      assert(got == exact, s"den=$den n=${toks.size}")
+    }
+  }
+
+  test("corpus split is a partition-independent function of (seed, id)") {
+    import spark.implicits._
+    val ids = (0L until 300L).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Corpus.splitAssign(df, "doc_id", "s1",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .as[(Long, String)].collect().toMap
+    val a = assign(ids)
+    val b = assign(ids.repartition(13))
+    assert(a == b)
+    // every row gets a split and all three appear at these sizes
+    assert(a.size == 300 && a.values.toSet == Set("train", "val", "test"))
+    // the hash buckets are ~uniform: train must dominate at 80 %
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("corpus shuffle is a seed-stable permutation of 0 until n") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    def perm(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shuffle(df, "doc_id", "7").as[(Long, Long)].collect().toMap
+    val p1 = perm(ids)
+    val p2 = perm(ids.repartition(11))
+    graft.operators.KernelCaches.releaseAll()
+    assert(p1 == p2, "permutation must not depend on input partitioning")
+    assert(p1.values.toSeq.sorted == (0L until 200L),
+      "positions must be exactly 0 until n")
+    // a different seed is a different epoch order
+    val p3 = (0L until 200L).toDF("doc_id")
+    val other = Corpus.shuffle(p3, "doc_id", "8").as[(Long, Long)]
+      .collect().toMap
+    graft.operators.KernelCaches.releaseAll()
+    assert(other != p1)
+  }
+
+  test("svec dot ≡ dense dot over thresholded random vectors") {
+    import spark.implicits._
+    import graft.functions.SvecFunctions._
+    val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    for ((va, vb) <- samples(Gen.zip(vecGen, vecGen), 6)) {
+      val df = Seq((va, vb)).toDF("a", "b")
+      val (ai, av) = svecFromDense($"a", 0.3)
+      val (bi, bv) = svecFromDense($"b", 0.3)
+      val got = df.select(svecDot(ai, av, bi, bv)).head.getDouble(0)
+      val want = va.zip(vb).map { case (x, y) =>
+        val xd = if (math.abs(x.toDouble) > 0.3) x.toDouble else 0.0
+        val yd = if (math.abs(y.toDouble) > 0.3) y.toDouble else 0.0
+        xd * yd
+      }.foldLeft(0.0)(_ + _)
+      assert(got == want, s"a=$va b=$vb")
+    }
+  }
 }
