@@ -2383,8 +2383,29 @@ object GpSqlDialect {
     * (no read-time schema merging). Partition-granular at scale like
     * the other Dml rewrites. */
   private val AlterColumnRe =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+" +
-      "(?=(?:ADD|DROP|RENAME|ALTER)\\s+(?!PARTITION\\b))").r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(?:ONLY\\s+)?(\\w+)\\s+" +
+      "(?=(?:ADD|DROP|RENAME|ALTER|VALIDATE)\\s+(?!PARTITION\\b))").r
+
+  // ATExecAddConstraint / ATExecDropConstraint: CHECK constraints are
+  // validated against existing rows at ADD (NULL passes, per spec) and
+  // enforced on every later INSERT; PRIMARY KEY / UNIQUE / FOREIGN KEY /
+  // EXCLUDE lower as recorded no-ops (no index machinery), exactly the
+  // CREATE-level treatment — this is the `ALTER TABLE ONLY ... ADD
+  // CONSTRAINT` tail every pg_dump emits after the data load.
+  private val AddCheckConstraintRe =
+    ("(?is)^\\s*ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*" +
+      "\\((.+)\\)\\s*(?:NOT\\s+VALID\\s*)?$").r
+  private val AddKeyConstraintRe =
+    ("(?is)^\\s*ADD\\s+CONSTRAINT\\s+(\\w+)\\s+" +
+      "(?:PRIMARY\\s+KEY|UNIQUE|FOREIGN\\s+KEY|EXCLUDE)\\b.*$").r
+  private val DropConstraintRe =
+    "(?is)^\\s*DROP\\s+CONSTRAINT\\s+(?:IF\\s+EXISTS\\s+)?(\\w+).*$".r
+  private val ValidateConstraintRe =
+    "(?is)^\\s*VALIDATE\\s+CONSTRAINT\\s+(\\w+)\\s*$".r
+  /** (table, constraint name) -> CHECK expr, so DROP CONSTRAINT can
+    * retire the right check from the insert-time enforcement list. */
+  private val namedChecks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private val AddColRe =
     ("(?is)^\\s*ADD\\s+(?:COLUMN\\s+)?(\\w+)\\s+([\\w ()]+?)" +
@@ -2410,6 +2431,19 @@ object GpSqlDialect {
     val t = catalog(table)
     val df = spark.read.parquet(t.path)
     val next: Option[DataFrame] = action match {
+      case AddCheckConstraintRe(cname, chk) =>
+        // validate existing rows like ATExecAddConstraint (NULL passes)
+        val bad = df.filter(
+          !org.apache.spark.sql.functions.coalesce(
+            expr(chk), lit(true))).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"""check constraint "$cname" of relation "$table" is """ +
+            s"violated by $bad existing row(s)")
+        namedChecks.put((table, cname.toLowerCase), chk)
+        None
+      case AddKeyConstraintRe(_) => None // recorded no-op (no indexes)
+      case DropConstraintRe(_) => None   // handled in checksAfter below
+      case ValidateConstraintRe(_) => None // NOT VALID never tracked
       case AddColRe(name, sqlType, default) =>
         val d = Option(default).map(expr)
           .getOrElse(lit(null)).cast(toSparkType(sqlType.trim))
@@ -2447,7 +2481,19 @@ object GpSqlDialect {
           .getOrElse(t.defaults)
       case _ => t.defaults
     }
+    val checksAfter = action match {
+      case AddCheckConstraintRe(_, chk) => t.checks :+ chk
+      case DropConstraintRe(cname) =>
+        namedChecks.remove((table, cname.toLowerCase)) match {
+          case Some(chk) =>
+            val i = t.checks.indexOf(chk)
+            if (i < 0) t.checks else t.checks.patch(i, Nil, 1)
+          case None => t.checks // PK/UNIQUE/unnamed: nothing tracked
+        }
+      case _ => t.checks
+    }
     catalog.put(table, t.copy(schema = reloaded.schema, defaults = defaults,
+      checks = checksAfter,
       partitionCols = t.partitionCols.filter(
         reloaded.columns.map(_.toLowerCase).contains(_))))
     spark.emptyDataFrame

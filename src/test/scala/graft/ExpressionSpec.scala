@@ -1581,6 +1581,42 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writable external format"))
   }
 
+  test("ALTER TABLE ONLY ADD CONSTRAINT: the pg_dump tail executes") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_conref_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS conref")
+    // the exact shape pg_dump emits after the data load: keys as ALTER
+    // TABLE ONLY statements, checks enforced from ADD onward
+    val last = GpSqlDialect.executeScript(spark,
+      """CREATE TABLE conref (id int NOT NULL, ref int, amt double precision)
+        |  DISTRIBUTED BY (id);
+        |INSERT INTO conref VALUES (1, 1, 5.0), (2, 1, 7.5);
+        |ALTER TABLE ONLY conref
+        |  ADD CONSTRAINT conref_pkey PRIMARY KEY (id);
+        |ALTER TABLE ONLY conref
+        |  ADD CONSTRAINT conref_ref_fkey FOREIGN KEY (ref)
+        |  REFERENCES conref(id);
+        |ALTER TABLE conref ADD CONSTRAINT amt_pos CHECK (amt >= 0);
+        |SELECT count(*) AS n FROM conref""".stripMargin, base)
+    assert(last.head.getLong(0) == 2L)
+    // the added CHECK gates later inserts (NULL passes, per spec)
+    val e = intercept[Exception] {
+      run("INSERT INTO conref VALUES (3, 1, -4.0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("check"))
+    run("INSERT INTO conref VALUES (4, 1, NULL)")
+    // DROP CONSTRAINT retires exactly that check
+    run("ALTER TABLE conref DROP CONSTRAINT amt_pos")
+    run("INSERT INTO conref VALUES (5, 1, -4.0)")
+    assert(run("SELECT count(*) AS n FROM conref").head.getLong(0) == 4L)
+    // adding a CHECK that existing rows violate fails with the count
+    val v = intercept[IllegalStateException] {
+      run("ALTER TABLE conref ADD CONSTRAINT amt_pos2 CHECK (amt >= 0)")
+    }
+    assert(v.getMessage.contains("violated by 1 existing row"))
+    run("DROP TABLE conref")
+  }
+
   test("parallel retrieve cursor: endpoints enumerate, retrieve per slice") {
     def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
     Tables.registerAll(spark, sf)
