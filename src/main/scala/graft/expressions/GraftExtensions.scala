@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
       (exprs: Seq[Expression]) => PorterStemExpr(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("pii_scan"),
+      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
+      (exprs: Seq[Expression]) => PiiScanExpr(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("svec_dot"),
       new ExpressionInfo(classOf[SvecDotExpr].getName, "svec_dot"),
       (exprs: Seq[Expression]) =>

@@ -324,6 +324,10 @@ object PgFunctions {
       exprs => graft.expressions.PorterStemExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_scan",
+      exprs => graft.expressions.PiiScanExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "svec_dot",
       exprs => graft.expressions.SvecDotExpr(
         exprs(0), exprs(1), exprs(2), exprs(3)),

@@ -846,9 +846,17 @@ object PipelineQueries {
         lit("."), ($"doc_id" % 100).cast("string"),
         lit(" card 4111111111111"), format_string("%03d", $"doc_id" % 1000))
         .as("t"))
+      // one native plan node (expressions/PiiScanExpr) replaces the
+      // 8-regex-node spelling: bit-identical outputs, one expression
+      // eval per row; CSE keeps the struct computed once
+      val scan = call_function("pii_scan", $"t")
       withPii.select(
-        ($"doc_id" +: md5(TextAnalysis.redactPii($"t").cast("binary"))
-          .as("redacted_md5") +: TextAnalysis.piiCounts($"t")): _*)
+        $"doc_id",
+        md5(scan.getField("redacted").cast("binary")).as("redacted_md5"),
+        scan.getField("n_email").as("n_email"),
+        scan.getField("n_ip").as("n_ip"),
+        scan.getField("n_card").as("n_card"),
+        scan.getField("n_phone").as("n_phone"))
         .orderBy("doc_id")
     },
 
