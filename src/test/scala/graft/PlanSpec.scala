@@ -250,6 +250,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // the 100 TB lever GP spells as a hash-join prefilter: when a dim
+    // carries a selective predicate and the join must shuffle, Catalyst
+    // injects a bloom_filter_agg on the dim and a BloomFilterMightContain
+    // under the fact scan, so most fact rows die before the exchange.
+    // Local data is far below the size thresholds, so the test pins the
+    // at-scale settings explicitly; the default confs keep the same rule
+    // armed for genuinely large scans (SCALING.md knobs).
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = Tables.T(spark, sf)
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"expected an injected runtime bloom filter:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q_dedup_semantic: centroids broadcast, pairs meet on cluster id") {
     val p = plan("q_dedup_semantic")
     // the only nested-loop is the corpus × k-centroid broadcast
