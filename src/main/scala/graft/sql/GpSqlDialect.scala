@@ -429,6 +429,10 @@ object GpSqlDialect {
       refreshCatalogViews(spark)
       return spark.sql(rewriteCatalogNames(trimmed))
     }
+    if ("(?i)\\bgp_bloat_diag\\b".r.findFirstIn(trimmed).isDefined) {
+      refreshBloatView(spark)
+      return spark.sql(rewriteCatalogNames(trimmed))
+    }
     // gp_endpoints / gp_get_endpoints() (gp_parallel_retrieve_cursor):
     // rebuilt on demand from the live cursor spools
     if ("(?i)\\bgp_(?:get_)?endpoints\\b".r.findFirstIn(trimmed).isDefined) {
@@ -1896,6 +1900,53 @@ object GpSqlDialect {
         StructField("skcrelname", StringType),
         StructField("skccoeff", DoubleType))))
       .createOrReplaceTempView("gp_skew_coefficients")
+  }
+
+  /** gp_toolkit.gp_bloat_diag (gp_toolkit.sql: bloat diagnostics —
+    * there the dead-tuple/page estimate from pg_statistic; the parquet
+    * analogue of bloat is FILE FRAGMENTATION: many small files from
+    * incremental INSERT/UPDATE copy-on-write raise open/footer costs
+    * per scan task. Reports per catalog table the file count, bytes,
+    * average file size, and the same three-level advice the reference
+    * view renders; the fix is VACUUM (Dml.compact), as there. Pure
+    * filesystem metadata — no data scan. */
+  def refreshBloatView(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val targetBytes = 64L << 20 // compaction target: ≥64 MB avg files
+    val rows = catalog.values.toSeq.sortBy(_.name)
+      .filter(_.format != "csv")
+      .map { t =>
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = {
+          val it = fs.listFiles(p, true)
+          val b = List.newBuilder[Long]
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) b += f.getLen
+          }
+          b.result()
+        }
+        val n = files.length.toLong
+        val bytes = files.sum
+        val avg = if (n == 0) 0L else bytes / n
+        val diag =
+          if (n <= 1 || avg >= targetBytes) "no bloat detected"
+          else if (n >= 64 && avg < targetBytes / 8)
+            "significant amount of bloat suspected"
+          else "moderate amount of bloat suspected"
+        val (sch, base) = schemaOf(t.name)
+        Row(sch, base, n, bytes, avg, diag)
+      }
+    spark.createDataFrame(rows.asJava,
+      StructType(Seq(
+        StructField("bdinamespace", StringType),
+        StructField("bdirelname", StringType),
+        StructField("bdifiles", LongType),
+        StructField("bdibytes", LongType),
+        StructField("bdiavgbytes", LongType),
+        StructField("bdidiag", StringType))))
+      .createOrReplaceTempView("gp_bloat_diag")
   }
 
   /** Materialize the introspection views from the session catalog —

@@ -1581,6 +1581,24 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writable external format"))
   }
 
+  test("gp_bloat_diag flags fragmented tables; VACUUM clears it") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloat_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS bloaty")
+    run("CREATE TABLE bloaty (id int, v text) DISTRIBUTED BY (id)")
+    // 65 single-row inserts → ≥64 tiny files = significant fragmentation
+    (1 to 65).foreach(i => run(s"INSERT INTO bloaty VALUES ($i, 'x$i')"))
+    val d = run("SELECT bdifiles, bdidiag FROM gp_bloat_diag " +
+      "WHERE bdirelname = 'bloaty'").head
+    assert(d.getLong(0) >= 64 && d.getString(1).contains("significant"))
+    run("VACUUM bloaty")
+    val d2 = run("SELECT bdifiles, bdidiag FROM gp_bloat_diag " +
+      "WHERE bdirelname = 'bloaty'").head
+    assert(d2.getLong(0) < 64, s"compaction should merge files: $d2")
+    assert(run("SELECT count(*) AS n FROM bloaty").head.getLong(0) == 65L)
+    run("DROP TABLE bloaty")
+  }
+
   test("ALTER TABLE ONLY ADD CONSTRAINT: the pg_dump tail executes") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_conref_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
