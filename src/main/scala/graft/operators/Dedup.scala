@@ -485,4 +485,49 @@ object Dedup {
       crossSet.unionByName(withinSet).filter(col("jaccard") >= minJaccard),
       kernelCaches.toSeq: _*)
   }
+
+  // ---- duplicated-span removal (C4-style) ---------------------------
+
+  /** Remove duplicated spans of `spanWords` consecutive words across the
+    * corpus, keeping only the globally-first occurrence (lowest
+    * (doc_id, span index)) — the C4 "deduplicate repeated spans" rule
+    * re-expressed over fixed word windows, since the synthetic corpus has
+    * no sentence boundaries. Returns one row per doc:
+    * (doc_id, clean_text, kept_spans, dropped_spans).
+    *
+    * Scale design: one explode pass (doc → spans, built inside the
+    * projection so the word array is never shuffled per span), then a
+    * groupBy(span) computing the global owner as min(struct(doc, idx)).
+    * The owner aggregate has map-side partial aggregation, so a
+    * boilerplate span duplicated millions of times ("click here to…")
+    * collapses to one row per map partition BEFORE the shuffle — the
+    * reason this is an agg+join and not the single-shuffle window
+    * row_number() formulation, which would gather every instance of a
+    * hot span into one partition. The join back on span is an equi-join
+    * against the (distinct-span) owner side; AQE handles residual skew.
+    * Reassembly is one groupBy(doc) with an ordered in-row sort. Total
+    * shuffle volume is O(corpus text), never O(pairs). */
+  def dedupSpans(
+      docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 10): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
+    val spanArr = transform(sequence(lit(0), nSpans - 1),
+      i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords))))
+    val spans = docs.select(col(idCol).as("doc_id"),
+      posexplode(spanArr).as(Seq("idx", "span")))
+    val owner = spans.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    spans.join(owner, "span")
+      .withColumn("kept", struct(col("doc_id"), col("idx")) === col("first"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          when(col("kept"), struct(col("idx"), col("span"))))).as("ks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped_spans"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ks"), s => s("span"))).as("clean_text"),
+        col("kept_spans"), col("dropped_spans"))
+  }
 }

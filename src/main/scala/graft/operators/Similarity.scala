@@ -142,6 +142,52 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** kNN-graph construction: for EVERY corpus vector, its k approximate
+    * nearest neighbors — the both-sides-large ANN self-join behind
+    * SemDeDup-style semantic clustering. Unlike [[lshTopKMulti]] (small
+    * broadcastable query set), here the query side IS the corpus, so the
+    * design must survive both sides at 100 TB:
+    *   - buckets AND the l2 norm are computed ONCE per row into a cached
+    *     projection that both join sides read (norms are the expensive
+    *     per-pair term in lshTopKMulti's spelling — precomputing them
+    *     makes the per-candidate work a single native dot);
+    *   - candidate generation is T bucket equi-joins (explode over table
+    *     slices of one native sign-bit evaluation), a plain shuffle join
+    *     when neither side broadcasts;
+    *   - (src,dst) candidate dedup across tables is a partial-aggregated
+    *     groupBy, then a per-src window top-k.
+    * The caches are registered with [[graft.operators.KernelCaches]] and
+    * released by the driver after the consuming action. */
+  def knnGraph(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int, tables: Int, dim: Int): DataFrame = {
+    val bits = tables * planes
+    require(bits <= 62, s"tables*planes = $bits exceeds a long's sign bits")
+    val full = lshBucket(col(vecCol), bits, dim)
+    val tableBuckets = array((0 until tables).map { t =>
+      shiftrightunsigned(full, t * planes)
+        .bitwiseAND(lit((1L << planes) - 1)) + lit(t.toLong << 32)
+    }: _*)
+    val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sqrt(graft.expressions.DotFExpr.dotf(col(vecCol), col(vecCol)))
+        .as("nrm"),
+      explode(tableBuckets).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = indexed.select(col("bucket"), col("id").as("src"),
+      col("vec").as("v_a"), col("nrm").as("n_a"))
+    val b = indexed.select(col("bucket"), col("id").as("dst"),
+      col("vec").as("v_b"), col("nrm").as("n_b"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (graft.expressions.DotFExpr.dotf(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b"))).as("cos"))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    KernelCaches.register(indexed)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroid vectors, search only the query's `nProbe` nearest cells.
     * Centroids are a FIXED-COUNT deterministic sample: the sampling

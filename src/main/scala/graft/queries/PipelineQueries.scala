@@ -1409,6 +1409,74 @@ object PipelineQueries {
         tables = 4, dim = 64)
         .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
         .orderBy("q_id", "rk")
+    },
+
+    // kNN-graph construction: every corpus vector gets its k approximate
+    // nearest neighbors — the both-sides-large ANN self-join behind
+    // SemDeDup-style clustering (no broadcastable side at 100 TB). The
+    // oracle replicates the multi-table sign buckets, unions the per-table
+    // bucket equi-joins into a distinct pair set, and scores each pair
+    // once — the same dataflow Similarity.knnGraph runs.
+    Q("q_ann_knn_graph", Some {
+      val planes = 6
+      val tables = 4
+      def bucketSql(t: Int) = (0 until planes).map { p =>
+        val w = (0 until 64).map(d => Similarity.planeWeight(t * planes + p, d))
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1,65),
+           |  i -> CAST(e.embedding[i] AS DOUBLE) * ($w)[i])) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      val bCols = (0 until tables).map(t => s"${bucketSql(t)} AS b$t")
+        .mkString(",\n")
+      val unions = (0 until tables).map { t =>
+        s"""SELECT q.vec_id AS src, c.vec_id AS dst
+           |FROM b q JOIN b c ON q.b$t = c.b$t AND q.vec_id <> c.vec_id"""
+          .stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH b AS (SELECT e.vec_id, e.embedding, $bCols
+         |  FROM embeddings e),
+         |pairs AS ($unions),
+         |cand AS (SELECT p.src, p.dst,
+         |    ${oCos("qv.embedding", "cv.embedding")} AS raw
+         |  FROM pairs p JOIN embeddings qv ON qv.vec_id = p.src
+         |    JOIN embeddings cv ON cv.vec_id = p.dst),
+         |r AS (SELECT src, dst, raw,
+         |    row_number() OVER (PARTITION BY src ORDER BY raw DESC, dst) AS rk
+         |  FROM cand)
+         |SELECT src, dst, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY src, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Similarity.knnGraph(Tables.T(s, dir).embeddings,
+        "vec_id", "embedding", k = 3, planes = 6, tables = 4, dim = 64)
+        .select($"src", $"dst", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("src", "rk")
+    },
+
+    // C4-style duplicated-span removal: spans of 3 consecutive words that
+    // repeat anywhere in the corpus survive only at their globally-first
+    // occurrence (min (doc_id, idx)); docs are reassembled in span order.
+    Q("q_dedup_spans", Some(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, ws,
+        |  unnest(range(0, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS idx FROM w),
+        |s AS (SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        |  array_to_string(list_slice(ws, CAST(idx*3+1 AS BIGINT),
+        |    CAST(idx*3+3 AS BIGINT)), ' ') AS span FROM s0),
+        |m AS (SELECT doc_id, idx, span,
+        |  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+        |    ORDER BY idx), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_spans,
+        |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_spans
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.dedupSpans(Tables.T(s, dir).documents, "text", "doc_id",
+        spanWords = 3)
+        .orderBy("doc_id")
     }
   )
 }
