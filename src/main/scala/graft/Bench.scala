@@ -69,6 +69,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // Truncation guard (verdict r5 #4): the driver captures only the
+    // TAIL of stdout, and the full per-query line above is one huge JSON
+    // blob — both r4/r5 artifacts lost everything before ~"q_setop".
+    // Emit a compact headline LAST so a tail-only capture always retains
+    // the total, count, and the slowest queries.
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val f = new java.text.DecimalFormat("0.###")
+    println(s"""{"metric":"summary","total_s":${f.format(total)},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

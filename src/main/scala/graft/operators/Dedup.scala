@@ -514,11 +514,15 @@ object Dedup {
     val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
     val spanArr = transform(sequence(lit(0), nSpans - 1),
       i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords))))
+    // posexplode_outer + left join: a NULL-text document survives with
+    // empty clean_text and zero span counts instead of silently vanishing
+    // from the output (its single null-span row never matches the
+    // equi-join, so `kept` stays null and both counters stay 0).
     val spans = docs.select(col(idCol).as("doc_id"),
-      posexplode(spanArr).as(Seq("idx", "span")))
-    val owner = spans.groupBy(col("span"))
+      posexplode_outer(spanArr).as(Seq("idx", "span")))
+    val owner = spans.filter(col("span").isNotNull).groupBy(col("span"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    spans.join(owner, "span")
+    spans.join(owner, Seq("span"), "left")
       .withColumn("kept", struct(col("doc_id"), col("idx")) === col("first"))
       .groupBy("doc_id")
       .agg(

@@ -49,7 +49,10 @@ object Dml {
       fs.rename(new Path(old), new Path(path)) // roll back
       throw new java.io.IOException(s"rename $tmp -> $path failed")
     }
-    fs.delete(new Path(old), true)
+    // CDC-enabled tables keep the displaced pre-image (one rename, zero
+    // rows copied) for Cdc.changes(); everyone else drops it
+    if (!Cdc.retainPreImage(spark, path, old))
+      fs.delete(new Path(old), true)
   }
 
   /** DELETE FROM path WHERE cond (SQL semantics: rows where cond is
@@ -208,7 +211,8 @@ object Dml {
         fs.rename(new Path(old), new Path(path))
         throw new java.io.IOException(s"rename $tmp -> $path failed")
       }
-      fs.delete(new Path(old), true)
+      if (!Cdc.retainPreImage(spark, path, old))
+        fs.delete(new Path(old), true)
     } else {
       val affected = df.filter(coalesce(cond, lit(false)))
         .select(col(partitionCol).cast("string")).distinct()

@@ -168,15 +168,20 @@ object Similarity {
       shiftrightunsigned(full, t * planes)
         .bitwiseAND(lit((1L << planes) - 1)) + lit(t.toLong << 32)
     }: _*)
+    // Persist BEFORE exploding the per-table buckets: the cache holds
+    // exactly one copy of (vec, nrm, bucket-array) per corpus row; each
+    // join side explodes its own read of the cached projection. A
+    // post-explode persist would store every vector `tables`× — a 4×
+    // cache at the 100 TB target for zero benefit.
     val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sqrt(graft.expressions.DotFExpr.dotf(col(vecCol), col(vecCol)))
         .as("nrm"),
-      explode(tableBuckets).as("bucket"))
+      tableBuckets.as("buckets"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = indexed.select(col("bucket"), col("id").as("src"),
-      col("vec").as("v_a"), col("nrm").as("n_a"))
-    val b = indexed.select(col("bucket"), col("id").as("dst"),
-      col("vec").as("v_b"), col("nrm").as("n_b"))
+    val a = indexed.select(explode(col("buckets")).as("bucket"),
+      col("id").as("src"), col("vec").as("v_a"), col("nrm").as("n_a"))
+    val b = indexed.select(explode(col("buckets")).as("bucket"),
+      col("id").as("dst"), col("vec").as("v_b"), col("nrm").as("n_b"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),

@@ -1242,8 +1242,8 @@ object FunctionQueries {
       """SELECT n_nationkey,
         |  n_name AS name,
         |  CAST(n_regionkey AS BIGINT) AS rk,
-        |  [CAST(n_nationkey AS VARCHAR), CAST(n_nationkey * 2 AS VARCHAR)]
-        |    AS ids,
+        |  CAST(n_nationkey AS VARCHAR) || ',' ||
+        |    CAST(n_nationkey * 2 AS VARCHAR) AS ids,
         |  true AS has_ids,
         |  CAST(n_nationkey AS DOUBLE) / 2 AS halfkey
         |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
@@ -1260,7 +1260,10 @@ object FunctionQueries {
         $"n_nationkey",
         xpathString("/n/name", doc).as("name"),
         xpathLong("/n/rk", doc).as("rk"),
-        xpath("/n/ids/i/text()", doc).as("ids"),
+        // array output flattened to a joined string: the driver's
+        // pandas harness cannot sort array-typed columns (same fix as
+        // q_fn_geometric in r4)
+        array_join(xpath("/n/ids/i/text()", doc), ",").as("ids"),
         xpathExists("/n/ids", doc).as("has_ids"),
         xpathDouble("/n/hk", doc).as("halfkey"))
         .orderBy("n_nationkey")

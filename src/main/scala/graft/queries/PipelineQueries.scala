@@ -1467,13 +1467,18 @@ object PipelineQueries {
         |    CAST(idx*3+3 AS BIGINT)), ' ') AS span FROM s0),
         |m AS (SELECT doc_id, idx, span,
         |  row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
-        |  FROM s)
-        |SELECT doc_id,
+        |  FROM s),
+        |g AS (SELECT doc_id,
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
         |    ORDER BY idx), '') AS clean_text,
         |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_spans,
         |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_spans
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+        |FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+        |  coalesce(g.kept_spans, 0) AS kept_spans,
+        |  coalesce(g.dropped_spans, 0) AS dropped_spans
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
       Dedup.dedupSpans(Tables.T(s, dir).documents, "text", "doc_id",
         spanWords = 3)
         .orderBy("doc_id")

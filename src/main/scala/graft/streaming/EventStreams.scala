@@ -142,7 +142,44 @@ object EventStreams {
     * FOUR stores per partition, so 32 partitions means 128 providers for
     * ~40k buffered rows. On a real cluster you size this to state volume,
     * exactly like sizing shuffle partitions to data volume. */
-  private val streamStatePartitions = "8"
+  private val streamStatePartitions = "4"
+
+  /** Scratch root for one-shot demo checkpoints + file-sink output.
+    * HDFSBackedStateStore commits a delta file per partition per
+    * micro-batch and the file sink keeps a compaction log — dozens of
+    * small fsync-ed writes per query whose latency is pure disk overhead
+    * on the local harness. tmpfs (/dev/shm) makes those writes
+    * memory-speed; on a real cluster the checkpoint goes to HDFS/S3 and
+    * this constant is amortized over real batch volume. Falls back to
+    * java.io.tmpdir where /dev/shm is absent/read-only. */
+  private val scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  /** One scratch dir per query name, replaced (and the previous run's
+    * files deleted) on each invocation so a bench's warm-up + 2 timed
+    * runs never accrete state in tmpfs; a shutdown hook removes the
+    * final generation. The previous dir is safe to delete at that point:
+    * its consuming action has already run (the next invocation IS the
+    * re-run). */
+  private val liveDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+  sys.addShutdownHook { liveDirs.values.foreach(deleteRec) }
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+  private def scratchDir(name: String): String = {
+    val fresh = java.nio.file.Files
+      .createTempDirectory(scratchRoot, s"graft_$name")
+    liveDirs.put(name, fresh).foreach(deleteRec)
+    fresh.toString
+  }
 
   private def withStreamConf[A](spark: SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -176,6 +213,7 @@ object EventStreams {
       spark: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = withStreamConf(spark) {
     val q = agg.writeStream.outputMode(mode)
+      .option("checkpointLocation", s"${scratchDir(name)}/ckpt")
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
@@ -191,8 +229,7 @@ object EventStreams {
   def runToParquet(
       spark: SparkSession, stream: DataFrame, name: String): DataFrame =
     withStreamConf(spark) {
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft_$name").toString
+      val out = scratchDir(name)
       val q = stream.writeStream.outputMode("append")
         .format("parquet")
         .option("path", s"$out/data")

@@ -498,6 +498,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(rankedDisc == bufferedDisc)
   }
 
+  test("Cdc.changes captures insert/update/delete per statement") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc")
+      .toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v").write.parquet(dir)
+    Cdc.enable(dir)
+    // statement 1: UPDATE — one changed row, old/new pair
+    Dml.updateWhere(spark, dir, Map("v" -> (col("v") * 2)),
+      col("id") === 2)
+    val d1 = Cdc.changes(spark, dir, Seq("id")).collect()
+    assert(d1.length == 1)
+    assert(d1.head.getAs[String]("op") == "update")
+    assert(d1.head.getAs[Row]("old_row").getAs[Double]("v") == 20.0)
+    assert(d1.head.getAs[Row]("new_row").getAs[Double]("v") == 40.0)
+    // statement 2: MERGE — insert id=4, update id=1; id=3 written back
+    // unchanged and filtered by the null-safe struct compare
+    val src = Seq((1L, "a", 11.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    Dml.mergeInto(spark, dir, src, "id")
+    val d2 = Cdc.changes(spark, dir, Seq("id")).orderBy("id")
+      .select($"id", $"op").as[(Long, String)].collect().toSeq
+    assert(d2 == Seq((1L, "update"), (4L, "insert")))
+    // statement 3: DELETE — captured as op=delete with null new_row
+    Dml.deleteWhere(spark, dir, col("id") === 2)
+    val d3 = Cdc.changes(spark, dir, Seq("id")).collect()
+    assert(d3.length == 1 && d3.head.getAs[String]("op") == "delete")
+    assert(d3.head.getAs[Row]("new_row") == null)
+    // DROP TRIGGER analogue: capture gone, changes() rejects loudly
+    Cdc.disable(spark, dir)
+    intercept[IllegalArgumentException](Cdc.changes(spark, dir, Seq("id")))
+  }
+
   test("Multimodal.featurize round-trips payload sizes") {
     import spark.implicits._
     val docs = Seq((7L, "hello", "src0")).toDF("doc_id", "text", "source")
