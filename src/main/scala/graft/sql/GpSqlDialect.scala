@@ -750,10 +750,10 @@ object GpSqlDialect {
     val m = CreateFunctionRe.findFirstMatchIn(gpSql).getOrElse(
       throw new IllegalArgumentException(s"cannot parse CREATE FUNCTION: $gpSql"))
     val name = m.group(1).toLowerCase
-    val params = splitTopLevelCommas(m.group(2)).map { p =>
+    val params = splitTopLevelCommas(m.group(2)).map(_.trim).map { p =>
       val sp = p.indexWhere(_.isWhitespace)
       if (sp < 0) p else p.substring(0, sp)
-    }
+    }.filter(_.nonEmpty) // zero-arg: `()` must yield no params, not [""]
     val body = m.group(3).trim.stripSuffix(";").trim
     val SelectExpr = "(?is)^SELECT\\s+(.*)$".r
     val (stored, scalar) = body match {
@@ -826,6 +826,10 @@ object GpSqlDialect {
     ("(?is)^\\s*IF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;" +
       "(\\s*ELSIF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;)*" +
       "(\\s*ELSE\\s+RETURN\\s+.+?;)?\\s*END\\s+IF\\s*;?\\s*$").r
+  // tier 4: FOR <var> IN <select> LOOP <body> END LOOP [; RETURN <e>]
+  private val PlForRe =
+    ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s+(.+?)" +
+      "\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
 
   def executeCreatePlpgsql(spark: SparkSession, gpSql: String): DataFrame = {
     val m = CreatePlpgsqlRe.findFirstMatchIn(gpSql).getOrElse(
@@ -833,10 +837,10 @@ object GpSqlDialect {
         s"cannot parse CREATE FUNCTION ... LANGUAGE plpgsql: $gpSql"))
     val name = m.group(1).toLowerCase
     deferredPlpgsql.remove(name) // OR REPLACE with a supported body heals
-    val params = splitTopLevelCommas(m.group(2)).map { p =>
+    val params = splitTopLevelCommas(m.group(2)).map(_.trim).map { p =>
       val sp = p.indexWhere(_.isWhitespace)
       if (sp < 0) p else p.substring(0, sp)
-    }
+    }.filter(_.nonEmpty) // zero-arg: `()` must yield no params, not [""]
     val (declsRaw, stmts) = m.group(4).trim match {
       case PlBodyRe(d, s) => (Option(d).getOrElse(""), s.trim)
       case other =>
@@ -912,10 +916,92 @@ object GpSqlDialect {
           .replaceAll("(?is);?\\s*END\\s+IF\\s*;?\\s*$", " END")
         sqlFunctions(name) =
           SqlFunction(params, subst(env)(caseExpr), scalarExpr = true)
+      // tier 4 (verdict r5 #5): FOR-over-query loops that reduce to a
+      // join/aggregate (pl_exec.c exec_stmt_fors) — the most common
+      // remaining dump pattern. Two shapes lower:
+      //   a. `FOR r IN sel LOOP RETURN NEXT r; END LOOP` — the loop IS
+      //      the query: registers a table function (≡ RETURN QUERY);
+      //   b. accumulator bodies — any sequence of `acc := acc + e;` and
+      //      `IF c THEN acc := acc + e; END IF;` over a declared-with-
+      //      initializer acc, with a terminal `RETURN expr`: each acc
+      //      lowers to `init + coalesce(sum(...),0)` over the loop query
+      //      as a scalar subquery (the row-at-a-time loop IS an
+      //      aggregate — exactly what a planner-minded rewrite of
+      //      procedural ETL does). Anything else still defers loudly.
+      case PlForRe(loopVar, sel0, body, ret) =>
+        lowerPlpgsqlFor(name, params, subst(env), env,
+          loopVar, sel0, body, Option(ret))
       case other =>
         deferredPlpgsql(name) = firstStatement(other)
     }
     spark.emptyDataFrame
+  }
+
+  /** Tier-4 FOR-loop lowering (see executeCreatePlpgsql). Registers the
+    * function on success; records a deferral reason otherwise. */
+  private def lowerPlpgsqlFor(
+      name: String, params: Seq[String], subst: String => String,
+      env: Map[String, String], loopVar: String, sel0: String,
+      body: String, ret: Option[String]): Unit = {
+    val sel = subst(sel0)
+    val lv = java.util.regex.Pattern.quote(loopVar)
+    // r.field → field: inside the lowered aggregate the loop variable's
+    // record IS the query row
+    def deref(e: String): String =
+      s"(?i)(?<![\\w.])$lv\\.".r.replaceAllIn(e, "")
+    val ReturnNextRe =
+      s"(?is)^\\s*RETURN\\s+NEXT\\s+$lv\\s*;?\\s*$$".r
+    if (ReturnNextRe.findFirstIn(body).isDefined) {
+      if (ret.isEmpty)
+        sqlFunctions(name) = SqlFunction(params, sel, scalarExpr = false)
+      else deferredPlpgsql(name) = firstStatement(s"RETURN ${ret.get}")
+      return
+    }
+    val GuardedAcc = ("(?is)^IF\\s+(.+?)\\s+THEN\\s+(\\w+)\\s*:=\\s*" +
+      "\\2\\s*\\+\\s*(.+?)\\s*;\\s*END\\s+IF\\s*;?\\s*(.*)$").r
+    val PlainAcc =
+      "(?is)^(\\w+)\\s*:=\\s*\\1\\s*\\+\\s*([^;]+?)\\s*(?:;\\s*(.*))?$".r
+    // acc → aggregate terms over the loop query (order preserved)
+    var terms = Vector.empty[(String, String)] // (acc, sum argument)
+    var rest = body.trim
+    var ok = true
+    while (ok && rest.nonEmpty) {
+      rest match {
+        case GuardedAcc(cond, acc, e, more) =>
+          terms :+= (acc.toLowerCase ->
+            s"CASE WHEN ${deref(cond)} THEN (${deref(e)}) ELSE 0 END")
+          rest = more.trim
+        case PlainAcc(acc, e, more) =>
+          terms :+= (acc.toLowerCase -> s"(${deref(e)})")
+          rest = Option(more).getOrElse("").trim
+        case _ => ok = false
+      }
+    }
+    if (!ok || terms.isEmpty || ret.isEmpty) {
+      deferredPlpgsql(name) =
+        firstStatement(if (ok && ret.isEmpty) "FOR ... END LOOP" else rest)
+      return
+    }
+    val missing = terms.map(_._1).distinct.filterNot(env.contains)
+    if (missing.nonEmpty) {
+      // PG: an uninitialized acc is NULL and the loop accumulates NULL —
+      // inlining with a 0 default would silently change that
+      deferredPlpgsql(name) =
+        s"accumulator ${missing.head} has no initializer"
+      return
+    }
+    val accEnv = terms.groupBy(_._1).map { case (acc, ts) =>
+      val sums = ts
+        .map { case (_, arg) => s"coalesce(sum($arg), 0)" }
+        .mkString(" + ")
+      acc -> s"(SELECT (${env(acc)}) + $sums FROM ($sel) __loop)"
+    }
+    var out = ret.get
+    accEnv.foreach { case (acc, repl) =>
+      out = s"(?i)(?<![\\w.])$acc(?![\\w.(])".r
+        .replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    sqlFunctions(name) = SqlFunction(params, subst(out), scalarExpr = true)
   }
 
   /** First statement of a plpgsql block, truncated — the recorded "why". */
@@ -955,7 +1041,9 @@ object GpSqlDialect {
             out ++= cur.substring(pos, open + 1)
             pos = open + 1
           } else {
-            val args = splitTopLevelCommas(cur.substring(open + 1, close))
+            val rawArgs = splitTopLevelCommas(cur.substring(open + 1, close))
+            val args = // `f()`: no args, not one blank arg
+              if (rawArgs.forall(_.trim.isEmpty)) Seq.empty else rawArgs
             require(args.length == fn.params.length,
               s"$name() expects ${fn.params.length} args, got ${args.length}")
             // one simultaneous pass: args containing other parameter names

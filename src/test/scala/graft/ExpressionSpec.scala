@@ -269,6 +269,84 @@ class ExpressionSpec extends AnyFunSuite {
       .exists(_.contains("WHILE")))
   }
 
+  test("plpgsql tier 4: FOR-over-query loops lower to aggregates") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    Tables.registerAll(spark, sf)
+    // accumulator loop → init + coalesce(sum(...),0) scalar subquery
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nation_total() RETURNS BIGINT AS $$
+        |DECLARE total BIGINT := 0;
+        |BEGIN
+        |  FOR r IN SELECT n_nationkey FROM nation LOOP
+        |    total := total + r.n_nationkey;
+        |  END LOOP;
+        |  RETURN total;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val t = GpSqlDialect.execute(spark,
+      "SELECT nation_total() AS v", "/tmp/never").head.getLong(0)
+    val exp = spark.table("nation").agg(fsum("n_nationkey"))
+      .head.getLong(0)
+    assert(t == exp)
+    // guarded + plain accumulators over one loop, parameterized RETURN:
+    // IF-guard → sum(CASE WHEN ...), both accs independent subqueries
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION keyspersegment(cut INT) RETURNS DOUBLE AS $$
+        |DECLARE cnt INT := 0;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  FOR r IN SELECT n_nationkey, n_regionkey FROM nation LOOP
+        |    IF r.n_regionkey >= cut THEN cnt := cnt + 1; END IF;
+        |    tot := tot + r.n_nationkey;
+        |  END LOOP;
+        |  RETURN tot / (cnt + 1);
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val k = GpSqlDialect.execute(spark,
+      "SELECT keyspersegment(3) AS v", "/tmp/never").head.getDouble(0)
+    import spark.implicits._
+    val n = spark.table("nation")
+    val expCnt = n.filter($"n_regionkey" >= 3).count()
+    val expTot = n.agg(fsum("n_nationkey")).head.getLong(0)
+    assert(math.abs(k - expTot.toDouble / (expCnt + 1)) < 1e-9)
+    // RETURN NEXT over the loop → table function (≡ RETURN QUERY)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION region_names() RETURNS TABLE(r_name STRING) AS $$
+        |BEGIN
+        |  FOR r IN SELECT r_name FROM region LOOP
+        |    RETURN NEXT r;
+        |  END LOOP;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val rn = GpSqlDialect.execute(spark,
+      "SELECT * FROM region_names() ORDER BY r_name", "/tmp/never")
+      .collect().map(_.getString(0))
+    assert(rn.length == 5 && rn.sorted.sameElements(rn))
+    // a loop body that is NOT an accumulator chain still defers loudly
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION for_dml(n INT) RETURNS INT AS $$
+        |BEGIN
+        |  FOR r IN SELECT 1 AS one LOOP
+        |    UPDATE tt SET x = r.one;
+        |  END LOOP;
+        |  RETURN n;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("for_dml")
+      .exists(_.contains("UPDATE")))
+    // an uninitialized accumulator (NULL in PG) must not inline as 0
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION null_acc() RETURNS INT AS $$
+        |DECLARE tot INT;
+        |BEGIN
+        |  FOR r IN SELECT 1 AS one LOOP tot := tot + r.one; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("null_acc")
+      .exists(_.contains("initializer")))
+  }
+
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_spec"
     // the shape of a real dump preamble: DDL + index + grants + comments

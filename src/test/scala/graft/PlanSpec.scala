@@ -228,6 +228,59 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ANALYZE stats drive cost-based join ORDER, not just broadcast") {
+    import graft.sql.GpSqlDialect
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    graft.plans.AnalyzedStats.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_reord").toString
+    // big ⋈ mid on a (est. 200k·50k/1000 = 10M rows) vs big ⋈ tiny on b
+    // (est. 200k·10/500 = 4k rows): the written order leads with the
+    // expensive pair; only NDV-driven cardinality estimates can tell
+    spark.range(200000L)
+      .selectExpr("id % 1000 AS a", "id % 500 AS b", "id AS v")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/big")
+    spark.range(50000L).selectExpr("id % 1000 AS a", "id AS mv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/mid")
+    spark.range(10L).selectExpr("id AS b", "id AS sv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tiny")
+    Seq("big", "mid", "tiny").foreach { t =>
+      spark.read.parquet(s"$dir/$t").createOrReplaceTempView(s"reord_$t")
+    }
+    def q = spark.sql(
+      """SELECT count(*) AS n FROM reord_big b
+        |JOIN reord_mid m ON b.a = m.a
+        |JOIN reord_tiny t ON b.b = t.b""".stripMargin)
+    def deepestJoinPaths: Set[String] = {
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size == 2, s"expected a 2-join tree:\n${q.queryExecution.optimizedPlan}")
+      joins.last.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }.toSet
+    }
+    try {
+      // without stats CostBasedJoinReorder skips (no rowCounts): the
+      // deepest join is the pair as written — big ⋈ mid
+      val before = deepestJoinPaths
+      assert(before.exists(_.endsWith("/mid")) && !before.exists(_.endsWith("/tiny")),
+        s"pre-stats join order should follow the query text: $before")
+      val expected = q.head.getLong(0)
+      Seq("reord_big", "reord_mid", "reord_tiny")
+        .foreach(GpSqlDialect.executeAnalyze(spark, _))
+      // with rowCount+NDV on every side, the DP reorder leads with the
+      // selective tiny join — costsize.c's join-ordering role, not just
+      // the broadcast-threshold flip
+      val after = deepestJoinPaths
+      assert(after.exists(_.endsWith("/tiny")),
+        s"post-ANALYZE the selective join must run first: $after")
+      assert(q.head.getLong(0) == expected, "reorder changed the result")
+    } finally graft.plans.AnalyzedStats.clear()
+  }
+
   test("q_agg_percentile_user: the window's hash exchange serves the final agg too") {
     val p = plan("q_agg_percentile_user")
     assert(p.contains("Window"), p)
