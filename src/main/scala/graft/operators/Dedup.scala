@@ -192,6 +192,99 @@ object Dedup {
       groups, sigs)
   }
 
+  // ---- incremental (cross-corpus) MinHash dedup --------------------
+
+  /** Reusable MinHash LSH index over a corpus: one row per (distinct
+    * token set) × band, carrying the 60-bit-long signature and the band
+    * key. The production shape for CONTINUOUS ingest: build (or load)
+    * the index of the kept corpus once, then screen every incoming
+    * batch against it with [[dedupIncremental]] — the index is
+    * distinct-sets × bands rows (≪ corpus text) and is exactly what
+    * you'd persist to parquet between batches instead of re-signing
+    * 100 TB per crawl. Same signature/banding spelling as
+    * [[minhashCandidates]], so estimates agree across the two kernels. */
+  def minhashIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val withFp = df.select(
+      conv(substring(TextAnalysis.bowFingerprint(col(textCol)), 1, 15),
+        16, 10).cast("long").as("fp"),
+      TextAnalysis.tokenSet(col(textCol)).as("ts"))
+    val sets = withFp.groupBy("fp").agg(first(col("ts")).as("ts"))
+    val sigs = sets.select(col("fp"), explode(col("ts")).as("tok"))
+      .select(col("fp"), col("tok"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .groupBy("fp", "i")
+      .agg(min(conv(substring(
+          md5(concat(col("i"), lit(":"), col("tok")).cast("binary")), 1, 15),
+        16, 10).cast("long")).as("mh"))
+      .groupBy("fp")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")).as("sig"))
+    val bandKeyArr = array((0 until bands).map { bnd =>
+      xxhash64((lit(bnd) +: (1 to rowsPerBand).map(r =>
+        element_at(col("sig"), bnd * rowsPerBand + r))): _*)
+    }: _*)
+    sigs.select(col("fp"), col("sig"),
+      posexplode(bandKeyArr).as(Seq("band", "band_key")))
+  }
+
+  /** Incremental dedup: admit only the `newDocs` that are NOT a
+    * near-duplicate (estimated Jaccard ≥ `minEstJaccard`) of anything
+    * in `refIndex` (a [[minhashIndex]] of the kept corpus). Returns the
+    * admitted rows of `newDocs` unchanged.
+    *
+    * Scale design: candidate generation is ONE equi-join of the new
+    * batch's banded sets against the reference index on (band,
+    * band_key) — never doc×doc; the admit decision is a left-anti join
+    * on the set fingerprint (duplicate-matched fps need no distinct
+    * pass — anti join tolerates them). Identical cross-corpus sets need
+    * no separate exact path: equal sets have equal signatures, hence
+    * equal band keys and estimate 1.0. Documents with an EMPTY token
+    * set produce no signature rows and are always admitted (no content
+    * to match). `maxBucketSize` drops over-cap reference buckets
+    * (boilerplate shards) from matching with the drop logged — the
+    * [[minhashCandidates]] contract: bounded bucket work, logged recall
+    * trade. */
+  def dedupIncremental(
+      newDocs: DataFrame, refIndex: DataFrame, textCol: String,
+      idCol: String, k: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val ref = maxBucketSize match {
+      case None => refIndex
+      case Some(cap) =>
+        val sized = refIndex.join(
+          refIndex.groupBy("band", "band_key")
+            .agg(count(lit(1)).as("__bsz")),
+          Seq("band", "band_key"))
+        val dropped = sized.filter(col("__bsz") > cap)
+          .select(countDistinct(col("band"), col("band_key")))
+          .first().getLong(0)
+        if (dropped > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"dedupIncremental: dropped $dropped ref band buckets " +
+              s"over cap=$cap")
+        sized.filter(col("__bsz") <= cap).drop("__bsz")
+    }
+    val withFp = newDocs.select(col(idCol).as("id"),
+      conv(substring(TextAnalysis.bowFingerprint(col(textCol)), 1, 15),
+        16, 10).cast("long").as("fp"))
+    val newBanded = minhashIndex(newDocs, textCol, idCol, k, bands)
+    val matchedFp = newBanded
+      .select(col("fp"), col("sig").as("sig_n"), col("band"), col("band_key"))
+      .join(ref.select(col("sig").as("sig_r"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(graft.expressions.ArrEqCountExpr
+        .arrEqCount(col("sig_n"), col("sig_r"))
+        .cast("double") / k >= minEstJaccard)
+      .select(col("fp"))
+    val admitted = withFp.join(matchedFp, Seq("fp"), "left_anti")
+      .select(col("id").as("__adm_id"))
+    newDocs.join(admitted, col(idCol) === col("__adm_id"), "left_semi")
+  }
+
   // ---- SimHash -----------------------------------------------------
 
   /** 32-bit SimHash over distinct tokens: token hash = first 8 md5 hex

@@ -289,6 +289,59 @@ object TextAnalysis {
         (floor(total * 1e6 + 0.5) / 1e6).as("bm25"))
   }
 
+  /** Exact all-pairs TF-IDF cosine similarity via an inverted-index
+    * join — the embedding-free textual-similarity complement to the
+    * dense ANN kernels ([[graft.operators.Similarity]]) and the exact
+    * token-SET Jaccard PPJoin ([[Dedup.jaccardPairs]]): weighted
+    * multiset similarity (tf × idf), the classic sparse-vector
+    * workload (reference analogue: gpcontrib/gp_sparse_vector was
+    * built for exactly this).
+    *
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive); weights
+    * w = tf·idf; sim(a,b) = Σ_t w_a w_b / (‖a‖‖b‖); pairs with
+    * sim ≥ minSim emit.
+    *
+    * Scale design: candidates come from the token postings equi-join —
+    * never doc×doc — and the pair dot-product aggregate has map-side
+    * partials on (id_a, id_b). `maxDf` is MANDATORY because it is the
+    * work bound: a token in f documents contributes f² candidate rows,
+    * so un-capped stop words are quadratic in corpus size; tokens over
+    * the cap are excluded from vectors AND norms (a consistent
+    * truncated vocabulary, not a biased dot product) and the distinct
+    * dropped-token count is logged — the no-silent-caps contract. N
+    * and the drop count are the only driver scalars (catalog-scale).
+    * At 100 TB add the PPJoin prefix filter for aggressive thresholds;
+    * this kernel is the exact-similarity workhorse below it. */
+  def tfidfCosinePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      minSim: Double, maxDf: Long): DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val droppedToks = dfreq.filter(col("df") > maxDf).count()
+    if (droppedToks > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"tfidfCosinePairs: $droppedToks tokens over df cap " +
+          s"$maxDf excluded from the vocabulary")
+    val w = tf.join(dfreq.filter(col("df") <= maxDf), Seq("tok"))
+      .select(col("id"), col("tok"),
+        (col("tf") * (log(lit(n + 1.0) / (col("df") + lit(1.0))) + 1))
+          .as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wa = w.select(col("tok"), col("id").as("id_a"), col("w").as("w_a"))
+    val wb = w.select(col("tok"), col("id").as("id_b"), col("w").as("w_b"))
+    wa.join(wb, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("n_a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot") / (col("n_a") * col("n_b"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Heavy hitters: every token with global frequency ≥ 1/supportDen of
     * all tokens, with EXACT counts — never a full-vocabulary shuffle.
     *

@@ -412,6 +412,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Exact all-pairs TF-IDF cosine over the inverted-index join —
+    // weighted multiset similarity between every document pair sharing
+    // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops
+    // the boilerplate vocabulary (work bound: f docs per token → f²
+    // candidate rows), threshold 0.8 keeps the near-dup band; round(4)
+    // absorbs engine-specific fp summation order.
+    Q("q_text_tfidf", Some(
+      s"""WITH tf AS (SELECT doc_id, t2 AS tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS t2 FROM documents)
+         |  GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= 400),
+         |w AS (SELECT doc_id, tf.tok,
+         |    tf * (ln((n.n + 1.0) / (df + 1.0)) + 1) AS w
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+         |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(dot / (na.nrm * nb.nrm), 4) AS sim
+         |FROM dots JOIN nrm na ON na.doc_id = id_a
+         |          JOIN nrm nb ON nb.doc_id = id_b
+         |WHERE dot / (na.nrm * nb.nrm) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.tfidfCosinePairs(
+        Tables.T(s, dir).documents, "text", "doc_id",
+        minSim = 0.8, maxDf = 400)
+        .select($"id_a", $"id_b", round($"sim", 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Okapi BM25 retrieval ranking (the reference's ts_rank slot,
     // utils/adt/tsrank.c, re-imagined as the standard idf-weighted,
     // length-normalized scorer). Postings are filtered to the query's
@@ -922,6 +957,43 @@ object PipelineQueries {
         Dedup.minhashCandidates(
           Tables.T(s, dir).documents, "text", "doc_id",
           k = 16, bands = 4, minEstJaccard = 0.5)
+    },
+
+    // Incremental (cross-corpus) dedup: odd doc_ids are the incoming
+    // batch, even doc_ids the kept corpus; a new doc is admitted iff no
+    // reference doc shares an LSH band with estimated Jaccard >= 0.9.
+    // The production continuous-ingest shape: the reference side is a
+    // reusable Dedup.minhashIndex (distinct-sets x bands, persistable
+    // between batches), candidates come from ONE band equi-join, and
+    // the admit decision is a fingerprint anti-join — never doc x doc.
+    Q("q_dedup_incremental", Some(
+      s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),
+         |sig AS (SELECT doc_id, list_transform(range(0,16),
+         |    i -> list_aggregate(list_transform(ts,
+         |      t2 -> md5(i::VARCHAR || ':' || t2)), 'min')) AS s FROM t),
+         |bands AS (SELECT doc_id, b,
+         |    md5(array_to_string(s[b*4+1:b*4+4], '|')) AS bk
+         |  FROM sig, generate_series(0, 3) g(b)),
+         |m AS (SELECT DISTINCT n.doc_id AS nid
+         |  FROM bands n JOIN bands r ON n.b = r.b AND n.bk = r.bk
+         |   AND n.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+         |  JOIN sig sa ON sa.doc_id = n.doc_id
+         |  JOIN sig sb ON sb.doc_id = r.doc_id
+         |  WHERE len(list_filter(range(1,17), i -> sa.s[i] = sb.s[i]))
+         |    / 16.0 >= 0.9)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM m)
+         |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      val refIdx = Dedup.minhashIndex(
+        docs.filter($"doc_id" % 2 === 0), "text", "doc_id",
+        k = 16, bands = 4)
+      Dedup.dedupIncremental(
+        docs.filter($"doc_id" % 2 === 1), refIdx, "text", "doc_id",
+        k = 16, bands = 4, minEstJaccard = 0.9)
+        .select($"doc_id")
+        .orderBy("doc_id")
     },
 
     // SimHash near-dup pairs (32-bit signature, hamming ≤ 6).

@@ -808,7 +808,8 @@ object GpSqlDialect {
         throw new UnsupportedOperationException(
           s"function $name is LANGUAGE plpgsql with a body graft cannot " +
             s"inline (first unsupported statement: $why); only assignment " +
-            "chains ending in RETURN or IF/ELSIF/ELSE-RETURN execute")
+            "chains ending in RETURN / IF-RETURN ladders / RETURN QUERY / " +
+            "accumulator FOR loops execute")
     }
     deferredAggregates.foreach { case (name, why) =>
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
@@ -830,6 +831,10 @@ object GpSqlDialect {
   private val PlForRe =
     ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s+(.+?)" +
       "\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
+  // tier 4b: integer range loop — FOR <var> IN <lo>..<hi> LOOP ...
+  private val PlForRangeRe =
+    ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(.+?)\\s*\\.\\.\\s*(.+?)\\s+LOOP" +
+      "\\s+(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
 
   def executeCreatePlpgsql(spark: SparkSession, gpSql: String): DataFrame = {
     val m = CreatePlpgsqlRe.findFirstMatchIn(gpSql).getOrElse(
@@ -931,6 +936,14 @@ object GpSqlDialect {
       case PlForRe(loopVar, sel0, body, ret) =>
         lowerPlpgsqlFor(name, params, subst(env), env,
           loopVar, sel0, body, Option(ret))
+      // integer range loop (exec_stmt_fori): the loop domain is a
+      // sequence() derived table, the same accumulator lowering applies
+      // (the loop variable is the row, referenced bare)
+      case PlForRangeRe(loopVar, lo, hi, body, ret) =>
+        val seqSel = s"SELECT explode(sequence(CAST(($lo) AS BIGINT), " +
+          s"CAST(($hi) AS BIGINT))) AS $loopVar"
+        lowerPlpgsqlFor(name, params, subst(env), env,
+          loopVar, seqSel, body, Option(ret))
       case other =>
         deferredPlpgsql(name) = firstStatement(other)
     }

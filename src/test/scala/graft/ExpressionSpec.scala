@@ -220,17 +220,21 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT * FROM top_nations(3) ORDER BY n_name", "/tmp/never")
       .collect().map(_.getString(0))
     assert(names.length == 3 && names.sorted.sameElements(names))
-    // tier 3: a loop body — CREATE is accepted and recorded (pg_dump's
-    // check_function_bodies=off contract), CALLING raises with the reason
+    // tier 3: a non-reducible loop body — CREATE is accepted and
+    // recorded (pg_dump's check_function_bodies=off contract), CALLING
+    // raises with the reason (the FOR itself now parses — tier 4 — so
+    // the recorded reason is the PERFORM the loop body dies on)
     GpSqlDialect.execute(spark,
       """CREATE FUNCTION looper(n INT) RETURNS INT AS $$
         |BEGIN FOR i IN 1..n LOOP PERFORM 1; END LOOP; RETURN n; END
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
-    assert(GpSqlDialect.plpgsqlRejection("looper").exists(_.contains("FOR")))
+    assert(GpSqlDialect.plpgsqlRejection("looper")
+      .exists(_.contains("PERFORM")))
     val e = intercept[UnsupportedOperationException] {
       GpSqlDialect.execute(spark, "SELECT looper(3) AS x", "/tmp/never")
     }
-    assert(e.getMessage.contains("looper") && e.getMessage.contains("FOR"))
+    assert(e.getMessage.contains("looper") &&
+      e.getMessage.contains("PERFORM"))
     // tier 2b: a chain of `v := expr` assignments folds sequentially —
     // each RHS sees prior bindings, so self-reassignment composes —
     // and the terminal may be a plain RETURN or an IF ladder
@@ -322,6 +326,18 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT * FROM region_names() ORDER BY r_name", "/tmp/never")
       .collect().map(_.getString(0))
     assert(rn.length == 5 && rn.sorted.sameElements(rn))
+    // integer range loop (exec_stmt_fori): domain = sequence() derived
+    // table, loop var referenced bare inside the accumulator
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION sum_squares(n INT) RETURNS BIGINT AS $$
+        |DECLARE tot BIGINT := 0;
+        |BEGIN
+        |  FOR i IN 1..n LOOP tot := tot + i * i; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT sum_squares(4) AS v", "/tmp/never").head.getLong(0) == 30L)
     // a loop body that is NOT an accumulator chain still defers loudly
     GpSqlDialect.execute(spark,
       """CREATE FUNCTION for_dml(n INT) RETURNS INT AS $$

@@ -498,6 +498,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(rankedDisc == bufferedDisc)
   }
 
+  test("dedupIncremental screens near-dups of the reference, admits fresh docs") {
+    import spark.implicits._
+    val ref = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "entirely different reference material about databases")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // word-order shuffle of ref 10 → identical token set, est 1.0
+      (20L, "quick brown fox jumps over the lazy dog tonight the"),
+      // fresh content, shares nothing rare with ref
+      (21L, "completely novel subject matter regarding astronomy stars"),
+      // empty text: no signature rows — always admitted
+      (22L, "")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(ref, "text", "doc_id", k = 16, bands = 4)
+    val admitted = Dedup.dedupIncremental(
+      batch, idx, "text", "doc_id", k = 16, bands = 4,
+      minEstJaccard = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(21L, 22L))
+    // reference bucket cap: capping every bucket away disables matching
+    // (recall trade is explicit + logged), everything admits
+    val all = Dedup.dedupIncremental(
+      batch, idx, "text", "doc_id", k = 16, bands = 4,
+      minEstJaccard = 0.5, maxBucketSize = Some(0))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(20L, 21L, 22L))
+  }
+
+  test("tfidfCosinePairs: identical docs score 1.0, df cap drops stop words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),          // identical → sim 1.0
+      (3L, "epsilon zeta eta theta"),          // disjoint from 1/2
+      (4L, "alpha beta unrelated words here")  // partial overlap
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfCosinePairs(
+      docs, "text", "doc_id", minSim = 0.05, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 4L)) > 0 && pairs((1L, 4L)) < 1.0)
+    // cap at df <= 1 removes every shared token: no pairs at all
+    val capped = TextAnalysis.tfidfCosinePairs(
+      docs, "text", "doc_id", minSim = 0.05, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+
   test("Cdc.changes captures insert/update/delete per statement") {
     import spark.implicits._
     import org.apache.spark.sql.Row
