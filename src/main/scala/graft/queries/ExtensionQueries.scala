@@ -121,6 +121,52 @@ object ExtensionQueries {
         .orderBy($"click_id", $"p_id".asc_nulls_first)
     },
 
+    // Stream-stream FULL OUTER join: both sides emit null-padded rows
+    // once the watermark closes them — unmatched clicks at click_ts +
+    // 1 h (no later purchase can land in the window), unmatched
+    // purchases at p_ts (a matching click must precede it). The compare
+    // region is therefore TWO-SIDED: matched/unmatched clicks inside
+    // the click cutoff, purchase-only rows inside the (later) purchase
+    // cutoff; beyond them a streaming engine cannot yet have emitted
+    // nulls, so batch and stream legitimately differ.
+    Q("q_stream_join_full", Some(
+      """WITH b AS (SELECT least(
+        |    max(CASE WHEN event_type = 'click' THEN ts END),
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END)) AS mx
+        |  FROM events),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT click_id, p_id,
+        |    coalesce(c_user, p_user) AS user_id, click_ts, p_ts, value
+        |  FROM c FULL JOIN p ON c_user = p_user
+        |   AND p_ts > click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR)
+        |SELECT click_id, p_id, user_id, click_ts, p_ts, value
+        |FROM j, b
+        |WHERE (click_ts IS NOT NULL
+        |       AND click_ts <= mx - INTERVAL 125 MINUTE)
+        |   OR (click_ts IS NULL AND p_ts <= mx - INTERVAL 65 MINUTE)
+        |ORDER BY click_id NULLS FIRST, p_id NULLS FIRST""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val joined = EventStreams.clickPurchaseFullJoin(
+          EventStreams.readEvents(s, dir), "1 HOUR")
+        val mx = Tables.load(s, dir, "events")
+          .agg(least(
+            max(when($"event_type" === "click", $"ts")),
+            max(when($"event_type" === "purchase", $"ts"))).as("m"))
+          .head.getTimestamp(0)
+        val cutC = new java.sql.Timestamp(mx.getTime - 125 * 60 * 1000L)
+        val cutP = new java.sql.Timestamp(mx.getTime - 65 * 60 * 1000L)
+        EventStreams.runToParquet(s, joined, "stream_join_full")
+          .filter(($"click_ts".isNotNull && $"click_ts" <= lit(cutC)) ||
+            ($"click_ts".isNull && $"p_ts" <= lit(cutP)))
+          .select($"click_id", $"p_id", $"user_id", $"click_ts", $"p_ts",
+            $"value")
+          .orderBy($"click_id".asc_nulls_first, $"p_id".asc_nulls_first)
+    },
+
     // Stream-static enrichment join — THE production streaming shape:
     // the event stream joins a static dimension (customer) read fresh
     // per micro-batch; no watermark needed (the static side is not

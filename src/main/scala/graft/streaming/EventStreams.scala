@@ -133,6 +133,34 @@ object EventStreams {
         col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** Full-outer variant: unmatched rows from BOTH sides emit
+    * null-padded once the watermark proves no partner can arrive — an
+    * unmatched click closes when the watermark passes click_ts +
+    * `within` (no later purchase can satisfy p_ts ≤ click_ts+within),
+    * an unmatched purchase when it passes p_ts (a matching click needs
+    * click_ts < p_ts). Consumers therefore see two closed regions, one
+    * per side; the one-shot harness compares each against the batch
+    * full join on exactly those regions. Same bounded state as the
+    * inner join. */
+  def clickPurchaseFullJoin(events: DataFrame, within: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      "fullOuter")
+      .select(col("click_id"), col("p_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_ts"), col("p_ts"), col("value"))
+  }
+
   /** State-store partition count for the one-shot demo streams. The
     * stateful-operator partitioning is fixed per checkpoint at first run
     * (spark.sql.shuffle.partitions at plan time); these demos use fresh

@@ -331,6 +331,27 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q_dedup_incremental: batch meets reference only through equi-joins") {
+    val p = plan("q_dedup_incremental")
+    // candidates = band equi-join, admit = fingerprint anti-join; a
+    // nested-loop anywhere would mean batch×corpus materialized
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must never go doc×doc:\n$p")
+    assert(p.contains("LeftAnti"), s"admit decision must be an anti-join:\n$p")
+  }
+
+  test("q_text_tfidf: postings equi-join with partial pair aggregation") {
+    val p = plan("q_text_tfidf")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tf-idf pairs must come from the token postings join:\n$p")
+    // the pair dot-product aggregate must combine map-side
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"pair aggregate should have a partial phase:\n$p")
+  }
+
   test("q_dedup_semantic: centroids broadcast, pairs meet on cluster id") {
     val p = plan("q_dedup_semantic")
     // the only nested-loop is the corpus × k-centroid broadcast
