@@ -261,6 +261,24 @@ object Similarity {
     cents
   }
 
+  /** Element-wise mean embedding per group — chunk→document pooling,
+    * per-class prototypes, cluster summaries. Same dimension-keyed
+    * shuffle as [[kmeansCentroids]]'s update step: posexplode →
+    * groupBy (group, dim) with map-side partial sums, so the shuffled
+    * key space is groups·dim — independent of corpus size — and no
+    * group's vectors ever gather on one node as whole arrays. Returns
+    * (grp, centroid: array&lt;double&gt;). */
+  def meanPool(
+      emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("grp", "dim")
+      .agg((sum(col("x")) / count(lit(1))).as("m"))
+      .groupBy("grp")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
   /** IVF search against an explicit centroid codebook (e.g. from
     * [[kmeansCentroids]]); the index/probe dataflow is the same
     * assign → equi-join on cell → score as [[ivfTopK]]. */

@@ -289,6 +289,108 @@ object TextAnalysis {
         (floor(total * 1e6 + 0.5) / 1e6).as("bm25"))
   }
 
+  /** Gopher-style document quality rule bundle (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Appendix A — public
+    * filtering heuristics): per-document pass/fail flags for
+    *   - word count in [minWords, maxWords];
+    *   - mean word length in [3, 10];
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1;
+    *   - ≥ 80 % of words contain an alphabetic character;
+    *   - ≥ 2 distinct required English stopwords present
+    * plus the conjunction as `keep`. Emitting the individual flags
+    * (not just the verdict) is deliberate: corpus curation audits
+    * WHICH rule fired. Everything is a map-only codegen expression —
+    * a pure scan stage at 100 TB, no shuffle, no UDF. */
+  def gopherRules(
+      df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      requiredStops: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStops: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // sum/n (not avg) so the oracle's arithmetic is operand-identical
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val mwl = sumLen.cast("double") / n
+    val symbols = regexp_count(col(textCol), lit("#")) +
+      regexp_count(col(textCol), lit("\\.\\.\\."))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val stopHits = requiredStops
+      .map(s => array_contains(toks, s).cast("int"))
+      .reduce(_ + _)
+    df.select(col(idCol), n.as("n_words"),
+        (n >= minWords && n <= maxWords).as("r_words"),
+        (mwl >= 3.0 && mwl <= 10.0).as("r_mwl"),
+        (symbols.cast("double") / n <= 0.1).as("r_symbol"),
+        (alphaWords.cast("double") / n >= 0.8).as("r_alpha"),
+        (stopHits >= minStops).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_mwl") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+  }
+
+  /** Vocabulary coverage curve: for each requested coverage share p,
+    * the smallest frequency-ranked vocabulary size whose cumulative
+    * token mass reaches p — the sizing curve a tokenizer-training run
+    * reads off the corpus. One token-frequency aggregate over the
+    * corpus (map-side combined), then rank + running mass over the
+    * VOCABULARY via the distributed two-pass prefix scheme
+    * ([[Packing]] / [[SequenceOps.assignIds]] pattern): range-sort by
+    * (cnt desc, tok), in-partition running totals, per-partition
+    * totals to the driver (one row per partition — catalog-scale),
+    * broadcast bases back. NOT a global window: at 100 TB the distinct
+    * vocabulary is itself ~1e8 rows, and a single-partition
+    * rank/cumsum over it would serialize. Ties broken by token for
+    * determinism. */
+  def vocabCoverage(
+      df: DataFrame, textCol: String, shares: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val freq = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val parts = math.max(freq.rdd.getNumPartitions, 1)
+    val sorted = freq
+      .repartitionByRange(parts, col("cnt").desc, col("tok"))
+      .sortWithinPartitions(col("cnt").desc, col("tok"))
+      .select(col("cnt"))
+    val localSchema = StructType(Seq(
+      StructField("pid", IntegerType, false),
+      StructField("local_rank", LongType, false),
+      StructField("local_cum", LongType, false)))
+    val localRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = 0L
+      var cum = 0L
+      it.map { r => rank += 1; cum += r.getLong(0); Row(pid, rank, cum) }
+    }
+    val local = spark.createDataFrame(localRdd, localSchema).cache()
+    KernelCaches.register(local)
+    val totals = local.groupBy("pid")
+      .agg(max("local_rank").as("nr"), max("local_cum").as("tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var rBase = 0L
+    var cBase = 0L
+    val bases = totals.map { case (pid, nr, tot) =>
+      val row = Row(pid, rBase, cBase); rBase += nr; cBase += tot; row
+    }
+    val total = cBase
+    val baseDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bases.toSeq, 1),
+      StructType(Seq(StructField("pid", IntegerType, false),
+        StructField("rbase", LongType, false),
+        StructField("cbase", LongType, false))))
+    val ranked = local.join(broadcast(baseDf), "pid")
+      .select((col("rbase") + col("local_rank")).as("rank"),
+        (col("cbase") + col("local_cum")).as("cum"))
+    shares.map { p =>
+      val need = math.ceil(p * total).toLong // first rank with cum ≥ ⌈p·N⌉
+      ranked.filter(col("cum") >= need)
+        .agg(min(col("rank")).as("vocab_size"))
+        .select(lit(p).as("share"), col("vocab_size"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact all-pairs TF-IDF cosine similarity via an inverted-index
     * join — the embedding-free textual-similarity complement to the
     * dense ANN kernels ([[graft.operators.Similarity]]) and the exact

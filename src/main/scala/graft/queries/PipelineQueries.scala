@@ -412,6 +412,81 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style quality rule bundle (Rae et al. 2021 App. A): the
+    // published heuristic filters as per-doc pass/fail flags plus the
+    // conjunction — curation audits WHICH rule fired, so flags are
+    // first-class output. All map-only codegen; identical arithmetic
+    // spelled on both sides (sum/n, not avg).
+    Q("q_text_gopher", Some(
+      s"""WITH t AS (SELECT doc_id, $toks AS toks, text FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n,
+         |  list_sum(list_transform(toks, t2 -> len(t2))) * 1.0
+         |    / len(toks) AS mwl,
+         |  (len(regexp_extract_all(text, '#')) +
+         |   len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+         |    / len(toks) AS symr,
+         |  len(list_filter(toks, t2 -> regexp_matches(t2, '[a-zA-Z]')))
+         |    * 1.0 / len(toks) AS alphar,
+         |  len(list_filter(['the', 'a'],
+         |    s2 -> list_contains(toks, s2))) AS stops
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS INT) AS n_words,
+         |  n BETWEEN 50 AND 100000 AS r_words,
+         |  mwl BETWEEN 3.0 AND 10.0 AS r_mwl,
+         |  symr <= 0.1 AS r_symbol,
+         |  alphar >= 0.8 AS r_alpha,
+         |  stops >= 2 AS r_stop,
+         |  (n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         |    AND symr <= 0.1 AND alphar >= 0.8 AND stops >= 2 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      // stopword list adapted to the synthetic corpus vocabulary (the
+      // Gopher English defaults never occur in the fixture templates)
+      TextAnalysis.gopherRules(Tables.T(s, dir).documents, "text", "doc_id",
+        requiredStops = Seq("the", "a"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary coverage curve: smallest frequency-ranked vocab whose
+    // cumulative token mass reaches each share — the tokenizer-sizing
+    // read. The rank/cumsum runs on the distributed two-pass prefix
+    // scheme over the VOCABULARY (per-partition totals are the only
+    // driver rows), never a single-partition window.
+    Q("q_text_vocab", Some(
+      s"""WITH f AS (SELECT tok, count(*) AS cnt
+         |  FROM (SELECT unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1),
+         |r AS (SELECT
+         |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+         |    sum(cnt) OVER (ORDER BY cnt DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM f),
+         |t AS (SELECT sum(cnt) AS total FROM f)
+         |SELECT CAST(p AS DOUBLE) AS share,
+         |  CAST(min(rank) AS BIGINT) AS vocab_size
+         |FROM r, t, (VALUES (0.5), (0.9), (0.95), (0.99)) v(p)
+         |WHERE cum >= ceil(p * total)
+         |GROUP BY p ORDER BY share""".stripMargin)) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.T(s, dir).documents, "text",
+        Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy("share")
+    },
+
+    // Per-label mean-pooled embeddings (chunk→doc pooling / class
+    // prototypes): dimension-keyed aggregation, flattened to (label,
+    // dim, mean) rows for the harness; round(4) absorbs fp summation
+    // order across engines.
+    Q("q_embed_pool", Some(
+      """SELECT label, CAST(g.i - 1 AS INT) AS dim,
+        |  round(sum(embedding[g.i]) / count(*), 4) AS m
+        |FROM embeddings, generate_series(1, 64) g(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Similarity.meanPool(Tables.T(s, dir).embeddings, "label", "embedding")
+        .select($"grp".as("label"), posexplode($"centroid").as(Seq("dim", "m")))
+        .select($"label", $"dim", round($"m", 4).as("m"))
+        .orderBy("label", "dim")
+    },
+
     // Exact all-pairs TF-IDF cosine over the inverted-index join —
     // weighted multiset similarity between every document pair sharing
     // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops

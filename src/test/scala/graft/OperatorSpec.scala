@@ -548,6 +548,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("vocabCoverage: two-pass prefix ranks match hand-computed curve") {
+    import spark.implicits._
+    // freq: a=3, b=2, c=1; total 6. share .5 → need 3 → rank 1;
+    // share .9 → need ⌈5.4⌉=6 → rank 3 (ties broken by token)
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val curve = TextAnalysis.vocabCoverage(docs, "text", Seq(0.5, 0.9))
+      .as[(Double, Long)].collect().toMap
+    assert(curve(0.5) == 1L && curve(0.9) == 3L)
+  }
+
   test("Cdc.changes captures insert/update/delete per statement") {
     import spark.implicits._
     import org.apache.spark.sql.Row
