@@ -162,6 +162,72 @@ class PropertySpec extends AnyFunSuite {
     assert(other != p1)
   }
 
+  test("dedupIncremental: empty reference admits all, self-reference none") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(8,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+      .map(_.mkString(" "))
+    val docs = samples(wordGen, 12).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val emptyRef = Dedup.minhashIndex(
+      docs.filter(lit(false)), "text", "doc_id")
+    assert(Dedup.dedupIncremental(docs, emptyRef, "text", "doc_id")
+      .count() == docs.count())
+    // every doc matches itself in the self-index with estimate 1.0
+    val selfRef = Dedup.minhashIndex(docs, "text", "doc_id")
+    assert(Dedup.dedupIncremental(docs, selfRef, "text", "doc_id")
+      .count() == 0)
+  }
+
+  test("tfidfCosinePairs ≡ brute-force cosine on a small corpus") {
+    import spark.implicits._
+    val wordGen = Gen.listOfN(6,
+      Gen.oneOf("red", "blue", "green", "gold", "gray"))
+      .map(_.mkString(" "))
+    val raw = samples(wordGen, 8).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = raw.toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(
+      docs, "text", "doc_id", minSim = 0.0, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute force: same tf-idf weighting computed in plain Scala
+    val n = raw.size
+    val tfs = raw.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) =>
+        k -> v.length.toDouble }
+    }.toMap
+    val dfm = tfs.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    def wvec(id: Long): Map[String, Double] = tfs(id).map { case (t, f) =>
+      t -> f * (math.log((n + 1.0) / (dfm(t) + 1.0)) + 1.0)
+    }
+    for (a <- raw.map(_._1); b <- raw.map(_._1) if a < b) {
+      val (wa, wb) = (wvec(a), wvec(b))
+      val dot = wa.keySet.intersect(wb.keySet).toSeq
+        .map(t => wa(t) * wb(t)).sum
+      if (dot > 0) {
+        val sim = dot / (math.sqrt(wa.values.map(x => x * x).sum) *
+          math.sqrt(wb.values.map(x => x * x).sum))
+        assert(math.abs(got((a, b)) - sim) < 1e-9, s"pair ($a,$b)")
+      } else assert(!got.contains((a, b)))
+    }
+  }
+
+  test("meanPool of identical vectors is the vector itself") {
+    import spark.implicits._
+    val v = Array(1.0f, -2.5f, 0.25f, 4.0f)
+    val emb = Seq((1, v), (1, v), (1, v), (2, v.map(_ * 2)))
+      .toDF("label", "embedding")
+    val pooled = Similarity.meanPool(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    assert(pooled(1).zip(v).forall { case (m, x) =>
+      math.abs(m - x) < 1e-9 })
+    assert(pooled(2).zip(v).forall { case (m, x) =>
+      math.abs(m - 2.0 * x) < 1e-9 })
+  }
+
   test("svec dot ≡ dense dot over thresholded random vectors") {
     import spark.implicits._
     import graft.functions.SvecFunctions._
