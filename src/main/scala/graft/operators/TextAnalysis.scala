@@ -289,6 +289,48 @@ object TextAnalysis {
         (floor(total * 1e6 + 0.5) / 1e6).as("bm25"))
   }
 
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020:
+    * filter web text by LM perplexity; the KenLM role, reduced to an
+    * exact bigram model trainable in-engine): train Laplace-smoothed
+    * bigram probabilities on `train`, score each `score` document by
+    * its mean bigram log-probability —
+    *   lp(w1,w2) = ln((c(w1,w2)+α) / (c(w1·)+α·V))
+    * with V = train's distinct-token vocabulary. Low scores = text
+    * unlike the reference corpus (the curation signal).
+    *
+    * Scale: the model is vocabulary-scale (bigram + context counts —
+    * map-side combined aggregates), scoring is a postings-style
+    * equi-join of the doc bigram stream against the model (left joins:
+    * unseen bigrams/contexts take the smoothing floor), and the only
+    * driver scalar is V. Train ≠ score is the production shape (score
+    * each crawl against the kept corpus' model). */
+  def bigramLogProb(
+      train: DataFrame, score: DataFrame, textCol: String,
+      idCol: String, alpha: Double = 1.0): DataFrame = {
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = tokens(col(textCol))
+      val len = greatest(size(toks) - 1, lit(0))
+      val bg = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (x, y) => struct(x.as("w1"), y.as("w2")))
+      df.select((cols :+ explode(bg).as("bg")): _*)
+        .select((cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2")): _*)
+    }
+    val tb = bigramsOf(train)
+    val c12 = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = train.select(explode(tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+    bigramsOf(score, col(idCol))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select(col(idCol),
+        log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * v)).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")) / count(lit(1))).as("avg_lp"))
+  }
+
   /** Gopher-style document quality rule bundle (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", Appendix A — public
     * filtering heuristics): per-document pass/fail flags for

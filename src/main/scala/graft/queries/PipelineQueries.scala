@@ -446,6 +446,45 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style LM quality scoring: Laplace bigram model trained on
+    // the even-id half of the corpus, odd-id docs scored by mean bigram
+    // log-probability — the perplexity-filter signal. Unseen bigrams /
+    // contexts take the smoothing floor via left joins; round(4)
+    // absorbs engine fp summation order.
+    Q("q_text_lmscore", Some(
+      s"""WITH tr AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM tr),
+         |tb2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM tb),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb2 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM tb2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |  FROM (SELECT unnest(toks) AS t FROM tr)),
+         |sc AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |sb AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM sc),
+         |sb2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM sb),
+         |lp AS (SELECT doc_id,
+         |    ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + 1.0 * v))
+         |      AS lp
+         |  FROM sb2 LEFT JOIN c12 USING (w1, w2)
+         |           LEFT JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(sum(lp) / count(*), 4) AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        val docs = Tables.T(s, dir).documents
+        TextAnalysis.bigramLogProb(
+          docs.filter($"doc_id" % 2 === 0),
+          docs.filter($"doc_id" % 2 === 1),
+          "text", "doc_id", alpha = 1.0)
+          .select($"doc_id", $"n_bigrams", round($"avg_lp", 4).as("avg_lp"))
+          .orderBy("doc_id")
+    },
+
     // Vocabulary coverage curve: smallest frequency-ranked vocab whose
     // cumulative token mass reaches each share — the tokenizer-sizing
     // read. The rank/cumsum runs on the distributed two-pass prefix
