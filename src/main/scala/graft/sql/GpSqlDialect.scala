@@ -1643,7 +1643,9 @@ object GpSqlDialect {
   def executeAnalyze(spark: SparkSession, table: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val df = catalog.get(table.toLowerCase) match {
-      case Some(t) if t.format != "csv" => spark.read.parquet(t.path)
+      case Some(t) if t.format == "parquet" => spark.read.parquet(t.path)
+      case Some(t) if t.format != "csv" => // json/orc need declared schema
+        spark.read.schema(t.schema).format(t.format).load(t.path)
       case _ => spark.table(table)
     }
     val cols = df.schema.fields.filter(f => f.dataType match {
@@ -3665,9 +3667,11 @@ object GpSqlDialect {
         distributed, t.path, mode = "append")
       distributed
     } else {
+      // parquet (managed default) plus the writable-external PXF set
+      // (json/orc) — Spark's native writers, one code path
       val w = distributed.write.mode("append")
       (if (t.partitionCols.nonEmpty) w.partitionBy(t.partitionCols: _*) else w)
-        .parquet(t.path)
+        .format(t.format).save(t.path)
       refreshView(spark, t)
     }
   }
@@ -3678,7 +3682,7 @@ object GpSqlDialect {
     val back = spark.read.schema(
       StructType(t.schema.filterNot(f => t.partitionCols.contains(f.name)) ++
         t.schema.filter(f => t.partitionCols.contains(f.name))))
-      .parquet(t.path)
+      .format(t.format).load(t.path)
       .select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
     back.createOrReplaceTempView(t.name)
     back
@@ -3722,13 +3726,16 @@ object GpSqlDialect {
     val rejectLimit = "(?is)\\bSEGMENT\\s+REJECT\\s+LIMIT\\s+(\\d+)".r
       .findFirstMatchIn(gpSql).map(_.group(1).toInt).getOrElse(0)
     if (writable) {
-      // writable routing understands csv and parquet sinks (the INSERT
-      // path appends with the recorded format); json/orc export goes
-      // through COPY TO instead
-      require(fmt != "JSON" && fmt != "ORC",
-        s"writable external format $fmt not bound (use CSV or PARQUET)")
+      // writable routing: INSERT appends with the recorded format —
+      // CSV/TEXT via the gpfdist-style text writer, PARQUET/JSON/ORC
+      // via Spark's native writers (r6: json/orc export no longer
+      // rejected; fileam.c:705 external_insert emits the declared
+      // external format)
       catalog(name) = GpTable(name, path, schema, Seq.empty, Seq.empty,
-        format = if (fmt == "PARQUET") "parquet" else "csv")
+        format = fmt match {
+          case "CSV" | "TEXT" => "csv"
+          case other => other.toLowerCase
+        })
       spark.emptyDataFrame
     } else {
       val df = fmt match {

@@ -1667,12 +1667,22 @@ class ExpressionSpec extends AnyFunSuite {
     run("INSERT INTO ext_out_parquet SELECT n_nationkey, n_name FROM nation")
     assert(spark.read.parquet(s"$base/out_parquet").count()
       == spark.table("nation").count())
-    // json/orc writable reject loudly
-    val e = intercept[IllegalArgumentException] {
-      run(s"""CREATE WRITABLE EXTERNAL TABLE bad_w (a int)
-             |LOCATION ('file://$base/bad') FORMAT 'ORC'""".stripMargin)
-    }
-    assert(e.getMessage.contains("writable external format"))
+    // writable external JSON / ORC (r6: previously rejected): INSERT
+    // routes through Spark's native writers, SELECT round-trips with
+    // the declared schema
+    run(s"""CREATE WRITABLE EXTERNAL TABLE ext_out_json (
+           |  n_nationkey bigint, n_name text)
+           |LOCATION ('file://$base/out_json') FORMAT 'JSON'""".stripMargin)
+    run("INSERT INTO ext_out_json SELECT n_nationkey, n_name FROM nation")
+    assert(run("SELECT count(*) AS n FROM ext_out_json").head.getLong(0)
+      == spark.table("nation").count())
+    run(s"""CREATE WRITABLE EXTERNAL TABLE ext_out_orc (
+           |  n_nationkey bigint, n_name text)
+           |LOCATION ('file://$base/out_orc') FORMAT 'ORC'""".stripMargin)
+    run("INSERT INTO ext_out_orc SELECT n_nationkey, n_name FROM nation")
+    assert(run("SELECT sum(n_nationkey) AS s FROM ext_out_orc")
+      .head.getLong(0) ==
+      spark.table("nation").agg(sum("n_nationkey")).head.getLong(0))
   }
 
   test("gp_bloat_diag flags fragmented tables; VACUUM clears it") {
