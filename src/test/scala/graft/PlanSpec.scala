@@ -331,6 +331,31 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("distribution-key equality prunes buckets (direct dispatch)") {
+    // GP's direct dispatch: a distribution-key = constant predicate
+    // routes the query to ONE segment (cdbmutate.c directDispatch).
+    // Spark analogue: an equality filter on the bucket column reads
+    // only the matching bucket files — SelectedBucketsCount 1 of 8.
+    SparkEntry.queries("q_bucketed_join")(spark, sf).collect() // fixture
+    // autoBucketedScan drops bucketed reading for plans with no
+    // interesting-partitioning consumer — which also forfeits bucket
+    // PRUNING; a pure point lookup must pin it on (the conf a
+    // point-lookup-heavy deployment sets)
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val df = spark.table("graft_bkt_orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") === 1L)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket-key equality must prune to one bucket:\n$p")
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("q_dedup_incremental: batch meets reference only through equi-joins") {
     val p = plan("q_dedup_incremental")
     // candidates = band equi-join, admit = fingerprint anti-join; a
