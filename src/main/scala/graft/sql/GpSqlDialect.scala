@@ -823,6 +823,12 @@ object GpSqlDialect {
   private val PlReturnRe = "(?is)^\\s*RETURN\\s+(.+?)\\s*;?\\s*$".r
   private val PlReturnQueryRe =
     "(?is)^\\s*RETURN\\s+QUERY\\s+(.+?)\\s*;?\\s*$".r
+  // RETURN QUERY EXECUTE with a CONSTANT string (exec_stmt_dynexecute
+  // with no parameters): the dynamic SQL is known at CREATE time, so it
+  // inlines exactly like RETURN QUERY. '' unescapes to '. A USING
+  // clause (runtime parameters) stays deferred.
+  private val PlReturnQueryExecRe =
+    "(?is)^\\s*RETURN\\s+QUERY\\s+EXECUTE\\s+'((?:[^']|'')*)'\\s*;?\\s*$".r
   private val PlIfRe =
     ("(?is)^\\s*IF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;" +
       "(\\s*ELSIF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;)*" +
@@ -902,12 +908,22 @@ object GpSqlDialect {
       // in FROM position becomes a derived table. Checked before the
       // plain RETURN arm, which would otherwise swallow the QUERY
       // keyword into the expression.
-      case PlReturnQueryRe(sel) if parts.length - i <= 1 =>
+      case PlReturnQueryExecRe(sql) if parts.length - i <= 1 =>
+        sqlFunctions(name) = SqlFunction(params,
+          subst(env)(sql.replace("''", "'")), scalarExpr = false)
+      // dynamic EXECUTE that is NOT the constant-string form (USING
+      // params, format() calls) must defer, not register a body Spark
+      // can't parse
+      case PlReturnQueryRe(sel) if parts.length - i <= 1 &&
+          !sel.trim.toUpperCase.startsWith("EXECUTE") =>
         sqlFunctions(name) =
           SqlFunction(params, subst(env)(sel), scalarExpr = false)
       // single-tail guard: a lazy RETURN-to-$ match across several
-      // statements ("RETURN a; x := 1;") must defer, not inline garbage
-      case PlReturnRe(expr) if parts.length - i <= 1 =>
+      // statements ("RETURN a; x := 1;") must defer, not inline garbage;
+      // a QUERY form that slipped past the guarded arms above (dynamic
+      // EXECUTE) must defer too, not register as a scalar expression
+      case PlReturnRe(expr) if parts.length - i <= 1 &&
+          !expr.trim.toUpperCase.startsWith("QUERY") =>
         sqlFunctions(name) =
           SqlFunction(params, subst(env)(expr), scalarExpr = true)
       case ifBlock if PlIfRe.findFirstIn(ifBlock).isDefined =>

@@ -326,6 +326,28 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT * FROM region_names() ORDER BY r_name", "/tmp/never")
       .collect().map(_.getString(0))
     assert(rn.length == 5 && rn.sorted.sameElements(rn))
+    // RETURN QUERY EXECUTE with a CONSTANT string (exec_stmt_dynexecute,
+    // no params): dynamic SQL known at CREATE → inlines like RETURN
+    // QUERY, with '' unescaping
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION exec_regions() RETURNS TABLE(r_name STRING) AS $$
+        |BEGIN
+        |  RETURN QUERY EXECUTE
+        |    'SELECT r_name FROM region WHERE r_name <> ''nowhere''';
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM exec_regions()", "/tmp/never")
+      .head.getLong(0) == 5L)
+    // EXECUTE with runtime parameters (USING) still defers loudly
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION exec_using(k INT) RETURNS TABLE(x INT) AS $$
+        |BEGIN
+        |  RETURN QUERY EXECUTE 'SELECT $1' USING k;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("exec_using")
+      .exists(_.contains("EXECUTE")))
     // integer range loop (exec_stmt_fori): domain = sequence() derived
     // table, loop var referenced bare inside the accumulator
     GpSqlDialect.execute(spark,
