@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * replaces the captured pre-image, so disk holds at most one extra
   * table version while enabled — exactly the retention a
   * post-statement trigger needs.
+  *
+  * Scope: capture hooks the TABLE-level COW swap. The
+  * partition-granular DML paths ([[Dml.deleteWherePartitioned]] /
+  * [[Dml.updateWherePartitioned]]'s in-place branch) rewrite
+  * individual partition DIRECTORIES and do not capture — use the
+  * full-table DML forms on CDC-enabled tables (the SplitUpdate branch,
+  * which rewrites the whole table, does capture).
   */
 object Cdc {
 
