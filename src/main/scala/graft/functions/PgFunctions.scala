@@ -328,6 +328,10 @@ object PgFunctions {
       exprs => graft.expressions.PiiScanExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xpath_nodes",
+      exprs => graft.expressions.XPathNodesExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "svec_dot",
       exprs => graft.expressions.SvecDotExpr(
         exprs(0), exprs(1), exprs(2), exprs(3)),

@@ -1244,6 +1244,8 @@ object FunctionQueries {
         |  CAST(n_regionkey AS BIGINT) AS rk,
         |  CAST(n_nationkey AS VARCHAR) || ',' ||
         |    CAST(n_nationkey * 2 AS VARCHAR) AS ids,
+        |  '<i>' || CAST(n_nationkey AS VARCHAR) || '</i>,<i>' ||
+        |    CAST(n_nationkey * 2 AS VARCHAR) || '</i>' AS id_nodes,
         |  true AS has_ids,
         |  CAST(n_nationkey AS DOUBLE) / 2 AS halfkey
         |FROM nation ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
@@ -1264,6 +1266,10 @@ object FunctionQueries {
         // pandas harness cannot sort array-typed columns (same fix as
         // q_fn_geometric in r4)
         array_join(xpath("/n/ids/i/text()", doc), ",").as("ids"),
+        // PG node-set semantics (xml.c:4243 returns xml[] of serialized
+        // nodes, not text values): the native xpath_nodes expression
+        array_join(graft.expressions.XPathNodesExpr
+          .xpathNodes(lit("/n/ids/i"), doc), ",").as("id_nodes"),
         xpathExists("/n/ids", doc).as("has_ids"),
         xpathDouble("/n/hk", doc).as("halfkey"))
         .orderBy("n_nationkey")

@@ -1606,6 +1606,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(one(xmlPi("tgt", lit(null))) == "<?tgt?>")
   }
 
+  test("xpath_nodes returns serialized fragments (PG xml[] semantics)") {
+    import graft.expressions.XPathNodesExpr.xpathNodes
+    import org.apache.spark.sql.functions.lit
+    graft.functions.PgFunctions.registerAll(spark)
+    def nodes(path: String, xml: String): Seq[String] =
+      spark.range(1).select(xpathNodes(lit(path), lit(xml)).as("n"))
+        .head.getSeq[String](0)
+    val doc = """<r><a k="1"><b>x</b></a><a k="2"><b>y</b></a></r>"""
+    // element matches keep tags, attributes, and nested children —
+    // Spark's native xpath would return only "xy"
+    assert(nodes("/r/a", doc) ==
+      Seq("""<a k="1"><b>x</b></a>""", """<a k="2"><b>y</b></a>"""))
+    // text() path degenerates to the text values, as in PG
+    assert(nodes("/r/a/b/text()", doc) == Seq("x", "y"))
+    // invalid xml / path → null, like the other publishing functions
+    assert(spark.range(1)
+      .select(xpathNodes(lit("/r"), lit("<broken")).as("n")).head.isNullAt(0))
+  }
+
   test("pg_catalog strip is quote-aware; composite fields keep parens") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_strip_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
