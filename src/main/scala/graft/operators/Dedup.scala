@@ -192,6 +192,82 @@ object Dedup {
       groups, sigs)
   }
 
+  // ---- asymmetric containment (quote / boilerplate supersets) ------
+
+  /** Exact containment pairs over w-word shingle sets:
+    * C(A→B) = |S(A) ∩ S(B)| / |S(A)| ≥ minContain — the ASYMMETRIC
+    * near-dup relation (a short doc quoted inside a long one scores
+    * 1.0 forward and low backward, which symmetric Jaccard misses).
+    * The standard quote / boilerplate-superset detector.
+    *
+    * Scale design (prefix filtering, adapted to containment — PPJoin's
+    * symmetric length pruning is UNSOUND here, a tiny doc can be fully
+    * contained in a huge one): shingles map to rare-first long ids;
+    * doc A explodes only its prefix of |A| − ⌊t·|A|⌋ + 1 rarest ids
+    * (pigeonhole: any B with C(A→B) ≥ t must share a prefix id), doc B
+    * indexes ALL ids; candidates are that asymmetric equi-join,
+    * deduped as long pairs, then verified exactly with one
+    * array_intersect over the full id arrays. `maxDf` drops
+    * boilerplate shingles from candidate GENERATION only (verification
+    * stays exact; logged recall trade, the [[minhashCandidates]]
+    * contract). */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      minContain: Double, shingleWords: Int = 3,
+      maxDf: Option[Long] = None): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSh = greatest(size(toks) - (shingleWords - 1), lit(0))
+    val shingles = array_distinct(transform(sequence(lit(1), nSh),
+      i => concat_ws(" ", slice(toks, i, lit(shingleWords)))))
+    val base = df.select(col(idCol).cast("long").as("id"),
+        shingles.as("ts"))
+      .filter(size(col("ts")) > 0)
+      .cache() // read 4×: index build + both verification joins
+    val inv = base.select(col("id"), explode(col("ts")).as("tok"))
+    val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    maxDf.foreach { cap =>
+      val dropped = dfreq.filter(col("dfq") > cap).count()
+      if (dropped > 0)
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"containmentPairs: $dropped shingles over df cap $cap " +
+            "excluded from candidate generation")
+    }
+    // rare-first long ids (orderBy → monotonically_increasing_id is
+    // order-preserving across the sorted range partitions)
+    val dict = dfreq.orderBy("dfq", "tok")
+      .select(col("tok"), col("dfq"),
+        monotonically_increasing_id().as("tid"))
+      .cache()
+    val joinable = maxDf match {
+      case Some(cap) => dict.filter(col("dfq") <= cap)
+      case None => dict
+    }
+    val tids = inv.join(joinable.select("tok", "tid"), "tok")
+      .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .join(base.select(col("id"), size(col("ts")).as("n")), "id")
+    // prefix bound: floor (not ceil) only lengthens the prefix — a
+    // 1-ulp-low product can add candidates, never drop one
+    val prefLen = greatest(lit(1),
+      (col("n") - floor(lit(minContain) * col("n")) + 1).cast("int"))
+    val aPref = tids.select(col("id").as("id_a"),
+      explode(slice(col("tids"), lit(1), prefLen)).as("tid"))
+    val bAll = tids.select(col("id").as("id_b"),
+      explode(col("tids")).as("tid"))
+    val pairs = aPref.join(bAll, "tid")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification over the FULL shingle-set arrays
+    val verified = pairs
+      .join(base.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ts_a"), col("ts_b"))).as("inter"),
+        size(col("ts_a")).as("na"))
+      .withColumn("containment", col("inter").cast("double") / col("na"))
+      .filter(col("containment") >= minContain)
+    finishKernel(verified, base, dict)
+  }
+
   // ---- incremental (cross-corpus) MinHash dedup --------------------
 
   /** Reusable MinHash LSH index over a corpus: one row per (distinct

@@ -1073,6 +1073,35 @@ object PipelineQueries {
           k = 16, bands = 4, minEstJaccard = 0.5)
     },
 
+    // Asymmetric shingle containment: |S(A)∩S(B)|/|S(A)| ≥ 0.8 over
+    // 3-word shingles — the quote / boilerplate-superset detector that
+    // symmetric Jaccard misses (a short doc inside a long one scores
+    // 1.0 forward, low backward). Candidates from the rare-first
+    // prefix-vs-full-index equi-join (PPJoin's symmetric length
+    // pruning is unsound for containment), verified exactly.
+    Q("q_dedup_containment", Some(
+      s"""WITH w AS (SELECT doc_id, $toks AS toks FROM documents),
+         |t AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ts
+         |  FROM w WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.ts, b.ts)) AS inter, len(a.ts) AS na
+         |  FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+         |  CAST(na AS INT) AS na,
+         |  round(inter * 1.0 / na, 4) AS containment
+         |FROM p WHERE inter * 1.0 / na >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Dedup.containmentPairs(
+        Tables.T(s, dir).documents, "text", "doc_id",
+        minContain = 0.8, shingleWords = 3)
+        .select($"id_a", $"id_b", $"inter", $"na",
+          round($"containment", 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental (cross-corpus) dedup: odd doc_ids are the incoming
     // batch, even doc_ids the kept corpus; a new doc is admitted iff no
     // reference doc shares an LSH band with estimated Jaccard >= 0.9.

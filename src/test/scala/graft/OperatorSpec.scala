@@ -498,6 +498,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rankedDisc == bufferedDisc)
   }
 
+  test("containmentPairs is asymmetric: quote ⊂ superset, not back") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),              // 3 shingles, all inside doc 2
+      (2L, "a b c d e f g h"),        // 6 shingles
+      (3L, "x y z w v")               // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id",
+        minContain = 0.8, shingleWords = 3)
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    graft.operators.KernelCaches.releaseAll()
+    // forward containment 3/3 = 1.0 emits; backward 3/6 = 0.5 does not
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
   test("dedupIncremental screens near-dups of the reference, admits fresh docs") {
     import spark.implicits._
     val ref = Seq(
