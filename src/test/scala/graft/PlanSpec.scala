@@ -377,6 +377,13 @@ class PlanSpec extends AnyFunSuite {
       s"pair aggregate should have a partial phase:\n$p")
   }
 
+  test("q_dedup_containment: prefix-vs-index equi-join, never doc×doc") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment candidates must come from the shingle-id join:\n$p")
+  }
+
   test("q_dedup_semantic: centroids broadcast, pairs meet on cluster id") {
     val p = plan("q_dedup_semantic")
     // the only nested-loop is the corpus × k-centroid broadcast
