@@ -215,57 +215,79 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       minContain: Double, shingleWords: Int = 3,
       maxDf: Option[Long] = None): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val nSh = greatest(size(toks) - (shingleWords - 1), lit(0))
-    val shingles = array_distinct(transform(sequence(lit(1), nSh),
-      i => concat_ws(" ", slice(toks, i, lit(shingleWords)))))
-    val base = df.select(col(idCol).cast("long").as("id"),
-        shingles.as("ts"))
-      .filter(size(col("ts")) > 0)
-      .cache() // read 4×: index build + both verification joins
-    val inv = base.select(col("id"), explode(col("ts")).as("tok"))
+    // shingles via the exploded token stream + window leads (the
+    // q_text_ngrams discipline): posexplode → w−1 leads over the per-doc
+    // window → concat. Stays in whole-stage codegen, unlike a
+    // transform()-lambda spelling whose interpreted per-element slices
+    // dominated this kernel's runtime (~6 s of a 15 s run at sf0.1, paid
+    // three times through the uncached lineage).
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("id").orderBy("pos")
+    val tokRows = df.select(col(idCol).cast("long").as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = (1 until shingleWords).foldLeft(tokRows)((d, j) =>
+      d.withColumn(s"__w$j", lead(col("w"), j).over(win)))
+    // (id, shingle) DISTINCT rows — per-doc set semantics; docs shorter
+    // than w words contribute nothing (no full shingle exists)
+    val inv = withLeads
+      .filter(col(s"__w${shingleWords - 1}").isNotNull)
+      .select(col("id"), concat_ws(" ",
+        (col("w") +: (1 until shingleWords).map(j => col(s"__w$j"))): _*)
+        .as("tok"))
+      .distinct()
     val dfreq = inv.groupBy("tok").agg(count(lit(1)).as("dfq"))
-    maxDf.foreach { cap =>
-      val dropped = dfreq.filter(col("dfq") > cap).count()
-      if (dropped > 0)
-        org.apache.log4j.Logger.getLogger(getClass)
-          .warn(s"containmentPairs: $dropped shingles over df cap $cap " +
-            "excluded from candidate generation")
-    }
     // rare-first long ids (orderBy → monotonically_increasing_id is
-    // order-preserving across the sorted range partitions)
+    // order-preserving across the sorted range partitions); ids
+    // ascending in df means the capped (boilerplate) shingles form a
+    // SUFFIX — the cap becomes one driver-scalar tid threshold
     val dict = dfreq.orderBy("dfq", "tok")
       .select(col("tok"), col("dfq"),
         monotonically_increasing_id().as("tid"))
       .cache()
-    val joinable = maxDf match {
-      case Some(cap) => dict.filter(col("dfq") <= cap)
-      case None => dict
+    val capTid: Option[Long] = maxDf.flatMap { cap =>
+      val r = dict.filter(col("dfq") > cap)
+        .agg(min(col("tid")), count(lit(1))).head
+      if (r.isNullAt(0)) None
+      else {
+        org.apache.log4j.Logger.getLogger(getClass)
+          .warn(s"containmentPairs: ${r.getLong(1)} shingles over df " +
+            s"cap $cap excluded from candidate generation")
+        Some(r.getLong(0))
+      }
     }
-    val tids = inv.join(joinable.select("tok", "tid"), "tok")
+    // FULL sorted long-id array per doc: candidate keys AND the exact
+    // verification both run on 8-byte longs (a string-array
+    // array_intersect at verify time dominated the kernel runtime)
+    val tids = inv.join(dict.select("tok", "tid"), "tok")
       .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("tids"))
-      .join(base.select(col("id"), size(col("ts")).as("n")), "id")
+      .withColumn("n", size(col("tids")))
+      .cache() // read 3×: prefix side, index side, verification
     // prefix bound: floor (not ceil) only lengthens the prefix — a
     // 1-ulp-low product can add candidates, never drop one
     val prefLen = greatest(lit(1),
       (col("n") - floor(lit(minContain) * col("n")) + 1).cast("int"))
-    val aPref = tids.select(col("id").as("id_a"),
-      explode(slice(col("tids"), lit(1), prefLen)).as("tid"))
-    val bAll = tids.select(col("id").as("id_b"),
-      explode(col("tids")).as("tid"))
+    def capped(c: org.apache.spark.sql.DataFrame) = capTid match {
+      case Some(t) => c.filter(col("tid") < t)
+      case None => c
+    }
+    val aPref = capped(tids.select(col("id").as("id_a"),
+      explode(slice(col("tids"), lit(1), prefLen)).as("tid")))
+    val bAll = capped(tids.select(col("id").as("id_b"),
+      explode(col("tids")).as("tid")))
     val pairs = aPref.join(bAll, "tid")
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact verification over the FULL shingle-set arrays
+    // exact verification over the FULL (uncapped) id arrays
     val verified = pairs
-      .join(base.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .join(tids.select(col("id").as("id_a"), col("tids").as("t_a"),
+        col("n").as("na")), "id_a")
+      .join(tids.select(col("id").as("id_b"), col("tids").as("t_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ts_a"), col("ts_b"))).as("inter"),
-        size(col("ts_a")).as("na"))
+        size(array_intersect(col("t_a"), col("t_b"))).as("inter"),
+        col("na"))
       .withColumn("containment", col("inter").cast("double") / col("na"))
       .filter(col("containment") >= minContain)
-    finishKernel(verified, base, dict)
+    finishKernel(verified, dict, tids)
   }
 
   // ---- incremental (cross-corpus) MinHash dedup --------------------
