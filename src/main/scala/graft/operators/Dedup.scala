@@ -701,15 +701,22 @@ object Dedup {
   def dedupSpans(
       docs: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 10): DataFrame = {
-    val words = split(col(textCol), " ")
-    val nSpans = ceil(size(words) / lit(spanWords.toDouble)).cast("int")
+    // materialize the word array BEFORE the span lambda: expression
+    // references inside transform() re-evaluate per element (no CSE
+    // through lambdas), so an inline split() would re-tokenize the
+    // document once per span (the containmentPairs lesson)
+    val worded = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__words"))
+    val nSpans = ceil(size(col("__words")) / lit(spanWords.toDouble))
+      .cast("int")
     val spanArr = transform(sequence(lit(0), nSpans - 1),
-      i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords))))
+      i => concat_ws(" ",
+        slice(col("__words"), i * spanWords + 1, lit(spanWords))))
     // posexplode_outer + left join: a NULL-text document survives with
     // empty clean_text and zero span counts instead of silently vanishing
     // from the output (its single null-span row never matches the
     // equi-join, so `kept` stays null and both counters stay 0).
-    val spans = docs.select(col(idCol).as("doc_id"),
+    val spans = worded.select(col("doc_id"),
       posexplode_outer(spanArr).as(Seq("idx", "span")))
     val owner = spans.filter(col("span").isNotNull).groupBy(col("span"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
