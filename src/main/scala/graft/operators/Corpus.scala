@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus assembly for training-data pipelines (extension alongside
@@ -52,5 +53,27 @@ object Corpus {
     SequenceOps.assignIds(keyed, posCol, 0L,
       Seq(col("__shuffle_key"), col(idCol)))
       .drop("__shuffle_key")
+  }
+
+  /** Per-domain quota cap (RefinedWeb / Dolma-style curation: bound any
+    * one host's share of the corpus): keep at most `cap` documents per
+    * `keyCol`, chosen by the deterministic priority `(id·2654435761)
+    * mod 1000003` (Knuth's multiplicative hash — plain integer
+    * arithmetic, so any engine recomputes the identical keep set; id
+    * breaks the rare priority tie).
+    *
+    * Scale: rank-within-group with a LIMIT-like bound is exactly what
+    * Spark's WindowGroupLimit rewrite exists for — each map partition
+    * keeps only its local top-`cap` per key BEFORE the shuffle, so a
+    * hot domain with 10M pages moves ≤ cap·partitions rows, not 10M.
+    * Plan-gated in PlanSpec. */
+  def domainCap(
+      df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    val pr = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(pr.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
   }
 }

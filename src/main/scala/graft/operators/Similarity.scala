@@ -73,6 +73,35 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** kNN label classification over embeddings (Fix & Hodges 1951; the
+    * standard majority-vote rule): each query takes the label held by
+    * most of its k nearest labeled neighbors by cosine; ties break to
+    * the smallest label so the prediction is deterministic. Composes
+    * with any candidate generator — brute force here; swap in
+    * [[lshTopK]]/[[ivfTopK]] for the 100 TB path, the vote stage is
+    * unchanged.
+    *
+    * Scale: neighbor rows are |queries|·k (tiny next to the corpus);
+    * the label attach is an equi-join on the corpus id, and the vote is
+    * a map-side-combinable aggregate — `max(struct(votes, −label))`
+    * picks the winner without a per-query window. */
+  def knnClassify(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      labelCol: String = "label",
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val nb = bruteForceTopK(
+      queries, corpus.select(col(cId), col(cVec)), k, qId, qVec, cId, cVec)
+      .join(corpus.select(col(cId), col(labelCol)), Seq(cId))
+    nb.groupBy(col(qId), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(qId)
+      .agg(max(struct(col("votes"), (-col(labelCol)).as("nl"),
+        col(labelCol).as("l"))).as("w"))
+      .select(col(qId), col("w.l").as("pred_label"),
+        col("w.votes").as("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight from a
     * splitmix-style integer mix — reproducible in plain SQL, no RNG state. */
   def planeWeight(p: Int, d: Int): Double = {

@@ -533,4 +533,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * supportDen >= n)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method):
+    * score each raw document by how much likelier its tokens are under
+    * the TARGET unigram distribution than under the RAW (proposal) one,
+    *
+    *   log w(d) = Σ_{t ∈ d} [ log p̂_tgt(t) − log p̂_raw(t) ]
+    *
+    * with Laplace-α smoothing; the smoothing vocabulary V is the raw
+    * corpus' distinct-token count (every scored token lives there by
+    * construction). Selection downstream is a threshold keep or
+    * distributed top-k on `log_w` — the "make the crawl look like the
+    * reference corpus" signal.
+    *
+    * Scale: both distributions are vocabulary-scale aggregates with
+    * map-side partials; the per-token log-ratio table is vocab-sized
+    * (tiny next to the corpus — AQE broadcasts it under any sane
+    * threshold); scoring is one explode + token equi-join + per-doc sum
+    * with map-side partials. Driver scalars: V and the two total token
+    * masses (one 1-row aggregate). The paper buckets hashed n-grams to
+    * bound V; the unigram form keeps the DuckDB oracle exact. */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, alpha: Double = 1.0): DataFrame = {
+    val rawToks = raw.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val cr = rawToks.groupBy("t").agg(count(lit(1)).as("cr"))
+    val ct = target.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    // one 1-row action for the three driver scalars
+    val Array(v, nr) = cr.agg(count(lit(1)), sum(col("cr")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val nt = ct.agg(coalesce(sum(col("ct")), lit(0L))).head.getLong(0)
+    val ratio = cr.join(ct, Seq("t"), "left").select(col("t"),
+      (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
+          lit(nt + alpha * v)) -
+        log((col("cr") + lit(alpha)) / lit(nr + alpha * v))).as("lr"))
+    rawToks.join(ratio, Seq("t"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("log_w"))
+  }
+
+  /** CCNet-style head/middle/tail quality buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets" — public
+    * method): score every document with the corpus bigram LM
+    * ([[bigramLogProb]]), then assign per-LANGUAGE tercile buckets so
+    * the signal is comparable across languages of very different sizes
+    * — `head` is each language's best-scored third.
+    *
+    * Scale: CCNet's production shape — per-language score CUTOFFS
+    * (catalog-scale: one row per language via the [[Quantiles]]
+    * rank-selection pass) broadcast back onto the corpus for a map-only
+    * bucket assign. Deliberately NOT `ntile(3) OVER (PARTITION BY
+    * lang)`: that gathers an entire language (most of a 100 TB corpus
+    * is one language) into a single window partition. Scores are
+    * rounded to 4 dp before cutoff derivation so boundary membership is
+    * engine-fold-order independent. */
+  def ccnetBuckets(
+      train: DataFrame, score: DataFrame, textCol: String,
+      idCol: String, langCol: String): DataFrame = {
+    val scored = bigramLogProb(train, score, textCol, idCol)
+      .select(col(idCol), round(col("avg_lp"), 4).as("lp"))
+      .join(score.select(col(idCol), col(langCol)), Seq(idCol))
+    val cuts = Quantiles.exactDisc(scored, col(langCol), col("lp"),
+      Seq(1.0 / 3 -> "c_tail", 2.0 / 3 -> "c_mid"))
+      .withColumnRenamed("__gout", langCol)
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("lp"),
+        when(col("lp") <= col("c_tail"), "tail")
+          .when(col("lp") <= col("c_mid"), "middle")
+          .otherwise("head").as("bucket"))
+  }
 }

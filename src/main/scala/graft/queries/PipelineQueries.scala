@@ -561,6 +561,113 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // DSIR importance resampling (Xie et al. 2023): make-the-crawl-
+    // look-like-the-target selection — per-doc sum of unigram
+    // log(p_target/p_raw) with Laplace smoothing, target = the English
+    // slice. Top-50 keep via distributed top-k (TakeOrderedAndProject,
+    // never a global sort); round(4) absorbs engine fp fold order.
+    Q("q_pipeline_dsir", Some(
+      s"""WITH rt AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |cr AS (SELECT t, count(*) AS cr FROM rt GROUP BY 1),
+         |ct AS (SELECT t, count(*) AS ct FROM
+         |  (SELECT unnest($toks) AS t FROM documents WHERE lang = 'en')
+         |  GROUP BY 1),
+         |s AS (SELECT count(*) AS v, sum(cr) AS nr FROM cr),
+         |st AS (SELECT sum(ct) AS nt FROM ct),
+         |ratio AS (SELECT cr.t,
+         |    ln((coalesce(ct, 0) + 1.0) / (nt + 1.0 * v))
+         |      - ln((cr + 1.0) / (nr + 1.0 * v)) AS lr
+         |  FROM cr LEFT JOIN ct USING (t) CROSS JOIN s CROSS JOIN st),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    round(sum(lr), 4) AS log_w
+         |  FROM rt JOIN ratio USING (t) GROUP BY 1)
+         |SELECT * FROM d ORDER BY log_w DESC, doc_id
+         |LIMIT 50""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      TextAnalysis.dsirWeights(
+        docs, docs.filter($"lang" === "en"), "text", "doc_id")
+        .select($"doc_id", $"n_toks", round($"log_w", 4).as("log_w"))
+        .orderBy($"log_w".desc, $"doc_id")
+        .limit(50)
+    },
+
+    // CCNet head/middle/tail buckets (Wenzek et al. 2020): bigram-LM
+    // score from the even-id half (the lmscore model), per-LANGUAGE
+    // tercile cutoffs broadcast back for a map-only assign — never
+    // ntile over a language partition. Cutoff rank arithmetic mirrors
+    // Quantiles.exactDisc bit-for-bit (same double constants).
+    Q("q_text_ccnet_bucket", Some(
+      s"""WITH tr AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |tb AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM tr),
+         |tb2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM tb),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb2 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM tb2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v
+         |  FROM (SELECT unnest(toks) AS t FROM tr)),
+         |sc AS (SELECT doc_id, $toks AS toks FROM documents
+         |  WHERE doc_id % 2 = 1),
+         |sb AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM sc),
+         |sb2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM sb),
+         |lpr AS (SELECT doc_id,
+         |    ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + 1.0 * v))
+         |      AS lp
+         |  FROM sb2 LEFT JOIN c12 USING (w1, w2)
+         |           LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |scored AS (SELECT l.doc_id, d.lang,
+         |    round(sum(lp) / count(*), 4) AS lp
+         |  FROM lpr l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |r AS (SELECT lang, lp,
+         |    row_number() OVER (PARTITION BY lang ORDER BY lp) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored),
+         |cuts AS (SELECT lang,
+         |    min(CASE WHEN rn = greatest(1,
+         |      CAST(ceil((1.0 / 3) * n) AS BIGINT)) THEN lp END) AS c_tail,
+         |    min(CASE WHEN rn = greatest(1,
+         |      CAST(ceil((2.0 / 3) * n) AS BIGINT)) THEN lp END) AS c_mid
+         |  FROM r GROUP BY 1)
+         |SELECT doc_id, lang, lp,
+         |  CASE WHEN lp <= c_tail THEN 'tail'
+         |       WHEN lp <= c_mid THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM scored JOIN cuts USING (lang)
+         |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      TextAnalysis.ccnetBuckets(
+        docs.filter($"doc_id" % 2 === 0),
+        docs.filter($"doc_id" % 2 === 1),
+        "text", "doc_id", "lang")
+        .select($"doc_id", $"lang", $"lp", $"bucket")
+        .orderBy("doc_id")
+    },
+
+    // Per-domain quota cap (RefinedWeb-style curation): at most 15 docs
+    // per source, picked by a deterministic multiplicative-hash
+    // priority that any engine recomputes identically. The rank filter
+    // plans as WindowGroupLimit (plan-gated): each map partition keeps
+    // its local top-15 per key BEFORE the shuffle, so a hot domain
+    // never moves its full page set.
+    Q("q_pipeline_domain_cap", Some(
+      """WITH r AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 1000003 AS pr,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(pr AS BIGINT) AS pr
+        |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Corpus.domainCap(Tables.T(s, dir).documents, "source", "doc_id", 15)
+          .select($"doc_id", $"source",
+            (($"doc_id" * 2654435761L) % 1000003L).as("pr"))
+          .orderBy("source", "doc_id")
+    },
+
     // Okapi BM25 retrieval ranking (the reference's ts_rank slot,
     // utils/adt/tsrank.c, re-imagined as the standard idf-weighted,
     // length-normalized scorer). Postings are filtered to the query's
@@ -1296,6 +1403,36 @@ object PipelineQueries {
       Similarity.bruteForceTopK(queries, corpus, 3)
         .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
         .orderBy("q_id", "rk")
+    },
+
+    // kNN label classification: majority label of the 5 nearest labeled
+    // neighbors by cosine, ties to the smallest label. The vote is a
+    // map-side-combinable max(struct) — no per-query window; swap any
+    // ANN candidate generator in for the brute-force stage at scale.
+    Q("q_ann_classify", Some(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS c_id, embedding, label
+         |  FROM embeddings WHERE vec_id >= 16),
+         |scored AS (SELECT q_id, c_id, label,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN c ON true),
+         |r AS (SELECT q_id, c_id, label, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM scored),
+         |v AS (SELECT q_id, label, count(*) AS votes
+         |  FROM r WHERE rk <= 5 GROUP BY 1, 2),
+         |p AS (SELECT q_id, label, votes, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY votes DESC, label) AS pr FROM v)
+         |SELECT q_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM p WHERE pr = 1 ORDER BY q_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val q = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val c = emb.filter($"vec_id" >= 16)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_vec"), $"label")
+      Similarity.knnClassify(q, c, 5).orderBy("q_id")
     },
 
     // IVF-cell ANN: deterministic centroid sample (vec_id % 100 == 0),

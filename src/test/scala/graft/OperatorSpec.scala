@@ -574,6 +574,79 @@ class OperatorSpec extends AnyFunSuite {
     assert(curve(0.5) == 1L && curve(0.9) == 3L)
   }
 
+  test("dsirWeights favors docs drawn from the target distribution") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha alpha beta"),   // target-like tokens
+      (2L, "alpha beta beta"),
+      (3L, "noise junk clutter"), // proposal-only tokens
+      (4L, "alpha noise beta")    // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(4L) && w(2L) > w(4L),
+      s"target-like docs must outscore the mixed doc: $w")
+    assert(w(4L) > w(3L), s"mixed doc must outscore pure-noise: $w")
+    assert(w(3L) < 0, s"proposal-only doc must carry negative weight: $w")
+  }
+
+  test("ccnetBuckets: per-language terciles, head is best-scored") {
+    import spark.implicits._
+    val docs = Tables.T(spark, sf).documents
+    val b = TextAnalysis.ccnetBuckets(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+      "text", "doc_id", "lang")
+    val rows = b.select($"lang", $"lp", $"bucket")
+      .as[(String, Double, String)].collect()
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      // cutoff rule gives each bucket between n/3−ties and n/3+ties docs;
+      // with distinct scores the split is exact thirds (±1)
+      Seq("tail", "middle", "head").foreach { bk =>
+        assert(sizes.getOrElse(bk, 0) > 0, s"$lang missing bucket $bk")
+      }
+      val headMin = rs.filter(_._3 == "head").map(_._2).min
+      val midMax = rs.filter(_._3 == "middle").map(_._2).max
+      val tailMax = rs.filter(_._3 == "tail").map(_._2).max
+      assert(headMin > midMax && midMax > tailMax,
+        s"$lang bucket ordering violated (n=$n sizes=$sizes)")
+    }
+  }
+
+  test("knnClassify: majority vote, ties break to the smallest label") {
+    import spark.implicits._
+    // 1 query at origin-ish; 4 neighbors: labels 2,2,1,1 among k=4 → tie
+    // → pred 1. With k=3 the nearest three are 2,2,1 → pred 2.
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val q = Seq((100L, vec(1, 0))).toDF("q_id", "q_vec")
+    val c = Seq(
+      (1L, vec(1, 0.01), 2),  // nearest
+      (2L, vec(1, 0.02), 2),
+      (3L, vec(1, 0.03), 1),
+      (4L, vec(1, 0.04), 1)
+    ).toDF("c_id", "c_vec", "label")
+    val k4 = Similarity.knnClassify(q, c, 4).head()
+    assert(k4.getAs[Int]("pred_label") == 1 && k4.getAs[Long]("votes") == 2L)
+    val k3 = Similarity.knnClassify(q, c, 3).head()
+    assert(k3.getAs[Int]("pred_label") == 2 && k3.getAs[Long]("votes") == 2L)
+  }
+
+  test("Corpus.domainCap keeps at most cap per key, deterministically") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val capped = Corpus.domainCap(df, "src", "id", 7)
+    val sizes = capped.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes.values.forall(_ == 7L), s"cap violated: $sizes")
+    // determinism: same keep set on a different partitioning
+    val again = Corpus.domainCap(df.repartition(13), "src", "id", 7)
+    assert(capped.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("Cdc.changes captures insert/update/delete per statement") {
     import spark.implicits._
     import org.apache.spark.sql.Row

@@ -116,6 +116,20 @@ class PlanSpec extends AnyFunSuite {
       s"rank()<=n not rewritten to a group-limit: $p")
   }
 
+  test("q_pipeline_domain_cap bounds hot domains pre-shuffle (WindowGroupLimit)") {
+    val p = plan("q_pipeline_domain_cap")
+    // a hot domain must move ≤ cap·partitions rows, not its full page
+    // set: the rank filter has to lower to the partial group-limit
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number()<=cap not rewritten to a group-limit: $p")
+  }
+
+  test("q_pipeline_dsir keeps via distributed top-k, not a global sort") {
+    val p = plan("q_pipeline_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 keep did not plan as TakeOrderedAndProject: $p")
+  }
+
   /** Hash-shuffle count in the FINAL plan (AQE's toString appends the
     * initial plan too — counting that would double every exchange).
     * rangepartitioning (the presentation ORDER BY for the oracle
