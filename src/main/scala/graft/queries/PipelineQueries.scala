@@ -1257,6 +1257,28 @@ object PipelineQueries {
     },
 
     // SimHash near-dup pairs (32-bit signature, hamming ≤ 6).
+    // Bloom-prefiltered exact screen of the odd-id crawl against the
+    // even-id reference corpus. Result is EXACT (≡ the oracle's plain
+    // anti-join) — Catalyst's own BloomFilterAggregate/MightContain
+    // machinery only reroutes the work: fresh docs flow map-only, just
+    // the ~fpp suspect sliver pays the anti-join shuffle.
+    Q("q_dedup_bloom", Some(
+      """SELECT p.doc_id, p.lang FROM documents p
+        |WHERE p.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 2 = 0 AND r.text = p.text)
+        |ORDER BY p.doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      val ref = docs.filter($"doc_id" % 2 === 0)
+      val nRef = ref.count()
+      Dedup.bloomScreenExact(
+        ref, docs.filter($"doc_id" % 2 === 1), "text",
+        expectedItems = math.max(nRef, 1L), fpp = 0.03)
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    },
+
     Q("q_dedup_simhash", Some {
       val hashes =
         s"""list_transform($tokset, t2 -> ('0x' || substr(md5(t2), 1, 8))::BIGINT)"""

@@ -647,6 +647,22 @@ class OperatorSpec extends AnyFunSuite {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("bloomScreenExact ≡ plain anti-join, on any partitioning") {
+    import spark.implicits._
+    val ref = (1L to 400L).map(i => (i, s"doc text $i")).toDF("id", "text")
+    val probe = (300L to 700L).map(i => (i, s"doc text $i")).toDF("id", "text")
+    val expected = probe.join(ref.select("text"), Seq("text"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = Dedup.bloomScreenExact(ref, probe, "text", 400L, 0.03)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "bloom screen must be exact (no lost rows)")
+    // exactness survives an adversarially tiny filter (high fp rate):
+    // every suspect is re-checked by the anti-join
+    val tiny = Dedup.bloomScreenExact(ref.repartition(7), probe, "text", 4L, 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(tiny == expected, "high-fpp bloom must still be exact")
+  }
+
   test("Cdc.changes captures insert/update/delete per statement") {
     import spark.implicits._
     import org.apache.spark.sql.Row

@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
       s"top-50 keep did not plan as TakeOrderedAndProject: $p")
   }
 
+  test("q_dedup_bloom screens at the scan; only suspects reach the anti-join") {
+    val p = plan("q_dedup_bloom")
+    // the might_contain predicate must sit in the probe's filter stage
+    // (fresh rows never shuffle), and the exact re-check is a LeftAnti
+    assert(p.contains("might_contain"),
+      s"bloom prefilter missing from the executed plan: $p")
+    assert(p.contains("LeftAnti"), s"exact anti-join re-check missing: $p")
+  }
+
   /** Hash-shuffle count in the FINAL plan (AQE's toString appends the
     * initial plan too — counting that would double every exchange).
     * rangepartitioning (the presentation ORDER BY for the oracle
