@@ -534,6 +534,43 @@ object TextAnalysis {
       .filter(col("cnt") * supportDen >= n)
   }
 
+  /** Per-document n-gram novelty — the memorization-risk signal from
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", public method), scored per document instead of
+    * emitted as pairs: for each doc, the fraction of its DISTINCT
+    * `w`-word shingles that also occur in at least one other document.
+    * 0 = fully novel text; →1 = assembled from corpus boilerplate.
+    * Complements [[Dedup.dedupSpans]] (which rewrites) and
+    * `q_text_contamination` (cross-split pairs) as a keep/drop score.
+    *
+    * Scale shape: shingles via the exploded token stream + window
+    * leads (codegen; the containmentPairs lesson — never a
+    * transform() lambda), per-doc DISTINCT, then one shingle-frequency
+    * aggregate with map-side partials and an equi-join back. Shuffle
+    * volume is O(corpus shingles), never O(doc²). */
+  def noveltyScores(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val tokRows = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
+    val withLeads = (1 until shingleWords).foldLeft(tokRows)((d, j) =>
+      d.withColumn(s"__w$j", lead(col("w0"), j).over(win)))
+    val inv = withLeads
+      .filter(col(s"__w${shingleWords - 1}").isNotNull)
+      .select(col(idCol), concat_ws(" ",
+        (col("w0") +: (1 until shingleWords).map(j => col(s"__w$j"))): _*)
+        .as("sh"))
+      .distinct()
+    val dfreq = inv.groupBy("sh").agg(count(lit(1)).as("dfq"))
+    inv.join(dfreq, Seq("sh"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        (sum(when(col("dfq") >= 2, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("dup_frac"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public method):
     * score each raw document by how much likelier its tokens are under

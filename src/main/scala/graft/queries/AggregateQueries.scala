@@ -468,6 +468,33 @@ object AggregateQueries {
     // bound* instead: each engine asserts its own approx is within 5% of
     // the exact count — a boolean that hash-matches when both HLLs meet
     // the published accuracy, which they do at these cardinalities.
+    // Sketch-based quantiles (the scale path next to the exact
+    // ordered-set aggs): each engine checks its own approximate median
+    // against its own exact one — same bounded-error oracle contract
+    // as q_agg_approx_distinct (HLL). Sketches differ (Spark GK /
+    // DuckDB t-digest), so the compared columns are the exact value
+    // and the in-bound verdict.
+    Q("q_agg_approx_percentile", Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+        |  abs(approx_quantile(l_extendedprice, 0.5)
+        |      - quantile_cont(l_extendedprice, 0.5))
+        |    / quantile_cont(l_extendedprice, 0.5) < 0.02 AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"l_extendedprice", lit(0.5)), 2)
+            .as("exact_median"),
+          (abs(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)) -
+            percentile($"l_extendedprice", lit(0.5))) /
+            percentile($"l_extendedprice", lit(0.5)) < 0.02)
+            .as("approx_ok"))
+        .orderBy("l_returnflag")
+    },
+
     Q("q_agg_approx_distinct", Some(
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,

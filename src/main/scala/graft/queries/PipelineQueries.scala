@@ -201,6 +201,33 @@ object PipelineQueries {
     // contaminated. Candidate generation is an equi-join on the shingle
     // (at 100 TB: on its hash) — never doc×doc pairs; per-doc counts of
     // DISTINCT shared shingles rank the offenders.
+    // Per-doc n-gram novelty (memorization-risk score): fraction of
+    // each doc's distinct 5-gram shingles occurring in ≥2 docs.
+    Q("q_text_novelty", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |g AS (SELECT DISTINCT doc_id,
+        |    lex || ' ' || lead(lex,1) OVER w || ' ' || lead(lex,2) OVER w
+        |      || ' ' || lead(lex,3) OVER w || ' ' || lead(lex,4) OVER w AS sh
+        |  FROM p WHERE lex <> ''
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(lex,4) OVER w IS NOT NULL),
+        |dfq AS (SELECT sh, count(*) AS dfq FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  round(CAST(sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS dup_frac
+        |FROM g JOIN dfq USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.noveltyScores(
+        Tables.T(s, dir).documents, "text", "doc_id", shingleWords = 5)
+        .select($"doc_id", $"n_shingles", round($"dup_frac", 4).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     Q("q_text_contamination", Some(
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
         |  FROM documents),
