@@ -733,6 +733,59 @@ object Dedup {
         col("kept_spans"), col("dropped_spans"))
   }
 
+  /** Source-scoped boilerplate removal — the CCNet / RefinedWeb
+    * header-footer-navbar rule (Wenzek et al. 2019; Penedo et al. 2023,
+    * public methods), distinct from [[dedupSpans]]: a span repeated
+    * across `minDocs`+ DISTINCT documents of the SAME source is
+    * boilerplate and is removed from EVERY document (no first-occurrence
+    * survivor — a site's cookie banner is noise in all its pages, not
+    * content in one of them). Cross-source repeats are untouched; that
+    * is [[dedupSpans]]'s job. Returns one row per doc:
+    * (doc_id, clean_text, kept_spans, boiler_spans).
+    *
+    * Scale shape mirrors [[dedupSpans]]: spans built inside the
+    * projection (word array materialized once — the lambda-CSE lesson),
+    * one exploded pass, then a (source, span) doc-frequency aggregate.
+    * The distinct-by-doc pre-aggregation collapses a span repeated on
+    * every page of a huge site map-side BEFORE the shuffle; the verdict
+    * join back is an equi-join on (source, span), so the whole operator
+    * is O(corpus text) shuffle — per-source work never concentrates
+    * beyond that source's own spans, and AQE splits a mega-site's
+    * residual skew. */
+  def boilerplateStrip(
+      docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, spanWords: Int = 5, minDocs: Int = 2): DataFrame = {
+    val worded = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("__src"),
+      split(col(textCol), " ").as("__words"))
+    val nSpans = ceil(size(col("__words")) / lit(spanWords.toDouble))
+      .cast("int")
+    val spanArr = transform(sequence(lit(0), nSpans - 1),
+      i => concat_ws(" ",
+        slice(col("__words"), i * spanWords + 1, lit(spanWords))))
+    // posexplode_outer: NULL-text docs survive with empty clean_text
+    // (their null-span row misses the equi-join, keep stays true-less
+    // but the counters coalesce to 0)
+    val spans = worded.select(col("doc_id"), col("__src"),
+      posexplode_outer(spanArr).as(Seq("idx", "span")))
+    val dfreq = spans.filter(col("span").isNotNull)
+      .select(col("__src"), col("span"), col("doc_id")).distinct()
+      .groupBy(col("__src"), col("span"))
+      .agg(count(lit(1)).as("dfq"))
+    spans.join(dfreq, Seq("__src", "span"), "left")
+      .withColumn("keep", col("dfq") < minDocs)
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(
+          when(col("keep"), struct(col("idx"), col("span"))))).as("ks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_spans"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("boiler_spans"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ks"), s => s("span"))).as("clean_text"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        coalesce(col("boiler_spans"), lit(0L)).as("boiler_spans"))
+  }
+
   /** Bloom-prefiltered exact dedup against a reference corpus — the
     * ingest-time screen: keep every probe row whose `keyCol` does NOT
     * appear in `ref`. The result is EXACT (identical to a plain

@@ -308,6 +308,43 @@ object Similarity {
         sort_array(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Deterministic Achlioptas sparse JL matrix (Achlioptas 2003,
+    * "Database-friendly random projections", public method): entries
+    * {+s, −s, 0} with probability {1/6, 1/6, 2/3}, s = √(3/outDim).
+    * Entry (i,j) derives from a pure-integer LCG of the flat index so
+    * any engine regenerates the matrix from (dim, outDim, seed) alone —
+    * no shipped state, and the SQL oracle can spell the same formula. */
+  def jlMatrix(dim: Int, outDim: Int, seed: Long = 0L): Array[Array[Double]] = {
+    val s = math.sqrt(3.0 / outDim)
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val h = ((i.toLong * outDim + j + 1 + seed * 7919L) * 2654435761L) %
+        2147483648L
+      ((h / 1024) % 6) match { case 0 => s; case 1 => -s; case _ => 0.0 }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-d float
+    * embeddings to `outDim` dims with the [[jlMatrix]] — the standard
+    * pre-step that makes downstream ANN / clustering / dedup sweeps
+    * O(outDim) per distance instead of O(dim) while preserving pairwise
+    * distances within (1±ε). Returns flattened (id, j, rp) rows (the
+    * harness cannot sort array cells; callers wanting arrays can
+    * `collect_list` over j).
+    *
+    * Scale shape: each output dim is one native [[graft.expressions.DotFExpr]]
+    * kernel against a LITERAL matrix row — map-only, whole-stage
+    * codegen, zero shuffle, no broadcast (the matrix lives in the plan,
+    * outDim·dim doubles). At 100 TB this pipelines with the scan. */
+  def randomProjection(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Long = 0L): DataFrame = {
+    val m = jlMatrix(dim, outDim, seed)
+    val rps = (0 until outDim).map(j =>
+      graft.expressions.DotFExpr.dotf(col(vecCol), typedLit(m(j).toSeq)))
+    emb.select(col(idCol),
+      posexplode(array(rps: _*)).as(Seq("j", "rp")))
+  }
+
   /** IVF search against an explicit centroid codebook (e.g. from
     * [[kmeansCentroids]]); the index/probe dataflow is the same
     * assign → equi-join on cell → score as [[ivfTopK]]. */

@@ -553,6 +553,26 @@ object PipelineQueries {
         .orderBy("label", "dim")
     },
 
+    // Johnson–Lindenstrauss random projection 64→8 dims: the matrix is
+    // regenerated from the same pure-integer formula on both sides
+    // (Achlioptas {+s,−s,0} entries), so values are bit-comparable;
+    // flattened (vec_id, j, rp) rows for the harness.
+    Q("q_embed_project", Some(
+      """SELECT vec_id, CAST(j AS INT) AS j,
+        |  round(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(embedding[i] AS DOUBLE) *
+        |    (CASE ((((i - 1) * 8 + j + 1) * 2654435761) % 2147483648 // 1024) % 6
+        |       WHEN 0 THEN sqrt(3.0 / 8) WHEN 1 THEN -sqrt(3.0 / 8)
+        |       ELSE 0.0 END))), 4) AS rp
+        |FROM embeddings, unnest(range(0, 8)) r(j)
+        |ORDER BY vec_id, j""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Similarity.randomProjection(Tables.T(s, dir).embeddings,
+        "vec_id", "embedding", dim = 64, outDim = 8)
+        .select($"vec_id", $"j", round($"rp", 4).as("rp"))
+        .orderBy("vec_id", "j")
+    },
+
     // Exact all-pairs TF-IDF cosine over the inverted-index join —
     // weighted multiset similarity between every document pair sharing
     // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops
@@ -1892,6 +1912,37 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
       Dedup.dedupSpans(Tables.T(s, dir).documents, "text", "doc_id",
         spanWords = 3)
+        .orderBy("doc_id")
+    },
+
+    // Source-scoped boilerplate strip (CCNet/RefinedWeb rule): a 5-word
+    // span occurring in >= 2 distinct docs of the SAME source is removed
+    // from every doc — no first-occurrence survivor, unlike dedup_spans.
+    Q("q_dedup_boilerplate", Some(
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, source, ws,
+        |  unnest(range(0, CAST(ceil(len(ws)/5.0) AS BIGINT))) AS idx FROM w),
+        |s AS (SELECT doc_id, source, CAST(idx AS BIGINT) AS idx,
+        |  array_to_string(list_slice(ws, CAST(idx*5+1 AS BIGINT),
+        |    CAST(idx*5+5 AS BIGINT)), ' ') AS span FROM s0),
+        |f AS (SELECT source, span, count(DISTINCT doc_id) AS dfq
+        |  FROM s GROUP BY 1, 2),
+        |k AS (SELECT s.doc_id, s.idx, s.span, f.dfq < 2 AS keep
+        |  FROM s JOIN f USING (source, span)),
+        |g AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN span END, ' '
+        |    ORDER BY idx), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_spans,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS boiler_spans
+        |FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+        |  coalesce(g.kept_spans, 0) AS kept_spans,
+        |  coalesce(g.boiler_spans, 0) AS boiler_spans
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      Dedup.boilerplateStrip(Tables.T(s, dir).documents, "text", "doc_id",
+        "source", spanWords = 5, minDocs = 2)
         .orderBy("doc_id")
     }
   )

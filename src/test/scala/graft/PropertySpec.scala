@@ -245,4 +245,60 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"a=$va b=$vb")
     }
   }
+
+  test("boilerplateStrip removes ALL within-source repeats, keeps " +
+    "cross-source repeats and null-text docs") {
+    import spark.implicits._
+    val boiler = "the site cookie banner text"       // 5 words, src A ×2
+    val cross = "unique enough shared across sources" // src A + src B
+    val docs = Seq(
+      (1L, "A", s"$boiler alpha beta gamma delta one"),
+      (2L, "A", s"$boiler $cross"),
+      (3L, "B", cross),
+      (4L, "B", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateStrip(docs, "text", "doc_id", "source",
+      spanWords = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boiler span removed from BOTH A-docs (no survivor)
+    assert(out(1L) == (("alpha beta gamma delta one", 1L, 1L)))
+    assert(out(2L) == ((cross, 1L, 1L)))
+    // same span across different sources is NOT boilerplate
+    assert(out(3L) == ((cross, 1L, 0L)))
+    // null text survives with empty clean_text and zero counters
+    assert(out(4L) == (("", 0L, 0L)))
+  }
+
+  test("randomProjection preserves pairwise distance within JL bounds " +
+    "and is deterministic") {
+    import spark.implicits._
+    val dim = 64; val outDim = 16
+    val vecGen = Gen.listOfN(dim, Gen.choose(-1.0, 1.0).map(_.toFloat))
+    val vecs = samples(vecGen, 8).map(_.toArray)
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val rp = Similarity.randomProjection(emb, "vec_id", "embedding",
+      dim, outDim)
+      .groupBy("vec_id")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("rp")))),
+        s => s.getField("rp")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (i <- vecs.indices; k <- vecs.indices if i < k) {
+      val orig = d2(vecs(i).map(_.toDouble), vecs(k).map(_.toDouble))
+      val proj = d2(rp(i.toLong), rp(k.toLong))
+      // ε here is loose (outDim=16 is a smoke dimension, not a JL
+      // guarantee dimension) — the test asserts order-of-magnitude
+      // preservation plus exact determinism via the matrix formula
+      assert(proj > orig * 0.2 && proj < orig * 3.0,
+        s"pair ($i,$k): orig=$orig proj=$proj")
+    }
+    val m1 = Similarity.jlMatrix(dim, outDim)
+    val m2 = Similarity.jlMatrix(dim, outDim)
+    assert(m1.flatten.toSeq == m2.flatten.toSeq)
+    val nz = m1.flatten.count(_ != 0.0).toDouble / (dim * outDim)
+    assert(nz > 0.2 && nz < 0.45, s"nonzero fraction $nz far from 1/3")
+  }
 }
