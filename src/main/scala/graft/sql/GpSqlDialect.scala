@@ -809,7 +809,7 @@ object GpSqlDialect {
           s"function $name is LANGUAGE plpgsql with a body graft cannot " +
             s"inline (first unsupported statement: $why); only assignment " +
             "chains ending in RETURN / IF-RETURN ladders / RETURN QUERY / " +
-            "accumulator FOR loops execute")
+            "accumulator FOR and FOREACH-ARRAY loops execute")
     }
     deferredAggregates.foreach { case (name, why) =>
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
@@ -840,6 +840,11 @@ object GpSqlDialect {
   // tier 4b: integer range loop — FOR <var> IN <lo>..<hi> LOOP ...
   private val PlForRangeRe =
     ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(.+?)\\s*\\.\\.\\s*(.+?)\\s+LOOP" +
+      "\\s+(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
+  // tier 4c: FOREACH <var> IN ARRAY <expr> LOOP ... — pl_exec.c
+  // exec_stmt_foreach_a; the loop domain is the exploded array
+  private val PlForeachRe =
+    ("(?is)^\\s*FOREACH\\s+(\\w+)\\s+IN\\s+ARRAY\\s+(.+?)\\s+LOOP" +
       "\\s+(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
 
   def executeCreatePlpgsql(spark: SparkSession, gpSql: String): DataFrame = {
@@ -958,6 +963,14 @@ object GpSqlDialect {
       case PlForRangeRe(loopVar, lo, hi, body, ret) =>
         val seqSel = s"SELECT explode(sequence(CAST(($lo) AS BIGINT), " +
           s"CAST(($hi) AS BIGINT))) AS $loopVar"
+        lowerPlpgsqlFor(name, params, subst(env), env,
+          loopVar, seqSel, body, Option(ret))
+      // array element loop (exec_stmt_foreach_a): the loop domain is
+      // the exploded array, same accumulator lowering; SLICE forms
+      // (sub-array iteration) fall through to the deferral arm because
+      // this regex requires the bare `IN ARRAY expr` shape
+      case PlForeachRe(loopVar, arr, body, ret) =>
+        val seqSel = s"SELECT explode($arr) AS $loopVar"
         lowerPlpgsqlFor(name, params, subst(env), env,
           loopVar, seqSel, body, Option(ret))
       case other =>

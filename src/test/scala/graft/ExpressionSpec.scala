@@ -383,6 +383,35 @@ class ExpressionSpec extends AnyFunSuite {
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("null_acc")
       .exists(_.contains("initializer")))
+    // FOREACH ... IN ARRAY (exec_stmt_foreach_a): domain = exploded
+    // array argument; guarded + plain accumulators both apply
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION arr_score(xs BIGINT[], cut INT) RETURNS BIGINT AS $$
+        |DECLARE tot BIGINT := 10;
+        |        hits BIGINT := 0;
+        |BEGIN
+        |  FOREACH x IN ARRAY xs LOOP
+        |    tot := tot + x;
+        |    IF x >= cut THEN hits := hits + 1; END IF;
+        |  END LOOP;
+        |  RETURN tot * 100 + hits;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT arr_score(array(1, 5, 7), 5) AS v", "/tmp/never")
+      .head.getLong(0) == 2302L) // tot=10+13=23 → 2300 + hits=2
+    // SLICE iteration is a different statement — must defer, not
+    // silently iterate elements
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION arr_slices(xs BIGINT[]) RETURNS BIGINT AS $$
+        |DECLARE tot BIGINT := 0;
+        |BEGIN
+        |  FOREACH s SLICE 1 IN ARRAY xs LOOP tot := tot + 1; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("arr_slices")
+      .exists(_.contains("FOREACH")))
   }
 
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
