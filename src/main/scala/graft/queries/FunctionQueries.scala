@@ -1159,6 +1159,47 @@ object FunctionQueries {
         .orderBy("event_id")
     },
 
+    // Named-zone AT TIME ZONE with real DST (timestamp_zone
+    // timestamp.c): zoneinfo lookup across the 2024 US spring-forward /
+    // fall-back instants plus a southern-hemisphere zone, over literal
+    // edges AND a sweep of real event timestamps. The skipped
+    // spring-forward local ('2024-03-10 02:30' never exists in
+    // America/New_York) converts identically in both engines (shifted
+    // through the gap); AMBIGUOUS fall-back locals are deliberately not
+    // driven to UTC — ICU resolves them to the later offset where
+    // java.time picks the earlier, a documented engine divergence.
+    Q("q_fn_tz_dst", Some(
+      """WITH lits(x) AS (VALUES
+        |    (TIMESTAMP '2024-03-10 06:59:00'),
+        |    (TIMESTAMP '2024-03-10 07:00:00'),
+        |    (TIMESTAMP '2024-03-10 02:30:00'),
+        |    (TIMESTAMP '2024-11-03 05:59:00'),
+        |    (TIMESTAMP '2024-11-03 06:00:00'),
+        |    (TIMESTAMP '2024-04-06 16:30:00')),
+        |ev AS (SELECT CAST(ts AS TIMESTAMP) AS x FROM events
+        |  WHERE event_id < 100),
+        |u AS (SELECT x FROM lits UNION ALL SELECT x FROM ev)
+        |SELECT x,
+        |  timezone('America/New_York', timezone('UTC', x)) AS ny_wall,
+        |  timezone('Australia/Sydney', timezone('UTC', x)) AS syd_wall,
+        |  timezone('UTC', timezone('America/New_York',
+        |    TIMESTAMP '2024-03-10 02:30:00')) AS gap_utc
+        |FROM u ORDER BY x""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val lits = Seq("2024-03-10 06:59:00", "2024-03-10 07:00:00",
+        "2024-03-10 02:30:00", "2024-11-03 05:59:00",
+        "2024-11-03 06:00:00", "2024-04-06 16:30:00")
+        .toDF("xs").select($"xs".cast("timestamp").as("x"))
+      val ev = Tables.T(s, dir).events.filter($"event_id" < 100)
+        .select($"ts".as("x"))
+      lits.union(ev).select($"x",
+        from_utc_timestamp($"x", "America/New_York").as("ny_wall"),
+        from_utc_timestamp($"x", "Australia/Sydney").as("syd_wall"),
+        to_utc_timestamp(lit("2024-03-10 02:30:00").cast("timestamp"),
+          "America/New_York").as("gap_utc"))
+        .orderBy("x")
+    },
+
     // ---- SQL/XML publishing (xml.c:427-726, escape_xml:2285) -------
     // xmlelement + xmlattributes, xmlforest (null drops the element),
     // self-closing empty elements, xmlconcat/xmlcomment/xmlpi, and the
