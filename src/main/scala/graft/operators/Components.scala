@@ -26,6 +26,52 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** PageRank with a FIXED iteration count — the MADlib `pagerank`
+    * surface (Hellerstein et al. 2012, public method; Page et al. 1999
+    * for the algorithm), the other graph kernel a dedup/ranking
+    * pipeline wants (authority scoring over a similarity or
+    * interaction graph). Simplified model (matching the oracle
+    * formula): rank = (1−d)/N + d·Σ in-contribs, dangling mass not
+    * redistributed — a node with no out-edges leaks its damped mass,
+    * the common simplification.
+    *
+    * Scale: each round is one equi-join (ranks ⨝ edges on src, both
+    * sides hash-partitioned on the same key round over round) + one
+    * groupBy(dst) with map-side partial sums; out-degrees are computed
+    * once. No driver state, no collect; the iterate count is fixed so
+    * the plan is finite. Lineage is cut with localCheckpoint each round
+    * (the [[connectedComponents]] / RecursiveCte discipline) so round
+    * k's plan does not re-execute rounds 0..k−1. Returns (id, rank). */
+  def pageRank(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    val edges = edgesDf
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count().toDouble
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
+    for (_ <- 0 until iterations) {
+      val contribs = edges
+        .join(outDeg, "src")
+        .join(ranks, edges("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cs"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Components of the undirected pair graph. Returns (`id`,
     * `component`) for every vertex that appears in `pairs`, where
     * `component` is the least vertex id in the component. */

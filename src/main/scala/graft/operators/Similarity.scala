@@ -73,6 +73,35 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the standard
+    * in-batch-negatives upgrade — e.g. Robinson et al. 2021,
+    * "Contrastive Learning with Hard Negative Samples", public method):
+    * for each anchor, the k most-cosine-similar corpus vectors carrying
+    * a DIFFERENT label — the near-misses that actually move a
+    * contrastive loss, versus random negatives that are trivially far.
+    * Returns (q_id, c_id, rk, cos).
+    *
+    * Scale: same broadcast-anchor dataflow as [[bruteForceTopK]], with
+    * the label inequality fused BEFORE the per-anchor top-k window so
+    * same-class rows never reach the rank heap; swap an LSH/IVF
+    * candidate generator in for the 100 TB path — the mining filter and
+    * rank stage are unchanged. */
+  def hardNegatives(
+      anchors: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec", qLabel: String = "q_label",
+      cId: String = "c_id", cVec: String = "c_vec", cLabel: String = "c_label")
+      : DataFrame = {
+    val qn = anchors.withColumn("qnrm", sqrt(dotf(col(qVec), col(qVec))))
+    val cn = corpus.withColumn("cnrm", sqrt(dotf(col(cVec), col(cVec))))
+    val scored = cn.crossJoin(broadcast(qn))
+      .filter(col(qLabel) =!= col(cLabel))
+      .select(col(qId), col(cId),
+        cosineWithNorms(dotf(col(qVec), col(cVec)),
+          col("qnrm"), col("cnrm")).as("cos"))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** kNN label classification over embeddings (Fix & Hodges 1951; the
     * standard majority-vote rule): each query takes the label held by
     * most of its k nearest labeled neighbors by cosine; ties break to

@@ -201,6 +201,47 @@ object AggregateQueries {
           .orderBy("l_returnflag")
     },
 
+    // Multivariate OLS (MADlib linregr_train parity): per-group
+    // closed-form fit of price ~ b0 + b1*quantity + b2*discount from
+    // the normal-equation moment sums — one aggregate pass, Cramer's
+    // rule in column algebra, split-sum discipline so the moments (and
+    // hence the coefficients) are shuffle-order exact on both engines.
+    Q("q_agg_ols", Some {
+      import graft.operators.Regression.Sql._
+      val det = det3(c0, c1, c2)
+      val (db0, db1, db2) = (det3(r, c1, c2), det3(c0, r, c2), det3(c0, c1, r))
+      val (b0, b1, b2) = (s"($db0 / $det)", s"($db1 / $det)", s"($db2 / $det)")
+      val sse = s"(syy - ($b0 * sy + $b1 * sx1y + $b2 * sx2y))"
+      val sst = "(syy - sy * sy / n)"
+      s"""WITH t AS (SELECT l_returnflag AS grp,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("l_quantity", 6)} AS sx1,
+         |    ${Q.oSum("l_discount", 6)} AS sx2,
+         |    ${Q.oSum("l_extendedprice", 6)} AS sy,
+         |    ${Q.oSum("l_quantity * l_quantity", 6)} AS sx11,
+         |    ${Q.oSum("l_discount * l_discount", 6)} AS sx22,
+         |    ${Q.oSum("l_quantity * l_discount", 6)} AS sx12,
+         |    ${Q.oSum("l_quantity * l_extendedprice", 6)} AS sx1y,
+         |    ${Q.oSum("l_discount * l_extendedprice", 6)} AS sx2y,
+         |    ${Q.oSum("l_extendedprice * l_extendedprice", 6)} AS syy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b0 END, 4) AS b0,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b1 END, 4) AS b1,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b2 END, 4) AS b2,
+         |  round(CASE WHEN abs($det) > 1e-9 AND $sst > 0.0
+         |    THEN 1.0 - $sse / $sst END, 6) AS r2
+         |FROM t ORDER BY grp""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Regression.olsFit2(Tables.T(s, dir).lineitem,
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
+        .select($"grp", $"n", round($"b0", 4).as("b0"),
+          round($"b1", 4).as("b1"), round($"b2", 4).as("b2"),
+          round($"r2", 6).as("r2"))
+        .orderBy("grp")
+    },
+
     // min_by/max_by ≡ DuckDB arg_min/arg_max.
     Q("q_agg_minmax_by", Some(
       """SELECT o_orderstatus,

@@ -1200,6 +1200,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PageRank (MADlib pagerank parity, fixed 5 iterations) over the
+    // supplier→customer shipment graph; custkeys offset into their own
+    // id space. Oracle unrolls the same power iteration as chained
+    // CTEs; round(6) absorbs per-node fp summation order.
+    Q("q_graph_pagerank", Some {
+      val iters = 5
+      val head =
+        """WITH e AS (SELECT DISTINCT l_suppkey AS src,
+          |    1000000 + o_custkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          |p0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nn)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(p.rank / deg.deg) AS cs
+           |  FROM e JOIN deg USING (src) JOIN p${i - 1} p ON p.id = e.src
+           |  GROUP BY 1),
+           |p$i AS (SELECT nodes.id,
+           |    (1.0 - 0.85) / nn.n + 0.85 * coalesce(c$i.cs, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.id = nodes.id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT id, round(rank, 6) AS rank
+         |FROM p$iters ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("src"),
+          (lit(1000000L) + $"o_custkey").as("dst"))
+      graft.operators.Components.pageRank(edges, "src", "dst",
+        iterations = 5, damping = 0.85)
+        .select($"id", round($"rank", 6).as("rank"))
+        .orderBy("id")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),
@@ -1470,6 +1510,31 @@ object PipelineQueries {
         .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
       val corpus = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
       Similarity.bruteForceTopK(queries, corpus, 3)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
+    // Hard-negative mining: per anchor, the 4 most-similar vectors with
+    // a DIFFERENT label — the label filter runs before the per-anchor
+    // rank window, so same-class rows never reach the top-k heap.
+    Q("q_ann_hard_negatives", Some(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN embeddings c ON c.label <> q.ql),
+         |r AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM r WHERE rk <= 4 ORDER BY q_id, rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val anchors = emb.filter($"vec_id" < 8).select($"vec_id".as("q_id"),
+        $"embedding".as("q_vec"), $"label".as("q_label"))
+      val corpus = emb.select($"vec_id".as("c_id"),
+        $"embedding".as("c_vec"), $"label".as("c_label"))
+      Similarity.hardNegatives(anchors, corpus, 4)
         .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
         .orderBy("q_id", "rk")
     },

@@ -301,4 +301,45 @@ class PropertySpec extends AnyFunSuite {
     val nz = m1.flatten.count(_ != 0.0).toDouble / (dim * outDim)
     assert(nz > 0.2 && nz < 0.45, s"nonzero fraction $nz far from 1/3")
   }
+
+  test("pageRank: uniform on a cycle, mass-conserving when no dangling") {
+    import spark.implicits._
+    // directed 6-cycle: every node has in/out degree 1 → stationary
+    // distribution is uniform 1/6 and every iterate stays there
+    val n = 6
+    val cyc = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val pr = Components.pageRank(cyc, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == n)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12))
+    // star graph a->c, b->c: hub c accumulates, total mass conserved
+    // (no dangling leak only when every node has out-edges — c->a closes it)
+    val star = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ps = Components.pageRank(star, "src", "dst", iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ps.values.sum - 1.0) < 1e-9)
+    assert(ps(3L) > ps(1L) && ps(1L) > ps(2L))
+  }
+
+  test("olsFit2 recovers exact coefficients from noiseless linear data") {
+    import spark.implicits._
+    val rows = for (i <- 1 to 40) yield {
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 5).toDouble / 4.0
+      ("g", 2.5 + 1.25 * x1 - 3.0 * x2, x1, x2)
+    }
+    val fit = Regression.olsFit2(rows.toDF("g", "y", "x1", "x2"),
+      "g", "y", "x1", "x2").head
+    assert(fit.getLong(1) == 40L)
+    assert(math.abs(fit.getDouble(2) - 2.5) < 1e-4, s"b0=${fit.getDouble(2)}")
+    assert(math.abs(fit.getDouble(3) - 1.25) < 1e-4)
+    assert(math.abs(fit.getDouble(4) + 3.0) < 1e-4)
+    assert(math.abs(fit.getDouble(5) - 1.0) < 1e-6) // perfect fit → R²=1
+    // singular design (constant x2) must yield NULLs, not a crash
+    val sing = (1 to 10).map(i => ("g", i.toDouble, i.toDouble, 1.0))
+      .toDF("g", "y", "x1", "x2")
+    val fs = Regression.olsFit2(sing, "g", "y", "x1", "x2").head
+    assert(fs.isNullAt(2) && fs.isNullAt(3) && fs.isNullAt(4))
+  }
 }
