@@ -66,6 +66,67 @@ object Regression {
         .as("r2"))
   }
 
+  /** Per-group logistic regression `P(y=1) = σ(b0 + b1*x1 + b2*x2)` by
+    * Newton/IRLS with a FIXED iteration count — MADlib `logregr_train`
+    * (Hellerstein et al. 2012; the Newton update is the textbook IRLS
+    * step b += (X'WX)⁻¹ X'(y−μ), W = μ(1−μ)). Each iteration is ONE
+    * aggregate pass collecting the 9 weighted moments + 3 gradient
+    * sums, then the same closed-form 3×3 Cramer solve as [[olsFit2]] —
+    * per-group coefficient state lives in a catalog-scale DataFrame
+    * broadcast-joined back to the rows, never on the driver.
+    *
+    * Scale: iteration count is fixed (Newton converges quadratically;
+    * 4 rounds reach fp precision on separable-free data), so the whole
+    * fit is `iters` scans with map-side partial aggregation — the same
+    * shape MADlib runs per segment. Groups with a singular weighted
+    * normal matrix keep their previous coefficients (guard, no crash).
+    * Returns (grp, n, b0, b1, b2). */
+  def logregFit2(
+      df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String, iterations: Int = 4): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+      col(yCol).cast("double").as("y"),
+      col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
+    var coef = rows.select(col("grp")).distinct()
+      .select(col("grp"), lit(0.0).as("b0"), lit(0.0).as("b1"),
+        lit(0.0).as("b2"))
+    for (_ <- 0 until iterations) {
+      val z = col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
+      val mu = lit(1.0) / (lit(1.0) + exp(-z))
+      val w = mu * (lit(1.0) - mu)
+      val res = col("y") - mu
+      val m = rows.join(broadcast(coef), "grp")
+        .select(col("grp"), col("b0"), col("b1"), col("b2"),
+          w.as("w"), res.as("res"), col("x1"), col("x2"))
+        .groupBy("grp", "b0", "b1", "b2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w")).as("sw"),
+          sum(col("w") * col("x1")).as("swx1"),
+          sum(col("w") * col("x2")).as("swx2"),
+          sum(col("w") * col("x1") * col("x1")).as("swx11"),
+          sum(col("w") * col("x2") * col("x2")).as("swx22"),
+          sum(col("w") * col("x1") * col("x2")).as("swx12"),
+          sum(col("res")).as("g0"),
+          sum(col("res") * col("x1")).as("g1"),
+          sum(col("res") * col("x2")).as("g2"))
+      val c0 = (col("sw"), col("swx1"), col("swx2"))
+      val c1 = (col("swx1"), col("swx11"), col("swx12"))
+      val c2 = (col("swx2"), col("swx12"), col("swx22"))
+      val g = (col("g0"), col("g1"), col("g2"))
+      val det = det3(c0, c1, c2)
+      val ok = abs(det) > lit(1e-12)
+      coef = m.select(col("grp"), col("n"),
+        when(ok, col("b0") + det3(g, c1, c2) / det).otherwise(col("b0"))
+          .as("b0"),
+        when(ok, col("b1") + det3(c0, g, c2) / det).otherwise(col("b1"))
+          .as("b1"),
+        when(ok, col("b2") + det3(c0, c1, g) / det).otherwise(col("b2"))
+          .as("b2"))
+        .select(col("grp"), col("b0"), col("b1"), col("b2"), col("n"))
+    }
+    coef.select(col("grp"), col("n"), col("b0"), col("b1"), col("b2"))
+  }
+
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated

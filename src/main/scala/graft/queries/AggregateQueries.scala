@@ -242,6 +242,64 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // Logistic regression (MADlib logregr_train parity): per-group
+    // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
+    // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The
+    // oracle unrolls the identical iteration as chained CTEs; round(4)
+    // absorbs fp summation order and last-ulp exp() differences.
+    Q("q_agg_logreg", Some {
+      import graft.operators.Regression.Sql.det3
+      val c0 = Seq("sw", "swx1", "swx2")
+      val c1 = Seq("swx1", "swx11", "swx12")
+      val c2 = Seq("swx2", "swx12", "swx22")
+      val g = Seq("g0", "g1", "g2")
+      val det = det3(c0, c1, c2)
+      def upd(b: String, dn: String) =
+        s"CASE WHEN abs($det) > 1e-12 THEN $b + $dn / $det ELSE $b END"
+      val rounds = (1 to 4).map { i =>
+        s"""m$i AS (SELECT grp, b0, b1, b2, count(*) AS n,
+           |    sum(w) AS sw, sum(w * x1) AS swx1, sum(w * x2) AS swx2,
+           |    sum(w * x1 * x1) AS swx11, sum(w * x2 * x2) AS swx22,
+           |    sum(w * x1 * x2) AS swx12,
+           |    sum(res) AS g0, sum(res * x1) AS g1, sum(res * x2) AS g2
+           |  FROM (SELECT grp, b0, b1, b2, mu * (1.0 - mu) AS w,
+           |      y - mu AS res, x1, x2
+           |    FROM (SELECT r.grp, c.b0, c.b1, c.b2, r.y, r.x1, r.x2,
+           |        1.0 / (1.0 + exp(-(c.b0 + c.b1 * r.x1 + c.b2 * r.x2)))
+           |          AS mu
+           |      FROM rr r JOIN it${i - 1} c USING (grp)) s1) s2
+           |  GROUP BY 1, 2, 3, 4),
+           |it$i AS (SELECT grp, n,
+           |    ${upd("b0", det3(g, c1, c2))} AS b0,
+           |    ${upd("b1", det3(c0, g, c2))} AS b1,
+           |    ${upd("b2", det3(c0, c1, g))} AS b2
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rr AS (SELECT l_returnflag AS grp,
+         |    CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+         |    CAST(l_tax AS DOUBLE) * 10.0 AS x2
+         |  FROM lineitem),
+         |it0 AS (SELECT DISTINCT grp, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+         |  FROM rr),
+         |$rounds
+         |SELECT grp, CAST(n AS BIGINT) AS n, round(b0, 4) AS b0,
+         |  round(b1, 4) AS b1, round(b2, 4) AS b2
+         |FROM it4 ORDER BY grp""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.T(s, dir).lineitem.select(
+        $"l_returnflag".as("grp"),
+        when($"l_discount" > 0.05, 1.0).otherwise(0.0).as("y"),
+        ($"l_quantity".cast("double") / lit(50.0)).as("x1"),
+        ($"l_tax".cast("double") * lit(10.0)).as("x2"))
+      graft.operators.Regression.logregFit2(rows, "grp", "y", "x1", "x2",
+        iterations = 4)
+        .select($"grp", $"n", round($"b0", 4).as("b0"),
+          round($"b1", 4).as("b1"), round($"b2", 4).as("b2"))
+        .orderBy("grp")
+    },
+
     // min_by/max_by ≡ DuckDB arg_min/arg_max.
     Q("q_agg_minmax_by", Some(
       """SELECT o_orderstatus,

@@ -342,4 +342,29 @@ class PropertySpec extends AnyFunSuite {
     val fs = Regression.olsFit2(sing, "g", "y", "x1", "x2").head
     assert(fs.isNullAt(2) && fs.isNullAt(3) && fs.isNullAt(4))
   }
+
+  test("logregFit2 satisfies the score equations at the fitted point") {
+    import spark.implicits._
+    // non-separable labeled points: the MLE exists, and Newton from 0
+    // must drive the gradient Σ(y−μ̂)·xj to ~0 — the defining property
+    // of a converged logistic fit, checkable without knowing the truth
+    val pts = Seq(
+      (-2.0, 0.0), (-1.5, 0.0), (-1.0, 1.0), (-0.5, 0.0), (0.0, 1.0),
+      (0.5, 0.0), (1.0, 1.0), (1.5, 1.0), (2.0, 1.0), (2.5, 0.0))
+    val df = pts.zipWithIndex.map { case ((x1, y), i) =>
+      ("g", y, x1, ((i % 3) - 1).toDouble / 2.0) }
+      .toDF("g", "y", "x1", "x2")
+    val f = Regression.logregFit2(df, "g", "y", "x1", "x2", iterations = 8)
+      .head
+    val (b0, b1, b2) = (f.getDouble(2), f.getDouble(3), f.getDouble(4))
+    val grads = pts.zipWithIndex.map { case ((x1, y), i) =>
+      val x2 = ((i % 3) - 1).toDouble / 2.0
+      val mu = 1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+      (y - mu, (y - mu) * x1, (y - mu) * x2)
+    }
+    assert(math.abs(grads.map(_._1).sum) < 1e-6)
+    assert(math.abs(grads.map(_._2).sum) < 1e-6)
+    assert(math.abs(grads.map(_._3).sum) < 1e-6)
+    assert(b1 > 0.0) // labels trend up in x1
+  }
 }
