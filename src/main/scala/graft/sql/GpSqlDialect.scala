@@ -846,6 +846,17 @@ object GpSqlDialect {
   private val PlForeachRe =
     ("(?is)^\\s*FOREACH\\s+(\\w+)\\s+IN\\s+ARRAY\\s+(.+?)\\s+LOOP" +
       "\\s+(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
+  // tier 4d: FOR <var> IN <cursor> LOOP — exec_stmt_forc over a BOUND
+  // cursor (`c CURSOR FOR SELECT ...` in DECLARE); the cursor is just a
+  // named query, so the loop lowers exactly like FOR-over-SELECT.
+  // Parameterized cursors (`CURSOR (args)`) and OPEN/FETCH/CLOSE
+  // protocols stay deferred.
+  private val PlForCursorRe =
+    ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(\\w+)\\s+LOOP" +
+      "\\s+(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
+  private val CursorDeclRe =
+    ("(?is)^\\s*(\\w+)\\s+(?:NO\\s+SCROLL\\s+|SCROLL\\s+)?CURSOR\\s+" +
+      "(?:IS|FOR)\\s+(SELECT\\b.+)$").r
 
   def executeCreatePlpgsql(spark: SparkSession, gpSql: String): DataFrame = {
     val m = CreatePlpgsqlRe.findFirstMatchIn(gpSql).getOrElse(
@@ -866,7 +877,14 @@ object GpSqlDialect {
     // initialized declarations substitute textually (16-round fixpoint
     // like inlineSqlFunctions, so locals may reference params/locals)
     val DeclInit = "(?is)^\\s*(\\w+)\\s+.*?(?::=|DEFAULT)\\s*(.+?)\\s*$".r
+    // bound cursors first: a cursor decl has no :=/DEFAULT so the two
+    // maps never claim the same declaration
+    val cursors = splitStatements(declsRaw).flatMap {
+      case CursorDeclRe(c, sel) => Some(c.toLowerCase -> sel.trim)
+      case _ => None
+    }.toMap
     val decls = splitStatements(declsRaw).flatMap {
+      case CursorDeclRe(_, _) => None
       case DeclInit(v, init) => Some(v.toLowerCase -> init)
       case _ => None // uninitialized: only fatal if referenced (NULL var)
     }.toMap
@@ -973,6 +991,13 @@ object GpSqlDialect {
         val seqSel = s"SELECT explode($arr) AS $loopVar"
         lowerPlpgsqlFor(name, params, subst(env), env,
           loopVar, seqSel, body, Option(ret))
+      // bound-cursor loop (exec_stmt_forc): the guard keeps unbound
+      // identifiers (EXECUTE, refcursors, undeclared names) on the
+      // deferral path instead of inlining a phantom query
+      case PlForCursorRe(loopVar, curName, body, ret)
+          if cursors.contains(curName.toLowerCase) =>
+        lowerPlpgsqlFor(name, params, subst(env), env,
+          loopVar, cursors(curName.toLowerCase), body, Option(ret))
       case other =>
         deferredPlpgsql(name) = firstStatement(other)
     }

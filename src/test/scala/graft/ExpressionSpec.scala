@@ -412,6 +412,35 @@ class ExpressionSpec extends AnyFunSuite {
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("arr_slices")
       .exists(_.contains("FOREACH")))
+    // bound-cursor loop (exec_stmt_forc): the DECLAREd cursor is a
+    // named query; the FOR lowers like FOR-over-SELECT
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION cursor_total(cut INT) RETURNS BIGINT AS $$
+        |DECLARE c CURSOR FOR SELECT n_nationkey FROM nation
+        |          WHERE n_regionkey >= cut;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  FOR r IN c LOOP tot := tot + r.n_nationkey; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val ct = GpSqlDialect.execute(spark,
+      "SELECT cursor_total(2) AS v", "/tmp/never").head.getLong(0)
+    val cexp = spark.table("nation")
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") >= 2)
+      .agg(org.apache.spark.sql.functions.sum("n_nationkey"))
+      .head.getLong(0)
+    assert(ct == cexp)
+    // an UNDECLARED loop source (refcursor / EXECUTE) must defer
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION phantom_cursor() RETURNS BIGINT AS $$
+        |DECLARE tot BIGINT := 0;
+        |BEGIN
+        |  FOR r IN mystery LOOP tot := tot + 1; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("phantom_cursor").isDefined)
   }
 
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
