@@ -44,15 +44,18 @@ object Components {
     * k's plan does not re-execute rounds 0..k−1. Returns (id, rank). */
   def pageRank(
       edgesDf: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    val edges = edgesDf
+      iterations: Int = 5, damping: Double = 0.85,
+      checkpoint: Boolean = true): DataFrame = {
+    // checkpoint=false keeps the full lineage visible — PlanSpec uses it
+    // to assert the per-round join/agg shape that the checkpoints hide
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val edges = cut(edgesDf
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(eager = true)
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
+    val nodes = cut(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
     val n = nodes.count().toDouble
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
@@ -62,12 +65,11 @@ object Components {
         .join(ranks, edges("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("cs"))
-      ranks = nodes
+      ranks = cut(nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank")))
     }
     ranks
   }

@@ -417,4 +417,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"semantic dedup must never go doc×doc:\n$p")
   }
+
+  test("q_embed_project: the JL projection is map-only — zero shuffles") {
+    val p = plan("q_embed_project")
+    // the matrix lives in the plan as literal rows; any Exchange would
+    // mean the projection shuffled the corpus it should only map over.
+    // (the final orderBy is the harness sort — a range exchange for
+    // output ordering is the one allowed shuffle)
+    val shuffles = "Exchange (?!rangepartitioning)".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"random projection must not hash-shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ann_hard_negatives: anchors broadcast, corpus never shuffled " +
+    "into pairs by sort-merge") {
+    val p = plan("q_ann_hard_negatives")
+    // candidate generation is corpus × broadcast(anchors) — linear in
+    // the corpus; a SortMergeJoin would mean both sides shuffled full
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"hard negatives must not shuffle the corpus into a merge join:\n$p")
+  }
+
+  test("q_dedup_boilerplate: span verdicts meet docs on an equi-join") {
+    val p = plan("q_dedup_boilerplate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate strip must stay on the (source, span) equi-join:\n$p")
+    // the doc-frequency aggregate must combine map-side
+    assert(p.contains("partial_"), s"dfq aggregate needs a partial phase:\n$p")
+  }
+
+  test("pageRank rounds are equi-joins with map-side partial sums") {
+    // the graded query checkpoints each round (lineage cut hides the
+    // round plans behind Scan ExistingRDD) — assert the un-cut lineage
+    import org.apache.spark.sql.functions.col
+    val t = graft.Tables.T(spark, sf)
+    val edges = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + 1000000L).as("dst"))
+    val pr = graft.operators.Components.pageRank(edges, "src", "dst",
+      iterations = 2, checkpoint = false)
+    pr.collect()
+    val p = pr.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank must never materialize node×node:\n$p")
+    assert(p.contains("partial_sum"),
+      s"contribution aggregate needs map-side combine:\n$p")
+  }
 }
