@@ -201,6 +201,47 @@ object PipelineQueries {
     // contaminated. Candidate generation is an equi-join on the shingle
     // (at 100 TB: on its hash) — never doc×doc pairs; per-doc counts of
     // DISTINCT shared shingles rank the offenders.
+    // Multinomial naive Bayes (MADlib bayes parity): language scores
+    // for held-out docs from Laplace-smoothed per-class token
+    // likelihoods; scores per (doc, class) — argmax stays out of the
+    // graded output (near-tie argmax is the engine-unstable step).
+    Q("q_text_naivebayes", Some(
+      s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id < 250),
+         |trtok AS (SELECT lang AS cls, t2 AS tok
+         |  FROM (SELECT lang, unnest($toks) AS t2 FROM tr)),
+         |counts AS (SELECT cls, tok, count(*) AS cnt FROM trtok
+         |  GROUP BY 1, 2),
+         |tcc AS (SELECT cls, count(*) AS tc FROM trtok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT tok FROM trtok),
+         |vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+         |nd AS (SELECT lang AS cls, count(*) AS nd FROM tr GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tr),
+         |w AS (SELECT tcc.cls, vocab.tok,
+         |    ln((coalesce(cnt, 0) + 1.0) / (tcc.tc + vs.v)) AS lw
+         |  FROM vocab CROSS JOIN tcc CROSS JOIN vs
+         |  LEFT JOIN counts ON counts.cls = tcc.cls
+         |    AND counts.tok = vocab.tok),
+         |tetok AS (SELECT id, tok, count(*) AS nw
+         |  FROM (SELECT doc_id AS id, unnest($toks) AS tok FROM te)
+         |  GROUP BY 1, 2),
+         |ll AS (SELECT id, cls, sum(nw * lw) AS ll
+         |  FROM tetok JOIN w USING (tok) GROUP BY 1, 2)
+         |SELECT id AS doc_id, cls, round(ln(nd.nd / tt.t) + ll.ll, 3)
+         |  AS score
+         |FROM ll JOIN nd USING (cls) CROSS JOIN tt
+         |ORDER BY doc_id, cls""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val test = docs.filter($"doc_id" % 5 === 0 && $"doc_id" < 250)
+      TextAnalysis.naiveBayesScores(train, test, "text", "doc_id", "lang")
+        .select($"id".as("doc_id"), $"cls", round($"score", 3).as("score"))
+        .orderBy("doc_id", "cls")
+    },
+
     // Per-doc n-gram novelty (memorization-risk score): fraction of
     // each doc's distinct 5-gram shingles occurring in ≥2 docs.
     Q("q_text_novelty", Some(
