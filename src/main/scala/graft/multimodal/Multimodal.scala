@@ -53,4 +53,42 @@ object Multimodal {
         }
       }
   }
+
+  case class FrameRow(
+      doc_id: Long, frame_idx: Int, offset: Long, n_bytes: Long,
+      checksum: Long)
+
+  /** Frame sampling — the video analogue of featurize: each media row
+    * expands to its sampled frames (windows of `frameBytes` at `stride`
+    * offsets; overlapping when stride < frameBytes, like a real
+    * fixed-fps sampler over a GOP stream). The flatMap iterator is the
+    * 1→N UDTF batch shape (`mapInPandas`-style): frames materialize
+    * lazily per partition, never as a per-row driver array — a 2-hour
+    * video row streams its frames through the same iterator the codec
+    * would fill. The frame DECODE itself is the stub ([[decodeStub]]'s
+    * checksum fold); the schema, offsets, and partition shape are what
+    * a real sampler plugs into. */
+  def frameSample(
+      spark: SparkSession, media: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val n = r.payload.length
+          val frames =
+            if (n < frameBytes) 0 else (n - frameBytes) / stride + 1
+          Iterator.range(0, frames).map { k =>
+            val off = k.toLong * stride
+            var sum = 0L
+            var i = off.toInt
+            while (i < off + frameBytes) {
+              sum = (sum * 31 + (r.payload(i) & 0xff)) % 1000003L
+              i += 1
+            }
+            FrameRow(r.doc_id, k, off, frameBytes.toLong, sum)
+          }
+        }
+      }
+  }
 }

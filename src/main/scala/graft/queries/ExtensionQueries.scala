@@ -377,6 +377,33 @@ object ExtensionQueries {
 
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
+    // Frame sampling over "video" payloads: 64-byte frames at stride 48
+    // (overlapping), one output row per frame via the lazy flatMap
+    // iterator — the 1→N UDTF batch shape a real codec plugs into.
+    Q("q_multimodal_frames", Some(
+      """WITH f AS (SELECT doc_id, CAST(k AS INT) AS frame_idx,
+        |    CAST(k * 48 AS BIGINT) AS "offset",
+        |    substr(text, CAST(k * 48 + 1 AS INT), 64) AS fb
+        |  FROM documents,
+        |    unnest(range(0, CASE WHEN length(text) < 64 THEN 0
+        |      ELSE (length(text) - 64) // 48 + 1 END)) r(k)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, frame_idx, "offset",
+        |  CAST(64 AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_transform(range(1, len(fb) + 1),
+        |    i -> CAST(ascii(substr(fb, i, 1)) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Multimodal.frameSample(s,
+        Multimodal.mediaTable(
+          Tables.T(s, dir).documents.filter($"doc_id" < 200)),
+        frameBytes = 64, stride = 48)
+        .toDF()
+        .select($"doc_id", $"frame_idx", $"offset", $"n_bytes", $"checksum")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q("q_multimodal_decode", Some(
       """SELECT doc_id,
         |  'image/png;src=' || source AS mime,
