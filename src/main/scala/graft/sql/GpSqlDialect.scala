@@ -829,6 +829,45 @@ object GpSqlDialect {
   // clause (runtime parameters) stays deferred.
   private val PlReturnQueryExecRe =
     "(?is)^\\s*RETURN\\s+QUERY\\s+EXECUTE\\s+'((?:[^']|'')*)'\\s*;?\\s*$".r
+  // RETURN QUERY EXECUTE format('…', 'lit', …) with ALL-LITERAL
+  // arguments — PG's dynamic-identifier idiom (stringfuncs.c
+  // text_format). The format folds at CREATE time (%s raw, %I
+  // identifier-quoted, %L literal-quoted, %% escape), so it inlines
+  // exactly like the constant-string EXECUTE; any non-literal argument
+  // fails the regex and stays on the deferral path.
+  private val PlReturnQueryExecFmtRe =
+    ("(?is)^\\s*RETURN\\s+QUERY\\s+EXECUTE\\s+format\\s*\\(\\s*" +
+      "'((?:[^']|'')*)'\\s*((?:,\\s*'(?:[^']|'')*'\\s*)*)\\)\\s*;?\\s*$").r
+
+  /** Fold PG format() with literal args; None = unsupported directive
+    * (positional %1$s, width specs) → defer. */
+  private def foldPgFormat(fmt: String, args: Seq[String]): Option[String] = {
+    val sb = new StringBuilder
+    var ai = 0
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        if (i + 1 >= fmt.length) return None
+        fmt.charAt(i + 1) match {
+          case '%' => sb += '%'
+          case 's' =>
+            if (ai >= args.length) return None
+            sb ++= args(ai); ai += 1
+          case 'I' =>
+            if (ai >= args.length) return None
+            val a = args(ai); ai += 1
+            sb ++= (if (a.matches("[A-Za-z_][A-Za-z0-9_]*")) a
+              else "`" + a.replace("`", "``") + "`")
+          case 'L' =>
+            if (ai >= args.length) return None
+            sb ++= "'" + args(ai).replace("'", "''") + "'"; ai += 1
+          case _ => return None
+        }
+        i += 2
+      } else { sb += fmt.charAt(i); i += 1 }
+    }
+    Some(sb.toString)
+  }
   private val PlIfRe =
     ("(?is)^\\s*IF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;" +
       "(\\s*ELSIF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;)*" +
@@ -934,6 +973,15 @@ object GpSqlDialect {
       case PlReturnQueryExecRe(sql) if parts.length - i <= 1 =>
         sqlFunctions(name) = SqlFunction(params,
           subst(env)(sql.replace("''", "'")), scalarExpr = false)
+      case PlReturnQueryExecFmtRe(fmt, argsRaw) if parts.length - i <= 1 =>
+        val lits = "'((?:[^']|'')*)'".r.findAllMatchIn(argsRaw)
+          .map(_.group(1).replace("''", "'")).toSeq
+        foldPgFormat(fmt.replace("''", "'"), lits) match {
+          case Some(sql) =>
+            sqlFunctions(name) =
+              SqlFunction(params, subst(env)(sql), scalarExpr = false)
+          case None => deferredPlpgsql(name) = firstStatement(tail)
+        }
       // dynamic EXECUTE that is NOT the constant-string form (USING
       // params, format() calls) must defer, not register a body Spark
       // can't parse

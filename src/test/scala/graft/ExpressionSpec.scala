@@ -441,6 +441,26 @@ class ExpressionSpec extends AnyFunSuite {
         |END
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("phantom_cursor").isDefined)
+    // EXECUTE format() with all-literal args folds at CREATE time:
+    // %I identifier, %L literal, %% escape
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION fmt_regions() RETURNS TABLE(r_name STRING) AS $$
+        |BEGIN
+        |  RETURN QUERY EXECUTE format(
+        |    'SELECT r_name FROM %I WHERE r_name <> %L', 'region', 'no''ne');
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM fmt_regions()", "/tmp/never")
+      .head.getLong(0) == 5L)
+    // a non-literal format argument must defer, not inline garbage
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION fmt_dyn(tbl TEXT) RETURNS TABLE(x INT) AS $$
+        |BEGIN
+        |  RETURN QUERY EXECUTE format('SELECT 1 FROM %I', tbl);
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("fmt_dyn").isDefined)
   }
 
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
