@@ -571,6 +571,49 @@ object TextAnalysis {
           count(lit(1))).as("dup_frac"))
   }
 
+  /** Per-group distinctive terms by informative-Dirichlet log-odds
+    * (Monroe, Colaresi & Quinn 2008, "Fightin' Words", public method —
+    * the corpus-linguistics keyness statistic): for each group, terms
+    * ranked by the z-score of the log-odds of the term in the group vs
+    * the rest of the corpus, with a symmetric Dirichlet prior `alpha`
+    * damping rare-term noise. The standard "what words characterize
+    * this source/domain" report for corpus audits.
+    *
+    * Scale: (group, token) and token-marginal aggregates with map-side
+    * partials — state is vocabulary-scale, never corpus-scale; the
+    * top-k is a per-group rank window over vocabulary rows. z is
+    * ranked ROUNDED (6 dp) with the term as tiebreak so ordering is
+    * reproducible across engines and cluster sizes. */
+  def keyness(
+      docs: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 3, alpha: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    val ysw = tok.groupBy("grp", "tok").agg(count(lit(1)).as("ysw"))
+    val ns = tok.groupBy("grp").agg(count(lit(1)).as("ns"))
+    val yw = tok.groupBy("tok").agg(count(lit(1)).as("yw"))
+    val totals = tok.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v"))
+    val a = lit(alpha)
+    val scored = ysw.join(ns, "grp").join(yw, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("bigA", a * col("v"))
+      .withColumn("rest_yw", col("yw") - col("ysw"))
+      .withColumn("rest_n", col("n") - col("ns"))
+      .withColumn("delta",
+        log((col("ysw") + a) / (col("ns") + col("bigA") - col("ysw") - a)) -
+          log((col("rest_yw") + a) /
+            (col("rest_n") + col("bigA") - col("rest_yw") - a)))
+      .withColumn("z", round(col("delta") /
+        sqrt(lit(1.0) / (col("ysw") + a) + lit(1.0) / (col("rest_yw") + a)),
+        6))
+    val w = Window.partitionBy("grp").orderBy(col("z").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("grp"), col("tok"), col("rk"), col("z"))
+  }
+
   /** Multinomial naive Bayes scoring — the MADlib `bayes` module
     * surface (Hellerstein et al. 2012, public method; McCallum & Nigam
     * 1998 for the model): train per-class token log-likelihoods with

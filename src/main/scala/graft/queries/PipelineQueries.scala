@@ -201,6 +201,40 @@ object PipelineQueries {
     // contaminated. Candidate generation is an equi-join on the shingle
     // (at 100 TB: on its hash) — never doc×doc pairs; per-doc counts of
     // DISTINCT shared shingles rank the offenders.
+    // Per-source distinctive terms ("Fightin' Words" log-odds keyness,
+    // Monroe et al. 2008): top-3 tokens per source by the z-score of
+    // the informative-Dirichlet log-odds vs the rest of the corpus;
+    // ranked on the ROUNDED z with token tiebreak for engine-stable
+    // ordering.
+    Q("q_text_keyness", Some(
+      s"""WITH tok AS (SELECT source AS grp, t2 AS tok
+         |  FROM (SELECT source, unnest($toks) AS t2 FROM documents)),
+         |ysw AS (SELECT grp, tok, count(*) AS ysw FROM tok GROUP BY 1, 2),
+         |ns AS (SELECT grp, count(*) AS ns FROM tok GROUP BY 1),
+         |yw AS (SELECT tok, count(*) AS yw FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tok),
+         |s AS (SELECT grp, tok, ysw, ns, yw, n, v,
+         |    0.01 * v AS bigA, yw - ysw AS rest_yw, n - ns AS rest_n
+         |  FROM ysw JOIN ns USING (grp) JOIN yw USING (tok) CROSS JOIN tot),
+         |z AS (SELECT grp, tok,
+         |    round((ln((ysw + 0.01) / (ns + bigA - ysw - 0.01)) -
+         |           ln((rest_yw + 0.01) / (rest_n + bigA - rest_yw - 0.01)))
+         |      / sqrt(1.0 / (ysw + 0.01) + 1.0 / (rest_yw + 0.01)), 6)
+         |      AS z
+         |  FROM s),
+         |r AS (SELECT grp, tok, z, row_number() OVER
+         |    (PARTITION BY grp ORDER BY z DESC, tok) AS rk FROM z)
+         |SELECT grp AS source, tok, CAST(rk AS INT) AS rk, z
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        TextAnalysis.keyness(Tables.T(s, dir).documents, "text", "source",
+          topK = 3, alpha = 0.01)
+          .select($"grp".as("source"), $"tok", $"rk", $"z")
+          .orderBy("source", "rk")
+    },
+
     // Multinomial naive Bayes (MADlib bayes parity): language scores
     // for held-out docs from Laplace-smoothed per-class token
     // likelihoods; scores per (doc, class) — argmax stays out of the
