@@ -76,4 +76,31 @@ object Corpus {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Weighted sample without replacement, k rows — Efraimidis &
+    * Spirakis 2006 (A-ES, public method): each row draws a
+    * deterministic uniform u from md5(id) and takes key u^(1/weight);
+    * the global top-k keys ARE a weighted sample. The standard way to
+    * oversample high-quality / long documents reproducibly: the
+    * "random" draw is a hash, so the selection is identical across
+    * engines, cluster sizes, and reruns, and composes with incremental
+    * ingest.
+    *
+    * Scale: key is map-only; top-k is TakeOrderedAndProject (per-
+    * partition heaps, no global sort). The ranked key is ROUNDED
+    * (10 dp, id tiebreak) so pow()'s last-ulp engine differences cannot
+    * reorder the cut. Returns (rk, id row..., skey). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val skey = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 10)
+    // top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps); the rank window then runs over k rows only, never the
+    // corpus — a corpus-wide unpartitioned window would serialize
+    val top = df.withColumn("skey", skey)
+      .orderBy(col("skey").desc, col(idCol).asc).limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("skey").desc, col(idCol).asc)))
+  }
 }

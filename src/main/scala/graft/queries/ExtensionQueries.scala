@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Funnels}
 import graft.streaming.{EventStreams, StatefulOps}
 
 /** Beyond-reference extensions (SURVEY §2.12 + BASELINE north star):
@@ -377,6 +377,51 @@ object ExtensionQueries {
 
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
+    // Ordered-step funnel (view → click → purchase within 72 h of the
+    // first view): each stage is a per-user min-aggregate + equi-join
+    // against the shrinking qualified set — never a window over the
+    // full stream, never event×event.
+    Q("q_events_funnel", Some(
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS tk
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id AS u, s2.t1, min(e.ts) AS tk
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.tk
+        |    AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+        |  GROUP BY 1, 2)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin)) { (s, dir) =>
+      Funnels.funnel(Tables.T(s, dir).events,
+        Seq("view", "click", "purchase"), windowHours = 72)
+        .orderBy("step")
+    },
+
+    // Weekly cohort retention: users bucketed by first-event week, one
+    // row per (cohort, week offset) with active members that week.
+    Q("q_events_retention", Some(
+      """WITH ev AS (SELECT DISTINCT user_id AS u,
+        |    date_trunc('week', ts) AS w FROM events),
+        |cohort AS (SELECT u, min(w) AS cw FROM ev GROUP BY 1)
+        |SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+        |  CAST((epoch_us(w) - epoch_us(cw)) // 604800000000 AS INT)
+        |    AS week_offset,
+        |  count(*) AS users
+        |FROM ev JOIN cohort USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Funnels.retention(Tables.T(s, dir).events)
+          .orderBy("cohort_week", "week_offset")
+    },
+
     // Frame sampling over "video" payloads: 64-byte frames at stride 48
     // (overlapping), one output row per frame via the lazy flatMap
     // iterator — the 1→N UDTF batch shape a real codec plugs into.

@@ -914,6 +914,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    // u^(1/weight) keys from a deterministic md5 uniform, global top-20
+    // — longer docs oversampled, selection identical across engines.
+    Q("q_sample_weighted", Some(
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  round(pow(
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0,
+        |    1.0 / CAST(n_chars AS DOUBLE)), 10) AS skey
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, skey, row_number() OVER
+        |    (ORDER BY skey DESC, doc_id) AS rk FROM s)
+        |SELECT CAST(rk AS INT) AS rk, doc_id, n_chars, skey
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Corpus.weightedSample(
+        Tables.T(s, dir).documents.select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", k = 20)
+        .select($"rk", $"doc_id", $"n_chars", $"skey")
+        .orderBy("rk")
+    },
+
     // Stratified sampling: top-K per stratum (source) under a
     // deterministic order — per-group quotas are how training mixes are
     // balanced. One shuffle on the stratum key; the rank is a bounded
