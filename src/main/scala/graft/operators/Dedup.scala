@@ -733,6 +733,53 @@ object Dedup {
         col("kept_spans"), col("dropped_spans"))
   }
 
+  /** Trigram similarity join — the distributed form of pg_trgm's `%`
+    * join (contrib/pg_trgm/trgm_op.c similarity + trgm_gin.c: PG
+    * answers `a % b` joins through the GIN trigram posting lists; this
+    * IS that posting-list join as a dataflow). Normalization is
+    * pg_trgm-exact: lowercase, split on non-alphanumeric, each word
+    * padded '  w ', distinct trigrams; sim = |∩|/|∪|.
+    *
+    * Scale: candidates come from the trigram posting equi-join with a
+    * `maxDf` stop-trigram cap (dropped trigrams logged — PG's GIN
+    * common-entry problem, same remedy), so work is bounded by
+    * Σ df² over kept trigrams, never |L|×|R|. Verification is EXACT
+    * regardless of the cap: candidate pairs join back to the per-id
+    * sorted trigram arrays and intersect in-row, so a capped trigram
+    * still counts toward the similarity it only failed to GENERATE
+    * from. Returns (id_a, id_b, sim ≥ threshold). */
+  def trigramSimPairs(
+      df: DataFrame, idCol: String, strCol: String,
+      threshold: Double, maxDf: Int = 100000): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(split(lower(col(strCol)), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"), concat(lit("  "), col("w"), lit(" ")).as("pw"))
+    val tg = words.select(col("id"),
+      explode(transform(sequence(lit(1), length(col("pw")) - 2),
+        i => col("pw").substr(i, lit(3)))).as("tg"))
+      .distinct()
+    val dfq = tg.groupBy("tg").agg(count(lit(1)).as("df"))
+    val kept = tg.join(dfq.filter(col("df") <= maxDf).select("tg"), "tg")
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.tg") === col("b.tg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val arrs = tg.groupBy("id")
+      .agg(sort_array(collect_list(col("tg"))).as("tgs"),
+        count(lit(1)).as("n"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("tgs").as("ta"),
+        col("n").as("na")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("tgs").as("tb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / (col("na") + col("nb") - inter)).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Source-scoped boilerplate removal — the CCNet / RefinedWeb
     * header-footer-navbar rule (Wenzek et al. 2019; Penedo et al. 2023,
     * public methods), distinct from [[dedupSpans]]: a span repeated

@@ -914,6 +914,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // pg_trgm '%' similarity JOIN (GIN posting-list join as a
+    // dataflow): candidate pairs from the trigram postings equi-join,
+    // EXACT |∩|/|∪| verification on the per-id trigram arrays. Oracle
+    // goes n² over the bounded subset — the point of the operator is
+    // that the engine does not.
+    Q("q_join_trgm", Some(
+      """WITH p AS (SELECT p_partkey AS id,
+        |  list_distinct(flatten(list_transform(
+        |    list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+        |      w -> len(w) > 0),
+        |    w -> list_transform(range(1, len(w) + 2),
+        |      i -> substr(concat('  ', w, ' '), CAST(i AS INT), 3)))))
+        |    AS tg
+        |  FROM part WHERE p_partkey < 500)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.tg, b.tg))) AS sim
+        |  FROM p a JOIN p b ON a.id < b.id)
+        |WHERE sim >= 0.7 ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Dedup.trigramSimPairs(
+        Tables.T(s, dir).part.filter($"p_partkey" < 500),
+        "p_partkey", "p_name", threshold = 0.7)
+        .select($"id_a", $"id_b", round($"sim", 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
     // u^(1/weight) keys from a deterministic md5 uniform, global top-20
     // — longer docs oversampled, selection identical across engines.
