@@ -896,6 +896,15 @@ object GpSqlDialect {
   private val CursorDeclRe =
     ("(?is)^\\s*(\\w+)\\s+(?:NO\\s+SCROLL\\s+|SCROLL\\s+)?CURSOR\\s+" +
       "(?:IS|FOR)\\s+(SELECT\\b.+)$").r
+  // tier 4e: counter WHILE — `WHILE i <= hi LOOP … i := i + 1; END
+  // LOOP` (exec_stmt_while) where the counter is declared with an
+  // initializer and the unit increment is the LAST body statement;
+  // then the loop IS `FOR i IN init..bound` and the same accumulator
+  // lowering applies. Any other WHILE (data-dependent condition,
+  // non-unit step, mid-body increment) defers.
+  private val PlWhileRe =
+    ("(?is)^\\s*WHILE\\s+(\\w+)\\s*(<=|<)\\s*(.+?)\\s+LOOP\\s+(.+?)\\s*" +
+      "END\\s+LOOP\\s*;?(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
 
   def executeCreatePlpgsql(spark: SparkSession, gpSql: String): DataFrame = {
     val m = CreatePlpgsqlRe.findFirstMatchIn(gpSql).getOrElse(
@@ -1046,6 +1055,21 @@ object GpSqlDialect {
           if cursors.contains(curName.toLowerCase) =>
         lowerPlpgsqlFor(name, params, subst(env), env,
           loopVar, cursors(curName.toLowerCase), body, Option(ret))
+      case PlWhileRe(v, op, hi, body, ret) if env.contains(v.toLowerCase) =>
+        val vq = java.util.regex.Pattern.quote(v)
+        val IncLast =
+          s"(?is)^(.*?)\\s*$vq\\s*:=\\s*$vq\\s*\\+\\s*1\\s*;?\\s*$$".r
+        body match {
+          case IncLast(rest) =>
+            val envNoV = env - v.toLowerCase
+            val bound = if (op == "<") s"($hi) - 1" else hi
+            val seqSel = "SELECT explode(sequence(" +
+              s"CAST((${env(v.toLowerCase)}) AS BIGINT), " +
+              s"CAST(($bound) AS BIGINT))) AS $v"
+            lowerPlpgsqlFor(name, params, subst(envNoV), envNoV,
+              v, seqSel, rest, Option(ret))
+          case _ => deferredPlpgsql(name) = firstStatement(tail)
+        }
       case other =>
         deferredPlpgsql(name) = firstStatement(other)
     }

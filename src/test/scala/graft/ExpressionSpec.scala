@@ -461,6 +461,32 @@ class ExpressionSpec extends AnyFunSuite {
         |END
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("fmt_dyn").isDefined)
+    // counter WHILE ≡ range FOR when the unit increment is the last
+    // body statement (exec_stmt_while)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION while_squares(n INT) RETURNS BIGINT AS $$
+        |DECLARE i INT := 1;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  WHILE i <= n LOOP
+        |    tot := tot + i * i;
+        |    i := i + 1;
+        |  END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT while_squares(4) AS v", "/tmp/never").head.getLong(0) == 30L)
+    // data-dependent WHILE condition must defer
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION while_double(n INT) RETURNS BIGINT AS $$
+        |DECLARE tot BIGINT := 1;
+        |BEGIN
+        |  WHILE tot < n LOOP tot := tot * 2; END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("while_double").isDefined)
   }
 
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
