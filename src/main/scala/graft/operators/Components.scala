@@ -50,21 +50,33 @@ object Components {
     // to assert the per-round join/agg shape that the checkpoints hide
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint(eager = true) else df
-    val edges = cut(edgesDf
+    val edgesRaw = cut(edgesDf
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct())
-    val nodes = cut(edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct())
+    val nodes = cut(edgesRaw.select(col("src").as("id"))
+      .union(edgesRaw.select(col("dst").as("id"))).distinct())
     val n = nodes.count().toDouble
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // out-degree is loop-invariant: fuse it into the edge list ONCE so
+    // no round re-aggregates or re-joins it (round-over-round this was
+    // the single largest cost)
+    val edges = cut(edgesRaw
+      .join(edgesRaw.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
     var ranks = nodes.select(col("id"), (lit(1.0) / lit(n)).as("rank"))
     for (_ <- 0 until iterations) {
+      // ranks is node-scale (≪ edges); broadcasting it keeps the edge
+      // list un-shuffled — each round's only exchange is the dst-keyed
+      // contribution aggregate (map-side partials). For node sets past
+      // broadcast size, drop the hint and both sides hash-partition on
+      // src once, reused round over round.
       val contribs = edges
-        .join(outDeg, "src")
-        .join(ranks, edges("src") === ranks("id"))
+        .join(broadcast(ranks), edges("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("cs"))
+      // eager cut every round: measured against lazy/every-2nd-round
+      // checkpointing, which RECOMPUTES the skipped round inside each
+      // broadcast collect and nearly doubled wall time — one eager
+      // node-scale materialization per round is the cheap option
       ranks = cut(nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),

@@ -84,9 +84,14 @@ object Regression {
   def logregFit2(
       df: DataFrame, groupCol: String, yCol: String,
       x1Col: String, x2Col: String, iterations: Int = 4): DataFrame = {
+    // the projection is re-scanned every Newton round — cache it once,
+    // pipeline-scoped (KernelCaches: released by the consuming driver
+    // after its action), so iterations read columnar memory not parquet
     val rows = df.select(col(groupCol).as("grp"),
       col(yCol).cast("double").as("y"),
       col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
     var coef = rows.select(col("grp")).distinct()
       .select(col("grp"), lit(0.0).as("b0"), lit(0.0).as("b1"),
         lit(0.0).as("b2"))
