@@ -706,4 +706,80 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.width == 8 && f.height == 8) // 7 % 640 + 1
     assert(f.mime == "image/png;src=src0")
   }
+
+  test("Funnels.funnel counts are monotone and window-bounded") {
+    import spark.implicits._
+    // u1 completes in order; u2 clicks BEFORE viewing (no conversion);
+    // u3 purchases outside the 2h window (no step 3)
+    def t(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(1, 30)), (1L, "purchase", t(2)),
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      (3L, "view", t(1)), (3L, "click", t(1, 10)), (3L, "purchase", t(9)))
+      .toDF("user_id", "event_type", "ts")
+    val f = Funnels.funnel(ev, Seq("view", "click", "purchase"),
+      windowHours = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f(1) == 3L) // all three users viewed
+    // u1 and u3 clicked after their first view within 2h; u2's click
+    // preceded the view
+    assert(f(2) == 2L)
+    assert(f(3) == 1L) // only u1 purchased inside the window
+  }
+
+  test("trigramSimPairs matches the scalar pg_trgm similarity") {
+    import spark.implicits._
+    val names = Seq((1L, "maroon widget"), (2L, "maroon widgit"),
+      (3L, "aquamarine gear")).toDF("id", "s")
+    val pairs = Dedup.trigramSimPairs(names, "id", "s", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // scalar reference: pg_trgm-normalized trigram sets
+    def tgs(s: String): Set[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+        .flatMap((w: String) => ("  " + w + " ").sliding(3).toSet)
+    def sim(a: String, b: String): Double = {
+      val (ta, tb) = (tgs(a), tgs(b))
+      ta.intersect(tb).size.toDouble / ta.union(tb).size
+    }
+    assert(math.abs(pairs((1L, 2L)) - sim("maroon widget", "maroon widgit"))
+      < 1e-12)
+    // 1-3 share 'mar'/'aro' trigrams → present with a low score
+    assert(pairs.contains((1L, 3L)) &&
+      math.abs(pairs((1L, 3L)) - sim("maroon widget", "aquamarine gear"))
+        < 1e-12)
+  }
+
+  test("weightedSample oversamples high-weight rows deterministically") {
+    import spark.implicits._
+    // weights: ids 0..99 weight 1, ids 100..199 weight 50 — the heavy
+    // half should dominate the top-20 under u^(1/w)
+    val df = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
+      .toDF("id", "w")
+    val s1 = Corpus.weightedSample(df, "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.weightedSample(df, "id", "w", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // deterministic
+    assert(s1.count(_ >= 100L) >= 15, s"heavy rows: ${s1.count(_ >= 100L)}")
+  }
+
+  test("naiveBayesScores ranks a training doc's own class highest") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a", "apple banana apple fruit"),
+      (2L, "a", "banana apple cherry"),
+      (3L, "b", "gear widget bolt"),
+      (4L, "b", "widget gear flange bolt"))
+      .toDF("doc_id", "lang", "text")
+    val test = Seq((9L, "apple banana"), (10L, "bolt widget"))
+      .toDF("doc_id", "text")
+    val scores = graft.operators.TextAnalysis
+      .naiveBayesScores(train, test, "text", "doc_id", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(scores((9L, "a")) > scores((9L, "b")))
+    assert(scores((10L, "b")) > scores((10L, "a")))
+  }
 }
