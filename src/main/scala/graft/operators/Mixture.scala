@@ -42,6 +42,25 @@ object Mixture {
     }
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-LM sampling
+    * rule (e.g. Conneau & Lample 2019, XLM, public method): class
+    * probability ∝ n_s^alpha, so alpha=1 keeps natural proportions,
+    * alpha→0 flattens toward uniform (upweighting low-resource
+    * classes), alpha between damps the head. Returns normalized weights
+    * to feed [[resample]]; the only data movement is the same
+    * catalog-scale count per class. pow/normalize run in driver doubles
+    * with a fixed fold order (sorted class names) so the derived
+    * thresholds are engine-reproducible. */
+  def temperatureWeights(
+      df: DataFrame, classCol: Column, alpha: Double): Map[String, Double] = {
+    val counts = df.groupBy(classCol.as("__c")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pows = counts.toSeq.sortBy(_._1)
+      .map { case (c, n) => c -> math.pow(n.toDouble, alpha) }
+    val z = pows.foldLeft(0.0)(_ + _._2)
+    pows.map { case (c, p) => c -> p / z }.toMap
+  }
+
   /** Filter `df` down to the target mixture. `keyCol` must be a stable
     * unique id (the hash input). Classes absent from `weights` drop. */
   def resample(

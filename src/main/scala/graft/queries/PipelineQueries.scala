@@ -1072,6 +1072,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-scaled mixture (XLM-style, alpha=0.5): class weights
+    // ∝ n^0.5 flatten the language head; same maximal-size solve and
+    // deterministic md5 keep rule as q_pipeline_mixture.
+    Q("q_pipeline_temperature", Some(
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |p AS (SELECT lang, pow(n, 0.5) AS pw, n FROM counts),
+        |z AS (SELECT sum(pw) AS z FROM p),
+        |w AS (SELECT lang, pw / z.z AS w, n FROM p CROSS JOIN z),
+        |t AS (SELECT min(n / w) AS cap FROM w),
+        |r AS (SELECT lang,
+        |    CAST(floor(least(1.0, (SELECT cap FROM t) * w / n)
+        |      * 1000000 + 0.5) AS BIGINT) AS thr
+        |  FROM w),
+        |kept AS (SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000000 < r.thr)
+        |SELECT lang, count(*) AS kept FROM kept
+        |GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Mixture
+      val docs = Tables.T(s, dir).documents
+      Mixture.resample(docs, $"lang", $"doc_id",
+        Mixture.temperatureWeights(docs, $"lang", alpha = 0.5))
+        .groupBy($"lang").agg(count(lit(1)).as("kept"))
+        .orderBy("lang")
+    },
+
     // End-to-end corpus cleaning — the composed LLM-data pipeline:
     // language-ID gate → quality gate → exact dedup (keep lowest doc_id
     // per fingerprint) → per-source stats. Everything stays one
