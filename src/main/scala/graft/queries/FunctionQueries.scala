@@ -1322,6 +1322,120 @@ object FunctionQueries {
     // oracle spells the PG/ANSI equivalents (COALESCE, CASE, interval
     // month arithmetic with the same end-of-month clamp, isodow
     // arithmetic for next-Monday, 1-based instr).
+    // ---- contrib pack: hstore / citext / earthdistance / unaccent /
+    // pgcrypto (contrib/hstore/hstore_op.c, citext/citext.c,
+    // earthdistance/earthdistance.c, unaccent/unaccent.c,
+    // pgcrypto/pgcrypto.c) — each re-expressed on Spark natives; the
+    // oracle PARSES/computes the same way, not a copy of the inputs.
+
+    // hstore: 'k=>v' text ⇄ MapType — ->, ?, #keys, akeys. The hstore
+    // string is built from real columns then genuinely re-parsed on
+    // both sides (str_to_map / split-based list parsing).
+    Q("q_fn_hstore", Some(
+      """WITH b AS (SELECT doc_id,
+        |    'lang=>' || lang || ',source=>' || source || ',n=>'
+        |      || CAST(n_chars AS VARCHAR) AS hs
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, list_transform(string_split(hs, ','),
+        |    kv -> string_split(kv, '=>')) AS kvs FROM b)
+        |SELECT doc_id,
+        |  (list_filter(kvs, kv -> kv[1] = 'lang')[1])[2] AS v_lang,
+        |  len(list_filter(kvs, kv -> kv[1] = 'source')) > 0 AS has_source,
+        |  CAST(len(kvs) AS INT) AS nkeys,
+        |  array_to_string(list_sort(list_transform(kvs, kv -> kv[1])), ',')
+        |    AS akeys
+        |FROM p ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val hs = concat(lit("lang=>"), $"lang", lit(",source=>"), $"source",
+        lit(",n=>"), $"n_chars".cast("string"))
+      val h = str_to_map(hs, lit(","), lit("=>"))
+      Tables.T(s, dir).documents.filter($"doc_id" < 100)
+        .select($"doc_id",
+          element_at(h, "lang").as("v_lang"),
+          map_contains_key(h, "source").as("has_source"),
+          size(h).as("nkeys"),
+          concat_ws(",", array_sort(map_keys(h))).as("akeys"))
+        .orderBy("doc_id")
+    },
+
+    // citext: case-insensitive equality/grouping/DISTINCT — citext's
+    // contract is "compare lower(x) under the collation"; a mixed-case
+    // fixture joins and groups case-insensitively.
+    Q("q_fn_citext", Some(
+      """WITH v(name) AS (VALUES ('Alpha'), ('ALPHA'), ('alpha'),
+        |  ('Beta'), ('beta'), ('Gamma')),
+        |g AS (SELECT lower(name) AS cname, count(*) AS n,
+        |    min(name) AS first_spelling
+        |  FROM v GROUP BY 1)
+        |SELECT cname, n, first_spelling FROM g ORDER BY cname""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Seq("Alpha", "ALPHA", "alpha", "Beta", "beta", "Gamma").toDF("name")
+          .groupBy(lower($"name").as("cname"))
+          .agg(count(lit(1)).as("n"), min($"name").as("first_spelling"))
+          .orderBy("cname")
+    },
+
+    // earthdistance: great-circle meters via the haversine on the
+    // earth() radius (earthdistance.c uses 6378168); both engines spell
+    // the identical trig chain; round(1 m) absorbs libm last-ulps.
+    Q("q_fn_earthdistance", Some(
+      """WITH pts AS (SELECT c_custkey,
+        |    (c_custkey % 180) - 90 + 0.5 AS lat,
+        |    (c_custkey % 360) - 180 + 0.25 AS lon
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT c_custkey,
+        |  round(2 * 6378168.0 * asin(sqrt(
+        |    pow(sin(radians(lat - 40.7) / 2), 2) +
+        |    cos(radians(40.7)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - (-74.0)) / 2), 2))), 1) AS dist_m
+        |FROM pts ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val lat = ($"c_custkey" % 180) - 90 + 0.5
+      val lon = ($"c_custkey" % 360) - 180 + 0.25
+      Tables.T(s, dir).customer.filter($"c_custkey" < 200)
+        .select($"c_custkey",
+          round(lit(2) * lit(6378168.0) * asin(sqrt(
+            pow(sin(radians(lat - 40.7) / 2), 2) +
+              cos(radians(lit(40.7))) * cos(radians(lat)) *
+                pow(sin(radians(lon - lit(-74.0)) / 2), 2))), 1)
+            .as("dist_m"))
+        .orderBy("c_custkey")
+    },
+
+    // unaccent: diacritic folding as one translate() map (the
+    // dictionary-driven contrib reduced to its Latin-1 core).
+    Q("q_fn_unaccent", Some(
+      """SELECT s,
+        |  translate(s, 'àáâãäåèéêëìíîïòóôõöùúûüñçø',
+        |    'aaaaaaeeeeiiiiooooouuuunco') AS plain
+        |FROM (VALUES ('café'), ('naïve'), ('Señor'), ('Ørsted'),
+        |  ('crème brûlée'), ('ASCII only')) v(s)
+        |ORDER BY s""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Seq("café", "naïve", "Señor", "Ørsted", "crème brûlée", "ASCII only")
+        .toDF("s")
+        .select($"s", translate($"s", "àáâãäåèéêëìíîïòóôõöùúûüñçø",
+          "aaaaaaeeeeiiiiooooouuuunco").as("plain"))
+        .orderBy("s")
+    },
+
+    // pgcrypto digest/encode: md5 / sha256 / base64 / hex over a real
+    // column (both engines emit uppercase hex).
+    Q("q_fn_pgcrypto", Some(
+      """SELECT p_partkey, md5(p_name) AS d_md5, sha256(p_name) AS d_sha,
+        |  base64(CAST(p_name AS BLOB)) AS b64, hex(p_name) AS hx
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).part.filter($"p_partkey" < 100)
+          .select($"p_partkey", md5($"p_name").as("d_md5"),
+            sha2($"p_name", 256).as("d_sha"),
+            base64($"p_name".cast("binary")).as("b64"),
+            hex($"p_name").as("hx"))
+          .orderBy("p_partkey")
+    },
+
     Q("q_fn_orafce", Some(
       """SELECT o_orderkey,
         |  o_orderpriority AS nv,
