@@ -1420,6 +1420,39 @@ object FunctionQueries {
         .orderBy("s")
     },
 
+    // ltree: hierarchical label paths (contrib/ltree/ltree_op.c) —
+    // nlevel / subltree / subpath / ancestor `@>` / lca re-expressed as
+    // dotted-string algebra over the region→nation hierarchy.
+    Q("q_fn_ltree", Some(
+      """WITH t AS (SELECT n_nationkey,
+        |    'world.' || lower(r_name) || '.' || lower(n_name) AS path
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey)
+        |SELECT n_nationkey, path,
+        |  CAST(len(string_split(path, '.')) AS INT) AS nlevel,
+        |  array_to_string(list_slice(string_split(path, '.'), 2, 2), '.')
+        |    AS region_label,
+        |  starts_with(path, 'world.asia.') OR path = 'world.asia'
+        |    AS under_asia,
+        |  array_to_string(list_slice(string_split(path, '.'), 1, 2), '.')
+        |    AS lca_with_sibling
+        |FROM t ORDER BY n_nationkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir).nation
+        .join(Tables.T(s, dir).region,
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey",
+          concat(lit("world."), lower($"r_name"), lit("."),
+            lower($"n_name")).as("path"))
+      val parts = split($"path", "\\.")
+      t.select($"n_nationkey", $"path",
+        size(parts).as("nlevel"),
+        concat_ws(".", slice(parts, 2, 1)).as("region_label"),
+        ($"path".startsWith("world.asia.") || $"path" === "world.asia")
+          .as("under_asia"),
+        concat_ws(".", slice(parts, 1, 2)).as("lca_with_sibling"))
+        .orderBy("n_nationkey")
+    },
+
     // pgcrypto digest/encode: md5 / sha256 / base64 / hex over a real
     // column (both engines emit uppercase hex).
     Q("q_fn_pgcrypto", Some(
