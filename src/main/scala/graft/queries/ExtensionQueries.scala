@@ -404,6 +404,36 @@ object ExtensionQueries {
         .orderBy("step")
     },
 
+    // Markov transition matrix over per-user event sequences: one lag
+    // window per user (event_id tiebreak for equal timestamps), then a
+    // (prev, cur)-keyed count with row-normalized probabilities —
+    // clickstream next-event analytics.
+    Q("q_events_markov", Some(
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type, count(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.event_type, c.n,
+        |  round(c.n / CAST(t.tot AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (prev)
+        |ORDER BY prev, event_type""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val seq = Tables.T(s, dir).events
+        .select($"user_id", $"event_type",
+          lag($"event_type", 1).over(w).as("prev"))
+        .filter($"prev".isNotNull)
+      val c = seq.groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
+      val t = c.groupBy($"prev").agg(sum($"n").as("tot"))
+      c.join(t, "prev")
+        .select($"prev", $"event_type", $"n",
+          round($"n" / $"tot".cast("double"), 4).as("p"))
+        .orderBy("prev", "event_type")
+    },
+
     // Weekly cohort retention: users bucketed by first-event week, one
     // row per (cohort, week offset) with active members that week.
     Q("q_events_retention", Some(
