@@ -1420,6 +1420,36 @@ object FunctionQueries {
         .orderBy("s")
     },
 
+    // intarray: &&, @>, |, idx, uniq+sort (contrib/intarray/_int_op.c)
+    // over real per-order supplier sets.
+    Q("q_fn_intarray", Some(
+      """WITH a AS (SELECT l_orderkey,
+        |    list_sort(list_distinct(list(l_suppkey))) AS sups
+        |  FROM lineitem WHERE l_orderkey < 200 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  array_to_string(sups, ',') AS sups,
+        |  list_has_any(sups, [1, 5, 9]) AS overlaps_159,
+        |  list_has_all(sups, [1, 5]) AS contains_15,
+        |  CAST(len(list_distinct(list_concat(sups, [1, 5, 9]))) AS INT)
+        |    AS union_n,
+        |  CAST(coalesce(list_position(sups, 5), 0) AS INT) AS idx5
+        |FROM a ORDER BY l_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val probe3 = array(lit(1L), lit(5L), lit(9L))
+      Tables.T(s, dir).lineitem.filter($"l_orderkey" < 200)
+        .groupBy($"l_orderkey")
+        .agg(array_sort(array_distinct(collect_list($"l_suppkey")))
+          .as("sups0"))
+        .select($"l_orderkey",
+          concat_ws(",", $"sups0").as("sups"),
+          arrays_overlap($"sups0", probe3).as("overlaps_159"),
+          (size(array_except(array(lit(1L), lit(5L)), $"sups0")) === 0)
+            .as("contains_15"),
+          size(array_union($"sups0", probe3)).as("union_n"),
+          array_position($"sups0", 5L).cast("int").as("idx5"))
+        .orderBy("l_orderkey")
+    },
+
     // ltree: hierarchical label paths (contrib/ltree/ltree_op.c) —
     // nlevel / subltree / subpath / ancestor `@>` / lca re-expressed as
     // dotted-string algebra over the region→nation hierarchy.
