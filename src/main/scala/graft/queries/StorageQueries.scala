@@ -24,6 +24,43 @@ object StorageQueries {
 
   val defs: Seq[Q] = Seq(
 
+    // Data-quality audit — the constraint checker a warehouse runs
+    // where the reference enforces NOT NULL / PK / FK / CHECK at write
+    // time (AssertOp + pg_constraint): each rule is one aggregate or
+    // anti-join, unioned into a violations report. Rule scans stay
+    // independent so Catalyst prunes each to the columns it audits.
+    Q("q_quality_audit", Some(
+      """SELECT 'orders_null_cust' AS rule,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+        |UNION ALL SELECT 'orders_dup_pk',
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |     GROUP BY 1 HAVING count(*) > 1))
+        |UNION ALL SELECT 'lineitem_orphan',
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL SELECT 'lineitem_qty_range',
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_quantity < 1 OR l_quantity > 50)
+        |UNION ALL SELECT 'orders_status_domain',
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        |ORDER BY rule""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      def one(rule: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(rule).as("rule"), count(lit(1)).as("violations"))
+      one("orders_null_cust", t.orders.filter($"o_custkey".isNull))
+        .union(one("orders_dup_pk", t.orders.groupBy($"o_orderkey")
+          .agg(count(lit(1)).as("c")).filter($"c" > 1)))
+        .union(one("lineitem_orphan", t.lineitem.join(t.orders,
+          $"l_orderkey" === $"o_orderkey", "left_anti")))
+        .union(one("lineitem_qty_range",
+          t.lineitem.filter($"l_quantity" < 1 || $"l_quantity" > 50)))
+        .union(one("orders_status_domain",
+          t.orders.filter(!$"o_orderstatus".isin("O", "F", "P"))))
+        .orderBy("rule")
+    },
+
     // GP DDL dialect → CTAS with distribution + storage options lowered
     // onto repartition + Parquet codec (GpSqlDialect).
     Q("q_ddl_ctas", Some(
