@@ -617,14 +617,18 @@ object PipelineQueries {
     // dim, mean) rows for the harness; round(4) absorbs fp summation
     // order across engines.
     Q("q_embed_pool", Some(
+      // `+ 0.0` normalizes IEEE negative zero: a mean that is ~±1e-18
+      // under each engine's own summation order rounds to -0.0 on one
+      // side and 0.0 on the other (seen at sf0.1); the harness
+      // compares reprs
       """SELECT label, CAST(g.i - 1 AS INT) AS dim,
-        |  round(sum(embedding[g.i]) / count(*), 4) AS m
+        |  round(sum(embedding[g.i]) / count(*), 4) + 0.0 AS m
         |FROM embeddings, generate_series(1, 64) g(i)
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)) { (s, dir) =>
       import s.implicits._
       Similarity.meanPool(Tables.T(s, dir).embeddings, "label", "embedding")
         .select($"grp".as("label"), posexplode($"centroid").as(Seq("dim", "m")))
-        .select($"label", $"dim", round($"m", 4).as("m"))
+        .select($"label", $"dim", (round($"m", 4) + lit(0.0)).as("m"))
         .orderBy("label", "dim")
     },
 
