@@ -112,6 +112,19 @@ object GpSqlDialect {
       return executeCreateFunction(spark, gpSql)
     if (CreatePlpgsqlRe.findFirstIn(gpSql).isDefined)
       return executeCreatePlpgsql(spark, gpSql)
+    if (CreateProcedureRe.findFirstIn(gpSql).isDefined)
+      return executeCreateProcedure(spark, gpSql)
+    CallRe.findFirstMatchIn(gpSql) match {
+      case Some(m) => return executeCall(spark, m.group(1), m.group(2),
+        basePath)
+      case _ =>
+    }
+    DoBlockRe.findFirstMatchIn(gpSql) match {
+      case Some(m) =>
+        runPlBlock(spark, m.group(2), basePath)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     rejectDeferredCalls(gpSql)
     // `pg_catalog.` qualifications drop up front (set_config, setval,
     // to_char... are all reimplemented under their bare names) — dumps
@@ -1141,6 +1154,138 @@ object GpSqlDialect {
         .replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(repl))
     }
     sqlFunctions(name) = SqlFunction(params, subst(out), scalarExpr = true)
+  }
+
+  // ---- procedures / anonymous blocks (PG 11 CREATE PROCEDURE +
+  // CALL, commands/functioncmds.c; DO = anonymous code block,
+  // gram.y DoStmt) — the procedural-ETL entry points. The body runs
+  // statement-by-statement through the full dialect (autocommit:
+  // COMMIT/ROLLBACK inside are accepted no-ops — each graft statement
+  // is already durable, the PG-transactional middle ground does not
+  // exist here). A FOR-over-query loop whose body is ONE UPDATE lowers
+  // to a single set-based UPDATE ... FROM — the rewrite a migration
+  // does by hand; anything else unsupported raises loudly with the
+  // offending statement. ---------------------------------------------
+  private final case class Procedure(params: Seq[String], body: String)
+  private val procedures =
+    scala.collection.concurrent.TrieMap.empty[String, Procedure]
+
+  private val CreateProcedureRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?PROCEDURE\\s+(\\w+)\\s*" +
+      "\\(([^)]*)\\).*?\\bAS\\s+\\$(\\w*)\\$(.*)\\$\\3\\$.*$").r
+  private val CallRe = "(?is)^\\s*CALL\\s+(\\w+)\\s*\\((.*)\\)\\s*;?\\s*$".r
+  private val DoBlockRe =
+    ("(?is)^\\s*DO\\s+(?:LANGUAGE\\s+\\w+\\s+)?\\$(\\w*)\\$(.*)\\$\\1\\$" +
+      "\\s*(?:LANGUAGE\\s+\\w+)?\\s*;?\\s*$").r
+  private val PlForUpdateRe =
+    ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s*" +
+      "UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?);?\\s*" +
+      "END\\s+LOOP\\s*$").r
+  private val PerformRe = "(?is)^\\s*PERFORM\\s+(.+)$".r
+
+  def executeCreateProcedure(
+      spark: SparkSession, gpSql: String): DataFrame = {
+    val m = CreateProcedureRe.findFirstMatchIn(gpSql).get
+    val params = splitTopLevelCommas(m.group(2)).map(_.trim)
+      .map(_.replaceAll("(?is)^(?:IN|OUT|INOUT)\\s+", ""))
+      .map { p =>
+        val sp = p.indexWhere(_.isWhitespace)
+        if (sp < 0) p else p.substring(0, sp)
+      }.filter(_.nonEmpty)
+    procedures(m.group(1).toLowerCase) = Procedure(params, m.group(4))
+    spark.emptyDataFrame
+  }
+
+  def executeCall(
+      spark: SparkSession, name: String, argsRaw: String,
+      basePath: String): DataFrame = {
+    import spark.implicits._
+    val p = procedures.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown procedure $name"))
+    val args = splitTopLevelCommas(argsRaw).map(_.trim).filter(_.nonEmpty)
+    var body = p.body
+    p.params.zip(args).foreach { case (prm, a) =>
+      body = s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(prm)}(?![\\w.(])"
+        .r.replaceAllIn(body,
+          java.util.regex.Matcher.quoteReplacement(s"($a)"))
+    }
+    runPlBlock(spark, body, basePath)
+    Seq(name).toDF("called")
+  }
+
+  /** Execute a plpgsql-shaped block body: optional DECLARE (constant
+    * initializers substitute textually), then statements through the
+    * dialect. See the procedure header comment for the contract. */
+  private[graft] def runPlBlock(
+      spark: SparkSession, rawBody: String, basePath: String): Unit = {
+    val (declsRaw, stmtsRaw) = rawBody.trim match {
+      case PlBodyRe(d, s) => (Option(d).getOrElse(""), s)
+      case other => ("", other)
+    }
+    val DeclInit = "(?is)^\\s*(\\w+)\\s+.*?(?::=|DEFAULT)\\s*(.+?)\\s*$".r
+    val env = splitStatements(declsRaw).flatMap {
+      case DeclInit(v, init) => Some(v.toLowerCase -> init)
+      case _ => None
+    }.toMap
+    def subst(expr: String): String =
+      env.foldLeft(expr) { case (cur, (v, init)) =>
+        s"(?i)(?<![\\w.])$v(?![\\w.(])".r.replaceAllIn(cur,
+          java.util.regex.Matcher.quoteReplacement(s"($init)"))
+      }
+    // re-group FOR/FOREACH/WHILE ... END LOOP spans that ';'-splitting
+    // cut apart
+    val parts = splitStatements(stmtsRaw)
+    val grouped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = new StringBuilder
+    var inLoop = false
+    parts.foreach { st =>
+      if (!inLoop &&
+        "(?is)^\\s*(FOR|FOREACH|WHILE)\\b".r.findFirstIn(st).isDefined &&
+        "(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isEmpty) {
+        inLoop = true; acc = new StringBuilder(st)
+      } else if (inLoop) {
+        acc.append("; ").append(st)
+        if ("(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isDefined) {
+          grouped += acc.toString; inLoop = false
+        }
+      } else grouped += st
+    }
+    if (inLoop) grouped += acc.toString
+    grouped.map(subst).foreach {
+      case s if "(?is)^\\s*RAISE\\s+EXCEPTION\\b".r
+          .findFirstIn(s).isDefined =>
+        // RAISE EXCEPTION aborts in PG — same contract here
+        throw new RuntimeException(s"plpgsql RAISE EXCEPTION: " +
+          firstStatement(s))
+      case s if "(?is)^\\s*(RAISE|NULL|COMMIT|ROLLBACK|BEGIN)\\b".r
+          .findFirstIn(s).isDefined => () // notices & txn markers: no-ops
+      case PerformRe(x) =>
+        execute(spark, s"SELECT $x", basePath).collect()
+        ()
+      case PlForUpdateRe(v, sel, table, set, cond) =>
+        // row-at-a-time UPDATE loop → ONE set-based UPDATE ... FROM;
+        // source columns take a __src_ prefix so bare references in
+        // SET/WHERE unambiguously mean the TARGET table
+        val lv = java.util.regex.Pattern.quote(v)
+        val df = execute(spark, sel, basePath)
+        df.toDF(df.columns.map("__src_" + _).toIndexedSeq: _*)
+          .createOrReplaceTempView("__loop_src")
+        def deref(e: String): String =
+          s"(?i)(?<![\\w.])$lv\\.(\\w+)".r
+            .replaceAllIn(e, m => "__src_" + m.group(1))
+        executeUpdateFrom(spark, table, deref(set), "__loop_src",
+          deref(cond))
+        ()
+      case s if ("(?is)^\\s*(INSERT|UPDATE|DELETE|SELECT|CREATE|DROP|" +
+          "TRUNCATE|COPY|MERGE|ANALYZE|VACUUM|ALTER|GRANT|COMMENT)\\b")
+          .r.findFirstIn(s).isDefined =>
+        execute(spark, s, basePath)
+        ()
+      case other => throw new UnsupportedOperationException(
+        "procedure/DO statement not supported (only SQL statements, " +
+          "PERFORM, RAISE, and single-UPDATE FOR loops execute): " +
+          firstStatement(other))
+    }
   }
 
   /** First statement of a plpgsql block, truncated — the recorded "why". */

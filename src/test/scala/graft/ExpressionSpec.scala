@@ -489,6 +489,56 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.plpgsqlRejection("while_double").isDefined)
   }
 
+  test("procedures and DO blocks: SQL bodies, loop-UPDATE rewrite, " +
+    "RAISE EXCEPTION aborts") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_proc_spec"
+    GpSqlDialect.executeScript(spark,
+      """DROP TABLE IF EXISTS proc_t;
+        |CREATE TABLE proc_t (k int, v int) DISTRIBUTED BY (k);
+        |INSERT INTO proc_t VALUES (1, 10), (2, 20), (3, 30);""".stripMargin,
+      base)
+    // DO block: statements run through the dialect; RAISE NOTICE no-ops
+    GpSqlDialect.execute(spark,
+      """DO $$
+        |BEGIN
+        |  RAISE NOTICE 'maintenance start';
+        |  INSERT INTO proc_t VALUES (4, 40);
+        |END
+        |$$""".stripMargin, base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT count(*) AS n FROM proc_t", base).head.getLong(0) == 4L)
+    // procedure with params + a FOR-loop UPDATE body → ONE set-based
+    // UPDATE ... FROM (the migration rewrite, done automatically)
+    GpSqlDialect.execute(spark,
+      """CREATE PROCEDURE bump_v(factor INT) AS $$
+        |BEGIN
+        |  FOR r IN SELECT k, v FROM proc_t WHERE k <= 2 LOOP
+        |    UPDATE proc_t SET v = r.v * factor WHERE k = r.k;
+        |  END LOOP;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, base)
+    GpSqlDialect.execute(spark, "CALL bump_v(3)", base)
+    val after = GpSqlDialect.execute(spark,
+      "SELECT k, v FROM proc_t ORDER BY k", base)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(after == Map(1 -> 30, 2 -> 60, 3 -> 30, 4 -> 40))
+    // RAISE EXCEPTION aborts like PG
+    GpSqlDialect.execute(spark,
+      """CREATE PROCEDURE guard() AS $$
+        |BEGIN RAISE EXCEPTION 'not allowed'; END
+        |$$ LANGUAGE plpgsql""".stripMargin, base)
+    intercept[RuntimeException](
+      GpSqlDialect.execute(spark, "CALL guard()", base))
+    // unsupported body statements raise loudly at CALL
+    GpSqlDialect.execute(spark,
+      """CREATE PROCEDURE weird() AS $$
+        |BEGIN OPEN mycursor; END
+        |$$ LANGUAGE plpgsql""".stripMargin, base)
+    val e = intercept[UnsupportedOperationException](
+      GpSqlDialect.execute(spark, "CALL weird()", base))
+    assert(e.getMessage.contains("OPEN"))
+  }
+
   test("CREATE INDEX is a recorded no-op so pg_dump-style scripts survive") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_spec"
     // the shape of a real dump preamble: DDL + index + grants + comments
