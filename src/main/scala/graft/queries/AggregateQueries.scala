@@ -610,6 +610,77 @@ object AggregateQueries {
             countDistinct($"l_partkey").cast("double") < 0.05)
             .as("approx_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // Association-rule mining (MADlib assoc_rules parity; Apriori,
+    // Agrawal & Srikant VLDB'94): parts co-ordered within an order, all
+    // single-antecedent rules over min support/confidence. Candidate
+    // pairs are a per-order equi-join — never part × part (plan-gated).
+    // Ratio columns are single IEEE divisions of exact longs, identical
+    // in both engines, so no rounding discipline is needed.
+    Q("q_ml_assoc", Some(
+      """WITH b AS (SELECT DISTINCT l_orderkey AS txn, l_partkey AS item
+        |           FROM lineitem),
+        |n AS (SELECT count(DISTINCT txn) AS n_txn FROM b),
+        |ic AS (SELECT item, count(*) AS item_n FROM b GROUP BY 1),
+        |p AS (SELECT a.item AS ante, c.item AS cons, count(*) AS pair_n
+        |      FROM b a JOIN b c ON a.txn = c.txn AND a.item <> c.item
+        |      GROUP BY 1, 2)
+        |SELECT ante, cons, pair_n, ante_n, cons_n,
+        |  support, confidence, lift
+        |FROM (
+        |  SELECT p.ante, p.cons, p.pair_n,
+        |    ia.item_n AS ante_n, ci.item_n AS cons_n,
+        |    CAST(p.pair_n AS DOUBLE) / CAST(n.n_txn AS DOUBLE) AS support,
+        |    CAST(p.pair_n AS DOUBLE) / CAST(ia.item_n AS DOUBLE)
+        |      AS confidence,
+        |    (CAST(p.pair_n AS DOUBLE) / CAST(ia.item_n AS DOUBLE))
+        |      / (CAST(ci.item_n AS DOUBLE) / CAST(n.n_txn AS DOUBLE))
+        |      AS lift
+        |  FROM p JOIN ic ia ON p.ante = ia.item
+        |         JOIN ic ci ON p.cons = ci.item
+        |         CROSS JOIN n)
+        |WHERE support >= 0.0002 AND confidence >= 0.05
+        |ORDER BY ante, cons""".stripMargin)) { (s, dir) =>
+      graft.operators.Association.assocRules(
+        Tables.T(s, dir).lineitem, "l_orderkey", "l_partkey",
+        minSupport = 0.0002, minConfidence = 0.05)
+        .orderBy("ante", "cons")
+    },
+
+    // Column-profile report (MADlib summary() parity): ONE aggregate
+    // pass computes count/nulls/NDV/min/max/mean for every profiled
+    // column (the multi-distinct DQA machinery plans the NDVs), then a
+    // map-only inline explode pivots the single row to long form —
+    // profiling a 100 TB table costs one scan, not one per column.
+    Q("q_profile_summary", Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS ndv, min($c) AS vmin, max($c) AS vmax,
+           |  ${Q.oAvg(c, 6)} AS vmean
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nul_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        Q.davg(col(c), 6).as(s"avg_$c")))
+      Tables.T(s, dir).lineitem
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col(s"n_$c").as("n"),
+          col(s"nul_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+          col(s"min_$c").as("vmin"), col(s"max_$c").as("vmax"),
+          col(s"avg_$c").as("vmean"))): _*)).as("r"))
+        .select($"r.*")
+        .orderBy("col_name")
     }
   )
 }

@@ -632,6 +632,46 @@ object PipelineQueries {
         .orderBy("label", "dim")
     },
 
+    // PCA (MADlib pca_train parity): the oracle-checkable half is the
+    // covariance matrix — verified here over the leading 8 dims with
+    // split-sum discipline (products rounded to micros, so shuffle
+    // order can't change either engine's sums). The eigen step and the
+    // map-only component projection (Pca.jacobiEigen / pcaProject — the
+    // 100 TB path runs gramStats' d²-bounded treeAggregate, never this
+    // pair join) are gated in OperatorSpec: orthonormal loadings,
+    // Av=λv residuals, trace preservation, projection variance =
+    // eigenvalue.
+    Q("q_ml_pca_cov", Some(
+      s"""WITH x AS (SELECT vec_id, i,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, 9)) r(i)),
+         |g AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+         |    ${Q.oSum("a.x", 6)} AS sx, ${Q.oSum("b.x", 6)} AS sy,
+         |    ${Q.oSum("a.x * b.x", 6)} AS sxy
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2)
+         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+         |  floor((sxy - sx * sy / CAST(n AS DOUBLE))
+         |        / CAST(n - 1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cov
+         |FROM g ORDER BY i, j""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val x = Tables.T(s, dir).embeddings
+        .select($"vec_id", posexplode(slice($"embedding", 1, 8))
+          .as(Seq("p", "xf")))
+        .select($"vec_id", ($"p" + 1).as("i"), $"xf".cast("double").as("x"))
+      x.as("a").join(x.as("b"),
+          $"a.vec_id" === $"b.vec_id" && $"a.i" <= $"b.i")
+        .groupBy($"a.i".as("i"), $"b.i".as("j"))
+        .agg(count(lit(1)).as("n"), Q.dsum($"a.x", 6).as("sx"),
+          Q.dsum($"b.x", 6).as("sy"),
+          Q.dsum($"a.x" * $"b.x", 6).as("sxy"))
+        .select($"i".cast("int").as("i"), $"j".cast("int").as("j"),
+          (floor(($"sxy" - $"sx" * $"sy" / $"n".cast("double"))
+            / ($"n" - 1).cast("double") * lit(1000000) + lit(0.5))
+            / lit(1000000)).as("cov"))
+        .orderBy("i", "j")
+    },
+
     // Johnson–Lindenstrauss random projection 64→8 dims: the matrix is
     // regenerated from the same pure-integer formula on both sides
     // (Achlioptas {+s,−s,0} entries), so values are bit-comparable;

@@ -782,4 +782,95 @@ class OperatorSpec extends AnyFunSuite {
     assert(scores((9L, "a")) > scores((9L, "b")))
     assert(scores((10L, "b")) > scores((10L, "a")))
   }
+
+  test("Association.assocRules: exact support/confidence/lift") {
+    import spark.implicits._
+    // 4 txns: {a,b,c} {a,b} {a,c} {b}; N=4
+    val t = Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "c"), (4, "b")).toDF("txn", "item")
+    val rules = Association.assocRules(t, "txn", "item",
+        minSupport = 0.0, minConfidence = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    // a→b: pair 2, supp 0.5, conf 2/3, lift (2/3)/(3/4)=8/9
+    val (pn, sp, cf, lf) = rules(("a", "b"))
+    assert(pn == 2L && sp == 0.5)
+    assert(math.abs(cf - 2.0 / 3) < 1e-15)
+    assert(math.abs(lf - 8.0 / 9) < 1e-15)
+    // symmetric support, asymmetric confidence: b→a conf 2/3, lift same
+    assert(rules(("b", "a"))._2 == 0.5)
+    // c→b never co-occur... c,b co-occur in txn1: pair 1, conf 1/2
+    assert(rules(("c", "b"))._1 == 1L && rules(("c", "b"))._3 == 0.5)
+  }
+
+  test("Association.assocRules: maxBasket excludes oversized baskets") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => (1, s"i$i")) ++ Seq((2, "x"), (2, "y"))
+    val t = big.toDF("txn", "item")
+    val rules = Association.assocRules(t, "txn", "item", 0.0, 0.0,
+      maxBasket = Some(5)).collect()
+    // only txn 2 survives → exactly the two x/y rules
+    assert(rules.length == 2)
+    assert(rules.forall(r => Set("x", "y")(r.getString(0))))
+  }
+
+  test("Pca.gramStats matches a hand covariance; eigen is sound") {
+    import spark.implicits._
+    // strongly correlated dim0/dim1, independent dim2
+    val data = Seq(
+      Array(1.0f, 2.0f, 0.5f), Array(2.0f, 4.1f, -0.3f),
+      Array(3.0f, 5.9f, 0.8f), Array(4.0f, 8.2f, -0.1f),
+      Array(5.0f, 9.8f, 0.4f), Array(6.0f, 12.1f, 0.0f))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding").repartition(3)
+    val (n, s, g) = Pca.gramStats(df, "embedding", 3)
+    assert(n == 6L)
+    val cov = Pca.covariance(n, s, g, 3)
+    // hand value: cov(d0,d0) over 1..6 = 3.5
+    assert(math.abs(cov(0)(0) - 3.5) < 1e-9)
+    // symmetric
+    assert(cov(0)(1) == cov(1)(0))
+    val (vals, vecs) = Pca.jacobiEigen(cov)
+    // eigenvalues descending, trace preserved
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(math.abs(vals.sum - (cov(0)(0) + cov(1)(1) + cov(2)(2))) < 1e-9)
+    // orthonormal loadings
+    for (a <- vecs; b <- vecs) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val want = if (a eq b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9)
+    }
+    // Av = λv residual
+    for (c <- vals.indices) {
+      val av = (0 until 3).map(i =>
+        (0 until 3).map(j => cov(i)(j) * vecs(c)(j)).sum)
+      val res = (0 until 3).map(i =>
+        math.abs(av(i) - vals(c) * vecs(c)(i))).max
+      assert(res < 1e-9, s"eigenpair $c residual $res")
+    }
+    // top component loads dim0+dim1 (the correlated pair), not dim2
+    assert(math.abs(vecs(0)(2)) < 0.1)
+  }
+
+  test("Pca.pcaProject: projected variance equals the eigenvalue") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map { i =>
+      val t = rnd.nextGaussian()
+      (i.toLong, Array((2 * t + 0.1 * rnd.nextGaussian()).toFloat,
+        (-t + 0.1 * rnd.nextGaussian()).toFloat,
+        (0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding").repartition(4)
+    val (nAll, s, g) = Pca.gramStats(df, "embedding", 3)
+    val means = s.map(_ / nAll)
+    val (vals, vecs) = Pca.pcaTop(df, "embedding", 3, 2)
+    val proj = Pca.pcaProject(df, "vec_id", "embedding", vecs, means)
+    val varByC = proj.groupBy("c")
+      .agg(variance(col("score")).as("v")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(varByC(0) / vals(0) - 1.0) < 1e-6)
+    assert(math.abs(varByC(1) / vals(1) - 1.0) < 1e-6)
+  }
 }

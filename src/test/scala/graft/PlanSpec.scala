@@ -469,4 +469,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"),
       s"contribution aggregate needs map-side combine:\n$p")
   }
+
+  test("q_ml_assoc: candidate pairs come from the txn equi-join, " +
+    "never item×item") {
+    val p = plan("q_ml_assoc")
+    assert(!p.contains("CartesianProduct"),
+      s"assoc mining must never cross items:\n$p")
+    // item/pair counts must combine map-side
+    assert(p.contains("partial_count"),
+      s"support counts need a partial phase:\n$p")
+    // the global-N single row joins in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"n_txn scalar should broadcast:\n$p")
+  }
+
+  test("q_profile_summary: one scan profiles every column") {
+    val p = plan("q_profile_summary")
+    // exactly one parquet scan of lineitem — the whole point of the
+    // single-pass profile (an Expand for the multi-distinct NDVs still
+    // reads the scan once). AQE's toString repeats the tree under
+    // "== Initial Plan ==" — count the final section only.
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 1, s"expected ONE lineitem scan, got $scans:\n$p")
+  }
 }
