@@ -375,6 +375,167 @@ object ExtensionQueries {
         .orderBy("user_id", "ts")
     },
 
+    // Exponential smoothing (single-parameter EWMA, the standard BI /
+    // MADlib time-series primitive): the FINAL smoothed level per user,
+    // computed via the closed form s_T = Σ_{k≥2} α(1−α)^{T−k}·y_k +
+    // (1−α)^{T−1}·y_1 — one window pass for (k, T) + one aggregate, no
+    // sequential recurrence (GP evaluates the same form through a
+    // window UDF). α = 0.5 makes every (1−α)^n an EXACT power of two,
+    // so per-term products round identically in both engines; the
+    // per-group sum uses split-sum discipline. Ties on ts are broken by
+    // event_id for a total order.
+    Q("q_ts_ewma", Some(
+      s"""WITH r AS (SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS k,
+         |    count(*) OVER (PARTITION BY user_id) AS t
+         |  FROM events),
+         |terms AS (SELECT user_id,
+         |    CASE WHEN k = 1 THEN pow(0.5, t - 1) * value
+         |         ELSE 0.5 * pow(0.5, t - k) * value END AS term
+         |  FROM r)
+         |SELECT user_id, ${Q.oSum("term", 6)} AS ewma
+         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)) {
+      (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wAll = Window.partitionBy($"user_id")
+      Tables.T(s, dir).events
+        .select($"user_id", $"value",
+          row_number().over(w).as("k"),
+          count(lit(1)).over(wAll).as("t"))
+        .select($"user_id",
+          when($"k" === 1, pow(lit(0.5), $"t" - 1) * $"value")
+            .otherwise(lit(0.5) * pow(lit(0.5), $"t" - $"k") * $"value")
+            .as("term"))
+        .groupBy("user_id").agg(Q.dsum($"term", 6).as("ewma"))
+        .orderBy("user_id")
+    },
+
+    // Robust anomaly detection (median/MAD, the outlier rule MADlib and
+    // every monitoring stack ship): flag events whose value deviates
+    // more than 3 scaled MADs from their event-type median. Two exact
+    // percentile aggregates (regime-split plans, see Quantiles.scala)
+    // + a broadcast join back — the per-type stats are catalog-scale,
+    // the corpus is never re-shuffled beyond the two aggs.
+    Q("q_ts_anomaly", Some(
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  floor(abs(e.value - m.med) / (1.4826 * d.mad) * 10000 + 0.5)
+        |    / 10000 AS z_mad
+        |FROM events e JOIN med m ON e.event_type = m.event_type
+        |              JOIN mad d ON e.event_type = d.event_type
+        |WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+        |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.T(s, dir).events
+      val med = ev.groupBy($"event_type")
+        .agg(percentile($"value", lit(0.5)).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type")
+        .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(abs($"value" - $"med") > lit(3) * lit(1.4826) * $"mad")
+        .select($"event_id", $"event_type",
+          (floor(abs($"value" - $"med") / (lit(1.4826) * $"mad")
+            * lit(10000) + lit(0.5)) / lit(10000)).as("z_mad"))
+        .orderBy("event_id")
+    },
+
+    // ROC-AUC (MADlib area_under_roc parity) via the Mann–Whitney
+    // rank-sum identity with midranks for ties: AUC = (Σ midrank⁺ −
+    // n⁺(n⁺+1)/2) / (n⁺·n⁻). The rank side is one per-distinct-score
+    // aggregate + the Ranks.cumBelow distributed prefix sum (NOT an
+    // unpartitioned rank window, which would gather the corpus into one
+    // task): per score, 2·Σmidrank⁺ = n⁺ₛ·(2·below + cntₛ + 1) — all
+    // exact longs, so both engines agree bit-for-bit. The oracle
+    // expresses the same prefix sum as a window over the DISTINCT-score
+    // relation (DuckDB-side only).
+    Q("q_ml_auc", Some(
+      """WITH s AS (SELECT value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT score, count(*) AS cnt, sum(y) AS np_s
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT score, cnt, np_s,
+        |    coalesce(sum(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM per),
+        |agg AS (SELECT
+        |    sum(np_s * (2 * below + cnt + 1)) AS two_rsum,
+        |    sum(np_s) AS np, sum(cnt - np_s) AS nn
+        |  FROM cum)
+        |SELECT CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn,
+        |  (CAST(two_rsum AS DOUBLE) / 2.0
+        |     - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+        |FROM agg""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val sc = Tables.T(s, dir).events
+        .select($"value".as("score"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+      val per = sc.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("np_s"))
+      graft.operators.Ranks.cumBelow(per, "score", "cnt")
+        .agg(
+          // decimal accumulator: Σ np_s·2n can pass 2^63 at full scale
+          // (DuckDB's BIGINT sum promotes to HUGEINT the same way)
+          sum(($"np_s" * (lit(2) * $"below" + $"cnt" + 1))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("two_rsum"),
+          sum($"np_s").as("np"), sum($"cnt" - $"np_s").as("nn"))
+        .select($"np".cast("long").as("np"), $"nn".cast("long").as("nn"),
+          (($"two_rsum".cast("double") / lit(2.0)
+            - $"np".cast("double") * ($"np".cast("double") + lit(1.0))
+              / lit(2.0))
+            / ($"np".cast("double") * $"nn".cast("double"))).as("auc"))
+    },
+
+    // Chi-square test of independence (MADlib chi2 test parity):
+    // event_type × user-cohort contingency table from ONE hash
+    // aggregate of exact counts; expected cells and the statistic are
+    // identical integer-derived doubles in both engines. Marginals
+    // broadcast back onto the cells (catalog-scale), so the plan is one
+    // corpus aggregate + tiny joins.
+    Q("q_ml_chi2", Some(
+      """WITH o AS (SELECT event_type AS r, user_id % 4 AS c,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |rm AS (SELECT r, sum(o) AS rn FROM o GROUP BY 1),
+        |cm AS (SELECT c, sum(o) AS cn FROM o GROUP BY 1),
+        |n AS (SELECT sum(o) AS n FROM o),
+        |cells AS (SELECT o.r, o.c, o.o,
+        |    CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)
+        |      / CAST(n.n AS DOUBLE) AS e
+        |  FROM o JOIN rm ON o.r = rm.r JOIN cm ON o.c = cm.c
+        |         CROSS JOIN n)
+        |SELECT CAST(count(*) AS BIGINT) AS cells,
+        |  floor(sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |            / e) * 1000000 + 0.5) / 1000000 AS chi2
+        |FROM cells""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val o = Tables.T(s, dir).events
+        .groupBy($"event_type".as("r"), ($"user_id" % 4).as("c"))
+        .agg(count(lit(1)).as("o"))
+      val rm = o.groupBy("r").agg(sum($"o").as("rn"))
+      val cm = o.groupBy("c").agg(sum($"o").as("cn"))
+      val n = o.agg(sum($"o").as("n"))
+      o.join(broadcast(rm), "r").join(broadcast(cm), "c")
+        .join(broadcast(n))
+        .withColumn("e", $"rn".cast("double") * $"cn".cast("double")
+          / $"n".cast("double"))
+        .agg(count(lit(1)).cast("long").as("cells"),
+          (floor(sum(($"o".cast("double") - $"e")
+              * ($"o".cast("double") - $"e") / $"e")
+            * lit(1000000) + lit(0.5)) / lit(1000000)).as("chi2"))
+    },
+
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
     // Ordered-step funnel (view → click → purchase within 72 h of the

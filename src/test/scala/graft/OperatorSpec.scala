@@ -853,6 +853,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(vecs(0)(2)) < 0.1)
   }
 
+  test("Ranks.cumBelow ≡ the unpartitioned window prefix sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val per = (0 until 500).map(_ => (rnd.nextInt(80).toDouble,
+      1L + rnd.nextInt(5)))
+      .groupBy(_._1).map { case (s, g) => (s, g.map(_._2).sum) }.toSeq
+      .toDF("score", "cnt").repartition(7)
+    val got = Ranks.cumBelow(per, "score", "cnt")
+      .select("score", "below").as[(Double, Long)].collect().toMap
+    val want = per.withColumn("below", coalesce(
+        sum($"cnt").over(org.apache.spark.sql.expressions.Window
+          .orderBy($"score").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("score", "below").as[(Double, Long)].collect().toMap
+    assert(got == want)
+    // all pass-through columns survive
+    assert(Ranks.cumBelow(per, "score", "cnt").columns.toSeq ==
+      Seq("score", "cnt", "below"))
+  }
+
   test("Pca.pcaProject: projected variance equals the eigenvalue") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
