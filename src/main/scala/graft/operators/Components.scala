@@ -170,4 +170,39 @@ object Components {
       .withColumn("is_canonical", docs(idCol) === col("cluster"))
       .drop("id", "component")
   }
+
+  /** Single-source shortest paths — MADlib's graph_sssp (Bellman–Ford:
+    * each round relaxes EVERY edge against the current frontier, min
+    * combines). BFS hop counts fall out with unit weights.
+    *
+    * Scale shape mirrors [[pageRank]]: the distance relation is
+    * node-scale and broadcasts into the edge relax join, so the edge
+    * list is never shuffled; each round's only exchange is the dst-keyed
+    * min aggregate (map-side combinable), and each round localCheckpoints
+    * the node-scale result to cut lineage. `iterations` bounds path
+    * length (Bellman–Ford needs |V|−1 for the general case; callers with
+    * small diameters pass less). Integer weights keep the relaxed sums
+    * exact, so min-ties are value-identical on any relax order. */
+  def sssp(
+      edgesDf: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      source: Long, iterations: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val edges = cut(edgesDf.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w")))
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("id", "dist")
+    for (_ <- 0 until iterations) {
+      val relaxed = edges
+        .join(broadcast(dist), edges("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = cut(dist.union(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
 }

@@ -672,6 +672,50 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
+    // Decision-tree split search (MADlib tree_train / CART root split)
+    // over the embedding features: histogram method — one corpus-scale
+    // (dim, bucket, label) aggregate, then candidate thresholds score
+    // from the tiny histogram with exact integer Gini algebra (see
+    // operators/Trees.scala). Both engines derive the identical argmin
+    // because every input to the score is an exact long.
+    Q("q_ml_stump", Some {
+      val ts = Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
+      val bucketSql = ts.map(t =>
+        s"CAST(x > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
+      val thrVals = ts.zipWithIndex
+        .map { case (t, i) => s"($i, CAST($t AS DOUBLE))" }.mkString(", ")
+      s"""WITH x AS (SELECT label,
+         |    CAST(i - 1 AS INT) AS d,
+         |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, 65)) r(i)),
+         |xb AS (SELECT label, d, $bucketSql AS b FROM x),
+         |hist AS (SELECT d, b, label, count(*) AS cnt
+         |  FROM xb GROUP BY 1, 2, 3),
+         |tot AS (SELECT label, count(*) AS n_c FROM embeddings GROUP BY 1),
+         |consts AS (SELECT sum(n_c) AS n, sum(n_c * n_c) AS s2 FROM tot),
+         |thr AS (SELECT * FROM (VALUES $thrVals) t(i, thr)),
+         |pl AS (SELECT h.d, t.i, t.thr, h.label, sum(h.cnt) AS nl_c
+         |  FROM hist h JOIN thr t ON h.b <= t.i GROUP BY 1, 2, 3, 4),
+         |sc AS (SELECT d, i, thr, sum(nl_c) AS nl,
+         |    sum(nl_c * nl_c) AS a, sum(n_c * nl_c) AS bb
+         |  FROM pl JOIN tot USING (label) GROUP BY 1, 2, 3),
+         |scored AS (SELECT d, i, thr, nl, CAST(c.n AS BIGINT) - nl AS nr,
+         |    ((CAST(nl AS DOUBLE) - CAST(a AS DOUBLE) / CAST(nl AS DOUBLE))
+         |     + (CAST(CAST(c.n AS BIGINT) - nl AS DOUBLE)
+         |        - CAST(c.s2 - 2 * bb + a AS DOUBLE)
+         |          / CAST(CAST(c.n AS BIGINT) - nl AS DOUBLE)))
+         |      / CAST(c.n AS DOUBLE) AS score
+         |  FROM sc CROSS JOIN consts c
+         |  WHERE nl > 0 AND CAST(c.n AS BIGINT) - nl > 0)
+         |SELECT CAST(d AS INT) AS dim, thr, CAST(nl AS BIGINT) AS n_left,
+         |  CAST(nr AS BIGINT) AS n_right, score
+         |FROM scored ORDER BY score, d, i LIMIT 1""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Trees.decisionStump(
+        Tables.T(s, dir).embeddings, "embedding", "label", 64,
+        Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3))
+    },
+
     // Johnson–Lindenstrauss random projection 64→8 dims: the matrix is
     // regenerated from the same pure-integer formula on both sides
     // (Achlioptas {+s,−s,0} entries), so values are bit-comparable;
@@ -1436,6 +1480,52 @@ object PipelineQueries {
       graft.operators.Components.pageRank(edges, "src", "dst",
         iterations = 5, damping = 0.85)
         .select($"id", round($"rank", 6).as("rank"))
+        .orderBy("id")
+    },
+
+    // Single-source shortest paths (MADlib graph_sssp parity; BFS =
+    // unit weights): Bellman–Ford over the nation-level shipping graph
+    // (supplier nation → customer nation, weight = fastest observed
+    // order-to-ship days). Each round broadcasts the node-scale distance
+    // relation into the edge relax join (edges never re-shuffled); the
+    // oracle unrolls the identical relax-then-min rounds as chained
+    // CTEs. Integer weights keep path sums exact in both engines.
+    Q("q_graph_sssp", Some {
+      val iters = 4
+      val head =
+        """WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+          |    min(datediff('day', o_orderdate, l_shipdate)) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier s ON l_suppkey = s.s_suppkey
+          |  JOIN customer c ON o_custkey = c.c_custkey
+          |  WHERE s.s_nationkey <> c.c_nationkey
+          |  GROUP BY 1, 2),
+          |d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"""
+          .stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, p.dist + e.w AS dist
+           |    FROM e JOIN d${i - 1} p ON p.id = e.src)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT id, dist FROM d$iters ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .groupBy($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+        .agg(min(datediff($"l_shipdate", $"o_orderdate")).as("w"))
+      graft.operators.Components.sssp(edges, "src", "dst", "w",
+          source = 0L, iterations = 4)
         .orderBy("id")
     },
 

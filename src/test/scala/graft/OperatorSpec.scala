@@ -872,6 +872,37 @@ class OperatorSpec extends AnyFunSuite {
       Seq("score", "cnt", "below"))
   }
 
+  test("Components.sssp relaxes to exact shortest paths") {
+    import spark.implicits._
+    // 0→1 (5), 0→2 (1), 2→1 (2), 1→3 (1), 2→3 (10): best 0→2→1→3 = 4
+    val edges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 2L),
+      (1L, 3L, 1L), (2L, 3L, 10L), (4L, 0L, 1L)).toDF("src", "dst", "w")
+    val d = Components.sssp(edges, "src", "dst", "w", source = 0L,
+      iterations = 4, checkpoint = false)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 4L))
+    // node 4 only has an OUT edge to the source — never reached
+    assert(!d.contains(4L))
+  }
+
+  test("Trees.decisionStump finds the separating dimension") {
+    import spark.implicits._
+    // dim1 separates classes perfectly at 0.0; dim0 is noise
+    val data = Seq(
+      (0L, Array(0.1f, -0.5f)), (0L, Array(-0.2f, -0.4f)),
+      (0L, Array(0.3f, -0.3f)), (0L, Array(-0.1f, -0.2f)),
+      (1L, Array(0.2f, 0.2f)), (1L, Array(-0.3f, 0.3f)),
+      (1L, Array(0.1f, 0.4f)), (1L, Array(-0.2f, 0.5f)))
+    val df = data.toDF("label", "embedding").repartition(3)
+    val r = Trees.decisionStump(df, "embedding", "label", 2,
+      Seq(-0.25, 0.0, 0.25)).head
+    assert(r.getInt(0) == 1, s"expected dim 1, got $r")
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+    // perfect split → zero weighted Gini
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("Pca.pcaProject: projected variance equals the eigenvalue") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
