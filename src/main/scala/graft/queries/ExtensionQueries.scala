@@ -536,6 +536,33 @@ object ExtensionQueries {
             * lit(1000000) + lit(0.5)) / lit(1000000)).as("chi2"))
     },
 
+    // Two-sample Kolmogorov–Smirnov test (MADlib ks_test parity; the
+    // pipeline drift-detection primitive): D = max |F_view − F_click|
+    // over pooled values. Spark side rides Ranks.cumBelow prefix sums;
+    // the oracle expresses the same inclusive CDFs as windows over the
+    // distinct-value relation. All CDF values are ratios of exact
+    // longs → identical argmax in both engines (ties → smallest x).
+    Q("q_ml_kstest", Some(
+      """WITH per AS (SELECT value AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cnt_a,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cnt_b
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1),
+        |cum AS (SELECT x, cnt_a, cnt_b,
+        |    sum(cnt_a) OVER (ORDER BY x) AS ca,
+        |    sum(cnt_b) OVER (ORDER BY x) AS cb
+        |  FROM per),
+        |tot AS (SELECT sum(cnt_a) AS n_a, sum(cnt_b) AS n_b FROM per)
+        |SELECT abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS ks,
+        |  x AS at_value, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b
+        |FROM cum CROSS JOIN tot
+        |ORDER BY ks DESC, x LIMIT 1""".stripMargin)) { (s, dir) =>
+      graft.operators.Stats.ksTest(Tables.T(s, dir).events,
+        "value", "event_type", "view", "click")
+    },
+
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
     // Ordered-step funnel (view → click → purchase within 72 h of the

@@ -885,6 +885,80 @@ object GpSqlDialect {
     ("(?is)^\\s*IF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;" +
       "(\\s*ELSIF\\s+.+?\\s+THEN\\s+RETURN\\s+.+?;)*" +
       "(\\s*ELSE\\s+RETURN\\s+.+?;)?\\s*END\\s+IF\\s*;?\\s*$").r
+  // tier 5: `... EXCEPTION WHEN division_by_zero THEN RETURN h` — the
+  // ubiquitous safe-division function (pl_exec.c exec_stmt_block
+  // exception section). A set-based engine cannot trap per-row errors,
+  // but division_by_zero is STATICALLY guardable: the inlined RETURN
+  // expression's top-level denominators get a `= 0` guard that selects
+  // the handler BEFORE the division evaluates (CASE short-circuits).
+  // NULL denominators fall to the expression arm — PG returns NULL for
+  // NULL division without raising, so the truth tables agree. Handlers
+  // for other conditions (no static guard exists) defer loudly.
+  private val PlExcRe =
+    ("(?is)^(.*?)\\s*EXCEPTION\\s+WHEN\\s+(\\w+)\\s+THEN\\s+" +
+      "RETURN\\s+(.+?)\\s*;?\\s*$").r
+
+  /** Denominator operands of every TOP-LEVEL `/` in a scalar
+    * expression (parens/strings respected; divisions nested inside
+    * call arguments are NOT found — callers defer in that case rather
+    * than guess). Operand = sign + identifier/number/parenthesized
+    * group + trailing call/index groups, ending at whitespace or a
+    * top-level operator. */
+  private[graft] def topLevelDenominators(expr: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var depth = 0
+    def skipString(from: Int): Int = {
+      var j = from + 1
+      while (j < expr.length) {
+        if (expr.charAt(j) == '\'') {
+          if (j + 1 < expr.length && expr.charAt(j + 1) == '\'') j += 2
+          else return j + 1
+        } else j += 1
+      }
+      j
+    }
+    def skipBalanced(from: Int, open: Char, close: Char): Int = {
+      var j = from + 1
+      var d = 1
+      while (j < expr.length && d > 0) {
+        expr.charAt(j) match {
+          case '\'' => j = skipString(j) - 1
+          case c if c == open => d += 1
+          case c if c == close => d -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      j
+    }
+    while (i < expr.length) {
+      expr.charAt(i) match {
+        case '\'' => i = skipString(i)
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '/' if depth == 0 =>
+          var j = i + 1
+          while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
+          val start = j
+          if (j < expr.length && (expr.charAt(j) == '-' ||
+            expr.charAt(j) == '+')) j += 1
+          var done = false
+          while (j < expr.length && !done) {
+            expr.charAt(j) match {
+              case '(' => j = skipBalanced(j, '(', ')')
+              case '[' => j = skipBalanced(j, '[', ']')
+              case c if c.isLetterOrDigit || c == '_' || c == '.' => j += 1
+              case _ => done = true
+            }
+          }
+          if (j > start) out += expr.substring(start, j)
+          i = j
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
   // tier 4: FOR <var> IN <select> LOOP <body> END LOOP [; RETURN <e>]
   private val PlForRe =
     ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s+(.+?)" +
@@ -964,13 +1038,20 @@ object GpSqlDialect {
       }
       cur
     }
+    // tier 5: split off a trailing EXCEPTION section before statement
+    // processing (see PlExcRe) — the main body then flows through the
+    // normal assign-chain folding below
+    val (mainStmts, excHandler) = stmts match {
+      case PlExcRe(mn, cond, h) => (mn.trim, Some((cond.toLowerCase, h)))
+      case _ => (stmts, None)
+    }
     // leading `v := expr;` statements (pl_exec.c exec_stmt_assign) fold
     // sequentially into the environment: each RHS substitutes the
     // CURRENT bindings first, so `r := r * 2` composes over r's prior
     // value and the terminal RETURN sees one straight-line expression.
     // This keeps the whole body inlined in whole-stage codegen — a
     // straight-line plpgsql body IS an expression DAG.
-    val parts = splitStatements(stmts)
+    val parts = splitStatements(mainStmts)
     val AssignRe = "(?is)^(\\w+)\\s*:=\\s*(.+)$".r
     var env = decls
     var i = 0
@@ -985,6 +1066,31 @@ object GpSqlDialect {
     }
     // IF ladders span several `;`-split parts — rejoin the tail
     val tail = parts.drop(i).mkString("; ")
+    excHandler match {
+      case Some((cond, h)) =>
+        tail match {
+          case PlReturnRe(expr0) if cond == "division_by_zero" &&
+              parts.length - i <= 1 &&
+              !expr0.trim.toUpperCase.startsWith("QUERY") =>
+            val expr = subst(env)(expr0)
+            val dens = topLevelDenominators(expr)
+            if (dens.isEmpty)
+              deferredPlpgsql(name) = "EXCEPTION WHEN division_by_zero " +
+                "with no top-level division to guard"
+            else {
+              val guard = dens.map(d => s"($d) = 0").mkString(" OR ")
+              sqlFunctions(name) = SqlFunction(params,
+                s"CASE WHEN $guard THEN (${subst(env)(h)}) " +
+                  s"ELSE ($expr) END", scalarExpr = true)
+            }
+          case _ =>
+            deferredPlpgsql(name) = s"EXCEPTION WHEN $cond (only a " +
+              "division_by_zero handler over a RETURN-expression body " +
+              "has a static guard)"
+        }
+        return spark.emptyDataFrame
+      case None => ()
+    }
     tail match {
       // `RETURN QUERY <select>` — plpgsql's set-returning form; lowers
       // to a SQL-language TABLE function (pl_exec.c exec_stmt_return_

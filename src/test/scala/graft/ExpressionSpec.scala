@@ -1978,4 +1978,64 @@ class ExpressionSpec extends AnyFunSuite {
       "'<a><b>x,y</b></a>') AS v").head
     assert(r2.getSeq[String](0) == Seq("x,y"))
   }
+
+  test("plpgsql tier 5: division_by_zero handler lowers to a static guard") {
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, "/tmp/never")
+    // safe_div — the canonical dump pattern
+    run("""CREATE FUNCTION safe_div(a DOUBLE, b DOUBLE)
+          |RETURNS DOUBLE AS $$
+          |BEGIN RETURN a / b;
+          |EXCEPTION WHEN division_by_zero THEN RETURN 0.0;
+          |END
+          |$$ LANGUAGE plpgsql""".stripMargin)
+    val r = run("SELECT safe_div(CAST(10 AS DOUBLE), CAST(4 AS DOUBLE)) " +
+      "AS ok, safe_div(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)) AS z, " +
+      "safe_div(CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)) AS n").head
+    assert(r.getDouble(0) == 2.5)
+    assert(r.getDouble(1) == 0.0) // handler, not an error
+    assert(r.isNullAt(2)) // PG: NULL division returns NULL, no exception
+    // assignment chain + parenthesized denominator both guard
+    run("""CREATE FUNCTION pct(num DOUBLE, den DOUBLE)
+          |RETURNS DOUBLE AS $$
+          |DECLARE scaled DOUBLE := 0;
+          |BEGIN
+          |  scaled := num * 100;
+          |  RETURN scaled / (den + 0);
+          |EXCEPTION WHEN division_by_zero THEN RETURN -1;
+          |END
+          |$$ LANGUAGE plpgsql""".stripMargin)
+    val p = run("SELECT pct(CAST(1 AS DOUBLE), CAST(4 AS DOUBLE)) AS a, " +
+      "pct(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)) AS b").head
+    assert(p.getDouble(0) == 25.0 && p.getDouble(1) == -1.0)
+    // OTHERS has no static guard → CREATE accepted, CALL raises
+    run("""CREATE FUNCTION risky(x DOUBLE) RETURNS DOUBLE AS $$
+          |BEGIN RETURN ln(x);
+          |EXCEPTION WHEN others THEN RETURN 0;
+          |END
+          |$$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("risky")
+      .exists(_.contains("EXCEPTION WHEN others")))
+    // a handler over a division nested in call args cannot be
+    // statically guarded → defers, never guesses
+    run("""CREATE FUNCTION hidden_div(a DOUBLE, b DOUBLE)
+          |RETURNS DOUBLE AS $$
+          |BEGIN RETURN coalesce(a / b, 0);
+          |EXCEPTION WHEN division_by_zero THEN RETURN 0;
+          |END
+          |$$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("hidden_div").isDefined)
+  }
+
+  test("topLevelDenominators finds guardable operands only") {
+    import graft.sql.GpSqlDialect.topLevelDenominators
+    assert(topLevelDenominators("a / b") == Seq("b"))
+    assert(topLevelDenominators("a / b / c") == Seq("b", "c"))
+    assert(topLevelDenominators("a / (b - c) + d") == Seq("(b - c)"))
+    assert(topLevelDenominators("x * 100 / nullif(y, 0)") ==
+      Seq("nullif(y, 0)"))
+    // nested-in-args division is NOT top-level
+    assert(topLevelDenominators("coalesce(a / b, 0)").isEmpty)
+    // string literals with slashes are not divisions
+    assert(topLevelDenominators("concat('a/b', c)").isEmpty)
+  }
 }

@@ -885,6 +885,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(!d.contains(4L))
   }
 
+  test("Stats.ksTest computes the exact two-sample D and location") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: D = |F_a - F_b| peaks at x=2
+    // (F_a=0.5, F_b=0) and x=4 (F_a=1, F_b=0.5) → ties at 0.5,
+    // smallest x wins
+    val df = (Seq(1, 2, 3, 4).map(v => (v.toDouble, "a")) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, "b")))
+      .toDF("value", "grp").repartition(3)
+    val r = Stats.ksTest(df, "value", "grp", "a", "b").head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+  }
+
   test("Trees.decisionStump finds the separating dimension") {
     import spark.implicits._
     // dim1 separates classes perfectly at 0.0; dim0 is noise
