@@ -648,6 +648,53 @@ object AggregateQueries {
         .orderBy("ante", "cons")
     },
 
+    // Pairwise Pearson correlation matrix (MADlib correlation()
+    // parity): ONE moment aggregate under split-sum discipline feeds
+    // every pair — profiling correlations on a 100 TB table costs one
+    // scan; the pair expansion is a map-only inline explode of the
+    // single moment row. Output rounds at 1e-9: the big moment sums
+    // (~1e14 micros) pick up one-ulp decimal→double conversion skew
+    // between engines, which the nano-round absorbs.
+    Q("q_ml_corr", Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val moments = (cols.map(c =>
+        s"${Q.oSum(c, 6)} AS s_$c") ++
+        (for (a <- cols; b <- cols if a <= b) yield
+          s"${Q.oSum(s"$a * $b", 6)} AS s_${a}_$b") :+
+        "CAST(count(*) AS DOUBLE) AS n").mkString(",\n  ")
+      val pairs = for (a <- cols; b <- cols if a < b) yield {
+        val cov = s"(s_${a}_$b - s_$a * s_$b / n)"
+        val va = s"(s_${a}_$a - s_$a * s_$a / n)"
+        val vb = s"(s_${b}_$b - s_$b * s_$b / n)"
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          s"floor($cov / sqrt($va * $vb) * 1000000000 + 0.5) " +
+          s"/ 1000000000 AS corr FROM m"
+      }
+      s"""WITH m AS (SELECT
+         |  $moments
+         |FROM lineitem)
+         |${pairs.mkString("\nUNION ALL\n")}
+         |ORDER BY col_a, col_b""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.map(c => Q.dsum(col(c), 6).as(s"s_$c")) ++
+        (for (a <- cols; b <- cols if a <= b)
+          yield Q.dsum(col(a) * col(b), 6).as(s"s_${a}_$b")) :+
+        count(lit(1)).cast("double").as("n")
+      val m = Tables.T(s, dir).lineitem.agg(aggs.head, aggs.tail: _*)
+      val pairs = for (a <- cols; b <- cols if a < b) yield {
+        val cov = col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b") / $"n"
+        val va = col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a") / $"n"
+        val vb = col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b") / $"n"
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          (floor(cov / sqrt(va * vb) * lit(1000000000L) + lit(0.5))
+            / lit(1000000000L)).as("corr"))
+      }
+      m.select(explode(array(pairs: _*)).as("r")).select($"r.*")
+        .orderBy("col_a", "col_b")
+    },
+
     // Column-profile report (MADlib summary() parity): ONE aggregate
     // pass computes count/nulls/NDV/min/max/mean for every profiled
     // column (the multi-distinct DQA machinery plans the NDVs), then a

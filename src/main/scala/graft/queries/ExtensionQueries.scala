@@ -563,6 +563,93 @@ object ExtensionQueries {
         "value", "event_type", "view", "click")
     },
 
+    // Welch two-sample t-test (MADlib t_test parity): ONE conditional
+    // moment aggregate (split-sum discipline → shuffle-order exact),
+    // then pure scalar algebra — mean difference over the pooled
+    // standard error with Welch–Satterthwaite df. sqrt is correctly
+    // rounded per IEEE (unlike pow), so both engines emit the
+    // identical statistic from the identical moments.
+    Q("q_ml_ttest", Some {
+      def side(g: String, sfx: String) = Seq(
+        s"sum(CASE WHEN event_type = '$g' THEN 1 ELSE 0 END) AS n$sfx",
+        s"${Q.pSum("value", 6, s"event_type = '$g'")} AS sx$sfx",
+        s"${Q.pSum("value * value", 6, s"event_type = '$g'")} AS sxx$sfx")
+      val aggs = (side("view", "1") ++ side("click", "2")).mkString(",\n  ")
+      val va = "((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) " +
+        "/ CAST(n1 - 1 AS DOUBLE))"
+      val vb = "((sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) " +
+        "/ CAST(n2 - 1 AS DOUBLE))"
+      val sea = s"($va / CAST(n1 AS DOUBLE))"
+      val seb = s"($vb / CAST(n2 AS DOUBLE))"
+      s"""WITH m AS (SELECT
+         |  $aggs
+         |FROM events)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  (sx1 / CAST(n1 AS DOUBLE) - sx2 / CAST(n2 AS DOUBLE))
+         |    / sqrt($sea + $seb) AS t,
+         |  ($sea + $seb) * ($sea + $seb)
+         |    / ($sea * $sea / CAST(n1 - 1 AS DOUBLE)
+         |       + $seb * $seb / CAST(n2 - 1 AS DOUBLE)) AS df
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def cond(g: String) = $"event_type" === g
+      val m = Tables.T(s, dir).events.agg(
+        sum(when(cond("view"), 1L).otherwise(0L)).as("n1"),
+        Q.dsum(when(cond("view"), $"value"), 6).as("sx1"),
+        Q.dsum(when(cond("view"), $"value" * $"value"), 6).as("sxx1"),
+        sum(when(cond("click"), 1L).otherwise(0L)).as("n2"),
+        Q.dsum(when(cond("click"), $"value"), 6).as("sx2"),
+        Q.dsum(when(cond("click"), $"value" * $"value"), 6).as("sxx2"))
+      val va = ($"sxx1" - $"sx1" * $"sx1" / $"n1".cast("double")) /
+        ($"n1" - 1).cast("double")
+      val vb = ($"sxx2" - $"sx2" * $"sx2" / $"n2".cast("double")) /
+        ($"n2" - 1).cast("double")
+      val sea = va / $"n1".cast("double")
+      val seb = vb / $"n2".cast("double")
+      m.select($"n1".cast("long").as("n1"), $"n2".cast("long").as("n2"),
+        (($"sx1" / $"n1".cast("double") - $"sx2" / $"n2".cast("double"))
+          / sqrt(sea + seb)).as("t"),
+        ((sea + seb) * (sea + seb)
+          / (sea * sea / ($"n1" - 1).cast("double")
+            + seb * seb / ($"n2" - 1).cast("double"))).as("df"))
+    },
+
+    // One-way ANOVA F (MADlib anova parity): per-group moments in one
+    // aggregate, then SSB/SSW from micros-rounded per-group terms —
+    // the second (k-row) aggregate re-applies split-sum discipline so
+    // group iteration order can't move either engine's F.
+    Q("q_ml_anova", Some {
+      val ssw = Q.oSum("sxx - sx * sx / CAST(n AS DOUBLE)", 6)
+      val sgm = Q.oSum("sx * sx / CAST(n AS DOUBLE)", 6)
+      val gsum = Q.oSum("sx", 6)
+      s"""WITH g AS (SELECT event_type,
+         |    count(*) AS n, ${Q.pSum("value", 6)} AS sx,
+         |    ${Q.pSum("value * value", 6)} AS sxx
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT count(*) AS k, sum(n) AS nn,
+         |    $gsum AS gs, $sgm AS sgm, $ssw AS ssw
+         |  FROM g)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+         |  ((sgm - gs * gs / CAST(nn AS DOUBLE))
+         |     / CAST(k - 1 AS DOUBLE))
+         |    / (ssw / CAST(nn - k AS DOUBLE)) AS f
+         |FROM m""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val g = Tables.T(s, dir).events.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Q.dsum($"value", 6).as("sx"),
+          Q.dsum($"value" * $"value", 6).as("sxx"))
+      val m = g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+        Q.dsum($"sx", 6).as("gs"),
+        Q.dsum($"sx" * $"sx" / $"n".cast("double"), 6).as("sgm"),
+        Q.dsum($"sxx" - $"sx" * $"sx" / $"n".cast("double"), 6).as("ssw"))
+      m.select($"k".cast("long").as("k"), $"nn".cast("long").as("n"),
+        ((($"sgm" - $"gs" * $"gs" / $"nn".cast("double"))
+          / ($"k" - 1).cast("double"))
+          / ($"ssw" / ($"nn" - $"k").cast("double"))).as("f"))
+    },
+
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
     // Ordered-step funnel (view → click → purchase within 72 h of the
