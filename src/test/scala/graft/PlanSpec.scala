@@ -484,6 +484,13 @@ class PlanSpec extends AnyFunSuite {
       s"n_txn scalar should broadcast:\n$p")
   }
 
+  test("q_ml_corr: the whole correlation matrix reads one scan") {
+    val p = plan("q_ml_corr").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE lineitem scan, got $scans:\n$p")
+    assert(p.contains("partial_"), s"moment aggregate needs a partial phase:\n$p")
+  }
+
   test("q_profile_summary: one scan profiles every column") {
     val p = plan("q_profile_summary")
     // exactly one parquet scan of lineitem — the whole point of the
