@@ -563,6 +563,45 @@ object ExtensionQueries {
         "value", "event_type", "view", "click")
     },
 
+    // Mutual information between two categoricals (the feature-
+    // relevance cousin of q_ml_chi2, same one-aggregate contingency
+    // dataflow): I = Σ p(r,c)·ln(p(r,c)/(p(r)p(c))). ln() may differ
+    // by an ulp across libms, so each cell term is micros-rounded
+    // before the exact split-sum (the q_text_keyness discipline) and
+    // the statistic is emitted at the same precision.
+    Q("q_ml_mutinfo", Some(
+      s"""WITH o AS (SELECT event_type AS r, user_id % 4 AS c,
+         |    count(*) AS o FROM events GROUP BY 1, 2),
+         |rm AS (SELECT r, sum(o) AS rn FROM o GROUP BY 1),
+         |cm AS (SELECT c, sum(o) AS cn FROM o GROUP BY 1),
+         |n AS (SELECT sum(o) AS n FROM o),
+         |cells AS (SELECT
+         |    (CAST(o.o AS DOUBLE) / CAST(n.n AS DOUBLE))
+         |      * ln(CAST(o.o AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |           / (CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)))
+         |      AS term
+         |  FROM o JOIN rm ON o.r = rm.r JOIN cm ON o.c = cm.c
+         |         CROSS JOIN n)
+         |SELECT CAST(count(*) AS BIGINT) AS cells,
+         |  ${Q.oSum("term", 6)} AS mi
+         |FROM cells""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val o = Tables.T(s, dir).events
+        .groupBy($"event_type".as("r"), ($"user_id" % 4).as("c"))
+        .agg(count(lit(1)).as("o"))
+      val rm = o.groupBy("r").agg(sum($"o").as("rn"))
+      val cm = o.groupBy("c").agg(sum($"o").as("cn"))
+      val n = o.agg(sum($"o").as("n"))
+      o.join(broadcast(rm), "r").join(broadcast(cm), "c")
+        .join(broadcast(n))
+        .withColumn("term",
+          ($"o".cast("double") / $"n".cast("double"))
+            * log($"o".cast("double") * $"n".cast("double")
+              / ($"rn".cast("double") * $"cn".cast("double"))))
+        .agg(count(lit(1)).cast("long").as("cells"),
+          Q.dsum($"term", 6).as("mi"))
+    },
+
     // Welch two-sample t-test (MADlib t_test parity): ONE conditional
     // moment aggregate (split-sum discipline → shuffle-order exact),
     // then pure scalar algebra — mean difference over the pooled
