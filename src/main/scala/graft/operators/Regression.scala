@@ -132,6 +132,53 @@ object Regression {
     coef.select(col("grp"), col("n"), col("b0"), col("b1"), col("b2"))
   }
 
+  /** Linear SVM (hinge loss + L2) by FULL-BATCH Pegasos subgradient
+    * descent with a fixed epoch count — MADlib `svm_classification`
+    * (Shalev-Shwartz et al. 2007; MADlib's IGD becomes deterministic
+    * full-batch here, the same choice [[logregFit2]] makes for IRLS).
+    * Epoch t: η_t = 1/(λt); w ← w·(1−η_tλ) + (η_t/n)·Σ_{yᵀw·x<1} y·x.
+    * Each epoch is ONE aggregate over the cached projection; the 1-row
+    * coefficient relation broadcast-joins back — never driver state.
+    *
+    * The margin indicator is DISCONTINUOUS, so unlike the smooth IRLS
+    * the iteration state must be bit-identical to the oracle's or one
+    * flipped violator cascades: callers inject `sumExact` (the
+    * split-sum aggregate) for the gradient sums, and the η/decay
+    * constants are precomputed doubles embedded on both sides.
+    * Returns one row: (w0, w1, w2, sv, n) — sv = final-epoch margin
+    * violators. */
+  def svmFit2(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Double, iterations: Int,
+      sumExact: Column => Column): DataFrame = {
+    val rows = df.select(col(yCol).cast("double").as("y"),
+      col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var w = Seq((0.0, 0.0, 0.0, 0L, 0L)).toDF("w0", "w1", "w2", "sv", "n")
+    for (t <- 1 to iterations) {
+      val eta = 1.0 / (lambda * t)
+      val decay = 1.0 - eta * lambda
+      val viol = col("y") * (col("w0") + col("w1") * col("x1") +
+        col("w2") * col("x2")) < 1
+      val a = rows.crossJoin(broadcast(w.select("w0", "w1", "w2")))
+        .groupBy("w0", "w1", "w2")
+        .agg(count(lit(1)).as("n"),
+          sumExact(when(viol, col("y"))).as("g0"),
+          sumExact(when(viol, col("y") * col("x1"))).as("g1"),
+          sumExact(when(viol, col("y") * col("x2"))).as("g2"),
+          sum(when(viol, 1L).otherwise(0L)).as("sv"))
+      def upd(wc: String, g: String) =
+        (col(wc) * lit(decay) + lit(eta) * coalesce(col(g), lit(0.0))
+          / col("n").cast("double")).as(wc)
+      w = a.select(upd("w0", "g0"), upd("w1", "g1"), upd("w2", "g2"),
+        col("sv"), col("n"))
+    }
+    w
+  }
+
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated

@@ -300,6 +300,53 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // Linear SVM (MADlib svm_classification parity): full-batch Pegasos
+    // subgradient, 4 fixed epochs, one aggregate per epoch (see
+    // Regression.svmFit2). The margin indicator is discontinuous, so
+    // gradient sums use split-sum discipline and the η/decay constants
+    // are precomputed doubles embedded identically on both sides —
+    // iteration state stays bit-identical, no output rounding needed.
+    Q("q_ml_svm", Some {
+      val lambda = 0.01
+      val mar = "(y * (w0 + w1 * x1 + w2 * x2) < 1)"
+      val rounds = (1 to 4).map { t =>
+        val eta = 1.0 / (lambda * t)
+        val decay = 1.0 - eta * lambda
+        def upd(wc: String, g: String) =
+          s"$wc * CAST($decay AS DOUBLE) + CAST($eta AS DOUBLE) " +
+            s"* coalesce($g, 0.0) / CAST(n AS DOUBLE) AS $wc"
+        s"""a$t AS (SELECT w0, w1, w2, count(*) AS n,
+           |    ${Q.pSum("y", 6, mar)} AS g0,
+           |    ${Q.pSum("y * x1", 6, mar)} AS g1,
+           |    ${Q.pSum("y * x2", 6, mar)} AS g2,
+           |    CAST(sum(CASE WHEN $mar THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS sv
+           |  FROM r CROSS JOIN st${t - 1} GROUP BY 1, 2, 3),
+           |st$t AS (SELECT ${upd("w0", "g0")}, ${upd("w1", "g1")},
+           |    ${upd("w2", "g2")}, sv, n FROM a$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT
+         |    CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END
+         |      AS DOUBLE) AS y,
+         |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+         |    CAST(l_discount AS DOUBLE) * 10.0 AS x2
+         |  FROM lineitem),
+         |st0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+         |  CAST(0 AS DOUBLE) AS w2),
+         |$rounds
+         |SELECT w0, w1, w2, sv, CAST(n AS BIGINT) AS n FROM st4"""
+        .stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.T(s, dir).lineitem.select(
+        when($"l_returnflag" === "R", 1.0).otherwise(-1.0).as("y"),
+        ($"l_quantity".cast("double") / lit(50.0)).as("x1"),
+        ($"l_discount".cast("double") * lit(10.0)).as("x2"))
+      graft.operators.Regression.svmFit2(rows, "y", "x1", "x2",
+        lambda = 0.01, iterations = 4, sumExact = Q.dsum(_, 6))
+        .select($"w0", $"w1", $"w2", $"sv", $"n")
+    },
+
     // min_by/max_by ≡ DuckDB arg_min/arg_max.
     Q("q_agg_minmax_by", Some(
       """SELECT o_orderstatus,

@@ -885,6 +885,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(!d.contains(4L))
   }
 
+  test("Regression.svmFit2 learns a separating direction") {
+    import spark.implicits._
+    // separable on x1: positives at x1≈+1, negatives at x1≈−1
+    val pts = (1 to 40).map { i =>
+      val y = if (i % 2 == 0) 1.0 else -1.0
+      (y, y * (0.8 + 0.01 * (i % 5)), 0.1 * ((i % 3) - 1))
+    }
+    val df = pts.toDF("y", "x1", "x2").repartition(4)
+    val w = Regression.svmFit2(df, "y", "x1", "x2",
+      lambda = 0.01, iterations = 8,
+      sumExact = graft.queries.Q.dsum(_, 6)).head
+    val (w1, sv, n) = (w.getDouble(1), w.getLong(3), w.getLong(4))
+    assert(n == 40L)
+    assert(w1 > 0.5, s"x1 weight should dominate: $w")
+    // the learned margin classifies every training point correctly
+    val w0 = w.getDouble(0); val w2 = w.getDouble(2)
+    assert(pts.forall { case (y, x1, x2) =>
+      y * (w0 + w1 * x1 + w2 * x2) > 0 })
+  }
+
   test("Stats.ksTest computes the exact two-sample D and location") {
     import spark.implicits._
     // A = {1,2,3,4}, B = {3,4,5,6}: D = |F_a - F_b| peaks at x=2
