@@ -602,6 +602,82 @@ object ExtensionQueries {
           Q.dsum($"term", 6).as("mi"))
     },
 
+    // Decile lift chart (the model-evaluation companion of q_ml_auc):
+    // rank-deciles of the score via the same Ranks.cumBelow prefix sum
+    // (no unpartitioned ntile window), response rate per decile over
+    // the base rate. Decile assignment is exact long floor-division;
+    // every rate is a ratio of exact longs.
+    Q("q_ml_lift", Some(
+      """WITH s AS (SELECT value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT score, count(*) AS cnt, sum(y) AS ys
+        |  FROM s GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS n, sum(ys) AS yy FROM per),
+        |cum AS (SELECT score, cnt, ys,
+        |    coalesce(sum(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM per),
+        |dec AS (SELECT CAST((below * 10) // n AS INT) AS decile,
+        |    cnt, ys FROM cum CROSS JOIN tot)
+        |SELECT decile, CAST(sum(cnt) AS BIGINT) AS n_d,
+        |  CAST(sum(ys) AS BIGINT) AS y_d,
+        |  (CAST(sum(ys) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE))
+        |    / (CAST(max(yy) AS DOUBLE) / CAST(max(n) AS DOUBLE)) AS lift
+        |FROM (SELECT d.*, t.n, t.yy FROM dec d CROSS JOIN tot t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val sc = Tables.T(s, dir).events
+        .select($"value".as("score"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+      val per = sc.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("ys"))
+      val tot = per.agg(sum($"cnt").as("n"), sum($"ys").as("yy"))
+      graft.operators.Ranks.cumBelow(per, "score", "cnt")
+        .join(broadcast(tot))
+        .select(expr("CAST((below * 10) div n AS INT)").as("decile"),
+          $"cnt", $"ys", $"n", $"yy")
+        .groupBy("decile")
+        .agg(sum($"cnt").cast("long").as("n_d"),
+          sum($"ys").cast("long").as("y_d"),
+          ((sum($"ys").cast("double") / sum($"cnt").cast("double"))
+            / (max($"yy").cast("double") / max($"n").cast("double")))
+            .as("lift"))
+        .orderBy("decile")
+    },
+
+    // Smoothed target encoding (the feature-engineering standard for
+    // high-cardinality categoricals; Micci-Barreca 2001): enc(cat) =
+    // (Σy + m·prior) / (n + m). One category aggregate + a broadcast
+    // global prior — at 100 TB the encode table is category-scale and
+    // broadcast-joins back onto the corpus as a map-only enrich.
+    Q("q_ml_target_enc", Some {
+      val sy = Q.pSum("o_totalprice", 6)
+      s"""WITH cat AS (SELECT c_nationkey AS cat, count(*) AS n,
+         |    $sy AS sy
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |g AS (SELECT sum(n) AS gn, ${Q.oSum("sy", 6)} AS gs FROM cat)
+         |SELECT cat, CAST(n AS BIGINT) AS n,
+         |  (sy + 100.0 * (gs / CAST(gn AS DOUBLE)))
+         |    / (CAST(n AS DOUBLE) + 100.0) AS enc
+         |FROM cat CROSS JOIN g ORDER BY cat""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val cat = t.orders
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".as("cat"))
+        .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice", 6).as("sy"))
+      val g = cat.agg(sum($"n").as("gn"), Q.dsum($"sy", 6).as("gs"))
+      cat.join(broadcast(g))
+        .select($"cat", $"n".cast("long").as("n"),
+          (($"sy" + lit(100.0) * ($"gs" / $"gn".cast("double")))
+            / ($"n".cast("double") + lit(100.0))).as("enc"))
+        .orderBy("cat")
+    },
+
     // Welch two-sample t-test (MADlib t_test parity): ONE conditional
     // moment aggregate (split-sum discipline → shuffle-order exact),
     // then pure scalar algebra — mean difference over the pooled
