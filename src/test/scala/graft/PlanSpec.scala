@@ -484,6 +484,22 @@ class PlanSpec extends AnyFunSuite {
       s"n_txn scalar should broadcast:\n$p")
   }
 
+  test("q_ts_anomaly: per-type stats broadcast back; no corpus window") {
+    val p = plan("q_ts_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD stats should broadcast onto the corpus:\n$p")
+    assert(!p.contains("Window"),
+      s"anomaly flags must not run a window over the corpus:\n$p")
+  }
+
+  test("q_ml_target_enc: the global prior joins as a broadcast") {
+    val p = plan("q_ml_target_enc")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row prior must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ml_corr: the whole correlation matrix reads one scan") {
     val p = plan("q_ml_corr").split("== Initial Plan ==")(0)
     val scans = "Scan parquet".r.findAllIn(p).length
