@@ -647,6 +647,59 @@ object ExtensionQueries {
         .orderBy("decile")
     },
 
+    // Gini concentration coefficient — revenue inequality across
+    // customers (the market-concentration analytics GP shops run).
+    // G = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx) over values sorted
+    // ascending; tie blocks contribute v·Σranks regardless of
+    // within-tie order, so the per-distinct-value form on
+    // Ranks.cumBelow is EXACT: Σranks(v) = cnt·below + cnt(cnt+1)/2.
+    // Revenues become micros longs, every sum is DECIMAL(38), and the
+    // single division happens after both sides cast the identical
+    // integers to double.
+    Q("q_ml_gini", Some {
+      val sy = Q.pSum("o_totalprice", 2)
+      """WITH rev AS (SELECT o_custkey, """ + sy + """ AS rev
+        |  FROM orders GROUP BY 1),
+        |per AS (SELECT rev, count(*) AS cnt FROM rev GROUP BY 1),
+        |cum AS (SELECT rev, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY rev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM per),
+        |t AS (SELECT
+        |    CAST(floor(rev * 1000000 + 0.5) AS BIGINT) AS v6,
+        |    cnt, below,
+        |    cnt * below + cnt * (cnt + 1) // 2 AS sumranks
+        |  FROM cum),
+        |agg AS (SELECT sum(cnt) AS n, sum(v6 * cnt) AS sx6,
+        |    sum(v6 * sumranks) AS srx
+        |  FROM t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(2 * srx - (n + 1) * sx6 AS DOUBLE)
+        |    / CAST(n * sx6 AS DOUBLE) AS gini
+        |FROM agg""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rev = Tables.T(s, dir).orders
+        .groupBy($"o_custkey")
+        .agg(Q.dsum($"o_totalprice", 2).as("rev"))
+      val per = rev.groupBy("rev").agg(count(lit(1)).as("cnt"))
+      val t = graft.operators.Ranks.cumBelow(per, "rev", "cnt")
+        .select(floor($"rev" * lit(1000000) + lit(0.5)).cast("long")
+            .as("v6"),
+          $"cnt", $"below",
+          // integer div keeps the term a LONG (Spark `/` on longs
+          // yields double); cnt·(cnt+1) is even so this is exact
+          expr("cnt * below + (cnt * (cnt + 1)) div 2").as("sumranks"))
+      t.agg(sum($"cnt").as("n"),
+          sum(($"v6" * $"cnt").cast(dec)).as("sx6"),
+          sum(($"v6" * $"sumranks").cast(dec)).as("srx"))
+        .select($"n".cast("long").as("n"),
+          ((lit(2) * $"srx" - ($"n" + 1) * $"sx6").cast("double")
+            / ($"n" * $"sx6").cast("double")).as("gini"))
+    },
+
     // Smoothed target encoding (the feature-engineering standard for
     // high-cardinality categoricals; Micci-Barreca 2001): enc(cat) =
     // (Σy + m·prior) / (n + m). One category aggregate + a broadcast
