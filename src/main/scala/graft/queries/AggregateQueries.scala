@@ -695,6 +695,53 @@ object AggregateQueries {
         .orderBy("ante", "cons")
     },
 
+    // Benford first-digit screen (the classic fraud / data-quality
+    // test): leading-digit distribution of order totals vs Benford's
+    // log10(1+1/d). The digit comes from the EXACT cents integer's
+    // string head (no log10 on the data path), and the nine Benford
+    // constants are computed once in Scala and embedded as identical
+    // literals on both sides — zero libm exposure anywhere.
+    Q("q_quality_benford", Some {
+      val exp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+      // string-literal → DOUBLE casts: a bare 17-digit decimal literal
+      // goes through DECIMAL(int128) → double, which DOUBLE-ROUNDS one
+      // ulp off (measured on log10(4/3)); strtod on the string parses
+      // round-to-nearest like the JVM, and per-branch casts also stop
+      // CASE from re-unifying branch types
+      val expCase = exp.map { case (d, e) =>
+        s"WHEN '$d' THEN CAST('$e' AS DOUBLE)" }
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice * 100
+         |      + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, count(*) AS n_d FROM d GROUP BY 1),
+         |t AS (SELECT sum(n_d) AS n FROM c)
+         |SELECT digit, CAST(n_d AS BIGINT) AS n_d,
+         |  CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+         |  CAST(($expCase) AS DOUBLE) AS expected,
+         |  abs(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(($expCase) AS DOUBLE)) AS abs_dev
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val exp = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+      val expCol = exp.foldLeft(lit(null).cast("double")) {
+        case (e, (d, v)) => when($"digit" === d.toString, v).otherwise(e)
+      }
+      val c = Tables.T(s, dir).orders
+        .select(substring(floor($"o_totalprice" * 100 + lit(0.5))
+          .cast("long").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_d"))
+      val t = c.agg(sum($"n_d").as("n"))
+      c.join(broadcast(t))
+        .select($"digit", $"n_d".cast("long").as("n_d"),
+          ($"n_d".cast("double") / $"n".cast("double")).as("share"),
+          expCol.as("expected"),
+          abs($"n_d".cast("double") / $"n".cast("double") - expCol)
+            .as("abs_dev"))
+        .orderBy("digit")
+    },
+
     // Pairwise Pearson correlation matrix (MADlib correlation()
     // parity): ONE moment aggregate under split-sum discipline feeds
     // every pair — profiling correlations on a 100 TB table costs one
