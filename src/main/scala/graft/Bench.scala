@@ -19,8 +19,16 @@ import org.apache.spark.sql.DataFrame
   * locality was long gone); a System.gc() before the timer keeps the
   * previous queries' garbage (broadcasts, streaming state, fixture
   * writes) from being collected mid-measurement; and the reported time
-  * is the min of two timed runs — min is the standard robust estimator
-  * against transient co-tenant noise on a shared driver machine. */
+  * is the min of the timed runs — min is the standard robust estimator
+  * against transient co-tenant noise on a shared driver machine.
+  *
+  * Noise hardening (verdict r6 #2 — the official r6 artifact read one
+  * query 4.1× above an isolated rerun): two attempts are taken always;
+  * if they disagree by more than 25% the query is retried up to two
+  * more times (min over ≤4), so a single co-tenant burst cannot set the
+  * reported number. The summary line carries per-query {min, spread}
+  * (spread = max/min over the attempts actually taken) so the artifact
+  * itself records measurement confidence. */
 object Bench {
 
   private def force(df: DataFrame): Unit =
@@ -47,7 +55,7 @@ object Bench {
         force(q.query(spark, sfDir))
       } catch { case _: Throwable => }
       graft.operators.KernelCaches.releaseAll()
-      val dt = (0 until 2).map { _ =>
+      def attempt(): Double = {
         // settle before EACH attempt: a full GC makes the async
         // ContextCleaner's backlog (dead checkpoint blocks, broadcasts
         // from ~200 prior queries) collectable, and the short sleep
@@ -62,23 +70,37 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         graft.operators.KernelCaches.releaseAll()
         t
-      }.min
-      q.name -> dt
+      }
+      var ts = Vector(attempt(), attempt())
+      // >25% disagreement between the two attempts = a co-tenant burst
+      // hit one of them; retry (up to 2 extra) until the spread closes
+      // or the attempt budget is spent — min over everything taken.
+      while (ts.max / ts.min > 1.25 && ts.size < 4) ts :+= attempt()
+      (q.name, ts.min, ts.max / ts.min)
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // All numeric formatting below goes through Locale.ROOT — the JVM
+    // default locale can print a decimal COMMA, which would corrupt the
+    // JSON artifact this main exists to emit.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6g", Double.box(v)).trim
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = results.map { case (k, v, _) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     // Truncation guard (verdict r5 #4): the driver captures only the
     // TAIL of stdout, and the full per-query line above is one huge JSON
     // blob — both r4/r5 artifacts lost everything before ~"q_setop".
     // Emit a compact headline LAST so a tail-only capture always retains
-    // the total, count, and the slowest queries.
+    // the total, count, and the slowest queries with their measurement
+    // confidence ({min, spread} — spread near 1.0 = clean measurement).
     val slowest = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, sp) =>
+        s"\"" + k + "\":{\"min\":" + num3(v) + ",\"spread\":" + num3(sp) + "}" }
       .mkString("{", ",", "}")
-    val f = new java.text.DecimalFormat("0.###")
-    println(s"""{"metric":"summary","total_s":${f.format(total)},"n":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    val noisy = results.count(_._3 > 1.25)
+    println(s"""{"metric":"summary","total_s":${num3(total)},"n":${results.size},"noisy_after_retry":$noisy,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,7 +60,12 @@ object Corpus {
     * `keyCol`, chosen by the deterministic priority `(id·2654435761)
     * mod 1000003` (Knuth's multiplicative hash — plain integer
     * arithmetic, so any engine recomputes the identical keep set; id
-    * breaks the rare priority tie).
+    * breaks the rare priority tie). Both operands are reduced mod
+    * 1000003 BEFORE the multiply — (a·b) mod m ≡ ((a mod m)·(b mod m))
+    * mod m — so the product stays < 2^40 and the formula never
+    * overflows int64, no matter how large ids grow at 100 TB (a raw
+    * id·2654435761 wraps negative past id ≈ 3.5e9, and engines that
+    * check overflow, e.g. DuckDB, would error instead).
     *
     * Scale: rank-within-group with a LIMIT-like bound is exactly what
     * Spark's WindowGroupLimit rewrite exists for — each map partition
@@ -69,7 +74,8 @@ object Corpus {
     * Plan-gated in PlanSpec. */
   def domainCap(
       df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
-    val pr = (col(idCol) * lit(2654435761L)) % lit(1000003L)
+    val pr = ((col(idCol) % lit(1000003L)) * lit(2654435761L % 1000003L)) %
+      lit(1000003L)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(pr.asc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))

@@ -864,9 +864,10 @@ object PipelineQueries {
     // never moves its full page set.
     Q("q_pipeline_domain_cap", Some(
       """WITH r AS (SELECT doc_id, source,
-        |    (doc_id * 2654435761) % 1000003 AS pr,
+        |    ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS pr,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+        |      ORDER BY ((doc_id % 1000003) * (2654435761 % 1000003))
+        |        % 1000003, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source, CAST(pr AS BIGINT) AS pr
         |FROM r WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin)) {
@@ -874,7 +875,8 @@ object PipelineQueries {
         import s.implicits._
         Corpus.domainCap(Tables.T(s, dir).documents, "source", "doc_id", 15)
           .select($"doc_id", $"source",
-            (($"doc_id" * 2654435761L) % 1000003L).as("pr"))
+            ((($"doc_id" % 1000003L) * (2654435761L % 1000003L)) % 1000003L)
+              .as("pr"))
           .orderBy("source", "doc_id")
     },
 
