@@ -46,6 +46,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
       (exprs: Seq[Expression]) => PorterStemExpr(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("ts_headline"),
+      new ExpressionInfo(classOf[TsHeadlineExpr].getName, "ts_headline"),
+      (exprs: Seq[Expression]) => {
+        // PG surface: ts_headline(document, query [, options]) — the
+        // query is a LITERAL of space-separated AND terms
+        // (plainto_tsquery), options the PG 'k=v, …' literal string
+        def lit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            s"ts_headline $what must be a string literal")
+        }
+        val terms = lit(exprs(1), "query").toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val opts = exprs.drop(2).headOption
+          .map(o => lit(o, "options").split(",").flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty[String, String])
+        TsHeadlineExpr(exprs.head, terms,
+          opts.get("maxwords").map(_.toInt).getOrElse(35),
+          opts.getOrElse("startsel", "<b>"),
+          opts.getOrElse("stopsel", "</b>"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
       (exprs: Seq[Expression]) => PiiScanExpr(exprs.head)))

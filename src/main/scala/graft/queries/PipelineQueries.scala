@@ -195,6 +195,68 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ts_headline snippet generation (wparser_def.c prsd_headline cover
+    // selection, wparser.c ts_headline): ONE codegen'd pass per row —
+    // expressions/TsHeadlineExpr.scala documents the published
+    // algorithm restated for engine-portable replay (minimal window via
+    // per-position last-seen, (len, start, end) tie-break, widen right
+    // then left to MaxWords). Map-only: no explode, no shuffle — the
+    // oracle rebuilds the identical spec declaratively.
+    Q("q_fn_ts_headline", Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |p0 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos0,
+        |    list_extract(toks, CAST(i AS INT)) AS tok
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)
+        |  WHERE list_extract(toks, CAST(i AS INT)) <> ''),
+        |p2 AS (
+        |  SELECT doc_id, tok, lower(tok) AS low,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS p,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM p0),
+        |l AS (
+        |  SELECT doc_id, p, low, n,
+        |    max(CASE WHEN low = 'hash' THEN p END) OVER w AS l1,
+        |    max(CASE WHEN low = 'join' THEN p END) OVER w AS l2
+        |  FROM p2 WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |c AS (
+        |  SELECT doc_id, n, least(l1, l2) AS cs, p AS ce,
+        |    p - least(l1, l2) + 1 AS clen
+        |  FROM l
+        |  WHERE low IN ('hash', 'join')
+        |    AND l1 IS NOT NULL AND l2 IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, n, cs, ce, clen,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY clen, cs, ce) AS rk
+        |  FROM c),
+        |w AS (
+        |  SELECT doc_id, cs,
+        |    least(n, ce + greatest(0, 10 - clen)) AS e
+        |  FROM b WHERE rk = 1),
+        |w2 AS (
+        |  SELECT doc_id, e,
+        |    greatest(1, cs - greatest(0, 10 - (e - cs + 1))) AS s
+        |  FROM w)
+        |SELECT p2.doc_id,
+        |  string_agg(CASE WHEN low IN ('hash', 'join')
+        |      THEN '<b>' || tok || '</b>' ELSE tok END,
+        |    ' ' ORDER BY p) AS headline
+        |FROM p2 JOIN w2 ON p2.doc_id = w2.doc_id
+        |  AND p2.p BETWEEN w2.s AND w2.e
+        |GROUP BY p2.doc_id ORDER BY p2.doc_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        Tables.T(s, dir).documents.filter($"doc_id" < 300)
+          .selectExpr("doc_id",
+            "ts_headline(text, 'hash join', " +
+              "'MaxWords=10, StartSel=<b>, StopSel=</b>') AS headline")
+          .filter($"headline".isNotNull)
+          .orderBy("doc_id")
+    },
+
     // Decontamination: overlap of 3-gram shingles between a candidate
     // corpus and a held-out set (here: two sources of the docs table).
     // A training doc sharing many shingles with an eval doc is

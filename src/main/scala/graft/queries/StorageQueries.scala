@@ -708,6 +708,59 @@ object StorageQueries {
           base)
     },
 
+    // Executable CREATE AGGREGATE over SQL-language support functions
+    // (commands/aggregatecmds.c DefineAggregate, pg_aggregate.h):
+    // l2norm declares sfunc/stype/initcond/combinefunc/finalfunc and
+    // lowers to a native DeclarativeAggregate (update ≡ sfunc, merge ≡
+    // combinefunc, evaluate ≡ finalfunc) — Spark plans it partial/final
+    // across the shuffle with only the 8-byte state moving, exactly
+    // GP's 2-stage agg. maxmod omits the combinefunc — PG can't
+    // parallelize that either — and falls back to a sequential
+    // per-group fold over the collected group. Inputs are integral so
+    // every double is exact → bit-stable vs the closed-form oracle.
+    Q("q_sql_create_aggregate", Some(
+      """SELECT l_returnflag,
+        |  sqrt(sum(l_quantity * l_quantity)) AS l2,
+        |  max(CAST(l_quantity AS BIGINT) % 97) AS mm,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("sqlagg")
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION l2_step(st double precision, v double precision)
+            |RETURNS double precision AS $$ SELECT st + v * v $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION l2_comb(a double precision, b double precision)
+            |RETURNS double precision AS $$ SELECT a + b $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION l2_final(st double precision)
+            |RETURNS double precision AS $$ SELECT sqrt(st) $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE AGGREGATE l2norm(double precision) (
+            |  sfunc = l2_step, stype = double precision, initcond = '0',
+            |  combinefunc = l2_comb, finalfunc = l2_final)""".stripMargin,
+          base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION maxmod_step(st bigint, v bigint)
+            |RETURNS bigint AS $$ SELECT greatest(st, v % 97) $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE AGGREGATE maxmod(bigint) (
+            |  sfunc = maxmod_step, stype = bigint, initcond = '0')""".stripMargin,
+          base)
+        GpSqlDialect.execute(s,
+          """SELECT l_returnflag,
+            |  l2norm(l_quantity) AS l2,
+            |  maxmod(CAST(l_quantity AS BIGINT)) AS mm,
+            |  count(*) AS n
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+          base)
+    },
+
     // PG DISTINCT ON — first row per group in ORDER BY order (gram.y
     // distinct_clause): each customer's highest-value order. Lowered to
     // one row_number window = one hash shuffle on the ON exprs.

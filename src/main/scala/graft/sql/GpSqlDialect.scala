@@ -110,6 +110,25 @@ object GpSqlDialect {
     rejectUnsupported(gpSql)
     if (CreateFunctionRe.findFirstIn(gpSql).isDefined)
       return executeCreateFunction(spark, gpSql)
+    // CREATE/DROP AGGREGATE dispatch on the RAW text: a registered
+    // name would otherwise be expanded by inlineSqlFunctions (the
+    // `name(argtype)` header looks like a call site) on OR REPLACE
+    CreateAggregateRe.findFirstMatchIn(gpSql) match {
+      case Some(m) =>
+        return executeCreateAggregate(spark,
+          m.group(1).toLowerCase.replaceAll("^.*\\.", ""), gpSql.trim)
+      case _ =>
+    }
+    DropAggregateRe.findFirstMatchIn(gpSql) match {
+      case Some(m) =>
+        val agg = m.group(1).toLowerCase.replaceAll("^.*\\.", "")
+        deferredAggregates.remove(agg)
+        sqlAggregates.remove(agg).foreach(_ => sqlFunctions.remove(agg))
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(agg))
+        return spark.emptyDataFrame
+      case _ =>
+    }
     if (CreatePlpgsqlRe.findFirstIn(gpSql).isDefined)
       return executeCreatePlpgsql(spark, gpSql)
     if (CreateProcedureRe.findFirstIn(gpSql).isDefined)
@@ -251,21 +270,6 @@ object GpSqlDialect {
         composites.contains(m.group(1).toLowerCase) =>
         enums.remove(m.group(1).toLowerCase)
         composites.remove(m.group(1).toLowerCase)
-        return spark.emptyDataFrame
-      case _ =>
-    }
-    CreateAggregateRe.findFirstMatchIn(trimmed) match {
-      case Some(m) =>
-        deferredAggregates(m.group(1).toLowerCase.replaceAll("^.*\\.", "")) =
-          "CREATE AGGREGATE needs its sfunc/finalfunc as loadable code; " +
-            "define the aggregate as an Aggregator in Scala instead"
-        return spark.emptyDataFrame
-      case _ =>
-    }
-    DropAggregateRe.findFirstMatchIn(trimmed) match {
-      case Some(m) =>
-        deferredAggregates.remove(
-          m.group(1).toLowerCase.replaceAll("^.*\\.", ""))
         return spark.emptyDataFrame
       case _ =>
     }
@@ -851,6 +855,33 @@ object GpSqlDialect {
   private val PlReturnQueryExecFmtRe =
     ("(?is)^\\s*RETURN\\s+QUERY\\s+EXECUTE\\s+format\\s*\\(\\s*" +
       "'((?:[^']|'')*)'\\s*((?:,\\s*'(?:[^']|'')*'\\s*)*)\\)\\s*;?\\s*$").r
+  // RETURN QUERY EXECUTE '…$n…' USING e1, e2 (exec_stmt_dynexecute with
+  // parameters): because functions inline at call sites, the USING
+  // expressions substitute into the $n slots at CREATE time exactly
+  // like PREPARE's parameter path — a USING arg referencing a function
+  // parameter resolves when the CALL SITE inlines. Runtime-composed SQL
+  // strings (variables holding query text) still defer.
+  private val PlReturnQueryExecUsingRe =
+    ("(?is)^\\s*RETURN\\s+QUERY\\s+EXECUTE\\s+'((?:[^']|'')*)'\\s+" +
+      "USING\\s+(.+?)\\s*;?\\s*$").r
+  // OPEN c [FOR query]; LOOP FETCH c INTO r; EXIT WHEN NOT FOUND; …
+  // END LOOP; [CLOSE c;] RETURN e — pl_exec.c exec_stmt_open/
+  // exec_stmt_fetch over a refcursor. The canonical fetch loop IS a
+  // FOR-over-query loop (the cursor spools the bound query; the FETCH/
+  // EXIT pair is the iterator protocol), so it lowers through the same
+  // accumulator machinery: `OPEN c FOR sel` binds inline, bare `OPEN c`
+  // resolves a DECLARE-bound cursor. Backward/positioned fetches and
+  // cursors crossing statement boundaries stay deferred.
+  private val PlOpenFetchRe =
+    ("(?is)^\\s*OPEN\\s+(\\w+)(?:\\s+FOR\\s+(SELECT\\b.+?))?\\s*;\\s*" +
+      "LOOP\\s+FETCH\\s+(?:(?:FORWARD|NEXT)\\s+(?:FROM\\s+)?)?\\1\\s+" +
+      "INTO\\s+(\\w+)\\s*;\\s*EXIT\\s+WHEN\\s+NOT\\s+FOUND\\s*;\\s*" +
+      "(.+?)\\s*END\\s+LOOP\\s*;?(?:\\s*CLOSE\\s+\\1\\s*;)?" +
+      "(?:\\s*RETURN\\s+(.+?)\\s*;?)?\\s*$").r
+  // statement-position dynamic EXECUTE in DO blocks / procedures
+  private val PlExecStmtRe =
+    ("(?is)^\\s*EXECUTE\\s+'((?:[^']|'')*)'" +
+      "(?:\\s+USING\\s+(.+?))?\\s*;?\\s*$").r
 
   /** Fold PG format() with literal args; None = unsupported directive
     * (positional %1$s, width specs) → defer. */
@@ -1101,6 +1132,24 @@ object GpSqlDialect {
       case PlReturnQueryExecRe(sql) if parts.length - i <= 1 =>
         sqlFunctions(name) = SqlFunction(params,
           subst(env)(sql.replace("''", "'")), scalarExpr = false)
+      case PlReturnQueryExecUsingRe(sql, usingRaw)
+          if parts.length - i <= 1 =>
+        // $n slots ← USING expressions (locals already substituted);
+        // out-of-range slots defer instead of inlining garbage
+        val usingArgs = splitTopLevelCommas(usingRaw).map(subst(env))
+        val dyn0 = sql.replace("''", "'")
+        val slots = "(?<![\\w])\\$(\\d+)".r.findAllMatchIn(dyn0)
+          .map(_.group(1).toInt).toSeq
+        if (slots.exists(n => n < 1 || n > usingArgs.length))
+          deferredPlpgsql(name) =
+            s"EXECUTE USING parameter slot ${slots.max} out of range " +
+              s"(${usingArgs.length} USING args)"
+        else
+          sqlFunctions(name) = SqlFunction(params,
+            "(?<![\\w])\\$(\\d+)".r.replaceAllIn(dyn0, pm =>
+              java.util.regex.Matcher.quoteReplacement(
+                s"(${usingArgs(pm.group(1).toInt - 1)})")),
+            scalarExpr = false)
       case PlReturnQueryExecFmtRe(fmt, argsRaw) if parts.length - i <= 1 =>
         val lits = "'((?:[^']|'')*)'".r.findAllMatchIn(argsRaw)
           .map(_.group(1).replace("''", "'")).toSeq
@@ -1174,6 +1223,19 @@ object GpSqlDialect {
           if cursors.contains(curName.toLowerCase) =>
         lowerPlpgsqlFor(name, params, subst(env), env,
           loopVar, cursors(curName.toLowerCase), body, Option(ret))
+      // tier 4f: refcursor OPEN → FETCH/EXIT loop (exec_stmt_open/
+      // exec_stmt_fetch) — the iterator protocol over a bound query is
+      // a FOR-over-query loop; same accumulator lowering
+      case PlOpenFetchRe(cur, selOpt, loopVar, body, ret) =>
+        Option(selOpt).map(_.trim)
+          .orElse(cursors.get(cur.toLowerCase)) match {
+          case Some(sel) =>
+            lowerPlpgsqlFor(name, params, subst(env), env,
+              loopVar, sel, body, Option(ret))
+          case None =>
+            deferredPlpgsql(name) =
+              s"OPEN $cur: cursor has no bound query"
+        }
       case PlWhileRe(v, op, hi, body, ret) if env.contains(v.toLowerCase) =>
         val vq = java.util.regex.Pattern.quote(v)
         val IncLast =
@@ -1238,6 +1300,23 @@ object GpSqlDialect {
     if (!ok || terms.isEmpty || ret.isEmpty) {
       deferredPlpgsql(name) =
         firstStatement(if (ok && ret.isEmpty) "FOR ... END LOOP" else rest)
+      return
+    }
+    // Sequential cross-accumulator reads (`a := a + r.x; b := b + a;`)
+    // cannot be expressed as independent per-loop sums — the lowered
+    // form would sum a COLUMN named `a` (silently wrong if the loop
+    // query exposes one, an opaque analysis error otherwise). Defer
+    // loudly, matching the contract of every other unsupported shape.
+    val accNames = terms.map(_._1).toSet
+    val crossRef = terms.find { case (_, arg) =>
+      accNames.exists { a =>
+        s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(a)}(?![\\w.(])".r
+          .findFirstIn(arg).isDefined
+      }
+    }
+    if (crossRef.isDefined) {
+      deferredPlpgsql(name) = s"accumulator ${crossRef.get._1} reads " +
+        "another accumulator inside the loop (sequential semantics)"
       return
     }
     val missing = terms.map(_._1).distinct.filterNot(env.contains)
@@ -1309,6 +1388,11 @@ object GpSqlDialect {
     val p = procedures.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(s"unknown procedure $name"))
     val args = splitTopLevelCommas(argsRaw).map(_.trim).filter(_.nonEmpty)
+    // arity check up front — a silent zip would leave unsubstituted
+    // parameter names in the body and surface later as an opaque
+    // unresolved-column error instead of a clear wrong-arg-count one
+    require(args.length == p.params.length,
+      s"procedure $name expects ${p.params.length} args, got ${args.length}")
     var body = p.body
     p.params.zip(args).foreach { case (prm, a) =>
       body = s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(prm)}(?![\\w.(])"
@@ -1382,6 +1466,24 @@ object GpSqlDialect {
         executeUpdateFrom(spark, table, deref(set), "__loop_src",
           deref(cond))
         ()
+      // EXECUTE '…$n…' [USING e1, e2] (exec_stmt_dynexecute): locals
+      // substituted already by the enclosing subst, so the USING args
+      // are constant text — $n slots fill like PREPARE parameters
+      case PlExecStmtRe(dynSql, usingRaw) =>
+        val dyn0 = dynSql.replace("''", "'")
+        val dyn = Option(usingRaw) match {
+          case Some(u) =>
+            val args = splitTopLevelCommas(u)
+            "(?<![\\w])\\$(\\d+)".r.replaceAllIn(dyn0, pm => {
+              val n = pm.group(1).toInt
+              require(n >= 1 && n <= args.length,
+                s"EXECUTE USING references $$$n but has ${args.length} args")
+              java.util.regex.Matcher.quoteReplacement(s"(${args(n - 1)})")
+            })
+          case None => dyn0
+        }
+        execute(spark, dyn, basePath)
+        ()
       case s if ("(?is)^\\s*(INSERT|UPDATE|DELETE|SELECT|CREATE|DROP|" +
           "TRUNCATE|COPY|MERGE|ANALYZE|VACUUM|ALTER|GRANT|COMMENT)\\b")
           .r.findFirstIn(s).isDefined =>
@@ -1389,8 +1491,8 @@ object GpSqlDialect {
         ()
       case other => throw new UnsupportedOperationException(
         "procedure/DO statement not supported (only SQL statements, " +
-          "PERFORM, RAISE, and single-UPDATE FOR loops execute): " +
-          firstStatement(other))
+          "PERFORM, RAISE, EXECUTE [USING], and single-UPDATE FOR " +
+          "loops execute): " + firstStatement(other))
     }
   }
 
@@ -2117,6 +2219,194 @@ object GpSqlDialect {
   /** The recorded rejection reason for an unexecutable aggregate. */
   def aggregateRejection(name: String): Option[String] =
     deferredAggregates.get(name.toLowerCase)
+
+  // ---- executable CREATE AGGREGATE over SQL-language support functions
+  // (commands/aggregatecmds.c:47-58 DefineAggregate; pg_aggregate.h:35).
+  // When sfunc (and the optional combinefunc/finalfunc) are registered
+  // SQL-language expression bodies, the aggregate becomes a native
+  // Catalyst DeclarativeAggregate (graft.aggregates.SqlFoldAgg):
+  // update ≡ sfunc, merge ≡ combinefunc, evaluate ≡ finalfunc — Spark
+  // plans it partial/final across the shuffle exactly like GP's 2-stage
+  // aggs, whole-stage-codegen'd, only an stype-wide state moving.
+  // Without a combinefunc PG cannot parallelize either (it runs the
+  // transition serially per group); the analogue here is a textual
+  // lowering to `finalfunc(aggregate(collect_list(x), init,
+  // (acc, v) -> sfunc(acc, v)))` — the per-group sequential fold over a
+  // collected group, which collect_list still gathers map-side.
+  // Anything unresolvable keeps the r5 deferral contract (recorded
+  // reason, loud raise at use). ---------------------------------------
+
+  private val CreateAggregateFullRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?AGGREGATE\\s+" +
+      "([\\w.]+)\\s*\\(([^)]*)\\)\\s*\\((.*)\\)\\s*;?\\s*$").r
+
+  /** Registered executable aggregates (name → declared stype text). */
+  private val sqlAggregates =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Parse + analyze a SQL-language function body against attributes
+    * typed per `types` (one per parameter), returning the placeholder
+    * attrs and the fully-resolved, type-coerced expression. The body is
+    * pre-expanded through [[inlineSqlFunctions]] so support functions
+    * may themselves call other SQL functions. */
+  private def analyzeFnBody(
+      spark: SparkSession, fnName: String,
+      types: Seq[DataType]): Either[String, (Seq[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference],
+        org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, Project}
+    sqlFunctions.get(fnName.toLowerCase) match {
+      case None =>
+        Left(s"$fnName is not a registered SQL-language function")
+      case Some(fn) if !fn.scalarExpr =>
+        Left(s"$fnName has a FROM clause (not a scalar expression body)")
+      case Some(fn) if fn.params.length != types.length =>
+        Left(s"$fnName takes ${fn.params.length} params, " +
+          s"expected ${types.length}")
+      case Some(fn) =>
+        val attrs = fn.params.zip(types).map { case (p, t) =>
+          AttributeReference(p.toLowerCase, t)()
+        }
+        // $1..$n positional references → parameter names
+        val body = "(?<![\\w])\\$(\\d+)".r.replaceAllIn(
+          inlineSqlFunctions(fn.body),
+          pm => fn.params(pm.group(1).toInt - 1).toLowerCase)
+        try {
+          val parsed = spark.sessionState.sqlParser.parseExpression(body)
+          val plan = Project(Seq(Alias(parsed, "__b")()),
+            LocalRelation(attrs))
+          val analyzed = spark.sessionState.analyzer.execute(plan)
+          val out = analyzed.collectFirst {
+            case p: Project => p.projectList.head
+          }.get match {
+            case a: Alias => a.child
+            case o => o
+          }
+          if (!out.resolved)
+            Left(s"$fnName body did not fully resolve: $body")
+          else Right((attrs, out))
+        } catch {
+          case e: Exception =>
+            Left(s"$fnName body failed analysis: ${e.getMessage}")
+        }
+    }
+  }
+
+  /** Execute `CREATE AGGREGATE name(argtype) (sfunc=…, stype=…,
+    * [initcond=…,] [combinefunc=…,] [finalfunc=…])`. Registers a native
+    * DeclarativeAggregate when every support function is SQL-language;
+    * records a deferral reason otherwise (the r5 contract). */
+  private def executeCreateAggregate(
+      spark: SparkSession, name: String, sql: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast, Expression, ExpressionInfo, Literal}
+    def defer(reason: String): DataFrame = {
+      deferredAggregates(name) = reason
+      spark.emptyDataFrame
+    }
+    val m = CreateAggregateFullRe.findFirstMatchIn(sql).getOrElse {
+      return defer("CREATE AGGREGATE statement shape not recognized")
+    }
+    val argTypes = splitTopLevelCommas(m.group(2)).map(_.trim)
+    val opts = splitTopLevelCommas(m.group(3)).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+        case _ => None
+      }
+    }.toMap
+    if (argTypes.length != 1)
+      return defer(s"only single-argument aggregates are executable " +
+        s"(got ${argTypes.length} args)")
+    val (sfuncName, stypeTxt) = (opts.get("sfunc"), opts.get("stype")) match {
+      case (Some(sf), Some(st)) => (sf.toLowerCase, st)
+      case _ => return defer("CREATE AGGREGATE needs sfunc and stype")
+    }
+    // the arg may be bare (`double precision`) or named (`v bigint`):
+    // try the full text as a type first, then strip a leading name
+    def argType(t: String): DataType =
+      try sparkType(t) catch {
+        case _: IllegalArgumentException =>
+          sparkType(t.replaceAll("(?i)^\\w+\\s+", ""))
+      }
+    val (stype, inType) =
+      try (sparkType(stypeTxt), argType(argTypes.head))
+      catch { case e: IllegalArgumentException =>
+        return defer(e.getMessage) }
+    def stripQuotes(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.substring(1, t.length - 1).replace("''", "'")
+      else t
+    }
+    val init: Expression = opts.get("initcond") match {
+      case Some(i) => Cast(Literal.create(stripQuotes(i),
+        org.apache.spark.sql.types.StringType), stype)
+      case None => Literal.create(null, stype)
+    }
+    analyzeFnBody(spark, sfuncName, Seq(stype, inType)) match {
+      case Left(why) =>
+        // the pre-r7 contract: accepted, recorded, raises at use —
+        // still the path for C-language sfuncs from real dumps
+        defer(s"CREATE AGGREGATE sfunc not executable ($why); " +
+          "define the aggregate as an Aggregator in Scala instead")
+      case Right((sAttrs, sBody0)) =>
+        val sBody = if (sBody0.dataType == stype) sBody0
+          else Cast(sBody0, stype)
+        val fin = opts.get("finalfunc").map { f =>
+          analyzeFnBody(spark, f, Seq(stype)) match {
+            case Left(why) => return defer(
+              s"CREATE AGGREGATE finalfunc not executable ($why)")
+            case Right((fa, fb)) => (fa.head, fb)
+          }
+        }
+        opts.get("combinefunc") match {
+          case Some(c) =>
+            analyzeFnBody(spark, c, Seq(stype, stype)) match {
+              case Left(why) => defer(
+                s"CREATE AGGREGATE combinefunc not executable ($why)")
+              case Right((cAttrs, cBody0)) =>
+                val cBody = if (cBody0.dataType == stype) cBody0
+                  else Cast(cBody0, stype)
+                spark.sessionState.functionRegistry.registerFunction(
+                  FunctionIdentifier(name),
+                  new ExpressionInfo(
+                    "graft.aggregates.SqlFoldAgg", name),
+                  (args: Seq[Expression]) => {
+                    require(args.length == 1,
+                      s"$name expects 1 argument, got ${args.length}")
+                    graft.aggregates.SqlFoldAgg(args.head, name, stype,
+                      init, sAttrs.head, sAttrs(1), sBody,
+                      cAttrs.head, cAttrs(1), cBody,
+                      fin.map(_._1), fin.map(_._2))
+                  })
+                sqlAggregates(name) = stypeTxt
+                deferredAggregates.remove(name)
+                spark.emptyDataFrame
+            }
+          case None =>
+            // no combinefunc = PG cannot parallelize either; lower to a
+            // sequential per-group fold over the collected group
+            val castTy = toSparkType(stypeTxt)
+            val initTxt = opts.get("initcond")
+              .map(i => s"'${stripQuotes(i).replace("'", "''")}'")
+              .getOrElse("NULL")
+            val inner = s"aggregate(collect_list(__v), " +
+              s"CAST($initTxt AS $castTy), " +
+              s"(__facc, __fx) -> ($sfuncName(__facc, __fx)))"
+            val bodyTxt = opts.get("finalfunc")
+              .map(f => s"${f.toLowerCase}($inner)").getOrElse(inner)
+            sqlFunctions(name) =
+              SqlFunction(Seq("__v"), bodyTxt, scalarExpr = true)
+            sqlAggregates(name) = stypeTxt
+            deferredAggregates.remove(name)
+            spark.emptyDataFrame
+        }
+    }
+  }
 
   /** Enum catalog: type name → labels in DECLARATION order (the order
     * enum comparison follows — enum.c enum_cmp_internal sorts by

@@ -339,15 +339,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.execute(spark,
       "SELECT count(*) AS n FROM exec_regions()", "/tmp/never")
       .head.getLong(0) == 5L)
-    // EXECUTE with runtime parameters (USING) still defers loudly
+    // EXECUTE with runtime parameters (USING): the $n slots fill from
+    // the USING expressions at CREATE time; a USING arg that references
+    // a function parameter resolves when the call site inlines —
+    // PREPARE's parameter path (exec_stmt_dynexecute with params)
     GpSqlDialect.execute(spark,
       """CREATE FUNCTION exec_using(k INT) RETURNS TABLE(x INT) AS $$
         |BEGIN
-        |  RETURN QUERY EXECUTE 'SELECT $1' USING k;
+        |  RETURN QUERY EXECUTE 'SELECT $1 + $1 AS x' USING k;
         |END
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
-    assert(GpSqlDialect.plpgsqlRejection("exec_using")
-      .exists(_.contains("EXECUTE")))
+    assert(GpSqlDialect.plpgsqlRejection("exec_using").isEmpty)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT * FROM exec_using(7)", "/tmp/never").head.getInt(0) == 14)
+    // an out-of-range $n slot defers instead of inlining garbage
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION exec_using_bad(k INT) RETURNS TABLE(x INT) AS $$
+        |BEGIN
+        |  RETURN QUERY EXECUTE 'SELECT $2 AS x' USING k;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("exec_using_bad")
+      .exists(_.contains("out of range")))
     // integer range loop (exec_stmt_fori): domain = sequence() derived
     // table, loop var referenced bare inside the accumulator
     GpSqlDialect.execute(spark,
@@ -441,6 +454,69 @@ class ExpressionSpec extends AnyFunSuite {
         |END
         |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("phantom_cursor").isDefined)
+    // tier 4f: refcursor OPEN → FETCH/EXIT loop (exec_stmt_open/
+    // exec_stmt_fetch) — OPEN ... FOR binds the query inline; the
+    // canonical fetch loop lowers like FOR-over-query
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION fetch_total(cut INT) RETURNS BIGINT AS $$
+        |DECLARE c refcursor;
+        |        r record;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  OPEN c FOR SELECT n_nationkey FROM nation
+        |    WHERE n_regionkey >= cut;
+        |  LOOP
+        |    FETCH c INTO r;
+        |    EXIT WHEN NOT FOUND;
+        |    tot := tot + r.n_nationkey;
+        |  END LOOP;
+        |  CLOSE c;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("fetch_total").isEmpty)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT fetch_total(2) AS v", "/tmp/never").head.getLong(0) == cexp)
+    // bare OPEN over a DECLARE-bound cursor resolves the bound query
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION fetch_bound() RETURNS BIGINT AS $$
+        |DECLARE c CURSOR FOR SELECT n_nationkey FROM nation;
+        |        r record;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  OPEN c;
+        |  LOOP
+        |    FETCH c INTO r;
+        |    EXIT WHEN NOT FOUND;
+        |    tot := tot + r.n_nationkey;
+        |  END LOOP;
+        |  CLOSE c;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.execute(spark,
+      "SELECT fetch_bound() AS v", "/tmp/never").head.getLong(0) ==
+      spark.table("nation")
+        .agg(org.apache.spark.sql.functions.sum("n_nationkey"))
+        .head.getLong(0))
+    // an OPEN over an unbound refcursor with no FOR query must defer
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION fetch_unbound() RETURNS BIGINT AS $$
+        |DECLARE c refcursor;
+        |        r record;
+        |        tot BIGINT := 0;
+        |BEGIN
+        |  OPEN c;
+        |  LOOP
+        |    FETCH c INTO r;
+        |    EXIT WHEN NOT FOUND;
+        |    tot := tot + 1;
+        |  END LOOP;
+        |  RETURN tot;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("fetch_unbound")
+      .exists(_.contains("no bound query")))
     // EXECUTE format() with all-literal args folds at CREATE time:
     // %I identifier, %L literal, %% escape
     GpSqlDialect.execute(spark,
@@ -522,6 +598,19 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT k, v FROM proc_t ORDER BY k", base)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(after == Map(1 -> 30, 2 -> 60, 3 -> 30, 4 -> 40))
+    // statement-position dynamic EXECUTE with USING parameters
+    // (exec_stmt_dynexecute): $n slots fill from the USING args; a
+    // procedure parameter inside USING substitutes at CALL
+    GpSqlDialect.execute(spark,
+      """CREATE PROCEDURE add_row(kk INT) AS $$
+        |DECLARE base INT := 100;
+        |BEGIN
+        |  EXECUTE 'INSERT INTO proc_t VALUES ($1, $2)' USING kk, base + kk;
+        |END
+        |$$ LANGUAGE plpgsql""".stripMargin, base)
+    GpSqlDialect.execute(spark, "CALL add_row(9)", base)
+    assert(GpSqlDialect.execute(spark,
+      "SELECT v FROM proc_t WHERE k = 9", base).head.getInt(0) == 109)
     // RAISE EXCEPTION aborts like PG
     GpSqlDialect.execute(spark,
       """CREATE PROCEDURE guard() AS $$

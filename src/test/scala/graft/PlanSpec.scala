@@ -507,6 +507,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"moment aggregate needs a partial phase:\n$p")
   }
 
+  test("q_sql_create_aggregate: user aggregate plans partial/final") {
+    val p = plan("q_sql_create_aggregate")
+    // the combinefunc-backed aggregate (l2norm) must split into a
+    // map-side partial + final HashAggregate like any built-in — only
+    // its 8-byte state crosses the shuffle
+    assert(p.contains("partial_l2norm"),
+      s"user-defined aggregate did not plan a partial phase:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_profile_summary: one scan profiles every column") {
     val p = plan("q_profile_summary")
     // exactly one parquet scan of lineitem — the whole point of the
