@@ -108,6 +108,29 @@ object TimeFunctions {
     makeTimeTz(shifted, newZoneWestSecs)
   }
 
+  /** `timetz AT TIME ZONE 'Region/City'` (date.c:2753-2830 timetz_zone,
+    * named-zone branch). PG resolves the zone's offset with the rules
+    * in force on the SESSION'S CURRENT DATE — a timetz has no date, so
+    * PG guesses one, and the answer changes across a DST boundary.
+    * Deterministic engines can't reproduce "today", so the reference
+    * date is an explicit parameter (default 2024-01-15, i.e. standard
+    * time in both hemispheres' January rules) — the documented
+    * divergence: PG's `now()::date`, graft's pinned `refDate`. The
+    * lookup happens ONCE on the driver (java.time zoneinfo, the same
+    * IANA database PG reads); rows see a plain fixed-offset shift. */
+  def timetzZoneNamed(ttz: Column, zone: String,
+      refDate: java.time.LocalDate =
+        java.time.LocalDate.of(2024, 1, 15)): Column =
+    timetzZone(ttz, lit(zoneNamedWestSecs(zone, refDate)))
+
+  /** Seconds-WEST offset of a named zone at `refDate` (PG's sign
+    * convention: west positive). */
+  def zoneNamedWestSecs(zone: String,
+      refDate: java.time.LocalDate): Int =
+    -java.time.ZoneId.of(zone).getRules
+      .getOffset(refDate.atStartOfDay(java.time.ZoneId.of(zone))
+        .toInstant).getTotalSeconds
+
   /** timetz + interval wraps the time part, zone unchanged
     * (date.c:1846-1870 timetz_pl_interval). */
   def timetzPlInterval(ttz: Column, spanMicros: Column): Column =

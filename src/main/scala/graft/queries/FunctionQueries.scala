@@ -691,6 +691,74 @@ object FunctionQueries {
         .orderBy("c_custkey")
     },
 
+    // Polygon/path subset (geo_ops.c poly_contain / poly_distance /
+    // path_length): shoelace area, perimeter, open-path length,
+    // division-free even-odd point containment, and min point-segment
+    // distance — all array higher-order functions, one codegen'd scalar
+    // per row (no explode, no shuffle). The oracle replays the same
+    // edge-indexed formulas over DuckDB lists; sums of per-edge doubles
+    // round to 6 dp on both sides to pin summation order.
+    Q("q_fn_geometric2", Some {
+      def edges(term: String, m: Int): String =
+        s"""list_transform(range(0, $m), i -> $term)"""
+      // per-edge coordinate accessors over the 5-vertex ring
+      val x1 = "xs[i + 1]"; val y1 = "ys[i + 1]"
+      val x2 = "xs[((i + 1) % 5) + 1]"; val y2 = "ys[((i + 1) % 5) + 1]"
+      val shoelace = edges(s"$x1 * $y2 - $x2 * $y1", 5)
+      val seg =
+        s"sqrt(($x2 - $x1) * ($x2 - $x1) + ($y2 - $y1) * ($y2 - $y1))"
+      val cross = edges(
+        s"""CASE WHEN (($y1 > 5.0) <> ($y2 > 5.0))
+           |  AND ((5.0 - $x1) * ($y2 - $y1)
+           |       - ($x2 - $x1) * (5.0 - $y1)) * sign($y2 - $y1) < 0
+           |THEN 1 ELSE 0 END""".stripMargin, 5)
+      // t (clamped projection) inlined — list lambdas have no locals
+      val t =
+        s"""(CASE WHEN ($x2 - $x1) * ($x2 - $x1)
+           |    + ($y2 - $y1) * ($y2 - $y1) > 0
+           |  THEN greatest(0.0, least(1.0,
+           |    ((5.0 - $x1) * ($x2 - $x1) + (5.0 - $y1) * ($y2 - $y1))
+           |    / (($x2 - $x1) * ($x2 - $x1) + ($y2 - $y1) * ($y2 - $y1))))
+           |  ELSE 0.0 END)""".stripMargin
+      val segDist = "list_min(" + edges(
+        s"""sqrt((5.0 - ($x1 + $t * ($x2 - $x1)))
+           |  * (5.0 - ($x1 + $t * ($x2 - $x1)))
+           |  + (5.0 - ($y1 + $t * ($y2 - $y1)))
+           |  * (5.0 - ($y1 + $t * ($y2 - $y1))))""".stripMargin, 5) + ")"
+      s"""WITH g AS (SELECT c_custkey,
+         |    (c_custkey % 97) / 7.0 AS x, (c_custkey % 61) / 5.0 AS y
+         |  FROM customer WHERE c_custkey <= 500),
+         |v AS (SELECT c_custkey,
+         |    [x, x + 4.0, x + 5.0, x + 2.0, x - 1.0] AS xs,
+         |    [y, y - 1.0, y + 2.0, y + 4.0, y + 3.0] AS ys
+         |  FROM g)
+         |SELECT c_custkey,
+         |  round(abs(list_sum($shoelace)) / 2, 6) AS parea,
+         |  round(list_sum(${edges(seg, 5)}), 6) AS perim,
+         |  round(list_sum(${edges(seg, 4)}), 6) AS plen,
+         |  list_sum($cross) % 2 = 1 AS inside,
+         |  round($segDist, 6) AS pdist
+         |FROM v ORDER BY c_custkey""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.GeometricFunctions._
+      val x = (pmod($"c_custkey", lit(97))) / 7.0
+      val y = (pmod($"c_custkey", lit(61))) / 5.0
+      Tables.T(s, dir).customer.filter($"c_custkey" <= 500)
+        .select($"c_custkey",
+          array(x, x + 4.0, x + 5.0, x + 2.0, x - 1.0).as("xs"),
+          array(y, y - 1.0, y + 2.0, y + 4.0, y + 3.0).as("ys"))
+        .select($"c_custkey",
+          round(polyArea($"xs", $"ys"), 6).as("parea"),
+          round(polyPerimeter($"xs", $"ys"), 6).as("perim"),
+          round(pathLength($"xs", $"ys", closed = false), 6).as("plen"),
+          polyContainsPoint($"xs", $"ys", lit(5.0), lit(5.0))
+            .as("inside"),
+          round(pathPointDistance($"xs", $"ys", lit(5.0), lit(5.0),
+            closed = true), 6).as("pdist"))
+        .orderBy("c_custkey")
+    },
+
     // inet/cidr surface (network.c): host/masklen/network/broadcast and
     // `<<` containment, all as integer arithmetic over a synthesized
     // IPv4 per customer (no inet column in the fixtures; the functions
@@ -1124,28 +1192,41 @@ object FunctionQueries {
     // offset AT TIME ZONE conversion (timetz_zone date.c:2753), and the
     // east-positive ±HH[:MM] display. Zones derived per-row so every
     // half-hour offset in [-6:30, +6:30] is exercised.
-    Q("q_fn_timetz", Some(
-      """WITH b AS (
+    Q("q_fn_timetz", Some {
+      // named zones resolve ONCE via zoneinfo at the pinned reference
+      // date (TimeFunctions.timetzZoneNamed) — the oracle sees the
+      // derived fixed offsets, the same IANA data PG reads
+      val ref = java.time.LocalDate.of(2024, 1, 15)
+      val ny = graft.functions.TimeFunctions
+        .zoneNamedWestSecs("America/New_York", ref)   //  18000 (EST)
+      val syd = graft.functions.TimeFunctions
+        .zoneNamedWestSecs("Australia/Sydney", ref)   // -39600 (AEDT)
+      s"""WITH b AS (
          |  SELECT event_id,
          |    epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS tod,
          |    CAST(-(((user_id % 27) - 13) * 1800) AS INT) AS zone
          |  FROM events WHERE event_id < 500)
          |SELECT event_id, tod AS tod_us, zone,
          |  tod + CAST(zone AS BIGINT) * 1000000 AS gmt_us,
+         |  ((tod + (CAST(zone AS BIGINT) - ($ny)) * 1000000)
+         |    % 86400000000 + 86400000000) % 86400000000 AS ny_us,
+         |  ((tod + (CAST(zone AS BIGINT) - ($syd)) * 1000000)
+         |    % 86400000000 + 86400000000) % 86400000000 AS syd_us,
          |  ((tod + (CAST(zone AS BIGINT) + 19800) * 1000000) % 86400000000
          |    + 86400000000) % 86400000000 AS ist_us,
          |  printf('%02d:%02d:%02d', tod // 3600000000,
          |      (tod // 60000000) % 60, (tod // 1000000) % 60)
          |    || CASE WHEN tod % 1000000 = 0 THEN ''
          |       ELSE '.' || regexp_replace(
-         |         lpad(CAST(tod % 1000000 AS VARCHAR), 6, '0'), '0+$', '')
+         |         lpad(CAST(tod % 1000000 AS VARCHAR), 6, '0'), '0+$$', '')
          |       END
          |    || CASE WHEN -zone < 0 THEN '-' ELSE '+' END
          |    || printf('%02d', abs(-zone) // 3600)
          |    || CASE WHEN (abs(-zone) // 60) % 60 = 0 THEN ''
          |       ELSE printf(':%02d', (abs(-zone) // 60) % 60) END
          |    AS ttz_text
-         |FROM b ORDER BY event_id""".stripMargin)) { (s, dir) =>
+         |FROM b ORDER BY event_id""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       import graft.functions.TimeFunctions._
       val tod = PgFunctions.timeOfDayMicros($"ts")
@@ -1154,6 +1235,10 @@ object FunctionQueries {
       Tables.T(s, dir).events.filter($"event_id" < 500).select(
         $"event_id", tod.as("tod_us"), zoneWest.as("zone"),
         timetzGmtMicros(ttz).as("gmt_us"),
+        timetzZoneNamed(ttz, "America/New_York").getField("t_us")
+          .as("ny_us"),
+        timetzZoneNamed(ttz, "Australia/Sydney").getField("t_us")
+          .as("syd_us"),
         timetzZone(ttz, lit(-19800)).getField("t_us").as("ist_us"),
         timetzText(ttz).as("ttz_text"))
         .orderBy("event_id")

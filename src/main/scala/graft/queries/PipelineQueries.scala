@@ -778,6 +778,82 @@ object PipelineQueries {
         Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3))
     },
 
+    // Depth-3 CART (MADlib tree_train recursion over the stump kernel,
+    // Breiman et al. 1984): one histogram aggregate per LEVEL over a
+    // (node, dim, bucket, label) frontier — never a per-node pass — so
+    // a level costs one corpus scan whether the frontier holds 2 or
+    // 1024 nodes. Winners are node-scale and fold back as a map-only
+    // CASE chain. The oracle replays the identical recursion as a
+    // chained CTE per level; exact-integer Gini algebra keeps the
+    // scores bit-identical.
+    Q("q_ml_tree", Some {
+      val ts = Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
+      val bucketSql = ts.map(t =>
+        s"CAST(x > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
+      val thrVals = ts.zipWithIndex
+        .map { case (t, i) => s"($i, CAST($t AS DOUBLE))" }.mkString(", ")
+      val depth = 3
+      val levels = (0 until depth).map { l =>
+        val next =
+          if (l == depth - 1) ""
+          else s""",
+            |n${l + 1} AS (SELECT n.vec_id, n.label,
+            |    n.node * 2 + CAST(CAST(e.embedding[CAST(w.d + 1 AS INT)]
+            |      AS DOUBLE) > w.thr AS INT) AS node
+            |  FROM n$l n JOIN embeddings e USING (vec_id)
+            |  JOIN win$l w ON w.node = n.node)""".stripMargin
+        s"""x$l AS (SELECT n.node, n.label, CAST(i - 1 AS INT) AS d,
+           |    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
+           |  FROM n$l n JOIN embeddings e USING (vec_id),
+           |    unnest(range(1, 65)) r(i)),
+           |xb$l AS (SELECT node, label, d, $bucketSql AS b FROM x$l),
+           |hist$l AS (SELECT node, d, b, label, count(*) AS cnt
+           |  FROM xb$l GROUP BY 1, 2, 3, 4),
+           |tot$l AS (SELECT node, label, count(*) AS n_c
+           |  FROM n$l GROUP BY 1, 2),
+           |consts$l AS (SELECT node, CAST(sum(n_c) AS BIGINT) AS n,
+           |    sum(n_c * n_c) AS s2
+           |  FROM tot$l GROUP BY 1),
+           |pl$l AS (SELECT h.node, h.d, t.i, t.thr, h.label,
+           |    sum(h.cnt) AS nl_c
+           |  FROM hist$l h JOIN thr t ON h.b <= t.i
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |sc$l AS (SELECT node, d, i, thr, sum(nl_c) AS nl,
+           |    sum(nl_c * nl_c) AS a, sum(n_c * nl_c) AS bb
+           |  FROM pl$l JOIN tot$l USING (node, label)
+           |  GROUP BY 1, 2, 3, 4),
+           |scored$l AS (SELECT s.node, d, i, thr,
+           |    CAST(nl AS BIGINT) AS nl, c.n - CAST(nl AS BIGINT) AS nr,
+           |    ((CAST(nl AS DOUBLE) - CAST(a AS DOUBLE)
+           |        / CAST(nl AS DOUBLE))
+           |     + (CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)
+           |        - CAST(c.s2 - 2 * bb + a AS DOUBLE)
+           |          / CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)))
+           |      / CAST(c.n AS DOUBLE) AS score
+           |  FROM sc$l s JOIN consts$l c USING (node)
+           |  WHERE CAST(nl AS BIGINT) > 0
+           |    AND c.n - CAST(nl AS BIGINT) > 0),
+           |win$l AS (SELECT node, d, thr, nl, nr, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |      ORDER BY score, d, i) AS rk FROM scored$l)
+           |  WHERE rk = 1)$next""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until depth).map { l =>
+        s"""SELECT CAST($l AS INT) AS level, CAST(node AS BIGINT) AS node,
+           |  CAST(d AS INT) AS dim, thr, nl AS n_left, nr AS n_right,
+           |  score FROM win$l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH thr AS (SELECT * FROM (VALUES $thrVals) t(i, thr)),
+         |n0 AS (SELECT vec_id, label, 1 AS node FROM embeddings),
+         |$levels
+         |$union
+         |ORDER BY level, node""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Trees.decisionTree(
+        Tables.T(s, dir).embeddings, "embedding", "label", 64,
+        Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 3)
+    },
+
     // Johnson–Lindenstrauss random projection 64→8 dims: the matrix is
     // regenerated from the same pure-integer formula on both sides
     // (Achlioptas {+s,−s,0} entries), so values are bit-comparable;
