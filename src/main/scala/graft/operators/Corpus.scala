@@ -109,4 +109,51 @@ object Corpus {
     top.withColumn("rk",
       row_number().over(Window.orderBy(col("skey").desc, col(idCol).asc)))
   }
+
+  import org.apache.spark.sql.Column
+
+  /** URL canonicalization (C4 / RefinedWeb curation: URL-level dedup
+    * runs BEFORE any content pass — two crawls of one page must agree
+    * on a key). Normalization, each step a deterministic string op so
+    * any engine recomputes the identical key:
+    *   1. scheme and host lowercase (RFC 3986 §6.2.2.1 — path stays
+    *      case-sensitive);
+    *   2. default ports drop (:80 http, :443 https — §6.2.3);
+    *   3. the fragment drops (never sent to the server);
+    *   4. utm_* tracking params drop; surviving params SORT (one page,
+    *      any param order);
+    *   5. trailing path slashes drop.
+    * Map-only codegen: regexp splits + array filter/sort + concat —
+    * no UDF, no shuffle. At 100 TB this runs inside the scan stage and
+    * the dedup that follows shuffles canonical keys, not raw text. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlSchemeRe, 1))
+    val host0 = lower(regexp_extract(url, UrlHostRe, 1))
+    val host = when(scheme === "http",
+        regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(
+      regexp_extract(url, UrlPathRe, 1), "/+$", "")
+    val query = regexp_extract(url, UrlQueryRe, 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val q = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  // shared with the oracle SQL so both engines run the SAME patterns
+  val UrlSchemeRe = "^([a-zA-Z]+)://"
+  val UrlHostRe = "^[a-zA-Z]+://([^/?#]*)"
+  val UrlPathRe = "^[a-zA-Z]+://[^/?#]*([^?#]*)"
+  val UrlQueryRe = "\\?([^#]*)"
+
+  /** URL-level exact dedup: group on the canonical key, keep the
+    * smallest id as the representative. One hash shuffle on the
+    * canonical key — the C4 first-pass shape. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dupes"))
 }

@@ -994,6 +994,64 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // URL canonicalization + URL-level dedup (C4/RefinedWeb first
+    // pass — runs BEFORE any content dedup): lowercase scheme/host,
+    // drop default ports / fragments / utm_* params, sort surviving
+    // params, strip trailing slashes; group on the canonical key and
+    // keep min doc_id. Canonicalization is map-only codegen (regexp
+    // splits + array filter/sort, patterns SHARED with the oracle);
+    // the only shuffle carries canonical keys. URLs are synthesized
+    // from (doc_id, source) with three deliberately-messy variants —
+    // two canonicalize to the same key, so real dedup happens.
+    Q("q_pipeline_url_dedup", Some {
+      import graft.operators.Corpus._
+      s"""WITH u AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) ||
+         |        '.COM:80/Docs/' || CAST(doc_id % 37 AS VARCHAR) ||
+         |        '/?utm_source=feed&b=2&a=1#sec'
+         |      WHEN 1 THEN 'http://www.' || lower(source) ||
+         |        '.com/Docs/' || CAST(doc_id % 37 AS VARCHAR) || '?a=1&b=2'
+         |      ELSE 'https://CDN.' || source || '.com:443/assets/' ||
+         |        CAST(doc_id % 37 AS VARCHAR) || '/' END AS url
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '$UrlSchemeRe', 1)) AS scheme,
+         |    lower(regexp_extract(url, '$UrlHostRe', 1)) AS host0,
+         |    regexp_replace(
+         |      regexp_extract(url, '$UrlPathRe', 1), '/+$$', '') AS path,
+         |    coalesce(regexp_extract(url, '$UrlQueryRe', 1), '') AS query
+         |  FROM u),
+         |c AS (SELECT doc_id, scheme ||  '://' ||
+         |    (CASE scheme
+         |       WHEN 'http' THEN regexp_replace(host0, ':80$$', '')
+         |       WHEN 'https' THEN regexp_replace(host0, ':443$$', '')
+         |       ELSE host0 END) || path ||
+         |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+         |  FROM p, LATERAL (SELECT coalesce(array_to_string(list_sort(
+         |      list_filter(string_split(query, '&'),
+         |        x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '')
+         |    AS q) l)
+         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS n_dupes
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val k = pmod($"doc_id", lit(37)).cast("string")
+      val url = when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit("HTTP://WWW."), upper($"source"),
+            lit(".COM:80/Docs/"), k, lit("/?utm_source=feed&b=2&a=1#sec")))
+        .when(pmod($"doc_id", lit(3)) === 1,
+          concat(lit("http://www."), lower($"source"),
+            lit(".com/Docs/"), k, lit("?a=1&b=2")))
+        .otherwise(concat(lit("https://CDN."), $"source",
+          lit(".com:443/assets/"), k, lit("/")))
+      graft.operators.Corpus.urlDedup(
+        Tables.T(s, dir).documents.select($"doc_id", url.as("url")),
+        "url", "doc_id")
+        .select($"canon_url", $"keeper", $"n_dupes")
+        .orderBy("canon_url")
+    },
+
     // Per-domain quota cap (RefinedWeb-style curation): at most 15 docs
     // per source, picked by a deterministic multiplicative-hash
     // priority that any engine recomputes identically. The rank filter

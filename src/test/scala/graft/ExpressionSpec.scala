@@ -1659,6 +1659,25 @@ class ExpressionSpec extends AnyFunSuite {
       run("SELECT my_concat(n_name) FROM nation")
     }
     assert(e.getMessage.contains("my_concat"))
+    // r7: a SQL-language sfunc makes the aggregate EXECUTABLE — the
+    // declarative path (with combinefunc) and the sequential-fold
+    // fallback (without) both compute; DROP unregisters
+    run("""CREATE FUNCTION spec_add(a bigint, b bigint) RETURNS bigint
+          |AS $$ SELECT a + b $$ LANGUAGE SQL""".stripMargin)
+    run("""CREATE AGGREGATE spec_sum(bigint) (sfunc = spec_add,
+          |  stype = bigint, initcond = '0', combinefunc = spec_add)""".stripMargin)
+    assert(GpSqlDialect.aggregateRejection("spec_sum").isEmpty)
+    assert(run("SELECT spec_sum(n_nationkey) AS s FROM nation")
+      .head.getLong(0) == 300L)
+    run("""CREATE AGGREGATE spec_sum_serial(bigint) (sfunc = spec_add,
+          |  stype = bigint, initcond = '0')""".stripMargin)
+    assert(run("SELECT spec_sum_serial(n_nationkey) AS s FROM nation")
+      .head.getLong(0) == 300L)
+    run("DROP AGGREGATE spec_sum(bigint)")
+    run("DROP AGGREGATE spec_sum_serial(bigint)")
+    intercept[Exception] {
+      run("SELECT spec_sum(n_nationkey) AS s FROM nation")
+    }
     run("CREATE OPERATOR CLASS int_ops FOR TYPE int USING btree AS STORAGE int")
     run("CREATE TABLESPACE fastspace LOCATION '/tmp/fs'")
     run("DROP TABLESPACE fastspace")

@@ -182,6 +182,23 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(p) == 0, s"a scrub stage must not shuffle: $p")
   }
 
+  test("q_fn_ts_headline snippet pass never hash-shuffles") {
+    val p = plan("q_fn_ts_headline")
+    // cover selection + markup is ONE codegen'd scalar per row — only
+    // the presentation ORDER BY (rangepartitioning) may appear
+    assert(hashExchanges(p) == 0,
+      s"ts_headline must stay inside the scan stage: $p")
+  }
+
+  test("q_pipeline_url_dedup shuffles canonical keys only") {
+    val p = plan("q_pipeline_url_dedup")
+    // canonicalization is map-only; the single hash exchange is the
+    // dedup groupBy on canon_url, with a map-side partial before it
+    assert(hashExchanges(p) == 1,
+      s"expected exactly the dedup shuffle: $p")
+    assert(p.contains("partial_"), s"dedup needs a map-side partial: $p")
+  }
+
   test("q_agg_groupingsets scans the base relation once (multi-phase)") {
     val p = plan("q_agg_groupingsets")
     // the finest-group aggregate is cached; every grouping set re-reads
