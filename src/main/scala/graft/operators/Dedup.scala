@@ -878,4 +878,64 @@ object Dedup {
       .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     clean.unionByName(suspects.select(clean.columns.map(col): _*))
   }
+
+  /** Cross-document EXACT substring dedup (ExactSubstr — Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every maximal token span of ≥ `minTokens` words shared VERBATIM
+    * between two documents, as (doc_a, doc_b, start_a, start_b,
+    * span_len). The paper builds a corpus suffix array; the
+    * distributed re-expression is rolling L-gram matching + island
+    * merge, which finds the identical maximal spans for spans ≥ L:
+    *   1. every position's L-token gram (window leads — codegen, the
+    *      [[containmentPairs]] discipline), L = minTokens;
+    *   2. grams join doc×doc on a 64-bit hash with EXACT gram-string
+    *      verification (hash collisions die before the merge; a.id <
+    *      b.id so pairs emit once); `maxDf` drops boilerplate grams
+    *      whose occurrence count exceeds the cap from candidate
+    *      generation (logged — the standard recall trade);
+    *   3. consecutive matches on one pair-diagonal (pa − pb constant,
+    *      pa consecutive) ARE one maximal span: gaps-and-islands
+    *      (pa − row_number) merges them, span_len = L + islandSize − 1.
+    *
+    * Scale: the only corpus-scale shuffle carries (hash, doc, pos)
+    * gram rows; the island window partitions by (pair, diagonal) —
+    * match-scale, never corpus-scale. Tokenization is a bare
+    * single-space split, case-sensitive, positions 1-based — exact
+    * substring means EXACT. */
+  def sharedSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 8, maxDf: Long = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos0", "w")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("w"))
+    val grams = (1 until minTokens).foldLeft(toks)((d, j) =>
+      d.withColumn(s"__w$j", lead(col("w"), j).over(win)))
+      .filter(col(s"__w${minTokens - 1}").isNotNull)
+      .select(col("id"), col("pos"), concat_ws(" ",
+        (col("w") +: (1 until minTokens).map(j => col(s"__w$j"))): _*)
+        .as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    // boilerplate cap on occurrence count (candidate generation only)
+    val keep = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDf).select("h")
+    val g = grams.join(keep, "h")
+    val a = g.select(col("h"), col("g").as("ga"), col("id").as("da"),
+      col("pos").as("pa"))
+    val b = g.select(col("h"), col("g").as("gb"), col("id").as("db"),
+      col("pos").as("pb"))
+    val m = a.join(b, Seq("h")).filter(col("da") < col("db"))
+      .filter(col("ga") === col("gb")) // exact verify kills collisions
+      .select("da", "db", "pa", "pb")
+    val diag = (col("pa") - col("pb")).as("diag")
+    val iw = Window.partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa"))
+    m.select(col("da"), col("db"), col("pa"), col("pb"), diag)
+      .withColumn("isl", col("pa") - row_number().over(iw))
+      .groupBy("da", "db", "diag", "isl")
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(minTokens - 1)).as("span_len"))
+      .select("da", "db", "start_a", "start_b", "span_len")
+  }
 }

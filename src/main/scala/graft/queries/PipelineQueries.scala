@@ -994,6 +994,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Cross-document EXACT substring dedup (ExactSubstr, Lee et al.
+    // 2022): every maximal ≥8-token span shared verbatim between two
+    // docs. The suffix-array build re-expresses as rolling 8-gram
+    // matching (codegen window leads) + gaps-and-islands merge per
+    // pair-diagonal — the only corpus-scale shuffle carries gram rows;
+    // the island window partitions at match scale. Oracle replays the
+    // identical gram/island algebra.
+    Q("q_dedup_substr", Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+        |      AS g
+        |  FROM t, unnest(range(1, len(toks) - 6)) r(i)),
+        |keep AS (SELECT g FROM p GROUP BY g HAVING count(*) <= 50),
+        |pf AS (SELECT p.doc_id, p.pos, p.g FROM p JOIN keep USING (g)),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    a.pos AS pa, b.pos AS pb
+        |  FROM pf a JOIN pf b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |i AS (SELECT da, db, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |      ORDER BY pa) AS isl
+        |  FROM m)
+        |SELECT da, db, min(pa) AS start_a, min(pb) AS start_b,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_len
+        |FROM i GROUP BY da, db, diag, isl
+        |ORDER BY da, db, start_a, start_b""".stripMargin)) { (s, dir) =>
+      Dedup.sharedSpans(Tables.T(s, dir).documents, "text", "doc_id",
+        minTokens = 8, maxDf = 50)
+        .orderBy("da", "db", "start_a", "start_b")
+    },
+
     // URL canonicalization + URL-level dedup (C4/RefinedWeb first
     // pass — runs BEFORE any content dedup): lowercase scheme/host,
     // drop default ports / fragments / utm_* params, sort surviving

@@ -199,6 +199,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"dedup needs a map-side partial: $p")
   }
 
+  test("q_dedup_substr matches grams by equi-join, never doc×doc") {
+    val p = plan("q_dedup_substr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // pair generation must be the gram-hash equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_agg_groupingsets scans the base relation once (multi-phase)") {
     val p = plan("q_agg_groupingsets")
     // the finest-group aggregate is cached; every grouping set re-reads
