@@ -32,23 +32,24 @@ import org.apache.spark.sql.types.DataType
   * exprId. They are intentionally NOT children: the analyzer must not
   * try to bind their references against the query's input relation.
   *
-  * @param child   the aggregated input expression (call-site argument)
+  * @param inputs  the aggregated input expressions (call-site args —
+  *                PG aggregates may take several, e.g. a weighted sum)
   * @param stype   declared transition state type
   * @param init    resolved INITCOND literal (cast to stype)
   * @param stateIn placeholder attr for the sfunc's state parameter
-  * @param inputIn placeholder attr for the sfunc's input parameter
-  * @param step    resolved sfunc body over (stateIn, inputIn)
+  * @param inputIn placeholder attrs for the sfunc's input parameters
+  * @param step    resolved sfunc body over (stateIn, inputIn…)
   * @param mergeA/mergeB/combine resolved combinefunc body + params
   * @param finalIn/finish        resolved finalfunc body + param (None =
   *                              identity, PG's missing-finalfunc default)
   */
 case class SqlFoldAgg(
-    child: Expression,
+    inputs: Seq[Expression],
     name: String,
     stype: DataType,
     init: Expression,
     stateIn: AttributeReference,
-    inputIn: AttributeReference,
+    inputIn: Seq[AttributeReference],
     step: Expression,
     mergeA: AttributeReference,
     mergeB: AttributeReference,
@@ -60,10 +61,10 @@ case class SqlFoldAgg(
   private lazy val acc = AttributeReference(s"${name}_state", stype,
     nullable = true)()
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = inputs
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SqlFoldAgg =
-    copy(child = newChildren.head)
+    copy(inputs = newChildren)
 
   override def nullable: Boolean = true
   override def dataType: DataType = finish.map(_.dataType).getOrElse(stype)
@@ -80,9 +81,12 @@ case class SqlFoldAgg(
     }
 
   override lazy val updateExpressions: Seq[Expression] = Seq(
-    splice(step, Map(
-      stateIn.exprId.id -> acc,
-      inputIn.exprId.id -> Cast(child, inputIn.dataType))))
+    splice(step, Map[Long, Expression](stateIn.exprId.id -> acc) ++
+      inputIn.zip(inputs).map { case (p, in) =>
+        val cast: Expression =
+          if (in.dataType == p.dataType) in else Cast(in, p.dataType)
+        p.exprId.id -> cast
+      }))
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
     splice(combine, Map(

@@ -95,4 +95,126 @@ object JsonbFunctions {
   def register(spark: SparkSession): Unit =
     spark.udf.register("jsonb_contains",
       (h: String, n: String) => contains(h, n))
+
+  // ---- SQL/JSON path (PG 12 / GPDB 7 — utils/adt/jsonpath.c grammar,
+  // jsonpath_exec.c executeItem): the subset real warehouse queries
+  // lean on, compiled ONCE per call site (the path is a literal) and
+  // evaluated per row over Jackson like `@>` above (PG-specific
+  // per-row semantics — the sanctioned UDF tier):
+  //   $            root
+  //   .key         member access
+  //   [n]          array subscript (0-based)
+  //   [*]          array wildcard (lax-mode iteration)
+  //   ? (@ op lit) / ? (@.key op lit)
+  //                filter the current items; op ∈ == != > >= < <=,
+  //                lit a number or "string"
+  // Anything outside the grammar raises at COMPILE (call-site) time —
+  // never a silent wrong answer. ------------------------------------
+
+  private[graft] sealed trait JpStep extends Serializable
+  private[graft] final case class JpMember(key: String) extends JpStep
+  private[graft] final case class JpIndex(i: Int) extends JpStep
+  private[graft] case object JpWildcard extends JpStep
+  private[graft] final case class JpFilter(
+      key: Option[String], op: String, num: Option[java.math.BigDecimal],
+      str: Option[String]) extends JpStep
+
+  private[graft] def parseJsonPath(path: String): Seq[JpStep] = {
+    var rest = path.trim
+    require(rest.startsWith("$"), s"jsonpath must start with $$: $path")
+    rest = rest.substring(1)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[JpStep]
+    val Member = "^\\.([A-Za-z_][A-Za-z0-9_]*)(.*)$".r
+    val Index = "^\\[(\\d+)\\](.*)$".r
+    val Wild = "^\\[\\*\\](.*)$".r
+    val Filt = ("^\\s*\\?\\s*\\(\\s*@(?:\\.([A-Za-z_][A-Za-z0-9_]*))?" +
+      "\\s*(==|!=|>=|<=|>|<)\\s*" +
+      "(?:(-?\\d+(?:\\.\\d+)?)|\"([^\"]*)\")\\s*\\)(.*)$").r
+    while (rest.nonEmpty) {
+      rest match {
+        case Member(k, r) => steps += JpMember(k); rest = r
+        case Index(i, r) => steps += JpIndex(i.toInt); rest = r
+        case Wild(r) => steps += JpWildcard; rest = r
+        case Filt(k, op, num, str, r) =>
+          steps += JpFilter(Option(k), op,
+            Option(num).map(new java.math.BigDecimal(_)), Option(str))
+          rest = r
+        case _ => throw new IllegalArgumentException(
+          s"unsupported jsonpath at '...$rest' in: $path")
+      }
+    }
+    steps.toSeq
+  }
+
+  private def jpEval(json: String, steps: Seq[JpStep]): Seq[JsonNode] = {
+    val root = try mapper.readTree(json)
+      catch { case _: Exception => return Seq.empty }
+    steps.foldLeft(Seq(root)) { (cur, step) =>
+      step match {
+        case JpMember(k) => cur.flatMap(n => Option(n.get(k)))
+        case JpIndex(i) =>
+          cur.flatMap(n => if (n.isArray && n.size > i) Some(n.get(i))
+            else None)
+        case JpWildcard => cur.flatMap { n =>
+          if (n.isArray) {
+            val b = Seq.newBuilder[JsonNode]
+            val it = n.elements()
+            while (it.hasNext) b += it.next()
+            b.result()
+          } else Seq(n) // PG lax mode: a scalar iterates as itself
+        }
+        case JpFilter(key, op, num, str) => cur.filter { n0 =>
+          val n = key.map(k => Option(n0.get(k)).orNull).getOrElse(n0)
+          if (n == null) false
+          else (num, str) match {
+            case (Some(d), _) if n.isNumber =>
+              val c = n.decimalValue().compareTo(d)
+              op match {
+                case "==" => c == 0
+                case "!=" => c != 0
+                case ">" => c > 0
+                case ">=" => c >= 0
+                case "<" => c < 0
+                case "<=" => c <= 0
+              }
+            case (_, Some(s)) if n.isTextual =>
+              val c = n.textValue().compareTo(s)
+              op match {
+                case "==" => c == 0
+                case "!=" => c != 0
+                case ">" => c > 0
+                case ">=" => c >= 0
+                case "<" => c < 0
+                case "<=" => c <= 0
+              }
+            case _ => false // type mismatch: lax mode drops the item
+          }
+        }
+      }
+    }
+  }
+
+  /** `jsonb_path_exists(j, path)` ≡ the `@?` operator. */
+  def pathExists(c: Column, path: String): Column = {
+    val steps = parseJsonPath(path)
+    udf((s: String) => if (s == null) false
+      else jpEval(s, steps).nonEmpty).apply(c)
+  }
+
+  /** `jsonb_path_query_array(j, path)` — all matches as one JSON
+    * array (text form). */
+  def pathQueryArray(c: Column, path: String): Column = {
+    val steps = parseJsonPath(path)
+    udf((s: String) => if (s == null) null
+      else jpEval(s, steps).map(_.toString).mkString("[", ",", "]"))
+      .apply(c)
+  }
+
+  /** `jsonb_path_query_first(j, path)` — first match as JSON text,
+    * NULL when nothing matches. */
+  def pathQueryFirst(c: Column, path: String): Column = {
+    val steps = parseJsonPath(path)
+    udf((s: String) => if (s == null) null
+      else jpEval(s, steps).headOption.map(_.toString).orNull).apply(c)
+  }
 }

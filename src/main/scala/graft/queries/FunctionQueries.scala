@@ -691,6 +691,45 @@ object FunctionQueries {
         .orderBy("c_custkey")
     },
 
+    // SQL/JSON path (PG 12 / GPDB 7 jsonpath.c, jsonpath_exec.c):
+    // member / subscript / wildcard / filter steps over per-order JSON
+    // documents built from lineitem — jsonb_path_exists (@?),
+    // jsonb_path_query_array, jsonb_path_query_first. The path
+    // compiles once at the call site; evaluation is per-row Jackson
+    // (the jsonb @> tier). The oracle recomputes every answer from the
+    // BASE columns — no JSON parsing — so semantics are pinned by
+    // construction, not by a second parser.
+    Q("q_fn_jsonpath", Some(
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(floor(l_quantity) AS INT) AS q,
+        |    CAST(floor(l_extendedprice) AS INT) AS p
+        |  FROM lineitem WHERE l_orderkey <= 600)
+        |SELECT ok,
+        |  bool_or(p > 40000) AS ex,
+        |  '[' || coalesce(string_agg(CAST(q AS VARCHAR), ','
+        |      ORDER BY ln, q, p) FILTER (p > 40000), '') || ']' AS qa,
+        |  CAST((list(q ORDER BY ln, q, p))[1] AS VARCHAR) AS f1
+        |FROM li GROUP BY ok ORDER BY ok""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.JsonbFunctions
+      val li = Tables.T(s, dir).lineitem.filter($"l_orderkey" <= 600)
+        .select($"l_orderkey".as("ok"), $"l_linenumber".as("ln"),
+          floor($"l_quantity").cast("int").as("q"),
+          floor($"l_extendedprice").cast("int").as("p"))
+      val docs = li.groupBy($"ok")
+        .agg(transform(sort_array(collect_list(struct($"ln", $"q", $"p"))),
+          x => struct(x.getField("q").as("q"), x.getField("p").as("p")))
+          .as("items"))
+        .select($"ok", to_json(struct($"ok", $"items")).as("j"))
+      docs.select($"ok",
+        JsonbFunctions.pathExists($"j", "$.items[*] ? (@.p > 40000)")
+          .as("ex"),
+        JsonbFunctions.pathQueryArray($"j",
+          "$.items[*] ? (@.p > 40000).q").as("qa"),
+        JsonbFunctions.pathQueryFirst($"j", "$.items[0].q").as("f1"))
+        .orderBy("ok")
+    },
+
     // Polygon/path subset (geo_ops.c poly_contain / poly_distance /
     // path_length): shoelace area, perimeter, open-path length,
     // division-free even-odd point containment, and min point-segment

@@ -722,6 +722,8 @@ object StorageQueries {
       """SELECT l_returnflag,
         |  sqrt(sum(l_quantity * l_quantity)) AS l2,
         |  max(CAST(l_quantity AS BIGINT) % 97) AS mm,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)
+        |           * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ws,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
       (s, dir) =>
@@ -752,10 +754,26 @@ object StorageQueries {
           """CREATE AGGREGATE maxmod(bigint) (
             |  sfunc = maxmod_step, stype = bigint, initcond = '0')""".stripMargin,
           base)
+        // multi-argument aggregate (pg_aggregate aggnumdirectargs = 0,
+        // several aggregated args): weighted sum
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION wsum_step(st bigint, x bigint, w bigint)
+            |RETURNS bigint AS $$ SELECT st + x * w $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION wsum_comb(a bigint, b bigint)
+            |RETURNS bigint AS $$ SELECT a + b $$
+            |LANGUAGE SQL IMMUTABLE""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE AGGREGATE wsum(bigint, bigint) (
+            |  sfunc = wsum_step, stype = bigint, initcond = '0',
+            |  combinefunc = wsum_comb)""".stripMargin, base)
         GpSqlDialect.execute(s,
           """SELECT l_returnflag,
             |  l2norm(l_quantity) AS l2,
             |  maxmod(CAST(l_quantity AS BIGINT)) AS mm,
+            |  wsum(CAST(l_quantity AS BIGINT),
+            |       CAST(l_linenumber AS BIGINT)) AS ws,
             |  count(*) AS n
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
           base)

@@ -2318,22 +2318,21 @@ object GpSqlDialect {
         case _ => None
       }
     }.toMap
-    if (argTypes.length != 1)
-      return defer(s"only single-argument aggregates are executable " +
-        s"(got ${argTypes.length} args)")
+    if (argTypes.isEmpty)
+      return defer("zero-argument aggregates are not executable")
     val (sfuncName, stypeTxt) = (opts.get("sfunc"), opts.get("stype")) match {
       case (Some(sf), Some(st)) => (sf.toLowerCase, st)
       case _ => return defer("CREATE AGGREGATE needs sfunc and stype")
     }
-    // the arg may be bare (`double precision`) or named (`v bigint`):
+    // an arg may be bare (`double precision`) or named (`v bigint`):
     // try the full text as a type first, then strip a leading name
     def argType(t: String): DataType =
       try sparkType(t) catch {
         case _: IllegalArgumentException =>
           sparkType(t.replaceAll("(?i)^\\w+\\s+", ""))
       }
-    val (stype, inType) =
-      try (sparkType(stypeTxt), argType(argTypes.head))
+    val (stype, inTypes) =
+      try (sparkType(stypeTxt), argTypes.map(argType))
       catch { case e: IllegalArgumentException =>
         return defer(e.getMessage) }
     def stripQuotes(s: String): String = {
@@ -2347,7 +2346,7 @@ object GpSqlDialect {
         org.apache.spark.sql.types.StringType), stype)
       case None => Literal.create(null, stype)
     }
-    analyzeFnBody(spark, sfuncName, Seq(stype, inType)) match {
+    analyzeFnBody(spark, sfuncName, stype +: inTypes) match {
       case Left(why) =>
         // the pre-r7 contract: accepted, recorded, raises at use —
         // still the path for C-language sfuncs from real dumps
@@ -2376,10 +2375,11 @@ object GpSqlDialect {
                   new ExpressionInfo(
                     "graft.aggregates.SqlFoldAgg", name),
                   (args: Seq[Expression]) => {
-                    require(args.length == 1,
-                      s"$name expects 1 argument, got ${args.length}")
-                    graft.aggregates.SqlFoldAgg(args.head, name, stype,
-                      init, sAttrs.head, sAttrs(1), sBody,
+                    require(args.length == inTypes.length,
+                      s"$name expects ${inTypes.length} argument(s), " +
+                        s"got ${args.length}")
+                    graft.aggregates.SqlFoldAgg(args, name, stype,
+                      init, sAttrs.head, sAttrs.tail, sBody,
                       cAttrs.head, cAttrs(1), cBody,
                       fin.map(_._1), fin.map(_._2))
                   })
@@ -2390,6 +2390,10 @@ object GpSqlDialect {
           case None =>
             // no combinefunc = PG cannot parallelize either; lower to a
             // sequential per-group fold over the collected group
+            // (single-argument only: the fold collects one column)
+            if (inTypes.length != 1)
+              return defer("multi-argument aggregates need a " +
+                "combinefunc to be executable")
             val castTy = toSparkType(stypeTxt)
             val initTxt = opts.get("initcond")
               .map(i => s"'${stripQuotes(i).replace("'", "''")}'")
