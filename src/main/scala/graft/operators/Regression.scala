@@ -183,6 +183,38 @@ object Regression {
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated
     * sums CTE. */
+  /** Ridge regression (MADlib elastic_net, α=0 / linregr with L2):
+    * minimize ‖y − Xb‖² + λ(b₁² + b₂²) — the intercept is NOT
+    * penalized (the standard convention; MADlib's likewise). Closed
+    * form: (X'X + λ·diag(0,1,1)) b = X'y — the SAME one-pass moment
+    * aggregate as [[olsFit2]], λ added to the two slope diagonals,
+    * same Cramer 3×3 solve. Zero extra passes, zero extra shuffles:
+    * regularization is free at any scale. */
+  def ridgeFit2(
+      df: DataFrame, groupCol: String, yCol: String,
+      x1Col: String, x2Col: String, lambda: Double): DataFrame = {
+    val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
+    val agg = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).cast("double").as("n"),
+      Q.dsum(x1, 6).as("sx1"), Q.dsum(x2, 6).as("sx2"),
+      Q.dsum(y, 6).as("sy"),
+      Q.dsum(x1 * x1, 6).as("sx11"), Q.dsum(x2 * x2, 6).as("sx22"),
+      Q.dsum(x1 * x2, 6).as("sx12"),
+      Q.dsum(x1 * y, 6).as("sx1y"), Q.dsum(x2 * y, 6).as("sx2y"))
+    val c0 = (col("n"), col("sx1"), col("sx2"))
+    val c1 = (col("sx1"), col("sx11") + lit(lambda), col("sx12"))
+    val c2 = (col("sx2"), col("sx12"), col("sx22") + lit(lambda))
+    val r = (col("sy"), col("sx1y"), col("sx2y"))
+    val det = det3(c0, c1, c2)
+    val b0 = det3(r, c1, c2) / det
+    val b1 = det3(c0, r, c2) / det
+    val b2 = det3(c0, c1, r) / det
+    agg.select(col("grp"), col("n").cast("long").as("n"),
+      when(abs(det) > lit(1e-9), b0).as("b0"),
+      when(abs(det) > lit(1e-9), b1).as("b1"),
+      when(abs(det) > lit(1e-9), b2).as("b2"))
+  }
+
   object Sql {
     def det3(a: Seq[String], b: Seq[String], c: Seq[String]): String =
       s"(${a(0)} * (${b(1)} * ${c(2)} - ${b(2)} * ${c(1)}) - " +

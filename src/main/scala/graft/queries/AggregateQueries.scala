@@ -242,6 +242,47 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // Ridge regression (MADlib elastic_net α=0): the SAME one-pass
+    // moment aggregate as q_agg_ols with λ on the slope diagonals of
+    // the normal equations (intercept unpenalized) — regularization
+    // costs zero extra passes at any scale.
+    Q("q_ml_ridge", Some {
+      import graft.operators.Regression.Sql._
+      val lam = "250.0"
+      val c1r = Seq("sx1", s"(sx11 + $lam)", "sx12")
+      val c2r = Seq("sx2", "sx12", s"(sx22 + $lam)")
+      val det = det3(c0, c1r, c2r)
+      val (db0, db1, db2) =
+        (det3(r, c1r, c2r), det3(c0, r, c2r), det3(c0, c1r, r))
+      s"""WITH t AS (SELECT l_returnflag AS grp,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("l_quantity", 6)} AS sx1,
+         |    ${Q.oSum("l_discount", 6)} AS sx2,
+         |    ${Q.oSum("l_extendedprice", 6)} AS sy,
+         |    ${Q.oSum("l_quantity * l_quantity", 6)} AS sx11,
+         |    ${Q.oSum("l_discount * l_discount", 6)} AS sx22,
+         |    ${Q.oSum("l_quantity * l_discount", 6)} AS sx12,
+         |    ${Q.oSum("l_quantity * l_extendedprice", 6)} AS sx1y,
+         |    ${Q.oSum("l_discount * l_extendedprice", 6)} AS sx2y
+         |  FROM lineitem GROUP BY 1)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN ($db0 / $det) END, 4)
+         |    AS b0,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN ($db1 / $det) END, 4)
+         |    AS b1,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN ($db2 / $det) END, 4)
+         |    AS b2
+         |FROM t ORDER BY grp""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Regression.ridgeFit2(Tables.T(s, dir).lineitem,
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount",
+        lambda = 250.0)
+        .select($"grp", $"n", round($"b0", 4).as("b0"),
+          round($"b1", 4).as("b1"), round($"b2", 4).as("b2"))
+        .orderBy("grp")
+    },
+
     // Logistic regression (MADlib logregr_train parity): per-group
     // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
     // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The

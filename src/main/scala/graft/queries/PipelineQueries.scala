@@ -854,6 +854,103 @@ object PipelineQueries {
         Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 3)
     },
 
+    // k-means (Lloyd; MADlib kmeans parity): 2 Lloyd iterations, k=4,
+    // over 64-dim embeddings. Assignment is map-only (centroids
+    // broadcast as literals, unrolled codegen distance terms); the per-
+    // iteration shuffle is one (cluster, dim)-keyed exact-long
+    // aggregate. Fixed-point distance terms + quantized coordinates
+    // make every argmin and centroid engine-identical; the oracle
+    // replays the identical EM recursion as chained CTEs (the q_ml_tree
+    // pattern).
+    Q("q_ml_kmeans", Some {
+      val k = 4
+      val iters = 2
+      val term = "CAST(floor((q.qi / 10000.0 - c.mu) * " +
+        "(q.qi / 10000.0 - c.mu) * 1000000 + 0.5) AS BIGINT)"
+      def assign(a: String, c: String) =
+        s"""$a AS (SELECT id, cluster FROM (
+           |  SELECT id, cluster, row_number() OVER (PARTITION BY id
+           |      ORDER BY dist, cluster) AS rk
+           |  FROM (SELECT q.id, c.cluster, sum($term) AS dist
+           |        FROM q JOIN $c c ON q.d = c.d
+           |        GROUP BY q.id, c.cluster) dd) rr
+           |  WHERE rk = 1)""".stripMargin
+      def update(c: String, a: String) =
+        s"""$c AS (SELECT a.cluster, q.d,
+           |    (CAST(sum(q.qi) AS DOUBLE) / count(*)) / 10000.0 AS mu
+           |  FROM q JOIN $a a ON q.id = a.id
+           |  GROUP BY a.cluster, q.d)""".stripMargin
+      val chain = (1 to iters).map(i =>
+        assign(s"a$i", s"c${i - 1}") + ",\n" +
+          update(s"c$i", s"a$i")).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS id, CAST(i - 1 AS INT) AS d,
+         |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS qi
+         |  FROM embeddings, unnest(range(1, 65)) r(i)),
+         |seed AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
+         |    AS INT) AS cluster
+         |  FROM (SELECT DISTINCT id FROM q ORDER BY id LIMIT $k) s),
+         |c0 AS (SELECT seed.cluster, q.d, q.qi / 10000.0 AS mu
+         |  FROM seed JOIN q ON q.id = seed.id),
+         |$chain,
+         |${assign("afinal", s"c$iters")},
+         |sizes AS (SELECT cluster, count(*) AS n FROM afinal GROUP BY 1)
+         |SELECT c.cluster, c.d, c.mu, s.n
+         |FROM c$iters c JOIN sizes s ON c.cluster = s.cluster
+         |ORDER BY c.cluster, c.d""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Clustering.kmeans(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding",
+        dim = 64, k = 4, iters = 2)
+    },
+
+    // DBSCAN (Ester et al. 1996; MADlib dbscan parity) over an integer
+    // plane derived from customer keys: ε-neighbor candidates come
+    // from a 3×3 grid-cell equi-join (never point×point — exact, any
+    // ε-pair differs ≤1 cell per axis), cores = ≥minPts neighbors,
+    // clusters = components of the core-core graph (O(log d) label
+    // propagation), borders adopt the smallest neighboring core's
+    // cluster, noise = −1. Pure int64 geometry — engine-identical by
+    // construction; the oracle brute-forces the same ε-graph and
+    // replays the recursion.
+    Q("q_ml_dbscan", Some(
+      """WITH RECURSIVE p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    c_custkey % 97 AS x, (c_custkey * 31) % 61 AS y
+        |  FROM customer WHERE c_custkey <= 400),
+        |pr AS (SELECT a.id AS ida, b.id AS idb
+        |  FROM p a JOIN p b ON (a.x - b.x) * (a.x - b.x)
+        |    + (a.y - b.y) * (a.y - b.y) <= 25),
+        |cnt AS (SELECT ida AS id, count(*) AS nn FROM pr GROUP BY 1),
+        |cores AS (SELECT id FROM cnt WHERE nn >= 5),
+        |ce0 AS (SELECT ida, idb FROM pr
+        |  WHERE ida < idb AND ida IN (SELECT id FROM cores)
+        |    AND idb IN (SELECT id FROM cores)),
+        |edges AS (SELECT ida AS src, idb AS dst FROM ce0
+        |  UNION SELECT idb, ida FROM ce0),
+        |reach(id, comp) AS (
+        |  SELECT id, id FROM cores
+        |  UNION
+        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.id),
+        |cc AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+        |border AS (SELECT pr.ida AS id, min(cc.cluster) AS cluster
+        |  FROM pr JOIN cc ON pr.idb = cc.id
+        |  WHERE pr.ida NOT IN (SELECT id FROM cores)
+        |    AND pr.ida <> pr.idb
+        |  GROUP BY 1)
+        |SELECT p.id, c.id IS NOT NULL AS is_core,
+        |  CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
+        |FROM p LEFT JOIN cc c ON p.id = c.id
+        |LEFT JOIN border b ON p.id = b.id
+        |ORDER BY p.id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val pts = Tables.T(s, dir).customer.filter($"c_custkey" <= 400)
+        .select($"c_custkey".as("id"),
+          pmod($"c_custkey", lit(97)).as("x"),
+          pmod($"c_custkey" * 31, lit(61)).as("y"))
+      graft.operators.Clustering.dbscan(pts, "id", "x", "y",
+        eps = 5L, minPts = 5)
+    },
+
     // Johnson–Lindenstrauss random projection 64→8 dims: the matrix is
     // regenerated from the same pure-integer formula on both sides
     // (Achlioptas {+s,−s,0} entries), so values are bit-comparable;
