@@ -59,15 +59,22 @@ object Clustering {
 
     def assigned: DataFrame = {
       // per-cluster exact fixed-point distance: Σ_d round_fp((q_d/S −
-      // μ_cd)²) — unrolled codegen arithmetic, integer sum = any order
+      // μ_cd)²). zip_with+aggregate HOF, not unrolled columns: a k·dim
+      // unrolled tree (256 element_at/floor terms) blew Catalyst's
+      // planning+codegen past 5 s/JOB at ANY data size (measured r7) —
+      // the interpreted-lambda cost the NOTES HOF-trap warns about is
+      // ~13 µs/row here and stays map-only, the right trade for an
+      // expression this wide. Terms are exact longs → any fold order.
       val dists: Seq[(Int, Column)] = centroids.toSeq.sortBy(_._1)
         .map { case (c, mu) =>
-          val terms = (0 until dim).map { i =>
-            val xd = element_at($"q", i + 1).cast("double") / Scale.toDouble
-            val dlt = xd - mu(i)
-            floor(dlt * dlt * FpScale + 0.5).cast("long")
-          }
-          c -> terms.reduce(_ + _)
+          val muArr = array(mu.map(lit).toIndexedSeq: _*)
+          val dist = aggregate(
+            zip_with($"q", muArr, (qi, m) => {
+              val xd = qi.cast("double") / Scale.toDouble
+              floor((xd - m) * (xd - m) * FpScale + 0.5).cast("long")
+            }),
+            lit(0L), (acc, t) => acc + t)
+          c -> dist
         }
       // argmin (dist, cluster): fold a comparison chain over the k
       // distance columns — still map-only codegen
