@@ -410,6 +410,68 @@ object PipelineQueries {
     // building block of n-gram LM corpus stats and contamination
     // checks. Trigrams via two leads over the exploded token stream
     // (codegen window), never per-row array walking.
+    // Collocation extraction by pointwise mutual information (Church &
+    // Hanks 1990 — the standard corpus-linguistics bigram scorer):
+    // PMI(a,b) = ln(P(ab) / (P(a)P(b))) over adjacent-token bigrams
+    // with a min-count support floor. Counts are exact longs; the one
+    // ratio is a single double expression shared verbatim with the
+    // oracle, and ranking uses the ROUNDED score (6 dp) with bigram
+    // tiebreak — the keyness discipline for last-ulp ln() skew. Top-k
+    // via orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    // no corpus-wide window).
+    Q("q_text_pmi", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)
+        |  WHERE list_extract(toks, CAST(i AS INT)) <> ''),
+        |b2 AS (SELECT a, b, a || ' ' || b AS bigram FROM (
+        |    SELECT lex AS a, lead(lex, 1) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS b FROM p) x WHERE b IS NOT NULL),
+        |cab AS (SELECT bigram, a, b, count(*) AS n_ab FROM b2
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |uni AS (SELECT lex, count(*) AS cu FROM p GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM p) AS n,
+        |    (SELECT count(*) FROM b2) AS nb),
+        |sc AS (SELECT bigram, n_ab,
+        |    round(ln(((CAST(n_ab AS DOUBLE) * n) * n)
+        |      / ((CAST(nb AS DOUBLE) * ua.cu) * ub.cu)), 6) AS pmi
+        |  FROM cab JOIN uni ua ON cab.a = ua.lex
+        |  JOIN uni ub ON cab.b = ub.lex CROSS JOIN tot),
+        |rr AS (SELECT bigram, n_ab, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, bigram) AS rk FROM sc)
+        |SELECT CAST(rk AS INT) AS rk, bigram, n_ab, pmi
+        |FROM rr WHERE rk <= 20 ORDER BY rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.T(s, dir).documents.select($"doc_id",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "lex")))
+        .filter($"lex" =!= "")
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      val big = toks
+        .select($"lex".as("a"), lead($"lex", 1).over(wDoc).as("b"))
+        .filter($"b".isNotNull)
+      val cab = big.groupBy($"a", $"b")
+        .agg(count(lit(1)).as("n_ab")).filter($"n_ab" >= 5)
+        .withColumn("bigram", concat_ws(" ", $"a", $"b"))
+      val uni = toks.groupBy($"lex").agg(count(lit(1)).as("cu"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+        .crossJoin(big.agg(count(lit(1)).as("nb")))
+      val sc = cab
+        .join(uni.select($"lex".as("a"), $"cu".as("cua")), "a")
+        .join(uni.select($"lex".as("b"), $"cu".as("cub")), "b")
+        .crossJoin(broadcast(tot))
+        .select($"bigram", $"n_ab",
+          round(log((($"n_ab".cast("double") * $"n") * $"n")
+            / (($"nb".cast("double") * $"cua") * $"cub")), 6).as("pmi"))
+      val top = sc.orderBy($"pmi".desc, $"bigram").limit(20)
+      top.withColumn("rk",
+        row_number().over(Window.orderBy($"pmi".desc, $"bigram")))
+        .select($"rk", $"bigram", $"n_ab", $"pmi")
+        .orderBy("rk")
+    },
+
     Q("q_text_ngrams", Some(
       """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
         |  FROM documents),
