@@ -148,6 +148,9 @@ object Clustering {
       .select(col("ida"), col("xa"), col("ya"), col("jcx"),
         (col("cy") + col("oy")).as("jcy"))
     val eps2 = eps * eps
+    // consumed three times (neighbor counts, core-core edges, border
+    // assignment) — cache pipeline-scoped, released by the driver's
+    // KernelCaches.releaseAll like the other dedup kernels
     val pairs = probe.join(
       cell.select(col("id").as("idb"), col("x").as("xb"),
         col("y").as("yb"), col("cx").as("jcx"), col("cy").as("jcy")),
@@ -155,6 +158,8 @@ object Clustering {
       .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps2)
       .select("ida", "idb")
+      .cache()
+    KernelCaches.register(pairs)
     val counts = pairs.groupBy(col("ida").as("id"))
       .agg(count(lit(1)).as("nn"))
     val cores = counts.filter(col("nn") >= minPts).select("id")
