@@ -199,6 +199,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"dedup needs a map-side partial: $p")
   }
 
+  test("q_ml_dbscan generates ε-candidates by grid equi-join") {
+    val p = plan("q_ml_dbscan")
+    // the 3×3 cell probe must be an equi-join on cell keys — DBSCAN's
+    // classic grid optimization; a point×point plan would be the
+    // O(n²) scale-killer this kernel exists to avoid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_dedup_substr matches grams by equi-join, never doc×doc") {
     val p = plan("q_dedup_substr")
     assert(!p.contains("CartesianProduct"), p)
