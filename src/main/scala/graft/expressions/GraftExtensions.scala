@@ -59,8 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             s"ts_headline $what must be a string literal")
         }
+        if (exprs.size < 2) throw new IllegalArgumentException(
+          "ts_headline(document, query[, options]) needs 2+ args")
+        // dedupe: plainto_tsquery('hash hash') is one lexeme — a
+        // duplicate term would otherwise hold a cover slot that never
+        // fills (first-match indexing) and every doc would yield NULL
         val terms = lit(exprs(1), "query").toLowerCase
-          .split("\\s+").filter(_.nonEmpty).toSeq
+          .split("\\s+").filter(_.nonEmpty).distinct.toSeq
         val opts = exprs.drop(2).headOption
           .map(o => lit(o, "options").split(",").flatMap { kv =>
             kv.split("=", 2) match {

@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   *
   *   assign:  centroids broadcast as LITERAL arrays (k·dim doubles —
   *            catalog-scale, collected once per iteration like the
-  *            stump's class totals); per-row distances are UNROLLED
-  *            column arithmetic (k·dim codegen'd terms, no HOF lambda —
-  *            the NOTES lambda-trap), so assignment is MAP-ONLY;
+  *            stump's class totals); per-row distances are a
+  *            zip_with+aggregate HOF over exact fixed-point terms —
+  *            NOT unrolled columns: a k·dim unrolled tree blew
+  *            Catalyst planning+janino past 5 s/job at any data size
+  *            (measured r7, 20.1 s → 2.9 s after the switch; the
+  *            per-row interpreted-lambda cost is ~13 µs and planning
+  *            cost is per-query) — so assignment stays MAP-ONLY;
   *   update:  one (cluster, dim)-keyed aggregate per iteration — the
   *            only corpus-scale shuffle, map-side combinable, output
   *            k·dim rows (corpus-independent, the q_embed_pool shape).
@@ -112,8 +116,13 @@ object Clustering {
     }
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a cluster emptied by the FINAL assignment is absent from `sizes`
+    // while still present in `centroids` (a normal Lloyd outcome) —
+    // drop it, matching the oracle's inner join on the size relation
     centroids.toSeq.sortBy(_._1).flatMap { case (c, mu) =>
-      mu.zipWithIndex.map { case (m, d) => (c, d, m, sizes(c)) }
+      val n = sizes.getOrElse(c, 0L)
+      if (n == 0L) Nil
+      else mu.zipWithIndex.map { case (m, d) => (c, d, m, n) }
     }.toDF("cluster", "d", "mu", "n")
       .orderBy("cluster", "d")
   }

@@ -179,10 +179,6 @@ object Regression {
     w
   }
 
-  /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
-    * split-sum discipline, same det3 operation order — so a DuckDB
-    * rendering of the fit hashes equal. `t` aliases the aggregated
-    * sums CTE. */
   /** Ridge regression (MADlib elastic_net, α=0 / linregr with L2):
     * minimize ‖y − Xb‖² + λ(b₁² + b₂²) — the intercept is NOT
     * penalized (the standard convention; MADlib's likewise). Closed
@@ -215,6 +211,10 @@ object Regression {
       when(abs(det) > lit(1e-9), b2).as("b2"))
   }
 
+  /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
+    * split-sum discipline, same det3 operation order — so a DuckDB
+    * rendering of the fit hashes equal. `t` aliases the aggregated
+    * sums CTE. */
   object Sql {
     def det3(a: Seq[String], b: Seq[String], c: Seq[String]): String =
       s"(${a(0)} * (${b(1)} * ${c(2)} - ${b(2)} * ${c(1)}) - " +

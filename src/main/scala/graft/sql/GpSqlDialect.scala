@@ -2398,9 +2398,14 @@ object GpSqlDialect {
             val initTxt = opts.get("initcond")
               .map(i => s"'${stripQuotes(i).replace("'", "''")}'")
               .getOrElse("NULL")
-            val inner = s"aggregate(collect_list(__v), " +
+            // struct-wrap the value: collect_list silently drops NULL
+            // inputs, but PG's non-strict SQL-language sfunc sees them
+            // (and the DeclarativeAggregate path above feeds them
+            // through) — a null __v inside a struct survives collection
+            val inner = s"aggregate(" +
+              s"collect_list(named_struct('v', __v)), " +
               s"CAST($initTxt AS $castTy), " +
-              s"(__facc, __fx) -> ($sfuncName(__facc, __fx)))"
+              s"(__facc, __fx) -> ($sfuncName(__facc, __fx.v)))"
             val bodyTxt = opts.get("finalfunc")
               .map(f => s"${f.toLowerCase}($inner)").getOrElse(inner)
             sqlFunctions(name) =

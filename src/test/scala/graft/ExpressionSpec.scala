@@ -1673,6 +1673,14 @@ class ExpressionSpec extends AnyFunSuite {
           |  stype = bigint, initcond = '0')""".stripMargin)
     assert(run("SELECT spec_sum_serial(n_nationkey) AS s FROM nation")
       .head.getLong(0) == 300L)
+    // NULL parity (r8): BOTH paths feed NULL inputs through the
+    // non-strict sfunc like PG — a+b with a NULL nulls the state for
+    // good, so the result is NULL on both, not silently-skipped-NULL
+    val nullsRel =
+      "(SELECT CAST(v AS bigint) AS v FROM (VALUES (1), (NULL), (2)) t(v))"
+    assert(run(s"SELECT spec_sum(v) AS s FROM $nullsRel").head.isNullAt(0))
+    assert(
+      run(s"SELECT spec_sum_serial(v) AS s FROM $nullsRel").head.isNullAt(0))
     run("DROP AGGREGATE spec_sum(bigint)")
     run("DROP AGGREGATE spec_sum_serial(bigint)")
     intercept[Exception] {
@@ -2145,5 +2153,22 @@ class ExpressionSpec extends AnyFunSuite {
     assert(topLevelDenominators("coalesce(a / b, 0)").isEmpty)
     // string literals with slashes are not divisions
     assert(topLevelDenominators("concat('a/b', c)").isEmpty)
+  }
+
+  test("ts_headline dedupes repeated query terms like plainto_tsquery") {
+    // 'hash hash' is ONE lexeme after plainto_tsquery dedup: without the
+    // r8 .distinct the duplicate held a cover slot that never filled
+    // (first-match indexing) and every matching doc produced NULL
+    val doc = "the hash join builds a table then probes it"
+    val r = spark.sql(
+      s"""SELECT ts_headline('$doc', 'hash hash') AS dup,
+         |       ts_headline('$doc', 'hash') AS single""".stripMargin).head
+    assert(!r.isNullAt(0), "duplicate-term query must still headline")
+    assert(r.getString(0) == r.getString(1))
+    // arity guard: 1-arg call fails with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT ts_headline('x') AS h").collect()
+    }
+    assert(e.getMessage.contains("needs 2+ args"), e.getMessage)
   }
 }

@@ -957,4 +957,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(varByC(0) / vals(0) - 1.0) < 1e-6)
     assert(math.abs(varByC(1) / vals(1) - 1.0) < 1e-6)
   }
+
+  test("Clustering.kmeans drops a cluster emptied by the assignment") {
+    import spark.implicits._
+    // duplicate seed vectors: the two lowest-id points coincide, so both
+    // centroids start identical and the strict-< argmin sends every tied
+    // point to the lower cluster — cluster 1 receives ZERO points. A
+    // normal Lloyd outcome that must yield a dropped output row
+    // (matching the oracle's inner join on sizes), not a
+    // NoSuchElementException from sizes(c).
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(10.0, 10.0)), (3L, Array(10.0, 10.0)),
+      (4L, Array(0.5, 0.5))).toDF("id", "vec")
+    // iters=0 keeps both (identical) seed centroids in the map while the
+    // final assignment empties cluster 1 — the exact crash shape
+    val out = Clustering.kmeans(pts, "id", "vec", dim = 2, k = 2, iters = 0)
+      .collect()
+    assert(out.map(_.getInt(0)).distinct.toSeq == Seq(0))
+    assert(out.forall(_.getLong(3) == 5L)) // all five points in cluster 0
+    // and with iterations the run still completes and covers every point
+    val out2 = Clustering.kmeans(pts, "id", "vec", dim = 2, k = 2, iters = 2)
+      .collect()
+    assert(out2.forall(_.getLong(3) > 0L))
+    assert(out2.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == 5L)
+  }
 }
