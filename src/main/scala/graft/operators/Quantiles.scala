@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
   *    WITHIN GROUP). It partial-aggregates on every core; this path
   *    would collapse to |groups| partitions after the window shuffle —
   *    measured 1.6× slower at 3 groups, arbitrarily bad at 1.
-  *  - FEW groups AND huge NDV: neither exact plan is safe; that regime
-  *    is multi-pass selection territory, and the practical answer is
-  *    approx_percentile (error-gated as the documented 100 TB swap in
-  *    OperatorSpec).
+  *  - FEW groups AND huge NDV (r8, the matrix's last quadrant):
+  *    VALUE-RANGE rank selection ([[rangeCont]]/[[rangeDisc]]). One
+  *    map-combinable (group, value)→count aggregate, one
+  *    range-partition by (group, value) with a per-partition streaming
+  *    prefix sum ([[Ranks.cumBelowGrouped]] — only parts × |groups|
+  *    totals visit the driver), then the ≤2·|ps| rows whose cumulative
+  *    counts straddle the target ranks survive to a
+  *    group-cardinality-sized interpolation. No per-group buffer
+  *    anywhere, parallelism ∝ value spread, memory bounded at any
+  *    group size.
   *
   * Interpolation replicates the buffered aggregate's float arithmetic
   * operation-for-operation (0-based pos = p·(n−1), lo·(1−f)+hi·f;
@@ -94,4 +100,63 @@ object Quantiles {
         row_number().over(Window.partitionBy(col("__g")).orderBy(col("__v"))))
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("__g"))))
+
+  /** (group, value, count, below, group-total) relation backing the
+    * value-range regime: a row's value has rank (below+1 … below+count)
+    * within its group. */
+  private def belowRel(df: DataFrame, g: Column, v: Column): DataFrame = {
+    val perKey = df.select(g.as("__g"), v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .cache() // read twice: range-partition sampling + the prefix pass
+    KernelCaches.register(perKey)
+    Ranks.cumBelowGrouped(perKey, "__g", "__v", "__c")
+  }
+
+  /** A rank target `k` lands on this (value, count) run iff
+    * below < k ≤ below + count. */
+  private def hits(k: Column): Column =
+    (col("below") < k) && (k <= col("below") + col("__c"))
+
+  /** percentile_cont in the few-groups × huge-rows regime: exact rank
+    * selection over value ranges — same float interpolation as
+    * [[exactCont]] (pos = p·(n−1); lo·(1−f)+hi·f), different rank
+    * machinery (cumulative counts instead of row_number). */
+  def rangeCont(
+      df: DataFrame, g: Column, v: Column,
+      ps: Seq[(Double, String)]): DataFrame =
+    rangeQuantiles(df, g, v, cont = ps, disc = Nil)
+
+  /** percentile_disc, value-range regime: sorted[max(1, ceil(p·n))]. */
+  def rangeDisc(
+      df: DataFrame, g: Column, v: Column,
+      ps: Seq[(Double, String)]): DataFrame =
+    rangeQuantiles(df, g, v, cont = Nil, disc = ps)
+
+  /** Mixed cont+disc quantiles over ONE prefix-sum kernel run — the
+    * rank machinery is shared, only the target-rank arithmetic differs,
+    * so a query wanting both pays one pass, not two. */
+  def rangeQuantiles(
+      df: DataFrame, g: Column, v: Column,
+      cont: Seq[(Double, String)], disc: Seq[(Double, String)]): DataFrame = {
+    val rel = belowRel(df, g, v)
+    def pos(p: Double): Column = lit(p) * (col("__gtotal") - 1d)
+    def kd(p: Double): Column =
+      greatest(lit(1L), ceil(lit(p) * col("__gtotal")).cast("long"))
+    val needed = (cont.map { case (p, _) =>
+      hits(floor(pos(p)).cast("long") + 1L) ||
+        hits(ceil(pos(p)).cast("long") + 1L)
+    } ++ disc.map { case (p, _) => hits(kd(p)) }).reduce(_ || _)
+    val aggs = cont.map { case (p, name) =>
+      val vLo = min(when(hits(floor(pos(p)).cast("long") + 1L), col("__v")))
+      val vHi = min(when(hits(ceil(pos(p)).cast("long") + 1L), col("__v")))
+      val frac = first(pos(p) - floor(pos(p)))
+      (vLo * (lit(1d) - frac) + vHi * frac).as(name)
+    } ++ disc.map { case (p, name) =>
+      min(when(hits(kd(p)), col("__v"))).as(name)
+    }
+    rel.filter(needed)
+      .groupBy(col("__g")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__g", "__gout")
+  }
 }

@@ -958,6 +958,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(varByC(1) / vals(1) - 1.0) < 1e-6)
   }
 
+  test("Clustering.dbscan dense blob: grid join stays exact at max density") {
+    import spark.implicits._
+    // the SCALING.md density contract's worst case: every point within
+    // eps of every other (candidate relation degenerates to all-pairs).
+    // Correctness must hold — one cluster, all cores — and the far
+    // point stays noise; the contract documents the COST regime, the
+    // grid join itself is exact at any density.
+    val blob = (0L until 40L).map(i => (i, i % 7, i / 7)) :+ (99L, 500L, 500L)
+    val df = blob.toDF("id", "x", "y")
+    val out = Clustering.dbscan(df, "id", "x", "y", eps = 20L, minPts = 5)
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert((0L until 40L).forall(byId(_)._1), "all blob points are cores")
+    assert((0L until 40L).map(byId(_)._2).distinct.size == 1, "one cluster")
+    assert(byId(99L) == (false, -1L), "isolated point is noise")
+  }
+
   test("Clustering.kmeans drops a cluster emptied by the assignment") {
     import spark.implicits._
     // duplicate seed vectors: the two lowest-id points coincide, so both

@@ -353,6 +353,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("q_percentile_bigrow: rank selection with no per-group buffer") {
+    val p = plan("q_percentile_bigrow")
+    // the few-groups × huge-rows regime (verdict r7 #2): NO buffered
+    // percentile aggregate (unbounded per-group value array) and NO
+    // per-group window sort (|groups|-task parallelism collapse) —
+    // rank selection runs on range-partitioned cumulative counts
+    assert(!p.toLowerCase.contains("percentile"),
+      s"buffered percentile aggregate in plan: $p")
+    assert(!p.contains("Window"), s"per-group window sort in plan: $p")
+    // aggregation must partial-aggregate map-side (the (group, value)
+    // count agg itself sits inside the cached prefix-sum relation,
+    // whose subtree the plan string elides), and the partition bases
+    // join as a broadcast
+    assert(p.contains("partial_"), s"no map-side combine: $p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"partition-base join did not broadcast: $p")
+  }
+
   test("q_pipeline_mixture keep-filter never hash-shuffles the corpus") {
     val p = plan("q_pipeline_mixture")
     // thresholds are a separate catalog-scale job; the output plan is
