@@ -779,6 +779,63 @@ object StorageQueries {
           base)
     },
 
+    // Generic plpgsql EXCEPTION WHEN OTHERS (pl_exec.c exec_stmt_block
+    // exception section, r8 tier 5b): a set-based engine cannot trap
+    // per-row errors, but when every raise site in a RETURN-expression
+    // body is statically enumerable — division/modulo (zero probe),
+    // cast (try_cast probe), total calls only — the handler lowers to
+    // a CASE that selects the fallback BEFORE the failing site
+    // evaluates. Three shapes: div-by-zero via OTHERS, cast failure
+    // via OTHERS, and a body with no raise site (handler statically
+    // dead). All stay inside whole-stage codegen.
+    Q("q_sql_plpgsql_exception", Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(round(sum(CAST(
+        |    CASE WHEN CAST(l_quantity AS BIGINT) % 7 = 0 THEN -1.0
+        |         ELSE (100 * l_quantity) / (CAST(l_quantity AS BIGINT) % 7)
+        |    END AS DECIMAL(28,6))), 2) AS DOUBLE) AS rate_sum,
+        |  CAST(sum(CASE WHEN l_linenumber <= 3
+        |       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS parsed_sum,
+        |  CAST(sum(CAST(l_linenumber AS BIGINT) + 1) AS BIGINT) AS inc_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("plexc")
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION safe_rate(num double precision, den bigint)
+            |RETURNS double precision AS $$
+            |BEGIN
+            |  RETURN num / den;
+            |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
+            |END $$ LANGUAGE plpgsql""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION parse_or_zero(s varchar) RETURNS bigint AS $$
+            |BEGIN
+            |  RETURN cast(s AS bigint);
+            |EXCEPTION WHEN OTHERS THEN RETURN 0;
+            |END $$ LANGUAGE plpgsql""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION inc_one(x bigint) RETURNS bigint AS $$
+            |BEGIN
+            |  RETURN x + 1;
+            |EXCEPTION WHEN OTHERS THEN RETURN -1;
+            |END $$ LANGUAGE plpgsql""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(round(sum(CAST(
+            |    safe_rate(100 * l_quantity, CAST(l_quantity AS BIGINT) % 7)
+            |    AS DECIMAL(28,6))), 2) AS DOUBLE) AS rate_sum,
+            |  CAST(sum(parse_or_zero(
+            |    CASE WHEN l_linenumber <= 3
+            |         THEN CAST(CAST(l_quantity AS BIGINT) AS STRING)
+            |         ELSE l_linestatus END)) AS BIGINT) AS parsed_sum,
+            |  CAST(sum(inc_one(CAST(l_linenumber AS BIGINT))) AS BIGINT)
+            |    AS inc_sum
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+          base)
+    },
+
     // PG DISTINCT ON — first row per group in ORDER BY order (gram.y
     // distinct_clause): each customer's highest-value order. Lowered to
     // one row_number window = one hash shuffle on the ON exprs.

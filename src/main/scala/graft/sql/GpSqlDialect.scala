@@ -968,7 +968,9 @@ object GpSqlDialect {
         case '\'' => i = skipString(i)
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
-        case '/' if depth == 0 =>
+        // '%' too: modulo by zero raises division_by_zero in PG just
+        // like '/' (int4mod, numeric_mod)
+        case c0 if (c0 == '/' || c0 == '%') && depth == 0 =>
           var j = i + 1
           while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
           val start = j
@@ -989,6 +991,134 @@ object GpSqlDialect {
       }
     }
     out.toSeq
+  }
+
+  /** True if the expression contains a `/` or `%` NESTED inside parens
+    * (call arguments, parenthesized groups) — those denominators have
+    * no extractable static guard, so WHEN-OTHERS lowering defers. */
+  private[graft] def hasNestedDivMod(expr: String): Boolean = {
+    var i = 0
+    var depth = 0
+    while (i < expr.length) {
+      expr.charAt(i) match {
+        case '\'' =>
+          i += 1
+          var closed = false
+          while (i < expr.length && !closed) {
+            if (expr.charAt(i) == '\'') {
+              if (i + 1 < expr.length && expr.charAt(i + 1) == '\'') i += 2
+              else { closed = true; i += 1 }
+            } else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if (c == '/' || c == '%') && depth > 0 => return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** Total functions (cannot raise in Spark OR PG for any input) —
+    * the calls a WHEN-OTHERS body may contain without defeating the
+    * static guard. log/sqrt/power are absent on purpose (PG raises on
+    * domain errors where Spark returns NULL); so is any user function
+    * (may RAISE). */
+  private val TotalFns = Set(
+    "coalesce", "nullif", "abs", "floor", "ceil", "ceiling", "round",
+    "sign", "greatest", "least", "upper", "lower", "length",
+    "char_length", "character_length", "trim", "ltrim", "rtrim",
+    "btrim", "concat", "concat_ws", "replace", "substr", "substring",
+    "left", "right", "lpad", "rpad", "reverse", "initcap",
+    "cast", "try_cast", "nvl", "ifnull", "if")
+  private val SqlKeywordsBeforeParen = Set(
+    "in", "not", "and", "or", "when", "then", "else", "case", "end",
+    "between", "exists", "any", "all", "some", "is", "as")
+
+  /** cast(X AS T) sites anywhere in the expression (string-safe,
+    * balanced): each can raise on a malformed value in PG, and each has
+    * an exact static probe — `X IS NOT NULL AND try_cast(X AS T) IS
+    * NULL`. Left when a cast's content doesn't split on a top-level
+    * AS. */
+  private[graft] def castSites(expr: String)
+      : Either[String, Seq[(String, String)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val re = "(?i)(?<![\\w.])cast\\s*\\(".r
+    for (m <- re.findAllMatchIn(expr)) {
+      // balanced-extract the argument list
+      var j = m.end
+      var d = 1
+      val start = j
+      while (j < expr.length && d > 0) {
+        expr.charAt(j) match {
+          case '\'' =>
+            j += 1
+            var closed = false
+            while (j < expr.length && !closed) {
+              if (expr.charAt(j) == '\'') {
+                if (j + 1 < expr.length && expr.charAt(j + 1) == '\'') j += 2
+                else { closed = true }
+              } else j += 1
+            }
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      val content = expr.substring(start, j - 1)
+      // split on the LAST top-level ` AS `
+      var k = 0
+      var cd = 0
+      var asPos = -1
+      while (k < content.length - 3) {
+        content.charAt(k) match {
+          case '(' => cd += 1
+          case ')' => cd -= 1
+          case _ =>
+        }
+        if (cd == 0 && content.charAt(k).isWhitespace &&
+          content.regionMatches(true, k + 1, "AS", 0, 2) &&
+          k + 3 < content.length && content.charAt(k + 3).isWhitespace)
+          asPos = k
+        k += 1
+      }
+      if (asPos < 0)
+        return Left(s"cast without a top-level AS: cast($content)")
+      out += ((content.substring(0, asPos).trim,
+        content.substring(asPos + 4).trim))
+    }
+    Right(out.toSeq)
+  }
+
+  /** Static guards for `EXCEPTION WHEN OTHERS THEN RETURN h` over a
+    * RETURN-expression body (pl_exec.c exec_stmt_block's generic
+    * handler): lowerable iff every raise site in the body is statically
+    * enumerable — top-level division/modulo (denominator = 0 probe)
+    * and casts (try_cast probe) — and every call is a total function.
+    * Returns the OR-able guard terms; Left(reason) defers loudly.
+    * Known tier limitation (documented, not guarded): integer overflow
+    * raises in PG but wraps in Spark. */
+  private[graft] def staticOthersGuards(expr: String)
+      : Either[String, Seq[String]] = {
+    if (hasNestedDivMod(expr))
+      return Left("a division/modulo nested inside call arguments " +
+        "has no static guard")
+    // calls outside the total-function whitelist may raise (domain
+    // errors, user RAISE) — strings stripped before the scan
+    val stripped = expr.replaceAll("'(?:[^']|'')*'", "''")
+    val badCall = "(?i)(?<![\\w.])([a-z_][a-z0-9_]*)\\s*\\(".r
+      .findAllMatchIn(stripped).map(_.group(1).toLowerCase)
+      .find(f => !TotalFns.contains(f) && !SqlKeywordsBeforeParen.contains(f))
+    badCall.foreach { f =>
+      return Left(s"call to $f() may raise and has no static guard")
+    }
+    val divGuards = topLevelDenominators(expr).map(d => s"($d) = 0")
+    castSites(expr).map { cs =>
+      divGuards ++ cs.map { case (x, t) =>
+        s"((($x) IS NOT NULL) AND (try_cast(($x) AS $t) IS NULL))"
+      }
+    }
   }
   // tier 4: FOR <var> IN <select> LOOP <body> END LOOP [; RETURN <e>]
   private val PlForRe =
@@ -1114,10 +1244,34 @@ object GpSqlDialect {
                 s"CASE WHEN $guard THEN (${subst(env)(h)}) " +
                   s"ELSE ($expr) END", scalarExpr = true)
             }
+          // tier 5b (r8): generic WHEN OTHERS over a RETURN-expression
+          // body — lowerable iff every raise site is statically
+          // enumerable (staticOthersGuards): top-level div/mod → zero
+          // probe, casts → try_cast probe, all calls total. The guard
+          // CASE selects the handler BEFORE any failing site evaluates.
+          case PlReturnRe(expr0) if cond == "others" &&
+              parts.length - i <= 1 &&
+              !expr0.trim.toUpperCase.startsWith("QUERY") =>
+            val expr = subst(env)(expr0)
+            staticOthersGuards(expr) match {
+              case Left(why) =>
+                deferredPlpgsql(name) = s"EXCEPTION WHEN OTHERS: $why"
+              case Right(Nil) =>
+                // no raise site anywhere — the handler is statically
+                // dead code, the body alone is the function
+                sqlFunctions(name) =
+                  SqlFunction(params, expr, scalarExpr = true)
+              case Right(guards) =>
+                sqlFunctions(name) = SqlFunction(params,
+                  s"CASE WHEN ${guards.mkString(" OR ")} " +
+                    s"THEN (${subst(env)(h)}) ELSE ($expr) END",
+                  scalarExpr = true)
+            }
           case _ =>
-            deferredPlpgsql(name) = s"EXCEPTION WHEN $cond (only a " +
-              "division_by_zero handler over a RETURN-expression body " +
-              "has a static guard)"
+            deferredPlpgsql(name) = s"EXCEPTION WHEN $cond (only " +
+              "division_by_zero and statically-guardable OTHERS " +
+              "handlers over a RETURN-expression body lower; " +
+              "everything else has no static guard)"
         }
         return spark.emptyDataFrame
       case None => ()

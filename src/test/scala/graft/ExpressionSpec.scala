@@ -2123,14 +2123,17 @@ class ExpressionSpec extends AnyFunSuite {
     val p = run("SELECT pct(CAST(1 AS DOUBLE), CAST(4 AS DOUBLE)) AS a, " +
       "pct(CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)) AS b").head
     assert(p.getDouble(0) == 25.0 && p.getDouble(1) == -1.0)
-    // OTHERS has no static guard → CREATE accepted, CALL raises
+    // OTHERS over a non-total call (ln raises on x<=0 in PG, returns
+    // NULL in Spark — no static guard) → CREATE accepted, CALL raises
+    // with the offending call named (r8 tier 5b handles the guardable
+    // OTHERS shapes; see the tier-5b test)
     run("""CREATE FUNCTION risky(x DOUBLE) RETURNS DOUBLE AS $$
           |BEGIN RETURN ln(x);
           |EXCEPTION WHEN others THEN RETURN 0;
           |END
           |$$ LANGUAGE plpgsql""".stripMargin)
     assert(GpSqlDialect.plpgsqlRejection("risky")
-      .exists(_.contains("EXCEPTION WHEN others")))
+      .exists(m => m.contains("OTHERS") && m.contains("ln")))
     // a handler over a division nested in call args cannot be
     // statically guarded → defers, never guesses
     run("""CREATE FUNCTION hidden_div(a DOUBLE, b DOUBLE)
@@ -2153,6 +2156,62 @@ class ExpressionSpec extends AnyFunSuite {
     assert(topLevelDenominators("coalesce(a / b, 0)").isEmpty)
     // string literals with slashes are not divisions
     assert(topLevelDenominators("concat('a/b', c)").isEmpty)
+  }
+
+  test("plpgsql tier 5b: WHEN OTHERS lowers statically-guardable bodies") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_others_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    // division: zero denominator selects the handler pre-evaluation
+    run("""CREATE FUNCTION oth_rate(num double precision, den bigint)
+          |RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN num / den;
+          |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_rate").isEmpty,
+      GpSqlDialect.plpgsqlRejection("oth_rate").toString)
+    val r = run("SELECT oth_rate(CAST(10.0 AS DOUBLE), 0) AS a, " +
+      "oth_rate(CAST(10.0 AS DOUBLE), 4) AS b").head
+    assert(r.getDouble(0) == -1.0 && r.getDouble(1) == 2.5)
+    // cast: malformed string selects the handler, NULL passes through
+    run("""CREATE FUNCTION oth_parse(s varchar) RETURNS bigint AS $$
+          |BEGIN
+          |  RETURN cast(s AS bigint);
+          |EXCEPTION WHEN OTHERS THEN RETURN 0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_parse").isEmpty,
+      GpSqlDialect.plpgsqlRejection("oth_parse").toString)
+    val p = run(
+      "SELECT oth_parse('42') AS a, oth_parse('nope') AS b, " +
+        "oth_parse(CAST(NULL AS STRING)) AS c").head
+    assert(p.getAs[Number](0).longValue == 42L &&
+      p.getAs[Number](1).longValue == 0L && p.isNullAt(2))
+    // no raise site: handler is statically dead, body alone
+    run("""CREATE FUNCTION oth_inc(x bigint) RETURNS bigint AS $$
+          |BEGIN
+          |  RETURN x + 1;
+          |EXCEPTION WHEN OTHERS THEN RETURN -1;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(run("SELECT oth_inc(41) AS a").head
+      .getAs[Number](0).longValue == 42L)
+    // non-total call (sqrt raises on negatives in PG, not in Spark):
+    // defers loudly with the call named
+    run("""CREATE FUNCTION oth_root(x double precision)
+          |RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN sqrt(x);
+          |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val rej = GpSqlDialect.plpgsqlRejection("oth_root")
+    assert(rej.exists(_.contains("sqrt")), rej.toString)
+    // nested division: no extractable guard, defers
+    run("""CREATE FUNCTION oth_nest(a double precision, b double precision)
+          |RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN coalesce(a / b, 0);
+          |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
   }
 
   test("ts_headline dedupes repeated query terms like plainto_tsquery") {
