@@ -958,6 +958,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(varByC(1) / vals(1) - 1.0) < 1e-6)
   }
 
+  test("Trees.decisionTree: broadcast-join reassignment ≡ CASE chain") {
+    import spark.implicits._
+    // the r8 depth guard switches frontier reassignment from a CASE
+    // chain (janino-bounded, NOTES ~100-term wall ≈ 16 arms) to a
+    // broadcast join past caseChainMax winners — both paths must grow
+    // the identical tree. caseChainMax=0 forces the join path on every
+    // level; the default exercises the CASE path at this depth.
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 240).map { i =>
+      val v = Array(rnd.nextDouble().toFloat, rnd.nextDouble().toFloat)
+      (i.toLong, v, (if (v(0) + 0.3 * v(1) > 0.6) 1 else 0).toLong)
+    }.toDF("id", "vec", "label")
+    val thr = Seq(0.2, 0.4, 0.6, 0.8)
+    val t0 = System.nanoTime()
+    val caseRows = Trees.decisionTree(data, "vec", "label", 2, thr, 4)
+      .collect().map(_.toSeq)
+    val joinRows = Trees.decisionTree(data, "vec", "label", 2, thr, 4,
+      caseChainMax = 0).collect().map(_.toSeq)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(caseRows.nonEmpty && caseRows.toSeq == joinRows.toSeq)
+    // boundedness: two depth-4 trains, all levels, well under the
+    // janino-wall regime (~5 s per job once a chain passes ~100 terms)
+    assert(secs < 120, f"tree training took $secs%.1f s")
+  }
+
   test("Clustering.dbscan dense blob: grid join stays exact at max density") {
     import spark.implicits._
     // the SCALING.md density contract's worst case: every point within
