@@ -79,6 +79,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           opts.getOrElse("stopsel", "</b>"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ts_rank_cd"),
+      new ExpressionInfo(classOf[TsRankCdExpr].getName, "ts_rank_cd"),
+      (exprs: Seq[Expression]) => {
+        // PG surface: ts_rank_cd(document, query) — query a LITERAL of
+        // space-separated AND terms (plainto_tsquery, deduped)
+        if (exprs.size < 2) throw new IllegalArgumentException(
+          "ts_rank_cd(document, query) needs 2 args")
+        val q = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            "ts_rank_cd query must be a string literal")
+        }
+        TsRankCdExpr(exprs.head,
+          q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
       (exprs: Seq[Expression]) => PiiScanExpr(exprs.head)))

@@ -839,6 +839,112 @@ object FunctionQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- money (cash.c) --------------------------------------------
+    // cash_in accepts '$1,234.56', accounting '($12.34)', bare
+    // numerics; storage is exact cents (DECIMAL(19,2) here ≡ cash.c's
+    // int64); cash_out renders '-$1,234.56'. The text forms are
+    // constructed identically in both engines, then graft parses them
+    // back with moneyIn — the roundtrip IS the test.
+    Q("q_fn_money", Some(
+      """WITH m AS (SELECT c_custkey,
+        |    (c_custkey * 131071) % 2000000 - 1000000 AS cents
+        |  FROM customer WHERE c_custkey <= 300),
+        |f AS (SELECT c_custkey, cents,
+        |    abs(cents) // 100 AS dollars, abs(cents) % 100 AS rem FROM m),
+        |t AS (SELECT c_custkey, cents,
+        |    format('{:,}', dollars) || '.' ||
+        |      lpad(CAST(rem AS VARCHAR), 2, '0') AS grouped,
+        |    CAST(dollars AS VARCHAR) || '.' ||
+        |      lpad(CAST(rem AS VARCHAR), 2, '0') AS plain,
+        |    CASE WHEN cents < 0 THEN '-' ELSE '' END AS sgn FROM f)
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 3 = 0 THEN
+        |         CASE WHEN cents < 0 THEN '($' || grouped || ')'
+        |              ELSE '$' || grouped END
+        |       WHEN c_custkey % 3 = 1 THEN sgn || plain
+        |       ELSE sgn || '$' || plain END AS txt,
+        |  CAST(CAST(sgn || plain AS DECIMAL(19,2)) AS DOUBLE) AS amt,
+        |  sgn || '$' || grouped AS rendered
+        |FROM t ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.MoneyMacFunctions._
+      val f = Tables.T(s, dir).customer.filter($"c_custkey" <= 300)
+        .withColumn("cents",
+          pmod($"c_custkey" * 131071L, lit(2000000L)) - 1000000L)
+        .withColumn("dollars", floor(abs($"cents") / 100d).cast("long"))
+        .withColumn("rem", pmod(abs($"cents"), lit(100L)))
+      val grouped = concat(format_number($"dollars", 0), lit("."),
+        lpad($"rem".cast("string"), 2, "0"))
+      val plain = concat($"dollars".cast("string"), lit("."),
+        lpad($"rem".cast("string"), 2, "0"))
+      val sgn = when($"cents" < 0, lit("-")).otherwise(lit(""))
+      val txt = when(pmod($"c_custkey", lit(3)) === 0,
+        when($"cents" < 0, concat(lit("($"), grouped, lit(")")))
+          .otherwise(concat(lit("$"), grouped)))
+        .when(pmod($"c_custkey", lit(3)) === 1, concat(sgn, plain))
+        .otherwise(concat(sgn, lit("$"), plain))
+      f.withColumn("txt", txt)
+        .withColumn("money", moneyIn($"txt"))
+        .withColumn("rendered", moneyOut($"money"))
+        // exact cents → the double is identical in both engines; the
+        // driver compare reads DuckDB decimals through pandas as floats
+        .select($"c_custkey", $"txt", $"money".cast("double").as("amt"),
+          $"rendered")
+        .orderBy("c_custkey")
+    },
+
+    // ---- macaddr (mac.c) -------------------------------------------
+    // macaddr_in normalizes dashed/dotted/bare inputs to the canonical
+    // lowercase colon form; trunc() zeroes the NIC octets; comparison
+    // is byte order (≡ lexicographic on the fixed-width canonical
+    // string); ~/&/| run in the 48-bit space.
+    Q("q_fn_macaddr", Some(
+      """WITH m AS (SELECT c_custkey,
+        |    (c_custkey * 1099511627 + 777) % 281474976710656 AS v
+        |  FROM customer WHERE c_custkey <= 300),
+        |h AS (SELECT c_custkey, v, printf('%012x', v) AS hx,
+        |    printf('%012x', 281474976710655 - v) AS nx,
+        |    printf('%012x', v & 281474959933695) AS ax FROM m)
+        |SELECT c_custkey,
+        |  substr(hx,1,2)||':'||substr(hx,3,2)||':'||substr(hx,5,2)||':'||
+        |    substr(hx,7,2)||':'||substr(hx,9,2)||':'||substr(hx,11,2) AS mac,
+        |  substr(hx,1,2)||':'||substr(hx,3,2)||':'||substr(hx,5,2)||
+        |    ':00:00:00' AS tr,
+        |  substr(nx,1,2)||':'||substr(nx,3,2)||':'||substr(nx,5,2)||':'||
+        |    substr(nx,7,2)||':'||substr(nx,9,2)||':'||substr(nx,11,2)
+        |    AS notm,
+        |  substr(ax,1,2)||':'||substr(ax,3,2)||':'||substr(ax,5,2)||':'||
+        |    substr(ax,7,2)||':'||substr(ax,9,2)||':'||substr(ax,11,2)
+        |    AS anded,
+        |  ((v // 1099511627776) & 2) <> 0 AS is_local,
+        |  substr(hx,1,2)||':'||substr(hx,3,2)||':'||substr(hx,5,2)||':'||
+        |    substr(hx,7,2)||':'||substr(hx,9,2)||':'||substr(hx,11,2)
+        |    < '80:00:00:00:00:00' AS lt_half
+        |FROM h ORDER BY c_custkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.MoneyMacFunctions._
+      val withV = Tables.T(s, dir).customer.filter($"c_custkey" <= 300)
+        .withColumn("v", $"c_custkey" * 1099511627L + 777L)
+        .withColumn("hx", lpad(lower(conv($"v", 10, 16)), 12, "0"))
+      // raw input forms: dashed UPPERCASE / dotted Cisco / bare hex —
+      // macIn must normalize all three to the canonical colon form
+      val dashed = upper(concat_ws("-",
+        (0 until 6).map(i => substring($"hx", i * 2 + 1, 2)): _*))
+      val dotted = concat_ws(".",
+        (0 until 3).map(i => substring($"hx", i * 4 + 1, 4)): _*)
+      val raw = when(pmod($"c_custkey", lit(3)) === 0, dashed)
+        .when(pmod($"c_custkey", lit(3)) === 1, dotted)
+        .otherwise($"hx")
+      withV.withColumn("mac", macIn(raw))
+        .select($"c_custkey", $"mac",
+          macTrunc($"mac").as("tr"),
+          macNot($"mac").as("notm"),
+          macAnd($"mac", lit("ff:ff:ff:00:00:ff")).as("anded"),
+          macIsLocal($"mac").as("is_local"),
+          ($"mac" < "80:00:00:00:00:00").as("lt_half"))
+        .orderBy("c_custkey")
+    },
+
     // ---- hashing / encoding (encode.c, uuid.c) ---------------------
     Q("q_fn_hash_encode", Some(
       """SELECT n_nationkey,

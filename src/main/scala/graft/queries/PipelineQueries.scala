@@ -257,6 +257,55 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ts_rank_cd cover density (tsrank.c calc_rank_cd/Cover, r8): rank
+    // = Σ over minimal covers of 0.1/(1+noise), terms 1e-6-quantized
+    // so summation order can't perturb either engine. The cover set is
+    // computed set-based (per distinct start, smallest end — provably
+    // the greedy Cover() sequence; see TsRankCdExpr's spec), which is
+    // what lets the oracle replay it with two windows and a group-by
+    // while the Spark side stays ONE codegen'd pass per row, map-only.
+    Q("q_text_rank_cd", Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 400),
+        |p0 AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos0,
+        |    list_extract(toks, CAST(i AS INT)) AS tok
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)
+        |  WHERE list_extract(toks, CAST(i AS INT)) <> ''),
+        |p2 AS (
+        |  SELECT doc_id, lower(tok) AS low,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS p
+        |  FROM p0),
+        |l AS (
+        |  SELECT doc_id, p, low,
+        |    max(CASE WHEN low = 'hash' THEN p END) OVER w AS l1,
+        |    max(CASE WHEN low = 'join' THEN p END) OVER w AS l2,
+        |    sum(CASE WHEN low IN ('hash', 'join') THEN 1 ELSE 0 END)
+        |      OVER w AS mp
+        |  FROM p2 WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |cand AS (
+        |  SELECT doc_id, least(l1, l2) AS s, p AS e, mp AS mp_e
+        |  FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL),
+        |cov AS (
+        |  SELECT doc_id, s, min(e) AS e, min_by(mp_e, e) AS mp_e
+        |  FROM cand GROUP BY doc_id, s),
+        |co AS (
+        |  SELECT cov.doc_id, cov.s, cov.e,
+        |    cov.mp_e - ls.mp + 1 AS m
+        |  FROM cov JOIN l ls ON ls.doc_id = cov.doc_id AND ls.p = cov.s)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(floor(0.1 / (1 + ((e - s + 1) - m)) * 1000000
+        |    + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS rank
+        |FROM co GROUP BY doc_id
+        |HAVING rank > 0 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.filter($"doc_id" < 400)
+        .selectExpr("doc_id", "ts_rank_cd(text, 'hash join') AS rank")
+        .filter($"rank" > 0)
+        .orderBy("doc_id")
+    },
+
     // Decontamination: overlap of 3-gram shingles between a candidate
     // corpus and a held-out set (here: two sources of the docs table).
     // A training doc sharing many shingles with an eval doc is
