@@ -1110,16 +1110,23 @@ object StorageQueries {
     // Cursors (portalcmds.c; GP gp_parallel_retrieve_cursor): DECLARE
     // spools the query once into an indexed parquet (PG WITH HOLD
     // tuplestore), FETCH is a pruned range read — paged retrieval of a
-    // huge result without re-running the query per page.
+    // huge result without re-running the query per page. Batch 3 (r8)
+    // exercises the positioned/backward directions (PerformPortalFetch
+    // grammar): LAST → BACKWARD 3 → ABSOLUTE 25 → RELATIVE −5 → PRIOR,
+    // each a __pos range predicate, no scrollback buffer.
     Q("q_sql_cursor", Some(
-      """SELECT * FROM (
-        |  SELECT 1 AS batch, c_custkey, c_name FROM
-        |    (SELECT * FROM customer WHERE c_custkey <= 40
-        |     ORDER BY c_custkey LIMIT 10)
+      """WITH r AS (SELECT c_custkey, c_name,
+        |    row_number() OVER (ORDER BY c_custkey) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM customer WHERE c_custkey <= 40)
+        |SELECT * FROM (
+        |  SELECT 1 AS batch, c_custkey, c_name FROM r WHERE rn <= 10
         |  UNION ALL
-        |  SELECT 2 AS batch, c_custkey, c_name FROM
-        |    (SELECT * FROM customer WHERE c_custkey <= 40
-        |     ORDER BY c_custkey LIMIT 10 OFFSET 10)
+        |  SELECT 2 AS batch, c_custkey, c_name FROM r
+        |    WHERE rn > 10 AND rn <= 20
+        |  UNION ALL
+        |  SELECT 3 AS batch, c_custkey, c_name FROM r
+        |    WHERE rn IN (cnt, cnt-1, cnt-2, cnt-3, 25, 20, 19)
         |) ORDER BY batch, c_custkey""".stripMargin)) {
       (s, dir) =>
         Tables.registerAll(s, dir)
@@ -1130,10 +1137,19 @@ object StorageQueries {
             |WHERE c_custkey <= 40 ORDER BY c_custkey""".stripMargin, base)
         val b1 = GpSqlDialect.execute(s, "FETCH 10 FROM top_cust", base)
         val b2 = GpSqlDialect.execute(s, "FETCH FORWARD 10 FROM top_cust", base)
+        val b3 = Seq(
+          GpSqlDialect.execute(s, "FETCH LAST FROM top_cust", base),
+          GpSqlDialect.execute(s, "FETCH BACKWARD 3 FROM top_cust", base),
+          GpSqlDialect.execute(s, "FETCH ABSOLUTE 25 FROM top_cust", base),
+          GpSqlDialect.execute(s, "FETCH RELATIVE -5 FROM top_cust", base),
+          GpSqlDialect.execute(s, "FETCH PRIOR FROM top_cust", base))
+          .reduce(_ unionAll _)
         GpSqlDialect.execute(s, "CLOSE top_cust", base)
         b1.select(lit(1).as("batch"), col("c_custkey"), col("c_name"))
           .unionAll(
             b2.select(lit(2).as("batch"), col("c_custkey"), col("c_name")))
+          .unionAll(
+            b3.select(lit(3).as("batch"), col("c_custkey"), col("c_name")))
           .orderBy("batch", "c_custkey")
     },
 

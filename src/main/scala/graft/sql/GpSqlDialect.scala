@@ -227,7 +227,8 @@ object GpSqlDialect {
     }
     FetchRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
-        return executeFetch(spark, Option(m.group(1)), m.group(2))
+        return executeFetch(spark, Option(m.group(1)), Option(m.group(2)),
+          m.group(3))
       case _ =>
     }
     RetrieveRe.findFirstMatchIn(trimmed) match {
@@ -2131,7 +2132,8 @@ object GpSqlDialect {
     ("(?is)^\\s*DECLARE\\s+(\\w+)\\s+(PARALLEL\\s+RETRIEVE\\s+)?" +
       "(?:NO\\s+SCROLL\\s+)?CURSOR\\s+(?:WITH\\s+HOLD\\s+)?FOR\\s+(.+)$").r
   private val FetchRe =
-    ("(?is)^\\s*FETCH\\s+(?:(?:FORWARD|NEXT)\\s+)?(ALL|\\d+)?\\s*" +
+    ("(?is)^\\s*FETCH\\s+(?:(NEXT|PRIOR|FIRST|LAST|FORWARD|BACKWARD|" +
+      "ABSOLUTE|RELATIVE)\\s+)?(ALL|[+-]?\\d+)?\\s*" +
       "(?:FROM|IN)\\s+(\\w+)\\s*$").r
   private val CloseCursorRe = "(?is)^\\s*CLOSE\\s+(\\w+)\\s*$".r
   // gp_parallel_retrieve_cursor: RETRIEVE [ALL|n] FROM ENDPOINT name —
@@ -2214,38 +2216,92 @@ object GpSqlDialect {
     }
   }
 
-  /** FETCH [FORWARD|NEXT] [n|ALL] FROM name. Bare FETCH = 1 row (PG).
-    * The page is materialized before returning — FETCH delivers rows to
-    * the client in PG, and eager delivery keeps a later CLOSE (which
-    * drops the spool) from invalidating pages already handed out. Page
-    * size is the client's fetch count. FETCH ALL still has to hand every
-    * row to the caller (that is its contract), but it drains the spool
-    * through `toLocalIterator` — one partition in flight at a time, like
-    * PG's per-row portal delivery — instead of a single `collect()` that
-    * holds the full result in executor buffers and the driver at once. */
+  /** FETCH [direction] [n|ALL] FROM name — the full portal direction
+    * grammar (portalcmds.c PerformPortalFetch; pl_exec.c
+    * exec_stmt_fetch directions): NEXT/PRIOR/FIRST/LAST,
+    * ABSOLUTE/RELATIVE ±n, FORWARD/BACKWARD [n|ALL]. Bare FETCH = 1
+    * row forward (PG). The spool is an INDEXED parquet, so every
+    * direction — including backward and positioned — is just a range
+    * predicate on `__pos` with an ASC/DESC read order: no re-execution,
+    * no scrollback buffer, O(page) per fetch at any spool size.
+    *
+    * Position semantics mirror PG's portal exactly: `pos` is the
+    * 1-based index of the row the cursor is ON (0 = before first,
+    * nRows+1 = off the end), so PRIOR from off-the-end returns the
+    * last row, ABSOLUTE −1 is the last row, RELATIVE 0 re-fetches the
+    * current row, and an overshooting FORWARD parks off the end.
+    *
+    * The page is materialized before returning — FETCH delivers rows
+    * to the client in PG, and eager delivery keeps a later CLOSE
+    * (which drops the spool) from invalidating pages already handed
+    * out. FETCH ALL still has to hand every row to the caller (that is
+    * its contract), but it drains the spool through `toLocalIterator`
+    * — one partition in flight at a time, like PG's per-row portal
+    * delivery — instead of a single `collect()` that holds the full
+    * result in executor buffers and the driver at once. */
   def executeFetch(
-      spark: SparkSession, count: Option[String], name: String): DataFrame = {
+      spark: SparkSession, dirRaw: Option[String], cntRaw: Option[String],
+      name: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val c = cursors.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(s"cursor $name does not exist"))
     val snap = spark.read.parquet(c.path)
-    count.map(_.toUpperCase) match {
-      case Some("ALL") =>
-        val ordered = snap.filter(col("__pos") >= c.pos)
-          .orderBy("__pos").drop("__pos")
-        c.pos = Long.MaxValue
-        val buf = new java.util.ArrayList[Row]()
-        val it = ordered.toLocalIterator()
-        while (it.hasNext) buf.add(it.next())
-        spark.createDataFrame(buf, ordered.schema)
-      case other =>
-        val n = other.map(_.toLong).getOrElse(1L)
-        val ordered =
-          snap.filter(col("__pos") >= c.pos && col("__pos") < c.pos + n)
-            .orderBy("__pos").drop("__pos")
-        c.pos += n
-        spark.createDataFrame(
-          java.util.Arrays.asList(ordered.collect(): _*), ordered.schema)
+    // parquet row count is footer metadata — no data scan
+    lazy val nRows: Long = snap.count()
+    // 1-based inclusive row range [lo, hi], read ASC or DESC
+    def page(lo: Long, hi: Long, reverse: Boolean): DataFrame = {
+      val ordered = snap
+        .filter(col("__pos") >= lo - 1 && col("__pos") <= hi - 1)
+        .orderBy(if (reverse) col("__pos").desc else col("__pos").asc)
+        .drop("__pos")
+      spark.createDataFrame(
+        java.util.Arrays.asList(ordered.collect(): _*), ordered.schema)
+    }
+    def fwd(n: Long): DataFrame = {
+      val lo = c.pos + 1
+      val hi = math.min(c.pos + n, nRows)
+      c.pos = math.min(c.pos + n, nRows + 1)
+      page(lo, hi, reverse = false)
+    }
+    def fwdAll(): DataFrame = {
+      val ordered = snap.filter(col("__pos") >= c.pos)
+        .orderBy("__pos").drop("__pos")
+      c.pos = nRows + 1
+      val buf = new java.util.ArrayList[Row]()
+      val it = ordered.toLocalIterator()
+      while (it.hasNext) buf.add(it.next())
+      spark.createDataFrame(buf, ordered.schema)
+    }
+    def bwd(n: Long): DataFrame = {
+      val hi = math.min(c.pos - 1, nRows)
+      val lo = math.max(c.pos - n, 1)
+      c.pos = math.max(c.pos - n, 0)
+      page(lo, hi, reverse = true)
+    }
+    // position on row `target` (1-based) and return it; outside the
+    // spool parks before-first / off-the-end with an empty page
+    def moveTo(target: Long): DataFrame =
+      if (target < 1) { c.pos = 0; page(1, 0, reverse = false) }
+      else if (target > nRows) { c.pos = nRows + 1; page(1, 0, reverse = false) }
+      else { c.pos = target; page(target, target, reverse = false) }
+    val dir = dirRaw.map(_.toUpperCase).getOrElse("FORWARD")
+    val cnt = cntRaw.map(_.trim.toUpperCase)
+    (dir, cnt) match {
+      case ("FORWARD" | "NEXT", None) => fwd(1)
+      case ("FORWARD", Some("ALL")) => fwdAll()
+      case ("FORWARD", Some(n)) if n.toLong >= 0 => fwd(n.toLong)
+      case ("FORWARD", Some(n)) => bwd(-n.toLong) // PG: FORWARD -n ≡ BACKWARD n
+      case ("PRIOR" | "BACKWARD", None) => bwd(1)
+      case ("BACKWARD", Some("ALL")) => bwd(math.max(c.pos, 1L))
+      case ("BACKWARD", Some(n)) if n.toLong >= 0 => bwd(n.toLong)
+      case ("BACKWARD", Some(n)) => fwd(-n.toLong)
+      case ("FIRST", None) => moveTo(1)
+      case ("LAST", None) => moveTo(nRows)
+      case ("ABSOLUTE", Some(n)) =>
+        moveTo(if (n.toLong >= 0) n.toLong else nRows + n.toLong + 1)
+      case ("RELATIVE", Some(n)) => moveTo(c.pos + n.toLong)
+      case (d, k) => throw new IllegalArgumentException(
+        s"FETCH $d ${k.getOrElse("")} FROM $name: unsupported direction/count")
     }
   }
 

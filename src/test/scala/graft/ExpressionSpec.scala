@@ -2214,6 +2214,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
   }
 
+  test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fetch_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    def keys(sql: String): Seq[Int] =
+      run(sql).collect().map(_.getAs[Number](0).intValue).toSeq
+    Tables.registerAll(spark, sf)
+    run("""DECLARE nat_cur CURSOR FOR
+          |SELECT n_nationkey FROM nation ORDER BY n_nationkey""".stripMargin)
+    // nation holds nationkeys 0..24 (25 rows)
+    assert(keys("FETCH LAST FROM nat_cur") == Seq(24))
+    assert(keys("FETCH PRIOR FROM nat_cur") == Seq(23))
+    // BACKWARD pages run in reverse order (PG)
+    assert(keys("FETCH BACKWARD 3 FROM nat_cur") == Seq(22, 21, 20))
+    assert(keys("FETCH ABSOLUTE 1 FROM nat_cur") == Seq(0))
+    assert(keys("FETCH ABSOLUTE -2 FROM nat_cur") == Seq(23))
+    // RELATIVE 0 re-fetches the current row; negative moves back
+    assert(keys("FETCH RELATIVE 0 FROM nat_cur") == Seq(23))
+    assert(keys("FETCH RELATIVE -10 FROM nat_cur") == Seq(13))
+    // off-the-end: overshoot parks past the last row, PRIOR recovers it
+    assert(keys("FETCH ABSOLUTE 25 FROM nat_cur") == Seq(24))
+    assert(keys("FETCH NEXT FROM nat_cur").isEmpty)
+    assert(keys("FETCH PRIOR FROM nat_cur") == Seq(24))
+    // ABSOLUTE 0 = before first; NEXT then returns the first row
+    assert(keys("FETCH ABSOLUTE 0 FROM nat_cur").isEmpty)
+    assert(keys("FETCH NEXT FROM nat_cur") == Seq(0))
+    assert(keys("FETCH FORWARD ALL FROM nat_cur") == (1 to 24))
+    assert(keys("FETCH BACKWARD ALL FROM nat_cur") == (24 to 0 by -1))
+    run("CLOSE nat_cur")
+  }
+
   test("ts_headline dedupes repeated query terms like plainto_tsquery") {
     // 'hash hash' is ONE lexeme after plainto_tsquery dedup: without the
     // r8 .distinct the duplicate held a cover slot that never filled
