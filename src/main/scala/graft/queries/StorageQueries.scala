@@ -346,6 +346,49 @@ object StorageQueries {
         .orderBy("o_orderkey")
     },
 
+    // BEFORE ROW triggers (executor/nodeRowTrigger.c:450,
+    // commands/trigger.c; r8): the NEW-assignment + RETURN-NULL-skip
+    // plpgsql trigger body is a projection + filter, and a BEFORE ROW
+    // trigger IS that projection applied to the DML source relation —
+    // set-based, one codegen'd stage, zero per-row calls. INSERT fires
+    // on the aligned tuples; UPDATE composes the trigger over the SET
+    // clause in text space (the rewritten UPDATE stays one pass); a
+    // vetoing trigger (RETURN NULL) drops the row / skips the update.
+    Q("q_dml_trigger", Some(
+      """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+        |    (c_custkey % 7) - 1 AS qty
+        |  FROM customer WHERE c_custkey <= 200),
+        |ins AS (SELECT id, lower(seg) AS seg, qty, qty * 100 AS total
+        |  FROM base WHERE qty > 0),
+        |upd AS (SELECT id, seg,
+        |    CASE WHEN id <= 50 THEN qty + 1 ELSE qty END AS qty,
+        |    CASE WHEN id <= 50 THEN (qty + 1) * 100 ELSE total END AS total
+        |  FROM ins)
+        |SELECT CAST(id AS BIGINT) AS id, seg, CAST(qty AS BIGINT) AS qty,
+        |  CAST(total AS BIGINT) AS total
+        |FROM upd ORDER BY id""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS trig_orders")
+      run("""CREATE TABLE trig_orders (id bigint, seg text, qty bigint,
+            |  total bigint) DISTRIBUTED BY (id)""".stripMargin)
+      run("""CREATE OR REPLACE FUNCTION trig_ord() RETURNS trigger AS $$
+            |BEGIN
+            |  IF NEW.qty <= 0 THEN RETURN NULL; END IF;
+            |  NEW.seg := lower(NEW.seg);
+            |  NEW.total := NEW.qty * 100;
+            |  RETURN NEW;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_ord BEFORE INSERT OR UPDATE ON trig_orders
+            |FOR EACH ROW EXECUTE FUNCTION trig_ord()""".stripMargin)
+      run("""INSERT INTO trig_orders
+            |SELECT c_custkey, c_mktsegment, c_custkey % 7 - 1, 0
+            |FROM customer WHERE c_custkey <= 200""".stripMargin)
+      run("UPDATE trig_orders SET qty = qty + 1 WHERE id <= 50")
+      run("SELECT id, seg, qty, total FROM trig_orders ORDER BY id")
+    },
+
     // ForeignScan (nodeForeignscan.c:89): nation published to an embedded
     // Derby "foreign server", bound back as a partitioned JDBC scan with
     // the filter pushed into the remote WHERE. Oracle runs on the local

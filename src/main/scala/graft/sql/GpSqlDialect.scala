@@ -70,8 +70,7 @@ object GpSqlDialect {
     * rejected loudly rather than silently misexecuted. */
   private val Unsupported: Seq[(scala.util.matching.Regex, String)] = Seq(
     "(?is)\\bFOR\\s+UPDATE\\b".r ->
-      "FOR UPDATE row locks (no lock manager; Spark has no row locks)",
-    "(?is)\\bCREATE\\s+TRIGGER\\b".r -> "CREATE TRIGGER (no trigger engine)")
+      "FOR UPDATE row locks (no lock manager; Spark has no row locks)")
 
   def rejectUnsupported(sql: String): Unit =
     Unsupported.foreach { case (re, why) =>
@@ -217,6 +216,25 @@ object GpSqlDialect {
     BulkNextvalRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeBulkNextval(spark, m)
+      case _ =>
+    }
+    CreateTriggerRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateTrigger(spark, m.group(1), m.group(2),
+          m.group(3), m.group(4))
+      case _ =>
+        // any other trigger shape: loud reject, never misexecute
+        if ("(?is)^\\s*CREATE\\s+(?:CONSTRAINT\\s+)?TRIGGER\\b".r
+            .findFirstIn(trimmed).isDefined)
+          throw new UnsupportedOperationException(
+            "graft supports BEFORE INSERT/UPDATE ... FOR EACH ROW " +
+              "EXECUTE FUNCTION f() triggers only (AFTER triggers: use " +
+              "the CDC delta views; INSTEAD OF / statement-level / WHEN " +
+              "/ trigger arguments have no set-based lowering)")
+    }
+    DropTriggerRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeDropTrigger(spark, m.group(1), m.group(2))
       case _ =>
     }
     DeclareCursorRe.findFirstMatchIn(trimmed) match {
@@ -1161,6 +1179,10 @@ object GpSqlDialect {
         s"cannot parse CREATE FUNCTION ... LANGUAGE plpgsql: $gpSql"))
     val name = m.group(1).toLowerCase
     deferredPlpgsql.remove(name) // OR REPLACE with a supported body heals
+    // RETURNS trigger → the row-trigger body tier (NEW assignments +
+    // RETURN-NULL skips); see executeCreateTriggerFn
+    if ("(?is)\\bRETURNS\\s+trigger\\b".r.findFirstIn(gpSql).isDefined)
+      return executeCreateTriggerFn(spark, name, m.group(4))
     val params = splitTopLevelCommas(m.group(2)).map(_.trim).map { p =>
       val sp = p.indexWhere(_.isWhitespace)
       if (sp < 0) p else p.substring(0, sp)
@@ -2114,6 +2136,166 @@ object GpSqlDialect {
       case Some(m) => executeBulkNextval(spark, m)
       case None => spark.sql(body)
     }
+
+  // ---- BEFORE ROW triggers (executor/nodeRowTrigger.c:450,
+  // commands/trigger.c; r8) --------------------------------------------
+  //
+  // A Spark engine has no per-row procedure hook, but the dominant GP
+  // row-trigger shape — a plpgsql fn of `NEW.col := expr` assignments
+  // with optional `IF cond THEN RETURN NULL` validation skips, ending
+  // `RETURN NEW` — IS a projection + filter, and a BEFORE ROW trigger
+  // firing on every inserted/updated tuple is exactly that projection
+  // applied to the DML's source relation: set-based, codegen'd, zero
+  // per-row calls. Triggers fire in name order (PG). AFTER triggers
+  // stay on the CDC delta-view path (operators/Cdc.scala); INSTEAD OF,
+  // statement-level, WHEN clauses, argument lists, and OLD.* references
+  // reject loudly.
+
+  sealed private trait TrigStep
+  private case class TrigSkip(cond: String) extends TrigStep
+  private case class TrigAssign(col: String, expr: String) extends TrigStep
+  private val triggerFnBodies =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[TrigStep]]
+  private case class TriggerDef(name: String, events: Set[String], fn: String)
+  private val tableTriggers =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[TriggerDef]]
+
+  private val CreateTriggerRe =
+    ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+BEFORE\\s+" +
+      "(INSERT|UPDATE|INSERT\\s+OR\\s+UPDATE|UPDATE\\s+OR\\s+INSERT)\\s+" +
+      "ON\\s+(\\w+)\\s+FOR\\s+EACH\\s+ROW\\s+" +
+      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+  private val DropTriggerRe =
+    "(?is)^\\s*DROP\\s+TRIGGER\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\s*$".r
+
+  /** RETURNS trigger body tier: `NEW.col := expr;` assignments,
+    * `IF cond THEN RETURN NULL; END IF;` skips, terminal `RETURN NEW`.
+    * Anything else (OLD.*, loops, TG_OP dispatch) records a loud
+    * defer — CREATE TRIGGER on it then raises with the reason. */
+  def executeCreateTriggerFn(
+      spark: SparkSession, name: String, body0: String): DataFrame = {
+    def defer(why: String): DataFrame = {
+      deferredPlpgsql(name) = why
+      triggerFnBodies.remove(name)
+      spark.emptyDataFrame
+    }
+    val body = body0.trim match {
+      case PlBodyRe(d, s) =>
+        if (Option(d).exists(_.trim.nonEmpty))
+          return defer("trigger function DECLARE section")
+        s.trim
+      case other => return defer(firstStatement(other))
+    }
+    if ("(?i)(?<![\\w.])OLD\\.".r.findFirstIn(body).isDefined)
+      return defer("OLD.* reference (pre-image not available on the " +
+        "set-based trigger path)")
+    def stripNew(s: String): String =
+      s.replaceAll("(?i)(?<![\\w.])NEW\\.", "")
+    val parts = splitStatements(body).map(_.trim).filter(_.nonEmpty)
+    val AssignNewRe = "(?is)^NEW\\.(\\w+)\\s*:=\\s*(.+)$".r
+    val SkipIfRe = "(?is)^IF\\s+(.+?)\\s+THEN\\s+RETURN\\s+NULL$".r
+    val steps = scala.collection.mutable.ArrayBuffer.empty[TrigStep]
+    var i = 0
+    while (i < parts.length) {
+      parts(i) match {
+        case SkipIfRe(cond) if i + 1 < parts.length &&
+            parts(i + 1).matches("(?is)^END\\s+IF$") =>
+          steps += TrigSkip(stripNew(cond)); i += 2
+        case AssignNewRe(c, e) =>
+          steps += TrigAssign(c.toLowerCase, stripNew(e)); i += 1
+        case r if r.matches("(?is)^RETURN\\s+NEW$") && i == parts.length - 1 =>
+          i += 1
+        case other => return defer(firstStatement(other))
+      }
+    }
+    triggerFnBodies(name) = steps.toSeq
+    deferredPlpgsql.remove(name)
+    spark.emptyDataFrame
+  }
+
+  def executeCreateTrigger(
+      spark: SparkSession, trigName: String, eventsRaw: String,
+      table: String, fn: String): DataFrame = {
+    val fnLc = fn.toLowerCase
+    if (!triggerFnBodies.contains(fnLc)) {
+      val why = deferredPlpgsql.get(fnLc)
+        .map(w => s"trigger function $fn is not executable: $w")
+        .getOrElse(s"trigger function $fn does not exist or does not " +
+          "RETURN trigger")
+      throw new UnsupportedOperationException(why)
+    }
+    val events = eventsRaw.toUpperCase.split("\\s+OR\\s+")
+      .map(_.trim.toLowerCase).toSet
+    val lc = table.toLowerCase
+    tableTriggers(lc) = (tableTriggers.getOrElse(lc, Vector.empty)
+      .filterNot(_.name == trigName.toLowerCase) :+
+      TriggerDef(trigName.toLowerCase, events, fnLc)).sortBy(_.name)
+    spark.emptyDataFrame
+  }
+
+  def executeDropTrigger(
+      spark: SparkSession, trigName: String, table: String): DataFrame = {
+    val lc = table.toLowerCase
+    tableTriggers.get(lc).foreach(ts =>
+      tableTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
+    spark.emptyDataFrame
+  }
+
+  /** Fire the table's BEFORE ROW triggers on the new-tuple relation:
+    * skips filter, assignments project (each step sees the previous
+    * steps' NEW values, plpgsql sequencing) — the whole cascade stays
+    * one codegen'd stage over the DML source. */
+  def applyRowTriggers(
+      table: String, df: DataFrame, event: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val trigs = tableTriggers.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(_.events.contains(event))
+    if (trigs.isEmpty) return df
+    val types = df.schema.map(f => f.name.toLowerCase -> (f.name, f.dataType))
+      .toMap
+    trigs.foldLeft(df) { (d, tg) =>
+      triggerFnBodies.getOrElse(tg.fn, Seq.empty).foldLeft(d) {
+        case (dd, TrigSkip(c)) =>
+          dd.filter(not(coalesce(expr(c), lit(false))))
+        case (dd, TrigAssign(cn, e)) =>
+          val (actual, dt) = types.getOrElse(cn,
+            throw new IllegalArgumentException(
+              s"trigger ${tg.name}: column $cn of $table does not exist"))
+          dd.withColumn(actual, expr(e).cast(dt))
+      }
+    }
+  }
+
+  /** UPDATE-path trigger composition in TEXT space: the SET clause is
+    * the initial NEW environment; each trigger step substitutes the
+    * current environment into its expression ONE pass (so captured
+    * values are not re-substituted), skips AND into the update
+    * predicate. Returns (assignments, extraSkipConds). */
+  private def composeUpdateTriggers(
+      table: String, setMap: Seq[(String, String)])
+      : (Seq[(String, String)], Seq[String]) = {
+    val trigs = tableTriggers.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(_.events.contains("update"))
+    if (trigs.isEmpty) return (setMap, Nil)
+    var env = scala.collection.immutable.ListMap(
+      setMap.map { case (k, v) => k.toLowerCase -> v }: _*)
+    def subst(e: String): String = {
+      if (env.isEmpty) return e
+      val pat = ("(?i)(?<![\\w.'])(" +
+        env.keys.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")(?![\\w.(])").r
+      pat.replaceAllIn(e, m => java.util.regex.Matcher
+        .quoteReplacement("(" + env(m.group(1).toLowerCase) + ")"))
+    }
+    val skips = scala.collection.mutable.ArrayBuffer.empty[String]
+    trigs.foreach { tg =>
+      triggerFnBodies.getOrElse(tg.fn, Seq.empty).foreach {
+        case TrigSkip(c) => skips += subst(c)
+        case TrigAssign(cn, e) => env = env + (cn -> subst(e))
+      }
+    }
+    (env.toSeq, skips.toSeq)
+  }
 
   // ---- cursors (commands/portalcmds.c PerformCursorOpen/PerformPortalFetch;
   // GP parallel retrieve: gpcontrib/gp_parallel_retrieve_cursor) --------
@@ -3591,11 +3773,19 @@ object GpSqlDialect {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     import spark.implicits._
     val t = catalog(table)
-    val assignments = splitTopLevel(setClause, ',').map { a =>
+    val setPairs = splitTopLevel(setClause, ',').map { a =>
       val Array(k, v) = a.split("=", 2)
-      k.trim.toLowerCase -> expr(v.trim)
-    }.toMap
-    val cond = where.map(expr).getOrElse(lit(true))
+      k.trim.toLowerCase -> v.trim
+    }
+    // BEFORE UPDATE row triggers compose over the SET clause in text
+    // space (the SET is the initial NEW image; trigger skips AND into
+    // the update predicate) — the rewritten UPDATE stays one pass
+    val (effPairs, trigSkips) = composeUpdateTriggers(table, setPairs)
+    val assignments = effPairs.map { case (k, v) => k -> expr(v) }.toMap
+    val baseCond = where.map(expr).getOrElse(lit(true))
+    val cond = trigSkips.foldLeft(baseCond) { (c, sk) =>
+      c && !coalesce(expr(sk), lit(false))
+    }
     val df = spark.read.parquet(t.path)
     val out = returning match {
       case Some(r) =>
@@ -4219,7 +4409,7 @@ object GpSqlDialect {
         .map(d => expr(d).cast(f.dataType).as(f.name))
         .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }: _*)
-    appendFrame(spark, t, row)
+    appendFrame(spark, t, applyRowTriggers(name, row, "insert"))
   }
 
   def executeInsertInto(
@@ -4230,7 +4420,11 @@ object GpSqlDialect {
     "(?is)^(.*?)\\s+RETURNING\\s+(.+?)\\s*$".r.findFirstMatchIn(rest) match {
       case Some(m) if m.group(1).count(_ == '\'') % 2 == 0 =>
         val t = catalog(name)
-        val inserted = insertSource(spark, t, m.group(1), colList)
+        // BEFORE ROW triggers fire on the aligned new tuples (post
+        // defaults/casts, like PG); RETURNING reflects the post-trigger
+        // row, nodeModifyTable.c ExecInsert ordering
+        val inserted = applyRowTriggers(name,
+          insertSource(spark, t, m.group(1), colList), "insert")
           .localCheckpoint(true)
         appendFrame(spark, t, inserted)
         return inserted.selectExpr(
@@ -4238,7 +4432,8 @@ object GpSqlDialect {
       case _ =>
     }
     val t = catalog(name)
-    appendFrame(spark, t, insertSource(spark, t, rest, colList))
+    appendFrame(spark, t,
+      applyRowTriggers(name, insertSource(spark, t, rest, colList), "insert"))
   }
 
   /** Build the aligned source frame of an INSERT: VALUES or SELECT body,

@@ -2214,6 +2214,58 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
   }
 
+  test("BEFORE ROW triggers: NEW projection + RETURN NULL skip, set-based") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_trig_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS trig_t")
+    run("CREATE TABLE trig_t (id int, name text, qty int, total int) " +
+      "DISTRIBUTED BY (id)")
+    run("""CREATE FUNCTION trig_norm() RETURNS trigger AS $$
+          |BEGIN
+          |  IF NEW.qty <= 0 THEN RETURN NULL; END IF;
+          |  NEW.name := upper(NEW.name);
+          |  NEW.total := NEW.qty * 2;
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_norm BEFORE INSERT OR UPDATE ON trig_t " +
+      "FOR EACH ROW EXECUTE PROCEDURE trig_norm()")
+    run("INSERT INTO trig_t VALUES (1, 'ann', 3, 0)")
+    run("INSERT INTO trig_t VALUES (2, 'bob', 0, 0)") // skipped: qty <= 0
+    val r1 = run("SELECT id, name, qty, total FROM trig_t ORDER BY id")
+      .collect()
+    assert(r1.length == 1, r1.mkString(","))
+    assert(r1(0).getString(1) == "ANN" && r1(0).getInt(3) == 6)
+    // UPDATE: trigger composes over the SET clause (total recomputed)
+    run("UPDATE trig_t SET qty = 5 WHERE id = 1")
+    val r2 = run("SELECT name, qty, total FROM trig_t WHERE id = 1").head
+    assert(r2.getString(0) == "ANN" && r2.getInt(1) == 5 &&
+      r2.getInt(2) == 10)
+    // UPDATE that the trigger vetoes (skip) leaves the row untouched
+    run("UPDATE trig_t SET qty = -4 WHERE id = 1")
+    assert(run("SELECT qty FROM trig_t WHERE id = 1").head.getInt(0) == 5)
+    // DROP TRIGGER: raw inserts pass through again
+    run("DROP TRIGGER t_norm ON trig_t")
+    run("INSERT INTO trig_t VALUES (3, 'eve', 0, 0)")
+    assert(run("SELECT count(*) AS n FROM trig_t").head.getLong(0) == 2L)
+    // unsupported shapes reject loudly, never misexecute
+    val e1 = intercept[UnsupportedOperationException] {
+      run("CREATE TRIGGER t_aft AFTER INSERT ON trig_t " +
+        "FOR EACH ROW EXECUTE PROCEDURE trig_norm()")
+    }
+    assert(e1.getMessage.contains("CDC"), e1.getMessage)
+    run("""CREATE FUNCTION trig_old() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.total := OLD.total + 1;
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val e2 = intercept[UnsupportedOperationException] {
+      run("CREATE TRIGGER t_old BEFORE UPDATE ON trig_t " +
+        "FOR EACH ROW EXECUTE PROCEDURE trig_old()")
+    }
+    assert(e2.getMessage.contains("OLD"), e2.getMessage)
+    run("DROP TABLE trig_t")
+  }
+
   test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_fetch_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
