@@ -97,6 +97,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("xml_is_well_formed"),
+      new ExpressionInfo(classOf[XmlWellFormedExpr].getName,
+        "xml_is_well_formed"),
+      // default xmloption = content (xml.c)
+      (exprs: Seq[Expression]) => XmlWellFormedExpr(exprs.head, doc = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("xml_is_well_formed_document"),
+      new ExpressionInfo(classOf[XmlWellFormedExpr].getName,
+        "xml_is_well_formed_document"),
+      (exprs: Seq[Expression]) => XmlWellFormedExpr(exprs.head, doc = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("xml_is_well_formed_content"),
+      new ExpressionInfo(classOf[XmlWellFormedExpr].getName,
+        "xml_is_well_formed_content"),
+      (exprs: Seq[Expression]) => XmlWellFormedExpr(exprs.head, doc = false)))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scan"),
       new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
       (exprs: Seq[Expression]) => PiiScanExpr(exprs.head)))

@@ -13,10 +13,25 @@ import org.apache.spark.sql.functions._
   * chains; no custom type is needed and everything stays in whole-stage
   * codegen. XPath extraction rides Spark's native UDFXPath family (see
   * the xpath section below). Parsing/validation (xml_in via libxml) is
-  * out of scope (COVERAGE.md §2.10 — publishing + extraction are what
-  * warehouse queries actually use).
+  * [[graft.expressions.XmlWellFormedExpr]] (r8): well-formedness checks
+  * and [[xmlParse]]'s reject-on-malformed contract.
   */
 object XmlFunctions {
+
+  /** xml_in rejection semantics (xml.c xml_parse; r8): malformed input
+    * RAISES like PG instead of passing through — AssertOp composition
+    * over the well-formedness expression, same pattern as enumAssert.
+    * NULL stays NULL (xml_in of NULL is NULL, no parse). */
+  def xmlParse(c: Column, document: Boolean = false): Column = {
+    val ok = call_function(
+      if (document) "xml_is_well_formed_document"
+      else "xml_is_well_formed_content", c)
+    when(c.isNotNull && !ok,
+      raise_error(concat(lit("invalid XML "),
+        lit(if (document) "document" else "content"), lit(": "),
+        substring(c, 1, 80))))
+      .otherwise(c)
+  }
 
   /** escape_xml (xml.c:2285-2313): & < > and CR, in this order — & first
     * so entity ampersands aren't double-escaped. */

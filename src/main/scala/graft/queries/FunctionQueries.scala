@@ -1484,6 +1484,43 @@ object FunctionQueries {
     // xmlagg(fragment ORDER BY key): document aggregation — partial-agg
     // friendly collect/sort/join on the Spark side, string_agg ORDER BY
     // in the oracle.
+    // xml_in validation (xml.c wellformed_xml / xml_parse, r8): the
+    // malformed-input REJECTION semantics the publishing surface above
+    // doesn't cover. Fragments with statically-known validity per
+    // key%4: valid element / unclosed tag / bare text (content-valid,
+    // document-invalid) / self-closing. The JDK StAX check runs inside
+    // codegen (XmlWellFormedExpr); the oracle pins the expected truth
+    // table.
+    Q("q_fn_xml_valid", Some(
+      """WITH x AS (SELECT n_nationkey AS k,
+        |  CASE CAST(n_nationkey % 4 AS INT)
+        |    WHEN 0 THEN concat('<a href="x">', n_name, '</a>')
+        |    WHEN 1 THEN concat('<a>', n_name)
+        |    WHEN 2 THEN concat('plain ', n_name, ' text')
+        |    ELSE concat('<n k="', CAST(n_nationkey AS VARCHAR), '"/>')
+        |  END AS frag
+        |  FROM nation)
+        |SELECT k, frag,
+        |  CASE CAST(k % 4 AS INT) WHEN 1 THEN false ELSE true END
+        |    AS wf_content,
+        |  CASE CAST(k % 4 AS INT) WHEN 1 THEN false WHEN 2 THEN false
+        |    ELSE true END AS wf_doc
+        |FROM x ORDER BY k""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).nation
+        .withColumn("frag", expr(
+          """CASE CAST(n_nationkey % 4 AS INT)
+            |  WHEN 0 THEN concat('<a href="x">', n_name, '</a>')
+            |  WHEN 1 THEN concat('<a>', n_name)
+            |  WHEN 2 THEN concat('plain ', n_name, ' text')
+            |  ELSE concat('<n k="', CAST(n_nationkey AS STRING), '"/>')
+            |END""".stripMargin))
+        .selectExpr("n_nationkey AS k", "frag",
+          "xml_is_well_formed(frag) AS wf_content",
+          "xml_is_well_formed_document(frag) AS wf_doc")
+        .orderBy("k")
+    },
+
     Q("q_fn_xmlagg", Some(
       """SELECT p_brand,
         |  '<parts>' || string_agg('<p>' || CAST(p_partkey AS VARCHAR)

@@ -2214,6 +2214,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
   }
 
+  test("xml_is_well_formed edges + xmlParse rejection (xml_in semantics)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.XmlFunctions
+    def wf(s: String, fn: String): Boolean =
+      spark.sql(s"SELECT $fn('${s.replace("'", "''")}') AS v")
+        .head.getBoolean(0)
+    // content: empty and bare text are valid; unbalanced is not
+    assert(wf("", "xml_is_well_formed"))
+    assert(wf("a &amp; b <i>x</i>", "xml_is_well_formed"))
+    assert(!wf("a < b", "xml_is_well_formed"))
+    assert(!wf("<a><b></a></b>", "xml_is_well_formed"))
+    // undefined entity: malformed in both modes (libxml agrees)
+    assert(!wf("&nosuch;", "xml_is_well_formed"))
+    // document: exactly one root; declaration allowed; bare text is not
+    assert(wf("<?xml version=\"1.0\"?><r><i/></r>",
+      "xml_is_well_formed_document"))
+    assert(!wf("plain", "xml_is_well_formed_document"))
+    assert(!wf("<a/><b/>", "xml_is_well_formed_document"))
+    // DTD / external entities are refused (XXE hardening; PG refuses
+    // external fetch likewise)
+    assert(!wf("<?xml version=\"1.0\"?><!DOCTYPE r [<!ENTITY x \"y\">]>" +
+      "<r>&x;</r>", "xml_is_well_formed_document"))
+    // xmlParse: NULL passes, valid passes through, malformed RAISES
+    import spark.implicits._
+    val df = Seq(("<ok/>", 1), (null, 2)).toDF("x", "id")
+    val good = df.select(XmlFunctions.xmlParse(col("x")).as("v"))
+      .collect().map(_.getString(0))
+    assert(good.toSet == Set("<ok/>", null))
+    val e = intercept[Exception] {
+      Seq("<broken").toDF("x")
+        .select(XmlFunctions.xmlParse(col("x"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("BEFORE ROW triggers: NEW projection + RETURN NULL skip, set-based") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_trig_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
