@@ -879,6 +879,43 @@ object StorageQueries {
           base)
     },
 
+    // Multi-statement DML loop bodies (pl_exec.c exec_stmt_fors; the
+    // r7 verdict's top remaining plpgsql wall): a procedure looping
+    // over a query and running an INSERT + an UPDATE per row lowers to
+    // TWO set-based statements over the loop source — legal because
+    // the statements are independent (distinct targets, no
+    // read-after-write); dependent bodies raise loudly (spec-gated).
+    Q("q_sql_dml_loop", Some(
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  CASE WHEN n_nationkey < 15 THEN 'seen' ELSE 'raw' END AS flag,
+        |  CAST(CASE WHEN n_nationkey < 15 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS hits,
+        |  CASE WHEN n_nationkey < 15 THEN lower(n_name) END AS nm
+        |FROM nation ORDER BY k""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_loop")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS etl_log")
+      run("DROP TABLE IF EXISTS etl_tgt")
+      run("CREATE TABLE etl_log (k bigint, nm text) DISTRIBUTED BY (k)")
+      run("""CREATE TABLE etl_tgt (k bigint, flag text, hits bigint)
+            |DISTRIBUTED BY (k)""".stripMargin)
+      run("INSERT INTO etl_tgt SELECT n_nationkey, 'raw', 0 FROM nation")
+      run("""CREATE OR REPLACE PROCEDURE sync_nat() AS $$
+            |BEGIN
+            |  FOR r IN SELECT n_nationkey AS k, n_name AS nm FROM nation
+            |           WHERE n_nationkey < 15 LOOP
+            |    INSERT INTO etl_log VALUES (r.k, lower(r.nm));
+            |    UPDATE etl_tgt SET flag = 'seen', hits = hits + 1
+            |      WHERE k = r.k;
+            |  END LOOP;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("CALL sync_nat()")
+      run("""SELECT t.k, t.flag, t.hits, l.nm
+            |FROM etl_tgt t LEFT JOIN etl_log l ON t.k = l.k
+            |ORDER BY t.k""".stripMargin)
+    },
+
     // PG DISTINCT ON — first row per group in ORDER BY order (gram.y
     // distinct_clause): each customer's highest-value order. Lowered to
     // one row_number window = one hash shuffle on the ON exprs.

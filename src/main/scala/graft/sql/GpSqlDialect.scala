@@ -1539,11 +1539,110 @@ object GpSqlDialect {
   private val DoBlockRe =
     ("(?is)^\\s*DO\\s+(?:LANGUAGE\\s+\\w+\\s+)?\\$(\\w*)\\$(.*)\\$\\1\\$" +
       "\\s*(?:LANGUAGE\\s+\\w+)?\\s*;?\\s*$").r
+  // SET/WHERE captures exclude ';' so a multi-statement body can never
+  // be swallowed as one UPDATE (it belongs to PlForDmlRe below)
   private val PlForUpdateRe =
     ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s*" +
-      "UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?);?\\s*" +
+      "UPDATE\\s+(\\w+)\\s+SET\\s+([^;]+?)\\s+WHERE\\s+([^;]+?);?\\s*" +
       "END\\s+LOOP\\s*$").r
+  // r8: FOR loop over a query whose body mixes SEVERAL DML statements
+  private val PlForDmlRe =
+    ("(?is)^\\s*FOR\\s+(\\w+)\\s+IN\\s+(SELECT\\b.+?)\\s+LOOP\\s+(.+?)" +
+      "\\s*END\\s+LOOP\\s*$").r
+  private val LoopInsertValsRe =
+    ("(?is)^INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "VALUES\\s*\\((.+)\\)\\s*$").r
+  private val LoopUpdateRe =
+    "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+)$".r
+  private val LoopDeleteRe =
+    "(?is)^DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.+)$".r
+  private def isDmlLoopBody(body: String): Boolean = {
+    val stmts = splitStatements(body).map(_.trim).filter(_.nonEmpty)
+    stmts.nonEmpty && stmts.forall {
+      case LoopInsertValsRe(_, _, _) => true
+      case LoopUpdateRe(_, _, _) => true
+      case LoopDeleteRe(_, _) => true
+      case _ => false
+    }
+  }
   private val PerformRe = "(?is)^\\s*PERFORM\\s+(.+)$".r
+
+  /** Multi-statement DML loop bodies (pl_exec.c exec_stmt_fors over a
+    * body of INSERT/UPDATE/DELETE — the r7 verdict's top remaining
+    * plpgsql wall): every row-at-a-time statement lowers to ONE
+    * set-based statement over the loop source relation. Sequential
+    * interleave (stmt1 row1, stmt2 row1, stmt1 row2 …) ≡ the batched
+    * form (all of stmt1, then all of stmt2) iff the statements are
+    * independent: target tables pairwise distinct, and neither the
+    * loop source nor any OTHER statement references a table the body
+    * writes. Violations raise loudly — never a silent reorder. */
+  private def lowerDmlLoop(
+      spark: SparkSession, loopVar: String, sel: String, body: String,
+      basePath: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val stmts = splitStatements(body).map(_.trim).filter(_.nonEmpty)
+    val parsed = stmts.map {
+      case st @ LoopInsertValsRe(t, _, vals) =>
+        // single VALUES tuple only: a depth-0 ')' inside the capture
+        // means `VALUES (..),(..)` — reject rather than mangle
+        var d = 0
+        vals.foreach { case '(' => d += 1; case ')' => d -= 1; case _ => }
+        if (d < 0 || vals.count(_ == '(') != vals.count(_ == ')'))
+          throw new UnsupportedOperationException(
+            "DML loop INSERT must use a single VALUES tuple: " +
+              firstStatement(st))
+        (t.toLowerCase, st)
+      case st @ LoopUpdateRe(t, _, _) => (t.toLowerCase, st)
+      case st @ LoopDeleteRe(t, _) => (t.toLowerCase, st)
+      case other => throw new UnsupportedOperationException(
+        "DML loop body statement not lowerable: " + firstStatement(other))
+    }
+    val targets = parsed.map(_._1)
+    if (targets.distinct.length != targets.length)
+      throw new UnsupportedOperationException(
+        "DML loop writes the same table twice — sequential semantics " +
+          s"have no set-based equivalent: ${targets.mkString(", ")}")
+    targets.foreach { t =>
+      val re = s"(?i)(?<![\\w.])${java.util.regex.Pattern.quote(t)}(?![\\w])".r
+      if (re.findFirstIn(sel).isDefined)
+        throw new UnsupportedOperationException(
+          s"DML loop source reads $t, which the body writes — " +
+            "sequential semantics have no set-based equivalent")
+      parsed.foreach { case (t2, txt) =>
+        if (t2 != t && re.findFirstIn(txt).isDefined)
+          throw new UnsupportedOperationException(
+            s"DML loop statement on $t2 references $t, which another " +
+              "statement writes — sequential semantics have no " +
+              "set-based equivalent")
+      }
+    }
+    val lv = java.util.regex.Pattern.quote(loopVar)
+    val df = execute(spark, sel, basePath)
+    df.toDF(df.columns.map(c => "__src_" + c.toLowerCase).toIndexedSeq: _*)
+      .createOrReplaceTempView("__loop_src")
+    def deref(e: String): String =
+      s"(?i)(?<![\\w.])$lv\\.(\\w+)".r
+        .replaceAllIn(e, m => "__src_" + m.group(1).toLowerCase)
+    parsed.foreach { case (_, st) =>
+      st match {
+        case LoopInsertValsRe(t, cols, vals) =>
+          val colSpec = Option(cols).map(c => s"($c) ").getOrElse("")
+          execute(spark,
+            s"INSERT INTO $t ${colSpec}SELECT ${deref(vals)} " +
+              "FROM __loop_src", basePath)
+        case LoopUpdateRe(t, set, cond) =>
+          executeUpdateFrom(spark, t, deref(set), "__loop_src", deref(cond))
+        case LoopDeleteRe(t, cond) =>
+          val tb = catalog(t)
+          val remaining = spark.read.parquet(tb.path)
+            .join(spark.table("__loop_src"), expr(deref(cond)), "left_anti")
+          graft.operators.Dml.overwrite(spark, tb.path, remaining,
+            tb.partitionCols)
+          refreshView(spark, tb)
+      }
+      ()
+    }
+  }
 
   def executeCreateProcedure(
       spark: SparkSession, gpSql: String): DataFrame = {
@@ -1643,6 +1742,10 @@ object GpSqlDialect {
         executeUpdateFrom(spark, table, deref(set), "__loop_src",
           deref(cond))
         ()
+      // r8: loop body of SEVERAL independent DML statements — each
+      // lowers to one set-based statement over the loop source
+      case PlForDmlRe(v, sel, body) if isDmlLoopBody(body) =>
+        lowerDmlLoop(spark, v, sel, body, basePath)
       // EXECUTE '…$n…' [USING e1, e2] (exec_stmt_dynexecute): locals
       // substituted already by the enclosing subst, so the USING args
       // are constant text — $n slots fill like PREPARE parameters

@@ -2214,6 +2214,65 @@ class ExpressionSpec extends AnyFunSuite {
     assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
   }
 
+  test("procedure DML loop: multi-statement body lowers set-based") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dmlloop_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    Tables.registerAll(spark, sf)
+    run("DROP TABLE IF EXISTS loop_log")
+    run("DROP TABLE IF EXISTS loop_tgt")
+    run("DROP TABLE IF EXISTS loop_junk")
+    run("CREATE TABLE loop_log (k int, nm text) DISTRIBUTED BY (k)")
+    run("CREATE TABLE loop_tgt (k int, flag text, hits int) " +
+      "DISTRIBUTED BY (k)")
+    run("CREATE TABLE loop_junk (k int) DISTRIBUTED BY (k)")
+    run("INSERT INTO loop_tgt SELECT n_nationkey, 'raw', 0 FROM nation")
+    run("INSERT INTO loop_junk SELECT n_nationkey + 100 FROM nation")
+    // INSERT + UPDATE + DELETE per loop row → three set-based
+    // statements over pairwise-distinct targets
+    run("""CREATE PROCEDURE sync_nations() AS $$
+          |BEGIN
+          |  FOR r IN SELECT n_nationkey AS k, n_name AS nm FROM nation
+          |           WHERE n_nationkey < 10 LOOP
+          |    INSERT INTO loop_log VALUES (r.k, r.nm);
+          |    UPDATE loop_tgt SET flag = 'seen', hits = hits + 1
+          |      WHERE k = r.k;
+          |    DELETE FROM loop_junk WHERE k = r.k + 100;
+          |  END LOOP;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CALL sync_nations()")
+    assert(run("SELECT count(*) AS n FROM loop_log").head.getLong(0) == 10L)
+    val tg = run("SELECT flag, count(*) AS n FROM loop_tgt GROUP BY flag " +
+      "ORDER BY flag").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(tg.toSeq == Seq("raw" -> 15L, "seen" -> 10L), tg.mkString(","))
+    assert(run("SELECT count(*) AS n FROM loop_junk").head.getLong(0) == 15L)
+    // same-table UPDATE + DELETE is order-dependent → loud reject
+    run("""CREATE PROCEDURE same_tbl() AS $$
+          |BEGIN
+          |  FOR r IN SELECT n_nationkey AS k FROM nation LOOP
+          |    UPDATE loop_tgt SET hits = hits + 1 WHERE k = r.k;
+          |    DELETE FROM loop_tgt WHERE k = r.k + 100;
+          |  END LOOP;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val eSame = intercept[UnsupportedOperationException] {
+      run("CALL same_tbl()")
+    }
+    assert(eSame.getMessage.contains("same table"), eSame.getMessage)
+    // dependent bodies reject loudly: body reads a table the body writes
+    run("""CREATE PROCEDURE bad_loop() AS $$
+          |BEGIN
+          |  FOR r IN SELECT n_nationkey AS k FROM nation LOOP
+          |    INSERT INTO loop_log VALUES (r.k, 'x');
+          |    UPDATE loop_tgt SET hits = hits + 1
+          |      WHERE k IN (SELECT k FROM loop_log);
+          |  END LOOP;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val e = intercept[UnsupportedOperationException] { run("CALL bad_loop()") }
+    assert(e.getMessage.contains("loop_log"), e.getMessage)
+    run("DROP TABLE loop_log")
+    run("DROP TABLE loop_tgt")
+    run("DROP TABLE loop_junk")
+  }
+
   test("xml_is_well_formed edges + xmlParse rejection (xml_in semantics)") {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.functions.XmlFunctions
