@@ -1135,7 +1135,20 @@ object GpSqlDialect {
     val divGuards = topLevelDenominators(expr).map(d => s"($d) = 0")
     castSites(expr).map { cs =>
       divGuards ++ cs.map { case (x, t) =>
-        s"((($x) IS NOT NULL) AND (try_cast(($x) AS $t) IS NULL))"
+        // Spark's try_cast REJECTS via an internal throw/catch —
+        // measured ~8 µs per failing row (vs ~0.3 µs passing), so a
+        // garbage-heavy column pays 20× on the probe alone. For
+        // integral targets a cheap RLIKE pre-screen takes the common
+        // garbage on the regex branch (|| short-circuits in codegen);
+        // try_cast stays only as the overflow check on shape-valid
+        // strings.
+        val isIntegral = Set("bigint", "int", "integer", "smallint",
+          "int2", "int4", "int8").contains(t.trim.toLowerCase)
+        if (isIntegral)
+          s"((($x) IS NOT NULL) AND " +
+            s"((NOT (($x) RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$$')) OR " +
+            s"(try_cast(($x) AS $t) IS NULL)))"
+        else s"((($x) IS NOT NULL) AND (try_cast(($x) AS $t) IS NULL))"
       }
     }
   }
@@ -1827,12 +1840,42 @@ object GpSqlDialect {
               else "(?i)(?<![\\w.$])(" +
                 fn.params.map(java.util.regex.Pattern.quote).mkString("|") +
                 ")\\b|\\$(\\d+)").r
-            val expanded = paramPat.replaceAllIn(fn.body, pm => {
-              val i =
-                if (pm.group(1) != null) byName(pm.group(1).toLowerCase)
-                else pm.group(if (fn.params.isEmpty) 1 else 2).toInt - 1
-              java.util.regex.Matcher.quoteReplacement(s"(${args(i)})")
-            })
+            def substRun(run: String): String =
+              paramPat.replaceAllIn(run, pm => {
+                val i =
+                  if (pm.group(1) != null) byName(pm.group(1).toLowerCase)
+                  else pm.group(if (fn.params.isEmpty) 1 else 2).toInt - 1
+                java.util.regex.Matcher.quoteReplacement(s"(${args(i)})")
+              })
+            // substitute OUTSIDE string literals only — a param name
+            // (or $n) occurring inside a quoted literal is data, not a
+            // reference (hit in r8: the 's' of a regex '\\s' inside an
+            // RLIKE pattern was being replaced with the argument)
+            val expanded = {
+              val b = fn.body
+              val sb = new StringBuilder
+              var i2 = 0
+              var runStart = 0
+              while (i2 < b.length) {
+                if (b.charAt(i2) == '\'') {
+                  sb ++= substRun(b.substring(runStart, i2))
+                  var j = i2 + 1
+                  var closed = false
+                  while (j < b.length && !closed) {
+                    if (b.charAt(j) == '\'') {
+                      if (j + 1 < b.length && b.charAt(j + 1) == '\'') j += 2
+                      else closed = true
+                    } else j += 1
+                  }
+                  val end = math.min(j, b.length - 1)
+                  sb ++= b.substring(i2, end + 1)
+                  i2 = end + 1
+                  runStart = i2
+                } else i2 += 1
+              }
+              sb ++= substRun(b.substring(runStart))
+              sb.toString
+            }
             // a generator body must stay bare — Spark rejects explode()
             // nested inside any expression, including plain parens
             val rendered =
