@@ -72,11 +72,16 @@ object XmlWellFormedExpr {
 
   def wellFormed(s: String, doc: Boolean): Boolean = {
     // content mode: wrap in a synthetic root (xml.c xml_parse's
-    // XMLOPTION_CONTENT trick); an XML declaration is document-only
+    // XMLOPTION_CONTENT trick). A leading XML declaration is STRIPPED
+    // first, like xml_parse's parse_xml_decl — PG accepts
+    // '<?xml ...?><x/>' as content (r8 review fix).
     val body =
       if (doc) s
-      else if (s.trim.startsWith("<?xml")) return false
-      else "<graft__r>" + s + "</graft__r>"
+      else {
+        val stripped =
+          "(?s)^\\s*<\\?xml\\b.*?\\?>".r.replaceFirstIn(s, "")
+        "<graft__r>" + stripped + "</graft__r>"
+      }
     try {
       val r = factory.get().createXMLStreamReader(
         new java.io.StringReader(body))

@@ -118,6 +118,20 @@ object Dml {
         case None => df(c).as(c)
       }
     }: _*)
+    // Multi-match guard (r8 review): a target row matching SEVERAL
+    // source rows would be MULTIPLIED by the left join and silently
+    // corrupt the table (PG's UPDATE ... FROM updates such a row once,
+    // from an arbitrary match — data-dependent nondeterminism we refuse
+    // rather than replicate). nBefore is parquet footer metadata; the
+    // nAfter count re-executes the join once — the price of a loud
+    // contract on a mutation primitive.
+    val nBefore = df.count()
+    val nAfter = updated.count()
+    require(nAfter == nBefore,
+      s"UPDATE ... FROM matched multiple source rows for at least one " +
+        s"target row ($nBefore target rows, $nAfter join results) — " +
+        "PG would pick one match arbitrarily; dedup the source on the " +
+        "join keys instead")
     overwriteInPlace(spark, path, updated)
   }
 

@@ -1063,7 +1063,10 @@ object GpSqlDialect {
       : Either[String, Seq[(String, String)]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val re = "(?i)(?<![\\w.])cast\\s*\\(".r
-    for (m <- re.findAllMatchIn(expr)) {
+    // search on a literal-masked copy (same length, so indices align
+    // with the original): 'cast(' INSIDE a string literal is data
+    val masked = maskLiterals(expr)
+    for (m <- re.findAllMatchIn(masked)) {
       // balanced-extract the argument list
       var j = m.end
       var d = 1
@@ -1118,14 +1121,15 @@ object GpSqlDialect {
     * Returns the OR-able guard terms; Left(reason) defers loudly.
     * Known tier limitation (documented, not guarded): integer overflow
     * raises in PG but wraps in Spark. */
-  private[graft] def staticOthersGuards(expr: String)
+  private[graft] def staticOthersGuards(
+      expr: String, stringParams: Set[String] = Set.empty)
       : Either[String, Seq[String]] = {
     if (hasNestedDivMod(expr))
       return Left("a division/modulo nested inside call arguments " +
         "has no static guard")
     // calls outside the total-function whitelist may raise (domain
     // errors, user RAISE) — strings stripped before the scan
-    val stripped = expr.replaceAll("'(?:[^']|'')*'", "''")
+    val stripped = maskLiterals(expr)
     val badCall = "(?i)(?<![\\w.])([a-z_][a-z0-9_]*)\\s*\\(".r
       .findAllMatchIn(stripped).map(_.group(1).toLowerCase)
       .find(f => !TotalFns.contains(f) && !SqlKeywordsBeforeParen.contains(f))
@@ -1133,23 +1137,36 @@ object GpSqlDialect {
       return Left(s"call to $f() may raise and has no static guard")
     }
     val divGuards = topLevelDenominators(expr).map(d => s"($d) = 0")
-    castSites(expr).map { cs =>
-      divGuards ++ cs.map { case (x, t) =>
+    castSites(expr).flatMap { cs =>
+      // a CASE may conditionally guard a raise site (`CASE WHEN d = 0
+      // THEN 0 ELSE n / d END`) — PG never evaluates the division, so
+      // an unconditional static guard would hijack the handler. Any
+      // CASE alongside a raise site ⇒ defer (r8 review fix).
+      if ((divGuards.nonEmpty || cs.nonEmpty) &&
+        "(?i)(?<![\\w.])CASE(?![\\w.])".r.findFirstIn(stripped).isDefined)
+        return Left("a CASE in the body may conditionally guard the " +
+          "raise site — no static guard")
+      Right(divGuards ++ cs.map { case (x, t) =>
         // Spark's try_cast REJECTS via an internal throw/catch —
         // measured ~8 µs per failing row (vs ~0.3 µs passing), so a
-        // garbage-heavy column pays 20× on the probe alone. For
-        // integral targets a cheap RLIKE pre-screen takes the common
-        // garbage on the regex branch (|| short-circuits in codegen);
-        // try_cast stays only as the overflow check on shape-valid
-        // strings.
+        // garbage-heavy column pays 20× on the probe alone. When the
+        // operand is a DECLARED-string parameter and the target is
+        // integral, a cheap RLIKE pre-screen takes the common garbage
+        // on the regex branch (|| short-circuits in codegen); try_cast
+        // stays as the overflow check on shape-valid strings. The
+        // screen needs the operand to actually BE a string — an
+        // implicit numeric→string coercion would make RLIKE reject
+        // values PG casts fine (1.5 → bigint rounds, never raises).
         val isIntegral = Set("bigint", "int", "integer", "smallint",
           "int2", "int4", "int8").contains(t.trim.toLowerCase)
-        if (isIntegral)
+        val isStringOperand =
+          stringParams.contains(x.trim.toLowerCase)
+        if (isIntegral && isStringOperand)
           s"((($x) IS NOT NULL) AND " +
             s"((NOT (($x) RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$$')) OR " +
             s"(try_cast(($x) AS $t) IS NULL)))"
         else s"((($x) IS NOT NULL) AND (try_cast(($x) AS $t) IS NULL))"
-      }
+      })
     }
   }
   // tier 4: FOR <var> IN <select> LOOP <body> END LOOP [; RETURN <e>]
@@ -1196,10 +1213,27 @@ object GpSqlDialect {
     // RETURN-NULL skips); see executeCreateTriggerFn
     if ("(?is)\\bRETURNS\\s+trigger\\b".r.findFirstIn(gpSql).isDefined)
       return executeCreateTriggerFn(spark, name, m.group(4))
-    val params = splitTopLevelCommas(m.group(2)).map(_.trim).map { p =>
+    val paramDecls = splitTopLevelCommas(m.group(2)).map(_.trim)
+      .filter(_.nonEmpty) // zero-arg: `()` must yield no params, not [""]
+    val params = paramDecls.map { p =>
       val sp = p.indexWhere(_.isWhitespace)
       if (sp < 0) p else p.substring(0, sp)
-    }.filter(_.nonEmpty) // zero-arg: `()` must yield no params, not [""]
+    }
+    // declared-string params enable the cast-guard RLIKE fast path
+    // (staticOthersGuards) — the screen is only sound on actual strings
+    val stringParams: Set[String] = paramDecls.flatMap { p =>
+      val sp = p.indexWhere(_.isWhitespace)
+      if (sp < 0) None
+      else {
+        val ty = p.substring(sp).trim.toLowerCase
+        if (ty.startsWith("varchar") || ty.startsWith("text") ||
+          ty.startsWith("char") || ty.startsWith("character") ||
+          ty.startsWith("string") || ty.startsWith("bpchar") ||
+          ty.startsWith("citext") || ty.startsWith("name"))
+          Some(p.substring(0, sp).toLowerCase)
+        else None
+      }
+    }.toSet
     val (declsRaw, stmts) = m.group(4).trim match {
       case PlBodyRe(d, s) => (Option(d).getOrElse(""), s.trim)
       case other =>
@@ -1274,6 +1308,13 @@ object GpSqlDialect {
             if (dens.isEmpty)
               deferredPlpgsql(name) = "EXCEPTION WHEN division_by_zero " +
                 "with no top-level division to guard"
+            else if ("(?i)(?<![\\w.])CASE(?![\\w.])".r
+                .findFirstIn(maskLiterals(expr)).isDefined)
+              // a body CASE may conditionally guard the division — PG
+              // would never evaluate it, an unconditional zero-probe
+              // would hijack the handler (r8 review fix)
+              deferredPlpgsql(name) = "a CASE in the body may " +
+                "conditionally guard the division — no static guard"
             else {
               val guard = dens.map(d => s"($d) = 0").mkString(" OR ")
               sqlFunctions(name) = SqlFunction(params,
@@ -1289,7 +1330,7 @@ object GpSqlDialect {
               parts.length - i <= 1 &&
               !expr0.trim.toUpperCase.startsWith("QUERY") =>
             val expr = subst(env)(expr0)
-            staticOthersGuards(expr) match {
+            staticOthersGuards(expr, stringParams) match {
               case Left(why) =>
                 deferredPlpgsql(name) = s"EXCEPTION WHEN OTHERS: $why"
               case Right(Nil) =>
@@ -1851,31 +1892,7 @@ object GpSqlDialect {
             // (or $n) occurring inside a quoted literal is data, not a
             // reference (hit in r8: the 's' of a regex '\\s' inside an
             // RLIKE pattern was being replaced with the argument)
-            val expanded = {
-              val b = fn.body
-              val sb = new StringBuilder
-              var i2 = 0
-              var runStart = 0
-              while (i2 < b.length) {
-                if (b.charAt(i2) == '\'') {
-                  sb ++= substRun(b.substring(runStart, i2))
-                  var j = i2 + 1
-                  var closed = false
-                  while (j < b.length && !closed) {
-                    if (b.charAt(j) == '\'') {
-                      if (j + 1 < b.length && b.charAt(j + 1) == '\'') j += 2
-                      else closed = true
-                    } else j += 1
-                  }
-                  val end = math.min(j, b.length - 1)
-                  sb ++= b.substring(i2, end + 1)
-                  i2 = end + 1
-                  runStart = i2
-                } else i2 += 1
-              }
-              sb ++= substRun(b.substring(runStart))
-              sb.toString
-            }
+            val expanded = mapOutsideLiterals(fn.body)(substRun)
             // a generator body must stay bare — Spark rejects explode()
             // nested inside any expression, including plain parens
             val rendered =
@@ -1934,7 +1951,9 @@ object GpSqlDialect {
       else graft.sources.ExternalTables.readCsvWithRejectLimit(
         spark, path, t.schema, copyRejectLimit(opts),
         header = copyHasHeader(opts))
-    appendFrame(spark, t, src)
+    // PG fires BEFORE ROW triggers on COPY FROM (copy.c CopyFrom →
+    // ExecBRInsertTriggers) — same projection over the load frame
+    appendFrame(spark, t, applyRowTriggers(table, src, "insert"))
   }
 
   /** `SELECT * FROM gp_read_error_log('t')` (cdbsreh.c error tables). */
@@ -2297,6 +2316,61 @@ object GpSqlDialect {
   // statement-level, WHEN clauses, argument lists, and OLD.* references
   // reject loudly.
 
+  /** Apply `f` to the runs of `text` OUTSIDE single-quoted string
+    * literals; literal content (with '' escapes) passes through
+    * verbatim. Every textual substitution over SQL must route through
+    * this — a parameter/column name inside a literal is data, not a
+    * reference (r8 review: the inliner and the trigger composer each
+    * re-implemented this and one of them forgot). */
+  private[graft] def mapOutsideLiterals(text: String)(
+      f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var runStart = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') {
+        sb ++= f(text.substring(runStart, i))
+        var j = i + 1
+        var closed = false
+        while (j < text.length && !closed) {
+          if (text.charAt(j) == '\'') {
+            if (j + 1 < text.length && text.charAt(j + 1) == '\'') j += 2
+            else closed = true
+          } else j += 1
+        }
+        val end = math.min(j, text.length - 1)
+        sb ++= text.substring(i, end + 1)
+        i = end + 1
+        runStart = i
+      } else i += 1
+    }
+    sb ++= f(text.substring(runStart))
+    sb.toString
+  }
+
+  /** Same-length mask of `text` with string-literal CONTENT blanked —
+    * for scanners that search positions (castSites): indices align with
+    * the original, but nothing inside quotes can match. */
+  private[graft] def maskLiterals(text: String): String = {
+    val arr = text.toCharArray
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i) == '\'') {
+        var j = i + 1
+        var closed = false
+        while (j < arr.length && !closed) {
+          if (arr(j) == '\'') {
+            if (j + 1 < arr.length && arr(j + 1) == '\'') {
+              arr(j) = ' '; arr(j + 1) = ' '; j += 2
+            } else closed = true
+          } else { arr(j) = ' '; j += 1 }
+        }
+        i = j + 1
+      } else i += 1
+    }
+    new String(arr)
+  }
+
   sealed private trait TrigStep
   private case class TrigSkip(cond: String) extends TrigStep
   private case class TrigAssign(col: String, expr: String) extends TrigStep
@@ -2387,6 +2461,17 @@ object GpSqlDialect {
     spark.emptyDataFrame
   }
 
+  /** The trigger's executable steps — LOUD if its function was
+    * CREATE-OR-REPLACEd with an unsupported body after the trigger was
+    * attached (silently running the DML untriggered would misexecute). */
+  private def triggerSteps(tg: TriggerDef, table: String): Seq[TrigStep] =
+    triggerFnBodies.getOrElse(tg.fn, {
+      val why = deferredPlpgsql.get(tg.fn).map(w => s": $w").getOrElse("")
+      throw new UnsupportedOperationException(
+        s"trigger ${tg.name} on $table: function ${tg.fn}() is no longer " +
+          s"executable$why — DROP TRIGGER or restore a supported body")
+    })
+
   /** Fire the table's BEFORE ROW triggers on the new-tuple relation:
     * skips filter, assignments project (each step sees the previous
     * steps' NEW values, plpgsql sequencing) — the whole cascade stays
@@ -2400,7 +2485,7 @@ object GpSqlDialect {
     val types = df.schema.map(f => f.name.toLowerCase -> (f.name, f.dataType))
       .toMap
     trigs.foldLeft(df) { (d, tg) =>
-      triggerFnBodies.getOrElse(tg.fn, Seq.empty).foldLeft(d) {
+      triggerSteps(tg, table).foldLeft(d) {
         case (dd, TrigSkip(c)) =>
           dd.filter(not(coalesce(expr(c), lit(false))))
         case (dd, TrigAssign(cn, e)) =>
@@ -2410,6 +2495,21 @@ object GpSqlDialect {
           dd.withColumn(actual, expr(e).cast(dt))
       }
     }
+  }
+
+  /** DML paths with no clean trigger composition point (conflict
+    * upsert, MERGE, correlated UPDATE ... FROM) refuse loudly when the
+    * table has a matching BEFORE ROW trigger — PG fires triggers on
+    * all of them, and silently skipping the firing would misexecute
+    * (r8 review fix). */
+  private def rejectTriggersOn(
+      table: String, events: Set[String], path: String): Unit = {
+    val hit = tableTriggers.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(t => t.events.intersect(events).nonEmpty)
+    if (hit.nonEmpty) throw new UnsupportedOperationException(
+      s"table $table has BEFORE ROW trigger(s) " +
+        s"${hit.map(_.name).mkString(", ")} which graft cannot fire on " +
+        s"$path — DROP TRIGGER first or use plain INSERT/UPDATE")
   }
 
   /** UPDATE-path trigger composition in TEXT space: the SET clause is
@@ -2425,17 +2525,20 @@ object GpSqlDialect {
     if (trigs.isEmpty) return (setMap, Nil)
     var env = scala.collection.immutable.ListMap(
       setMap.map { case (k, v) => k.toLowerCase -> v }: _*)
+    // one-pass substitution, OUTSIDE string literals only (a column
+    // name inside a literal is data — same rule as the SQL inliner)
     def subst(e: String): String = {
       if (env.isEmpty) return e
-      val pat = ("(?i)(?<![\\w.'])(" +
+      val pat = ("(?i)(?<![\\w.])(" +
         env.keys.map(java.util.regex.Pattern.quote).mkString("|") +
         ")(?![\\w.(])").r
-      pat.replaceAllIn(e, m => java.util.regex.Matcher
-        .quoteReplacement("(" + env(m.group(1).toLowerCase) + ")"))
+      mapOutsideLiterals(e)(run =>
+        pat.replaceAllIn(run, m => java.util.regex.Matcher
+          .quoteReplacement("(" + env(m.group(1).toLowerCase) + ")")))
     }
     val skips = scala.collection.mutable.ArrayBuffer.empty[String]
     trigs.foreach { tg =>
-      triggerFnBodies.getOrElse(tg.fn, Seq.empty).foreach {
+      triggerSteps(tg, table).foreach {
         case TrigSkip(c) => skips += subst(c)
         case TrigAssign(cn, e) => env = env + (cn -> subst(e))
       }
@@ -2585,7 +2688,13 @@ object GpSqlDialect {
       spark.createDataFrame(
         java.util.Arrays.asList(ordered.collect(): _*), ordered.schema)
     }
+    // count 0 re-fetches the current row without moving (PG: "FORWARD 0
+    // re-fetches the current row"); off-row positions yield no row
+    def refetch(): DataFrame =
+      if (c.pos >= 1 && c.pos <= nRows) page(c.pos, c.pos, reverse = false)
+      else page(1, 0, reverse = false)
     def fwd(n: Long): DataFrame = {
+      if (n == 0) return refetch()
       val lo = c.pos + 1
       val hi = math.min(c.pos + n, nRows)
       c.pos = math.min(c.pos + n, nRows + 1)
@@ -2601,6 +2710,7 @@ object GpSqlDialect {
       spark.createDataFrame(buf, ordered.schema)
     }
     def bwd(n: Long): DataFrame = {
+      if (n == 0) return refetch()
       val hi = math.min(c.pos - 1, nRows)
       val lo = math.max(c.pos - n, 1)
       c.pos = math.max(c.pos - n, 0)
@@ -3659,6 +3769,9 @@ object GpSqlDialect {
 
   def executeDropTable(
       spark: SparkSession, table: String, ifExists: Boolean): DataFrame = {
+    // triggers die with their table (PG: DROP TABLE cascades to
+    // triggers) — a re-created table must not inherit stale ones
+    tableTriggers.remove(table.toLowerCase)
     catalog.remove(table) match {
       case Some(t) =>
         spark.catalog.dropTempView(table)
@@ -3962,6 +4075,7 @@ object GpSqlDialect {
       srcName: String, whereCond: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import spark.implicits._
+    rejectTriggersOn(table, Set("update"), "UPDATE ... FROM")
     val t = catalog(table)
     val assignments = splitTopLevel(setClause, ',').map { a =>
       val Array(k, v) = a.split("=", 2)
@@ -4708,6 +4822,7 @@ object GpSqlDialect {
       whenClauses: String): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     import spark.implicits._
+    rejectTriggersOn(tName, Set("insert", "update"), "MERGE")
     val t = catalog(tName)
     val src0 = catalog.get(sName) match {
       case Some(s) if s.format != "csv" => spark.read.parquet(s.path)
@@ -4818,6 +4933,7 @@ object GpSqlDialect {
     import org.apache.spark.sql.functions.{col, count, countDistinct, expr,
       lit, struct}
     import spark.implicits._
+    rejectTriggersOn(name, Set("insert", "update"), "INSERT ON CONFLICT")
     val t = catalog(name)
     val keys = keyList.split(",").map(_.trim.toLowerCase)
       .filter(_.nonEmpty).toSeq

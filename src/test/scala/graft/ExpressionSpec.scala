@@ -2212,6 +2212,48 @@ class ExpressionSpec extends AnyFunSuite {
           |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
           |END $$ LANGUAGE plpgsql""".stripMargin)
     assert(GpSqlDialect.plpgsqlRejection("oth_nest").isDefined)
+    // r8 review fixes:
+    // a numeric operand must NOT take the string RLIKE fast path —
+    // cast(double AS bigint) never raises in PG, so the handler is
+    // unreachable and the body value flows through
+    run("""CREATE FUNCTION oth_toint(x double precision)
+          |RETURNS bigint AS $$
+          |BEGIN
+          |  RETURN cast(x AS bigint);
+          |EXCEPTION WHEN OTHERS THEN RETURN -1;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_toint").isEmpty)
+    assert(run("SELECT oth_toint(CAST(2.0 AS DOUBLE)) AS v")
+      .head.getAs[Number](0).longValue == 2L)
+    // a CASE may conditionally guard the raise site — PG never
+    // evaluates the division, so the static guard must NOT hijack the
+    // handler; both exception tiers defer
+    run("""CREATE FUNCTION oth_case(n double precision, d double precision)
+          |RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN CASE WHEN d = 0 THEN 0 ELSE n / d END;
+          |EXCEPTION WHEN OTHERS THEN RETURN -1.0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_case")
+      .exists(_.contains("CASE")))
+    run("""CREATE FUNCTION dbz_case(n double precision, d double precision)
+          |RETURNS double precision AS $$
+          |BEGIN
+          |  RETURN CASE WHEN d = 0 THEN 0 ELSE n / d END;
+          |EXCEPTION WHEN division_by_zero THEN RETURN -1.0;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("dbz_case")
+      .exists(_.contains("CASE")))
+    // a 'cast(' inside a string literal is data, not a raise site
+    run("""CREATE FUNCTION oth_lit(x bigint) RETURNS text AS $$
+          |BEGIN
+          |  RETURN concat('use cast(a as b) wisely ', x);
+          |EXCEPTION WHEN OTHERS THEN RETURN 'fallback';
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    assert(GpSqlDialect.plpgsqlRejection("oth_lit").isEmpty,
+      GpSqlDialect.plpgsqlRejection("oth_lit").toString)
+    assert(run("SELECT oth_lit(7) AS v").head.getString(0)
+      == "use cast(a as b) wisely 7")
   }
 
   test("procedure DML loop: multi-statement body lowers set-based") {
@@ -2286,6 +2328,9 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!wf("<a><b></a></b>", "xml_is_well_formed"))
     // undefined entity: malformed in both modes (libxml agrees)
     assert(!wf("&nosuch;", "xml_is_well_formed"))
+    // a leading XML declaration is stripped in content mode, like
+    // xml_parse's parse_xml_decl (PG accepts this as content)
+    assert(wf("<?xml version=\"1.0\"?><x/>", "xml_is_well_formed"))
     // document: exactly one root; declaration allowed; bare text is not
     assert(wf("<?xml version=\"1.0\"?><r><i/></r>",
       "xml_is_well_formed_document"))
@@ -2357,6 +2402,52 @@ class ExpressionSpec extends AnyFunSuite {
         "FOR EACH ROW EXECUTE PROCEDURE trig_old()")
     }
     assert(e2.getMessage.contains("OLD"), e2.getMessage)
+    // r8 review fixes ------------------------------------------------
+    // re-attach; a SET-clause column name inside a trigger's string
+    // literal is data — must NOT be substituted on the UPDATE path
+    run("""CREATE OR REPLACE FUNCTION trig_note() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.name := 'qty done';
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_note BEFORE UPDATE ON trig_t " +
+      "FOR EACH ROW EXECUTE FUNCTION trig_note()")
+    run("INSERT INTO trig_t VALUES (9, 'zoe', 0, 0)")
+    run("UPDATE trig_t SET qty = 7 WHERE id = 9")
+    val nt = run("SELECT name, qty FROM trig_t WHERE id = 9").head
+    assert(nt.getString(0) == "qty done" && nt.getInt(1) == 7, nt.toString)
+    // replacing the trigger fn with an unsupported body must make DML
+    // raise loudly, not silently skip the trigger
+    run("""CREATE OR REPLACE FUNCTION trig_note() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.total := OLD.total + 1;
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val e3 = intercept[UnsupportedOperationException] {
+      run("UPDATE trig_t SET qty = 8 WHERE id = 9")
+    }
+    assert(e3.getMessage.contains("no longer executable"), e3.getMessage)
+    run("DROP TRIGGER t_note ON trig_t")
+    // upsert/merge/correlated-update paths reject loudly on
+    // trigger-bearing tables instead of skipping the firing
+    run("""CREATE OR REPLACE FUNCTION trig_note() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.name := upper(NEW.name);
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_note BEFORE INSERT OR UPDATE ON trig_t " +
+      "FOR EACH ROW EXECUTE FUNCTION trig_note()")
+    val e4 = intercept[UnsupportedOperationException] {
+      run("INSERT INTO trig_t VALUES (10, 'al', 1, 0) " +
+        "ON CONFLICT (id) DO NOTHING")
+    }
+    assert(e4.getMessage.contains("t_note"), e4.getMessage)
+    // DROP TABLE cascades to triggers — a re-created table is clean
+    run("DROP TABLE trig_t")
+    run("CREATE TABLE trig_t (id int, name text, qty int, total int) " +
+      "DISTRIBUTED BY (id)")
+    run("INSERT INTO trig_t VALUES (1, 'raw', 1, 1)")
+    assert(run("SELECT name FROM trig_t").head.getString(0) == "raw")
     run("DROP TABLE trig_t")
   }
 
@@ -2385,7 +2476,12 @@ class ExpressionSpec extends AnyFunSuite {
     // ABSOLUTE 0 = before first; NEXT then returns the first row
     assert(keys("FETCH ABSOLUTE 0 FROM nat_cur").isEmpty)
     assert(keys("FETCH NEXT FROM nat_cur") == Seq(0))
-    assert(keys("FETCH FORWARD ALL FROM nat_cur") == (1 to 24))
+    // count 0 re-fetches the current row without moving (PG)
+    assert(keys("FETCH ABSOLUTE 5 FROM nat_cur") == Seq(4))
+    assert(keys("FETCH FORWARD 0 FROM nat_cur") == Seq(4))
+    assert(keys("FETCH BACKWARD 0 FROM nat_cur") == Seq(4))
+    assert(keys("FETCH NEXT FROM nat_cur") == Seq(5))
+    assert(keys("FETCH FORWARD ALL FROM nat_cur") == (6 to 24))
     assert(keys("FETCH BACKWARD ALL FROM nat_cur") == (24 to 0 by -1))
     run("CLOSE nat_cur")
   }

@@ -958,6 +958,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(varByC(1) / vals(1) - 1.0) < 1e-6)
   }
 
+  test("Dml.updateFrom refuses multi-match sources (row multiplication)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_updfrom_spec"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(path)
+    // 1:1 source updates normally
+    Dml.updateFrom(spark, path,
+      Seq((1L, 100L)).toDF("sid", "sv"),
+      col("id") === col("sid"), Map("v" -> col("sv")))
+    val after = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq == Seq((1L, 100L), (2L, 20L)))
+    // a source matching one target row TWICE would multiply it through
+    // the left join — must refuse loudly, never corrupt
+    val e = intercept[IllegalArgumentException] {
+      Dml.updateFrom(spark, path,
+        Seq((1L, 7L), (1L, 8L)).toDF("sid", "sv"),
+        col("id") === col("sid"), Map("v" -> col("sv")))
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    // table unchanged after the refused update
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("Trees.decisionTree: broadcast-join reassignment ≡ CASE chain") {
     import spark.implicits._
     // the r8 depth guard switches frontier reassignment from a CASE
