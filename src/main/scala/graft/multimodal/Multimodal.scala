@@ -91,4 +91,63 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizedRow(
+      doc_id: Long, mime: String, width: Int, height: Int,
+      n_bytes: Long, checksum: Long)
+
+  /** STUB resize — binary → binary with typed-metadata update. The
+    * "quarter-resolution" spec both engines replay exactly: every 4th
+    * byte of the payload survives (a real resampler's stride), both
+    * dimensions halve (ceil), and the checksum folds over the SAMPLED
+    * bytes only. A real deployment swaps the byte sampler for a codec
+    * scale call; the partition-wise map shape, the metadata contract
+    * (dims + n_bytes + checksum travel WITH the payload), and the
+    * binary-in/binary-out signature are the real plumbing. */
+  def resize(spark: SparkSession, media: DataFrame): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.payload.length
+          val m = if (n == 0) 0 else (n - 1) / 4 + 1
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum = (sum * 31 + (r.payload(i) & 0xff)) % 1000003L
+            i += 4
+          }
+          val (w0, h0) = ((r.doc_id % 640).toInt + 1, (r.doc_id % 480).toInt + 1)
+          ResizedRow(r.doc_id, r.mime, (w0 + 1) / 2, (h0 + 1) / 2,
+            m.toLong, sum)
+        }
+      }
+  }
+
+  /** STUB feature extractor — payload → fixed-width embedding, the
+    * bridge from media into the ANN/dedup kernels. Each dimension j is
+    * an exact integer rolling hash over the payload seeded by j+1,
+    * normalized by one double division — engine-replayable bit for bit
+    * (no float accumulation). A real extractor swaps the hash for a
+    * model forward pass; the (binary → Array[Double]) signature,
+    * per-partition batching, and downstream compatibility with the
+    * q_ann_* kernels are the plumbing under test. */
+  def embed(spark: SparkSession, media: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val e = Array.tabulate(dim) { j =>
+            var sum = (j + 1).toLong
+            var i = 0
+            while (i < r.payload.length) {
+              sum = (sum * 31 + (r.payload(i) & 0xff)) % 1000003L
+              i += 1
+            }
+            sum.toDouble / 1000003.0
+          }
+          (r.doc_id, e)
+        }
+      }.toDF("doc_id", "embedding")
+  }
 }

@@ -937,6 +937,53 @@ object ExtensionQueries {
         .toDF()
         .select($"doc_id", $"mime", $"n_bytes", $"width", $"height", $"checksum")
         .orderBy("doc_id")
+    },
+
+    // Multimodal resize (r8): binary → binary with the metadata struct
+    // updated in the same pass — the "quarter-resolution" spec (every
+    // 4th byte survives, dims halve, checksum folds over the sampled
+    // bytes) is replayed exactly by the oracle; a real deployment
+    // swaps the sampler for a codec scale call and keeps the shape.
+    Q("q_multimodal_resize", Some(
+      """SELECT doc_id,
+        |  'image/png;src=' || source AS mime,
+        |  CAST((doc_id % 640 + 2) // 2 AS INT) AS width,
+        |  CAST((doc_id % 480 + 2) // 2 AS INT) AS height,
+        |  CAST(CASE WHEN len(text) = 0 THEN 0
+        |       ELSE (len(text) - 1) // 4 + 1 END AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, len(text) + 1, 4),
+        |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Multimodal.resize(s, Multimodal.mediaTable(Tables.T(s, dir).documents))
+        .toDF()
+        .select($"doc_id", $"mime", $"width", $"height", $"n_bytes",
+          $"checksum")
+        .orderBy("doc_id")
+    },
+
+    // Multimodal feature extraction (r8): payload → fixed-width
+    // embedding (exact per-dim integer rolling hash, one double
+    // division) — the bridge from media columns into the ANN/dedup
+    // kernels; a real extractor swaps the hash for a model forward
+    // pass behind the same (binary → vector) signature.
+    Q("q_multimodal_embed", Some {
+      def dim(j: Int): String =
+        s"""CAST(list_reduce(list_prepend(CAST($j AS BIGINT),
+           |    list_transform(range(1, len(text) + 1),
+           |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+           |    (a, b) -> (a * 31 + b) % 1000003) AS DOUBLE) / 1000003.0""".stripMargin
+      s"""SELECT doc_id,
+         |  [${dim(1)}, ${dim(2)}, ${dim(3)}, ${dim(4)}] AS embedding
+         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Multimodal.embed(s,
+        Multimodal.mediaTable(
+          Tables.T(s, dir).documents.filter($"doc_id" < 500)), dim = 4)
+        .orderBy("doc_id")
     }
   )
 }
