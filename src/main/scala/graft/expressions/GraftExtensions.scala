@@ -79,6 +79,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           opts.getOrElse("stopsel", "</b>"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("ts_rank"),
+      new ExpressionInfo(classOf[TsRankExpr].getName, "ts_rank"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size < 2) throw new IllegalArgumentException(
+          "ts_rank(document, query) needs 2 args")
+        val q = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            "ts_rank query must be a string literal")
+        }
+        TsRankExpr(exprs.head,
+          q.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("ts_rank_cd"),
       new ExpressionInfo(classOf[TsRankCdExpr].getName, "ts_rank_cd"),
       (exprs: Seq[Expression]) => {

@@ -306,6 +306,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ts_rank — the standard rank (tsrank.c calc_rank_and/or, r8),
+    // complementing ts_rank_cd: AND rank = 1 − Π(1−curw) over
+    // cross-term position pairs, curw = sqrt(w²·word_distance(dist)).
+    // The transcendental word_distance collapses to a 101-entry TABLE
+    // (dist is integral), emitted as identical 17-digit literals into
+    // both engines — so the fold runs identical IEEE multiplies in
+    // identical (i,k,l,p) order and the doubles compare bit-for-bit.
+    // Single-term rank replays the calc_rank_or series verbatim.
+    Q("q_text_rank", Some {
+      val lits = graft.expressions.TsRankExpr.curwLiterals
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id < 400),
+         |p0 AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos0,
+         |    list_extract(toks, CAST(i AS INT)) AS tok
+         |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)
+         |  WHERE list_extract(toks, CAST(i AS INT)) <> ''),
+         |p2 AS (
+         |  SELECT doc_id, lower(tok) AS low,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS p
+         |  FROM p0),
+         |hpos AS (SELECT doc_id, p FROM p2 WHERE low = 'hash'),
+         |jpos AS (SELECT doc_id, p FROM p2 WHERE low = 'join'),
+         |pairs AS (
+         |  SELECT j.doc_id, j.p AS lp, h.p AS pp,
+         |    abs(j.p - h.p) AS dist
+         |  FROM jpos j JOIN hpos h ON j.doc_id = h.doc_id
+         |  WHERE j.p <> h.p),
+         |anded AS (
+         |  SELECT doc_id,
+         |    1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+         |      list(1.0 - list_extract($lits, least(dist, 101))
+         |           ORDER BY lp, pp)),
+         |      (a, b) -> a * b) AS rank2
+         |  FROM pairs GROUP BY doc_id),
+         |ors AS (
+         |  SELECT doc_id,
+         |    (0.1 + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |       list_transform(range(1, count(*) + 1),
+         |         j -> 0.1 / (CAST(j AS DOUBLE) * CAST(j AS DOUBLE)))),
+         |       (a, b) -> a + b) - 0.1 / 1.0) / 1.64493406685 AS rank1
+         |  FROM hpos GROUP BY doc_id)
+         |SELECT a.doc_id, a.rank2, o.rank1
+         |FROM anded a JOIN ors o ON a.doc_id = o.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents.filter($"doc_id" < 400)
+        .selectExpr("doc_id",
+          "ts_rank(text, 'hash join') AS rank2",
+          "ts_rank(text, 'hash') AS rank1")
+        // docs with BOTH terms: the AND rank exceeds the 1e-20
+        // partial-match clamp (any real pair contributes ≥ 1e-16)
+        .filter($"rank2" > 1e-19)
+        .orderBy("doc_id")
+    },
+
     // Decontamination: overlap of 3-gram shingles between a candidate
     // corpus and a held-out set (here: two sources of the docs table).
     // A training doc sharing many shingles with an eval doc is
