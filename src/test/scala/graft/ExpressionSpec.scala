@@ -2486,6 +2486,28 @@ class ExpressionSpec extends AnyFunSuite {
     run("CLOSE nat_cur")
   }
 
+  test("ts_rank edges: PG clamps, absent terms, series value") {
+    def rank(doc: String, q: String): Double =
+      spark.sql(s"SELECT ts_rank('$doc', '$q') AS r").head.getDouble(0)
+    // single term, one occurrence: (0.1 + 0.1/1 − 0.1/1) / (π²/6)
+    assert(math.abs(rank("a cat sat", "cat") - 0.1 / 1.64493406685) < 1e-12)
+    // absent term → 0 (calc_rank_or finds no entry)
+    assert(rank("a dog sat", "cat") == 0.0)
+    // two terms, only one present → the 1e-20 partial-match clamp
+    assert(rank("hash hash table", "hash join") == 1e-20)
+    // both present: rank grows as terms get closer (word_distance)
+    val near = rank("hash join now", "hash join")
+    val far = rank("hash a b c d e f g h join", "hash join")
+    assert(near > far && far > 1e-16, s"$near vs $far")
+    // duplicate query terms dedupe (SortAndUniqItems): 1-term semantics
+    assert(rank("a cat sat", "cat cat") == rank("a cat sat", "cat"))
+    // rank_cd agrees on monotonicity for the same docs
+    def cd(doc: String): Double =
+      spark.sql(s"SELECT ts_rank_cd('$doc', 'hash join') AS r")
+        .head.getDouble(0)
+    assert(cd("hash join now") > cd("hash a b c d e f g h join"))
+  }
+
   test("ts_headline dedupes repeated query terms like plainto_tsquery") {
     // 'hash hash' is ONE lexeme after plainto_tsquery dedup: without the
     // r8 .distinct the duplicate held a cover slot that never filled

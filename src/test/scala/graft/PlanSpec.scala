@@ -353,6 +353,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("q_text_rank / q_text_rank_cd stay map-only (no hash shuffle)") {
+    // both ranks are per-document scalars inside the scan stage — a
+    // hash exchange would mean the ranking shuffled the corpus
+    for (name <- Seq("q_text_rank", "q_text_rank_cd")) {
+      val p = plan(name)
+      val finalSection = p.split("== Initial Plan ==").head
+      assert(!finalSection.contains("Exchange hashpartitioning"),
+        s"$name hash-shuffles: $p")
+    }
+  }
+
   test("q_percentile_bigrow: rank selection with no per-group buffer") {
     val p = plan("q_percentile_bigrow")
     // the few-groups × huge-rows regime (verdict r7 #2): NO buffered
