@@ -565,4 +565,53 @@ object Similarity {
       .select(col("id"), col("cluster"), col("ccos"))
   }
 
+  /** Lexical top-k by distinct-token overlap — the sparse half of a
+    * hybrid retrieval stack (swap BM25 in for graded relevance; the
+    * overlap count keeps the ranking integer-exact). Queries carry a
+    * pre-tokenized set column; the broadcast/scan/window dataflow is
+    * [[bruteForceTopK]]'s. */
+  def overlapTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qSet: String = "q_toks",
+      cId: String = "c_id", cSet: String = "c_toks"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId),
+        size(array_intersect(col(qSet), col(cSet))).as("ov"))
+    val w = Window.partitionBy(qId).orderBy(col("ov").desc, col(cId))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 — the
+    * standard hybrid-retrieval combiner, e.g. dense + lexical): each
+    * input ranking contributes 1/(k + rank) for the documents it
+    * returned; fused score = the sum over systems, absent systems
+    * contributing 0. Inputs are (q_id, c_id, rk) relations (rk
+    * 1-based); returns (q_id, c_id, rrf).
+    *
+    * Determinism: terms are added in SYSTEM order via a chain of
+    * full-outer joins (never a shuffled SUM), so the fp fold order is
+    * pinned — for any number of systems both engines compute the same
+    * double bit-for-bit.
+    *
+    * Scale: each ranking is |queries|·topN rows (candidate generation
+    * has already cut the corpus), so the joins are query-scale — the
+    * fusion itself never touches corpus-scale data. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+      qId: String = "q_id", cId: String = "c_id",
+      rkCol: String = "rk"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val terms = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(qId), col(cId),
+        (lit(1.0) / (lit(k.toDouble) + col(rkCol).cast("double")))
+          .as(s"__t$i"))
+    }
+    val joined = terms.reduce((a, b) =>
+      a.join(b, Seq(qId, cId), "full_outer"))
+    val score = terms.indices
+      .map(i => coalesce(col(s"__t$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(qId), col(cId), score.as("rrf"))
+  }
+
 }

@@ -614,6 +614,43 @@ object TextAnalysis {
       .select(col("grp"), col("tok"), col("rk"), col("z"))
   }
 
+  /** Class-based TF-IDF (Grootendorst 2022, BERTopic's c-TF-IDF,
+    * public method): treat each class (cluster) as one meta-document;
+    * a term's importance in class c is
+    * `(cnt(t,c) / n_c) · ln(1 + A / f(t))` with `A` the average token
+    * count per class and `f(t)` the term's corpus frequency — the
+    * standard "name the clusters" step after embedding clustering.
+    * Returns the top-k terms per class as (cls, tok, rk, score).
+    *
+    * Scale: all state is (class, token)- or vocabulary-scale aggregates
+    * with map-side partials; the two corpus scalars (total tokens,
+    * class count) broadcast. The rank window partitions by class over
+    * vocabulary rows only. Score is ranked ROUNDED (8 dp, integer-fed
+    * ln — cross-engine-stable like [[keyness]]'s z) with the term as
+    * tiebreak. */
+  def cTfIdf(
+      docs: DataFrame, textCol: String, classCol: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(classCol).as("cls"),
+      explode(tokens(col(textCol))).as("tok"))
+    val cnt = tok.groupBy("cls", "tok").agg(count(lit(1)).as("cnt"))
+    val nc = tok.groupBy("cls").agg(count(lit(1)).as("nc"))
+    val ft = tok.groupBy("tok").agg(count(lit(1)).as("ft"))
+    val totals = tok.agg(count(lit(1)).as("n"),
+      countDistinct(col("cls")).as("ncls"))
+    val scored = cnt.join(nc, "cls").join(ft, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("score", round(
+        (col("cnt").cast("double") / col("nc")) *
+          log(lit(1.0) + (col("n").cast("double") / col("ncls")) / col("ft")),
+        8))
+    val w = Window.partitionBy("cls").orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("cls"), col("tok"), col("rk"), col("score"))
+  }
+
   /** Multinomial naive Bayes scoring — the MADlib `bayes` module
     * surface (Hellerstein et al. 2012, public method; McCallum & Nigam
     * 1998 for the model): train per-class token log-likelihoods with

@@ -839,6 +839,65 @@ object FunctionQueries {
         .orderBy("c_custkey")
     },
 
+    // contrib/cube N-dim boxes (cube.c:37-89): per-order 3-D bounding
+    // boxes over (quantity, discount¢, tax¢) — all exact integers in
+    // double — probed against a fixed query cube: dim / is_point /
+    // containment / overlap / distance / volume / union / inter /
+    // enlarge. Index-order folds; sqrt is IEEE-correctly-rounded in
+    // both engines, so round-6 distances hash-compare.
+    Q("q_fn_cube", Some(
+      """WITH g AS (SELECT l_orderkey,
+        |    min(CAST(l_quantity AS DOUBLE)) AS q1,
+        |    max(CAST(l_quantity AS DOUBLE)) AS q2,
+        |    min(floor(l_discount * 100 + 0.5)) AS d1,
+        |    max(floor(l_discount * 100 + 0.5)) AS d2,
+        |    min(floor(l_tax * 100 + 0.5)) AS t1,
+        |    max(floor(l_tax * 100 + 0.5)) AS t2
+        |  FROM lineitem WHERE l_orderkey < 800 GROUP BY 1),
+        |e AS (SELECT *,
+        |    greatest(0.0, q1 - 30.0, 5.0 - q2) AS gq,
+        |    greatest(0.0, d1 - 5.0, 1.0 - d2) AS gd,
+        |    greatest(0.0, t1 - 5.0, 1.0 - t2) AS gt
+        |  FROM g)
+        |SELECT l_orderkey, CAST(3 AS INT) AS dim,
+        |  (q1 = q2 AND d1 = d2 AND t1 = t2) AS is_pt,
+        |  (5.0 <= q1 AND 30.0 >= q2 AND 1.0 <= d1 AND 5.0 >= d2
+        |    AND 1.0 <= t1 AND 5.0 >= t2) AS inside,
+        |  (5.0 <= q2 AND q1 <= 30.0 AND 1.0 <= d2 AND d1 <= 5.0
+        |    AND 1.0 <= t2 AND t1 <= 5.0) AS overl,
+        |  round(sqrt(gq * gq + gd * gd + gt * gt), 6) AS dist,
+        |  (q2 - q1) * (d2 - d1) * (t2 - t1) AS vol,
+        |  least(q1, 5.0) AS ull, greatest(q2, 30.0) AS uur,
+        |  d1 - 2.0 AS ell, least(t2, 5.0) AS iur
+        |FROM e ORDER BY l_orderkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.CubeFunctions._
+      val g = Tables.T(s, dir).lineitem.filter($"l_orderkey" < 800)
+        .select($"l_orderkey",
+          $"l_quantity".cast("double").as("q"),
+          floor($"l_discount" * 100 + 0.5).as("d"),
+          floor($"l_tax" * 100 + 0.5).as("t"))
+        .groupBy("l_orderkey")
+        .agg(min($"q").as("q1"), max($"q").as("q2"),
+          min($"d").as("d1"), max($"d").as("d2"),
+          min($"t").as("t1"), max($"t").as("t2"))
+      val box = cube(Seq($"q1", $"d1", $"t1"), Seq($"q2", $"d2", $"t2"))
+      val qbox = cube(Seq(lit(5.0), lit(1.0), lit(1.0)),
+        Seq(lit(30.0), lit(5.0), lit(5.0)))
+      g.select($"l_orderkey",
+        cubeDim(box).as("dim"),
+        cubeIsPoint(box).as("is_pt"),
+        cubeContains(qbox, box).as("inside"),
+        cubeOverlap(qbox, box).as("overl"),
+        round(cubeDistance(box, qbox), 6).as("dist"),
+        cubeSize(box).as("vol"),
+        cubeLlCoord(cubeUnion(box, qbox), 1).as("ull"),
+        cubeUrCoord(cubeUnion(box, qbox), 1).as("uur"),
+        cubeLlCoord(cubeEnlarge(box, lit(2.0)), 2).as("ell"),
+        cubeUrCoord(cubeInter(box, qbox), 3).as("iur"))
+        .orderBy("l_orderkey")
+    },
+
     // ---- money (cash.c) --------------------------------------------
     // cash_in accepts '$1,234.56', accounting '($12.34)', bare
     // numerics; storage is exact cents (DECIMAL(19,2) here ≡ cash.c's

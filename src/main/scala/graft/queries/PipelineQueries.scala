@@ -405,6 +405,39 @@ object PipelineQueries {
           .orderBy("source", "rk")
     },
 
+    // Cluster topic terms by class-based TF-IDF (Grootendorst 2022,
+    // BERTopic's c-TF-IDF): clusters come from the embedding labels
+    // (join on doc_id = vec_id — the post-clustering "name the topics"
+    // step); each cluster is one meta-document and terms rank by
+    // (cnt/n_c)·ln(1 + A/f_t). Vocabulary-scale aggregates only; score
+    // ranked ROUNDED (8 dp) with term tiebreak, as in q_text_keyness.
+    Q("q_text_ctfidf", Some(
+      s"""WITH d AS (SELECT e.label AS cls, t.text
+         |  FROM documents t JOIN embeddings e ON t.doc_id = e.vec_id),
+         |tok AS (SELECT cls, t2 AS tok
+         |  FROM (SELECT cls, unnest($toks) AS t2 FROM d)),
+         |cnt AS (SELECT cls, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |nc AS (SELECT cls, count(*) AS nc FROM tok GROUP BY 1),
+         |ft AS (SELECT tok, count(*) AS ft FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT cls) AS BIGINT) AS ncls FROM tok),
+         |s AS (SELECT cls, tok,
+         |    round((CAST(cnt AS DOUBLE) / nc) *
+         |      ln(1.0 + (CAST(n AS DOUBLE) / ncls) / ft), 8) AS score
+         |  FROM cnt JOIN nc USING (cls) JOIN ft USING (tok) CROSS JOIN tot),
+         |r AS (SELECT cls, tok, score, row_number() OVER
+         |    (PARTITION BY cls ORDER BY score DESC, tok) AS rk FROM s)
+         |SELECT cls, tok, CAST(rk AS INT) AS rk, score
+         |FROM r WHERE rk <= 5 ORDER BY cls, rk""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val d = t.documents
+        .join(t.embeddings.select($"vec_id", $"label"),
+          $"doc_id" === $"vec_id")
+      TextAnalysis.cTfIdf(d, "text", "label", topK = 5)
+        .orderBy("cls", "rk")
+    },
+
     // Multinomial naive Bayes (MADlib bayes parity): language scores
     // for held-out docs from Laplace-smoothed per-class token
     // likelihoods; scores per (doc, class) — argmax stays out of the
@@ -2026,6 +2059,50 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Triangle enumeration by degree ordering (Suri & Vassilvitskii
+    // 2011) over the nation co-trade graph (supplier nation — customer
+    // nation, undirected): orient edges low-(deg,id) → high, wedge
+    // self-join, close with one more equi-join. Orientation caps
+    // out-degree at O(sqrt|E|), so the wedge join never materializes a
+    // celebrity vertex's full neighbor square at 100 TB.
+    Q("q_graph_triangles", Some(
+      """WITH e0 AS (SELECT DISTINCT
+        |    least(s.s_nationkey, c.c_nationkey) AS lo,
+        |    greatest(s.s_nationkey, c.c_nationkey) AS hi
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o_custkey = c.c_custkey
+        |  WHERE s.s_nationkey <> c.c_nationkey),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |    SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND lo < hi)
+        |      THEN lo ELSE hi END AS u,
+        |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND lo < hi)
+        |      THEN hi ELSE lo END AS v
+        |  FROM e0 JOIN deg d1 ON d1.id = lo JOIN deg d2 ON d2.id = hi),
+        |w AS (SELECT a.u, a.v AS x, b.v AS y
+        |  FROM o a JOIN o b ON a.u = b.u AND a.v < b.v),
+        |t AS (SELECT u, x, y
+        |  FROM w JOIN e0 ON e0.lo = w.x AND e0.hi = w.y)
+        |SELECT least(u, x) AS a,
+        |  CASE WHEN u < x THEN x WHEN u > y THEN y ELSE u END AS b,
+        |  greatest(u, y) AS c
+        |FROM t ORDER BY a, b, c""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+      graft.operators.Components.triangles(edges, "src", "dst")
+        .orderBy("a", "b", "c")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),
@@ -2353,6 +2430,68 @@ object PipelineQueries {
       val c = emb.filter($"vec_id" >= 16)
         .select($"vec_id".as("c_id"), $"embedding".as("c_vec"), $"label")
       Similarity.knnClassify(q, c, 5).orderBy("q_id")
+    },
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): a dense ranking (cosine over embeddings) and a lexical
+    // ranking (distinct-token overlap, integer-exact) each return
+    // top-20; fused score = 1/(60+rk_dense) + 1/(60+rk_lex) over the
+    // union, absent systems contributing 0. The fusion joins are
+    // query-scale (|q|·20 rows); RRF terms are added in pinned system
+    // order so the doubles hash-compare raw cross-engine.
+    Q("q_ann_rrf", Some(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < 5),
+         |d0 AS (SELECT q_id, c.vec_id AS c_id,
+         |    ${oCos("qe", "c.embedding")} AS raw
+         |  FROM q JOIN embeddings c ON c.vec_id <> q_id),
+         |dr AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk FROM d0),
+         |dense AS (SELECT q_id, c_id, rk FROM dr WHERE rk <= 20),
+         |qt AS (SELECT doc_id AS q_id, $tokset AS qts FROM documents
+         |  WHERE doc_id < 5),
+         |ct AS (SELECT doc_id AS c_id, $tokset AS cts FROM documents),
+         |l0 AS (SELECT q_id, c_id, len(list_intersect(qts, cts)) AS ov
+         |  FROM qt JOIN ct ON c_id <> q_id),
+         |lr AS (SELECT q_id, c_id, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY ov DESC, c_id) AS rk FROM l0),
+         |lex AS (SELECT q_id, c_id, rk FROM lr WHERE rk <= 20),
+         |f AS (SELECT coalesce(d.q_id, l.q_id) AS q_id,
+         |    coalesce(d.c_id, l.c_id) AS c_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rk), CAST(0.0 AS DOUBLE))
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rk),
+         |                 CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM dense d FULL OUTER JOIN lex l
+         |    ON d.q_id = l.q_id AND d.c_id = l.c_id),
+         |r AS (SELECT q_id, c_id, rrf, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk FROM f)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, rrf
+         |FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.T(s, dir)
+        val emb = t.embeddings
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+        val c = emb.select($"vec_id".as("c_id"), $"embedding".as("c_vec"))
+        val dense = Similarity.bruteForceTopK(q, c, 20)
+          .select($"q_id", $"c_id", $"rk")
+        val qt = t.documents.filter($"doc_id" < 5)
+          .select($"doc_id".as("q_id"),
+            TextAnalysis.tokenSet($"text").as("q_toks"))
+        val ct = t.documents
+          .select($"doc_id".as("c_id"),
+            TextAnalysis.tokenSet($"text").as("c_toks"))
+        val lex = Similarity.overlapTopK(qt, ct, 20)
+          .select($"q_id", $"c_id", $"rk")
+        val fused = Similarity.rrfFuse(Seq(dense, lex), k = 60)
+        val w = Window.partitionBy($"q_id")
+          .orderBy($"rrf".desc, $"c_id")
+        fused.withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 10)
+          .select($"q_id", $"c_id", $"rk", $"rrf")
+          .orderBy("q_id", "rk")
     },
 
     // IVF-cell ANN: deterministic centroid sample (vec_id % 100 == 0),

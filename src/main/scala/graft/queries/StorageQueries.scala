@@ -5,7 +5,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.aggregates.GeoMean
 import graft.sources.{ExternalTables, ForeignTables}
-import graft.sql.GpSqlDialect
+import graft.sql.{GpMapReduce, GpSqlDialect}
 
 /** SURVEY §2.1 external tables / COPY, §3 DDL dialect, §2.11 UDx surface. */
 object StorageQueries {
@@ -387,6 +387,104 @@ object StorageQueries {
             |FROM customer WHERE c_custkey <= 200""".stripMargin)
       run("UPDATE trig_orders SET qty = qty + 1 WHERE id <= 50")
       run("SELECT id, seg, qty, total FROM trig_orders ORDER BY id")
+    },
+
+    // contrib/tablefunc crosstab (tablefunc.c:50): the 2-arg form —
+    // categories from the second query, values matched by category
+    // (get_crosstab_tuplestore's hash). Lowers to groupBy(row).pivot:
+    // one hash shuffle on the row key, map-side partials; the category
+    // list is bounded by the declared output width by construction.
+    Q("q_sql_crosstab", Some(
+      """WITH src AS (SELECT o_orderstatus AS status,
+        |    year(o_orderdate) AS y, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT status,
+        |  max(CASE WHEN y = 1995 THEN n END) AS y1995,
+        |  max(CASE WHEN y = 1996 THEN n END) AS y1996,
+        |  max(CASE WHEN y = 1997 THEN n END) AS y1997
+        |FROM src GROUP BY status ORDER BY status""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        GpSqlDialect.execute(s,
+          """SELECT * FROM crosstab(
+            |  'SELECT o_orderstatus, year(o_orderdate) AS y, count(*) AS n
+            |   FROM orders GROUP BY 1, 2 ORDER BY 1, 2',
+            |  'SELECT y FROM (SELECT DISTINCT year(o_orderdate) AS y
+            |   FROM orders) t WHERE y BETWEEN 1995 AND 1997 ORDER BY 1'
+            |) AS ct(status text, y1995 bigint, y1996 bigint, y1997 bigint)
+            |ORDER BY status""".stripMargin, tmp("crosstab"))
+    },
+
+    // contrib/tablefunc connectby (tablefunc.c:996): hierarchical
+    // traversal over a parent/child relation — here the decimal-digit
+    // trie over customer keys (parent = key DIV 10), descendants of
+    // '1' to depth 3 with '/'-joined branch paths. Lowers to the
+    // recursive-CTE loop: per level one equi-join of the checkpointed
+    // frontier against the relation.
+    Q("q_sql_connectby", Some(
+      """WITH tr AS (SELECT CAST(c_custkey AS VARCHAR) AS keyid,
+        |    CAST(c_custkey // 10 AS VARCHAR) AS parent FROM customer),
+        |l0 AS (SELECT '1' AS keyid, CAST(NULL AS VARCHAR) AS parent_keyid,
+        |    0 AS level, '1' AS branch),
+        |l1 AS (SELECT tr.keyid, tr.parent AS parent_keyid, 1 AS level,
+        |    l0.branch || '/' || tr.keyid AS branch
+        |  FROM tr JOIN l0 ON tr.parent = l0.keyid),
+        |l2 AS (SELECT tr.keyid, tr.parent AS parent_keyid, 2 AS level,
+        |    l1.branch || '/' || tr.keyid AS branch
+        |  FROM tr JOIN l1 ON tr.parent = l1.keyid),
+        |l3 AS (SELECT tr.keyid, tr.parent AS parent_keyid, 3 AS level,
+        |    l2.branch || '/' || tr.keyid AS branch
+        |  FROM tr JOIN l2 ON tr.parent = l2.keyid)
+        |SELECT * FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        |ORDER BY level, keyid""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      def run(sql: String) = GpSqlDialect.execute(s, sql, tmp("connectby"))
+      run("""CREATE OR REPLACE VIEW cust_tree AS
+            |SELECT CAST(c_custkey AS STRING) AS k,
+            |  CAST(c_custkey DIV 10 AS STRING) AS pk
+            |FROM customer""".stripMargin)
+      run("""SELECT * FROM connectby('cust_tree', 'k', 'pk', '1', 3, '/')
+            |AS t(keyid text, parent_keyid text, level int, branch text)
+            |ORDER BY level, keyid""".stripMargin)
+    },
+
+    // gpmapreduce YAML job (gpcontrib/gpmapreduce/demo/2_wordcount.yml):
+    // the classic wordcount — INPUT table, MAP to (key, value) pairs,
+    // builtin REDUCE: SUM. The runner lowers the whole job to one
+    // declarative plan (explode → partial/final hash agg), so Catalyst
+    // owns the combine strategy the reference's MR executor hand-rolls.
+    Q("q_sql_mapreduce", Some(
+      """WITH tok AS (SELECT t2 AS key FROM (SELECT unnest(
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> len(t) > 0)) AS t2 FROM documents))
+        |SELECT key, CAST(count(*) AS BIGINT) AS value
+        |FROM tok GROUP BY key ORDER BY key""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      GpMapReduce.run(s,
+        """VERSION: 1.0.0.1
+          |DEFINE:
+          |  - INPUT:
+          |      NAME: docs
+          |      TABLE: documents
+          |  - MAP:
+          |      NAME: wordsplit
+          |      LANGUAGE: sql
+          |      FUNCTION: |
+          |        SELECT key, 1 AS value FROM (
+          |          SELECT explode(filter(split(lower(trim(text)), '\\s+'),
+          |                                t -> length(t) > 0)) AS key
+          |          FROM docs)
+          |      RETURNS:
+          |        - key text
+          |        - value integer
+          |EXECUTE:
+          |  - RUN:
+          |      SOURCE: docs
+          |      MAP: wordsplit
+          |      REDUCE: SUM""".stripMargin, tmp("mapreduce"))
+        .selectExpr("key", "CAST(value AS BIGINT) AS value")
+        .orderBy("key")
     },
 
     // ForeignScan (nodeForeignscan.c:89): nation published to an embedded

@@ -196,6 +196,27 @@ object GpSqlDialect {
         return spark.emptyDataFrame
       case _ =>
     }
+    // contrib/tablefunc FROM-items: materialize the function result as
+    // a temp view, splice the view name into the statement, re-dispatch
+    CrosstabRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        val view = executeCrosstab(spark, m.group(1).replace("''", "'"),
+          Option(m.group(2)).map(_.replace("''", "'")),
+          m.group(3), m.group(4), basePath)
+        return executeImpl(spark, trimmed.substring(0, m.start) +
+          s"$view AS ${m.group(3)}" + trimmed.substring(m.end), basePath)
+      case _ =>
+    }
+    ConnectbyRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        val view = executeConnectby(spark, m.group(1), m.group(2),
+          m.group(3), m.group(4).replace("''", "'"), m.group(5).toInt,
+          Option(m.group(6)).map(_.replace("''", "'")).getOrElse("~"),
+          m.group(7), m.group(8))
+        return executeImpl(spark, trimmed.substring(0, m.start) +
+          s"$view AS ${m.group(7)}" + trimmed.substring(m.end), basePath)
+      case _ =>
+    }
     CreateSeqRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateSequence(spark, m.group(1), m.group(2))
@@ -4285,6 +4306,140 @@ object GpSqlDialect {
       else graft.operators.RecursiveCte.unionDistinct(seed, step)
     result.createOrReplaceTempView(name)
     if (mainSql.isEmpty) result else spark.sql(mainSql)
+  }
+
+  // ---- contrib/tablefunc: crosstab + connectby ------------------------
+
+  /** `crosstab('source_sql'[, 'category_sql']) AS alias(col type, …)`
+    * in FROM (contrib/tablefunc/tablefunc.c:50 get_crosstab_tuplestore /
+    * crosstab_hash). */
+  private val CrosstabRe =
+    ("(?is)\\bcrosstab\\s*\\(\\s*'((?:[^']|'')*)'\\s*" +
+      "(?:,\\s*'((?:[^']|'')*)'\\s*)?\\)\\s+(?:AS\\s+)?" +
+      "(\\w+)\\s*\\(([^)]*)\\)").r
+
+  /** `connectby('rel', 'key', 'parent', 'start', depth[, 'delim'])
+    * AS alias(cols)` (tablefunc.c:996 connectby_text). */
+  private val ConnectbyRe =
+    ("(?is)\\bconnectby\\s*\\(\\s*'([\\w.]+)'\\s*,\\s*'(\\w+)'\\s*,\\s*" +
+      "'(\\w+)'\\s*,\\s*'((?:[^']|'')*)'\\s*,\\s*(\\d+)\\s*" +
+      "(?:,\\s*'((?:[^']|'')*)'\\s*)?\\)\\s+(?:AS\\s+)?" +
+      "(\\w+)\\s*\\(([^)]*)\\)").r
+
+  /** Parse an `AS t(name type, …)` column list to (name, type) pairs. */
+  private def parseColSpec(spec: String): Seq[(String, DataType)] =
+    splitTopLevelCommas(spec).map { c =>
+      val parts = c.trim.split("\\s+", 2)
+      require(parts.length == 2, s"column def needs name + type: $c")
+      (parts(0).toLowerCase, sparkType(parts(1)))
+    }
+
+  /** tablefunc crosstab (tablefunc.c:50): the source SQL yields
+    * (row_name, category, value) rows; output is one row per row_name
+    * with value columns. The 2-arg form matches values to the category
+    * list from `category_sql` (ordered, like get_crosstab_tuplestore's
+    * crosstab_hash); the 1-arg form fills the declared value columns in
+    * category order within each row_name — the PG convention that the
+    * source query is `ORDER BY 1,2`.
+    *
+    * Spark-first: the pivot is groupBy(row_name).pivot(values).first —
+    * one hash shuffle on row_name with map-side partials; the category
+    * list is catalog-scale (it becomes the column list, so it is BY
+    * CONSTRUCTION bounded by the output schema width). */
+  private def executeCrosstab(
+      spark: SparkSession, srcSql: String, catSql: Option[String],
+      alias: String, colSpec: String, basePath: String): String = {
+    import org.apache.spark.sql.functions.{col, first, row_number}
+    val src = executeImpl(spark, srcSql, basePath)
+    require(src.columns.length == 3,
+      s"crosstab source must return (row_name, category, value), got " +
+        s"${src.columns.mkString(", ")}")
+    val Array(rn, cat, v) = src.columns
+    val cols = parseColSpec(colSpec)
+    require(cols.size >= 2, "crosstab output needs row_name + values")
+    val valueCols = cols.drop(1)
+    val pivoted = catSql match {
+      case Some(cs) =>
+        val cats = executeImpl(spark, cs, basePath)
+          .collect().map(_.get(0)).toSeq
+        require(cats.size == valueCols.size,
+          s"crosstab categories (${cats.size}) must match declared " +
+            s"value columns (${valueCols.size})")
+        src.groupBy(col(rn)).pivot(cat, cats).agg(first(col(v)))
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(rn).orderBy(cat)
+        src.withColumn("__pos", row_number().over(w))
+          .filter(col("__pos") <= valueCols.size)
+          .groupBy(col(rn))
+          .pivot("__pos", 1 to valueCols.size)
+          .agg(first(col(v)))
+    }
+    val renamed = pivoted.toDF(cols.map(_._1): _*)
+    val casted = renamed.select(cols.map { case (n, t) =>
+      col(n).cast(t).as(n)
+    }: _*)
+    val view = s"graft_crosstab_$alias"
+    casted.createOrReplaceTempView(view)
+    view
+  }
+
+  /** tablefunc connectby (tablefunc.c:996 connectby_text /
+    * build_tuplestore_recursively): BFS by level over the parent
+    * relation — the root row is (start_with, NULL, 0[, start_with]);
+    * each round joins the table's parent column against the previous
+    * frontier (≡ the WorkTableScan loop), extending branch paths with
+    * the delimiter. max_depth 0 descends until the frontier empties.
+    *
+    * Scale: per-round work is one equi-join of the (checkpointed)
+    * frontier against the table — the recursive-CTE shape; no driver
+    * data paths. Cycles are cut by the iteration cap (tablefunc raises
+    * on branch repetition; the cap keeps the loop bounded without
+    * per-row path scans). */
+  private def executeConnectby(
+      spark: SparkSession, rel: String, keyFld: String, parentFld: String,
+      startWith: String, maxDepth: Int, delim: String,
+      alias: String, colSpec: String): String = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val cols = parseColSpec(colSpec)
+    require(cols.size == 3 || cols.size == 4,
+      "connectby output is (keyid, parent_keyid, level[, branch])")
+    val t = spark.table(rewriteCatalogNames(rel))
+    // tablefunc.c:1276 emits the start_with row unconditionally (it
+    // need not exist in the relation) with a NULL parent at level 0
+    var frontier = spark.range(1)
+      .select(lit(startWith).as("keyid"),
+        lit(null).cast("string").as("parent_keyid"),
+        lit(0).as("level"), lit(startWith).as("branch"))
+      .localCheckpoint(eager = true)
+    var acc = frontier
+    var lvl = 0
+    val cap = 100
+    while (frontier.limit(1).count() > 0 &&
+      (maxDepth == 0 || lvl < maxDepth) && lvl < cap) {
+      // qualify through t(...): the frontier's own column names
+      // (keyid/parent_keyid) may coincide with the table's field names
+      val next = t.join(frontier,
+          t(parentFld).cast("string") === frontier("keyid"))
+        .select(t(keyFld).cast("string").as("keyid"),
+          t(parentFld).cast("string").as("parent_keyid"),
+          (frontier("level") + 1).as("level"),
+          concat(frontier("branch"), lit(delim),
+            t(keyFld).cast("string")).as("branch"))
+        .localCheckpoint(eager = true)
+      frontier = next
+      if (frontier.limit(1).count() > 0) acc = acc.union(frontier)
+      lvl += 1
+    }
+    if (lvl >= cap) throw new IllegalStateException(
+      s"connectby: depth cap $cap reached — cycle in '$rel'?")
+    val base = acc.select("keyid", "parent_keyid", "level", "branch")
+    val picked = base.select(cols.zipWithIndex.map { case ((n, tp), i) =>
+      col(base.columns(i)).cast(tp).as(n)
+    }: _*)
+    val view = s"graft_connectby_$alias"
+    picked.createOrReplaceTempView(view)
+    view
   }
 
   // ---- phase 2: column-def CREATE TABLE + PARTITION BY ---------------

@@ -2524,4 +2524,84 @@ class ExpressionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("needs 2+ args"), e.getMessage)
   }
+
+  test("tablefunc crosstab: 1-arg form fills value columns in category " +
+    "order; 2-arg form matches the category list") {
+    import spark.implicits._
+    Seq(("a", "k1", 1L), ("a", "k2", 2L), ("b", "k2", 20L))
+      .toDF("rn", "cat", "v").createOrReplaceTempView("xt_src")
+    // 1-arg: values land positionally (ORDER BY 1,2 convention) — row b
+    // has ONE value, so it lands in v1 even though its category is k2
+    val one = GpSqlDialect.execute(spark,
+      """SELECT * FROM crosstab('SELECT rn, cat, v FROM xt_src
+        |ORDER BY 1, 2') AS ct(rn text, v1 bigint, v2 bigint)
+        |ORDER BY rn""".stripMargin, "/tmp/xt").collect()
+    assert(one.map(r => (r.getString(0), r.get(1), r.get(2))).toSeq ==
+      Seq(("a", 1L, 2L), ("b", 20L, null)))
+    // 2-arg: values match the category list — b.k2 lands in the k2 slot
+    val two = GpSqlDialect.execute(spark,
+      """SELECT * FROM crosstab(
+        |  'SELECT rn, cat, v FROM xt_src ORDER BY 1, 2',
+        |  'SELECT k FROM (VALUES (''k1''), (''k2'')) t(k) ORDER BY 1')
+        |AS ct(rn text, k1 bigint, k2 bigint) ORDER BY rn""".stripMargin,
+      "/tmp/xt").collect()
+    assert(two.map(r => (r.getString(0), r.get(1), r.get(2))).toSeq ==
+      Seq(("a", 1L, 2L), ("b", null, 20L)))
+  }
+
+  test("gpmapreduce: builtin reduces aggregate on key; interpreter " +
+    "languages and custom reduces reject loudly") {
+    import spark.implicits._
+    Seq(("a", 1), ("b", 2), ("a", 3)).toDF("k", "v")
+      .createOrReplaceTempView("mr_src")
+    def job(reduce: String) =
+      s"""DEFINE:
+         |  - INPUT: {NAME: src, TABLE: mr_src}
+         |  - MAP:
+         |      NAME: m
+         |      LANGUAGE: sql
+         |      FUNCTION: SELECT k AS key, v AS value FROM src
+         |EXECUTE:
+         |  - RUN: {SOURCE: src, MAP: m, REDUCE: $reduce}""".stripMargin
+    val sums = graft.sql.GpMapReduce.run(spark, job("SUM"), "/tmp/mr")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("a" -> 4L, "b" -> 2L))
+    assert(graft.sql.GpMapReduce.run(spark, job("IDENTITY"), "/tmp/mr")
+      .count() == 3)
+    val e1 = intercept[UnsupportedOperationException] {
+      graft.sql.GpMapReduce.run(spark, job("MEDIAN"), "/tmp/mr")
+    }
+    assert(e1.getMessage.contains("not a builtin"))
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.sql.GpMapReduce.run(spark,
+        """DEFINE:
+          |  - INPUT: {NAME: src, TABLE: mr_src}
+          |  - MAP:
+          |      NAME: m
+          |      LANGUAGE: perl
+          |      FUNCTION: return [];
+          |EXECUTE:
+          |  - RUN: {SOURCE: src, MAP: m}""".stripMargin, "/tmp/mr")
+    }
+    assert(e2.getMessage.contains("LANGUAGE perl"))
+  }
+
+  test("tablefunc connectby: root emitted with NULL parent even when " +
+    "absent from the relation; max_depth bounds descent") {
+    import spark.implicits._
+    Seq(("r1", "r0"), ("r2", "r1"), ("r3", "r1"), ("r4", "r2"))
+      .toDF("k", "pk").createOrReplaceTempView("cb_tree")
+    val out = GpSqlDialect.execute(spark,
+      """SELECT * FROM connectby('cb_tree', 'k', 'pk', 'r0', 2, '.')
+        |AS t(keyid text, parent_keyid text, level int, branch text)
+        |ORDER BY level, keyid""".stripMargin, "/tmp/cb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSeq
+    // r0 itself has no row in cb_tree — tablefunc.c:1276 emits it anyway
+    assert(out == Seq(
+      ("r0", null, 0, "r0"),
+      ("r1", "r0", 1, "r0.r1"),
+      ("r2", "r1", 2, "r0.r1.r2"),
+      ("r3", "r1", 2, "r0.r1.r3"))) // r4 is level 3 — cut by max_depth 2
+  }
 }

@@ -1049,4 +1049,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out2.forall(_.getLong(3) > 0L))
     assert(out2.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == 5L)
   }
+
+  test("Components.triangles: each triangle exactly once, sorted, " +
+    "regardless of input orientation/duplication") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a pendant 5 and an isolated edge (6,7);
+    // edges given in mixed orientation with duplicates and a self-loop
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (6L, 7L), (6L, 6L)).toDF("src", "dst")
+    val tri = Components.triangles(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // K4 has exactly C(4,3)=4 triangles
+    assert(tri == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+  }
+
+  test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
+    "pinned for 3+ systems") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "c_id", "rk")
+    val r2 = Seq((1L, 11L, 1)).toDF("q_id", "c_id", "rk")
+    val r3 = Seq((1L, 12L, 1), (1L, 10L, 3)).toDF("q_id", "c_id", "rk")
+    val out = Similarity.rrfFuse(Seq(r1, r2, r3), k = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // pinned left-to-right addition: (t1 + t2) + t3
+    assert(out(10L) == (1.0 / 61 + 0.0) + 1.0 / 63)
+    assert(out(11L) == (1.0 / 62 + 1.0 / 61) + 0.0)
+    assert(out(12L) == (0.0 + 0.0) + 1.0 / 61)
+  }
 }

@@ -592,4 +592,40 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(finalPlan).length
     assert(scans == 1, s"expected ONE lineitem scan, got $scans:\n$p")
   }
+
+  test("q_ann_rrf: both rankers broadcast the query side; fusion joins " +
+    "are query-scale equi-joins") {
+    val p = plan("q_ann_rrf")
+    // candidate generation = corpus scan × broadcast queries (the two
+    // BroadcastNestedLoopJoins); a CartesianProduct would mean a
+    // corpus×corpus pair space
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"RRF candidate generation must broadcast the query side:\n$p")
+  }
+
+  test("q_text_ctfidf: vocabulary-scale aggregates with map-side partials") {
+    val p = plan("q_text_ctfidf")
+    assert(p.contains("partial_count"),
+      s"c-TF-IDF term counts need map-side partial aggregation:\n$p")
+    // the one nested-loop allowed is the 1-row totals broadcast; the
+    // (cls, tok) × marginals joins must be hash equi-joins
+    assert(!p.contains("CartesianProduct"),
+      s"c-TF-IDF must never cartesian the vocabulary:\n$p")
+  }
+
+  test("q_sql_mapreduce: the MR job lowers to one partial/final " +
+    "hash aggregate") {
+    val p = plan("q_sql_mapreduce")
+    assert(p.contains("partial_"),
+      s"builtin REDUCE must plan a map-side combine:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_graph_triangles: wedge and closing joins are hash equi-joins") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration must never materialize vertex pairs:\n$p")
+  }
 }
