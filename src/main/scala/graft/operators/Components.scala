@@ -86,6 +86,50 @@ object Components {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999; MADlib graph `hits`
+    * module parity): k rounds of authority = Σ hub over in-edges,
+    * hub = Σ authority over out-edges, each vector L2-normalized per
+    * round like MADlib. Returns (id, hub, auth) for every node —
+    * nodes with no in-edges carry authority 0, no out-edges hub 0.
+    *
+    * Scale: the score relations are node-scale and broadcast into the
+    * edge joins (edges never re-shuffled — the pageRank dataflow); the
+    * only corpus-scale exchange per round is the dst-/src-keyed sum
+    * with map-side partials. Each normalization reduces one scalar to
+    * the driver (catalog-scale). */
+  def hits(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val edges = cut(edgesDf
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = cut(edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct())
+    var hub = nodes.select(col("id"), lit(1.0).as("s"))
+    var auth = nodes.select(col("id"), lit(0.0).as("s"))
+    def normalize(v: DataFrame): DataFrame = {
+      val norm = math.sqrt(v.agg(sum(col("s") * col("s"))).head.getDouble(0))
+      v.select(col("id"), (col("s") / lit(norm)).as("s"))
+    }
+    for (_ <- 0 until iterations) {
+      auth = cut(normalize(nodes
+        .join(edges.join(broadcast(hub), edges("src") === hub("id"))
+          .groupBy(col("dst").as("nid")).agg(sum(col("s")).as("c")),
+          nodes("id") === col("nid"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s"))))
+      hub = cut(normalize(nodes
+        .join(edges.join(broadcast(auth), edges("dst") === auth("id"))
+          .groupBy(col("src").as("nid")).agg(sum(col("s")).as("c")),
+          nodes("id") === col("nid"), "left")
+        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s"))))
+    }
+    nodes.join(hub.select(col("id"), col("s").as("hub")), "id")
+      .join(auth.select(col("id"), col("s").as("auth")), "id")
+  }
+
   /** Components of the undirected pair graph. Returns (`id`,
     * `component`) for every vertex that appears in `pairs`, where
     * `component` is the least vertex id in the component. */

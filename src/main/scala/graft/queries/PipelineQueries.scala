@@ -2103,6 +2103,62 @@ object PipelineQueries {
         .orderBy("a", "b", "c")
     },
 
+    // HITS hubs and authorities (Kleinberg 1999; MADlib graph `hits`):
+    // 3 rounds over the supplier→customer bipartite trade graph,
+    // L2-normalized per round like MADlib. The oracle unrolls the
+    // identical rounds as chained CTEs; scores compare ROUNDED (6 dp)
+    // — the per-node sums are ~40 fp terms whose order differs across
+    // engines by ~1e-15, the q_graph_pagerank precedent.
+    Q("q_graph_hits", Some {
+      val iters = 3
+      val head =
+        """WITH e AS (SELECT DISTINCT l_suppkey AS src,
+          |    1000000 + o_custkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes)"""
+          .stripMargin
+      // normalization via a whole-relation window, NOT a scalar cross
+      // join: that keeps each CTE single-referenced along the chain —
+      // a twice-referenced CTE can re-inline per reference and the
+      // unrolled rounds then recompute the edge relation exponentially
+      val rounds = (1 to iters).map { i =>
+        s"""a${i}r AS (SELECT nodes.id, coalesce(t.c, CAST(0 AS DOUBLE)) AS s
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS id, sum(h.s) AS c
+           |    FROM e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1) t
+           |  USING (id)),
+           |a$i AS (SELECT id, s / sqrt(sum(s * s) OVER ()) AS s
+           |  FROM a${i}r),
+           |h${i}r AS (SELECT nodes.id, coalesce(t.c, CAST(0 AS DOUBLE)) AS s
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.src AS id, sum(a.s) AS c
+           |    FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1) t
+           |  USING (id)),
+           |h$i AS (SELECT id, s / sqrt(sum(s * s) OVER ()) AS s
+           |  FROM h${i}r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT nodes.id, round(h$iters.s, 6) AS hub,
+         |  round(a$iters.s, 6) AS auth
+         |FROM nodes JOIN h$iters ON h$iters.id = nodes.id
+         |JOIN a$iters ON a$iters.id = nodes.id
+         |ORDER BY nodes.id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("src"),
+          (lit(1000000L) + $"o_custkey").as("dst"))
+      graft.operators.Components.hits(edges, "src", "dst", iterations = 3)
+        .select($"id", round($"hub", 6).as("hub"),
+          round($"auth", 6).as("auth"))
+        .orderBy("id")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),

@@ -487,6 +487,60 @@ object StorageQueries {
         .orderBy("key")
     },
 
+    // contrib/intagg + gpcontrib/gp_array_agg + gp_legacy_string_agg
+    // (intagg--1.0.sql:22,32): int_array_aggregate/gp_array_agg lower
+    // to array_agg, int_array_enum to explode, one-arg string_agg to
+    // the SORTED no-delimiter concat (GP's order is unspecified —
+    // sorted is the deterministic strengthening).
+    Q("q_sql_intagg", Some(
+      """WITH a AS (SELECT n_regionkey AS rk,
+        |    list_sort(list(CAST(n_nationkey AS INT))) AS arr,
+        |    array_to_string(list_sort(list(substr(n_name, 1, 2))), '')
+        |      AS names2
+        |  FROM nation GROUP BY 1),
+        |e AS (SELECT rk, unnest(arr) AS nk FROM a)
+        |SELECT e.rk, e.nk, a.names2
+        |FROM e JOIN a ON a.rk = e.rk ORDER BY e.rk, e.nk""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        GpSqlDialect.execute(s,
+          """WITH a AS (SELECT n_regionkey AS rk,
+            |    array_sort(int_array_aggregate(CAST(n_nationkey AS INT)))
+            |      AS arr,
+            |    string_agg(substr(n_name, 1, 2)) AS names2
+            |  FROM nation GROUP BY n_regionkey),
+            |e AS (SELECT rk, int_array_enum(arr) AS nk FROM a)
+            |SELECT e.rk, e.nk, a.names2
+            |FROM e JOIN a ON a.rk = e.rk ORDER BY rk, nk""".stripMargin,
+          tmp("intagg"))
+    },
+
+    // contrib/dblink: the remote side runs the query text verbatim —
+    // here a jdbc: connstr against the embedded Derby "remote" (its
+    // dialect applies on that side), record shape declared by the AS
+    // clause exactly like dblink. Loopback (dbname=) connstrs execute
+    // against this engine (spec-covered).
+    Q("q_sql_dblink", Some(
+      """SELECT n_regionkey AS rk, count(*) AS n,
+        |  min(n_name) AS first_name
+        |FROM nation WHERE n_nationkey >= 2
+        |GROUP BY n_regionkey ORDER BY rk""".stripMargin),
+      prepare = Some { (s, dir) =>
+        ForeignTables.resetDb(tmp("derby_dblink"))
+        ForeignTables.writeForeign(
+          Tables.T(s, dir).nation,
+          ForeignTables.derbyUrl(tmp("derby_dblink")), "NATION_DL")
+      }) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      GpSqlDialect.execute(s,
+        s"""SELECT rk, count(*) AS n, min(nm) AS first_name
+           |FROM dblink('${ForeignTables.derbyUrl(tmp("derby_dblink"))}',
+           |  'SELECT "n_nationkey", "n_regionkey", "n_name" FROM NATION_DL
+           |   WHERE "n_nationkey" >= 2')
+           |AS t(nk bigint, rk bigint, nm text)
+           |GROUP BY rk ORDER BY rk""".stripMargin, tmp("dblink"))
+    },
+
     // ForeignScan (nodeForeignscan.c:89): nation published to an embedded
     // Derby "foreign server", bound back as a partitioned JDBC scan with
     // the filter pushed into the remote WHERE. Oracle runs on the local

@@ -217,6 +217,14 @@ object GpSqlDialect {
           s"$view AS ${m.group(7)}" + trimmed.substring(m.end), basePath)
       case _ =>
     }
+    DblinkRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        val view = executeDblink(spark, m.group(1).replace("''", "'"),
+          m.group(2).replace("''", "'"), m.group(3), m.group(4), basePath)
+        return executeImpl(spark, trimmed.substring(0, m.start) +
+          s"$view AS ${m.group(3)}" + trimmed.substring(m.end), basePath)
+      case _ =>
+    }
     CreateSeqRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateSequence(spark, m.group(1), m.group(2))
@@ -2103,8 +2111,26 @@ object GpSqlDialect {
     val afterXpath = rewriteCalls(afterSample, "xpath", 2) { args =>
       s"xpath(${args(1)}, ${args(0)})"
     }
-    rewriteCalls(afterXpath, "xpath_exists", 2) { args =>
+    val afterXpathEx = rewriteCalls(afterXpath, "xpath_exists", 2) { args =>
       s"xpath_boolean(${args(1)}, ${args(0)})"
+    }
+    // contrib/intagg (intagg--1.0.sql:22,32) + gpcontrib/gp_array_agg:
+    // array aggregation/enumeration under their contrib names
+    val afterIntAgg = rewriteCalls(afterXpathEx, "int_array_aggregate", 1) {
+      args => s"array_agg(${args(0)})"
+    }
+    val afterGpArr = rewriteCalls(afterIntAgg, "gp_array_agg", 1) { args =>
+      s"array_agg(${args(0)})"
+    }
+    val afterEnum = rewriteCalls(afterGpArr, "int_array_enum", 1) { args =>
+      s"explode(${args(0)})"
+    }
+    // gpcontrib/gp_legacy_string_agg: the one-arg, no-delimiter
+    // string_agg whose GP order is unspecified — lowered SORTED so the
+    // result is deterministic across engines, runs, and cluster sizes
+    // (documented strengthening; 2-arg string_agg is untouched)
+    rewriteCalls(afterEnum, "string_agg", 1) { args =>
+      s"concat_ws('', array_sort(array_agg(${args(0)})))"
     }
   }
 
@@ -4325,6 +4351,41 @@ object GpSqlDialect {
       "'(\\w+)'\\s*,\\s*'((?:[^']|'')*)'\\s*,\\s*(\\d+)\\s*" +
       "(?:,\\s*'((?:[^']|'')*)'\\s*)?\\)\\s+(?:AS\\s+)?" +
       "(\\w+)\\s*\\(([^)]*)\\)").r
+
+  /** `dblink('connstr', 'sql') AS t(cols)` (contrib/dblink/dblink.c). */
+  private val DblinkRe =
+    ("(?is)\\bdblink\\s*\\(\\s*'((?:[^']|'')*)'\\s*,\\s*" +
+      "'((?:[^']|'')*)'\\s*\\)\\s+(?:AS\\s+)?(\\w+)\\s*\\(([^)]*)\\)").r
+
+  /** contrib/dblink: the remote side executes `sql` verbatim —
+    * a `jdbc:` connstr binds through the JDBC ForeignScan machinery
+    * (the query ships to the remote engine, its dialect applies);
+    * PG-style `dbname=…` connstrs are the LOOPBACK pattern and execute
+    * against this engine. Result cast/renamed to the declared record
+    * shape like dblink's AS clause.
+    *
+    * Scale: a jdbc dblink is one remote cursor (dblink's own model —
+    * use the FDW path for partitioned parallel reads); loopback is
+    * whatever plan the inner statement makes. */
+  private def executeDblink(
+      spark: SparkSession, conn: String, sql: String,
+      alias: String, colSpec: String, basePath: String): String = {
+    import org.apache.spark.sql.functions.col
+    val cols = parseColSpec(colSpec)
+    val df0 =
+      if (conn.startsWith("jdbc:"))
+        spark.read.format("jdbc")
+          .option("url", conn).option("query", sql).load()
+      else executeImpl(spark, sql, basePath)
+    require(df0.columns.length == cols.size,
+      s"dblink result has ${df0.columns.length} columns, AS clause " +
+        s"declares ${cols.size}")
+    val casted = df0.toDF(cols.map(_._1): _*)
+      .select(cols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    val view = s"graft_dblink_$alias"
+    casted.createOrReplaceTempView(view)
+    view
+  }
 
   /** Parse an `AS t(name type, …)` column list to (name, type) pairs. */
   private def parseColSpec(spec: String): Seq[(String, DataType)] =

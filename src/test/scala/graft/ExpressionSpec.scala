@@ -2549,6 +2549,24 @@ class ExpressionSpec extends AnyFunSuite {
       Seq(("a", 1L, 2L), ("b", null, 20L)))
   }
 
+  test("dblink loopback: PG-style connstr executes against this engine " +
+    "with the AS-clause record shape applied") {
+    val out = GpSqlDialect.execute(spark,
+      """SELECT x, nm FROM dblink('dbname=graft',
+        |  'SELECT 41 + 1 AS a, upper(''ok'') AS b')
+        |AS t(x bigint, nm text) ORDER BY x""".stripMargin, "/tmp/dbl")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 42L && out(0).getString(1) == "OK")
+    // arity mismatch between the remote result and the AS clause rejects
+    val e = intercept[IllegalArgumentException] {
+      GpSqlDialect.execute(spark,
+        "SELECT * FROM dblink('dbname=graft', 'SELECT 1 AS a') " +
+          "AS t(x int, y int)", "/tmp/dbl")
+    }
+    assert(e.getMessage.contains("AS clause"))
+  }
+
   test("gpmapreduce: builtin reduces aggregate on key; interpreter " +
     "languages and custom reduces reject loudly") {
     import spark.implicits._

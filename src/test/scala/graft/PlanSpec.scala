@@ -622,6 +622,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_graph_hits: score joins are equi-joins, never node×node") {
+    val p = plan("q_graph_hits")
+    assert(!p.contains("CartesianProduct"),
+      s"HITS rounds must join scores by node id:\n$p")
+  }
+
   test("q_graph_triangles: wedge and closing joins are hash equi-joins") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("CartesianProduct") &&
