@@ -211,6 +211,94 @@ object Regression {
       when(abs(det) > lit(1e-9), b2).as("b2"))
   }
 
+  /** k-fold cross-validation of [[ridgeFit2]] — the MADlib
+    * `cross_validation_general` surface (the reference ships MADlib's
+    * CV wrapper for exactly this model-selection loop) — in ONE corpus
+    * aggregate, not k train/test passes.
+    *
+    * The trick: OLS/ridge training and held-out evaluation both consume
+    * only the second-moment sums, and moments are additive. So:
+    *   1. ONE pass aggregates the 10 moments PER FOLD (map-side partial
+    *      combine; k rows out).
+    *   2. Fold totals come from an unpartitioned window over the k-row
+    *      relation — post-aggregate catalog scale (one k-row exchange),
+    *      never a second corpus scan.
+    *   3. Training moments for fold f = totals − fold_f (leave-fold-out
+    *      by SUBTRACTION); the usual Cramer ridge solve runs per fold
+    *      in column algebra.
+    *   4. Held-out MSE needs no per-row prediction pass either:
+    *      SSE_f(b) = syy_f − 2·bᵀ(X'y)_f + bᵀ(X'X)_f b — evaluated from
+    *      fold f's OWN moments.
+    * Net cost at any scale: one scan + one k-row shuffle. MADlib's CV
+    * loop retrains k times; at 100 TB that's the difference between one
+    * pass and k passes.
+    *
+    * Cross-engine determinism: per-fold sums use the split hi/lo long
+    * discipline (exact, order-free); totals and leave-fold-out
+    * subtraction stay in integer space (DECIMAL(38,0) micros) and each
+    * moment converts to double ONCE via the same two correctly-rounded
+    * ops (int→double, ÷1e6) in both engines, so the solve sees
+    * bit-identical inputs and the coefficients/MSE round-compare.
+    *
+    * Returns one row per fold: (fold, n_train, n_test, b0, b1, b2,
+    * mse) — NULL coefficients when the training normal matrix is
+    * singular. */
+  def crossValRidge(
+      df: DataFrame, foldExpr: Column, yCol: String,
+      x1Col: String, x2Col: String, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (y, x1, x2) = (col(yCol).cast("double"),
+      col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val moments: Seq[(String, Column)] = Seq(
+      "sx1" -> x1, "sx2" -> x2, "sy" -> y,
+      "sx11" -> (x1 * x1), "sx22" -> (x2 * x2), "sx12" -> (x1 * x2),
+      "sx1y" -> (x1 * y), "sx2y" -> (x2 * y), "syy" -> (y * y))
+    // split each moment into exact hi/lo long sums (the Q.dsum shape)
+    def v(c: Column) = floor(c * lit(1000000d) + lit(0.5)).cast("long")
+    def hiOf(c: Column) = floor(v(c) / lit(1000000d)).cast("long")
+    def loOf(c: Column) = v(c) - hiOf(c) * lit(1000000L)
+    val aggCols = moments.flatMap { case (m, c) =>
+      Seq(sum(hiOf(c)).as(s"${m}_hi"), sum(loOf(c)).as(s"${m}_lo"))
+    }
+    val perFold = df.groupBy(foldExpr.as("fold"))
+      .agg(count(lit(1)).as("nf"), aggCols: _*)
+    val w = Window.partitionBy()                // k rows — catalog scale
+    val totCols = (Seq(sum(col("nf")).over(w).as("nt")) ++
+      moments.flatMap { case (m, _) =>
+        Seq(sum(col(s"${m}_hi")).over(w).as(s"${m}_hit"),
+          sum(col(s"${m}_lo")).over(w).as(s"${m}_lot"))
+      })
+    val withTot = perFold.select(col("*") +: totCols: _*)
+    // moment → double, identically in both engines: exact integer micros
+    // (DECIMAL 38,0) → one int→double cast → one ÷1e6.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def asD(hi: Column, lo: Column): Column =
+      (hi.cast(dec) * lit(1000000L) + lo).cast("double") / lit(1000000d)
+    def test(m: String): Column = asD(col(s"${m}_hi"), col(s"${m}_lo"))
+    def train(m: String): Column = asD(
+      col(s"${m}_hit") - col(s"${m}_hi"), col(s"${m}_lot") - col(s"${m}_lo"))
+    val nTr = (col("nt") - col("nf")).cast("double")
+    val c0 = (nTr, train("sx1"), train("sx2"))
+    val c1 = (train("sx1"), train("sx11") + lit(lambda), train("sx12"))
+    val c2 = (train("sx2"), train("sx12"), train("sx22") + lit(lambda))
+    val r = (train("sy"), train("sx1y"), train("sx2y"))
+    val det = det3(c0, c1, c2)
+    val ok = abs(det) > lit(1e-9)
+    val b0 = det3(r, c1, c2) / det
+    val b1 = det3(c0, r, c2) / det
+    val b2 = det3(c0, c1, r) / det
+    val nTe = col("nf").cast("double")
+    val sse = test("syy") -
+      lit(2.0) * (b0 * test("sy") + b1 * test("sx1y") + b2 * test("sx2y")) +
+      (b0 * b0 * nTe + b1 * b1 * test("sx11") + b2 * b2 * test("sx22") +
+        lit(2.0) * b0 * b1 * test("sx1") + lit(2.0) * b0 * b2 * test("sx2") +
+        lit(2.0) * b1 * b2 * test("sx12"))
+    withTot.select(col("fold"),
+      (col("nt") - col("nf")).as("n_train"), col("nf").as("n_test"),
+      when(ok, b0).as("b0"), when(ok, b1).as("b1"), when(ok, b2).as("b2"),
+      when(ok, sse / nTe).as("mse"))
+  }
+
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated

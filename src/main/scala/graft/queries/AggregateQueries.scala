@@ -283,6 +283,87 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // k-fold cross-validation of ridge (MADlib cross_validation_general
+    // parity): ONE corpus aggregate of per-fold moments; training
+    // moments per fold = window totals − fold (leave-fold-out by
+    // subtraction), held-out MSE evaluated from the fold's own moments
+    // (SSE = syy − 2b'X'y + b'X'Xb) — one scan + one 5-row exchange
+    // where MADlib retrains k times. Folds from the deterministic md5
+    // uniform; moment doubles built by identical int→double ÷1e6 ops on
+    // both engines so the solve is bit-reproducible.
+    Q("q_ml_crossval", Some {
+      import graft.operators.Regression.Sql.det3
+      val lam = "250.0"
+      val ms = Seq("sx1", "sx2", "sy", "sx11", "sx22", "sx12",
+        "sx1y", "sx2y", "syy")
+      val ex = Map("sx1" -> "x1", "sx2" -> "x2", "sy" -> "y",
+        "sx11" -> "x1 * x1", "sx22" -> "x2 * x2", "sx12" -> "x1 * x2",
+        "sx1y" -> "x1 * y", "sx2y" -> "x2 * y", "syy" -> "y * y")
+      def vE(e: String) = s"CAST(floor(($e) * 1000000 + 0.5) AS BIGINT)"
+      def hiE(e: String) = s"CAST(floor(${vE(e)} / 1000000.0) AS BIGINT)"
+      def loE(e: String) = s"(${vE(e)} - ${hiE(e)} * 1000000)"
+      val aggs = ms.map(m => s"sum(${hiE(ex(m))}) AS ${m}_hi," +
+        s" sum(${loE(ex(m))}) AS ${m}_lo").mkString(",\n    ")
+      val tots = ms.map(m => s"sum(${m}_hi) OVER () AS ${m}_hit," +
+        s" sum(${m}_lo) OVER () AS ${m}_lot").mkString(",\n    ")
+      def asD(h: String, l: String) =
+        s"CAST(($h * 1000000 + $l) AS DOUBLE) / 1000000.0"
+      val trs = ms.map(m =>
+        s"${asD(s"(${m}_hit - ${m}_hi)", s"(${m}_lot - ${m}_lo)")} AS tr_$m")
+        .mkString(",\n    ")
+      val tes = ms.map(m => s"${asD(s"${m}_hi", s"${m}_lo")} AS te_$m")
+        .mkString(",\n    ")
+      val c0 = Seq("ntr", "tr_sx1", "tr_sx2")
+      val c1 = Seq("tr_sx1", s"(tr_sx11 + $lam)", "tr_sx12")
+      val c2 = Seq("tr_sx2", "tr_sx12", s"(tr_sx22 + $lam)")
+      val r = Seq("tr_sy", "tr_sx1y", "tr_sx2y")
+      val fold = "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)" +
+        " || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 5"
+      s"""WITH src AS (SELECT $fold AS fold,
+         |    CAST(l_extendedprice AS DOUBLE) AS y,
+         |    CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2 FROM lineitem),
+         |f AS (SELECT fold, count(*) AS nf,
+         |    $aggs
+         |  FROM src GROUP BY fold),
+         |t AS (SELECT *, sum(nf) OVER () AS nt,
+         |    $tots
+         |  FROM f),
+         |t2 AS (SELECT fold, CAST(nt - nf AS BIGINT) AS n_train,
+         |    CAST(nf AS BIGINT) AS n_test,
+         |    CAST(nt - nf AS DOUBLE) AS ntr, CAST(nf AS DOUBLE) AS nte,
+         |    $trs,
+         |    $tes
+         |  FROM t),
+         |t3 AS (SELECT *, ${det3(c0, c1, c2)} AS det FROM t2),
+         |t4 AS (SELECT *, ${det3(r, c1, c2)} / det AS b0,
+         |    ${det3(c0, r, c2)} / det AS b1,
+         |    ${det3(c0, c1, r)} / det AS b2 FROM t3)
+         |SELECT fold, n_train, n_test,
+         |  round(CASE WHEN abs(det) > 1e-9 THEN b0 END, 4) AS b0,
+         |  round(CASE WHEN abs(det) > 1e-9 THEN b1 END, 4) AS b1,
+         |  round(CASE WHEN abs(det) > 1e-9 THEN b2 END, 4) AS b2,
+         |  round(CASE WHEN abs(det) > 1e-9 THEN
+         |    (te_syy - 2.0 * (b0 * te_sy + b1 * te_sx1y + b2 * te_sx2y)
+         |     + (b0 * b0 * nte + b1 * b1 * te_sx11 + b2 * b2 * te_sx22
+         |        + 2.0 * b0 * b1 * te_sx1 + 2.0 * b0 * b2 * te_sx2
+         |        + 2.0 * b1 * b2 * te_sx12)) / nte END, 2) AS mse
+         |FROM t4 ORDER BY fold""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val foldCol = (conv(substring(md5(concat(
+        $"l_orderkey".cast("string"), lit(":"),
+        $"l_linenumber".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 5)
+      graft.operators.Regression.crossValRidge(Tables.T(s, dir).lineitem,
+        foldCol, "l_extendedprice", "l_quantity", "l_discount",
+        lambda = 250.0)
+        .select($"fold", $"n_train", $"n_test",
+          round($"b0", 4).as("b0"), round($"b1", 4).as("b1"),
+          round($"b2", 4).as("b2"), round($"mse", 2).as("mse"))
+        .orderBy("fold")
+    },
+
     // Logistic regression (MADlib logregr_train parity): per-group
     // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
     // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The

@@ -448,6 +448,78 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // AR(2) autoregression per series (MADlib arima_train, the
+    // ARIMA(p,0,0) conditional-least-squares case: with no
+    // differencing/MA terms the CSS objective IS ordinary least squares
+    // on the lag matrix, so the fit is exact and closed-form — no
+    // Levenberg-Marquardt loop). Lag features come from per-series
+    // windows (the series key partitions the window; ties broken by
+    // event_id for a total order), then the SAME one-pass moment
+    // aggregate + Cramer solve as q_agg_ols — one corpus scan, one
+    // |series|-row shuffle at any scale. fc1 is the one-step-ahead
+    // forecast b0 + b1·y_T + b2·y_{T-1} from each series' last rows.
+    Q("q_ts_ar", Some {
+      import graft.operators.Regression.Sql._
+      val det = det3(c0, c1, c2)
+      val (db0, db1, db2) = (det3(r, c1, c2), det3(c0, r, c2), det3(c0, c1, r))
+      val (b0, b1, b2) = (s"($db0 / $det)", s"($db1 / $det)", s"($db2 / $det)")
+      val sse = s"(syy - ($b0 * sy + $b1 * sx1y + $b2 * sx2y))"
+      val sst = "(syy - sy * sy / n)"
+      s"""WITH lg AS (SELECT event_type, ts, event_id, value,
+         |    lag(value, 1) OVER (PARTITION BY event_type
+         |                        ORDER BY ts, event_id) AS x1,
+         |    lag(value, 2) OVER (PARTITION BY event_type
+         |                        ORDER BY ts, event_id) AS x2
+         |  FROM events),
+         |l AS (SELECT * FROM lg WHERE x2 IS NOT NULL),
+         |t AS (SELECT event_type AS grp, CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("x1", 6)} AS sx1, ${Q.oSum("x2", 6)} AS sx2,
+         |    ${Q.oSum("value", 6)} AS sy,
+         |    ${Q.oSum("x1 * x1", 6)} AS sx11,
+         |    ${Q.oSum("x2 * x2", 6)} AS sx22,
+         |    ${Q.oSum("x1 * x2", 6)} AS sx12,
+         |    ${Q.oSum("x1 * value", 6)} AS sx1y,
+         |    ${Q.oSum("x2 * value", 6)} AS sx2y,
+         |    ${Q.oSum("value * value", 6)} AS syy
+         |  FROM l GROUP BY 1),
+         |lst AS (SELECT event_type AS grp, value AS y_t, x1 AS y_t1
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ts DESC, event_id DESC) AS rn FROM l)
+         |  WHERE rn = 1)
+         |SELECT t.grp, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b0 END, 4) AS b0,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b1 END, 4) AS b1,
+         |  round(CASE WHEN abs($det) > 1e-9 THEN $b2 END, 4) AS b2,
+         |  round(CASE WHEN abs($det) > 1e-9 AND $sst > 0.0
+         |    THEN 1.0 - $sse / $sst END, 6) AS r2,
+         |  round(CASE WHEN abs($det) > 1e-9
+         |    THEN $b0 + $b1 * y_t + $b2 * y_t1 END, 4) AS fc1
+         |FROM t JOIN lst ON t.grp = lst.grp ORDER BY t.grp""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val wl = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      val lagged = Tables.T(s, dir).events
+        .select($"event_type", $"ts", $"event_id", $"value",
+          lag($"value", 1).over(wl).as("x1"),
+          lag($"value", 2).over(wl).as("x2"))
+        .filter($"x2".isNotNull)
+      val fit = graft.operators.Regression.olsFit2(
+        lagged, "event_type", "value", "x1", "x2")
+      val wd = Window.partitionBy($"event_type")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val last = lagged
+        .select($"event_type".as("grp"), $"value", $"x1",
+          row_number().over(wd).as("rn"))
+        .filter($"rn" === 1)
+        .select($"grp", $"value".as("y_t"), $"x1".as("y_t1"))
+      fit.join(last, "grp")
+        .select($"grp", $"n",
+          round($"b0", 4).as("b0"), round($"b1", 4).as("b1"),
+          round($"b2", 4).as("b2"), round($"r2", 6).as("r2"),
+          round($"b0" + $"b1" * $"y_t" + $"b2" * $"y_t1", 4).as("fc1"))
+        .orderBy("grp")
+    },
+
     // ROC-AUC (MADlib area_under_roc parity) via the Mann–Whitney
     // rank-sum identity with midranks for ties: AUC = (Σ midrank⁺ −
     // n⁺(n⁺+1)/2) / (n⁺·n⁻). The rank side is one per-distinct-score

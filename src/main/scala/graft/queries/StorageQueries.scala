@@ -161,6 +161,63 @@ object StorageQueries {
         .orderBy("flag_label")
     },
 
+    // gp_toolkit skew inspection (gp_toolkit.gp_skew_coefficients /
+    // gp_skew_idle_fractions — the admin views GP DBAs use to vet a
+    // DISTRIBUTED BY choice): per-"segment" row counts from the
+    // deterministic md5 bucket of the distribution key (32 segments —
+    // the hash-distribution analogue), then the coefficient of
+    // variation (skccoeff = 100·σ/μ) and the idle fraction
+    // (siffraction = 1 − μ/max, the fraction of the cluster idle while
+    // the hottest segment finishes). Variance is computed from EXACT
+    // integer count sums ((n·Σc² − (Σc)²)/(n(n−1))) so sqrt sees the
+    // identical double in both engines — no Welford/naive divergence.
+    // One count-shuffle per audited table; the per-seg relation is
+    // 32 rows at any data scale.
+    Q("q_gp_skew", Some {
+      def block(rel: String, key: String) = {
+        val seg = s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))" +
+          " AS BIGINT) % 32"
+        s"""SELECT '$rel' AS relname, CAST(nseg AS BIGINT) AS nseg,
+           |  round(100.0 * sqrt(CAST(nseg * s2 - s1 * s1 AS DOUBLE)
+           |      / CAST(nseg * (nseg - 1) AS DOUBLE))
+           |    / (CAST(s1 AS DOUBLE) / CAST(nseg AS DOUBLE)), 6)
+           |    AS skccoeff,
+           |  round(1.0 - (CAST(s1 AS DOUBLE) / CAST(nseg AS DOUBLE))
+           |    / CAST(mx AS DOUBLE), 6) AS siffraction
+           |FROM (SELECT count(*) AS nseg, sum(c) AS s1,
+           |    sum(c * c) AS s2, max(c) AS mx
+           |  FROM (SELECT seg, count(*) AS c
+           |    FROM (SELECT $seg AS seg FROM $rel) GROUP BY seg))""".stripMargin
+      }
+      Seq(block("orders", "o_orderkey"), block("lineitem", "l_suppkey"),
+        block("events", "user_id")).mkString("\nUNION ALL\n") +
+        "\nORDER BY relname"
+    }) { (s, dir) =>
+      import s.implicits._
+      def skewOf(df: org.apache.spark.sql.DataFrame, rel: String,
+          key: String): org.apache.spark.sql.DataFrame = {
+        val seg = conv(substring(md5(col(key).cast("string")), 1, 8),
+          16, 10).cast("long") % 32
+        df.select(seg.as("seg")).groupBy("seg")
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("nseg"), sum($"c").as("s1"),
+            sum($"c" * $"c").as("s2"), max($"c").as("mx"))
+          .select(lit(rel).as("relname"), $"nseg",
+            round(lit(100.0) *
+              sqrt(($"nseg" * $"s2" - $"s1" * $"s1").cast("double")
+                / ($"nseg" * ($"nseg" - 1)).cast("double"))
+              / ($"s1".cast("double") / $"nseg".cast("double")), 6)
+              .as("skccoeff"),
+            round(lit(1.0) - ($"s1".cast("double") / $"nseg".cast("double"))
+              / $"mx".cast("double"), 6).as("siffraction"))
+      }
+      val t = Tables.T(s, dir)
+      skewOf(t.orders, "orders", "o_orderkey")
+        .unionAll(skewOf(t.lineitem, "lineitem", "l_suppkey"))
+        .unionAll(skewOf(t.events, "events", "user_id"))
+        .orderBy("relname")
+    },
+
     // ModifyTable / INSERT INTO (nodeModifyTable.c:1771): write a table,
     // append a second batch, scan the union back.
     Q("q_insert_append", Some(

@@ -634,4 +634,26 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"triangle enumeration must never materialize vertex pairs:\n$p")
   }
+
+  test("q_ml_crossval: k-fold CV is ONE corpus aggregate, not k passes") {
+    val p = plan("q_ml_crossval").split("== Initial Plan ==").head
+    assert(p.contains("partial_"),
+      s"per-fold moments need map-side partial aggregation:\n$p")
+    // leave-fold-out by subtraction: exactly one corpus shuffle (the
+    // fold groupBy); the totals window runs over the 5-row fold
+    // relation (SinglePartition — post-aggregate catalog scale)
+    assert(hashExchanges(p) <= 1,
+      s"CV must not retrain per fold — expected 1 corpus shuffle, " +
+        s"got ${hashExchanges(p)}:\n$p")
+    assert("Scan parquet|FileScan".r.findAllIn(p).length <= 1,
+      s"CV must scan the corpus once:\n$p")
+  }
+
+  test("q_ts_ar: lag features and moments never cartesian the series") {
+    val p = plan("q_ts_ar")
+    assert(p.contains("partial_"),
+      s"AR moment aggregate needs map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"AR fit joins by series key:\n$p")
+  }
 }
