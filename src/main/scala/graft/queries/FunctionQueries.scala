@@ -121,6 +121,81 @@ object FunctionQueries {
         .orderBy("s_suppkey")
     },
 
+    // contrib/fuzzystrmatch soundex + difference (fuzzystrmatch.c
+    // _soundex): PG's variant compares each letter's code against the
+    // PREVIOUS CHARACTER's code (not the last appended digit — the
+    // H/W-transparent census variant Hive/Spark's builtin implements
+    // differs, so the builtin is NOT used). On an all-alpha word that
+    // rule is exactly "collapse runs in the code string, drop the
+    // first run, drop zeros, take 3, pad" — the Spark side is one
+    // codegen'd translate + regexp chain per row, map-only; the oracle
+    // replays the per-character algorithm literally via explode + lag.
+    // difference() counts matching soundex positions (0-4).
+    Q("q_fn_soundex", Some {
+      val map = "01230120022455012623010202"
+      s"""WITH p AS (SELECT p_partkey AS k,
+         |    regexp_extract(lower(p_name), '^[a-z]+') AS w1,
+         |    regexp_extract(lower(p_name), '[a-z]+$$') AS w2
+         |  FROM part WHERE p_partkey <= 2000),
+         |u AS (SELECT k, 1 AS wh, w1 AS w FROM p
+         |      UNION ALL SELECT k, 2 AS wh, w2 AS w FROM p),
+         |c AS (SELECT k, wh, CAST(i AS INT) AS pos,
+         |    substr(w, CAST(i AS INT), 1) AS ch,
+         |    translate(substr(w, CAST(i AS INT), 1),
+         |      'abcdefghijklmnopqrstuvwxyz', '$map') AS code
+         |  FROM u, unnest(range(1, len(w) + 1)) AS r(i)),
+         |l AS (SELECT k, wh, pos, ch, code,
+         |    lag(code) OVER (PARTITION BY k, wh ORDER BY pos) AS pcode
+         |  FROM c),
+         |d AS (SELECT k, wh,
+         |    max(CASE WHEN pos = 1 THEN upper(ch) END) AS fl,
+         |    coalesce(string_agg(CASE WHEN pos > 1 AND code <> pcode
+         |        AND code <> '0' THEN code END, '' ORDER BY pos), '')
+         |      AS ds
+         |  FROM l GROUP BY k, wh),
+         |s AS (SELECT k, wh, fl || substr(ds || '000', 1, 3) AS sdx
+         |  FROM d),
+         |j AS (SELECT k,
+         |    max(CASE WHEN wh = 1 THEN sdx END) AS sdx1,
+         |    max(CASE WHEN wh = 2 THEN sdx END) AS sdx2
+         |  FROM s GROUP BY k)
+         |SELECT k AS p_partkey, sdx1, sdx2,
+         |  (CASE WHEN substr(sdx1, 1, 1) = substr(sdx2, 1, 1)
+         |     THEN 1 ELSE 0 END
+         | + CASE WHEN substr(sdx1, 2, 1) = substr(sdx2, 2, 1)
+         |     THEN 1 ELSE 0 END
+         | + CASE WHEN substr(sdx1, 3, 1) = substr(sdx2, 3, 1)
+         |     THEN 1 ELSE 0 END
+         | + CASE WHEN substr(sdx1, 4, 1) = substr(sdx2, 4, 1)
+         |     THEN 1 ELSE 0 END) AS diff
+         |FROM j ORDER BY p_partkey""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def sdxOf(w: org.apache.spark.sql.Column) = {
+        val codes = translate(w, "abcdefghijklmnopqrstuvwxyz",
+          "01230120022455012623010202")
+        // collapse runs (≡ PG's prev-char-code skip on alpha input),
+        // drop the first run (the first letter's own code), drop the
+        // vowel/h/w zeros, take 3 digits, zero-pad
+        val digits = translate(
+          substring(regexp_replace(codes, "(.)\\1+", "$1"), 2, 1000),
+          "0", "")
+        concat(upper(substring(w, 1, 1)),
+          substring(concat(digits, lit("000")), 1, 3))
+      }
+      val base = Tables.T(s, dir).part.filter($"p_partkey" <= 2000)
+        .select($"p_partkey",
+          regexp_extract(lower($"p_name"), "^[a-z]+", 0).as("w1"),
+          regexp_extract(lower($"p_name"), "[a-z]+$", 0).as("w2"))
+        .select($"p_partkey", sdxOf($"w1").as("sdx1"), sdxOf($"w2").as("sdx2"))
+      def m(i: Int) = when(
+        substring($"sdx1", i, 1) === substring($"sdx2", i, 1), 1)
+        .otherwise(0)
+      base.select($"p_partkey", $"sdx1", $"sdx2",
+        (m(1) + m(2) + m(3) + m(4)).as("diff"))
+        .orderBy("p_partkey")
+    },
+
     // PG split SRFs (regexp.c regexp_split_to_table, varlena.c
     // string_to_table with a LITERAL delimiter): pre-registered SQL
     // bodies inline to explode(split(...)) — one generator per branch.

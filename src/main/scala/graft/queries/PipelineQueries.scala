@@ -195,6 +195,54 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Phrase search (tsquery_phrase / <-> / <N>, tsquery.c
+    // parse_tsquery PHRASE ops + tsvector_op.c TS_phrase_execute, and
+    // websearch_to_tsquery's quoted-phrase / -not / OR grammar, all on
+    // the `simple` config): adjacency over the token stream restated
+    // MAP-ONLY — the padded single-space token string makes
+    // `a <-> b` ≡ contains(' a b '), `a <2> b` ≡ one regexp, and the
+    // occurrence count a length-difference over space-doubled replace
+    // (doubling gives every boundary its own space, so back-to-back
+    // phrase hits never share a separator). No explode, no position
+    // join, no shuffle — one codegen pass per row; the oracle spells
+    // the identical string algebra.
+    Q("q_text_phrase", Some(
+      """WITH t AS (SELECT doc_id,
+        |    ' ' || array_to_string(list_filter(
+        |        string_split(lower(text), ' '), w -> len(w) > 0), ' ')
+        |      || ' ' AS n,
+        |    list_filter(string_split(lower(text), ' '),
+        |        w -> len(w) > 0) AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |d AS (SELECT doc_id, n, toks, replace(n, ' ', '  ') AS n2
+        |  FROM t)
+        |SELECT doc_id,
+        |  contains(n, ' hash join ') AS m_phrase,
+        |  regexp_matches(n, ' hash [^ ]+ join ') AS m_dist2,
+        |  CAST((len(n2) - len(replace(n2, ' hash  join ', ''))) / 12
+        |    AS INT) AS n_phrase,
+        |  ((contains(n, ' hash join ')
+        |    AND NOT list_contains(toks, 'merge'))
+        |   OR list_contains(toks, 'scan')) AS m_web
+        |FROM d ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val toks = filter(split(lower($"text"), " "), t => length(t) > 0)
+      val base = Tables.T(s, dir).documents.filter($"doc_id" < 500)
+        .select($"doc_id",
+          concat(lit(" "), array_join(toks, " "), lit(" ")).as("n"),
+          toks.as("toks"))
+        .withColumn("n2", regexp_replace($"n", " ", "  "))
+      base.select($"doc_id",
+        $"n".contains(" hash join ").as("m_phrase"),
+        $"n".rlike(" hash [^ ]+ join ").as("m_dist2"),
+        ((length($"n2") - length(regexp_replace($"n2", " hash  join ", "")))
+          / lit(12)).cast("int").as("n_phrase"),
+        (($"n".contains(" hash join ") &&
+          !array_contains($"toks", "merge")) ||
+          array_contains($"toks", "scan")).as("m_web"))
+        .orderBy("doc_id")
+    },
+
     // ts_headline snippet generation (wparser_def.c prsd_headline cover
     // selection, wparser.c ts_headline): ONE codegen'd pass per row —
     // expressions/TsHeadlineExpr.scala documents the published
