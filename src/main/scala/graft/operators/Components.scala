@@ -302,4 +302,50 @@ object Components {
         .otherwise(col("u")).as("b"),
       greatest(col("u"), col("y")).as("c"))
   }
+
+  /** Synchronous label propagation community detection (Raghavan,
+    * Albert & Kumara 2007 — the LPA every graph toolkit ships; MADlib
+    * covers the slot with its graph module's community kernels).
+    * Deterministic restatement: labels start as node ids; each FIXED
+    * round every node adopts the most frequent label over its
+    * neighborhood INCLUDING itself (the self-loop damping that keeps
+    * synchronous LPA from oscillating on bipartite graphs), ties
+    * broken by the smallest label. All state is exact integers, so
+    * both engines agree bit-for-bit — no rounding needed.
+    *
+    * The argmax is ONE aggregate via the scalar key c·1e8 − label
+    * (unique per label, so max is tie-free and picks max count then
+    * min label); node ids must be < 1e8 — callers with wider ids scale
+    * the constant.
+    *
+    * Scale: the pageRank dataflow — the node-scale label relation
+    * broadcasts into the edge join (edges never re-shuffled), each
+    * round's only corpus-scale exchange is the (node, label) count
+    * with map-side partials; lineage cut per round. */
+  def labelPropagation(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val e0 = edgesDf.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).distinct()
+    // undirected + self-loops, deduped
+    val und = cut(e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .union(e0.select(col("a").as("src"), col("a").as("dst")))
+      .union(e0.select(col("b").as("src"), col("b").as("dst")))
+      .distinct())
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    for (_ <- 0 until iterations) {
+      val cnt = und.join(broadcast(labels), und("dst") === labels("id"))
+        .select(und("src").as("v"), col("lab"))
+        .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+      labels = cut(cnt.groupBy("v")
+        .agg(max_by(col("lab"), col("c") * lit(100000000L) - col("lab"))
+          .as("lab"))
+        .select(col("v").as("id"), col("lab")))
+    }
+    labels
+  }
 }

@@ -765,4 +765,68 @@ object TextAnalysis {
           .when(col("lp") <= col("c_mid"), "middle")
           .otherwise("head").as("bucket"))
   }
+
+  /** In-engine BPE tokenizer training (Sennrich, Haddow & Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * the merge-table learner behind every production subword
+    * tokenizer). Returns the learned merge table: (step, pair, cnt).
+    *
+    * Classic formulation, restated set-based per merge step:
+    *  1. pair counts — each word's symbol string splits to an array;
+    *     adjacent pairs come from zip_with over two shifted slices
+    *     (never a positions self-join), weighted by word frequency;
+    *     ONE vocabulary-scale aggregate.
+    *  2. best pair — max count, ties to the lexicographically smallest
+    *     pair (the determinism strengthening; reference BPE ties are
+    *     dict-order accidents). A 1-row TakeOrdered, collected —
+    *     catalog-scale driver state like the k-means centroids.
+    *  3. apply — one literal string replace per vocab row, map-only.
+    *     Space-DOUBLING before the replace gives back-to-back
+    *     occurrences their own separator (the q_text_phrase trick), so
+    *     'a a a a' + merge (a,a) → 'aa aa' like the greedy
+    *     left-to-right reference scan, then spaces re-collapse.
+    *
+    * Scale: the corpus is touched ONCE (word-frequency aggregate +
+    * deterministic top-`vocabCap` truncation); every merge round runs
+    * over the vocabCap-row word relation — training cost is
+    * independent of corpus size past the first aggregate, which is
+    * exactly why production BPE trainers operate on word counts. */
+  def bpeMerges(docs: DataFrame, textCol: String, vocabCap: Int,
+      mergeSteps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(
+      filter(split(lower(col(textCol)), "[^a-z]+"), w => length(w) > 0))
+      .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(vocabCap)
+    var vocab = words
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("f"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (step <- 1 to mergeSteps) {
+      val a = split(col("s"), " ")
+      val pairs = zip_with(
+        slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+        (x, y) => concat(x, lit(" "), y))
+      val best = vocab
+        .select(explode(pairs).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      require(best.nonEmpty, s"BPE step $step: no pairs left to merge")
+      val (pair, cnt) = (best(0).getString(0), best(0).getLong(1))
+      merges += ((step, pair, cnt))
+      val pat = " " + pair.replace(" ", "  ") + " "
+      val rep = " " + pair.replace(" ", "") + " "
+      vocab = vocab.select(
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          concat(lit(" "), col("s"), lit(" ")), " ", "  "),
+          java.util.regex.Pattern.quote(pat), rep), " +", " ")).as("s"),
+        col("f"))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("step", "pair", "cnt")
+  }
 }

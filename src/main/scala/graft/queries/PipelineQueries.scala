@@ -900,6 +900,50 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // BPE tokenizer merge training (Sennrich et al. 2016): 5 merge
+    // steps over the top-200 word-frequency vocabulary — the corpus is
+    // scanned ONCE; every round after that is vocabulary-scale (the
+    // production-trainer shape; see TextAnalysis.bpeMerges). Pairs via
+    // shifted-slice zip (never a positions self-join); best pair = max
+    // count, ties to the smallest pair string; the space-doubling
+    // replace applies merges with the greedy left-to-right semantics.
+    // All counts exact longs — unrounded cross-engine compare. The
+    // oracle unrolls the 5 rounds as chained CTEs.
+    Q("q_text_bpe", Some {
+      val steps = 5
+      val head =
+        """WITH w0 AS (SELECT w, count(*) AS f FROM (
+          |    SELECT unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z]+'),
+          |      x -> len(x) > 0)) AS w
+          |    FROM documents) GROUP BY 1
+          |  ORDER BY f DESC, w LIMIT 200),
+          |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+          |    f FROM w0)""".stripMargin
+      val rounds = (1 to steps).map { i =>
+        s"""p$i AS (SELECT list_extract(a, CAST(i AS INT)) || ' ' ||
+           |    list_extract(a, CAST(i AS INT) + 1) AS pair, f
+           |  FROM (SELECT string_split(s, ' ') AS a, f FROM v${i - 1}),
+           |    unnest(range(1, len(a))) AS r(i)),
+           |b$i AS (SELECT pair, sum(f) AS c FROM p$i GROUP BY 1
+           |  ORDER BY c DESC, pair LIMIT 1),
+           |v$i AS (SELECT trim(regexp_replace(replace(
+           |      replace(' ' || s || ' ', ' ', '  '),
+           |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+           |      ' ' || replace(b.pair, ' ', '') || ' '),
+           |    ' +', ' ', 'g')) AS s, f
+           |  FROM v${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to steps).map(i =>
+        s"SELECT $i AS step, pair, CAST(c AS BIGINT) AS cnt FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"$head,\n$rounds\n$out\nORDER BY step".stripMargin
+    }) { (s, dir) =>
+      graft.operators.TextAnalysis.bpeMerges(
+        Tables.T(s, dir).documents, "text", vocabCap = 200, mergeSteps = 5)
+        .orderBy("step")
+    },
+
     // Vocabulary coverage curve: smallest frequency-ranked vocab whose
     // cumulative token mass reaches each share — the tokenizer-sizing
     // read. The rank/cumsum runs on the distributed two-pass prefix
@@ -2204,6 +2248,51 @@ object PipelineQueries {
       graft.operators.Components.hits(edges, "src", "dst", iterations = 3)
         .select($"id", round($"hub", 6).as("hub"),
           round($"auth", 6).as("auth"))
+        .orderBy("id")
+    },
+
+    // Label propagation communities (Raghavan et al. 2007) over the
+    // repeat-trade graph (supplier↔customer pairs with ≥2 orders —
+    // thresholding keeps community structure instead of the complete
+    // bipartite blur). 3 synchronous rounds, self-loop damped, ties to
+    // the smallest label — all exact integers, so the engines compare
+    // unrounded. Oracle unrolls the rounds as chained CTEs with the
+    // identical c·1e8−lab argmax encoding.
+    Q("q_graph_labelprop", Some {
+      val iters = 3
+      val head =
+        """WITH e0 AS (SELECT l_suppkey AS a, 1000000 + o_custkey AS b
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |und AS (SELECT a AS src, b AS dst FROM e0
+          |  UNION SELECT b, a FROM e0
+          |  UNION SELECT a, a FROM e0
+          |  UNION SELECT b, b FROM e0),
+          |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und)"""
+          .stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""c$i AS (SELECT u.src AS v, l.lab AS lab, count(*) AS c
+           |  FROM und u JOIN l${i - 1} l ON l.id = u.dst GROUP BY 1, 2),
+           |l$i AS (SELECT v AS id,
+           |    arg_max(lab, c * 100000000 - lab) AS lab
+           |  FROM c$i GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT id, lab AS label FROM l$iters ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_suppkey".as("a"),
+          (lit(1000000L) + $"o_custkey").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2)
+        .select($"a", $"b")
+      graft.operators.Components.labelPropagation(edges, "a", "b",
+        iterations = 3)
+        .select($"id", $"lab".as("label"))
         .orderBy("id")
     },
 

@@ -1066,6 +1066,45 @@ class OperatorSpec extends AnyFunSuite {
       (2L, 3L, 4L)))
   }
 
+  test("TextAnalysis.bpeMerges learns the Sennrich-fixture merge table") {
+    import spark.implicits._
+    // word frequencies: low:5 lower:2 newest:6 widest:3 — the BPE
+    // paper's running example (no EOW marker); merges hand-derived
+    val docs = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest widest widest widest")
+      .toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 200, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "e s", 9L), (2, "es t", 9L), (3, "l o", 7L),
+      (4, "lo w", 7L), (5, "e w", 6L)))
+  }
+
+  test("TextAnalysis.bpeMerges space-doubling merges back-to-back pairs " +
+    "greedily left-to-right") {
+    import spark.implicits._
+    // 'aaaa': chars a a a a — merge (a,a) must produce 'aa aa' (two
+    // non-overlapping merges), not 'aa a a' (the shared-separator bug)
+    val docs = Seq("aaaa aaaa b").toDF("text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 10, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1: pairs of 'a a a a' ×2 words = 6 occurrences of (a, a)
+    // round 2: 'aa aa' ×2 → (aa, aa) count 2
+    assert(out == Seq((1, "a a", 6L), (2, "aa aa", 2L)))
+  }
+
+  test("Components.labelPropagation separates two cliques; bridge does " +
+    "not bleed") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Components.labelPropagation(edges, "src", "dst",
+      iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)))
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._
