@@ -1266,6 +1266,72 @@ object PipelineQueries {
         .orderBy("vec_id", "j")
     },
 
+    // Low-rank matrix factorization (MADlib lmf parity; Koren et al.
+    // 2009): rank-2 ALS over the customer×part quantity matrix — 2
+    // full alternating rounds, each half-round ONE equi-join + ONE
+    // 5-moment aggregate + a closed-form 2×2 ridge solve (λ>0 ⇒
+    // always invertible). Factors quantize to micros after every
+    // solve and moments use split-sums, so both engines carry
+    // bit-identical state; the oracle unrolls the identical rounds as
+    // chained CTEs. Output: user factors + per-user reconstruction SSE.
+    Q("q_ml_als", Some {
+      val lam = "0.1"
+      def solve(outK: String, inK: String, prev: String,
+          f1: String, f2: String, o1: String, o2: String) = {
+        val det = s"((s11 + $lam) * (s22 + $lam) - s12 * s12)"
+        s"""(SELECT $outK,
+           |    floor((b1 * (s22 + $lam) - b2 * s12) / $det
+           |      * 1000000 + 0.5) / 1000000 AS $o1,
+           |    floor((b2 * (s11 + $lam) - b1 * s12) / $det
+           |      * 1000000 + 0.5) / 1000000 AS $o2
+           |  FROM (SELECT rt.$outK,
+           |      ${Q.oSum(s"$f1 * $f1", 6)} AS s11,
+           |      ${Q.oSum(s"$f1 * $f2", 6)} AS s12,
+           |      ${Q.oSum(s"$f2 * $f2", 6)} AS s22,
+           |      ${Q.oSum(s"r * $f1", 6)} AS b1,
+           |      ${Q.oSum(s"r * $f2", 6)} AS b2
+           |    FROM rt JOIN $prev USING ($inK) GROUP BY 1))""".stripMargin
+      }
+      val res = "(r - (u1 * v1 + u2 * v2))"
+      s"""WITH rt AS (SELECT o_custkey AS u, l_partkey AS i,
+         |    ${Q.oSum("l_quantity", 2)} AS r
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS v1,
+         |    CAST(i % 97 AS DOUBLE) / 97.0 - 0.5 AS v2 FROM rt),
+         |us1 AS ${solve("u", "i", "v0", "v1", "v2", "u1", "u2")},
+         |it1 AS ${solve("i", "u", "us1", "u1", "u2", "v1", "v2")},
+         |us2 AS ${solve("u", "i", "it1", "v1", "v2", "u1", "u2")},
+         |it2 AS ${solve("i", "u", "us2", "u1", "u2", "v1", "v2")},
+         |er AS (SELECT rt.u, count(*) AS n_i,
+         |    ${Q.oSum(s"$res * $res", 6)} AS sse
+         |  FROM rt JOIN us2 USING (u) JOIN it2 USING (i) GROUP BY 1)
+         |SELECT us2.u, CAST(n_i AS BIGINT) AS n_i,
+         |  round(u1, 6) AS u1, round(u2, 6) AS u2,
+         |  round(sse, 6) AS sse
+         |FROM us2 JOIN er USING (u) WHERE us2.u < 300
+         |ORDER BY us2.u""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val ratings = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("u"), $"l_partkey".as("i"))
+        .agg(Q.dsum($"l_quantity", 2).as("r"))
+      val (users, items) =
+        graft.operators.Factorization.als2(ratings, lambda = 0.1,
+          iterations = 2)
+      val sse = graft.operators.Factorization.sseByUser(ratings, users, items)
+      // present at the quantization scale (6 dp): the factors/SSE are
+      // already exact micros multiples, so 6-dp rounding is tie-free —
+      // a COARSER presentation (4 dp) hits .xxxx50 midpoints where
+      // Spark's BigDecimal HALF_UP and DuckDB's double rounding split
+      users.join(sse, "u").filter($"u" < 300)
+        .select($"u", $"n_i", round($"u1", 6).as("u1"),
+          round($"u2", 6).as("u2"), round($"sse", 6).as("sse"))
+        .orderBy("u")
+    },
+
     // Exact all-pairs TF-IDF cosine over the inverted-index join —
     // weighted multiset similarity between every document pair sharing
     // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops

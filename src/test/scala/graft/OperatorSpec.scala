@@ -1105,6 +1105,22 @@ class OperatorSpec extends AnyFunSuite {
       (4L, 4L), (5L, 4L), (6L, 4L)))
   }
 
+  test("Factorization.als2 reconstructs an exact rank-1 matrix") {
+    import spark.implicits._
+    // r_ui = a_u * b_i is rank 1 — rank-2 ALS with tiny λ must drive
+    // the reconstruction SSE to ~0 within 2 rounds
+    val as = Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.0)
+    val bs = Map(10L -> 1.0, 11L -> 4.0, 12L -> 2.0)
+    val ratings = (for (u <- as.keys; i <- bs.keys)
+      yield (u, i, as(u) * bs(i))).toSeq.toDF("u", "i", "r")
+    val (users, items) = Factorization.als2(ratings, lambda = 1e-4,
+      iterations = 2)
+    val sse = Factorization.sseByUser(ratings, users, items)
+      .agg(sum("sse")).head().getDouble(0)
+    assert(sse < 1e-3, s"rank-1 matrix not recovered: sse=$sse")
+    assert(users.count() == 3 && items.count() == 3)
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._

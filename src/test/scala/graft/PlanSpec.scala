@@ -649,6 +649,15 @@ class PlanSpec extends AnyFunSuite {
       s"CV must scan the corpus once:\n$p")
   }
 
+  test("q_ml_als: ALS half-rounds are equi-joins + partial aggregates") {
+    val p = plan("q_ml_als")
+    assert(p.contains("partial_"),
+      s"ALS moment aggregates need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ratings ⨝ factors must be an equi-join on the entity id:\n$p")
+  }
+
   test("q_ts_ar: lag features and moments never cartesian the series") {
     val p = plan("q_ts_ar")
     assert(p.contains("partial_"),
