@@ -1332,6 +1332,76 @@ object PipelineQueries {
         .orderBy("u")
     },
 
+    // Topic modeling (MADlib lda parity via the deterministic PLSA EM
+    // restatement — Hofmann 1999; collapsed Gibbs is
+    // sample-order-dependent, the ALS/SVM determinism substitution):
+    // 3 EM rounds at k=2 over the top-100-vocab doc-word matrix. All
+    // EM mass flows as exact integer micros (responsibilities quantize
+    // to longs per row), so θ/φ are bit-identical across engines and
+    // the learned topic-word distributions compare UNROUNDED. The
+    // oracle unrolls the rounds as MATERIALIZED CTEs (each E-step is
+    // referenced by both M-step aggregates — materialization stops the
+    // re-inline blowup the HITS oracle works around with windows).
+    Q("q_ml_lda", Some {
+      val iters = 3
+      def q6(x: String) = s"floor($x * 1000000 + 0.5) / 1000000"
+      val head =
+        s"""WITH tk AS MATERIALIZED (
+           |  SELECT doc_id AS d, unnest($toks) AS w FROM documents),
+           |vc AS MATERIALIZED (
+           |  SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1
+           |    ORDER BY cnt DESC, w LIMIT 100)),
+           |dw AS MATERIALIZED (
+           |  SELECT d, w, CAST(count(*) AS DOUBLE) AS c
+           |  FROM tk JOIN vc USING (w) GROUP BY 1, 2),
+           |th0 AS (SELECT DISTINCT d, CAST(0.5 AS DOUBLE) AS t1,
+           |    CAST(0.5 AS DOUBLE) AS t2 FROM dw),
+           |ph0 AS (SELECT w,
+           |    ${q6("CAST(r1 AS DOUBLE) / CAST(sum(r1) OVER () AS DOUBLE)")}
+           |      AS p1,
+           |    ${q6("CAST(r2 AS DOUBLE) / CAST(sum(r2) OVER () AS DOUBLE)")}
+           |      AS p2
+           |  FROM (SELECT w, 10 + pr AS r1, 15 - pr AS r2
+           |    FROM (SELECT w, CAST(('0x' || substr(md5(w), 1, 2))
+           |        AS BIGINT) % 5 AS pr FROM vc)))""".stripMargin
+      val g1 = "((t1 * p1) / ((t1 * p1) + (t2 * p2)))"
+      val g2 = "((t2 * p2) / ((t1 * p1) + (t2 * p2)))"
+      val rounds = (1 to iters).map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT d, w,
+           |    CAST(floor(c * $g1 * 1000000 + 0.5) AS BIGINT) AS m1,
+           |    CAST(floor(c * $g2 * 1000000 + 0.5) AS BIGINT) AS m2,
+           |    CAST(c * 1000000 AS BIGINT) AS cm
+           |  FROM dw JOIN th${i - 1} USING (d) JOIN ph${i - 1} USING (w)),
+           |th$i AS (SELECT d,
+           |    ${q6("CAST(s1 AS DOUBLE) / CAST(sm AS DOUBLE)")} AS t1,
+           |    ${q6("CAST(s2 AS DOUBLE) / CAST(sm AS DOUBLE)")} AS t2
+           |  FROM (SELECT d, sum(m1) AS s1, sum(m2) AS s2,
+           |      sum(cm) AS sm FROM g$i GROUP BY 1)),
+           |ph$i AS (SELECT w,
+           |    ${q6("CAST(f1 AS DOUBLE) / CAST(sum(f1) OVER () AS DOUBLE)")}
+           |      AS p1,
+           |    ${q6("CAST(f2 AS DOUBLE) / CAST(sum(f2) OVER () AS DOUBLE)")}
+           |      AS p2
+           |  FROM (SELECT w, sum(m1) AS f1, sum(m2) AS f2 FROM g$i
+           |    GROUP BY 1))""".stripMargin
+      }.mkString(",\n")
+      s"$head,\n$rounds\nSELECT w, p1, p2 FROM ph$iters ORDER BY w"
+    }) { (s, dir) =>
+      import s.implicits._
+      val tk = Tables.T(s, dir).documents
+        .select($"doc_id".as("d"), explode(
+          filter(split(lower(trim($"text")), "\\s+"),
+            t => length(t) > 0)).as("w"))
+      val vc = tk.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w").limit(100).select("w")
+      val dwc = tk.join(vc, "w")
+        .groupBy($"d", $"w").agg(count(lit(1)).cast("double").as("c"))
+      val (_, phi) =
+        graft.operators.TopicModel.plsaEm2(dwc, iterations = 3)
+      phi.select($"w", $"p1", $"p2").orderBy("w")
+    },
+
     // Exact all-pairs TF-IDF cosine over the inverted-index join —
     // weighted multiset similarity between every document pair sharing
     // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops

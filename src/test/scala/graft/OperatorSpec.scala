@@ -1121,6 +1121,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(users.count() == 3 && items.count() == 3)
   }
 
+  test("TopicModel.plsaEm2 separates a two-cluster corpus") {
+    import spark.implicits._
+    // two disjoint-vocab doc groups — EM must converge to near-pure
+    // doc mixes and topic-aligned word distributions
+    val docs = (0 until 5).map(i => (i.toLong, "apple banana cherry apple banana")) ++
+      (5 until 10).map(i => (i.toLong, "xray yankee zulu xray zulu"))
+    val tk = docs.toDF("d", "text")
+      .select($"d", explode(split($"text", " ")).as("w"))
+    val dwc = tk.groupBy("d", "w").agg(count(lit(1)).cast("double").as("c"))
+    val (theta, phi) = TopicModel.plsaEm2(dwc, iterations = 8)
+    val th = theta.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // every doc confident in one topic
+    th.values.foreach { case (t1, t2) =>
+      assert(math.max(t1, t2) > 0.9, s"unconverged doc mix ($t1, $t2)")
+    }
+    // the two groups land on OPPOSITE topics
+    val aTopic = th(0L)._1 > th(0L)._2
+    (1L to 4L).foreach(d => assert((th(d)._1 > th(d)._2) == aTopic))
+    (5L to 9L).foreach(d => assert((th(d)._1 > th(d)._2) != aTopic))
+    // φ columns are distributions (micros-quantized → within 1e-4)
+    val sums = phi.agg(sum("p1"), sum("p2")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4)
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._
