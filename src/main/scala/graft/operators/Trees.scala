@@ -205,4 +205,133 @@ object Trees {
       .toDF("level", "node", "dim", "thr", "n_left", "n_right", "score")
       .orderBy("level", "node")
   }
+
+  /** First byte of md5(s) — the value of `substr(md5(s), 1, 2)` parsed
+    * base 16, so Scala-side draws match the engines' md5 expressions. */
+  def md5Byte(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d(0) & 0xff
+  }
+
+  /** Feature subset for tree `t`: dims whose md5 parity selects them
+    * (~half of `dim`). Driver-side and literal-embedded on BOTH
+    * engines — catalog-scale, like the class totals. */
+  def forestDims(t: Int, dim: Int): Seq[Int] =
+    (0 until dim).filter(d => md5Byte(s"$t:$d") % 2 == 0)
+
+  /** Random forest (MADlib `forest_train`, Breiman 2001): `trees`
+    * bagged depth-`depth` CARTs. MADlib bootstraps with Poisson(1) row
+    * weights per tree (the standard distributed bagging approximation);
+    * this keeps that EXACT shape but draws the weight from the
+    * deterministic md5 uniform — bucket m = md5(tree:id) mod 100 →
+    * weight 0/1/2/3 for m < 37 / < 74 / < 92 / else (the Poisson(1)
+    * pmf quantized to percent) — so both engines grow identical trees
+    * (MADlib's PRNG draws are seed- and segment-layout-dependent).
+    * Feature bagging: each tree sees the [[forestDims]] half of the
+    * dims.
+    *
+    * Same scale contract as [[decisionTree]]: ONE weighted histogram
+    * aggregate per (tree, level) — integer weights keep the Gini
+    * algebra exact — with node-scale winners collected and folded back
+    * as the map-only CASE reassignment. Trees are independent; their
+    * per-level jobs run sequentially here (iterations are cheap), and
+    * a scheduler could run them concurrently — the frames share
+    * nothing.
+    *
+    * Returns (tree, level, node, dim, thr, n_left, n_right, score). */
+  def randomForest(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, thresholds: Seq[Double], depth: Int, trees: Int)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val thrDf = broadcast(
+      thresholds.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "thr"))
+    val dec = DecimalType(38, 0)
+
+    // weighted stump kernel per frontier node (sum(wt) replaces count)
+    def levelWinners(nodes: DataFrame, dims: Seq[Int]): Array[Row] = {
+      val x = nodes.select($"node", $"label", $"wt",
+        posexplode($"vec").as(Seq("d", "xf")))
+        .filter($"d".isin(dims: _*))
+        .select($"node", $"label", $"wt", $"d",
+          $"xf".cast("double").as("x"))
+      val bucket = thresholds.map(t => when($"x" > t, 1).otherwise(0))
+        .reduce(_ + _)
+      val hist = x.select($"node", $"label", $"wt", $"d", bucket.as("b"))
+        .groupBy("node", "d", "b", "label").agg(sum($"wt").as("cnt"))
+      val tot = nodes.groupBy("node", "label").agg(sum($"wt").as("n_c"))
+      val consts = tot.groupBy("node").agg(
+        sum($"n_c").cast("long").as("n"),
+        sum(($"n_c" * $"n_c").cast(dec)).as("s2"))
+      val pl = hist.join(thrDf, $"b" <= $"i")
+        .groupBy("node", "d", "i", "thr", "label")
+        .agg(sum($"cnt").as("nl_c"))
+        .join(broadcast(tot), Seq("node", "label"))
+      val scored = pl.groupBy("node", "d", "i", "thr")
+        .agg(sum($"nl_c").as("nl"),
+          sum(($"nl_c" * $"nl_c").cast(dec)).as("a"),
+          sum(($"n_c" * $"nl_c").cast(dec)).as("bb"))
+        .join(broadcast(consts), Seq("node"))
+        .withColumn("nr", $"n" - $"nl")
+        .filter($"nl" > 0 && $"nr" > 0)
+        .withColumn("sr2",
+          ($"s2" - lit(2) * $"bb" + $"a").cast("double"))
+        .withColumn("score",
+          (($"nl".cast("double")
+            - $"a".cast("double") / $"nl".cast("double"))
+            + ($"nr".cast("double") - $"sr2" / $"nr".cast("double")))
+            / $"n".cast("double"))
+      val w = Window.partitionBy($"node").orderBy($"score", $"d", $"i")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"node", $"d".cast("int").as("d"), $"i", $"thr",
+          $"nl".cast("long").as("nl"), $"nr".cast("long").as("nr"),
+          $"score")
+        .collect()
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Int, Long, Int, Double, Long, Long, Double)]
+    for (t <- 0 until trees) {
+      val dims = forestDims(t, dim)
+      val h = conv(substring(md5(concat(lit(s"$t:"),
+        col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 100
+      val wt = when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+        .otherwise(3L)
+      var nodes = emb.select(col(vecCol).as("vec"),
+        col(labelCol).cast("long").as("label"), lit(1L).as("node"),
+        wt.as("wt"))
+        .filter($"wt" > 0)
+      var lvl = 0
+      var live = true
+      while (lvl < depth && live) {
+        val wins = levelWinners(nodes, dims)
+        if (wins.isEmpty) live = false
+        else {
+          wins.foreach { r =>
+            out += ((t, lvl, r.getLong(0), r.getInt(1), r.getDouble(3),
+              r.getLong(4), r.getLong(5), r.getDouble(6)))
+          }
+          if (lvl < depth - 1) {
+            val reassigned = wins.foldLeft(lit(null).cast("long")) {
+              (e, r) =>
+                when($"node" === r.getLong(0),
+                  $"node" * 2 + when(
+                    element_at($"vec", r.getInt(1) + 1).cast("double") >
+                      r.getDouble(3), 1L).otherwise(0L))
+                  .otherwise(e)
+            }
+            nodes = nodes.withColumn("node", reassigned)
+              .filter($"node".isNotNull)
+          }
+        }
+        lvl += 1
+      }
+    }
+    out.toSeq
+      .toDF("tree", "level", "node", "dim", "thr",
+        "n_left", "n_right", "score")
+      .orderBy("tree", "level", "node")
+  }
 }

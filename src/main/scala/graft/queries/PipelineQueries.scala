@@ -1149,6 +1149,102 @@ object PipelineQueries {
         Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 3)
     },
 
+    // Random forest (MADlib forest_train; Breiman 2001): 3 bagged
+    // depth-2 CARTs over the embeddings. Bootstrap = MADlib's
+    // Poisson(1) row-weight approximation made DETERMINISTIC (md5
+    // bucket → weight 0/1/2/3 by the quantized pmf) so both engines
+    // grow identical trees; feature bagging = the md5-parity half of
+    // the dims, driver-computed and literal-embedded on both sides.
+    // Same exact-integer weighted-Gini histogram kernel as q_ml_tree,
+    // one aggregate per (tree, level); oracle = the q_ml_tree unroll
+    // parameterized per tree.
+    Q("q_ml_forest", Some {
+      val ts = Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
+      val bucketSql = ts.map(t =>
+        s"CAST(x > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
+      val thrVals = ts.zipWithIndex
+        .map { case (t, i) => s"($i, CAST($t AS DOUBLE))" }.mkString(", ")
+      val depth = 2
+      val ntrees = 3
+      val treeSqls = (0 until ntrees).map { t =>
+        val dims = graft.operators.Trees.forestDims(t, 64)
+          .map(_.toString).mkString(", ")
+        val boot =
+          s"""t${t}n0 AS (SELECT vec_id, label, 1 AS node, wt FROM (
+             |    SELECT vec_id, label, CASE WHEN h < 37 THEN 0
+             |        WHEN h < 74 THEN 1 WHEN h < 92 THEN 2 ELSE 3 END
+             |      AS wt
+             |    FROM (SELECT vec_id, label,
+             |        CAST(('0x' || substr(md5('$t:' ||
+             |          CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+             |        AS h
+             |      FROM embeddings))
+             |  WHERE wt > 0)""".stripMargin
+        val levels = (0 until depth).map { l =>
+          val next =
+            if (l == depth - 1) ""
+            else s""",
+              |t${t}n${l + 1} AS (SELECT n.vec_id, n.label, n.wt,
+              |    n.node * 2 + CAST(CAST(e.embedding[CAST(w.d + 1 AS INT)]
+              |      AS DOUBLE) > w.thr AS INT) AS node
+              |  FROM t${t}n$l n JOIN embeddings e USING (vec_id)
+              |  JOIN t${t}win$l w ON w.node = n.node)""".stripMargin
+          s"""t${t}x$l AS (SELECT n.node, n.label, n.wt,
+             |    CAST(i - 1 AS INT) AS d,
+             |    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
+             |  FROM t${t}n$l n JOIN embeddings e USING (vec_id),
+             |    unnest(range(1, 65)) r(i)
+             |  WHERE CAST(i - 1 AS INT) IN ($dims)),
+             |t${t}xb$l AS (SELECT node, label, wt, d, $bucketSql AS b
+             |  FROM t${t}x$l),
+             |t${t}hist$l AS (SELECT node, d, b, label, sum(wt) AS cnt
+             |  FROM t${t}xb$l GROUP BY 1, 2, 3, 4),
+             |t${t}tot$l AS (SELECT node, label, sum(wt) AS n_c
+             |  FROM t${t}n$l GROUP BY 1, 2),
+             |t${t}consts$l AS (SELECT node, CAST(sum(n_c) AS BIGINT) AS n,
+             |    sum(n_c * n_c) AS s2
+             |  FROM t${t}tot$l GROUP BY 1),
+             |t${t}pl$l AS (SELECT h.node, h.d, t.i, t.thr, h.label,
+             |    sum(h.cnt) AS nl_c
+             |  FROM t${t}hist$l h JOIN thr t ON h.b <= t.i
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |t${t}sc$l AS (SELECT node, d, i, thr, sum(nl_c) AS nl,
+             |    sum(nl_c * nl_c) AS a, sum(n_c * nl_c) AS bb
+             |  FROM t${t}pl$l JOIN t${t}tot$l USING (node, label)
+             |  GROUP BY 1, 2, 3, 4),
+             |t${t}scored$l AS (SELECT s.node, d, i, thr,
+             |    CAST(nl AS BIGINT) AS nl, c.n - CAST(nl AS BIGINT) AS nr,
+             |    ((CAST(nl AS DOUBLE) - CAST(a AS DOUBLE)
+             |        / CAST(nl AS DOUBLE))
+             |     + (CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)
+             |        - CAST(c.s2 - 2 * bb + a AS DOUBLE)
+             |          / CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)))
+             |      / CAST(c.n AS DOUBLE) AS score
+             |  FROM t${t}sc$l s JOIN t${t}consts$l c USING (node)
+             |  WHERE CAST(nl AS BIGINT) > 0
+             |    AND c.n - CAST(nl AS BIGINT) > 0),
+             |t${t}win$l AS (SELECT node, d, thr, nl, nr, score FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY node
+             |      ORDER BY score, d, i) AS rk FROM t${t}scored$l)
+             |  WHERE rk = 1)$next""".stripMargin
+        }.mkString(",\n")
+        s"$boot,\n$levels"
+      }.mkString(",\n")
+      val union = (for (t <- 0 until ntrees; l <- 0 until depth) yield
+        s"""SELECT CAST($t AS INT) AS tree, CAST($l AS INT) AS level,
+           |  CAST(node AS BIGINT) AS node, CAST(d AS INT) AS dim, thr,
+           |  nl AS n_left, nr AS n_right, score FROM t${t}win$l"""
+          .stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH thr AS (SELECT * FROM (VALUES $thrVals) t(i, thr)),
+         |$treeSqls
+         |$union
+         |ORDER BY tree, level, node""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Trees.randomForest(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding", "label", 64,
+        Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 2, trees = 3)
+    },
+
     // k-means (Lloyd; MADlib kmeans parity): 2 Lloyd iterations, k=4,
     // over 64-dim embeddings. Assignment is map-only (centroids
     // broadcast as literals, unrolled codegen distance terms); the per-

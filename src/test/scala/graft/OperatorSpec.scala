@@ -1147,6 +1147,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4)
   }
 
+  test("Trees.randomForest: splits honor each tree's feature bag") {
+    val emb = TestSpark.spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val out = Trees.randomForest(emb, "vec_id", "embedding", "label",
+      64, Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3),
+      depth = 2, trees = 3).collect()
+    assert(out.map(_.getInt(0)).distinct.sorted.toSeq == Seq(0, 1, 2),
+      "every tree must contribute splits")
+    out.foreach { r =>
+      val (t, d) = (r.getInt(0), r.getInt(3))
+      assert(Trees.forestDims(t, 64).contains(d),
+        s"tree $t split on dim $d outside its feature bag")
+    }
+    // bagging is effective: not every tree picks the same root split
+    val roots = out.filter(_.getInt(1) == 0)
+      .map(r => (r.getInt(3), r.getDouble(4))).distinct
+    assert(roots.length > 1, "feature/row bagging produced clone trees")
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._
