@@ -303,6 +303,61 @@ object Components {
       greatest(col("u"), col("y")).as("c"))
   }
 
+  /** Closeness centrality (MADlib `graph_closeness` parity — MADlib
+    * computes it from APSP, and so does this): multi-source BFS with a
+    * FIXED round count over the (source, vertex) distance relation,
+    * then per-source aggregates — k_degree (vertices reached),
+    * sum_dist, inverse_sum_dist, inverse_avg_dist, sum_inverse_dist
+    * (MADlib's four measures). Unit weights keep distances exact
+    * longs; the Σ 1/d term quantizes each inverse hop to micros LONGS
+    * before summing (order-free), so every measure is engine-identical.
+    *
+    * Scale: the distance relation is |V|·|reached| — closeness IS
+    * all-pairs (MADlib's graph_closeness carries the same O(V²)
+    * contract); run it on catalog-scale graphs (dimension graphs,
+    * cluster topologies) or pre-restrict the source set. Each round is
+    * one equi-join + one min-aggregate with map-side partials. */
+  def closeness(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4, checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val edges = cut(edgesDf
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var d = nodes.select(col("id").as("s"), col("id").as("v"),
+      lit(0L).as("dist"))
+    for (_ <- 0 until iterations) {
+      val relax = d.join(edges, d("v") === edges("src"))
+        .select(col("s"), col("dst").as("v"),
+          (col("dist") + lit(1L)).as("dist"))
+      d = cut(d.unionByName(relax).groupBy("s", "v")
+        .agg(min(col("dist")).as("dist")))
+    }
+    val other = col("v") =!= col("s")
+    d.groupBy(col("s").as("id")).agg(
+      count(when(other, 1)).as("k_degree"),
+      sum(when(other, col("dist")).otherwise(0L)).as("sum_dist"),
+      // greatest(dist, 1): the s=v rows (dist 0) are discarded by the
+      // `when`, but ANSI-mode codegen still evaluates the divide — keep
+      // the divisor nonzero without changing any kept value
+      sum(when(other,
+        floor(lit(1.0) / greatest(col("dist"), lit(1L)) * lit(1000000d)
+          + lit(0.5)).cast("long")).otherwise(0L)).as("sinv_m"))
+      .select(col("id"), col("k_degree"), col("sum_dist"),
+        // a sink source reaches nothing: measures are NULL (MADlib
+        // leaves unreachable rows out the same way), never a ÷0
+        when(col("sum_dist") > 0,
+          lit(1.0) / col("sum_dist").cast("double")).as("inv_sum"),
+        when(col("sum_dist") > 0,
+          col("k_degree").cast("double") / col("sum_dist").cast("double"))
+          .as("inv_avg"),
+        (col("sinv_m").cast("double") / lit(1000000d)).as("sum_inv"))
+  }
+
   /** Synchronous label propagation community detection (Raghavan,
     * Albert & Kumara 2007 — the LPA every graph toolkit ships; MADlib
     * covers the slot with its graph module's community kernels).

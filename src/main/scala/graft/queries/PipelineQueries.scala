@@ -2383,6 +2383,62 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Closeness centrality (MADlib graph_closeness parity — both
+    // compute it from APSP): multi-source BFS over the directed nation
+    // trade graph, 4 fixed rounds, then MADlib's four measures per
+    // source. Unit-weight distances are exact longs; Σ1/d quantizes
+    // each inverse hop to micros longs pre-sum, so every measure is
+    // engine-identical unrounded. Oracle unrolls the relax rounds
+    // (the q_graph_sssp pattern, all sources at once).
+    Q("q_graph_closeness", Some {
+      val iters = 4
+      val head =
+        """WITH e AS (SELECT DISTINCT s.s_nationkey AS src,
+          |    c.c_nationkey AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier s ON l_suppkey = s.s_suppkey
+          |  JOIN customer c ON o_custkey = c.c_custkey
+          |  WHERE s.s_nationkey <> c.c_nationkey),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |d0 AS (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist
+          |  FROM nodes)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""d$i AS (SELECT s, v, min(dist) AS dist FROM (
+           |    SELECT s, v, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT d.s, e.dst AS v, d.dist + 1 AS dist
+           |    FROM d${i - 1} d JOIN e ON e.src = d.v) GROUP BY 1, 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      val sd = "sum(CASE WHEN v <> s THEN dist ELSE 0 END)"
+      val kd = "count(CASE WHEN v <> s THEN 1 END)"
+      s"""$head,
+         |$rounds
+         |SELECT s AS id, $kd AS k_degree,
+         |  CAST($sd AS BIGINT) AS sum_dist,
+         |  CASE WHEN $sd > 0 THEN 1.0 / CAST($sd AS DOUBLE) END
+         |    AS inv_sum,
+         |  CASE WHEN $sd > 0
+         |    THEN CAST($kd AS DOUBLE) / CAST($sd AS DOUBLE) END
+         |    AS inv_avg,
+         |  CAST(sum(CASE WHEN v <> s THEN
+         |      CAST(floor(1.0 / CAST(dist AS DOUBLE) * 1000000 + 0.5)
+         |        AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000 AS sum_inv
+         |FROM d$iters GROUP BY s ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"))
+      graft.operators.Components.closeness(edges, "src", "dst",
+        iterations = 4)
+        .orderBy("id")
+    },
+
     // Triangle enumeration by degree ordering (Suri & Vassilvitskii
     // 2011) over the nation co-trade graph (supplier nation — customer
     // nation, undirected): orient edges low-(deg,id) → high, wedge

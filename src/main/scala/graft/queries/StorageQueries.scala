@@ -218,6 +218,102 @@ object StorageQueries {
         .orderBy("relname")
     },
 
+    // pg_stats / ANALYZE statistics surface (commands/analyze.c
+    // compute_scalar_stats → pg_statistic STATISTIC_KIND_MCV +
+    // STATISTIC_KIND_HISTOGRAM; the dialect's ANALYZE covers
+    // count/NDV/min/max and feeds the planner — this is the MCV +
+    // equi-depth-histogram half, oracle-exact): per audited column,
+    // null_frac, exact n_distinct, the top-3 most-common-vals rendered
+    // pg-style '{a,b,c}' (ties to the smaller value), their
+    // frequencies, and quartile histogram bounds for the numeric
+    // column. One value-count aggregate per column; MCV/total
+    // relations are catalog-scale.
+    Q("q_sql_stats", Some {
+      def block(tbl: String, cn: String, num: Boolean) = {
+        val hist =
+          if (!num) (0 to 4).map(i =>
+            s"CAST(NULL AS DOUBLE) AS h$i").mkString(", ")
+          else (0 to 4).map(i =>
+            s"round(qs[${i + 1}], 4) AS h$i").mkString(", ")
+        val histSrc =
+          if (!num) "(SELECT 1 AS __d)"
+          else s"(SELECT quantile_cont($cn, [0.0, 0.25, 0.5, 0.75, 1.0])" +
+            s" AS qs FROM $tbl)"
+        s"""SELECT '$tbl' AS tablename, '$cn' AS attname,
+           |  CAST(n AS BIGINT) AS n_rows,
+           |  round(CAST(nulls AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           |    AS null_frac,
+           |  CAST(ndv AS BIGINT) AS n_distinct,
+           |  '{' || mcv || '}' AS mcv,
+           |  round(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS f1,
+           |  round(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS f2,
+           |  round(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS f3,
+           |  $hist
+           |FROM (SELECT count(*) AS n,
+           |    count(*) FILTER (WHERE $cn IS NULL) AS nulls,
+           |    count(DISTINCT $cn) AS ndv FROM $tbl)
+           |CROSS JOIN (SELECT
+           |    string_agg(v, ',' ORDER BY c DESC, v) AS mcv,
+           |    max(CASE WHEN rk = 1 THEN c END) AS c1,
+           |    max(CASE WHEN rk = 2 THEN c END) AS c2,
+           |    max(CASE WHEN rk = 3 THEN c END) AS c3
+           |  FROM (SELECT v, c, row_number() OVER (ORDER BY c DESC, v)
+           |      AS rk
+           |    FROM (SELECT CAST($cn AS VARCHAR) AS v, count(*) AS c
+           |      FROM $tbl WHERE $cn IS NOT NULL GROUP BY 1))
+           |  WHERE rk <= 3)
+           |CROSS JOIN $histSrc""".stripMargin
+      }
+      Seq(block("orders", "o_orderstatus", num = false),
+        block("orders", "o_orderpriority", num = false),
+        block("lineitem", "l_returnflag", num = false),
+        block("lineitem", "l_quantity", num = true))
+        .mkString("\nUNION ALL\n") + "\nORDER BY tablename, attname"
+    }) { (s, dir) =>
+      import s.implicits._
+      def stats(df: org.apache.spark.sql.DataFrame, tbl: String,
+          cn: String, num: Boolean): org.apache.spark.sql.DataFrame = {
+        val cnts = df.groupBy(col(cn).cast("string").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cnts.agg(sum($"c").as("n"),
+          coalesce(sum(when($"v".isNull, $"c")), lit(0L)).as("nulls"),
+          count(when($"v".isNotNull, lit(1))).as("ndv"))
+        // top-3 MCVs: TakeOrdered → sort_array on (−c, v) pins the
+        // render order without a second shuffle
+        val top = cnts.filter($"v".isNotNull)
+          .orderBy($"c".desc, $"v").limit(3)
+          .agg(sort_array(collect_list(
+            struct((-$"c").as("nc"), $"v".as("v")))).as("t"))
+        val hist =
+          if (num) df.agg(percentile(col(cn),
+            array(lit(0.0), lit(0.25), lit(0.5), lit(0.75), lit(1.0)))
+            .as("qs"))
+          else df.sparkSession.range(1).select(lit(1).as("__d"))
+        def f(i: Int) = round(
+          when(size($"t") >= i, -element_at($"t", i)("nc"))
+            .cast("double") / $"n".cast("double"), 6).as(s"f$i")
+        def h(i: Int) =
+          (if (num) round(element_at($"qs", i + 1), 4)
+          else lit(null).cast("double")).as(s"h$i")
+        tot.crossJoin(top).crossJoin(hist).select(
+          lit(tbl).as("tablename"), lit(cn).as("attname"),
+          $"n".as("n_rows"),
+          round($"nulls".cast("double") / $"n".cast("double"), 6)
+            .as("null_frac"),
+          $"ndv".as("n_distinct"),
+          concat(lit("{"),
+            array_join(transform($"t", x => x("v")), ","),
+            lit("}")).as("mcv"),
+          f(1), f(2), f(3), h(0), h(1), h(2), h(3), h(4))
+      }
+      val t = Tables.T(s, dir)
+      stats(t.orders, "orders", "o_orderstatus", num = false)
+        .unionAll(stats(t.orders, "orders", "o_orderpriority", num = false))
+        .unionAll(stats(t.lineitem, "lineitem", "l_returnflag", num = false))
+        .unionAll(stats(t.lineitem, "lineitem", "l_quantity", num = true))
+        .orderBy("tablename", "attname")
+    },
+
     // ModifyTable / INSERT INTO (nodeModifyTable.c:1771): write a table,
     // append a second batch, scan the union back.
     Q("q_insert_append", Some(
