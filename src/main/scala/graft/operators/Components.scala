@@ -317,15 +317,25 @@ object Components {
     * contract); run it on catalog-scale graphs (dimension graphs,
     * cluster topologies) or pre-restrict the source set. Each round is
     * one equi-join + one min-aggregate with map-side partials. */
-  def closeness(
+  /** All-pairs shortest paths (MADlib `graph_apsp`): multi-source
+    * Bellman–Ford — the sssp relax rounds run for EVERY source at once
+    * over a (source, vertex, dist) relation. `wCol` = None is BFS
+    * (unit weights). Integer weights keep path sums exact. Same O(V²)
+    * state contract as [[closeness]] (which consumes this). Each round
+    * is one equi-join on the frontier vertex + one min-aggregate with
+    * map-side partials; lineage cut per round. */
+  def apsp(
       edgesDf: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 4, checkpoint: Boolean = true): DataFrame = {
+      wCol: Option[String], iterations: Int,
+      checkpoint: Boolean = true): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint(eager = true) else df
+    val wExpr = wCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val edges = cut(edgesDf
       .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
+        col(dstCol).cast("long").as("dst"), wExpr.as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")))
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     var d = nodes.select(col("id").as("s"), col("id").as("v"),
@@ -333,10 +343,17 @@ object Components {
     for (_ <- 0 until iterations) {
       val relax = d.join(edges, d("v") === edges("src"))
         .select(col("s"), col("dst").as("v"),
-          (col("dist") + lit(1L)).as("dist"))
+          (col("dist") + col("w")).as("dist"))
       d = cut(d.unionByName(relax).groupBy("s", "v")
         .agg(min(col("dist")).as("dist")))
     }
+    d
+  }
+
+  def closeness(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4, checkpoint: Boolean = true): DataFrame = {
+    val d = apsp(edgesDf, srcCol, dstCol, None, iterations, checkpoint)
     val other = col("v") =!= col("s")
     d.groupBy(col("s").as("id")).agg(
       count(when(other, 1)).as("k_degree"),

@@ -364,6 +364,70 @@ object AggregateQueries {
         .orderBy("fold")
     },
 
+    // Lasso regularization path (MADlib elastic_net α=1, standardized
+    // — the glmnet coordinate descent, Friedman et al. 2010): ONE
+    // 10-moment corpus aggregate, then the whole λ path is
+    // catalog-scale correlation algebra — MADlib's IGD re-scans per λ
+    // per epoch. CD updates micros-quantize and the soft-threshold is
+    // branch-exact, so the oracle's chained-CTE replay of the same 6
+    // sweeps (3 λs carried as rows) is bit-equal.
+    Q("q_ml_lasso", Some {
+      val sweeps = 6
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      def soft(z: String) =
+        s"CASE WHEN ($z) > lam THEN ($z) - lam " +
+          s"WHEN ($z) < -lam THEN ($z) + lam ELSE CAST(0 AS DOUBLE) END"
+      val cd = (1 to sweeps).map { k =>
+        s"""a$k AS (SELECT * REPLACE (
+           |    ${q6(soft("c1 - r12 * b2"))} AS b1) FROM s${k - 1}),
+           |s$k AS (SELECT * REPLACE (
+           |    ${q6(soft("c2 - r12 * b1"))} AS b2) FROM a$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("l_quantity", 6)} AS sx1,
+         |    ${Q.oSum("l_discount", 6)} AS sx2,
+         |    ${Q.oSum("l_extendedprice", 6)} AS sy,
+         |    ${Q.oSum("l_quantity * l_quantity", 6)} AS sx11,
+         |    ${Q.oSum("l_discount * l_discount", 6)} AS sx22,
+         |    ${Q.oSum("l_quantity * l_discount", 6)} AS sx12,
+         |    ${Q.oSum("l_quantity * l_extendedprice", 6)} AS sx1y,
+         |    ${Q.oSum("l_discount * l_extendedprice", 6)} AS sx2y,
+         |    ${Q.oSum("l_extendedprice * l_extendedprice", 6)} AS syy
+         |  FROM lineitem),
+         |m AS (SELECT *, sx1 / n AS mu1, sx2 / n AS mu2, sy / n AS muy
+         |  FROM t),
+         |m2 AS (SELECT *, sqrt(sx11 / n - mu1 * mu1) AS s1,
+         |    sqrt(sx22 / n - mu2 * mu2) AS s2,
+         |    sqrt(syy / n - muy * muy) AS sy_d FROM m),
+         |m3 AS (SELECT *, (sx12 / n - mu1 * mu2) / (s1 * s2) AS r12,
+         |    (sx1y / n - mu1 * muy) / (s1 * sy_d) AS c1,
+         |    (sx2y / n - mu2 * muy) / (s2 * sy_d) AS c2 FROM m2),
+         |l AS (SELECT lam FROM (VALUES (CAST(0.01 AS DOUBLE)), (0.05),
+         |    (0.2)) v(lam)),
+         |s0 AS (SELECT l.lam, m3.r12, m3.c1, m3.c2, m3.mu1, m3.mu2,
+         |    m3.muy, m3.s1, m3.s2, m3.sy_d,
+         |    CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2
+         |  FROM l CROSS JOIN m3),
+         |$cd
+         |SELECT lam AS lambda, b1 AS b1_std, b2 AS b2_std,
+         |  round(b1 * sy_d / s1, 6) AS b1o,
+         |  round(b2 * sy_d / s2, 6) AS b2o,
+         |  round(muy - b1 * sy_d / s1 * mu1 - b2 * sy_d / s2 * mu2, 6)
+         |    AS b0,
+         |  (CASE WHEN b1 <> 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN b2 <> 0 THEN 1 ELSE 0 END) AS n_nonzero
+         |FROM s$sweeps ORDER BY lambda""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Regression.lassoPath2(Tables.T(s, dir).lineitem,
+        "l_extendedprice", "l_quantity", "l_discount",
+        lambdas = Seq(0.01, 0.05, 0.2), sweeps = 6)
+        .select($"lambda", $"b1_std", $"b2_std",
+          round($"b1", 6).as("b1o"), round($"b2", 6).as("b2o"),
+          round($"b0", 6).as("b0"), $"n_nonzero")
+        .orderBy("lambda")
+    },
+
     // Logistic regression (MADlib logregr_train parity): per-group
     // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
     // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The

@@ -2439,6 +2439,54 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // All-pairs shortest paths (MADlib graph_apsp): the sssp
+    // Bellman–Ford relax run for EVERY source at once over the
+    // weighted nation shipping graph (weight = fastest observed
+    // order-to-ship days). Integer weights keep path sums exact —
+    // unrounded compare; oracle unrolls the same rounds, all sources.
+    Q("q_graph_apsp", Some {
+      val iters = 4
+      val head =
+        """WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+          |    min(datediff('day', o_orderdate, l_shipdate)) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier s ON l_suppkey = s.s_suppkey
+          |  JOIN customer c ON o_custkey = c.c_custkey
+          |  WHERE s.s_nationkey <> c.c_nationkey
+          |  GROUP BY 1, 2),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |d0 AS (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist
+          |  FROM nodes)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""d$i AS (SELECT s, v, min(dist) AS dist FROM (
+           |    SELECT s, v, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT d.s, e.dst AS v, d.dist + e.w AS dist
+           |    FROM d${i - 1} d JOIN e ON e.src = d.v) GROUP BY 1, 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT s AS src, v AS dst, CAST(dist AS BIGINT) AS dist
+         |FROM d$iters WHERE s <> v ORDER BY src, dst""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"),
+          datediff($"l_shipdate", $"o_orderdate").as("w"))
+      graft.operators.Components.apsp(edges, "src", "dst", Some("w"),
+        iterations = 4)
+        .filter($"s" =!= $"v")
+        .select($"s".as("src"), $"v".as("dst"), $"dist")
+        .orderBy("src", "dst")
+    },
+
     // Triangle enumeration by degree ordering (Suri & Vassilvitskii
     // 2011) over the nation co-trade graph (supplier nation — customer
     // nation, undirected): orient edges low-(deg,id) → high, wedge
