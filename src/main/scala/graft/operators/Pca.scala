@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** In-database principal component analysis — the MADlib `pca_train` /
@@ -138,6 +138,59 @@ object Pca {
     require(n > 1, s"pcaTop: need at least 2 rows, got $n")
     val (vals, vecs) = jacobiEigen(covariance(n, s, g, dim))
     (vals.take(k), vecs.take(k))
+  }
+
+  /** Top singular pair of the raw (uncentered) embedding matrix by
+    * POWER ITERATION on AᵀA — the MADlib `svd` module's dense
+    * workload, restated so the whole computation is an oracle-able
+    * dataflow (unlike [[jacobiEigen]], which runs on the driver and is
+    * spec-gated): v ← AᵀAv / ‖AᵀAv‖ for a FIXED round count, v held as
+    * a 64-row (dim, value) relation.
+    *
+    * Each round is two corpus passes over the exploded (id, d, x)
+    * relation (cached once): Av = per-id micros-sum against the
+    * broadcast v relation; Aᵀu = per-dim micros-sum against the
+    * row-scale u relation (equi-join on id). All mass moves as exact
+    * integer micros — per-term products quantize to longs before
+    * summing, the norm squares likewise — so v and σ are bit-identical
+    * across engines with no rounding. σ² ≈ ‖AᵀAv‖ at ‖v‖ = 1, so the
+    * returned sigma = sqrt(‖w‖) is the dominant singular value
+    * estimate.
+    *
+    * Returns 64 rows: (d, val, sigma) — sigma constant across rows. */
+  def powerSvd(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iterations: Int): DataFrame = {
+    require(dim == 64 || math.sqrt(dim) == math.floor(math.sqrt(dim)),
+      "init assumes dim is a perfect square so 1/sqrt(dim) is exact")
+    val x = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("d", "xf")))
+      .select(col("id"), col("d"), col("xf").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(x)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v0 = 1.0 / math.sqrt(dim.toDouble) // exact for power-of-4 dims
+    var v = (0 until dim).map(d => (d, v0, 0.0)).toDF("d", "val", "nrm")
+    def mic(c: Column) =
+      floor(c * lit(1000000d) + lit(0.5)).cast("long")
+    for (_ <- 0 until iterations) {
+      val u = x.join(broadcast(v.select(col("d"), col("val"))), "d")
+        .groupBy("id").agg(sum(mic(col("x") * col("val"))).as("um"))
+        .select(col("id"), (col("um").cast("double") / lit(1000000d))
+          .as("u"))
+      val w = x.join(u, "id")
+        .groupBy("d").agg(sum(mic(col("x") * col("u"))).as("wm"))
+        .select(col("d"),
+          (col("wm").cast("double") / lit(1000000d)).as("wq"))
+      val nrmDf = w.agg(sqrt(sum(mic(col("wq") * col("wq")))
+        .cast("double") / lit(1000000d)).as("nrm"))
+      v = w.crossJoin(nrmDf)
+        .select(col("d"),
+          (floor(col("wq") / col("nrm") * lit(1000000d) + lit(0.5))
+            / lit(1000000d)).as("val"), col("nrm"))
+        .localCheckpoint(true)
+    }
+    v.select(col("d"), col("val"), sqrt(col("nrm")).as("sigma"))
   }
 
   /** Project embeddings onto literal loading vectors: flattened

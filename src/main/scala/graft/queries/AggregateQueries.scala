@@ -428,6 +428,65 @@ object AggregateQueries {
         .orderBy("lambda")
     },
 
+    // Cox proportional hazards (MADlib coxph_train; Cox 1972; Breslow
+    // ties, stratified by event type, 3 fixed Newton rounds from β=0 —
+    // MADlib's own optimizer is Newton, so only the iteration count is
+    // pinned). Risk-set sums are per-stratum SUFFIX sums (t DESC RANGE
+    // window, peers included = the t' ≥ t risk set); every exp value
+    // and event term quantizes to integer micros pre-sum so the score/
+    // information reduce is order-free; β micros-quantizes per round so
+    // both engines call exp on identical arguments. The oracle unrolls
+    // the Newton rounds as MATERIALIZED CTEs.
+    Q("q_ml_cox", Some {
+      val iters = 3
+      val e = "CAST(floor(exp(b.beta * x) * 1000000 + 0.5) AS BIGINT)"
+      val r1 = "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))"
+      val ut = s"(CAST(sxd AS DOUBLE) - CAST(d AS DOUBLE) * $r1)"
+      val it = s"(CAST(d AS DOUBLE) * (CAST(s2 AS DOUBLE)" +
+        s" / CAST(s0 AS DOUBLE) - $r1 * $r1))"
+      def evSum(term: String) =
+        s"CAST(sum(CASE WHEN d > 0 THEN CAST(floor($term * 1000000" +
+          s" + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000"
+      val head =
+        """WITH rows AS MATERIALIZED (SELECT event_type AS g,
+          |    CAST(value AS DOUBLE) AS t,
+          |    CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS ev,
+          |    CAST(user_id % 5 AS DOUBLE) AS x
+          |  FROM events),
+          |b0 AS (SELECT CAST(0 AS DOUBLE) AS beta)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT g, t, sum(ev) AS d,
+           |    sum(ev * CAST(x AS BIGINT)) AS sxd,
+           |    sum($e) AS se,
+           |    sum(CAST(x AS BIGINT) * $e) AS sxe,
+           |    sum(CAST(x AS BIGINT) * CAST(x AS BIGINT) * $e) AS sxxe
+           |  FROM rows CROSS JOIN b${i - 1} b GROUP BY g, t),
+           |s$i AS (SELECT d, sxd, sum(se) OVER wsuf AS s0,
+           |    sum(sxe) OVER wsuf AS s1, sum(sxxe) OVER wsuf AS s2
+           |  FROM p$i WINDOW wsuf AS (PARTITION BY g ORDER BY t DESC
+           |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |gr$i AS (SELECT ${evSum(ut)} AS u, ${evSum(it)} AS i
+           |  FROM s$i),
+           |b$i AS MATERIALIZED (SELECT
+           |    floor((b.beta + g.u / g.i) * 1000000 + 0.5) / 1000000
+           |      AS beta
+           |  FROM b${i - 1} b CROSS JOIN gr$i g)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT b.beta, CAST(n.ne AS BIGINT) AS n_events,
+         |  CAST(n.nt AS BIGINT) AS n_total
+         |FROM b$iters b CROSS JOIN
+         |  (SELECT sum(ev) AS ne, count(*) AS nt FROM rows) n"""
+        .stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Survival.coxFit1(Tables.T(s, dir).events,
+        "event_type", "value",
+        eventCol = when($"event_id" % 4 === 0, 0).otherwise(1),
+        xCol = ($"user_id" % 5).cast("double"), iterations = 3)
+    },
+
     // Logistic regression (MADlib logregr_train parity): per-group
     // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
     // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The

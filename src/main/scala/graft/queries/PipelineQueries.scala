@@ -998,6 +998,48 @@ object PipelineQueries {
     // pair join) are gated in OperatorSpec: orthonormal loadings,
     // Av=λv residuals, trace preservation, projection variance =
     // eigenvalue.
+    // Dominant singular pair (MADlib svd, dense path) by POWER
+    // ITERATION on AᵀA — unlike the PCA eigen step (driver Jacobi,
+    // spec-gated), this keeps the whole computation an oracle-able
+    // dataflow: v is a 64-row relation, each of 3 fixed rounds is two
+    // corpus passes (Av per-id, then Aᵀu per-dim) with every product
+    // quantized to integer micros pre-sum — v and σ compare UNROUNDED.
+    // Init 1/√64 = 0.125 is exact, so round 0 is order-free too.
+    Q("q_ml_svd", Some {
+      val iters = 3
+      def micS(e: String) =
+        s"CAST(sum(CAST(floor($e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)" +
+          " / 1000000"
+      val head =
+        """WITH x AS MATERIALIZED (
+          |  SELECT vec_id AS id, CAST(i - 1 AS INT) AS d,
+          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+          |  FROM embeddings, unnest(range(1, 65)) r(i)),
+          |v0 AS (SELECT CAST(i AS INT) AS d, CAST(0.125 AS DOUBLE) AS val
+          |  FROM unnest(range(0, 64)) r(i))""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""u$i AS MATERIALIZED (SELECT id,
+           |    ${micS("x.x * v.val")} AS u
+           |  FROM x JOIN v${i - 1} v USING (d) GROUP BY id),
+           |w$i AS MATERIALIZED (SELECT d,
+           |    ${micS("x.x * u.u")} AS wq
+           |  FROM x JOIN u$i u USING (id) GROUP BY d),
+           |n$i AS (SELECT sqrt(${micS("wq * wq")}) AS nrm FROM w$i),
+           |v$i AS (SELECT d, floor(wq / nrm * 1000000 + 0.5) / 1000000
+           |    AS val, nrm
+           |  FROM w$i CROSS JOIN n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT d, val, sqrt(nrm) AS sigma FROM v$iters ORDER BY d"""
+        .stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Pca.powerSvd(Tables.T(s, dir).embeddings,
+        "vec_id", "embedding", dim = 64, iterations = 3)
+        .orderBy("d")
+    },
+
     Q("q_ml_pca_cov", Some(
       s"""WITH x AS (SELECT vec_id, i,
          |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
@@ -2485,6 +2527,66 @@ object PipelineQueries {
         .filter($"s" =!= $"v")
         .select($"s".as("src"), $"v".as("dst"), $"dist")
         .orderBy("src", "dst")
+    },
+
+    // Graph measures (MADlib graph_diameter + graph_avg_path_length +
+    // graph_vertex_eccentricity — three modules off one APSP relation):
+    // per-vertex eccentricity plus the global diameter and average
+    // path length over the weighted nation shipping graph. Integer
+    // distances → exact counts/max; avg = one int/int division —
+    // everything compares unrounded.
+    Q("q_graph_measures", Some {
+      val iters = 4
+      val head =
+        """WITH e AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+          |    min(datediff('day', o_orderdate, l_shipdate)) AS w
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN supplier s ON l_suppkey = s.s_suppkey
+          |  JOIN customer c ON o_custkey = c.c_custkey
+          |  WHERE s.s_nationkey <> c.c_nationkey
+          |  GROUP BY 1, 2),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+          |d0 AS (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist
+          |  FROM nodes)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        val m = if (i == iters) " MATERIALIZED" else ""
+        s"""d$i AS$m (SELECT s, v, min(dist) AS dist FROM (
+           |    SELECT s, v, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT d.s, e.dst AS v, d.dist + e.w AS dist
+           |    FROM d${i - 1} d JOIN e ON e.src = d.v) GROUP BY 1, 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT s AS id, CAST(max(dist) AS BIGINT) AS ecc,
+         |  g.diameter, g.avg_path
+         |FROM d$iters, (SELECT CAST(max(dist) AS BIGINT) AS diameter,
+         |    CAST(sum(dist) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS avg_path
+         |  FROM d$iters WHERE s <> v) g
+         |WHERE s <> v
+         |GROUP BY s, g.diameter, g.avg_path ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .filter($"s_nationkey" =!= $"c_nationkey")
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"),
+          datediff($"l_shipdate", $"o_orderdate").as("w"))
+      val d = graft.operators.Components.apsp(edges, "src", "dst",
+        Some("w"), iterations = 4)
+        .filter($"s" =!= $"v")
+        .localCheckpoint(true)
+      d.groupBy($"s".as("id")).agg(max($"dist").as("ecc"))
+        .crossJoin(broadcast(d.agg(max($"dist").as("diameter"),
+          (sum($"dist").cast("double") / count(lit(1)).cast("double"))
+            .as("avg_path"))))
+        .orderBy("id")
     },
 
     // Triangle enumeration by degree ordering (Suri & Vassilvitskii
