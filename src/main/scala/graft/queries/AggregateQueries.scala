@@ -487,6 +487,77 @@ object AggregateQueries {
         xCol = ($"user_id" % 5).cast("double"), iterations = 3)
     },
 
+    // MLP regression (MADlib mlp_regression): a 2-2-1 tanh network
+    // trained by 3 full-batch GD rounds — the deterministic batch
+    // restatement of MADlib's minibatch IGD (the SVM/logreg/ALS
+    // substitution). Each round is ONE corpus aggregate: forward pass
+    // + all 9 gradients in codegen, per-row terms micros-quantized
+    // pre-sum; weights micros-quantize per update so both engines call
+    // tanh on identical arguments (the Cox exp discipline). The oracle
+    // unrolls the rounds as MATERIALIZED 1-row weight CTEs.
+    Q("q_ml_mlp", Some {
+      val iters = 3
+      val eta = "0.5"
+      def a(h: Int) = {
+        val (wa, wb, bb) =
+          if (h == 1) ("w.w11", "w.w12", "w.b1")
+          else ("w.w21", "w.w22", "w.b2")
+        // tanh via the exp identity — mirrors NeuralNet.tanhE exactly
+        val e2 = s"exp(2.0 * ($wa * x1 + $wb * x2 + $bb))"
+        s"(floor(($e2 - 1.0) / ($e2 + 1.0) * 1000000 + 0.5) / 1000000)"
+      }
+      val o = s"(w.v1 * ${a(1)} + w.v2 * ${a(2)} + w.c)"
+      val r = s"($o - y)"
+      def dh(h: Int) = {
+        val v = if (h == 1) "w.v1" else "w.v2"
+        s"($r * $v * (1.0 - ${a(h)} * ${a(h)}))"
+      }
+      def mic(e: String) =
+        s"CAST(sum(CAST(floor(($e) * 1000000 + 0.5) AS BIGINT))" +
+          " AS DOUBLE) / 1000000"
+      def upd(wn: String, g: String) =
+        s"floor((w.$wn - $eta * ($g / n)) * 1000000 + 0.5) / 1000000" +
+          s" AS $wn"
+      val w0 = graft.operators.NeuralNet.names
+        .zip(graft.operators.NeuralNet.init)
+        .map { case (nm, v) => s"CAST($v AS DOUBLE) AS $nm" }
+        .mkString(", ")
+      val rounds = (1 to iters).map { i =>
+        s"""g$i AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |    ${mic(s"${dh(1)} * x1")} AS gw11,
+           |    ${mic(s"${dh(1)} * x2")} AS gw12,
+           |    ${mic(dh(1))} AS gb1,
+           |    ${mic(s"${dh(2)} * x1")} AS gw21,
+           |    ${mic(s"${dh(2)} * x2")} AS gw22,
+           |    ${mic(dh(2))} AS gb2,
+           |    ${mic(s"$r * ${a(1)}")} AS gv1,
+           |    ${mic(s"$r * ${a(2)}")} AS gv2,
+           |    ${mic(r)} AS gc,
+           |    ${mic(s"$r * $r")} AS loss
+           |  FROM rows CROSS JOIN w${i - 1} w),
+           |w$i AS MATERIALIZED (SELECT
+           |    ${upd("w11", "gw11")}, ${upd("w12", "gw12")},
+           |    ${upd("b1", "gb1")}, ${upd("w21", "gw21")},
+           |    ${upd("w22", "gw22")}, ${upd("b2", "gb2")},
+           |    ${upd("v1", "gv1")}, ${upd("v2", "gv2")},
+           |    ${upd("c", "gc")},
+           |    loss / n AS mse, CAST(n AS BIGINT) AS nn
+           |  FROM w${i - 1} w CROSS JOIN g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rows AS MATERIALIZED (SELECT
+         |    l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         |    l_extendedprice / 100000.0 AS y FROM lineitem),
+         |w0 AS (SELECT $w0),
+         |$rounds
+         |SELECT w11, w12, b1, w21, w22, b2, v1, v2, c, mse, nn AS n
+         |FROM w$iters""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.NeuralNet.mlpFit221(Tables.T(s, dir).lineitem,
+        $"l_quantity" / lit(50.0), $"l_discount" * lit(10.0),
+        $"l_extendedprice" / lit(100000.0), eta = 0.5, iterations = 3)
+    },
+
     // Logistic regression (MADlib logregr_train parity): per-group
     // Newton/IRLS with 4 fixed iterations — each round ONE aggregate of
     // weighted moments + the same Cramer 3×3 solve as q_agg_ols. The

@@ -1166,6 +1166,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(roots.length > 1, "feature/row bagging produced clone trees")
   }
 
+  test("NeuralNet.mlpFit221: GD reduces MSE on a learnable target") {
+    import spark.implicits._
+    val data = (0 until 200).map { i =>
+      val x1 = (i % 20) / 20.0; val x2 = (i / 20) / 10.0
+      (x1, x2, 0.4 * x1 - 0.3 * x2 + 0.2)
+    }.toDF("x1", "x2", "y")
+    def mseAt(iters: Int) = NeuralNet.mlpFit221(
+      data, col("x1"), col("x2"), col("y"), eta = 0.5,
+      iterations = iters).head().getAs[Double]("mse")
+    val (early, late) = (mseAt(1), mseAt(6))
+    assert(late < early,
+      s"training did not reduce MSE: round1=$early round6=$late")
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._
