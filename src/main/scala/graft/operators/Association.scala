@@ -82,4 +82,55 @@ object Association {
       .select("ante", "cons", "pair_n", "ante_n", "cons_n",
         "support", "confidence", "lift")
   }
+
+  /** Two-antecedent rules {a1, a2} → c (MADlib `assoc_rules` with
+    * max_LHS = 2 — the level-3 Apriori pass): candidate 2-itemsets
+    * come from the per-txn self-join (a1 < a2), are counted, and ONLY
+    * the frequent ones (support ≥ `minSupport`) extend to triples —
+    * the textbook Apriori anti-monotone prune, which is what keeps the
+    * level-3 join volume proportional to FREQUENT pairs rather than
+    * all pairs at 100 TB. Per-txn pair volume is Σ|S(t)|² like
+    * [[assocRules]] (same `maxBasket` contract applies upstream).
+    *
+    * Output: (a1, a2, cons, triple_n, pair2_n, cons_n, support,
+    * confidence, lift) — counts exact, ratios IEEE doubles of exact
+    * longs. */
+  def assocRules2(
+      df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Double, minConfidence: Double): DataFrame = {
+    val baskets = df.select(col(txnCol).as("txn"), col(itemCol).as("item"))
+      .distinct()
+    val nTxn = baskets.agg(countDistinct(col("txn")).as("n_txn"))
+    val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("item_n"))
+    val pairSets = baskets.select(col("txn"), col("item").as("a1"))
+      .join(baskets.select(col("txn"), col("item").as("a2")), Seq("txn"))
+      .filter(col("a1") < col("a2"))
+    val pairCnt = pairSets.groupBy("a1", "a2")
+      .agg(count(lit(1)).as("pair2_n"))
+    val freqPairs = pairCnt.join(broadcast(nTxn))
+      .filter(col("pair2_n").cast("double") / col("n_txn").cast("double")
+        >= minSupport)
+      .select("a1", "a2", "pair2_n")
+    // Apriori prune BEFORE extension: only frequent pairs grow
+    val triples = pairSets.join(freqPairs.select("a1", "a2"),
+      Seq("a1", "a2"))
+      .join(baskets.select(col("txn"), col("item").as("cons")), Seq("txn"))
+      .filter(col("cons") =!= col("a1") && col("cons") =!= col("a2"))
+      .groupBy("a1", "a2", "cons").agg(count(lit(1)).as("triple_n"))
+    triples
+      .join(freqPairs, Seq("a1", "a2"))
+      .join(itemCnt.select(col("item").as("cons"),
+        col("item_n").as("cons_n")), Seq("cons"))
+      .join(broadcast(nTxn))
+      .withColumn("support",
+        col("triple_n").cast("double") / col("n_txn").cast("double"))
+      .withColumn("confidence",
+        col("triple_n").cast("double") / col("pair2_n").cast("double"))
+      .withColumn("lift", col("confidence") /
+        (col("cons_n").cast("double") / col("n_txn").cast("double")))
+      .filter(col("support") >= minSupport &&
+        col("confidence") >= minConfidence)
+      .select("a1", "a2", "cons", "triple_n", "pair2_n", "cons_n",
+        "support", "confidence", "lift")
+  }
 }

@@ -1038,6 +1038,53 @@ object AggregateQueries {
         .orderBy("ante", "cons")
     },
 
+    // Two-antecedent association rules (MADlib assoc_rules max_LHS=2 —
+    // the level-3 Apriori pass with the anti-monotone prune: only
+    // frequent 2-itemsets extend to triples). Items are part FAMILIES
+    // (l_partkey % 100) so co-occurrence density is scale-stable and
+    // the thresholds behave like real market-basket data. Counts
+    // exact; ratios are IEEE doubles of exact longs — unrounded.
+    Q("q_ml_assoc2", Some(
+      """WITH b AS (SELECT DISTINCT l_orderkey AS txn,
+        |    l_partkey % 30 AS item FROM lineitem),
+        |n AS (SELECT count(DISTINCT txn) AS n_txn FROM b),
+        |ic AS (SELECT item, count(*) AS item_n FROM b GROUP BY 1),
+        |ps AS (SELECT a.txn, a.item AS a1, c.item AS a2
+        |  FROM b a JOIN b c ON a.txn = c.txn AND a.item < c.item),
+        |pc AS (SELECT a1, a2, count(*) AS pair2_n FROM ps GROUP BY 1, 2),
+        |fp AS (SELECT a1, a2, pair2_n FROM pc CROSS JOIN n
+        |  WHERE CAST(pair2_n AS DOUBLE) / CAST(n_txn AS DOUBLE)
+        |    >= 0.0005),
+        |tr AS (SELECT ps.a1, ps.a2, e.item AS cons, count(*) AS triple_n
+        |  FROM ps JOIN fp ON ps.a1 = fp.a1 AND ps.a2 = fp.a2
+        |  JOIN b e ON e.txn = ps.txn
+        |    AND e.item <> ps.a1 AND e.item <> ps.a2
+        |  GROUP BY 1, 2, 3)
+        |SELECT a1, a2, cons, triple_n, pair2_n, cons_n,
+        |  support, confidence, lift
+        |FROM (SELECT tr.a1, tr.a2, tr.cons, tr.triple_n, fp.pair2_n,
+        |    ic.item_n AS cons_n,
+        |    CAST(tr.triple_n AS DOUBLE) / CAST(n.n_txn AS DOUBLE)
+        |      AS support,
+        |    CAST(tr.triple_n AS DOUBLE) / CAST(fp.pair2_n AS DOUBLE)
+        |      AS confidence,
+        |    (CAST(tr.triple_n AS DOUBLE) / CAST(fp.pair2_n AS DOUBLE))
+        |      / (CAST(ic.item_n AS DOUBLE) / CAST(n.n_txn AS DOUBLE))
+        |      AS lift
+        |  FROM tr JOIN fp ON tr.a1 = fp.a1 AND tr.a2 = fp.a2
+        |       JOIN ic ON tr.cons = ic.item
+        |       CROSS JOIN n)
+        |WHERE support >= 0.0005 AND confidence >= 0.05
+        |ORDER BY a1, a2, cons""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Association.assocRules2(
+        Tables.T(s, dir).lineitem.select($"l_orderkey",
+          ($"l_partkey" % 30).as("fam")),
+        "l_orderkey", "fam",
+        minSupport = 0.0005, minConfidence = 0.05)
+        .orderBy("a1", "a2", "cons")
+    },
+
     // Benford first-digit screen (the classic fraud / data-quality
     // test): leading-digit distribution of order totals vs Benford's
     // log10(1+1/d). The digit comes from the EXACT cents integer's
