@@ -192,6 +192,48 @@ object TextAnalysis {
             sum(col("freq")), 6).as("rank"))
   }
 
+  /** tsvector build through a USER dictionary chain — CREATE TEXT
+    * SEARCH DICTIONARY/CONFIGURATION semantics (ts_parse.c LexizeExec;
+    * dict_synonym.c, dict_simple.c): per token the first dictionary
+    * that recognizes it wins — a synonym dict maps its known tokens, a
+    * simple dict accepts everything except its stopwords (and thus
+    * terminates the chain), tokens unrecognized at chain end are not
+    * indexed. Positions are ORIGINAL token indexes (PG numbers words
+    * before lexizing) and tokens lexizing to the same lexeme merge
+    * their position lists. Map-only until the per-doc aggregate; the
+    * chain folds into one codegen'd CASE/map expression. */
+  def tsvectorsDict(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      chain: Seq[graft.sql.GpSqlDialect.TsDict])
+      : org.apache.spark.sql.DataFrame = {
+    val lexeme = chain.foldRight(lit(null).cast("string")) { (d, rest) =>
+      d.template match {
+        case "synonym" =>
+          if (d.synonyms.isEmpty) rest
+          else coalesce(element_at(typedLit(d.synonyms), col("lex")), rest)
+        case "simple" =>
+          if (d.stopwords.isEmpty) col("lex")
+          else when(col("lex").isInCollection(d.stopwords.toSeq),
+            lit(null).cast("string")).otherwise(col("lex"))
+        case other => throw new IllegalArgumentException(
+          s"tsvectorsDict: unsupported template '$other'")
+      }
+    }
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "[^a-z0-9\\u4e00-\\u9fff]+"))
+        .as(Seq("pos0", "lex")))
+      .filter(col("lex") =!= "")
+      .select(col(idCol), col("pos0"), lexeme.as("lexeme"))
+      .filter(col("lexeme").isNotNull)
+    toks.groupBy(col(idCol), col("lexeme"))
+      .agg(concat(lit("'"), col("lexeme"), lit("':"),
+        array_join(array_sort(collect_list(col("pos0") + 1)), ","))
+        .as("entry"))
+      .groupBy(idCol)
+      .agg(array_join(array_sort(collect_list(col("entry"))), " ")
+        .as("tsv"))
+  }
+
   /** PG full-text surface with the `english` configuration: the
     * snowball dictionary pipeline (reference: src/backend/tsearch/
     * ts_parse.c LexizeExec → dict_snowball.c) = drop stopwords, then

@@ -243,6 +243,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // User text-search dictionaries (tsearchcmds.c DefineTSDictionary /
+    // DefineTSConfiguration; dict_synonym.c + dict_simple.c;
+    // LexizeExec chain semantics): the prepare step runs the DDL
+    // through the dialect — CREATE TEXT SEARCH DICTIONARY (synonym +
+    // simple-with-stopwords, payload inline since $SHAREDIR files have
+    // no analogue), CREATE/ALTER TEXT SEARCH CONFIGURATION — and the
+    // query builds tsvectors through the registered chain: synonym
+    // first (merge→join, agg→aggregate, dup→duplicate), then stopword
+    // drop, positions from the ORIGINAL token index, mapped tokens
+    // merging position lists with their targets.
+    Q("q_text_dict", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)),
+        |lx AS (SELECT doc_id, pos,
+        |    CASE WHEN lex = 'merge' THEN 'join'
+        |         WHEN lex = 'agg' THEN 'aggregate'
+        |         WHEN lex = 'dup' THEN 'duplicate'
+        |         WHEN lex IN ('the', 'a', 'of', 'and') THEN NULL
+        |         ELSE lex END AS lexeme
+        |  FROM p WHERE lex <> ''),
+        |e AS (SELECT doc_id, lexeme,
+        |    '''' || lexeme || ''':' ||
+        |      string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry
+        |  FROM lx WHERE lexeme IS NOT NULL GROUP BY doc_id, lexeme)
+        |SELECT doc_id, string_agg(entry, ' ' ORDER BY entry) AS tsv
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      prepare = Some { (s, _) =>
+        Seq(
+          "CREATE TEXT SEARCH DICTIONARY graft_syn (TEMPLATE = synonym," +
+            " SYNONYMS = 'merge=join, agg=aggregate, dup=duplicate')",
+          "CREATE TEXT SEARCH DICTIONARY graft_stop (TEMPLATE = simple," +
+            " STOPWORDS = 'the, a, of, and')",
+          "CREATE TEXT SEARCH CONFIGURATION graft_cfg (PARSER = default)",
+          "ALTER TEXT SEARCH CONFIGURATION graft_cfg ALTER MAPPING FOR" +
+            " asciiword WITH graft_syn, graft_stop")
+          .foreach(graft.sql.GpSqlDialect.execute(s, _, "/tmp/graft_ts"))
+      }) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.tsvectorsDict(
+        Tables.T(s, dir).documents.filter($"doc_id" < 300),
+        "text", "doc_id", graft.sql.GpSqlDialect.tsChain("graft_cfg"))
+        .orderBy("doc_id")
+    },
+
     // ts_headline snippet generation (wparser_def.c prsd_headline cover
     // selection, wparser.c ts_headline): ONE codegen'd pass per row —
     // expressions/TsHeadlineExpr.scala documents the published

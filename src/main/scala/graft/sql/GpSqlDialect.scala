@@ -301,6 +301,29 @@ object GpSqlDialect {
         return spark.emptyDataFrame
       case _ =>
     }
+    CreateTsDictRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        return executeCreateTsDict(spark, m.group(1), m.group(2),
+          m.group(3), m.group(4))
+      case _ =>
+    }
+    CreateTsConfigRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        // COPY = <existing config> clones its chain; PARSER = default
+        // starts empty until an ALTER MAPPING fills it
+        tsConfigs.put(m.group(1).toLowerCase,
+          tsConfigs.getOrElse(m.group(2).toLowerCase, Seq.empty))
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    AlterTsConfigRe.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        tsConfigs.put(m.group(1).toLowerCase,
+          m.group(2).split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSeq)
+        return spark.emptyDataFrame
+      case _ =>
+    }
     CreateCompositeRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         composites.put(m.group(1).toLowerCase,
@@ -2874,6 +2897,77 @@ object GpSqlDialect {
       p, graft.plans.AnalyzedStats.TableStats(n, colStats)))
     out
   }
+
+  // ---- full-text search dictionaries / configurations ---------------
+  // (commands/tsearchcmds.c DefineTSDictionary/DefineTSConfiguration;
+  // tsearch/dict_synonym.c, dict_simple.c; ts_parse.c LexizeExec runs
+  // the per-token dictionary CHAIN: first dictionary that recognizes a
+  // token wins — synonym maps it, simple lowercases unless stopword,
+  // unrecognized tokens fall through to the next dict). PG's synonym/
+  // stopword payloads live in $SHAREDIR files; files have no analogue
+  // here, so the payload is INLINE in the DDL ('a=b, c=d' /
+  // 'the, a, of') — the documented adaptation.
+
+  final case class TsDict(template: String,
+      synonyms: Map[String, String] = Map.empty,
+      stopwords: Set[String] = Set.empty)
+  val tsDictionaries =
+    scala.collection.concurrent.TrieMap.empty[String, TsDict]
+  /** config → dictionary chain for word tokens (LexizeExec order). */
+  val tsConfigs =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  tsDictionaries.put("simple", TsDict("simple"))
+  tsConfigs.put("simple", Seq("simple"))
+
+  private val CreateTsDictRe =
+    ("(?is)^\\s*CREATE\\s+TEXT\\s+SEARCH\\s+DICTIONARY\\s+(\\w+)\\s*" +
+      "\\(\\s*TEMPLATE\\s*=\\s*(\\w+)\\s*" +
+      "(?:,\\s*(SYNONYMS|STOPWORDS)\\s*=\\s*'([^']*)')?\\s*\\)\\s*$").r
+  private val CreateTsConfigRe =
+    ("(?is)^\\s*CREATE\\s+TEXT\\s+SEARCH\\s+CONFIGURATION\\s+(\\w+)\\s*" +
+      "\\(\\s*(?:COPY|PARSER)\\s*=\\s*(\\w+)\\s*\\)\\s*$").r
+  private val AlterTsConfigRe =
+    ("(?is)^\\s*ALTER\\s+TEXT\\s+SEARCH\\s+CONFIGURATION\\s+(\\w+)\\s+" +
+      "ALTER\\s+MAPPING\\s+FOR\\s+[\\w,\\s]+\\s+WITH\\s+" +
+      "([\\w,\\s]+?)\\s*$").r
+
+  def executeCreateTsDict(spark: SparkSession, name: String,
+      template: String, payloadKind: String, payload: String): DataFrame = {
+    val dict = template.toLowerCase match {
+      case "synonym" =>
+        require(payloadKind != null &&
+          payloadKind.equalsIgnoreCase("SYNONYMS"),
+          s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=synonym " +
+            "requires SYNONYMS = 'from=to, ...'")
+        val pairs = payload.split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map { p =>
+            val Array(f, t) = p.split("=", 2).map(_.trim.toLowerCase)
+            f -> t
+          }.toMap
+        TsDict("synonym", synonyms = pairs)
+      case "simple" =>
+        val stops =
+          if (payloadKind == null) Set.empty[String]
+          else payload.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSet
+        TsDict("simple", stopwords = stops)
+      case other => throw new IllegalArgumentException(
+        s"CREATE TEXT SEARCH DICTIONARY: unsupported TEMPLATE '$other'" +
+          " (synonym and simple are lowered; ispell/thesaurus need" +
+          " affix files with no analogue here)")
+    }
+    tsDictionaries.put(name.toLowerCase, dict)
+    spark.emptyDataFrame
+  }
+
+  /** Resolve a configuration's chain to dictionary payloads. */
+  def tsChain(config: String): Seq[TsDict] =
+    tsConfigs.getOrElse(config.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown text search configuration '$config'"))
+      .map(d => tsDictionaries.getOrElse(d,
+        throw new IllegalArgumentException(
+          s"text search dictionary '$d' not defined")))
 
   // ---- enum types (utils/adt/enum.c, commands/typecmds.c) ------------
 

@@ -1264,6 +1264,36 @@ class ExpressionSpec extends AnyFunSuite {
     GpSqlDialect.execute(spark, "CLOSE cbig", base)
   }
 
+  test("TEXT SEARCH DDL: dictionaries register, chains resolve, " +
+    "unsupported templates reject") {
+    import graft.sql.GpSqlDialect
+    GpSqlDialect.execute(spark, "CREATE TEXT SEARCH DICTIONARY ts_t1 " +
+      "(TEMPLATE = synonym, SYNONYMS = 'x=y, a = b')", "/tmp/never")
+    GpSqlDialect.execute(spark, "CREATE TEXT SEARCH DICTIONARY ts_t2 " +
+      "(TEMPLATE = simple, STOPWORDS = 'um, er')", "/tmp/never")
+    GpSqlDialect.execute(spark, "CREATE TEXT SEARCH CONFIGURATION " +
+      "ts_c1 (COPY = simple)", "/tmp/never")
+    assert(GpSqlDialect.tsConfigs("ts_c1") == Seq("simple"))
+    GpSqlDialect.execute(spark, "ALTER TEXT SEARCH CONFIGURATION ts_c1 " +
+      "ALTER MAPPING FOR asciiword, word WITH ts_t1, ts_t2", "/tmp/never")
+    val chain = GpSqlDialect.tsChain("ts_c1")
+    assert(chain.map(_.template) == Seq("synonym", "simple"))
+    assert(chain.head.synonyms == Map("x" -> "y", "a" -> "b"))
+    assert(chain(1).stopwords == Set("um", "er"))
+    val err = intercept[IllegalArgumentException] {
+      GpSqlDialect.execute(spark, "CREATE TEXT SEARCH DICTIONARY bad " +
+        "(TEMPLATE = ispell)", "/tmp/never")
+    }
+    assert(err.getMessage.contains("ispell"))
+    // chain semantics on a tiny frame: synonym wins, stopword drops,
+    // positions keep original indexes and merged lexemes share a list
+    import spark.implicits._
+    val out = graft.operators.TextAnalysis.tsvectorsDict(
+      Seq((1L, "um x b y")).toDF("id", "text"), "text", "id", chain)
+      .head().getString(1)
+    assert(out == "'b':3 'y':2,4", out)
+  }
+
   test("ANALYZE computes pg_statistic-shaped per-column stats in one pass") {
     Tables.registerAll(spark, sf)
     val stats = GpSqlDialect.execute(spark, "ANALYZE nation", "/tmp/never")
