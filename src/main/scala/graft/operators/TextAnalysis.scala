@@ -373,6 +373,57 @@ object TextAnalysis {
         (sum(col("lp")) / count(lit(1))).as("avg_lp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1999 interpolated form with a fixed discount —
+    * the smoothing KenLM ships, and the stronger LM behind
+    * CCNet-style perplexity quality filters; complements the Laplace
+    * [[bigramLogProb]]):
+    *   P(w₂|w₁) = max(c₁₂−d, 0)/c₁
+    *            + (d·N₁₊(w₁·)/c₁) · (N₁₊(·w₂)/N₁₊(··))
+    * where N₁₊ are continuation-TYPE counts — the KN insight that a
+    * word's backoff mass should reflect how many contexts it
+    * completes, not how often it occurs.
+    *
+    * Self-scored (train = score), every bigram is observed so each
+    * term is positive with no fallback tiers. All counts are exact
+    * longs from three vocabulary-scale aggregates off ONE cached
+    * bigram relation; the bigram-type total is a 1-value driver
+    * collect. Per-bigram ln terms quantize to micros pre-sum (the
+    * keyness discipline) so per-doc averages compare UNROUNDED.
+    * Returns (idCol, n_bigrams, avg_lp). */
+  def kneserNeyLogProb(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    val len = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val db = docs.select(col(idCol), explode(bg).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(db)
+    val c12 = db.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(c12)
+    val hist = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("nc2"))
+    val nTypes = c12.count().toDouble
+    val p = greatest(col("c12").cast("double") - lit(discount), lit(0.0)) /
+      col("c1").cast("double") +
+      (lit(discount) * col("n1p").cast("double")) /
+        col("c1").cast("double") *
+        (col("nc2").cast("double") / lit(nTypes))
+    db.join(c12, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .select(col(idCol),
+        floor(log(p) * lit(1000000d) + lit(0.5)).cast("long").as("lpq"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("lpq")).cast("double") / lit(1000000d)) /
+          count(lit(1)).cast("double")).as("avg_lp"))
+  }
+
   /** Gopher-style document quality rule bundle (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", Appendix A — public
     * filtering heuristics): per-document pass/fail flags for

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -333,5 +333,86 @@ object Trees {
       .toDF("tree", "level", "node", "dim", "thr",
         "n_left", "n_right", "score")
       .orderBy("tree", "level", "node")
+  }
+
+  /** Forest prediction (MADlib `forest_predict` / `tree_predict`):
+    * train via [[randomForest]], then classify EVERY row —
+    *   1. per tree, walk each row to its leaf through the collected
+    *      split table (≤ 2^depth literal CASE terms — map-only, the
+    *      decisionTree reassignment shape);
+    *   2. leaf label = majority BOOTSTRAP-WEIGHTED training label per
+    *      (tree, leaf) (exact longs, ties to the smallest label via
+    *      the c·1024−label scalar key — labels must be < 1024);
+    *   3. forest vote = majority of the per-tree labels, ties to the
+    *      smallest (deterministic strengthening of MADlib's
+    *      unspecified tie).
+    * The split table and leaf-label map are catalog-scale driver
+    * state; prediction itself is ONE map-only pass plus the per-tree
+    * leaf-stat aggregates.
+    *
+    * Returns (id, label, pred, n_votes) — n_votes = trees agreeing
+    * with the winning label. */
+  def forestPredict(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, thresholds: Seq[Double], depth: Int, trees: Int)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val splits = randomForest(emb, idCol, vecCol, labelCol, dim,
+      thresholds, depth, trees).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) ->
+        (r.getInt(3), r.getDouble(4))).toMap
+    // leaf expression for tree t: walk levels; nodes without a split
+    // stay put (they ARE the leaf)
+    def leafExpr(t: Int): Column = {
+      var node: Column = lit(1L)
+      for (l <- 0 until depth) {
+        val lvlSplits = splits.collect {
+          case ((`t`, `l`, n), (d, thr)) => (n, d, thr)
+        }
+        val stepped = lvlSplits.foldLeft(lit(null).cast("long")) {
+          case (e, (n, d, thr)) =>
+            when(node === n, node * 2 +
+              when(element_at(col(vecCol), d + 1).cast("double") > thr,
+                1L).otherwise(0L)).otherwise(e)
+        }
+        node = coalesce(stepped, node)
+      }
+      node
+    }
+    val base = emb.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"), col(vecCol))
+    // per-tree leaf labels from the bootstrap-weighted training rows
+    val perTree = (0 until trees).map { t =>
+      val h = conv(substring(md5(concat(lit(s"$t:"),
+        col("id").cast("string"))), 1, 4), 16, 10).cast("long") % 100
+      val wt = when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
+        .otherwise(3L)
+      val leafStats = base.select(col("id"), col("label"),
+        leafExpr(t).as("leaf"), wt.as("wt"))
+        .filter(col("wt") > 0)
+        .groupBy("leaf", "label").agg(sum(col("wt")).as("c"))
+        .groupBy("leaf")
+        .agg(max_by(col("label"), col("c") * lit(1024L) - col("label"))
+          .as("plab"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mapped = leafStats.foldLeft(lit(null).cast("long")) {
+        case (e, (leaf, lab)) =>
+          when(leafExpr(t) === leaf, lab).otherwise(e)
+      }
+      mapped.as(s"v$t")
+    }
+    require(trees == 3, "forestPredict vote expression is wired for 3 trees")
+    val voted = base.select(col("id"), col("label"),
+      perTree(0), perTree(1), perTree(2))
+    val (v1, v2, v3) = (col("v0"), col("v1"), col("v2"))
+    val pred = when(v1 === v2, v1).when(v1 === v3, v1)
+      .when(v2 === v3, v2)
+      .otherwise(least(v1, least(v2, v3)))
+    val nv = (when(v1 === pred, 1).otherwise(0) +
+      when(v2 === pred, 1).otherwise(0) +
+      when(v3 === pred, 1).otherwise(0))
+    voted.select(col("id"), col("label"), pred.as("pred"),
+      nv.as("n_votes"))
   }
 }

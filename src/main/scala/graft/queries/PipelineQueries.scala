@@ -21,6 +21,86 @@ object PipelineQueries {
 
   private val tokset = s"list_distinct($toks)"
 
+  /** Shared oracle generator for the random-forest queries: the
+    * `WITH thr ..., t<N> bootstrap/level/winner` CTE block replaying
+    * Trees.randomForest (deterministic md5 Poisson weights, md5-parity
+    * feature bags, weighted exact-integer Gini) — q_ml_forest selects
+    * the split table from it, q_ml_forest_predict extends it with the
+    * leaf walk + leaf-label vote. */
+  private def forestTrainCtes(
+      ts: Seq[Double], depth: Int, ntrees: Int): String = {
+    val bucketSql = ts.map(t =>
+      s"CAST(x > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
+    val thrVals = ts.zipWithIndex
+      .map { case (t, i) => s"($i, CAST($t AS DOUBLE))" }.mkString(", ")
+    val treeSqls = (0 until ntrees).map { t =>
+      val dims = graft.operators.Trees.forestDims(t, 64)
+        .map(_.toString).mkString(", ")
+      val boot =
+        s"""t${t}n0 AS (SELECT vec_id, label, 1 AS node, wt FROM (
+           |    SELECT vec_id, label, CASE WHEN h < 37 THEN 0
+           |        WHEN h < 74 THEN 1 WHEN h < 92 THEN 2 ELSE 3 END
+           |      AS wt
+           |    FROM (SELECT vec_id, label,
+           |        CAST(('0x' || substr(md5('$t:' ||
+           |          CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+           |        AS h
+           |      FROM embeddings))
+           |  WHERE wt > 0)""".stripMargin
+      val levels = (0 until depth).map { l =>
+        val next =
+          if (l == depth - 1) ""
+          else s""",
+            |t${t}n${l + 1} AS (SELECT n.vec_id, n.label, n.wt,
+            |    n.node * 2 + CAST(CAST(e.embedding[CAST(w.d + 1 AS INT)]
+            |      AS DOUBLE) > w.thr AS INT) AS node
+            |  FROM t${t}n$l n JOIN embeddings e USING (vec_id)
+            |  JOIN t${t}win$l w ON w.node = n.node)""".stripMargin
+        s"""t${t}x$l AS (SELECT n.node, n.label, n.wt,
+           |    CAST(i - 1 AS INT) AS d,
+           |    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
+           |  FROM t${t}n$l n JOIN embeddings e USING (vec_id),
+           |    unnest(range(1, 65)) r(i)
+           |  WHERE CAST(i - 1 AS INT) IN ($dims)),
+           |t${t}xb$l AS (SELECT node, label, wt, d, $bucketSql AS b
+           |  FROM t${t}x$l),
+           |t${t}hist$l AS (SELECT node, d, b, label, sum(wt) AS cnt
+           |  FROM t${t}xb$l GROUP BY 1, 2, 3, 4),
+           |t${t}tot$l AS (SELECT node, label, sum(wt) AS n_c
+           |  FROM t${t}n$l GROUP BY 1, 2),
+           |t${t}consts$l AS (SELECT node, CAST(sum(n_c) AS BIGINT) AS n,
+           |    sum(n_c * n_c) AS s2
+           |  FROM t${t}tot$l GROUP BY 1),
+           |t${t}pl$l AS (SELECT h.node, h.d, t.i, t.thr, h.label,
+           |    sum(h.cnt) AS nl_c
+           |  FROM t${t}hist$l h JOIN thr t ON h.b <= t.i
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |t${t}sc$l AS (SELECT node, d, i, thr, sum(nl_c) AS nl,
+           |    sum(nl_c * nl_c) AS a, sum(n_c * nl_c) AS bb
+           |  FROM t${t}pl$l JOIN t${t}tot$l USING (node, label)
+           |  GROUP BY 1, 2, 3, 4),
+           |t${t}scored$l AS (SELECT s.node, d, i, thr,
+           |    CAST(nl AS BIGINT) AS nl, c.n - CAST(nl AS BIGINT) AS nr,
+           |    ((CAST(nl AS DOUBLE) - CAST(a AS DOUBLE)
+           |        / CAST(nl AS DOUBLE))
+           |     + (CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)
+           |        - CAST(c.s2 - 2 * bb + a AS DOUBLE)
+           |          / CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)))
+           |      / CAST(c.n AS DOUBLE) AS score
+           |  FROM t${t}sc$l s JOIN t${t}consts$l c USING (node)
+           |  WHERE CAST(nl AS BIGINT) > 0
+           |    AND c.n - CAST(nl AS BIGINT) > 0),
+           |t${t}win$l AS (SELECT node, d, thr, nl, nr, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY node
+           |      ORDER BY score, d, i) AS rk FROM t${t}scored$l)
+           |  WHERE rk = 1)$next""".stripMargin
+      }.mkString(",\n")
+      s"$boot,\n$levels"
+    }.mkString(",\n")
+    s"""WITH thr AS (SELECT * FROM (VALUES $thrVals) t(i, thr)),
+       |$treeSqls""".stripMargin
+  }
+
   /** DuckDB fragment: exact-double cosine between embeddings a.e and b.e
     * (index-order sum — matches Similarity.dot's left fold). */
   private def oCos(a: String, b: String): String = {
@@ -947,6 +1027,44 @@ object PipelineQueries {
           .orderBy("doc_id")
     },
 
+    // Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1999 interpolated form, d = 0.75 — the KenLM
+    // smoothing behind production perplexity filters, upgrading the
+    // Laplace q_text_lmscore): backoff mass from continuation-TYPE
+    // counts. Self-scored, so every term is positive; exact-long
+    // counts, per-bigram ln terms micros-quantized pre-sum — per-doc
+    // averages compare UNROUNDED.
+    Q("q_text_kneser", Some(
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg FROM d),
+         |b2 AS MATERIALIZED (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+         |  FROM b),
+         |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM b2
+         |  GROUP BY 1, 2),
+         |h AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM c12
+         |  GROUP BY 1),
+         |co AS (SELECT w2, count(*) AS nc2 FROM c12 GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM c12),
+         |lp AS (SELECT doc_id, CAST(floor(ln(
+         |      greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+         |        / CAST(c1 AS DOUBLE)
+         |      + (0.75 * CAST(n1p AS DOUBLE)) / CAST(c1 AS DOUBLE)
+         |        * (CAST(nc2 AS DOUBLE) / nt)
+         |    ) * 1000000 + 0.5) AS BIGINT) AS lpq
+         |  FROM b2 JOIN c12 USING (w1, w2) JOIN h USING (w1)
+         |    JOIN co USING (w2) CROSS JOIN nt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  (CAST(sum(lpq) AS DOUBLE) / 1000000)
+         |    / CAST(count(*) AS DOUBLE) AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)) {
+      (s, dir) =>
+        import s.implicits._
+        TextAnalysis.kneserNeyLogProb(
+          Tables.T(s, dir).documents, "text", "doc_id", discount = 0.75)
+          .orderBy("doc_id")
+    },
+
     // BPE tokenizer merge training (Sennrich et al. 2016): 5 merge
     // steps over the top-200 word-frequency vocabulary — the corpus is
     // scanned ONCE; every round after that is vocabulary-scale (the
@@ -1249,89 +1367,73 @@ object PipelineQueries {
     // parameterized per tree.
     Q("q_ml_forest", Some {
       val ts = Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
-      val bucketSql = ts.map(t =>
-        s"CAST(x > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
-      val thrVals = ts.zipWithIndex
-        .map { case (t, i) => s"($i, CAST($t AS DOUBLE))" }.mkString(", ")
-      val depth = 2
-      val ntrees = 3
-      val treeSqls = (0 until ntrees).map { t =>
-        val dims = graft.operators.Trees.forestDims(t, 64)
-          .map(_.toString).mkString(", ")
-        val boot =
-          s"""t${t}n0 AS (SELECT vec_id, label, 1 AS node, wt FROM (
-             |    SELECT vec_id, label, CASE WHEN h < 37 THEN 0
-             |        WHEN h < 74 THEN 1 WHEN h < 92 THEN 2 ELSE 3 END
-             |      AS wt
-             |    FROM (SELECT vec_id, label,
-             |        CAST(('0x' || substr(md5('$t:' ||
-             |          CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
-             |        AS h
-             |      FROM embeddings))
-             |  WHERE wt > 0)""".stripMargin
-        val levels = (0 until depth).map { l =>
-          val next =
-            if (l == depth - 1) ""
-            else s""",
-              |t${t}n${l + 1} AS (SELECT n.vec_id, n.label, n.wt,
-              |    n.node * 2 + CAST(CAST(e.embedding[CAST(w.d + 1 AS INT)]
-              |      AS DOUBLE) > w.thr AS INT) AS node
-              |  FROM t${t}n$l n JOIN embeddings e USING (vec_id)
-              |  JOIN t${t}win$l w ON w.node = n.node)""".stripMargin
-          s"""t${t}x$l AS (SELECT n.node, n.label, n.wt,
-             |    CAST(i - 1 AS INT) AS d,
-             |    CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x
-             |  FROM t${t}n$l n JOIN embeddings e USING (vec_id),
-             |    unnest(range(1, 65)) r(i)
-             |  WHERE CAST(i - 1 AS INT) IN ($dims)),
-             |t${t}xb$l AS (SELECT node, label, wt, d, $bucketSql AS b
-             |  FROM t${t}x$l),
-             |t${t}hist$l AS (SELECT node, d, b, label, sum(wt) AS cnt
-             |  FROM t${t}xb$l GROUP BY 1, 2, 3, 4),
-             |t${t}tot$l AS (SELECT node, label, sum(wt) AS n_c
-             |  FROM t${t}n$l GROUP BY 1, 2),
-             |t${t}consts$l AS (SELECT node, CAST(sum(n_c) AS BIGINT) AS n,
-             |    sum(n_c * n_c) AS s2
-             |  FROM t${t}tot$l GROUP BY 1),
-             |t${t}pl$l AS (SELECT h.node, h.d, t.i, t.thr, h.label,
-             |    sum(h.cnt) AS nl_c
-             |  FROM t${t}hist$l h JOIN thr t ON h.b <= t.i
-             |  GROUP BY 1, 2, 3, 4, 5),
-             |t${t}sc$l AS (SELECT node, d, i, thr, sum(nl_c) AS nl,
-             |    sum(nl_c * nl_c) AS a, sum(n_c * nl_c) AS bb
-             |  FROM t${t}pl$l JOIN t${t}tot$l USING (node, label)
-             |  GROUP BY 1, 2, 3, 4),
-             |t${t}scored$l AS (SELECT s.node, d, i, thr,
-             |    CAST(nl AS BIGINT) AS nl, c.n - CAST(nl AS BIGINT) AS nr,
-             |    ((CAST(nl AS DOUBLE) - CAST(a AS DOUBLE)
-             |        / CAST(nl AS DOUBLE))
-             |     + (CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)
-             |        - CAST(c.s2 - 2 * bb + a AS DOUBLE)
-             |          / CAST(c.n - CAST(nl AS BIGINT) AS DOUBLE)))
-             |      / CAST(c.n AS DOUBLE) AS score
-             |  FROM t${t}sc$l s JOIN t${t}consts$l c USING (node)
-             |  WHERE CAST(nl AS BIGINT) > 0
-             |    AND c.n - CAST(nl AS BIGINT) > 0),
-             |t${t}win$l AS (SELECT node, d, thr, nl, nr, score FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY node
-             |      ORDER BY score, d, i) AS rk FROM t${t}scored$l)
-             |  WHERE rk = 1)$next""".stripMargin
-        }.mkString(",\n")
-        s"$boot,\n$levels"
-      }.mkString(",\n")
+      val (depth, ntrees) = (2, 3)
       val union = (for (t <- 0 until ntrees; l <- 0 until depth) yield
         s"""SELECT CAST($t AS INT) AS tree, CAST($l AS INT) AS level,
            |  CAST(node AS BIGINT) AS node, CAST(d AS INT) AS dim, thr,
            |  nl AS n_left, nr AS n_right, score FROM t${t}win$l"""
           .stripMargin).mkString("\nUNION ALL\n")
-      s"""WITH thr AS (SELECT * FROM (VALUES $thrVals) t(i, thr)),
-         |$treeSqls
+      s"""${forestTrainCtes(ts, depth, ntrees)}
          |$union
          |ORDER BY tree, level, node""".stripMargin
     }) { (s, dir) =>
       graft.operators.Trees.randomForest(
         Tables.T(s, dir).embeddings, "vec_id", "embedding", "label", 64,
         Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 2, trees = 3)
+    },
+
+    // Forest prediction (MADlib forest_predict / tree_predict — the
+    // inference half of q_ml_forest): walk every row to its per-tree
+    // leaf (literal CASE from the collected split table, map-only),
+    // leaf label = majority bootstrap-weighted training label (ties to
+    // the smallest), forest vote = majority of the 3 per-tree labels.
+    // Oracle extends the shared forest training CTEs with the leaf
+    // walk + vote; all counts exact, ties scalar-keyed.
+    Q("q_ml_forest_predict", Some {
+      val ts = Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3)
+      val (depth, ntrees) = (2, 3)
+      val perTree = (0 until ntrees).map { t =>
+        s"""t${t}s1 AS (SELECT e.vec_id,
+           |    2 + CAST(CAST(e.embedding[CAST(w.d + 1 AS INT)]
+           |      AS DOUBLE) > w.thr AS INT) AS node
+           |  FROM embeddings e CROSS JOIN t${t}win0 w),
+           |t${t}leaf AS (SELECT s.vec_id,
+           |    CASE WHEN w.node IS NULL THEN s.node
+           |         ELSE s.node * 2 + CAST(CAST(
+           |           e.embedding[CAST(w.d + 1 AS INT)] AS DOUBLE)
+           |           > w.thr AS INT) END AS leaf
+           |  FROM t${t}s1 s JOIN embeddings e USING (vec_id)
+           |  LEFT JOIN t${t}win1 w ON w.node = s.node),
+           |t${t}ls AS (SELECT l.leaf, n.label, sum(n.wt) AS c
+           |  FROM t${t}leaf l JOIN t${t}n0 n USING (vec_id)
+           |  GROUP BY 1, 2),
+           |t${t}ll AS (SELECT leaf,
+           |    arg_max(label, c * 1024 - label) AS plab
+           |  FROM t${t}ls GROUP BY leaf),
+           |t${t}pr AS (SELECT l.vec_id, ll.plab AS v$t
+           |  FROM t${t}leaf l JOIN t${t}ll ll USING (leaf))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""${forestTrainCtes(ts, depth, ntrees)},
+         |$perTree,
+         |pv AS (SELECT e.vec_id, e.label, p0.v0, p1.v1, p2.v2
+         |  FROM embeddings e JOIN t0pr p0 USING (vec_id)
+         |  JOIN t1pr p1 USING (vec_id) JOIN t2pr p2 USING (vec_id)),
+         |pv2 AS (SELECT *, CASE WHEN v0 = v1 THEN v0
+         |    WHEN v0 = v2 THEN v0 WHEN v1 = v2 THEN v1
+         |    ELSE least(v0, least(v1, v2)) END AS pred FROM pv)
+         |SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+         |  CAST(pred AS BIGINT) AS pred,
+         |  (CASE WHEN v0 = pred THEN 1 ELSE 0 END
+         |   + CASE WHEN v1 = pred THEN 1 ELSE 0 END
+         |   + CASE WHEN v2 = pred THEN 1 ELSE 0 END) AS n_votes
+         |FROM pv2 ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Trees.forestPredict(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding", "label", 64,
+        Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3), depth = 2, trees = 3)
+        .orderBy("id")
     },
 
     // k-means (Lloyd; MADlib kmeans parity): 2 Lloyd iterations, k=4,
