@@ -1436,6 +1436,86 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Isolation forest (Liu et al. 2008): 2 trees, depth 4, ψ=256 —
+    // training is sample-scale BY THE PAPER'S DESIGN (each tree fits
+    // on an md5-ranked 256-row draw, so fitting is O(1) in corpus
+    // size); scoring is one map-only literal-CASE walk per tree.
+    // Split dims/fractions are md5 literals, thresholds and the
+    // harmonic c(n) micros-quantize, so both engines replay the
+    // identical model; the oracle rebuilds the trees RELATIONALLY over
+    // the same sample (per-level min/max + literal u) and walks rows
+    // through the threshold relations.
+    Q("q_ml_iforest", Some {
+      import graft.operators.IsolationForest.{cFactor, dimSel, uVal}
+      val (depth, ntrees, psi, dim) = (4, 2, 256, 64)
+      def dimCase(l: Int, t: Int, alias: String) =
+        ((1 << l) until (1 << (l + 1))).map { n =>
+          s"WHEN $n THEN CAST($alias.embedding[${dimSel(t, n, dim) + 1}]" +
+            " AS DOUBLE)"
+        }.mkString(s"CASE $alias.node ", " ", " END")
+      def uCase(l: Int, t: Int) =
+        ((1 << l) until (1 << (l + 1))).map { n =>
+          s"WHEN $n THEN CAST('${uVal(t, n)}' AS DOUBLE)"
+        }.mkString("CASE node ", " ", " END")
+      val cq = "CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE) " +
+        "WHEN n = 2 THEN CAST(1 AS DOUBLE) ELSE " +
+        "floor((2.0 * (ln(CAST(n - 1 AS DOUBLE)) + " +
+        "CAST('0.5772156649015329' AS DOUBLE)) - 2.0 * " +
+        "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5)" +
+        " / 1000000 END"
+      val treeCtes = (0 until ntrees).map { t =>
+        val levels = (0 until depth).map { l =>
+          val dv = dimCase(l, t, "a")
+          s"""i${t}p$l AS MATERIALIZED (SELECT node,
+             |    floor((mn + ${uCase(l, t)} * (mx - mn)) * 1000000
+             |      + 0.5) / 1000000 AS thr
+             |  FROM (SELECT a.node, min($dv) AS mn, max($dv) AS mx
+             |    FROM i${t}a$l a GROUP BY a.node)),
+             |i${t}a${l + 1} AS (SELECT a.vec_id, a.embedding,
+             |    a.node * 2 + CAST($dv
+             |      > coalesce(p.thr, CAST(0 AS DOUBLE)) AS INT) AS node
+             |  FROM i${t}a$l a LEFT JOIN i${t}p$l p ON a.node = p.node),
+             |w${t}${l + 1} AS (SELECT a.vec_id, a.embedding,
+             |    a.node * 2 + CAST($dv
+             |      > coalesce(p.thr, CAST(0 AS DOUBLE)) AS INT) AS node
+             |  FROM w${t}$l a LEFT JOIN i${t}p$l p ON a.node = p.node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""i${t}s AS MATERIALIZED (SELECT vec_id, embedding FROM (
+           |    SELECT vec_id, embedding,
+           |      CAST(('0x' || substr(md5('s$t:' ||
+           |        CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+           |    FROM embeddings) ORDER BY hk, vec_id LIMIT $psi),
+           |i${t}a0 AS (SELECT vec_id, embedding, 1 AS node FROM i${t}s),
+           |w${t}0 AS (SELECT vec_id, embedding, 1 AS node
+           |  FROM embeddings),
+           |$levels,
+           |i${t}lf AS (SELECT node, count(*) AS n FROM i${t}a$depth
+           |  GROUP BY node),
+           |w${t}h AS (SELECT vec_id, $depth + $cq AS h$t FROM (
+           |  SELECT w.vec_id, coalesce(lf.n, CAST(0 AS BIGINT)) AS n
+           |  FROM w${t}$depth w
+           |  LEFT JOIN i${t}lf lf ON w.node = lf.node))""".stripMargin
+      }.mkString(",\n")
+      val cpsi = cFactor(psi.toLong)
+      s"""WITH
+         |$treeCtes,
+         |f AS (SELECT a.vec_id, (a.h0 + b.h1) / 2.0 AS h_avg
+         |  FROM w0h a JOIN w1h b ON a.vec_id = b.vec_id)
+         |SELECT vec_id, h_avg,
+         |  round(pow(2.0, 0.0 - h_avg / CAST('$cpsi' AS DOUBLE)), 6)
+         |    AS score
+         |FROM f WHERE vec_id < 300 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.IsolationForest.scores(
+        Tables.T(s, dir).embeddings, "vec_id", "embedding",
+        dim = 64, psi = 256, depth = 4, trees = 2)
+        .filter($"vec_id" < 300)
+        .select($"vec_id", $"h_avg", round($"score", 6).as("score"))
+        .orderBy("vec_id")
+    },
+
     // k-means (Lloyd; MADlib kmeans parity): 2 Lloyd iterations, k=4,
     // over 64-dim embeddings. Assignment is map-only (centroids
     // broadcast as literals, unrolled codegen distance terms); the per-

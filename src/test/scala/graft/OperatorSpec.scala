@@ -1180,6 +1180,22 @@ class OperatorSpec extends AnyFunSuite {
       s"training did not reduce MSE: round1=$early round6=$late")
   }
 
+  test("IsolationForest: an isolated point outscores the cluster") {
+    import spark.implicits._
+    // a tight cluster near the origin plus one far outlier
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i + d) % 7) / 100.0f))
+    } :+ (999L, Array(9.0f, -9.0f, 9.0f, -9.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = IsolationForest.scores(df, "vec_id", "embedding",
+      dim = 4, psi = 64, depth = 4, trees = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val outlier = out(999L)
+    val inliers = (out - 999L).values
+    assert(inliers.forall(_ < outlier),
+      s"outlier=$outlier, max inlier=${inliers.max}")
+  }
+
   test("Similarity.rrfFuse: absent systems contribute 0; term order is " +
     "pinned for 3+ systems") {
     import spark.implicits._
