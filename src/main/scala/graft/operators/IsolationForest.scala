@@ -80,39 +80,51 @@ object IsolationForest {
       .map { case (leaf, rows) => leaf -> rows.length.toLong })
   }
 
-  /** Per-row path length for tree `t` as one literal-CASE walk. */
-  private def pathExpr(tree: Tree, t: Int, vecCol: String, dim: Int,
-      depth: Int): Column = {
-    var node: Column = lit(1)
-    for (l <- 0 until depth) {
-      val stepped = ((1 << l) until (1 << (l + 1)))
-        .foldLeft(lit(null).cast("int")) { (e, n) =>
-          when(node === n, lit(n * 2) +
-            when(element_at(col(vecCol), dimSel(t, n, dim) + 1)
-              .cast("double") > tree.thr(n), 1).otherwise(0))
-            .otherwise(e)
-        }
-      node = stepped
-    }
-    val leaves = (1 << depth) until (1 << (depth + 1))
-    leaves.foldLeft(lit(null).cast("double")) { (e, leaf) =>
-      when(node === leaf,
-        lit(depth.toDouble + cFactor(tree.leafN.getOrElse(leaf, 0L))))
-        .otherwise(e)
-    }
-  }
-
-  /** Anomaly scores for every row: (id, h_avg, score). */
+  /** Anomaly scores for every row: (id, h_avg, score).
+    *
+    * The walk is STAGED: the 15 per-node comparisons first land in
+    * their own projection as bit columns, then each level's node id is
+    * a small CASE over the previous level's node ATTRIBUTE plus a bit
+    * attribute. Inlining everything into one projection instead
+    * (the first cut) duplicated the node expression into every CASE
+    * arm — exponential expression growth, measured ~18 s of
+    * planning+janino per run at ANY data size (the NOTES case-chain
+    * wall). The staged form keeps every projection thin: Catalyst's
+    * CollapseProject preserves the boundaries because each hoisted
+    * expression is non-cheap and multiply referenced. */
   def scores(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       psi: Int, depth: Int, trees: Int): DataFrame = {
     val models = (0 until trees).map(t =>
       fitTree(emb, idCol, vecCol, dim, psi, depth, t))
-    val hs = models.zipWithIndex.map { case (m, t) =>
-      pathExpr(m, t, vecCol, dim, depth)
+    var df = emb.select(col(idCol), col(vecCol))
+    for (t <- 0 until trees) {
+      val m = models(t)
+      val bits = (1 until (1 << depth)).map { n =>
+        when(element_at(col(vecCol), dimSel(t, n, dim) + 1)
+          .cast("double") > m.thr(n), 1).otherwise(0).as(s"__b${t}_$n")
+      }
+      df = df.select(df.columns.map(col) ++ bits: _*)
+      df = df.withColumn(s"__n$t", lit(2) + col(s"__b${t}_1"))
+      for (l <- 1 until depth) {
+        val stepped = ((1 << l) until (1 << (l + 1)))
+          .foldLeft(lit(null).cast("int")) { (e, n) =>
+            when(col(s"__n$t") === n, lit(n * 2) + col(s"__b${t}_$n"))
+              .otherwise(e)
+          }
+        df = df.withColumn(s"__n$t", stepped)
+      }
+      val leaves = (1 << depth) until (1 << (depth + 1))
+      val h = leaves.foldLeft(lit(null).cast("double")) { (e, leaf) =>
+        when(col(s"__n$t") === leaf,
+          lit(depth.toDouble + cFactor(m.leafN.getOrElse(leaf, 0L))))
+          .otherwise(e)
+      }
+      df = df.withColumn(s"__h$t", h)
     }
-    val hAvg = hs.reduce(_ + _) / lit(trees.toDouble)
+    val hAvg = (0 until trees).map(t => col(s"__h$t"))
+      .reduce(_ + _) / lit(trees.toDouble)
     val cpsi = cFactor(psi.toLong)
-    emb.select(col(idCol), hAvg.as("h_avg"))
+    df.select(col(idCol), hAvg.as("h_avg"))
       .select(col(idCol), col("h_avg"),
         pow(lit(2.0), lit(0.0) - col("h_avg") / lit(cpsi)).as("score"))
   }
