@@ -420,4 +420,48 @@ object Components {
     }
     labels
   }
+
+  /** k-core decomposition by synchronous peeling (Batagelj–Zaveršnik;
+    * the distributed fixed-round restatement): each round drops every
+    * node whose degree within the surviving subgraph is < k; the
+    * k-core is the fixpoint. `rounds` is FIXED (not
+    * converge-detected) so a DuckDB unroll of the same rounds is
+    * bit-identical — callers size it to the fixture's peel depth
+    * (peeling removes ≥1 node per non-converged round, and real
+    * graphs converge in a handful).
+    *
+    * Reference slot: GPDB graph analytics (MADlib `graph` module
+    * measures); k-core itself is the standard subgraph-robustness
+    * operator the module's wcc/measures users pair it with.
+    *
+    * Scale: edges are loaded once and never re-shuffled — each round
+    * semi-joins the node-scale `alive` relation (broadcast) on both
+    * endpoints and re-counts degrees with map-side partials; the only
+    * corpus-scale exchange per round is the (node) degree count.
+    * Lineage cut per round. Returns (id, deg) for k-core members with
+    * their within-core degree. */
+  def kCore(
+      edgesDf: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 6, checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val e0 = edgesDf.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = cut(e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct())
+    var deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    for (_ <- 0 until rounds) {
+      val alive = deg.filter(col("deg") >= k).select(col("id"))
+      deg = cut(und
+        .join(broadcast(alive), und("src") === alive("id"), "left_semi")
+        .join(broadcast(alive.withColumnRenamed("id", "id2")),
+          und("dst") === col("id2"), "left_semi")
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg")))
+    }
+    deg.filter(col("deg") >= k)
+  }
 }

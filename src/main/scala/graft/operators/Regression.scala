@@ -366,6 +366,66 @@ object Regression {
     rows.toDF("lambda", "b1_std", "b2_std", "b1", "b2", "b0", "n_nonzero")
   }
 
+  /** Elastic net path (MADlib `elastic_net_train` with 0 < α < 1,
+    * standardized): the glmnet coordinate-descent update
+    * b_j = S(c_j − r·b_other, λα) / (1 + λ(1−α)) — the ℓ1 part is the
+    * [[lassoPath2]] soft-threshold, the ℓ2 part is a constant shrink
+    * on the denominator (Friedman et al. 2010 eq. 5). Identical
+    * dataflow: ONE 10-moment corpus scan, the whole (λ, α) path is
+    * driver algebra. Reference: MADlib elastic_net module
+    * (`src/ports/postgres/modules/elastic_net`), which GPDB ships.
+    *
+    * Determinism contract matches lassoPath2: micros-quantize after
+    * every CD update, branch-exact soft threshold; a DuckDB replay of
+    * the same recursion is bit-equal. */
+  def enetPath2(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambdas: Seq[Double], alpha: Double, sweeps: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (y, x1, x2) = (col(yCol).cast("double"),
+      col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val r = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      Q.dsum(x1, 6).as("sx1"), Q.dsum(x2, 6).as("sx2"),
+      Q.dsum(y, 6).as("sy"),
+      Q.dsum(x1 * x1, 6).as("sx11"), Q.dsum(x2 * x2, 6).as("sx22"),
+      Q.dsum(x1 * x2, 6).as("sx12"),
+      Q.dsum(x1 * y, 6).as("sx1y"), Q.dsum(x2 * y, 6).as("sx2y"),
+      Q.dsum(y * y, 6).as("syy")).collect()(0)
+    val n = r.getDouble(0)
+    val (sx1, sx2, sy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (sx11, sx22, sx12) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val (sx1y, sx2y, syy) = (r.getDouble(7), r.getDouble(8), r.getDouble(9))
+    // EXACT operation order mirrored by the oracle's m CTE
+    val mu1 = sx1 / n; val mu2 = sx2 / n; val muy = sy / n
+    val s1 = math.sqrt(sx11 / n - mu1 * mu1)
+    val s2 = math.sqrt(sx22 / n - mu2 * mu2)
+    val sYd = math.sqrt(syy / n - muy * muy)
+    val r12 = (sx12 / n - mu1 * mu2) / (s1 * s2)
+    val c1 = (sx1y / n - mu1 * muy) / (s1 * sYd)
+    val c2 = (sx2y / n - mu2 * muy) / (s2 * sYd)
+    def q6(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
+    def soft(z: Double, l: Double) =
+      if (z > l) z - l else if (z < -l) z + l else 0.0
+    val rows = lambdas.map { lam =>
+      val l1 = lam * alpha
+      val l2 = lam * (1.0 - alpha)
+      var b1 = 0.0; var b2 = 0.0
+      for (_ <- 0 until sweeps) {
+        b1 = q6(soft(c1 - r12 * b2, l1) / (1.0 + l2))
+        b2 = q6(soft(c2 - r12 * b1, l1) / (1.0 + l2))
+      }
+      val bo1 = b1 * sYd / s1
+      val bo2 = b2 * sYd / s2
+      val b0 = muy - bo1 * mu1 - bo2 * mu2
+      (lam, alpha, b1, b2, bo1, bo2, b0,
+        (if (b1 != 0.0) 1 else 0) + (if (b2 != 0.0) 1 else 0))
+    }
+    rows.toDF("lambda", "alpha", "b1_std", "b2_std", "b1", "b2", "b0",
+      "n_nonzero")
+  }
+
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated

@@ -428,6 +428,73 @@ object AggregateQueries {
         .orderBy("lambda")
     },
 
+    // Elastic net path (MADlib elastic_net_train, 0 < α < 1): the
+    // glmnet CD update S(c − r·b, λα)/(1 + λ(1−α)) — ℓ1 soft threshold
+    // plus ℓ2 denominator shrink. Same one-scan moment dataflow as
+    // q_ml_lasso; the oracle replays the identical micros-quantized
+    // recursion with (l1, l2) carried per λ row.
+    Q("q_ml_elasticnet", Some {
+      val sweeps = 6
+      val alpha = 0.5
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      def soft(z: String) =
+        s"CASE WHEN ($z) > l1 THEN ($z) - l1 " +
+          s"WHEN ($z) < -l1 THEN ($z) + l1 ELSE CAST(0 AS DOUBLE) END"
+      val cd = (1 to sweeps).map { k =>
+        s"""a$k AS (SELECT * REPLACE (
+           |    ${q6(s"(${soft("c1 - r12 * b2")}) / (1.0 + l2)")} AS b1)
+           |  FROM s${k - 1}),
+           |s$k AS (SELECT * REPLACE (
+           |    ${q6(s"(${soft("c2 - r12 * b1")}) / (1.0 + l2)")} AS b2)
+           |  FROM a$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("l_quantity", 6)} AS sx1,
+         |    ${Q.oSum("l_discount", 6)} AS sx2,
+         |    ${Q.oSum("l_extendedprice", 6)} AS sy,
+         |    ${Q.oSum("l_quantity * l_quantity", 6)} AS sx11,
+         |    ${Q.oSum("l_discount * l_discount", 6)} AS sx22,
+         |    ${Q.oSum("l_quantity * l_discount", 6)} AS sx12,
+         |    ${Q.oSum("l_quantity * l_extendedprice", 6)} AS sx1y,
+         |    ${Q.oSum("l_discount * l_extendedprice", 6)} AS sx2y,
+         |    ${Q.oSum("l_extendedprice * l_extendedprice", 6)} AS syy
+         |  FROM lineitem),
+         |m AS (SELECT *, sx1 / n AS mu1, sx2 / n AS mu2, sy / n AS muy
+         |  FROM t),
+         |m2 AS (SELECT *, sqrt(sx11 / n - mu1 * mu1) AS s1,
+         |    sqrt(sx22 / n - mu2 * mu2) AS s2,
+         |    sqrt(syy / n - muy * muy) AS sy_d FROM m),
+         |m3 AS (SELECT *, (sx12 / n - mu1 * mu2) / (s1 * s2) AS r12,
+         |    (sx1y / n - mu1 * muy) / (s1 * sy_d) AS c1,
+         |    (sx2y / n - mu2 * muy) / (s2 * sy_d) AS c2 FROM m2),
+         |l AS (SELECT lam, lam * $alpha AS l1,
+         |    lam * (1.0 - $alpha) AS l2
+         |  FROM (VALUES (CAST(0.01 AS DOUBLE)), (0.05), (0.2)) v(lam)),
+         |s0 AS (SELECT l.lam, l.l1, l.l2, m3.r12, m3.c1, m3.c2, m3.mu1,
+         |    m3.mu2, m3.muy, m3.s1, m3.s2, m3.sy_d,
+         |    CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2
+         |  FROM l CROSS JOIN m3),
+         |$cd
+         |SELECT lam AS lambda, CAST($alpha AS DOUBLE) AS alpha,
+         |  b1 AS b1_std, b2 AS b2_std,
+         |  round(b1 * sy_d / s1, 6) AS b1o,
+         |  round(b2 * sy_d / s2, 6) AS b2o,
+         |  round(muy - b1 * sy_d / s1 * mu1 - b2 * sy_d / s2 * mu2, 6)
+         |    AS b0,
+         |  (CASE WHEN b1 <> 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN b2 <> 0 THEN 1 ELSE 0 END) AS n_nonzero
+         |FROM s$sweeps ORDER BY lambda""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Regression.enetPath2(Tables.T(s, dir).lineitem,
+        "l_extendedprice", "l_quantity", "l_discount",
+        lambdas = Seq(0.01, 0.05, 0.2), alpha = 0.5, sweeps = 6)
+        .select($"lambda", $"alpha", $"b1_std", $"b2_std",
+          round($"b1", 6).as("b1o"), round($"b2", 6).as("b2o"),
+          round($"b0", 6).as("b0"), $"n_nonzero")
+        .orderBy("lambda")
+    },
+
     // Cox proportional hazards (MADlib coxph_train; Cox 1972; Breslow
     // ties, stratified by event type, 3 fixed Newton rounds from β=0 —
     // MADlib's own optimizer is Newton, so only the iteration count is
@@ -1000,6 +1067,81 @@ object AggregateQueries {
             countDistinct($"l_partkey").cast("double") < 0.05)
             .as("approx_ok"))
         .orderBy("l_returnflag")
+    },
+
+    // CountMin sketch point counts (MADlib sketch module
+    // cmsketch_count; Cormode–Muthukrishnan 2005): depth 4 × width 256
+    // md5-hashed counters over lineitem supplier keys, probed for
+    // every supplier; est = min over rows, never below the exact
+    // count. All state is exact integers — unrounded compare. The
+    // sketch build is ONE map-side-combinable aggregate to ≤ 1024
+    // cells regardless of corpus size; the probe joins the broadcast
+    // sketch.
+    Q("q_agg_cmsketch", Some {
+      def h(j: String, k: String) = graft.operators.Sketches.Sql
+        .cmHash(j, k, 256)
+      s"""WITH cm AS (SELECT j, ${h("j", "l_suppkey")} AS b, count(*) AS c
+         |  FROM lineitem, generate_series(0, 3) g(j) GROUP BY 1, 2),
+         |probe AS (SELECT s_suppkey, j, ${h("j", "s_suppkey")} AS b
+         |  FROM supplier, generate_series(0, 3) g(j)),
+         |est AS (SELECT s_suppkey, min(coalesce(c, 0)) AS est
+         |  FROM probe LEFT JOIN cm USING (j, b) GROUP BY 1),
+         |ex AS (SELECT l_suppkey AS s_suppkey, count(*) AS exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT est.s_suppkey, coalesce(ex.exact, 0) AS exact, est.est
+         |FROM est LEFT JOIN ex USING (s_suppkey)
+         |ORDER BY s_suppkey""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val sk = graft.operators.Sketches.countMin(t.lineitem, "l_suppkey",
+        depth = 4, width = 256)
+      val est = graft.operators.Sketches.cmEstimate(sk, t.supplier,
+        "s_suppkey", depth = 4, width = 256)
+      val exact = t.lineitem.groupBy($"l_suppkey".as("s_suppkey"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("s_suppkey"), "left")
+        .select($"s_suppkey", coalesce($"exact", lit(0L)).as("exact"),
+          $"est")
+        .orderBy("s_suppkey")
+    },
+
+    // Flajolet–Martin PCSA distinct count (MADlib fmsketch_dcount;
+    // FM85): 16 md5-selected registers OR-ing one-hot ρ bitmaps; R =
+    // lowest unset bit; est = (m/φ)·2^(ΣR/m). The fractional power is
+    // a 16-literal table and the integer power an exact bit shift, so
+    // the only floating math is a pinned literal product — bit-equal
+    // across engines (the ts_rank tabulation discipline).
+    Q("q_agg_fmsketch", Some {
+      val frac = graft.operators.Sketches.Sql.fracLookup("r_sum")
+      s"""WITH h AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx
+         |  FROM orders),
+         |b AS (SELECT CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16
+         |      AS r,
+         |    CAST(('0x' || substr(hx, 9, 12)) AS BIGINT) AS v FROM h),
+         |rho AS (SELECT r, CASE WHEN v = 0 THEN 49
+         |    ELSE CAST(bit_count(CAST(v & (0 - v) AS BIGINT) - 1) AS INT)
+         |      + 1 END AS rho FROM b),
+         |bm AS (SELECT r, bit_or(CAST(1 AS BIGINT) << (rho - 1)) AS bm
+         |  FROM rho GROUP BY 1),
+         |rr AS (SELECT CAST(bit_count(
+         |    CAST((~bm) & (bm + 1) AS BIGINT) - 1) AS BIGINT) AS rr
+         |  FROM bm),
+         |s AS (SELECT CAST(sum(rr) AS BIGINT) AS r_sum FROM rr),
+         |ex AS (SELECT count(DISTINCT o_custkey) AS exact FROM orders)
+         |SELECT r_sum,
+         |  round(CAST('${graft.operators.Sketches.fmScale16}' AS DOUBLE)
+         |    * CAST(CAST(1 AS BIGINT) << CAST(r_sum // 16 AS INT)
+         |        AS DOUBLE)
+         |    * ($frac), 4) AS est,
+         |  exact
+         |FROM s CROSS JOIN ex""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val fm = graft.operators.Sketches.fmSketch(t.orders, "o_custkey")
+      val exact = t.orders.agg(countDistinct($"o_custkey").as("exact"))
+      fm.crossJoin(exact)
     },
 
     // Association-rule mining (MADlib assoc_rules parity; Apriori,

@@ -2963,6 +2963,51 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // k-core decomposition (Batagelj–Zaveršnik peeling, 6 FIXED
+    // synchronous rounds) over the repeat-trade graph: each round
+    // drops nodes whose within-subgraph degree < k. Fixed rounds make
+    // the r-round peel bit-identical across engines whether or not
+    // the fixpoint is reached; state is exact integers, compared
+    // unrounded. Oracle alive-sets are MATERIALIZED (each feeds two
+    // endpoint joins — re-inlining would recompute the peel chain
+    // exponentially).
+    Q("q_graph_kcore", Some {
+      val iters = 6
+      val k = 3
+      val head =
+        """WITH e0 AS (SELECT l_suppkey AS a, 1000000 + o_custkey AS b
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+          |  WHERE a <> b
+          |  UNION SELECT b, a FROM e0 WHERE a <> b),
+          |d0 AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY 1)"""
+          .stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""al$i AS MATERIALIZED (SELECT id FROM d${i - 1}
+           |  WHERE deg >= $k),
+           |d$i AS (SELECT src AS id, count(*) AS deg FROM und
+           |  JOIN al$i x ON und.src = x.id
+           |  JOIN al$i y ON und.dst = y.id GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT id, deg FROM d$iters WHERE deg >= $k
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_suppkey".as("a"),
+          (lit(1000000L) + $"o_custkey").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2)
+        .select($"a", $"b")
+      graft.operators.Components.kCore(edges, "a", "b", k = 3, rounds = 6)
+        .orderBy("id")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),

@@ -1209,4 +1209,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(11L) == (1.0 / 62 + 1.0 / 61) + 0.0)
     assert(out(12L) == (0.0 + 0.0) + 1.0 / 61)
   }
+
+  test("Components.kCore peels a pendant chain off a 4-clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6: the 3-core is exactly the
+    // clique (5 and 6 peel in rounds 1-2, which drops 4's degree to 3)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Components.kCore(edges, "src", "dst", k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k above the max core: empty, not an error
+    assert(Components.kCore(edges, "src", "dst", k = 4, rounds = 4)
+      .count() == 0L)
+  }
+
+  test("Sketches.countMin never underestimates and is exact when " +
+    "collision-free") {
+    import spark.implicits._
+    val rows = (Seq.fill(10)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val sk = Sketches.countMin(rows, "k", depth = 4, width = 64)
+    val keys = Seq("a", "b", "c", "never-seen").toDF("k")
+    val est = Sketches.cmEstimate(sk, keys, "k", depth = 4, width = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est("a") >= 10L && est("b") >= 3L && est("c") >= 1L)
+    // 3 keys in 4×64 cells: min over 4 rows is collision-free here
+    assert(est("a") == 10L && est("b") == 3L && est("c") == 1L)
+    assert(est("never-seen") == 0L)
+  }
+
+  test("Sketches.fmSketch estimates 1k distinct within PCSA m=16 error") {
+    import spark.implicits._
+    val rows = (1 to 1000).map(i => i % 997).toDF("k") // 997 distinct
+    val out = Sketches.fmSketch(rows, "k").collect()(0)
+    val est = out.getDouble(1)
+    // FM85 σ/n ≈ 0.78/√16 ≈ 20%; allow 3σ
+    assert(est > 997 * 0.4 && est < 997 * 1.6, s"est=$est")
+  }
+
+  test("Regression.enetPath2 at alpha=1 reproduces lassoPath2") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      (2.0 * x1 - 3.0 * x2 + 5.0 + (i % 11) * 0.1, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val l = Regression.lassoPath2(df, "y", "x1", "x2", Seq(0.05), 6)
+      .select("lambda", "b1_std", "b2_std", "b1", "b2", "b0")
+      .collect()(0).toSeq
+    val e = Regression.enetPath2(df, "y", "x1", "x2", Seq(0.05),
+      alpha = 1.0, sweeps = 6)
+      .select("lambda", "b1_std", "b2_std", "b1", "b2", "b0")
+      .collect()(0).toSeq
+    assert(l == e)
+    // alpha=0.5 shrinks harder than pure lasso on the same lambda
+    val h = Regression.enetPath2(df, "y", "x1", "x2", Seq(0.05),
+      alpha = 0.5, sweeps = 6).select("b1_std").collect()(0).getDouble(0)
+    val lb = Regression.lassoPath2(df, "y", "x1", "x2", Seq(0.025), 6)
+      .select("b1_std").collect()(0).getDouble(0)
+    assert(math.abs(h) <= math.abs(lb) + 1e-9)
+  }
 }
