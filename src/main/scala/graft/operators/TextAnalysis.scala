@@ -922,4 +922,40 @@ object TextAnalysis {
     }
     merges.toSeq.toDF("step", "pair", "cnt")
   }
+
+  /** BPE ENCODE: apply a trained merge table (ordered `pair` strings
+    * from [[bpeMerges]], driver-collected — catalog-scale like the
+    * k-means centroids) to every document and count the resulting
+    * subword tokens — the corpus-side half of the tokenizer, and the
+    * honest "how many tokens is this corpus" measure (whitespace
+    * counts undershoot, char counts overshoot).
+    *
+    * Each merge is the same space-doubling literal replace as
+    * training (back-to-back occurrences keep their own separator, so
+    * application is the greedy left-to-right reference scan); the m
+    * merges chain into ONE map-only projection per word. Per-doc
+    * totals are one doc-keyed aggregate — the only shuffle.
+    *
+    * Returns (idCol, n_words, n_tokens, n_chars). */
+  def bpeEncode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    val words = docs.select(col(idCol), explode(
+      filter(split(lower(col(textCol)), "[^a-z]+"), w => length(w) > 0))
+      .as("w"))
+    val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { (s, pair) =>
+      val pat = " " + pair.replace(" ", "  ") + " "
+      val rep = " " + pair.replace(" ", "") + " "
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        concat(lit(" "), s, lit(" ")), " ", "  "),
+        java.util.regex.Pattern.quote(pat), rep), " +", " "))
+    }
+    words
+      .select(col(idCol), length(col("w")).as("nc"),
+        size(split(encoded, " ")).as("nt"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc").cast("long")).as("n_chars"))
+  }
 }

@@ -412,6 +412,64 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Holt's linear-trend double exponential smoothing (Holt 1957; the
+    // level+trend forecasting primitive one step up from q_ts_ewma's
+    // single smoothing). The recurrence l' = αy + (1−α)(l+b),
+    // b' = β(l'−l) + (1−β)b is inherently sequential WITHIN a series —
+    // the honest distributed shape is parallel ACROSS series (one
+    // collect_list per series key + one in-row HOF fold; per-group
+    // state is the series itself, the per-entity-bounded regime, like
+    // every state-space model). Each step micros-quantizes both state
+    // components, so DuckDB's list_reduce replay of the identical fold
+    // is bit-equal; forecast1 = l+b is a sum of micros multiples,
+    // presented at round 6 (its own quantization scale).
+    Q("q_ts_holt", Some {
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      val lNew = q6("0.5 * x[1] + 0.5 * (acc[1] + acc[2])")
+      // accumulator is a LIST, not a struct: DuckDB's list_reduce
+      // updates a struct accumulator field-by-field IN PLACE, so a
+      // 'b' expression referencing acc.l reads the freshly-written
+      // l' (measured divergence at step 2); list elements evaluate
+      // against the pre-step state
+      s"""WITH s AS (SELECT user_id,
+         |    list(value ORDER BY ts, event_id) AS ys
+         |  FROM events GROUP BY user_id),
+         |f AS (SELECT user_id, len(ys) AS n,
+         |    list_reduce(
+         |      list_transform(ys, y -> [y, CAST(0 AS DOUBLE)]),
+         |      (acc, x) -> [
+         |        $lNew,
+         |        ${q6(s"0.5 * (($lNew) - acc[1]) + 0.5 * acc[2]")}
+         |      ]) AS st
+         |  FROM s)
+         |SELECT user_id, CAST(n AS BIGINT) AS n, st[1] AS level,
+         |  st[2] AS trend, round(st[1] + st[2], 6) AS forecast1
+         |FROM f ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000D"
+      val lNew = q6("0.5D * y + 0.5D * (acc.l + acc.b)")
+      Tables.T(s, dir).events
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list(
+          struct($"ts", $"event_id", $"value"))).as("pts"))
+        .select($"user_id",
+          expr("transform(pts, p -> p.value)").as("ys"))
+        .select($"user_id", size($"ys").cast("long").as("n"),
+          expr(
+            s"""aggregate(
+               |  slice(ys, 2, size(ys) - 1),
+               |  named_struct('l', ys[0], 'b', CAST(0 AS DOUBLE)),
+               |  (acc, y) -> named_struct(
+               |    'l', $lNew,
+               |    'b', ${q6(s"0.5D * (($lNew) - acc.l) + 0.5D * acc.b")}))
+               |""".stripMargin).as("st"))
+        .select($"user_id", $"n", $"st.l".as("level"),
+          $"st.b".as("trend"),
+          round($"st.l" + $"st.b", 6).as("forecast1"))
+        .orderBy("user_id")
+    },
+
     // Robust anomaly detection (median/MAD, the outlier rule MADlib and
     // every monitoring stack ship): flag events whose value deviates
     // more than 3 scaled MADs from their event-type median. Two exact

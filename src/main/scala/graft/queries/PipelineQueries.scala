@@ -1109,6 +1109,96 @@ object PipelineQueries {
         .orderBy("step")
     },
 
+    // BPE ENCODE: apply the learned merge table to the corpus and
+    // count subword tokens per doc — the tokenizer's corpus-side half
+    // (training is q_text_bpe). Merges collect driver-side
+    // (catalog-scale); application is m chained literal replaces in
+    // one map-only projection per word; per-doc totals are the only
+    // shuffle. The oracle retrains the same 5 merges (MATERIALIZED —
+    // each b_i feeds both the training chain and the encode chain)
+    // then replays the identical space-doubled replaces.
+    Q("q_text_bpe_encode", Some {
+      val steps = 5
+      val head =
+        """WITH w0 AS MATERIALIZED (SELECT w, count(*) AS f FROM (
+          |    SELECT unnest(list_filter(
+          |      string_split_regex(lower(text), '[^a-z]+'),
+          |      x -> len(x) > 0)) AS w
+          |    FROM documents) GROUP BY 1
+          |  ORDER BY f DESC, w LIMIT 200),
+          |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+          |    f FROM w0)""".stripMargin
+      val rounds = (1 to steps).map { i =>
+        s"""p$i AS (SELECT list_extract(a, CAST(i AS INT)) || ' ' ||
+           |    list_extract(a, CAST(i AS INT) + 1) AS pair, f
+           |  FROM (SELECT string_split(s, ' ') AS a, f FROM v${i - 1}),
+           |    unnest(range(1, len(a))) AS r(i)),
+           |b$i AS MATERIALIZED (SELECT pair, sum(f) AS c FROM p$i
+           |  GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+           |v$i AS (SELECT trim(regexp_replace(replace(
+           |      replace(' ' || s || ' ', ' ', '  '),
+           |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+           |      ' ' || replace(b.pair, ' ', '') || ' '),
+           |    ' +', ' ', 'g')) AS s, f
+           |  FROM v${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to steps).map { i =>
+        s"""d$i AS (SELECT doc_id, nc, trim(regexp_replace(replace(
+           |      replace(' ' || s || ' ', ' ', '  '),
+           |      ' ' || replace(b.pair, ' ', '  ') || ' ',
+           |      ' ' || replace(b.pair, ' ', '') || ' '),
+           |    ' +', ' ', 'g')) AS s
+           |  FROM d${i - 1}, b$i b)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds,
+         |dw AS (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> len(x) > 0)) AS w
+         |  FROM documents WHERE doc_id < 300),
+         |d0 AS (SELECT doc_id, len(w) AS nc,
+         |    trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM dw),
+         |$enc
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars
+         |FROM d$steps GROUP BY 1 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.T(s, dir).documents
+      val merges = graft.operators.TextAnalysis.bpeMerges(
+        docs, "text", vocabCap = 200, mergeSteps = 5)
+        .orderBy("step").collect().map(_.getString(1)).toSeq
+      graft.operators.TextAnalysis.bpeEncode(
+        docs.filter($"doc_id" < 300), "text", "doc_id", merges)
+        .orderBy("doc_id")
+    },
+
+    // ts_stat (tsvector_op.c ts_stat_sql; the PG full-text corpus
+    // statistics view): per lexeme, ndoc = documents containing it,
+    // nentry = total occurrences — the index-sizing / stopword-audit
+    // query. One explode + one lexeme-keyed aggregate with map-side
+    // partials; count(DISTINCT doc) is exact via the two-level
+    // (lexeme, doc) pre-aggregate Spark plans for it.
+    Q("q_text_tsstat", Some(
+      """WITH p AS (SELECT doc_id, unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS lex
+        |  FROM documents)
+        |SELECT lex AS word, count(DISTINCT doc_id) AS ndoc,
+        |  count(*) AS nentry
+        |FROM p GROUP BY 1 HAVING count(*) >= 50
+        |ORDER BY nentry DESC, word""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      Tables.T(s, dir).documents
+        .select($"doc_id", explode(filter(
+          split(lower($"text"), " "), x => x =!= "")).as("word"))
+        .groupBy("word")
+        .agg(countDistinct($"doc_id").as("ndoc"),
+          count(lit(1)).as("nentry"))
+        .filter($"nentry" >= 50)
+        .orderBy($"nentry".desc, $"word")
+    },
+
     // Vocabulary coverage curve: smallest frequency-ranked vocab whose
     // cumulative token mass reaches each share — the tokenizer-sizing
     // read. The rank/cumsum runs on the distributed two-pass prefix

@@ -1210,6 +1210,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(12L) == (0.0 + 0.0) + 1.0 / 61)
   }
 
+  test("TextAnalysis.bpeEncode applies merges greedily left-to-right") {
+    import spark.implicits._
+    // merge (a,a): 'aaaa' -> [aa, aa]; 'aaa' -> [aa, a]; chained merge
+    // (aa,aa): 'aaaa' -> [aaaa]
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val one = TextAnalysis.bpeEncode(docs, "text", "doc_id", Seq("a a"))
+      .collect()(0)
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) == (2L, 4L, 7L))
+    val two = TextAnalysis.bpeEncode(docs, "text", "doc_id",
+      Seq("a a", "aa aa")).collect()(0)
+    // 'aaaa' -> [aaaa] (1 tok), 'aaa' -> [aa, a] (2 toks)
+    assert((two.getLong(1), two.getLong(2), two.getLong(3)) == (2L, 3L, 7L))
+  }
+
   test("Components.kCore peels a pendant chain off a 4-clique") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6: the 3-core is exactly the
