@@ -319,6 +319,64 @@ object Similarity {
     cents
   }
 
+  /** Product quantization (Jégou, Douze & Schmid 2011 — the FAISS
+    * IndexPQ memory architecture): the d-dim space splits into m
+    * subspaces; each subvector quantizes to the nearest of k
+    * sub-centroids, so a stored vector is m byte-scale codes (4 B
+    * here vs 256 B raw, vs 64 B for SQ8). Scoring is asymmetric
+    * (ADC): full-precision query against the RECONSTRUCTED corpus
+    * vector — by the PQ identity equal to summing per-subspace
+    * query·centroid products.
+    *
+    * Codebook = the deterministic fixed-k modulus sample ([[ivfTopK]]
+    * init; reproducible, catalog-scale collect) — a production run
+    * trains per-subspace Lloyd rounds with [[kmeansCentroids]]'
+    * dataflow, which changes no shape here. Encoding is MAP-ONLY: per
+    * subspace an array_min over k (dist, cid) structs whose
+    * squared-diff terms micros-quantize — exact fixed-point, so both
+    * engines pick identical codes (the k-means argmin discipline). */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Seq[Double]] = {
+    val modulus = math.max(1L, corpus.count() / k)
+    corpus.filter(col(idCol) % modulus === 0).orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
+  /** PQ encode: (idCol, codes array&lt;int&gt;) — one map-only
+    * projection, no shuffle. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], m: Int): DataFrame = {
+    val subDim = cents.head.length / m
+    val v = col(vecCol).cast("array<double>")
+    val codes = array((0 until m).map { s =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      val cands = array(cents.indices.map { c =>
+        val cv = typedLit(cents(c).slice(s * subDim, (s + 1) * subDim))
+        struct(
+          aggregate(zip_with(sub, cv, (x, y) =>
+            floor((x - y) * (x - y) * lit(1000000d) + lit(0.5))
+              / lit(1000000d)),
+            lit(0d), (acc, t) => acc + t).as("d"),
+          lit(c).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid")
+    }: _*)
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Reconstructed vector x̂ from a codes column — map-only literal
+    * lookup, concatenating the coded sub-centroids. */
+  def pqReconstruct(codesCol: Column, cents: Seq[Seq[Double]],
+      m: Int): Column = {
+    val subDim = cents.head.length / m
+    concat((0 until m).map { s =>
+      val table = cents.map(_.slice(s * subDim, (s + 1) * subDim))
+      element_at(typedLit(table), element_at(codesCol, s + 1) + 1)
+    }: _*)
+  }
+
   /** Element-wise mean embedding per group — chunk→document pooling,
     * per-class prototypes, cluster summaries. Same dimension-keyed
     * shuffle as [[kmeansCentroids]]'s update step: posexplode →

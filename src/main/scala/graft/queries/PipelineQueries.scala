@@ -3751,6 +3751,72 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Product quantization ANN (Jégou et al. 2011; FAISS IndexPQ):
+    // m=4 subspaces × k=8 sampled sub-centroids → 4 codes/vector
+    // (4 B stored vs 256 B raw). Encode is map-only exact-fixed-point
+    // argmin per subspace; ADC scoring = full-precision query vs the
+    // reconstructed vector (corpus scan × broadcast queries, the
+    // q_ann_sq8 shape — composes with IVF cells exactly like
+    // q_ann_ivf_sq8 for candidate pruning).
+    Q("q_ann_pq", Some {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range(1,65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |n AS (SELECT greatest(1, count(*) // 8) AS md FROM e),
+         |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    v FROM e, n WHERE vec_id % md = 0 ORDER BY vec_id LIMIT 8),
+         |subc AS (SELECT cid, s, v[s*16+1 : s*16+16] AS cv
+         |  FROM samp, generate_series(0, 3) g(s)),
+         |subv AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+         |  FROM e, generate_series(0, 3) g(s)),
+         |dist AS (SELECT vec_id, s, cid,
+         |    list_sum(list_transform(range(1,17),
+         |      i -> floor((sv[i] - cv[i]) * (sv[i] - cv[i]) * 1000000
+         |             + 0.5) / 1000000)) AS d
+         |  FROM subv JOIN subc USING (s)),
+         |code AS (SELECT vec_id, s, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d, cid) AS rn FROM dist) WHERE rn = 1),
+         |recon AS (SELECT vec_id, flatten(list(cv ORDER BY s)) AS rv
+         |  FROM code JOIN subc USING (s, cid) GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+         |cand AS (SELECT q_id, r.vec_id AS c_id,
+         |    ${d("qv", "rv")} / (sqrt(${d("qv", "qv")})
+         |      * sqrt(${d("rv", "rv")})) AS raw
+         |  FROM q CROSS JOIN recon r WHERE r.vec_id <> q_id),
+         |rk AS (SELECT q_id, c_id, raw,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY raw DESC, c_id) AS rk
+         |  FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      def dotf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.expressions.DotFExpr.dotf(a, b)
+      val emb = Tables.T(s, dir).embeddings
+      val cents = Similarity.pqCodebook(emb, "vec_id", "embedding", k = 8)
+      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cents,
+        m = 4)
+      val corpus = codes.select($"vec_id".as("c_id"),
+        Similarity.pqReconstruct($"codes", cents, m = 4).as("rv"))
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"),
+          $"embedding".cast("array<double>").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy($"raw".desc, $"c_id")
+      corpus.crossJoin(broadcast(queries))
+        .filter($"c_id" =!= $"q_id")
+        .select($"q_id", $"c_id",
+          (dotf($"qv", $"rv") /
+            (sqrt(dotf($"qv", $"qv")) * sqrt(dotf($"rv", $"rv")))).as("raw"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"q_id", $"c_id", $"rk", round($"raw", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
     // LSH-bucketed ANN (6 hyperplanes): the 100 TB scale path — candidate
     // generation is an equi-join on the sign-bucket, not a cross join.
     Q("q_ann_lsh", Some {
