@@ -25,15 +25,19 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** CountMin build: (j, b, c) counters, j ∈ [0, depth), b ∈ [0,
-    * width). Hash h_j(key) = first 8 md5 hex chars of "j:key" mod
-    * width — identical text-space recipe on both engines. */
+    * width). The depth ≤ 4 row hashes are four independent 8-hex-char
+    * slices of ONE md5 per key — one digest per row, not depth (the
+    * 4× digest cost made the first cut the suite's slowest query;
+    * slicing a 128-bit digest is the standard multi-hash derivation).
+    * Identical text-space recipe on both engines. */
   def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 64): DataFrame = {
-    df.select(col(keyCol).cast("string").as("k"))
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("k"))
+    require(depth <= 4, "countMin: one md5 supplies at most 4 hash slices")
+    df.select(md5(col(keyCol).cast("string")).as("h"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("h"))
       .select(col("j"),
-        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("k"))), 1, 8), 16, 10).cast("long") % width).as("b"))
+        (conv(col("h").substr(col("j") * 8 + 1, lit(8)), 16, 10)
+          .cast("long") % width).as("b"))
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
   }
 
@@ -42,12 +46,13 @@ object Sketches {
     * The sketch (≤ depth·width rows) broadcasts into the probe. */
   def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth <= 4, "cmEstimate: one md5 supplies at most 4 hash slices")
     val probes = keys.select(col(keyCol)).distinct()
+      .withColumn("h", md5(col(keyCol).cast("string")))
       .select(col(keyCol),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+        explode(sequence(lit(0), lit(depth - 1))).as("j"), col("h"))
       .withColumn("b",
-        conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-          col(keyCol).cast("string"))), 1, 8), 16, 10)
+        conv(col("h").substr(col("j") * 8 + 1, lit(8)), 16, 10)
           .cast("long") % width)
     probes.join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy(keyCol)
@@ -104,8 +109,8 @@ object Sketches {
   /** Oracle-side SQL fragments mirroring the kernels exactly. */
   object Sql {
     def cmHash(jExpr: String, keyExpr: String, width: Int): String =
-      s"CAST(('0x' || substr(md5(CAST($jExpr AS VARCHAR) || ':' || " +
-        s"CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $width"
+      s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), " +
+        s"($jExpr) * 8 + 1, 8)) AS BIGINT) % $width"
     def fracLookup(sumExpr: String): String =
       "[" + Sketches.pow2Frac16.map(s => s"CAST('$s' AS DOUBLE)")
         .mkString(", ") + s"][CAST(($sumExpr) % 16 AS INT) + 1]"

@@ -128,6 +128,24 @@ object ExtensionQueries {
         .orderBy("click_id", "p_id")
     },
 
+    // Stream-stream LEFT SEMI join (streaming EXISTS): clicks with at
+    // least one purchase in the hour, emitted once — no fan-out on
+    // multiple matches. Emits on first match like the inner join, so
+    // the one-shot run is complete (no closed-region cutoff).
+    Q("q_stream_semi", Some(
+      """SELECT a.event_id AS click_id, a.user_id, a.ts AS click_ts
+        |FROM events a WHERE a.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events b WHERE b.event_type = 'purchase'
+        |   AND b.user_id = a.user_id AND b.ts > a.ts
+        |   AND b.ts <= a.ts + INTERVAL 1 HOUR)
+        |ORDER BY click_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val joined = EventStreams.clickPurchaseSemiJoin(
+        EventStreams.readEvents(s, dir), "1 HOUR")
+      EventStreams.runToParquet(s, joined, "stream_semi")
+        .orderBy("click_id")
+    },
+
     // Stream-stream LEFT OUTER join: unmatched clicks surface with null
     // purchase columns — emitted only once the watermark proves no match
     // can arrive. The compare is on the CLOSED region (click_ts ≤
@@ -975,6 +993,51 @@ object ExtensionQueries {
       Funnels.funnel(Tables.T(s, dir).events,
         Seq("view", "click", "purchase"), windowHours = 72)
         .orderBy("step")
+    },
+
+    // MADlib `path` (the symbol-pattern matcher over ordered event
+    // sequences; utilities/path in the MADlib tree): per user the
+    // event types compress to a symbol string in (ts, event_id)
+    // order; the pattern v[^p]*p ("view, anything but a purchase,
+    // then the purchase" — the conversion path) counts non-overlapping
+    // matches. The pattern is chosen first-match-deterministic (every
+    // match ends at the FIRST p after its v), so Java regex and RE2
+    // enumerate identical matches — leftmost-greedy vs
+    // leftmost-longest cannot differ. One user-keyed shuffle; symbol
+    // strings are series-scale (the q_ts_holt per-entity-bounded
+    // regime).
+    Q("q_events_path", Some(
+      """WITH s AS (SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'view' THEN 'v'
+        |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+        |      WHEN 'signup' THEN 's' ELSE 'e' END, ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT)
+        |    AS n_paths,
+        |  CAST(len(array_to_string(regexp_extract_all(seq, 'v[^p]*p'),
+        |    '')) AS BIGINT) AS matched_len,
+        |  CAST(len(seq) AS BIGINT) AS seq_len
+        |FROM s ORDER BY user_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val sym = when($"event_type" === "view", "v")
+        .when($"event_type" === "click", "c")
+        .when($"event_type" === "purchase", "p")
+        .when($"event_type" === "signup", "s")
+        .otherwise("e")
+      Tables.T(s, dir).events
+        .select($"user_id", struct($"ts", $"event_id", sym.as("sym")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(transform(sort_array(collect_list($"e")),
+          x => x.getField("sym")), "").as("seq"))
+        .select($"user_id",
+          size(expr("regexp_extract_all(seq, 'v[^p]*p', 0)"))
+            .cast("long").as("n_paths"),
+          length(array_join(expr("regexp_extract_all(seq, 'v[^p]*p', 0)"),
+            "")).cast("long").as("matched_len"),
+          length($"seq").cast("long").as("seq_len"))
+        .orderBy("user_id")
     },
 
     // Markov transition matrix over per-user event sequences: one lag

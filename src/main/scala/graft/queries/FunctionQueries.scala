@@ -1717,6 +1717,50 @@ object FunctionQueries {
         .orderBy("n_nationkey")
     },
 
+    // XMLTABLE (gram.y xmltable / xml.c XmlTableGetValue — the PG10+
+    // XML-shredding table function GPDB 7 ships): row expression
+    // '/order/line' over a PASSING document, COLUMNS from attribute
+    // paths with FOR ORDINALITY. Spark side BUILDS the document (the
+    // q_fn_xmlagg shape) and genuinely parses it back — xpath node
+    // lists zipped positionally then exploded, one row per matched
+    // node. The oracle derives the same rows relationally from
+    // lineitem (independent derivation, no XML engine needed).
+    Q("q_fn_xmltable", Some(
+      """SELECT l_orderkey AS o_key,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_quantity) AS INT) AS ord,
+        |  CAST(l_partkey AS VARCHAR) AS partkey,
+        |  CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS qty
+        |FROM lineitem WHERE l_orderkey < 64
+        |ORDER BY o_key, ord""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      // build <order><line partkey=".." qty=".."/>...</order> per order;
+      // (linenumber, partkey, quantity) pins a NUMERIC total order —
+      // the fixture has duplicate linenumbers within an order, and a
+      // string-frag tiebreak would sort '1304' before '985'
+      val frag = concat(lit("<line partkey=\""),
+        $"l_partkey".cast("string"), lit("\" qty=\""),
+        $"l_quantity".cast("double").cast("string"), lit("\"/>"))
+      val docs = Tables.T(s, dir).lineitem
+        .filter($"l_orderkey" < 64)
+        .select($"l_orderkey", struct($"l_linenumber", $"l_partkey",
+          $"l_quantity", frag.as("f")).as("e"))
+        .groupBy($"l_orderkey")
+        .agg(concat(lit("<order>"),
+          array_join(transform(sort_array(collect_list($"e")),
+            x => x.getField("f")), ""),
+          lit("</order>")).as("xml"))
+      // XMLTABLE('/order/line' PASSING xml COLUMNS ord FOR ORDINALITY,
+      //   partkey PATH '@partkey', qty PATH '@qty')
+      docs.select($"l_orderkey".as("o_key"),
+        expr("xpath(xml, '/order/line/@qty')").as("qtys"),
+        posexplode(expr("xpath(xml, '/order/line/@partkey')"))
+          .as(Seq("i", "partkey")))
+        .select($"o_key", ($"i" + 1).cast("int").as("ord"),
+          $"partkey", element_at($"qtys", $"i" + 1).as("qty"))
+        .orderBy("o_key", "ord")
+    },
+
     // Oracle-compat functions (gpcontrib/orafce: nvl/nvl2/decode/
     // add_months/last_day/next_day/instr — the compat pack a migrated
     // GP warehouse leans on). Spark ships all of them natively; the
@@ -1775,6 +1819,75 @@ object FunctionQueries {
           .groupBy(lower($"name").as("cname"))
           .agg(count(lit(1)).as("n"), min($"name").as("first_spelling"))
           .orderBy("cname")
+    },
+
+    // isn (contrib/isn): EAN-13 check-digit computation/validation and
+    // the ISBN-10 check character (mod-11, 'X' for 10) — the product-
+    // code algebra behind the contrib's ean13/isbn types, as pure
+    // digit arithmetic both engines share. A data-dependent corruption
+    // (+partkey%10 on the last payload digit) exercises the validator
+    // on mixed pass/fail rows.
+    Q("q_fn_isn", Some(
+      """WITH c AS (SELECT p_partkey,
+        |    '400' || lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS c12
+        |  FROM part WHERE p_partkey < 120),
+        |d AS (SELECT p_partkey, c12,
+        |    (SELECT sum(CAST(substr(c.c12, CAST(i AS INT), 1) AS INT)
+        |       * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))
+        |     FROM generate_series(1, 12) g(i)) AS wsum
+        |  FROM c),
+        |e AS (SELECT p_partkey, c12,
+        |    (10 - (wsum % 10)) % 10 AS chk FROM d),
+        |f AS (SELECT p_partkey,
+        |    c12 || CAST(chk AS VARCHAR) AS ean13,
+        |    substr(c12, 1, 11)
+        |      || CAST((CAST(substr(c12, 12, 1) AS INT) + p_partkey % 10)
+        |           % 10 AS VARCHAR)
+        |      || CAST(chk AS VARCHAR) AS candidate
+        |  FROM e),
+        |v AS (SELECT p_partkey, ean13, candidate,
+        |    (SELECT sum(CAST(substr(f.candidate, CAST(i AS INT), 1) AS INT)
+        |       * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))
+        |     FROM generate_series(1, 13) g(i)) % 10 = 0 AS cand_valid
+        |  FROM f),
+        |i10 AS (SELECT p_partkey,
+        |    (SELECT sum(CAST(substr(v.ean13, CAST(i AS INT) + 3, 1) AS INT)
+        |       * CAST(i AS INT))
+        |     FROM generate_series(1, 9) g(i)) % 11 AS r
+        |  FROM v)
+        |SELECT v.p_partkey, v.ean13, v.candidate, v.cand_valid,
+        |  substr(v.ean13, 4, 9)
+        |    || (CASE WHEN i10.r = 10 THEN 'X'
+        |        ELSE CAST(i10.r AS VARCHAR) END) AS isbn10
+        |FROM v JOIN i10 USING (p_partkey)
+        |ORDER BY p_partkey""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      def wsum13(c: org.apache.spark.sql.Column, n: Int) =
+        (1 to n).map { i =>
+          substring(c, i, 1).cast("int") * lit(if (i % 2 == 1) 1 else 3)
+        }.reduce(_ + _)
+      val c12 = concat(lit("400"),
+        lpad($"p_partkey".cast("string"), 9, "0"))
+      val chk = (lit(10) - (wsum13(c12, 12) % 10)) % 10
+      val ean13 = concat(c12, chk.cast("string"))
+      val candidate = concat(substring(c12, 1, 11),
+        ((substring(c12, 12, 1).cast("int") + $"p_partkey" % 10) % 10)
+          .cast("string"),
+        chk.cast("string"))
+      val candValid = (1 to 13).map { i =>
+        substring(candidate, i, 1).cast("int") *
+          lit(if (i % 2 == 1) 1 else 3)
+      }.reduce(_ + _) % 10 === 0
+      val r10 = (1 to 9).map { i =>
+        substring(ean13, i + 3, 1).cast("int") * lit(i)
+      }.reduce(_ + _) % 11
+      Tables.T(s, dir).part.filter($"p_partkey" < 120)
+        .select($"p_partkey", ean13.as("ean13"),
+          candidate.as("candidate"), candValid.as("cand_valid"),
+          concat(substring(ean13, 4, 9),
+            when(r10 === 10, "X").otherwise(r10.cast("string")))
+            .as("isbn10"))
+        .orderBy("p_partkey")
     },
 
     // earthdistance: great-circle meters via the haversine on the

@@ -140,6 +140,32 @@ object EventStreams {
         col("click_ts"), col("p_ts"), col("value"))
   }
 
+  /** LEFT SEMI variant of [[clickPurchaseJoin]]: clicks that have at
+    * least one purchase inside the window, emitted ONCE (no
+    * fan-out on multiple matches — the streaming EXISTS). Same state
+    * bound as the inner join: both sides watermarked, the range
+    * condition lets the engine evict rows once the window closes. A
+    * matched click emits as soon as its first partner arrives, so a
+    * one-shot run over a finite fixture emits the complete answer
+    * (like the inner join, unlike the outer variants' closed-region
+    * caveat). */
+  def clickPurchaseSemiJoin(events: DataFrame, within: String): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr(s"INTERVAL $within"),
+      "leftSemi")
+      .select(col("click_id"), col("user_id"), col("click_ts"))
+  }
+
   /** Full-outer variant: unmatched rows from BOTH sides emit
     * null-padded once the watermark proves no partner can arrive — an
     * unmatched click closes when the watermark passes click_ts +

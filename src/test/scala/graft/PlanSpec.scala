@@ -665,4 +665,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"AR fit joins by series key:\n$p")
   }
+
+  test("q_agg_cmsketch: the sketch broadcasts into the probe; counters " +
+    "aggregate with map-side partials") {
+    val p = plan("q_agg_cmsketch")
+    assert(p.contains("partial_"),
+      s"CM counters need map-side combine (mergeable-sketch contract):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-cell sketch must broadcast into the key probe:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"CM probe is an equi-join on (row, bucket):\n$p")
+  }
+
+  test("q_graph_kcore: peel rounds are semi-joins on the alive set, " +
+    "never node×node") {
+    val p = plan("q_graph_kcore")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"k-core peeling joins endpoints by id:\n$p")
+  }
+
+  test("q_ann_pq: queries broadcast into the ADC scan; encode argmin " +
+    "adds no extra corpus shuffle") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("Broadcast"),
+      s"the 8-query probe side must broadcast:\n$p")
+    // one exchange for the per-query top-k window; the map-only encode
+    // and reconstruct must not add corpus shuffles
+    assert(hashExchanges(p) <= 1,
+      s"PQ encode/reconstruct are map-only — expected ≤1 shuffle " +
+        s"(top-k window), got ${hashExchanges(p)}:\n$p")
+  }
+
+  test("q_events_path: symbol sequences build from one user-keyed " +
+    "aggregate; no cartesian") {
+    val p = plan("q_events_path").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"path matching is per-user, never user×user:\n$p")
+    assert("Scan parquet|FileScan".r.findAllIn(p).length <= 1,
+      s"one corpus scan builds the sequences:\n$p")
+  }
+
+  test("q_text_bpe_encode: merge application is map-only; token counts " +
+    "aggregate with partials") {
+    val p = plan("q_text_bpe_encode").split("== Initial Plan ==").head
+    assert(p.contains("partial_"),
+      s"per-doc token counts need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"encode never joins the corpus to itself:\n$p")
+  }
 }
