@@ -47,4 +47,46 @@ object Stats {
       .select(col("diff").as("ks"), col("x").as("at_value"),
         col("n_a"), col("n_b"))
   }
+
+  /** Spearman rank correlation with average-tie midranks (the
+    * textbook definition; reference slot: the rank-statistics family
+    * beside MADlib's Pearson `correlation` — PG exposes Pearson via
+    * corr(), Spearman is the standard robust companion run on ranks).
+    * ρ = Pearson over (midrank_x, midrank_y).
+    *
+    * Ranks come from [[Ranks.cumBelow]]'s distributed prefix sum over
+    * the DISTINCT-value relation (midrank = (2·below + cnt + 1)/2 —
+    * exact half-integers), joined back by value; never a
+    * single-partition window over the corpus (the q_ml_auc
+    * discipline). The moment aggregate is one split-sum pass; the
+    * final ρ is a pinned-order expression both engines evaluate on
+    * identical sums. Returns (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val src = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    def midranks(c: String): DataFrame = {
+      val per = src.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      Ranks.cumBelow(per, "v", "cnt")
+        .select(col("v"),
+          ((col("below") * 2 + col("cnt") + 1).cast("double") / 2.0)
+            .as(s"r_$c"))
+    }
+    val ranked = src
+      .join(midranks("x").withColumnRenamed("v", "xv"),
+        col("x") === col("xv"))
+      .join(midranks("y").withColumnRenamed("v", "yv"),
+        col("y") === col("yv"))
+    val m = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      graft.queries.Q.dsum(col("r_x"), 6).as("sx"),
+      graft.queries.Q.dsum(col("r_y"), 6).as("sy"),
+      graft.queries.Q.dsum(col("r_x") * col("r_x"), 6).as("sxx"),
+      graft.queries.Q.dsum(col("r_y") * col("r_y"), 6).as("syy"),
+      graft.queries.Q.dsum(col("r_x") * col("r_y"), 6).as("sxy"))
+    m.select(col("n").cast("long").as("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        .as("rho"))
+  }
 }

@@ -415,4 +415,94 @@ object Trees {
     voted.select(col("id"), col("label"), pred.as("pred"),
       nv.as("n_votes"))
   }
+
+  /** Gradient-boosted regression stumps (Friedman 2001, squared loss
+    * — the boosting member of the tree family beside stump / depth-k
+    * CART / forest; GP users run this model class over MADlib's tree
+    * kernels). f₀ = global mean; round k fits the best single split
+    * to the current residuals and adds η · leaf-mean.
+    *
+    * Dataflow per round: ONE corpus scan builds the (feature, bucket)
+    * histogram carrying (cnt, Σr, Σr²) — residual sums accumulate as
+    * EXACT integer micros in DECIMAL(38) (Σr² micros passes 2^63 at
+    * scale), so the ≤ features·(bins+1)-row histogram is order-free.
+    * Candidate splits score on the DRIVER from exact-int prefixes
+    * (catalog-scale, like the CART winners); the model update is a
+    * map-only literal CASE. base/leaf means micros-quantize and
+    * η = 0.5 halves exactly, so residuals stay exactly representable
+    * and a DuckDB unroll of the same rounds is bit-equal.
+    *
+    * Returns one row per round: (round, feature, thr, n_left,
+    * n_right, mean_l, mean_r, mse_after). */
+  def boostedStumps(
+      df: DataFrame, features: Seq[(String, Seq[Double])], yCol: String,
+      rounds: Int, eta: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
+    def mic(c: Column) =
+      sum(floor(c * lit(1000000d) + lit(0.5)).cast(DecimalType(38, 0)))
+    val src = df.select(
+      features.map { case (f, _) => col(f).cast("double").as(f) } :+
+        col(yCol).cast("double").as("__y"): _*).cache()
+    KernelCaches.register(src)
+    val h0 = src.agg(count(lit(1)).as("n"), mic($"__y").as("sy")).head()
+    val n = h0.getLong(0)
+    val base = q6(BigInt(h0.getDecimal(1).toBigInteger).toDouble
+      / 1000000d / n)
+    var pred: Column = lit(base)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Double, Long, Long, Double, Double, Double)]
+    for (k <- 1 to rounds) {
+      val resid = $"__y" - pred
+      val pairs = array(features.zipWithIndex.map { case ((f, ts), fi) =>
+        val bucket = ts.map(t => when(col(f) > t, 1).otherwise(0))
+          .reduce(_ + _)
+        struct(lit(fi).as("f"), bucket.as("b"))
+      }: _*)
+      val hist = src
+        .select(resid.as("r"), explode(pairs).as("fb"))
+        .select($"fb.f".as("f"), $"fb.b".as("b"), $"r")
+        .groupBy("f", "b")
+        .agg(count(lit(1)).as("cnt"), mic($"r").as("s"),
+          mic($"r" * $"r").as("s2"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          BigInt(r.getDecimal(3).toBigInteger),
+          BigInt(r.getDecimal(4).toBigInteger)))
+      // driver split search on exact-integer prefixes
+      val best = features.zipWithIndex.flatMap { case ((f, ts), fi) =>
+        val rows = hist.filter(_._1 == fi)
+        ts.indices.map { i =>
+          val left = rows.filter(_._2 <= i)
+          val nl = left.map(_._3).sum
+          val nr = n - nl
+          if (nl == 0 || nr == 0) None
+          else {
+            val slM = left.map(_._4).sum
+            val s2lM = left.map(_._5).sum
+            val srM = rows.map(_._4).sum - slM
+            val s2rM = rows.map(_._5).sum - s2lM
+            val sl = slM.toDouble / 1000000d
+            val s2l = s2lM.toDouble / 1000000d
+            val sr = srM.toDouble / 1000000d
+            val s2r = s2rM.toDouble / 1000000d
+            val sse = (s2l - sl * sl / nl) + (s2r - sr * sr / nr)
+            Some((sse, fi, i, f, ts(i), nl, nr,
+              q6(sl / nl), q6(sr / nr)))
+          }
+        }.flatten
+      }.minBy(c => (c._1, c._2, c._3))
+      val (_, _, _, f, thr, nl, nr, ml, mr) = (best._1, best._2, best._3,
+        best._4, best._5, best._6, best._7, best._8, best._9)
+      pred = pred + lit(eta) * when(col(f) <= thr, ml).otherwise(mr)
+      val mseRow = src.agg(
+        mic(($"__y" - pred) * ($"__y" - pred)).as("se")).head()
+      val mse = q6(BigInt(mseRow.getDecimal(0).toBigInteger).toDouble
+        / 1000000d / n)
+      out += ((k, f, thr, nl, nr, ml, mr, mse))
+    }
+    out.toSeq.toDF("round", "feature", "thr", "n_left", "n_right",
+      "mean_l", "mean_r", "mse_after")
+  }
 }

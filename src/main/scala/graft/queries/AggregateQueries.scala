@@ -1321,6 +1321,36 @@ object AggregateQueries {
         .orderBy("col_a", "col_b")
     },
 
+    // Spearman rank correlation (the robust companion to q_ml_corr's
+    // Pearson): ρ = Pearson over average-tie midranks. Spark ranks via
+    // Ranks.cumBelow's distributed prefix sum over the DISTINCT-value
+    // relation (never a single-partition corpus window — the q_ml_auc
+    // discipline); the oracle's rank()+count() windows produce the
+    // identical half-integer midranks, and both engines run the same
+    // pinned-order ρ on split-sum-exact moments.
+    Q("q_ml_spearman", Some(
+      s"""WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+         |    CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+         |r AS (SELECT
+         |    rank() OVER (ORDER BY x)
+         |      + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r_x,
+         |    rank() OVER (ORDER BY y)
+         |      + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS r_y
+         |  FROM src),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("r_x", 6)} AS sx, ${Q.oSum("r_y", 6)} AS sy,
+         |    ${Q.oSum("r_x * r_x", 6)} AS sxx,
+         |    ${Q.oSum("r_y * r_y", 6)} AS syy,
+         |    ${Q.oSum("r_x * r_y", 6)} AS sxy
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+         |    * sqrt(n * syy - sy * sy)), 6) AS rho
+         |FROM m""".stripMargin)) { (s, dir) =>
+      graft.operators.Stats.spearman(Tables.T(s, dir).lineitem,
+        "l_quantity", "l_extendedprice")
+    },
+
     // Column-profile report (MADlib summary() parity): melt the row to
     // (col_name, value) pairs (map-only inline explode — still ONE
     // scan, plan-gated), count per distinct value with map-side

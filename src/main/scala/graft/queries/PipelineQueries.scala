@@ -1370,6 +1370,103 @@ object PipelineQueries {
         Seq(-0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3))
     },
 
+    // Gradient-boosted regression stumps (Friedman 2001, squared
+    // loss; η=0.5, 3 rounds; f₀ = global mean): each round one
+    // histogram scan with EXACT integer-micros residual sums
+    // (HUGEINT/DECIMAL(38) — order-free), driver/CTE split search on
+    // the tiny histogram, map-only literal-CASE model update. The
+    // oracle unrolls the rounds with MATERIALIZED winner CTEs and the
+    // data-driven (f = 0 → x1, f = 1 → x2) CASE residual.
+    Q("q_ml_boost", Some {
+      val fs = Seq(("l_quantity", "x1", Seq(10.0, 20.0, 30.0, 40.0)),
+        ("l_discount", "x2", Seq(0.02, 0.04, 0.06, 0.08)))
+      val rounds = 3
+      def q6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+      def micSum(e: String) =
+        s"sum(CAST(floor(($e) * 1000000 + 0.5) AS HUGEINT))"
+      val thrVals = fs.zipWithIndex.flatMap { case ((_, _, ts), fi) =>
+        ts.zipWithIndex.map { case (t, i) =>
+          s"($fi, $i, CAST($t AS DOUBLE))"
+        }
+      }.mkString(", ")
+      def residExpr(k: Int): String =
+        "y - c0.base" + (1 until k).map { j =>
+          s""" - 0.5 * (CASE WHEN (w$j.f = 0 AND x1 <= w$j.thr)
+             |    OR (w$j.f = 1 AND x2 <= w$j.thr)
+             |  THEN w$j.ml ELSE w$j.mr END)""".stripMargin
+        }.mkString
+      def crossW(k: Int): String =
+        (1 until k).map(j => s" CROSS JOIN w$j").mkString
+      val roundCtes = (1 to rounds).map { k =>
+        val melted = fs.zipWithIndex.map { case ((_, alias, ts), fi) =>
+          val bucket = ts.map(t =>
+            s"CAST($alias > CAST($t AS DOUBLE) AS INT)").mkString(" + ")
+          s"""SELECT $fi AS f, $bucket AS b, ${residExpr(k)} AS r
+             |    FROM src CROSS JOIN c0${crossW(k)}""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""h$k AS (SELECT f, b, count(*) AS cnt, ${micSum("r")} AS s,
+           |    ${micSum("r * r")} AS s2
+           |  FROM (
+           |    $melted
+           |  ) GROUP BY 1, 2),
+           |tot$k AS (SELECT f, sum(cnt) AS nf, sum(s) AS sf,
+           |    sum(s2) AS s2f FROM h$k GROUP BY 1),
+           |pl$k AS (SELECT t.f, t.i, t.thr, sum(h.cnt) AS nl,
+           |    sum(h.s) AS sl, sum(h.s2) AS s2l
+           |  FROM h$k h JOIN thr t ON h.f = t.f AND h.b <= t.i
+           |  GROUP BY 1, 2, 3),
+           |sc$k AS (SELECT p.f, p.i, p.thr,
+           |    CAST(p.nl AS BIGINT) AS nl,
+           |    CAST(t.nf - p.nl AS BIGINT) AS nr,
+           |    CAST(p.sl AS DOUBLE) / 1000000.0 AS sld,
+           |    CAST(p.s2l AS DOUBLE) / 1000000.0 AS s2ld,
+           |    CAST(t.sf - p.sl AS DOUBLE) / 1000000.0 AS srd,
+           |    CAST(t.s2f - p.s2l AS DOUBLE) / 1000000.0 AS s2rd
+           |  FROM pl$k p JOIN tot$k t USING (f)
+           |  WHERE p.nl > 0 AND t.nf - p.nl > 0),
+           |w$k AS MATERIALIZED (SELECT f, i, thr, nl, nr,
+           |    ${q6("sld / nl")} AS ml, ${q6("srd / nr")} AS mr
+           |  FROM (SELECT *, (s2ld - sld * sld / nl)
+           |      + (s2rd - srd * srd / nr) AS sse FROM sc$k)
+           |  ORDER BY sse, f, i LIMIT 1),
+           |m$k AS (SELECT ${q6(
+          s"CAST(${micSum(s"(${residExpr(k + 1)}) * (${residExpr(k + 1)})")}"
+            + " AS DOUBLE) / 1000000.0 / count(*)")} AS mse
+           |  FROM src CROSS JOIN c0${crossW(k + 1)})""".stripMargin
+      }.mkString(",\n")
+      val outRows = (1 to rounds).map { k =>
+        s"""SELECT $k AS round,
+           |  CASE w$k.f WHEN 0 THEN 'l_quantity' ELSE 'l_discount' END
+           |    AS feature,
+           |  w$k.thr, w$k.nl AS n_left, w$k.nr AS n_right,
+           |  w$k.ml AS mean_l, w$k.mr AS mean_r, m$k.mse AS mse_after
+           |FROM w$k CROSS JOIN m$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS MATERIALIZED (SELECT
+         |    CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2,
+         |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y
+         |  FROM lineitem),
+         |c0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${q6(s"CAST(${micSum("y")} AS DOUBLE) / 1000000.0 / count(*)")}
+         |      AS base
+         |  FROM src),
+         |thr AS (SELECT * FROM (VALUES $thrVals) t(f, i, thr)),
+         |$roundCtes
+         |$outRows
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val src = Tables.T(s, dir).lineitem
+        .withColumn("y1000",
+          $"l_extendedprice".cast("double") / lit(1000.0))
+      graft.operators.Trees.boostedStumps(src,
+        Seq(("l_quantity", Seq(10.0, 20.0, 30.0, 40.0)),
+          ("l_discount", Seq(0.02, 0.04, 0.06, 0.08))),
+        "y1000", rounds = 3, eta = 0.5)
+        .orderBy("round")
+    },
+
     // Depth-3 CART (MADlib tree_train recursion over the stump kernel,
     // Breiman et al. 1984): one histogram aggregate per LEVEL over a
     // (node, dim, bucket, label) frontier — never a per-node pass — so

@@ -1210,6 +1210,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(12L) == (0.0 + 0.0) + 1.0 / 61)
   }
 
+  test("Stats.spearman is 1 on any monotone map, sign-flips on reversal") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, math.exp(i / 10.0)))
+      .toDF("x", "y")
+    val up = Stats.spearman(df, "x", "y").collect()(0)
+    assert(up.getLong(0) == 100L && up.getDouble(1) == 1.0)
+    val down = Stats.spearman(
+      df.withColumn("y", -$"y"), "x", "y").collect()(0)
+    assert(down.getDouble(1) == -1.0)
+  }
+
+  test("Trees.boostedStumps recovers a step function and shrinks MSE") {
+    import spark.implicits._
+    // y = 10 when x1 <= 5 else 20; one stump at thr=5 nails it
+    val df = (1 to 100).map { i =>
+      val x1 = (i % 10).toDouble
+      (x1, i.toDouble, if (x1 <= 5) 10.0 else 20.0)
+    }.toDF("x1", "x2", "y")
+    val out = Trees.boostedStumps(df,
+      Seq(("x1", Seq(3.0, 5.0, 7.0)), ("x2", Seq(25.0, 50.0, 75.0))),
+      "y", rounds = 2, eta = 0.5).collect()
+    assert(out(0).getString(1) == "x1" && out(0).getDouble(2) == 5.0)
+    val mse1 = out(0).getDouble(7); val mse2 = out(1).getDouble(7)
+    assert(mse2 < mse1, s"boosting must shrink MSE: $mse1 -> $mse2")
+    // eta=0.5 twice on the same split: residual scale 25 -> 6.25 -> 1.5625
+    assert(mse2 < 2.0, s"two rounds should reach <2: $mse2")
+  }
+
   test("TextAnalysis.bpeEncode applies merges greedily left-to-right") {
     import spark.implicits._
     // merge (a,a): 'aaaa' -> [aa, aa]; 'aaa' -> [aa, a]; chained merge
