@@ -132,6 +132,71 @@ object Regression {
     coef.select(col("grp"), col("n"), col("b0"), col("b1"), col("b2"))
   }
 
+  /** Poisson regression `E[y] = exp(b0 + b1*x1 + b2*x2)` by
+    * Newton/IRLS with a FIXED iteration count — MADlib `glm` with
+    * family=poisson, link=log (the third member of the GLM family
+    * beside [[olsFit2]] gaussian and [[logregFit2]] binomial). The
+    * Newton step is b += (X'WX)⁻¹X'(y−μ) with W = diag(μ) — same
+    * one-aggregate-per-round moment shape and Cramer 3×3 solve as the
+    * logistic fit.
+    *
+    * Init b0 = ln(ȳ) (the standard GLM start: μ₀ = ȳ; from β = 0 the
+    * first Newton step targets mean(y)−1 on the log scale and exp
+    * overflows). ȳ is split-sum exact; the ln result rounds to micros
+    * so both engines iterate from the identical β. Output compares at
+    * round(4) — the smooth-IRLS discipline q_agg_logreg established.
+    * Returns one row (n, b0, b1, b2). */
+  def poissonFit2(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      iterations: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(yCol).cast("double").as("y"),
+      col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val h = rows.agg(count(lit(1)).as("n"), Q.dsum(col("y"), 6).as("sy"))
+      .head()
+    val (n0, sy) = (h.getLong(0), h.getDouble(1))
+    def q6d(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
+    val b0Init = q6d(math.log(sy / n0))
+    var coef = Seq((b0Init, 0.0, 0.0)).toDF("b0", "b1", "b2")
+    for (_ <- 0 until iterations) {
+      val mu = exp(col("b0") + col("b1") * col("x1") +
+        col("b2") * col("x2"))
+      val m = rows.crossJoin(broadcast(coef))
+        .select(col("b0"), col("b1"), col("b2"), mu.as("w"),
+          (col("y") - mu).as("res"), col("x1"), col("x2"))
+        .groupBy("b0", "b1", "b2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("w")).as("sw"),
+          sum(col("w") * col("x1")).as("swx1"),
+          sum(col("w") * col("x2")).as("swx2"),
+          sum(col("w") * col("x1") * col("x1")).as("swx11"),
+          sum(col("w") * col("x2") * col("x2")).as("swx22"),
+          sum(col("w") * col("x1") * col("x2")).as("swx12"),
+          sum(col("res")).as("g0"),
+          sum(col("res") * col("x1")).as("g1"),
+          sum(col("res") * col("x2")).as("g2"))
+      val c0 = (col("sw"), col("swx1"), col("swx2"))
+      val c1 = (col("swx1"), col("swx11"), col("swx12"))
+      val c2 = (col("swx2"), col("swx12"), col("swx22"))
+      val g = (col("g0"), col("g1"), col("g2"))
+      val det = det3(c0, c1, c2)
+      val ok = abs(det) > lit(1e-12)
+      coef = m.select(
+        when(ok, col("b0") + det3(g, c1, c2) / det).otherwise(col("b0"))
+          .as("b0"),
+        when(ok, col("b1") + det3(c0, g, c2) / det).otherwise(col("b1"))
+          .as("b1"),
+        when(ok, col("b2") + det3(c0, c1, g) / det).otherwise(col("b2"))
+          .as("b2"),
+        col("n"))
+    }
+    coef.select(col("n").cast("long").as("n"), col("b0"), col("b1"),
+      col("b2"))
+  }
+
   /** Linear SVM (hinge loss + L2) by FULL-BATCH Pegasos subgradient
     * descent with a fixed epoch count — MADlib `svm_classification`
     * (Shalev-Shwartz et al. 2007; MADlib's IGD becomes deterministic

@@ -683,6 +683,63 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // Poisson regression (MADlib glm family=poisson link=log — the
+    // third GLM member beside OLS and logistic): Newton/IRLS with
+    // W = diag(μ), one moment aggregate per fixed round, Cramer 3×3
+    // solve. Init b0 = ln(avg y) micros-quantized (from β=0 the first
+    // step overflows exp); outputs compare at round(4), the smooth-
+    // IRLS discipline of q_agg_logreg.
+    Q("q_ml_poisson", Some {
+      import graft.operators.Regression.Sql.det3
+      val c0 = Seq("sw", "swx1", "swx2")
+      val c1 = Seq("swx1", "swx11", "swx12")
+      val c2 = Seq("swx2", "swx12", "swx22")
+      val g = Seq("g0", "g1", "g2")
+      val det = det3(c0, c1, c2)
+      def upd(b: String, dn: String) =
+        s"CASE WHEN abs($det) > 1e-12 THEN $b + $dn / $det ELSE $b END"
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT b0, b1, b2, count(*) AS n,
+           |    sum(w) AS sw, sum(w * x1) AS swx1, sum(w * x2) AS swx2,
+           |    sum(w * x1 * x1) AS swx11, sum(w * x2 * x2) AS swx22,
+           |    sum(w * x1 * x2) AS swx12,
+           |    sum(res) AS g0, sum(res * x1) AS g1, sum(res * x2) AS g2
+           |  FROM (SELECT b0, b1, b2, mu AS w, y - mu AS res, x1, x2
+           |    FROM (SELECT c.b0, c.b1, c.b2, r.y, r.x1, r.x2,
+           |        exp(c.b0 + c.b1 * r.x1 + c.b2 * r.x2) AS mu
+           |      FROM r CROSS JOIN it${i - 1} c) s1) s2
+           |  GROUP BY 1, 2, 3),
+           |it$i AS (SELECT n,
+           |    ${upd("b0", det3(g, c1, c2))} AS b0,
+           |    ${upd("b1", det3(c0, g, c2))} AS b1,
+           |    ${upd("b2", det3(c0, c1, g))} AS b2
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS y,
+         |    CAST(l_discount AS DOUBLE) * 10.0 AS x1,
+         |    CAST(l_tax AS DOUBLE) * 10.0 AS x2
+         |  FROM lineitem),
+         |c0i AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${Q.oSum("y", 6)} AS sy FROM r),
+         |it0 AS (SELECT floor(ln(sy / n) * 1000000 + 0.5) / 1000000
+         |    AS b0, CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2
+         |  FROM c0i),
+         |$rounds
+         |SELECT CAST(n AS BIGINT) AS n, round(b0, 4) AS b0,
+         |  round(b1, 4) AS b1, round(b2, 4) AS b2
+         |FROM it3""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.T(s, dir).lineitem.select(
+        $"l_quantity".cast("double").as("y"),
+        ($"l_discount".cast("double") * lit(10.0)).as("x1"),
+        ($"l_tax".cast("double") * lit(10.0)).as("x2"))
+      graft.operators.Regression.poissonFit2(rows, "y", "x1", "x2",
+        iterations = 3)
+        .select($"n", round($"b0", 4).as("b0"),
+          round($"b1", 4).as("b1"), round($"b2", 4).as("b2"))
+    },
+
     // Linear SVM (MADlib svm_classification parity): full-batch Pegasos
     // subgradient, 4 fixed epochs, one aggregate per epoch (see
     // Regression.svmFit2). The margin indicator is discontinuous, so

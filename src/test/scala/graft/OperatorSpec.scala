@@ -1221,6 +1221,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(down.getDouble(1) == -1.0)
   }
 
+  test("Regression.poissonFit2 recovers log-link coefficients") {
+    import spark.implicits._
+    // y = round(exp(1 + 0.5 x1 - 0.3 x2)) — noiseless counts; 5 Newton
+    // rounds from ln(mean) reach the generating coefficients
+    val df = (for (i <- 1 to 400) yield {
+      val x1 = (i % 20) / 10.0; val x2 = ((i / 20) % 20) / 10.0
+      (math.floor(math.exp(1.0 + 0.5 * x1 - 0.3 * x2) + 0.5), x1, x2)
+    }).toDF("y", "x1", "x2")
+    val r = Regression.poissonFit2(df, "y", "x1", "x2", iterations = 5)
+      .collect()(0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 0.05, s"b0=${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.05, s"b1=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) + 0.3) < 0.05, s"b2=${r.getDouble(3)}")
+  }
+
   test("Trees.boostedStumps recovers a step function and shrinks MSE") {
     import spark.implicits._
     // y = 10 when x1 <= 5 else 20; one stump at thr=5 nails it
