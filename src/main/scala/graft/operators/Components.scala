@@ -464,4 +464,98 @@ object Components {
     }
     deg.filter(col("deg") >= k)
   }
+
+  /** Betweenness centrality (Brandes 2001), level-synchronous over
+    * ALL sources simultaneously — the remaining centrality beside
+    * pageRank/closeness/hits. Unweighted undirected graph, FIXED
+    * BFS depth `levels` (pairs beyond it don't contribute — the
+    * kcore fixed-round contract, bit-identical across engines
+    * converged or not).
+    *
+    * Forward: per level one (s, v)-keyed aggregate sums predecessor
+    * path counts σ (exact longs), frontier = new (s, v) pairs via
+    * anti-join on the visited set. Backward: dependencies flow one
+    * level at a time — δ(v) = Σ_{w ∈ succ} σ_v/σ_w · (1 + δ_w);
+    * every per-edge term micros-quantizes before the per-(s, v) sum,
+    * so accumulation is order-free integer micros and both engines
+    * agree exactly. bc(v) = Σ_{s≠v} δ_s(v) / 2 (undirected halving).
+    *
+    * Scale: state is (source × node)-keyed — the apsp/closeness
+    * regime (all-sources betweenness is quadratic by nature; sampled
+    * sources = the standard approximation, same dataflow with a
+    * source filter). Edges never re-shuffled; per-level exchanges are
+    * frontier-scale with map-side partials; lineage cut per level. */
+  def betweenness(
+      edgesDf: DataFrame, srcCol: String, dstCol: String,
+      levels: Int = 4, sources: Int = 0,
+      checkpoint: Boolean = true): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = true) else df
+    val e0 = edgesDf.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = cut(e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct())
+    val nodes = und.select(col("src").as("id")).distinct()
+    // sources = 0 → exact (all sources); k → the deterministic
+    // modulus sample (Brandes sampling, Bader et al. — per-source
+    // cost is what bounds all-pairs work at scale)
+    val srcNodes =
+      if (sources <= 0) nodes
+      else {
+        val mod = math.max(1L, nodes.count() / sources)
+        nodes.filter(col("id") % mod === 0).orderBy(col("id"))
+          .limit(sources)
+      }
+    // forward BFS: per-level frontiers with path counts
+    val f0 = cut(srcNodes.select(col("id").as("s"), col("id").as("v"),
+      lit(1L).as("sig"), lit(0).as("dist")))
+    val frontiers = scala.collection.mutable.ArrayBuffer(f0)
+    var vis = f0
+    for (lev <- 1 to levels) {
+      val prev = frontiers.last
+      val nxt = cut(prev.join(und, prev("v") === und("src"))
+        .select(col("s"), col("dst").as("v"), col("sig"))
+        .join(vis.select(col("s").as("s2"), col("v").as("v2")),
+          col("s") === col("s2") && col("v") === col("v2"), "left_anti")
+        .groupBy("s", "v").agg(sum(col("sig")).as("sig"))
+        .withColumn("dist", lit(lev)))
+      frontiers += nxt
+      vis = cut(vis.unionByName(nxt))
+    }
+    // backward accumulation: δ in exact integer micros, one level at
+    // a time (BFS DAG edges connect adjacent levels only)
+    var deltaPrev = frontiers(levels)
+      .select(col("s"), col("v"), lit(0L).as("dm"))
+    val deltas = scala.collection.mutable.ArrayBuffer(deltaPrev)
+    for (lev <- (levels - 1) to 0 by -1) {
+      val cur = frontiers(lev)
+      val succ = frontiers(lev + 1)
+        .select(col("s").as("ws"), col("v").as("wv"), col("sig").as("wsig"))
+      val dp = deltaPrev
+        .select(col("s").as("ds"), col("v").as("dv"), col("dm"))
+      val term = floor(
+        col("sig").cast("double") / col("wsig").cast("double") *
+          (lit(1.0) + col("dm").cast("double") / lit(1000000d)) *
+          lit(1000000d) + lit(0.5)).cast("long")
+      val sums = cur.join(und, cur("v") === und("src"))
+        .join(succ, col("ws") === col("s") && col("wv") === col("dst"))
+        .join(dp, col("ds") === col("s") && col("dv") === col("dst"))
+        .select(col("s"), cur("v").as("v"), term.as("t"))
+        .groupBy("s", "v").agg(sum(col("t")).as("tm"))
+      deltaPrev = cut(cur.select(col("s"), col("v"))
+        .join(sums, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("tm"), lit(0L)).as("dm")))
+      deltas += deltaPrev
+    }
+    // bc is emitted UNROUNDED: micros-sum / 1e6 / 2 is an exact
+    // multiple of 5e-7 in both engines, and rounding it at 6 dp would
+    // hit the half-micros presentation-tie trap (NOTES round-8)
+    deltas.reduce(_ unionByName _)
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("id"))
+      .agg((sum(col("dm")).cast("double") / lit(1000000d) / 2.0)
+        .as("bc"))
+  }
 }

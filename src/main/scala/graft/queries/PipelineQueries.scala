@@ -3195,6 +3195,78 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // Betweenness centrality (Brandes 2001; sampled sources — the
+    // standard scale approximation): 16 deterministic modulus-sampled
+    // sources, depth-4 level-synchronous BFS with exact-long path
+    // counts, backward dependency accumulation in integer micros
+    // (every σv/σw·(1+δw) term quantizes before the per-(s,v) sum —
+    // order-free, bit-equal across engines). Oracle unrolls forward
+    // and backward levels as MATERIALIZED CTEs.
+    Q("q_graph_betweenness", Some {
+      val L = 4; val K = 16
+      val head =
+        s"""WITH e0 AS (SELECT l_suppkey AS a, 1000000 + o_custkey AS b
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |und AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           |  UNION SELECT b, a FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM und),
+           |nc AS (SELECT greatest(1, count(*) // $K) AS md FROM nodes),
+           |srcs AS (SELECT id FROM nodes, nc WHERE id % md = 0
+           |  ORDER BY id LIMIT $K),
+           |f0 AS (SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sig,
+           |  0 AS dist FROM srcs),
+           |vis0 AS MATERIALIZED (SELECT * FROM f0)""".stripMargin
+      val fwd = (1 to L).map { l =>
+        s"""f$l AS MATERIALIZED (SELECT f.s, e.dst AS v,
+           |    CAST(sum(f.sig) AS BIGINT) AS sig, $l AS dist
+           |  FROM f${l - 1} f JOIN und e ON f.v = e.src
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${l - 1} x
+           |    WHERE x.s = f.s AND x.v = e.dst)
+           |  GROUP BY 1, 2),
+           |vis$l AS MATERIALIZED (SELECT * FROM vis${l - 1}
+           |  UNION ALL SELECT * FROM f$l)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (s"d$L AS (SELECT s, v, CAST(0 AS BIGINT) AS dm " +
+        s"FROM f$L)") +: ((L - 1) to 0 by -1).map { l =>
+        s"""t$l AS (SELECT a.s, a.v,
+           |    sum(CAST(floor(CAST(a.sig AS DOUBLE)
+           |      / CAST(b.sig AS DOUBLE)
+           |      * (1.0 + CAST(d.dm AS DOUBLE) / 1000000.0)
+           |      * 1000000.0 + 0.5) AS BIGINT)) AS tm
+           |  FROM f$l a JOIN und e ON a.v = e.src
+           |  JOIN f${l + 1} b ON b.s = a.s AND b.v = e.dst
+           |  JOIN d${l + 1} d ON d.s = a.s AND d.v = e.dst
+           |  GROUP BY 1, 2),
+           |d$l AS MATERIALIZED (SELECT a.s, a.v,
+           |    CAST(coalesce(t.tm, 0) AS BIGINT) AS dm
+           |  FROM f$l a LEFT JOIN t$l t ON t.s = a.s AND t.v = a.v)"""
+          .stripMargin
+      }
+      val alld = (0 to L).map(l => s"SELECT * FROM d$l")
+        .mkString(" UNION ALL ")
+      s"""$head,
+         |$fwd,
+         |${bwd.mkString(",\n")}
+         |SELECT v AS id, sum(dm) / 1000000.0 / 2.0 AS bc
+         |FROM ($alld) WHERE v <> s GROUP BY v HAVING sum(dm) > 0
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val edges = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_suppkey".as("a"),
+          (lit(1000000L) + $"o_custkey").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" >= 2)
+        .select($"a", $"b")
+      graft.operators.Components.betweenness(edges, "a", "b",
+        levels = 4, sources = 16)
+        .filter($"bc" > 0.0)
+        .orderBy("id")
+    },
+
     // MinHash + LSH candidate pairs (k=16 hashes, 4 bands × 4 rows).
     Q("q_dedup_minhash", Some(
       s"""WITH t AS (SELECT doc_id, $tokset AS ts FROM documents),

@@ -1267,6 +1267,22 @@ class OperatorSpec extends AnyFunSuite {
     assert((two.getLong(1), two.getLong(2), two.getLong(3)) == (2L, 3L, 7L))
   }
 
+  test("Components.betweenness: star hub carries all pair dependencies") {
+    import spark.implicits._
+    // star K1,4: hub 0; bc(hub) = C(4,2) = 6 exact; leaves 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    val bc = Components.betweenness(star, "src", "dst", levels = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bc(0L) == 6.0, s"hub: ${bc(0L)}")
+    assert(Seq(1L, 2L, 3L, 4L).forall(bc(_) == 0.0))
+    // path 1-2-3: bc(2) = 1 (the 1-3 pair)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bp = Components.betweenness(path, "src", "dst", levels = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bp(2L) == 1.0 && bp(1L) == 0.0 && bp(3L) == 0.0)
+  }
+
   test("Components.kCore peels a pendant chain off a 4-clique") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6: the 3-core is exactly the

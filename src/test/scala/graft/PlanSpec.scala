@@ -666,6 +666,13 @@ class PlanSpec extends AnyFunSuite {
       s"AR fit joins by series key:\n$p")
   }
 
+  test("q_graph_betweenness: BFS levels and dependency flows are " +
+    "equi-joins, never node×node") {
+    val p = plan("q_graph_betweenness")
+    assert(!p.contains("CartesianProduct"),
+      s"Brandes levels join by (source, node):\n$p")
+  }
+
   test("q_agg_cmsketch: the sketch broadcasts into the probe; counters " +
     "aggregate with map-side partials") {
     val p = plan("q_agg_cmsketch")
