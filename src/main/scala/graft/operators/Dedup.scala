@@ -748,6 +748,36 @@ object Dedup {
     * sorted trigram arrays and intersect in-row, so a capped trigram
     * still counts toward the similarity it only failed to GENERATE
     * from. Returns (id_a, id_b, sim ≥ threshold). */
+  /** pg_trgm `word_similarity(query, text)` restated with WORD
+    * extents (contrib/pg_trgm trgm_op.c calc_word_similarity): PG
+    * maximizes trigram similarity over contiguous extents of the
+    * target's trigram stream; here extents are the target's WORDS —
+    * the dominant use (`query <% text`: "some word of text looks like
+    * the query") — a documented narrowing like the ts_rank frequency
+    * restatement. sim(word) = |Q ∩ W| / |Q ∪ W| over padded-trigram
+    * SETS (exact ints → identical ratio doubles → deterministic max).
+    * Map-only per word + one doc-keyed max — no join at all. */
+  def wordSimilarity(
+      df: DataFrame, idCol: String, strCol: String,
+      query: String): DataFrame = {
+    val qtg = {
+      val pw = "  " + query.toLowerCase + " "
+      (0 until pw.length - 2).map(i => pw.substring(i, i + 3)).distinct
+    }
+    val words = df.select(col(idCol).as("id"),
+      explode(split(lower(col(strCol)), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"), concat(lit("  "), col("w"), lit(" ")).as("pw"))
+    val wts = array_distinct(transform(
+      sequence(lit(1), length(col("pw")) - 2),
+      i => col("pw").substr(i, lit(3))))
+    val inter = size(array_intersect(wts, typedLit(qtg)))
+    val uni = size(wts) + lit(qtg.size) - inter
+    words.select(col("id"),
+      (inter.cast("double") / uni.cast("double")).as("ws"))
+      .groupBy("id").agg(max(col("ws")).as("wsim"))
+  }
+
   def trigramSimPairs(
       df: DataFrame, idCol: String, strCol: String,
       threshold: Double, maxDf: Int = 100000): DataFrame = {

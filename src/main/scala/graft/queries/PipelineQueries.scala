@@ -2342,6 +2342,45 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // pg_trgm word_similarity (`query <% text`, word extents — see
+    // Dedup.wordSimilarity): per-word padded-trigram Jaccard against
+    // the literal query trigram set, doc-keyed max. Map-only + one
+    // aggregate; the oracle replays the identical list machinery.
+    Q("q_fn_word_trgm", Some {
+      val query = "turquoise"
+      val pw = "  " + query + " "
+      val qtg = (0 until pw.length - 2).map(i => pw.substring(i, i + 3))
+        .distinct
+      val qlist = qtg.map(t => s"'${t.replace("'", "''")}'")
+        .mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT p_partkey AS id,
+         |    unnest(list_filter(
+         |      string_split_regex(lower(p_name), '[^a-z0-9]+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM part WHERE p_partkey < 300),
+         |t AS (SELECT id, list_distinct(list_transform(
+         |    range(1, len(w) + 2),
+         |    i -> substr(concat('  ', w, ' '), CAST(i AS INT), 3)))
+         |    AS wts
+         |  FROM w),
+         |s AS (SELECT id,
+         |    CAST(len(list_intersect(wts, $qlist)) AS DOUBLE)
+         |      / CAST(len(wts) + ${qtg.size}
+         |          - len(list_intersect(wts, $qlist)) AS DOUBLE) AS ws
+         |  FROM t),
+         |m AS (SELECT id, max(ws) AS wsim FROM s GROUP BY id)
+         |SELECT id, round(wsim, 4) AS wsim FROM m
+         |WHERE wsim >= 0.25 ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Dedup.wordSimilarity(
+        Tables.T(s, dir).part.filter($"p_partkey" < 300),
+        "p_partkey", "p_name", query = "turquoise")
+        .filter($"wsim" >= 0.25)
+        .select($"id", round($"wsim", 4).as("wsim"))
+        .orderBy("id")
+    },
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES):
     // u^(1/weight) keys from a deterministic md5 uniform, global top-20
     // — longer docs oversampled, selection identical across engines.
