@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution hypothesis tests — MADlib's stats module (GP ships
   * `ks_test` / `mw_test` / `chi2_test` as in-database aggregates). The
@@ -46,6 +47,57 @@ object Stats {
       .limit(1)
       .select(col("diff").as("ks"), col("x").as("at_value"),
         col("n_a"), col("n_b"))
+  }
+
+  /** Kendall τ-b (the tie-corrected concordance coefficient — the
+    * third member of the correlation family beside Pearson q_ml_corr
+    * and Spearman): computed from the CONTINGENCY TABLE, never row
+    * pairs — C and D are sums of n_a·n_b over ordered CELL pairs, so
+    * the quadratic work is |X|·|Y| cells squared (discrete/binned
+    * features; continuous callers bin first — the histogram-method
+    * contract trees already use). One corpus aggregate builds the
+    * cells; everything after is cell-scale.
+    *
+    * All counts and pair sums are exact integers in DECIMAL(38)
+    * (C ~ n²/4 passes 2^63 at scale); the final
+    * τ = (C−D)/√((n0−n1)(n0−n2)) converts each exact integer to
+    * double separately with a pinned multiply order, so both engines
+    * emit the identical double. Returns (n, c, d, tau). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+      .agg(count(lit(1)).as("nc"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("nc").as("na"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("nc").as("nb"))
+    val dec = DecimalType(38, 0)
+    val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+      .select(
+        when(col("ya") < col("yb"),
+          col("na").cast(dec) * col("nb").cast(dec))
+          .otherwise(lit(0).cast(dec)).as("cterm"),
+        when(col("ya") > col("yb"),
+          col("na").cast(dec) * col("nb").cast(dec))
+          .otherwise(lit(0).cast(dec)).as("dterm"))
+      .agg(sum(col("cterm")).as("c"), sum(col("dterm")).as("d"))
+    val margX = cells.groupBy("x").agg(sum(col("nc")).as("tx"))
+      .agg(sum(col("tx").cast(dec) * (col("tx") - 1).cast(dec) / 2)
+        .cast(dec).as("n1"))
+    val margY = cells.groupBy("y").agg(sum(col("nc")).as("ty"))
+      .agg(sum(col("ty").cast(dec) * (col("ty") - 1).cast(dec) / 2)
+        .cast(dec).as("n2"))
+    val tot = cells.agg(sum(col("nc")).as("n"))
+      .select(col("n"),
+        (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2)
+          .cast(dec).as("n0"))
+    pairs.crossJoin(tot).crossJoin(margX).crossJoin(margY)
+      .select(col("n").cast("long").as("n"),
+        col("c").cast("double").as("c"),
+        col("d").cast("double").as("d"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), 6).as("tau"))
   }
 
   /** Spearman rank correlation with average-tie midranks (the

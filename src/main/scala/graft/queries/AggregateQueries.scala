@@ -1408,6 +1408,37 @@ object AggregateQueries {
         "l_quantity", "l_extendedprice")
     },
 
+    // Kendall τ-b from the contingency table (never row pairs): C/D
+    // are exact-integer sums of n_a·n_b over ordered cell pairs
+    // (HUGEINT/DECIMAL(38) — C ~ n²/4 passes 2^63 at scale); the τ
+    // ratio converts each exact integer to double separately with a
+    // pinned multiply, identical across engines.
+    Q("q_ml_kendall", Some(
+      """WITH cells AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_discount AS DOUBLE) AS y, count(*) AS nc
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT
+        |    sum(CASE WHEN a.y < b.y THEN CAST(a.nc AS HUGEINT) * b.nc
+        |        ELSE 0 END) AS c,
+        |    sum(CASE WHEN a.y > b.y THEN CAST(a.nc AS HUGEINT) * b.nc
+        |        ELSE 0 END) AS d
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |mx AS (SELECT sum(CAST(tx AS HUGEINT) * (tx - 1) // 2) AS n1
+        |  FROM (SELECT sum(nc) AS tx FROM cells GROUP BY x)),
+        |my AS (SELECT sum(CAST(ty AS HUGEINT) * (ty - 1) // 2) AS n2
+        |  FROM (SELECT sum(nc) AS ty FROM cells GROUP BY y)),
+        |t AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |    CAST(sum(nc) AS HUGEINT) * (sum(nc) - 1) // 2 AS n0
+        |  FROM cells)
+        |SELECT n, CAST(c AS DOUBLE) AS c, CAST(d AS DOUBLE) AS d,
+        |  round(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+        |    AS tau
+        |FROM p, t, mx, my""".stripMargin)) { (s, dir) =>
+      graft.operators.Stats.kendallTauB(Tables.T(s, dir).lineitem,
+        "l_quantity", "l_discount")
+    },
+
     // Column-profile report (MADlib summary() parity): melt the row to
     // (col_name, value) pairs (map-only inline explode — still ONE
     // scan, plan-gated), count per distinct value with map-side

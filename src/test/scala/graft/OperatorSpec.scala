@@ -1221,6 +1221,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(down.getDouble(1) == -1.0)
   }
 
+  test("Stats.kendallTauB: ±1 on monotone data, tie-corrected between") {
+    import spark.implicits._
+    val up = (1 to 50).map(i => (i.toDouble, (i * 2).toDouble))
+      .toDF("x", "y")
+    assert(Stats.kendallTauB(up, "x", "y").collect()(0).getDouble(3) == 1.0)
+    val down = (1 to 50).map(i => (i.toDouble, (-i).toDouble))
+      .toDF("x", "y")
+    assert(Stats.kendallTauB(down, "x", "y").collect()(0)
+      .getDouble(3) == -1.0)
+    // heavy ties: x in {0,1}, y follows x except one discordant cell —
+    // C/D count cell-pair products, not row pairs
+    val t = (Seq.fill(10)((0.0, 0.0)) ++ Seq.fill(10)((1.0, 1.0)) ++
+      Seq((1.0, -1.0))).toDF("x", "y")
+    val r = Stats.kendallTauB(t, "x", "y").collect()(0)
+    assert(r.getDouble(1) == 100.0 && r.getDouble(2) == 10.0)
+    assert(r.getDouble(3) > 0.5 && r.getDouble(3) < 1.0)
+  }
+
   test("Regression.poissonFit2 recovers log-link coefficients") {
     import spark.implicits._
     // y = round(exp(1 + 0.5 x1 - 0.3 x2)) — noiseless counts; 5 Newton
