@@ -646,6 +646,60 @@ object ExtensionQueries {
             / ($"np".cast("double") * $"nn".cast("double"))).as("auc"))
     },
 
+    // PR-AUC / average precision (the ranking metric beside q_ml_auc's
+    // ROC — scikit's step-wise AP = Σ (R_k − R_{k−1})·P_k over distinct
+    // score thresholds, descending): TP/ALL prefixes come from TWO
+    // Ranks.cumBelow passes over the per-score relation (never an
+    // unpartitioned window); each threshold term micros-quantizes
+    // before the order-free integer sum, and the result is an exact
+    // 1e-6 multiple presented raw.
+    Q("q_ml_auc_pr", Some(
+      """WITH s AS (SELECT value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |per AS (SELECT score, count(*) AS cnt, sum(y) AS np_s
+        |  FROM s GROUP BY 1),
+        |cum AS (SELECT score, cnt, np_s,
+        |    coalesce(sum(cnt) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_all,
+        |    coalesce(sum(np_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below_np
+        |  FROM per),
+        |tot AS (SELECT sum(np_s) AS np FROM per),
+        |terms AS (SELECT CAST(floor(
+        |      CAST(np_s AS DOUBLE) / np
+        |      * (CAST(below_np + np_s AS DOUBLE)
+        |         / CAST(below_all + cnt AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) AS tm
+        |  FROM cum, tot WHERE np_s > 0)
+        |SELECT CAST(t.np AS BIGINT) AS np,
+        |  sum(tm) / 1000000.0 AS ap
+        |FROM terms, tot t GROUP BY t.np""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val sc = Tables.T(s, dir).events
+        .select($"value".as("score"),
+          when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+      val per = sc.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum($"y").as("np_s"))
+        .withColumn("neg", -$"score")
+      val c1 = graft.operators.Ranks.cumBelow(per, "neg", "cnt")
+        .withColumnRenamed("below", "below_all")
+      val c2 = graft.operators.Ranks.cumBelow(c1, "neg", "np_s")
+        .withColumnRenamed("below", "below_np")
+      val np = per.agg(sum($"np_s")).head.getLong(0)
+      val term = floor(
+        $"np_s".cast("double") / lit(np.toDouble) *
+          (($"below_np" + $"np_s").cast("double") /
+            ($"below_all" + $"cnt").cast("double")) *
+          lit(1000000d) + lit(0.5)).cast("long")
+      c2.filter($"np_s" > 0)
+        .select(term.as("tm"))
+        .agg((sum($"tm") / lit(1000000.0)).as("ap"))
+        .select(lit(np).as("np"), $"ap")
+    },
+
     // Chi-square test of independence (MADlib chi2 test parity):
     // event_type × user-cohort contingency table from ONE hash
     // aggregate of exact counts; expected cells and the statistic are

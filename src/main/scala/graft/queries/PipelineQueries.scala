@@ -2347,7 +2347,7 @@ object PipelineQueries {
     // the literal query trigram set, doc-keyed max. Map-only + one
     // aggregate; the oracle replays the identical list machinery.
     Q("q_fn_word_trgm", Some {
-      val query = "turquoise"
+      val query = "widgets"
       val pw = "  " + query + " "
       val qtg = (0 until pw.length - 2).map(i => pw.substring(i, i + 3))
         .distinct
@@ -2375,7 +2375,7 @@ object PipelineQueries {
       import s.implicits._
       Dedup.wordSimilarity(
         Tables.T(s, dir).part.filter($"p_partkey" < 300),
-        "p_partkey", "p_name", query = "turquoise")
+        "p_partkey", "p_name", query = "widgets")
         .filter($"wsim" >= 0.25)
         .select($"id", round($"wsim", 4).as("wsim"))
         .orderBy("id")
