@@ -49,6 +49,52 @@ object Stats {
         col("n_a"), col("n_b"))
   }
 
+  /** Mann–Whitney U / Wilcoxon rank-sum (MADlib `mw_test` — the
+    * remaining member of the stats module beside ks_test/chi2): with
+    * midranks for ties, U_A = ΣR_A − n_A(n_A+1)/2; z uses the
+    * tie-corrected variance n_An_B/12·(n+1 − Σ(t³−t)/(n(n−1))).
+    * ΣR_A comes from the same per-distinct-value aggregate +
+    * [[Ranks.cumBelow]] prefix the AUC uses: per value,
+    * 2·ΣR_A = n_As·(2·below + cnt + 1) — exact integers end to end
+    * (DECIMAL(38): rank sums pass 2^63 at scale), so U and every
+    * variance term are identical exact ints and z is a pinned double.
+    * Returns (n_a, n_b, u_a, z). */
+  def mwTest(
+      df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .groupBy(col(valueCol).cast("double").as("x"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("na_s"))
+    val agg = Ranks.cumBelow(per, "x", "cnt")
+      .agg(
+        sum((col("na_s") * (lit(2) * col("below") + col("cnt") + 1))
+          .cast(dec)).as("two_rsum"),
+        sum(col("na_s")).as("na"),
+        sum(col("cnt") - col("na_s")).as("nb"),
+        sum((col("cnt").cast(dec) * col("cnt").cast(dec)
+          * col("cnt").cast(dec) - col("cnt").cast(dec)))
+          .as("tie3"))
+    agg.select(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      (col("two_rsum").cast("double") / 2.0
+        - col("na").cast("double") * (col("na").cast("double") + 1.0)
+          / 2.0).as("u_a"),
+      col("tie3").cast("double").as("t3"))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        ((col("u_a") - col("n_a").cast("double") * col("n_b").cast("double")
+          / 2.0) /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+            / 12.0 *
+            ((col("n_a") + col("n_b")).cast("double") + 1.0
+              - col("t3") /
+                ((col("n_a") + col("n_b")).cast("double") *
+                  ((col("n_a") + col("n_b")).cast("double") - 1.0)))))
+          .as("z"))
+  }
+
   /** Kendall τ-b (the tie-corrected concordance coefficient — the
     * third member of the correlation family beside Pearson q_ml_corr
     * and Spearman): computed from the CONTINGENCY TABLE, never row

@@ -765,6 +765,47 @@ object ExtensionQueries {
         "value", "event_type", "view", "click")
     },
 
+    // Mann–Whitney U / Wilcoxon rank-sum (MADlib mw_test — completes
+    // the stats module beside ks_test and chi2): midrank sums from
+    // the AUC's per-distinct-value + prefix-sum machinery, exact
+    // DECIMAL(38) integers end to end; z applies the tie-corrected
+    // variance as a pinned double expression, identical across
+    // engines unrounded.
+    Q("q_ml_mwtest", Some(
+      """WITH per AS (SELECT value AS x, count(*) AS cnt,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS na_s
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1),
+        |cum AS (SELECT x, cnt, na_s,
+        |    coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM per),
+        |agg AS (SELECT
+        |    sum(CAST(na_s AS HUGEINT) * (2 * below + cnt + 1))
+        |      AS two_rsum,
+        |    sum(na_s) AS na, sum(cnt - na_s) AS nb,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+        |  FROM cum),
+        |u AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT)
+        |      AS n_b,
+        |    CAST(two_rsum AS DOUBLE) / 2.0
+        |      - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+        |      AS u_a,
+        |    CAST(tie3 AS DOUBLE) AS t3
+        |  FROM agg)
+        |SELECT n_a, n_b, u_a,
+        |  (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a + n_b AS DOUBLE) + 1.0
+        |         - t3 / (CAST(n_a + n_b AS DOUBLE)
+        |                 * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) AS z
+        |FROM u""".stripMargin)) { (s, dir) =>
+      graft.operators.Stats.mwTest(Tables.T(s, dir).events,
+        "value", "event_type", "view", "click")
+    },
+
     // Mutual information between two categoricals (the feature-
     // relevance cousin of q_ml_chi2, same one-aggregate contingency
     // dataflow): I = Σ p(r,c)·ln(p(r,c)/(p(r)p(c))). ln() may differ
