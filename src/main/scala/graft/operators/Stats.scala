@@ -95,6 +95,39 @@ object Stats {
           .as("z"))
   }
 
+  /** Wilcoxon signed-rank test (MADlib `wsr_test`): paired
+    * differences d = x − y per row; zeros drop (the standard
+    * convention), |d| ranks with midranks for ties, W⁺ = Σ ranks of
+    * positive d. z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * with the tie correction. Rank sums ride the same
+    * per-distinct-|d| aggregate + [[Ranks.cumBelow]] prefix as
+    * [[mwTest]] — exact DECIMAL(38) integers end to end, z a pinned
+    * double. Returns (n, w_plus, z). */
+  def wsrTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = df.select(
+      (col(xCol).cast("double") - col(yCol).cast("double")).as("d"))
+      .filter(col("d") =!= 0.0)
+    val per = d.groupBy(abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("np_s"))
+    val agg = Ranks.cumBelow(per, "ad", "cnt")
+      .agg(
+        sum((col("np_s") * (lit(2) * col("below") + col("cnt") + 1))
+          .cast(dec)).as("two_wsum"),
+        sum(col("cnt")).as("n"),
+        sum((col("cnt").cast(dec) * col("cnt").cast(dec)
+          * col("cnt").cast(dec) - col("cnt").cast(dec))).as("tie3"))
+    agg.select(col("n").cast("long").as("n"),
+      (col("two_wsum").cast("double") / 2.0).as("w_plus"),
+      col("n").cast("double").as("nd"),
+      col("tie3").cast("double").as("t3"))
+      .select(col("n"), col("w_plus"),
+        ((col("w_plus") - col("nd") * (col("nd") + 1.0) / 4.0) /
+          sqrt(col("nd") * (col("nd") + 1.0) * (col("nd") * 2.0 + 1.0)
+            / 24.0 - col("t3") / 48.0)).as("z"))
+  }
+
   /** Kendall τ-b (the tie-corrected concordance coefficient — the
     * third member of the correlation family beside Pearson q_ml_corr
     * and Spearman): computed from the CONTINGENCY TABLE, never row

@@ -806,6 +806,46 @@ object ExtensionQueries {
         "value", "event_type", "view", "click")
     },
 
+    // Wilcoxon signed-rank (MADlib wsr_test; the PAIRED companion of
+    // q_ml_mwtest): d = discount − tax per row, zeros dropped, |d|
+    // midranks from the same prefix machinery, W⁺ exact, z pinned
+    // with the tie-corrected variance.
+    Q("q_ml_wsrtest", Some(
+      """WITH d AS (SELECT CAST(l_discount AS DOUBLE)
+        |      - CAST(l_tax AS DOUBLE) AS d
+        |  FROM lineitem
+        |  WHERE CAST(l_discount AS DOUBLE) <> CAST(l_tax AS DOUBLE)),
+        |per AS (SELECT abs(d) AS ad, count(*) AS cnt,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np_s
+        |  FROM d GROUP BY 1),
+        |cum AS (SELECT ad, cnt, np_s,
+        |    coalesce(sum(cnt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM per),
+        |agg AS (SELECT
+        |    sum(CAST(np_s AS HUGEINT) * (2 * below + cnt + 1))
+        |      AS two_wsum,
+        |    sum(cnt) AS n,
+        |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie3
+        |  FROM cum),
+        |u AS (SELECT CAST(n AS BIGINT) AS n,
+        |    CAST(two_wsum AS DOUBLE) / 2.0 AS w_plus,
+        |    CAST(n AS DOUBLE) AS nd, CAST(tie3 AS DOUBLE) AS t3
+        |  FROM agg)
+        |SELECT n, w_plus,
+        |  (w_plus - nd * (nd + 1.0) / 4.0)
+        |    / sqrt(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+        |           - t3 / 48.0) AS z
+        |FROM u""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Stats.wsrTest(
+        Tables.T(s, dir).lineitem
+          .select($"l_discount".cast("double").as("x"),
+            $"l_tax".cast("double").as("y")),
+        "x", "y")
+    },
+
     // Mutual information between two categoricals (the feature-
     // relevance cousin of q_ml_chi2, same one-aggregate contingency
     // dataflow): I = Σ p(r,c)·ln(p(r,c)/(p(r)p(c))). ln() may differ
