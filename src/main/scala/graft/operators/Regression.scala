@@ -158,6 +158,8 @@ object Regression {
     val h = rows.agg(count(lit(1)).as("n"), Q.dsum(col("y"), 6).as("sy"))
       .head()
     val (n0, sy) = (h.getLong(0), h.getDouble(1))
+    require(n0 > 0 && sy > 0,
+      s"poissonFit2: needs rows with positive mean response (n=$n0)")
     def q6d(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
     val b0Init = q6d(math.log(sy / n0))
     var coef = Seq((b0Init, 0.0, 0.0)).toDF("b0", "b1", "b2")

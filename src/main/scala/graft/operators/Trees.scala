@@ -453,7 +453,9 @@ object Trees {
     var pred: Column = lit(base)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Double, Long, Long, Double, Double, Double)]
-    for (k <- 1 to rounds) {
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
       val resid = $"__y" - pred
       val pairs = array(features.zipWithIndex.map { case ((f, ts), fi) =>
         val bucket = ts.map(t => when(col(f) > t, 1).otherwise(0))
@@ -471,7 +473,7 @@ object Trees {
           BigInt(r.getDecimal(3).toBigInteger),
           BigInt(r.getDecimal(4).toBigInteger)))
       // driver split search on exact-integer prefixes
-      val best = features.zipWithIndex.flatMap { case ((f, ts), fi) =>
+      val candidates = features.zipWithIndex.flatMap { case ((f, ts), fi) =>
         val rows = hist.filter(_._1 == fi)
         ts.indices.map { i =>
           val left = rows.filter(_._2 <= i)
@@ -492,15 +494,22 @@ object Trees {
               q6(sl / nl), q6(sr / nr)))
           }
         }.flatten
-      }.minBy(c => (c._1, c._2, c._3))
-      val (_, _, _, f, thr, nl, nr, ml, mr) = (best._1, best._2, best._3,
-        best._4, best._5, best._6, best._7, best._8, best._9)
-      pred = pred + lit(eta) * when(col(f) <= thr, ml).otherwise(mr)
-      val mseRow = src.agg(
-        mic(($"__y" - pred) * ($"__y" - pred)).as("se")).head()
-      val mse = q6(BigInt(mseRow.getDecimal(0).toBigInteger).toDouble
-        / 1000000d / n)
-      out += ((k, f, thr, nl, nr, ml, mr, mse))
+      }
+      // every candidate degenerate (all features constant relative to
+      // the grid): boosting cannot improve — stop with the rounds so far
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.minBy(c => (c._1, c._2, c._3))
+        val (_, _, _, f, thr, nl, nr, ml, mr) = (best._1, best._2,
+          best._3, best._4, best._5, best._6, best._7, best._8, best._9)
+        pred = pred + lit(eta) * when(col(f) <= thr, ml).otherwise(mr)
+        val mseRow = src.agg(
+          mic(($"__y" - pred) * ($"__y" - pred)).as("se")).head()
+        val mse = q6(BigInt(mseRow.getDecimal(0).toBigInteger).toDouble
+          / 1000000d / n)
+        out += ((k, f, thr, nl, nr, ml, mr, mse))
+      }
+      k += 1
     }
     out.toSeq.toDF("round", "feature", "thr", "n_left", "n_right",
       "mean_l", "mean_r", "mse_after")
