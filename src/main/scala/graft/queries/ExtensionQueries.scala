@@ -1101,6 +1101,51 @@ object ExtensionQueries {
           / ($"ssw" / ($"nn" - $"k").cast("double"))).as("f"))
     },
 
+    // Levene's test (Brown–Forsythe median variant — the variance-
+    // homogeneity companion run before q_ml_anova): one-way ANOVA F on
+    // z = |x − group median|. Group medians are exact percentiles
+    // (the q_ts_anomaly cross-engine precedent) broadcast back; then
+    // the identical one-aggregate moment dataflow as q_ml_anova on z
+    // with split-sum discipline.
+    Q("q_ml_levene", Some {
+      val ssw = Q.oSum("szz - sz * sz / CAST(n AS DOUBLE)", 6)
+      val sgm = Q.oSum("sz * sz / CAST(n AS DOUBLE)", 6)
+      val gsum = Q.oSum("sz", 6)
+      s"""WITH med AS (SELECT event_type,
+         |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+         |z AS (SELECT e.event_type, abs(e.value - m.med) AS z
+         |  FROM events e JOIN med m ON e.event_type = m.event_type),
+         |g AS (SELECT event_type, count(*) AS n,
+         |    ${Q.pSum("z", 6)} AS sz, ${Q.pSum("z * z", 6)} AS szz
+         |  FROM z GROUP BY 1),
+         |m2 AS (SELECT count(*) AS k, sum(n) AS nn,
+         |    $gsum AS gs, $sgm AS sgm, $ssw AS ssw
+         |  FROM g)
+         |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+         |  ((sgm - gs * gs / CAST(nn AS DOUBLE))
+         |     / CAST(k - 1 AS DOUBLE))
+         |    / (ssw / CAST(nn - k AS DOUBLE)) AS w
+         |FROM m2""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.T(s, dir).events
+      val med = ev.groupBy($"event_type")
+        .agg(percentile($"value", lit(0.5)).as("med"))
+      val z = ev.join(broadcast(med), "event_type")
+        .select($"event_type", abs($"value" - $"med").as("z"))
+      val g = z.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Q.dsum($"z", 6).as("sz"),
+          Q.dsum($"z" * $"z", 6).as("szz"))
+      val m = g.agg(count(lit(1)).as("k"), sum($"n").as("nn"),
+        Q.dsum($"sz", 6).as("gs"),
+        Q.dsum($"sz" * $"sz" / $"n".cast("double"), 6).as("sgm"),
+        Q.dsum($"szz" - $"sz" * $"sz" / $"n".cast("double"), 6).as("ssw"))
+      m.select($"k".cast("long").as("k"), $"nn".cast("long").as("n"),
+        ((($"sgm" - $"gs" * $"gs" / $"nn".cast("double"))
+          / ($"k" - 1).cast("double"))
+          / ($"ssw" / ($"nn" - $"k").cast("double"))).as("w"))
+    },
+
     // Multimodal plumbing: binary payload column + partition-wise decode
     // (stubbed codec, real schema/batch shape — Multimodal.featurize).
     // Ordered-step funnel (view → click → purchase within 72 h of the
