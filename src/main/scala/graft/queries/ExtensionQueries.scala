@@ -1101,6 +1101,91 @@ object ExtensionQueries {
           / ($"ssw" / ($"nn" - $"k").cast("double"))).as("f"))
     },
 
+    // MA(1) per series by conditional least squares over a θ grid
+    // (MADlib arima_train's moving-average half; q_ts_ar covers the
+    // AR side): innovations e_t = y_t − c − θ·e_{t−1} are an
+    // inherently sequential per-series recurrence — same honest shape
+    // as q_ts_holt (parallel across series, HOF fold within). Each θ
+    // candidate is one in-row fold; SSE accumulates as exact integer
+    // micros; argmin θ ties to the smallest index. The first fold
+    // step is sentinel-detected (ss = −1) so both engines initialize
+    // e₁ = q6(y₁ − c) identically inside the same lambda text.
+    Q("q_ts_ma", Some {
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      def foldSql(theta: String) = {
+        val eprev = s"(CASE WHEN acc[2] < 0 THEN ${q6("acc[1] - c")} " +
+          "ELSE acc[1] END)"
+        val ssprev = s"(CASE WHEN acc[2] < 0 THEN ${mic(s"$eprev * $eprev")} " +
+          "ELSE acc[2] END)"
+        val enew = q6(s"x[1] - c - ($theta) * $eprev")
+        s"""list_reduce(list_transform(ys, y -> [y, CAST(-1 AS DOUBLE)]),
+           |      (acc, x) -> [$enew, $ssprev + ${mic(s"($enew) * ($enew)")}])"""
+          .stripMargin
+      }
+      def finSql(st: String) =
+        s"(CASE WHEN $st[2] < 0 THEN ${mic(
+          s"(${q6(s"$st[1] - c")}) * (${q6(s"$st[1] - c")})")} " +
+          s"ELSE $st[2] END)"
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"{'ss': ${finSql(s"(${foldSql(t.toString)})")}, 'i': $i, " +
+          s"'th': CAST($t AS DOUBLE)}"
+      }.mkString(",\n      ")
+      s"""WITH s AS (SELECT user_id,
+         |    list(value ORDER BY ts, event_id) AS ys,
+         |    count(*) AS n, ${Q.pSum("value", 6)} AS sy
+         |  FROM events GROUP BY user_id),
+         |c0 AS (SELECT user_id, ys, n,
+         |    ${q6("sy / n")} AS c FROM s),
+         |f AS (SELECT user_id, n, c,
+         |    list_sort([
+         |      $cands
+         |    ])[1] AS best
+         |  FROM c0)
+         |SELECT user_id, CAST(n AS BIGINT) AS n, c,
+         |  best.th AS theta,
+         |  best.ss / 1000000.0 / n AS mse
+         |FROM f ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000D"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      def foldExpr(theta: String) = {
+        val eprev = s"(CASE WHEN acc.ss < 0 THEN ${q6("acc.e - c")} " +
+          "ELSE acc.e END)"
+        val ssprev = s"(CASE WHEN acc.ss < 0 THEN ${mic(s"$eprev * $eprev")} " +
+          "ELSE acc.ss END)"
+        val enew = q6(s"y - c - ($theta) * $eprev")
+        s"""aggregate(slice(ys, 2, size(ys) - 1),
+           |  named_struct('e', ys[0], 'ss', CAST(-1 AS DOUBLE)),
+           |  (acc, y) -> named_struct('e', $enew,
+           |    'ss', $ssprev + ${mic(s"($enew) * ($enew)")}))""".stripMargin
+      }
+      def finExpr(st: String) =
+        s"(CASE WHEN $st.ss < 0 THEN ${mic(
+          s"(${q6(s"$st.e - c")}) * (${q6(s"$st.e - c")})")} " +
+          s"ELSE $st.ss END)"
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"named_struct('ss', ${finExpr(s"(${foldExpr(t.toString)})")}, " +
+          s"'i', $i, 'th', CAST($t AS DOUBLE))"
+      }.mkString(", ")
+      Tables.T(s, dir).events
+        .groupBy($"user_id")
+        .agg(
+          expr("sort_array(collect_list(struct(ts, event_id, value)))")
+            .as("pts"),
+          count(lit(1)).as("n"), Q.dsum($"value", 6).as("sy"))
+        .select($"user_id", expr("transform(pts, p -> p.value)").as("ys"),
+          $"n", expr(s"floor((sy / n) * 1000000 + 0.5) / 1000000D").as("c"))
+        .select($"user_id", $"n".cast("long").as("n"), $"c",
+          expr(s"array_min(array($cands))").as("best"))
+        .select($"user_id", $"n", $"c", $"best.th".as("theta"),
+          ($"best.ss" / lit(1000000.0) / $"n").as("mse"))
+        .orderBy("user_id")
+    },
+
     // Levene's test (Brown–Forsythe median variant — the variance-
     // homogeneity companion run before q_ml_anova): one-way ANOVA F on
     // z = |x − group median|. Group medians are exact percentiles
