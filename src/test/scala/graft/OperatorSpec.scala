@@ -1239,6 +1239,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getDouble(3) > 0.5 && r.getDouble(3) < 1.0)
   }
 
+  test("Stats.mwTest: identical groups give U = n1*n2/2 and z = 0") {
+    import spark.implicits._
+    val df = ((1 to 60).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 60).map(i => ("b", (i % 10).toDouble))).toDF("g", "v")
+    val r = Stats.mwTest(df, "v", "g", "a", "b").collect()(0)
+    assert(r.getLong(0) == 60L && r.getLong(1) == 60L)
+    assert(r.getDouble(2) == 60.0 * 60.0 / 2.0, s"u=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3)) < 1e-12, s"z=${r.getDouble(3)}")
+    // one-sided shift: group a strictly larger → U_a = n1*n2, z > 0
+    val sh = ((1 to 20).map(i => ("a", 100.0 + i)) ++
+      (1 to 20).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val s2 = Stats.mwTest(sh, "v", "g", "a", "b").collect()(0)
+    assert(s2.getDouble(2) == 400.0 && s2.getDouble(3) > 5.0)
+  }
+
+  test("Stats.wsrTest: symmetric differences give z near 0; positive " +
+    "shift drives W+ to the max") {
+    import spark.implicits._
+    // d alternates ±k symmetrically → W+ = half the rank sum, z = 0
+    val sym = (1 to 40).map { i =>
+      val k = ((i - 1) / 2 + 1).toDouble
+      if (i % 2 == 0) (k, 0.0) else (0.0, k)
+    }.toDF("x", "y")
+    val r = Stats.wsrTest(sym, "x", "y").collect()(0)
+    assert(r.getLong(0) == 40L)
+    assert(math.abs(r.getDouble(2)) < 1e-12, s"z=${r.getDouble(2)}")
+    // all-positive differences: W+ = n(n+1)/2
+    val pos = (1 to 30).map(i => (i.toDouble + 10.0, i.toDouble))
+      .toDF("x", "y")
+    val p = Stats.wsrTest(pos, "x", "y").collect()(0)
+    assert(p.getDouble(1) == 30.0 * 31.0 / 2.0 && p.getDouble(2) > 4.0)
+  }
+
   test("Regression.poissonFit2 recovers log-link coefficients") {
     import spark.implicits._
     // y = round(exp(1 + 0.5 x1 - 0.3 x2)) — noiseless counts; 5 Newton
