@@ -143,9 +143,13 @@ object Stats {
     * double separately with a pinned multiply order, so both engines
     * emit the identical double. Returns (n, c, d, tau). */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // the cell relation feeds four consumers (pairs, both marginals,
+    // totals) — lineage-cut so the corpus is scanned ONCE and the
+    // cell-scale result is what recirculates
     val cells = df.groupBy(col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y"))
       .agg(count(lit(1)).as("nc"))
+      .localCheckpoint(true)
     val a = cells.select(col("x").as("xa"), col("y").as("ya"),
       col("nc").as("na"))
     val b = cells.select(col("x").as("xb"), col("y").as("yb"),

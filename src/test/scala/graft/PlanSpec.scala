@@ -666,6 +666,43 @@ class PlanSpec extends AnyFunSuite {
       s"AR fit joins by series key:\n$p")
   }
 
+  test("q_ml_spearman: rank joins are value equi-joins with partial " +
+    "count aggregates; no corpus window") {
+    val p = plan("q_ml_spearman").split("== Initial Plan ==").head
+    assert(p.contains("partial_"),
+      s"per-value counts need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"midranks join back by value:\n$p")
+    // ranking rides the distributed prefix (RDD mapPartitions), not a
+    // global window over the corpus
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"ranking must ride the distributed prefix, not a window:\n$p")
+  }
+
+  test("q_ml_kendall: the quadratic work is cell-scale, one corpus scan") {
+    val p = plan("q_ml_kendall").split("== Initial Plan ==").head
+    assert("Scan parquet|FileScan".r.findAllIn(p).length <= 1,
+      s"one aggregate builds the contingency cells:\n$p")
+    assert(p.contains("partial_"),
+      s"cell counts need map-side partials:\n$p")
+  }
+
+  test("q_ml_boost: each round is histogram aggregates, no cartesian, " +
+    "no corpus collect") {
+    val p = plan("q_ml_boost")
+    assert(!p.contains("CartesianProduct"),
+      s"boosting joins nothing row-to-row:\n$p")
+  }
+
+  test("q_ml_poisson: IRLS rounds are moment aggregates over the " +
+    "broadcast coefficient row") {
+    val p = plan("q_ml_poisson").split("== Initial Plan ==").head
+    assert(p.contains("partial_"),
+      s"weighted moments need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row coefficient state must broadcast:\n$p")
+  }
+
   test("q_graph_betweenness: BFS levels and dependency flows are " +
     "equi-joins, never node×node") {
     val p = plan("q_graph_betweenness")
