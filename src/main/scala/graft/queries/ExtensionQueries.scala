@@ -1186,6 +1186,52 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // Confusion matrix + precision/recall/F1/accuracy (MADlib
+    // prediction-metrics module): a deterministic threshold classifier
+    // (value > global median ⇒ purchase) scored against the label —
+    // ONE aggregate of exact counts after the exact-percentile
+    // threshold broadcast; every metric is a pinned ratio of exact
+    // longs, identical across engines unrounded.
+    Q("q_ml_confusion", Some(
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS thr FROM events),
+        |c AS (SELECT
+        |    sum(CASE WHEN value > thr AND event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN value > thr AND event_type <> 'purchase'
+        |        THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN value <= thr AND event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) AS fn,
+        |    sum(CASE WHEN value <= thr AND event_type <> 'purchase'
+        |        THEN 1 ELSE 0 END) AS tn
+        |  FROM events CROSS JOIN m)
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+        |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+        |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+        |FROM c""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.T(s, dir).events
+      val thr = ev.agg(percentile($"value", lit(0.5)).as("thr"))
+      val c = ev.crossJoin(broadcast(thr)).agg(
+        sum(when($"value" > $"thr" && $"event_type" === "purchase", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when($"value" > $"thr" && $"event_type" =!= "purchase", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when($"value" <= $"thr" && $"event_type" === "purchase", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when($"value" <= $"thr" && $"event_type" =!= "purchase", 1L)
+          .otherwise(0L)).as("tn"))
+      c.select($"tp", $"fp", $"fn", $"tn",
+        ($"tp".cast("double") / ($"tp" + $"fp")).as("precision_"),
+        ($"tp".cast("double") / ($"tp" + $"fn")).as("recall_"),
+        ((($"tp" * 2).cast("double"))
+          / ($"tp" * 2 + $"fp" + $"fn")).as("f1"),
+        (($"tp" + $"tn").cast("double")
+          / ($"tp" + $"fp" + $"fn" + $"tn")).as("accuracy"))
+    },
+
     // Levene's test (Brown–Forsythe median variant — the variance-
     // homogeneity companion run before q_ml_anova): one-way ANOVA F on
     // z = |x − group median|. Group medians are exact percentiles
