@@ -132,6 +132,59 @@ object Regression {
     coef.select(col("grp"), col("n"), col("b0"), col("b1"), col("b2"))
   }
 
+  /** Heteroskedasticity-robust (White/HC0 sandwich) standard errors
+    * for the 2-feature OLS fit — MADlib `robust_variance_linregr`
+    * (Huber–White): Var(β) = A⁻¹ M A⁻¹ with bread A = X'X and meat
+    * M = Σ xᵢxᵢᵀ eᵢ². Two corpus scans: (1) the [[olsFit2]] moment
+    * pass → β, micros-quantized so both engines compute identical
+    * residuals; (2) ONE aggregate collecting the bread moments AND
+    * the six meat moments with β as literals. The 3×3 inverse goes
+    * through the symmetric adjugate: se_k = √(v_k M v_kᵀ)/|det(A)|
+    * where v_k is adjugate row k — pure pinned double algebra over
+    * split-sum-exact moments, identical cross-engine unrounded.
+    * Returns one row (n, b0, b1, b2, se_b0, se_b1, se_b2). */
+  def robustSe2(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String)
+      : DataFrame = {
+    val fit = olsFit2(df.withColumn("__g", lit(1)), "__g",
+      yCol, x1Col, x2Col).head()
+    def q6(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
+    val (b0, b1, b2) = (q6(fit.getDouble(2)), q6(fit.getDouble(3)),
+      q6(fit.getDouble(4)))
+    val (y, x1, x2) = (col(yCol).cast("double"),
+      col(x1Col).cast("double"), col(x2Col).cast("double"))
+    val e = y - lit(b0) - lit(b1) * x1 - lit(b2) * x2
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      Q.dsum(x1, 6).as("s1"), Q.dsum(x2, 6).as("s2"),
+      Q.dsum(x1 * x1, 6).as("s11"), Q.dsum(x2 * x2, 6).as("s22"),
+      Q.dsum(x1 * x2, 6).as("s12"),
+      Q.dsum(e * e, 6).as("m0"),
+      Q.dsum(e * e * x1, 6).as("m01"), Q.dsum(e * e * x2, 6).as("m02"),
+      Q.dsum(e * e * x1 * x1, 6).as("m11"),
+      Q.dsum(e * e * x1 * x2, 6).as("m12"),
+      Q.dsum(e * e * x2 * x2, 6).as("m22"))
+    // symmetric adjugate of A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    val det = (col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+      - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+      + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+    val c00 = col("s11") * col("s22") - col("s12") * col("s12")
+    val c01 = (col("s1") * col("s22") - col("s12") * col("s2")) * -1.0
+    val c02 = col("s1") * col("s12") - col("s11") * col("s2")
+    val c11 = col("n") * col("s22") - col("s2") * col("s2")
+    val c12 = (col("n") * col("s12") - col("s1") * col("s2")) * -1.0
+    val c22 = col("n") * col("s11") - col("s1") * col("s1")
+    def quad(v0: Column, v1: Column, v2: Column): Column =
+      v0 * v0 * col("m0") + v1 * v1 * col("m11") + v2 * v2 * col("m22") +
+        (v0 * v1 * col("m01")) * 2.0 + (v0 * v2 * col("m02")) * 2.0 +
+        (v1 * v2 * col("m12")) * 2.0
+    m.select(col("n").cast("long").as("n"),
+      lit(b0).as("b0"), lit(b1).as("b1"), lit(b2).as("b2"),
+      (sqrt(quad(c00, c01, c02)) / abs(det)).as("se_b0"),
+      (sqrt(quad(c01, c11, c12)) / abs(det)).as("se_b1"),
+      (sqrt(quad(c02, c12, c22)) / abs(det)).as("se_b2"))
+  }
+
   /** Poisson regression `E[y] = exp(b0 + b1*x1 + b2*x2)` by
     * Newton/IRLS with a FIXED iteration count — MADlib `glm` with
     * family=poisson, link=log (the third member of the GLM family

@@ -242,6 +242,77 @@ object AggregateQueries {
         .orderBy("grp")
     },
 
+    // Robust (White/HC0 sandwich) standard errors for OLS — MADlib
+    // robust_variance_linregr: Var(β) = A⁻¹MA⁻¹ with meat
+    // M = Σ xxᵀe². Pass 1 = the q_agg_ols moments → β (q6'd so both
+    // engines compute identical residuals); pass 2 = ONE aggregate of
+    // bread + six meat moments; the 3×3 inverse goes through the
+    // symmetric adjugate, all pinned double algebra — unrounded
+    // cross-engine.
+    Q("q_ml_robust_se", Some {
+      import graft.operators.Regression.Sql._
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      val det1 = det3(c0, c1, c2)
+      val (b0e, b1e, b2e) = (
+        q6(s"${det3(r, c1, c2)} / $det1"),
+        q6(s"${det3(c0, r, c2)} / $det1"),
+        q6(s"${det3(c0, c1, r)} / $det1"))
+      val det = "(n * (s11 * s22 - s12 * s12)" +
+        " - s1 * (s1 * s22 - s12 * s2)" +
+        " + s2 * (s1 * s12 - s11 * s2))"
+      val c00 = "(s11 * s22 - s12 * s12)"
+      val c01 = "((s1 * s22 - s12 * s2) * -1.0)"
+      val c02 = "(s1 * s12 - s11 * s2)"
+      val c11 = "(n * s22 - s2 * s2)"
+      val c12 = "((n * s12 - s1 * s2) * -1.0)"
+      val c22 = "(n * s11 - s1 * s1)"
+      def quad(v0: String, v1: String, v2: String) =
+        s"($v0 * $v0 * m0 + $v1 * $v1 * m11 + $v2 * $v2 * m22" +
+          s" + ($v0 * $v1 * m01) * 2.0 + ($v0 * $v2 * m02) * 2.0" +
+          s" + ($v1 * $v2 * m12) * 2.0)"
+      s"""WITH src AS (SELECT
+         |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y,
+         |    CAST(l_quantity AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2 FROM lineitem),
+         |t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("x1", 6)} AS sx1, ${Q.oSum("x2", 6)} AS sx2,
+         |    ${Q.oSum("y", 6)} AS sy,
+         |    ${Q.oSum("x1 * x1", 6)} AS sx11,
+         |    ${Q.oSum("x2 * x2", 6)} AS sx22,
+         |    ${Q.oSum("x1 * x2", 6)} AS sx12,
+         |    ${Q.oSum("x1 * y", 6)} AS sx1y,
+         |    ${Q.oSum("x2 * y", 6)} AS sx2y,
+         |    ${Q.oSum("y * y", 6)} AS syy
+         |  FROM src),
+         |b AS (SELECT $b0e AS b0, $b1e AS b1, $b2e AS b2 FROM t),
+         |e AS (SELECT y - b.b0 - b.b1 * x1 - b.b2 * x2 AS e, x1, x2
+         |  FROM src CROSS JOIN b),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("x1", 6)} AS s1, ${Q.oSum("x2", 6)} AS s2,
+         |    ${Q.oSum("x1 * x1", 6)} AS s11,
+         |    ${Q.oSum("x2 * x2", 6)} AS s22,
+         |    ${Q.oSum("x1 * x2", 6)} AS s12,
+         |    ${Q.oSum("e * e", 6)} AS m0,
+         |    ${Q.oSum("e * e * x1", 6)} AS m01,
+         |    ${Q.oSum("e * e * x2", 6)} AS m02,
+         |    ${Q.oSum("e * e * x1 * x1", 6)} AS m11,
+         |    ${Q.oSum("e * e * x1 * x2", 6)} AS m12,
+         |    ${Q.oSum("e * e * x2 * x2", 6)} AS m22
+         |  FROM e)
+         |SELECT CAST(m.n AS BIGINT) AS n, b.b0, b.b1, b.b2,
+         |  sqrt(${quad(c00, c01, c02)}) / abs($det) AS se_b0,
+         |  sqrt(${quad(c01, c11, c12)}) / abs($det) AS se_b1,
+         |  sqrt(${quad(c02, c12, c22)}) / abs($det) AS se_b2
+         |FROM m CROSS JOIN b""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val src = Tables.T(s, dir).lineitem.select(
+        ($"l_extendedprice".cast("double") / lit(1000.0)).as("y"),
+        $"l_quantity".cast("double").as("x1"),
+        $"l_discount".cast("double").as("x2"))
+      graft.operators.Regression.robustSe2(src, "y", "x1", "x2")
+    },
+
     // Ridge regression (MADlib elastic_net α=0): the SAME one-pass
     // moment aggregate as q_agg_ols with λ on the slope diagonals of
     // the normal equations (intercept unpenalized) — regularization
