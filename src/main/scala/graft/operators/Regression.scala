@@ -132,6 +132,70 @@ object Regression {
     coef.select(col("grp"), col("n"), col("b0"), col("b1"), col("b2"))
   }
 
+  /** Multinomial (softmax) logistic regression, 3 classes × 2
+    * features — MADlib `multinom` (the true softmax MLE, not
+    * one-vs-rest), fitted by FULL-BATCH gradient descent with a fixed
+    * epoch count (the [[svmFit2]] / MLP determinism choice; MADlib's
+    * IGD becomes deterministic full-batch). Class 0 is the reference
+    * (zero parameters — the standard identifiable parameterization);
+    * classes 1..2 carry (b0, b1, b2).
+    *
+    * Transcendental discipline (NOTES): every exp OUTPUT quantizes to
+    * integer micros immediately, so softmax denominators are exact
+    * micros sums and p_k is an identical double in both engines;
+    * every per-row gradient term micros-quantizes before the
+    * split-sum aggregate; β micros-quantizes per epoch. A DuckDB
+    * unroll of the same epochs is bit-equal unrounded.
+    *
+    * One aggregate per epoch (6 gradient sums + n), coefficients a
+    * 1-row broadcast. Returns rows (cls, n, b0, b1, b2) for cls=1,2. */
+  def multinomFit2(
+      df: DataFrame, labelCol: String, classes: Seq[String],
+      x1Col: String, x2Col: String, epochs: Int = 5,
+      eta: Double = 1.0): DataFrame = {
+    require(classes.length == 3, "multinomFit2 is wired for 3 classes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+      when(col(labelCol) === classes(1), 1)
+        .when(col(labelCol) === classes(2), 2).otherwise(0).as("yk"),
+      col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    def q6c(c: Column): Column =
+      floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+    var coef = Seq((0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("a0", "a1", "a2", "c0", "c1", "c2") // class1: a*, class2: c*
+    for (_ <- 0 until epochs) {
+      val z1 = col("a0") + col("a1") * col("x1") + col("a2") * col("x2")
+      val z2 = col("c0") + col("c1") * col("x1") + col("c2") * col("x2")
+      val e1 = q6c(exp(z1))
+      val e2 = q6c(exp(z2))
+      val den = lit(1.0) + e1 + e2
+      val p1 = e1 / den
+      val p2 = e2 / den
+      def g(k: Int, p: Column, x: Column) =
+        Q.dsum(q6c((when(col("yk") === k, 1.0).otherwise(0.0) - p) * x), 6)
+      val m = rows.crossJoin(broadcast(coef))
+        .groupBy("a0", "a1", "a2", "c0", "c1", "c2")
+        .agg(count(lit(1)).as("n"),
+          g(1, p1, lit(1.0)).as("g10"), g(1, p1, col("x1")).as("g11"),
+          g(1, p1, col("x2")).as("g12"),
+          g(2, p2, lit(1.0)).as("g20"), g(2, p2, col("x1")).as("g21"),
+          g(2, p2, col("x2")).as("g22"))
+      def upd(b: String, gc: String) =
+        q6c(col(b) + lit(eta) * col(gc) / col("n").cast("double")).as(b)
+      coef = m.select(upd("a0", "g10"), upd("a1", "g11"), upd("a2", "g12"),
+        upd("c0", "g20"), upd("c1", "g21"), upd("c2", "g22"),
+        col("n"))
+    }
+    val r = coef.head()
+    Seq((1, r.getLong(6), r.getDouble(0), r.getDouble(1), r.getDouble(2)),
+      (2, r.getLong(6), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toDF("cls", "n", "b0", "b1", "b2")
+  }
+
   /** Heteroskedasticity-robust (White/HC0 sandwich) standard errors
     * for the 2-feature OLS fit — MADlib `robust_variance_linregr`
     * (Huber–White): Var(β) = A⁻¹ M A⁻¹ with bread A = X'X and meat

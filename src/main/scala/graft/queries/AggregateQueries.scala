@@ -811,6 +811,64 @@ object AggregateQueries {
           round($"b1", 4).as("b1"), round($"b2", 4).as("b2"))
     },
 
+    // Multinomial softmax regression (MADlib multinom — true softmax,
+    // class 'A' the zero-parameter reference): 5 fixed full-batch GD
+    // epochs, one 6-gradient aggregate each. exp OUTPUTS quantize to
+    // micros immediately (NOTES transcendental discipline), gradient
+    // terms quantize pre-sum, β quantizes per epoch — the oracle's
+    // unrolled epochs are bit-equal unrounded.
+    Q("q_ml_multinom", Some {
+      val epochs = 5
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      val e1 = q6("exp(a0 + a1 * x1 + a2 * x2)")
+      val e2 = q6("exp(c0 + c1 * x1 + c2 * x2)")
+      def g(k: Int, p: String, x: String) = Q.oSum(
+        q6(s"((CASE WHEN yk = $k THEN 1.0 ELSE 0.0 END) - $p) * $x"), 6)
+      def upd(b: String, gc: String) =
+        s"${q6(s"$b + 1.0 * $gc / CAST(n AS DOUBLE)")} AS $b"
+      val rounds = (1 to epochs).map { i =>
+        s"""m$i AS (SELECT a0, a1, a2, c0, c1, c2, count(*) AS n,
+           |    ${g(1, "p1", "1.0")} AS g10, ${g(1, "p1", "x1")} AS g11,
+           |    ${g(1, "p1", "x2")} AS g12,
+           |    ${g(2, "p2", "1.0")} AS g20, ${g(2, "p2", "x1")} AS g21,
+           |    ${g(2, "p2", "x2")} AS g22
+           |  FROM (SELECT s.*,
+           |      e1 / (1.0 + e1 + e2) AS p1, e2 / (1.0 + e1 + e2) AS p2
+           |    FROM (SELECT st.*, r2.yk, r2.x1, r2.x2,
+           |        $e1 AS e1, $e2 AS e2
+           |      FROM r r2 CROSS JOIN st${i - 1} st) s) q
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |st$i AS (SELECT ${upd("a0", "g10")}, ${upd("a1", "g11")},
+           |    ${upd("a2", "g12")}, ${upd("c0", "g20")},
+           |    ${upd("c1", "g21")}, ${upd("c2", "g22")}, n
+           |  FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH r AS (SELECT
+         |    CASE WHEN l_returnflag = 'R' THEN 1
+         |         WHEN l_returnflag = 'N' THEN 2 ELSE 0 END AS yk,
+         |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+         |    CAST(l_discount AS DOUBLE) * 10.0 AS x2
+         |  FROM lineitem),
+         |st0 AS (SELECT CAST(0 AS DOUBLE) AS a0, CAST(0 AS DOUBLE) AS a1,
+         |  CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS c0,
+         |  CAST(0 AS DOUBLE) AS c1, CAST(0 AS DOUBLE) AS c2),
+         |$rounds
+         |SELECT 1 AS cls, CAST(n AS BIGINT) AS n, a0 AS b0, a1 AS b1,
+         |  a2 AS b2 FROM st$epochs
+         |UNION ALL
+         |SELECT 2, CAST(n AS BIGINT), c0, c1, c2 FROM st$epochs
+         |ORDER BY cls""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.operators.Regression.multinomFit2(
+        Tables.T(s, dir).lineitem
+          .select($"l_returnflag".as("lbl"),
+            ($"l_quantity".cast("double") / lit(50.0)).as("x1"),
+            ($"l_discount".cast("double") * lit(10.0)).as("x2")),
+        "lbl", Seq("A", "R", "N"), "x1", "x2", epochs = 5, eta = 1.0)
+        .orderBy("cls")
+    },
+
     // Linear SVM (MADlib svm_classification parity): full-batch Pegasos
     // subgradient, 4 fixed epochs, one aggregate per epoch (see
     // Regression.svmFit2). The margin indicator is discontinuous, so
