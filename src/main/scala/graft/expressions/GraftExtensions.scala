@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
       (exprs: Seq[Expression]) => PorterStemExpr(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("metaphone"),
+      new ExpressionInfo(classOf[MetaphoneExpr].getName, "metaphone"),
+      (exprs: Seq[Expression]) => MetaphoneExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
       new FunctionIdentifier("ts_headline"),
       new ExpressionInfo(classOf[TsHeadlineExpr].getName, "ts_headline"),
       (exprs: Seq[Expression]) => {

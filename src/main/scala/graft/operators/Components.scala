@@ -438,8 +438,14 @@ object Components {
     * semi-joins the node-scale `alive` relation (broadcast) on both
     * endpoints and re-counts degrees with map-side partials; the only
     * corpus-scale exchange per round is the (node) degree count.
-    * Lineage cut per round. Returns (id, deg) for k-core members with
-    * their within-core degree. */
+    * Lineage cut per round. Returns (id, deg) for k-core members.
+    * `deg` is the node's degree within the LAST SURVIVING subgraph
+    * (the alive set of the final round), not re-counted against the
+    * returned member set: if the fixed rounds stop short of the
+    * fixpoint, deg can include edges to nodes the final `>= k` filter
+    * excluded. At the fixpoint the two coincide; the oracle unrolls
+    * identical rounds, so cross-engine compare is unaffected either
+    * way. */
   def kCore(
       edgesDf: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 6, checkpoint: Boolean = true): DataFrame = {

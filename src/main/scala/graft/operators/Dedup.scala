@@ -733,21 +733,6 @@ object Dedup {
         col("kept_spans"), col("dropped_spans"))
   }
 
-  /** Trigram similarity join — the distributed form of pg_trgm's `%`
-    * join (contrib/pg_trgm/trgm_op.c similarity + trgm_gin.c: PG
-    * answers `a % b` joins through the GIN trigram posting lists; this
-    * IS that posting-list join as a dataflow). Normalization is
-    * pg_trgm-exact: lowercase, split on non-alphanumeric, each word
-    * padded '  w ', distinct trigrams; sim = |∩|/|∪|.
-    *
-    * Scale: candidates come from the trigram posting equi-join with a
-    * `maxDf` stop-trigram cap (dropped trigrams logged — PG's GIN
-    * common-entry problem, same remedy), so work is bounded by
-    * Σ df² over kept trigrams, never |L|×|R|. Verification is EXACT
-    * regardless of the cap: candidate pairs join back to the per-id
-    * sorted trigram arrays and intersect in-row, so a capped trigram
-    * still counts toward the similarity it only failed to GENERATE
-    * from. Returns (id_a, id_b, sim ≥ threshold). */
   /** pg_trgm `word_similarity(query, text)` restated with WORD
     * extents (contrib/pg_trgm trgm_op.c calc_word_similarity): PG
     * maximizes trigram similarity over contiguous extents of the
@@ -778,6 +763,21 @@ object Dedup {
       .groupBy("id").agg(max(col("ws")).as("wsim"))
   }
 
+  /** Trigram similarity join — the distributed form of pg_trgm's `%`
+    * join (contrib/pg_trgm/trgm_op.c similarity + trgm_gin.c: PG
+    * answers `a % b` joins through the GIN trigram posting lists; this
+    * IS that posting-list join as a dataflow). Normalization is
+    * pg_trgm-exact: lowercase, split on non-alphanumeric, each word
+    * padded '  w ', distinct trigrams; sim = |∩|/|∪|.
+    *
+    * Scale: candidates come from the trigram posting equi-join with a
+    * `maxDf` stop-trigram cap (dropped trigrams logged — PG's GIN
+    * common-entry problem, same remedy), so work is bounded by
+    * Σ df² over kept trigrams, never |L|×|R|. Verification is EXACT
+    * regardless of the cap: candidate pairs join back to the per-id
+    * sorted trigram arrays and intersect in-row, so a capped trigram
+    * still counts toward the similarity it only failed to GENERATE
+    * from. Returns (id_a, id_b, sim ≥ threshold). */
   def trigramSimPairs(
       df: DataFrame, idCol: String, strCol: String,
       threshold: Double, maxDf: Int = 100000): DataFrame = {

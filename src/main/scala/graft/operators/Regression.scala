@@ -154,6 +154,9 @@ object Regression {
       x1Col: String, x2Col: String, epochs: Int = 5,
       eta: Double = 1.0): DataFrame = {
     require(classes.length == 3, "multinomFit2 is wired for 3 classes")
+    require(epochs > 0,
+      "multinomFit2 needs epochs >= 1 (the n column joins the " +
+        "coefficient row inside the epoch loop)")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(
@@ -186,9 +189,11 @@ object Regression {
           g(2, p2, col("x2")).as("g22"))
       def upd(b: String, gc: String) =
         q6c(col(b) + lit(eta) * col(gc) / col("n").cast("double")).as(b)
+      // cut lineage per epoch (the als2 pattern): without this the
+      // plan re-derives every prior epoch through the crossJoin chain
       coef = m.select(upd("a0", "g10"), upd("a1", "g11"), upd("a2", "g12"),
         upd("c0", "g20"), upd("c1", "g21"), upd("c2", "g22"),
-        col("n"))
+        col("n")).localCheckpoint(true)
     }
     val r = coef.head()
     Seq((1, r.getLong(6), r.getDouble(0), r.getDouble(1), r.getDouble(2)),

@@ -68,10 +68,14 @@ object Stats {
       .groupBy(col(valueCol).cast("double").as("x"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("na_s"))
+    // na_s casts to DECIMAL(38) BEFORE the multiply (the kendallTauB
+    // discipline): a Long product would silently overflow past 2^63 at
+    // the large-n/heavy-ties scale while the oracle multiplies HUGEINTs
     val agg = Ranks.cumBelow(per, "x", "cnt")
       .agg(
-        sum((col("na_s") * (lit(2) * col("below") + col("cnt") + 1))
-          .cast(dec)).as("two_rsum"),
+        sum(col("na_s").cast(dec)
+          * (lit(2) * col("below") + col("cnt") + 1).cast(dec))
+          .as("two_rsum"),
         sum(col("na_s")).as("na"),
         sum(col("cnt") - col("na_s")).as("nb"),
         sum((col("cnt").cast(dec) * col("cnt").cast(dec)
@@ -111,10 +115,12 @@ object Stats {
     val per = d.groupBy(abs(col("d")).as("ad"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("np_s"))
+    // np_s → DECIMAL(38) before the multiply, as in [[mwTest]]
     val agg = Ranks.cumBelow(per, "ad", "cnt")
       .agg(
-        sum((col("np_s") * (lit(2) * col("below") + col("cnt") + 1))
-          .cast(dec)).as("two_wsum"),
+        sum(col("np_s").cast(dec)
+          * (lit(2) * col("below") + col("cnt") + 1).cast(dec))
+          .as("two_wsum"),
         sum(col("cnt")).as("n"),
         sum((col("cnt").cast(dec) * col("cnt").cast(dec)
           * col("cnt").cast(dec) - col("cnt").cast(dec))).as("tie3"))
@@ -174,7 +180,8 @@ object Stats {
       .select(col("n"),
         (col("n").cast(dec) * (col("n") - 1).cast(dec) / 2)
           .cast(dec).as("n0"))
-    pairs.crossJoin(tot).crossJoin(margX).crossJoin(margY)
+    pairs.crossJoin(broadcast(tot)).crossJoin(broadcast(margX))
+      .crossJoin(broadcast(margY))
       .select(col("n").cast("long").as("n"),
         col("c").cast("double").as("c"),
         col("d").cast("double").as("d"),

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   * k = 2 topics, which keeps the topic dimension as COLUMNS (no
   * explode): each EM round is ONE equi-join of the count matrix with
   * θ (on doc) and broadcast φ (on word), then two keyed aggregates —
-  * per-doc for θ, per-word for φ. The φ normalizer is an unpartitioned
-  * window over the VOCAB relation (catalog-scale).
+  * per-doc for θ, per-word for φ. The φ normalizer is a 1-row scalar
+  * aggregate crossJoined back by broadcast (the θ pattern) — never a
+  * partition-less window, which would serialize the whole vocab
+  * relation into one task per iteration. Note the broadcast of φ each
+  * E-step caps the vocabulary at broadcastable size (~10^7-10^8 words
+  * at 2 doubles/word) — the standard regime for topic models; a
+  * beyond-broadcast vocabulary would shuffle-join on w instead
+  * (same keys, one more exchange).
   *
   * Cross-engine determinism: all EM mass flows as exact integer
   * micros — per-row responsibilities quantize to micros LONGS
@@ -36,26 +42,25 @@ object TopicModel {
     floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
 
   /** Deterministic asymmetric φ init: integer raws 10+pert / 15−pert
-    * (pert = md5 bucket of the word, 0..4), window-normalized — integer
-    * raw sums make the normalizer exact, so init is order-free. */
+    * (pert = md5 bucket of the word, 0..4), normalized by a 1-row
+    * scalar aggregate crossJoined back by broadcast — integer raw sums
+    * make the normalizer exact, so init is order-free, and no
+    * partition-less window ever materializes the vocab in one task. */
   def initPhi(vocab: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pert = conv(substring(md5(col("w")), 1, 2), 16, 10)
       .cast("long") % 5
-    val w = Window.partitionBy()
-    vocab.select(col("w"), (lit(10L) + pert).as("r1"),
+    val raws = vocab.select(col("w"), (lit(10L) + pert).as("r1"),
       (lit(15L) - pert).as("r2"))
+    val tot = raws.agg(sum(col("r1")).as("tr1"), sum(col("r2")).as("tr2"))
+    raws.crossJoin(broadcast(tot))
       .select(col("w"),
-        q6(col("r1").cast("double") /
-          sum(col("r1")).over(w).cast("double")).as("p1"),
-        q6(col("r2").cast("double") /
-          sum(col("r2")).over(w).cast("double")).as("p2"))
+        q6(col("r1").cast("double") / col("tr1").cast("double")).as("p1"),
+        q6(col("r2").cast("double") / col("tr2").cast("double")).as("p2"))
   }
 
   /** `iterations` EM rounds over `dwc` (columns d, w, c). Returns
     * (theta(d, t1, t2), phi(w, p1, p2)), micros-quantized. */
   def plsaEm2(dwc: DataFrame, iterations: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val rs = dwc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     KernelCaches.register(rs)
@@ -85,17 +90,25 @@ object TopicModel {
           q6(col("s1").cast("double") / col("sm").cast("double")).as("t1"),
           q6(col("s2").cast("double") / col("sm").cast("double")).as("t2"))
         .localCheckpoint(true)
-      // M-step φ: per-word topic mass over per-topic corpus mass
-      val w = Window.partitionBy()
-      phi = e.groupBy(col("w"))
-        .agg(sum(col("m1")).as("f1"), sum(col("m2")).as("f2"))
-        .select(col("w"),
-          q6(col("f1").cast("double") /
-            sum(col("f1")).over(w).cast("double")).as("p1"),
-          q6(col("f2").cast("double") /
-            sum(col("f2")).over(w).cast("double")).as("p2"))
-        .localCheckpoint(true)
+      phi = phiStep(e).localCheckpoint(true)
     }
     (theta, phi)
+  }
+
+  /** M-step φ over E-step micros rows (w, m1, m2): per-word topic mass
+    * over per-topic corpus mass. The per-topic totals come from ONE
+    * scalar aggregate broadcast back over the per-word relation —
+    * never a partition-less window, which would gather the whole vocab
+    * into a single task per iteration (plan-gated in PlanSpec). Exact:
+    * the scalar total over e equals the window's sum over the per-word
+    * relation, and all masses are integral longs. */
+  private[graft] def phiStep(e: DataFrame): DataFrame = {
+    val perWord = e.groupBy(col("w"))
+      .agg(sum(col("m1")).as("f1"), sum(col("m2")).as("f2"))
+    val tot = e.agg(sum(col("m1")).as("tf1"), sum(col("m2")).as("tf2"))
+    perWord.crossJoin(broadcast(tot))
+      .select(col("w"),
+        q6(col("f1").cast("double") / col("tf1").cast("double")).as("p1"),
+        q6(col("f2").cast("double") / col("tf2").cast("double")).as("p2"))
   }
 }

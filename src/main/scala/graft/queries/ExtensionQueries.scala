@@ -1473,20 +1473,30 @@ object ExtensionQueries {
     // division) — the bridge from media columns into the ANN/dedup
     // kernels; a real extractor swaps the hash for a model forward
     // pass behind the same (binary → vector) signature.
+    // The dims are emitted as SCALAR columns e1..e4 (not one array
+    // column): the driver's pandas canonicalizer sorts raw cells and
+    // cannot hash array values, so an array<double> result can never
+    // compare green even when byte-identical (r8 red row).
     Q("q_multimodal_embed", Some {
       def dim(j: Int): String =
         s"""CAST(list_reduce(list_prepend(CAST($j AS BIGINT),
            |    list_transform(range(1, len(text) + 1),
            |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
-           |    (a, b) -> (a * 31 + b) % 1000003) AS DOUBLE) / 1000003.0""".stripMargin
+           |    (a, b) -> (a * 31 + b) % 1000003) AS DOUBLE) / 1000003.0
+           |    AS e$j""".stripMargin
       s"""SELECT doc_id,
-         |  [${dim(1)}, ${dim(2)}, ${dim(3)}, ${dim(4)}] AS embedding
+         |  ${dim(1)}, ${dim(2)}, ${dim(3)}, ${dim(4)}
          |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
       Multimodal.embed(s,
         Multimodal.mediaTable(
           Tables.T(s, dir).documents.filter($"doc_id" < 500)), dim = 4)
+        .select($"doc_id",
+          element_at($"embedding", 1).as("e1"),
+          element_at($"embedding", 2).as("e2"),
+          element_at($"embedding", 3).as("e3"),
+          element_at($"embedding", 4).as("e4"))
         .orderBy("doc_id")
     }
   )

@@ -196,6 +196,50 @@ object FunctionQueries {
         .orderBy("p_partkey")
     },
 
+    // contrib/fuzzystrmatch metaphone (fuzzystrmatch.c:335 _metaphone
+    // — Philips' phoneme automaton with PG's CHR/SCH/SCHW tweaks),
+    // ported as the native codegen'd [[graft.expressions.MetaphoneExpr]].
+    // The corpus words (documents tokens ∪ part name words) intersect
+    // a fixed vocabulary whose expected codes were produced by an
+    // INDEPENDENT replica of the automaton (and the branchy cases —
+    // GUMBO/school/christ/Xavier/wright/action — pin in ExpressionSpec
+    // as hand-derived vectors), so the oracle is a literal table the
+    // engine must reproduce at both maxlen 4 and 8.
+    Q("q_fn_metaphone", Some {
+      val rows = MetaphoneVocab.table
+        .map { case (w, m4, m8) => s"('$w', '$m4', '$m8')" }
+        .mkString(",\n  ")
+      s"""WITH mv(w, mp4, mp8) AS (VALUES
+         |  $rows),
+         |corpus AS (
+         |  SELECT DISTINCT t AS w FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t
+         |    FROM documents
+         |    UNION ALL
+         |    SELECT regexp_extract(lower(p_name), '^[a-z]+') FROM part
+         |    UNION ALL
+         |    SELECT regexp_extract(lower(p_name), '[a-z]+$$') FROM part)
+         |  WHERE regexp_matches(t, '^[a-z]+$$'))
+         |SELECT w, mp4, mp8 FROM mv JOIN corpus USING (w)
+         |ORDER BY w""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val corpus = t.documents
+        .select(explode(split(lower($"text"), " ")).as("w"))
+        .union(t.part.select(
+          regexp_extract(lower($"p_name"), "^[a-z]+", 0).as("w")))
+        .union(t.part.select(
+          regexp_extract(lower($"p_name"), "[a-z]+$", 0).as("w")))
+        .filter($"w".rlike("^[a-z]+$")).distinct()
+      corpus
+        .filter($"w".isin(MetaphoneVocab.table.map(_._1): _*))
+        .select($"w",
+          call_function("metaphone", $"w", lit(4)).as("mp4"),
+          call_function("metaphone", $"w", lit(8)).as("mp8"))
+        .orderBy("w")
+    },
+
     // PG split SRFs (regexp.c regexp_split_to_table, varlena.c
     // string_to_table with a LITERAL delimiter): pre-registered SQL
     // bodies inline to explode(split(...)) — one generator per branch.
@@ -2090,4 +2134,60 @@ object FunctionQueries {
         .orderBy("vec_id")
     }
   )
+}
+
+/** Fixed metaphone gate vocabulary: every [a-z]+ token the sf0.01
+  * documents corpus and part-name word slots produce, with expected
+  * codes at maxlen 4 and 8 generated by an independent (non-Scala)
+  * replica of the fuzzystrmatch automaton — the two implementations
+  * agreeing across the table is the cross-check; the branch-heavy
+  * inputs pin separately in ExpressionSpec. */
+object MetaphoneVocab {
+  val table: Seq[(String, String, String)] = Seq(
+    ("a", "A", "A"),
+    ("agg", "AK", "AK"),
+    ("anvil", "ANFL", "ANFL"),
+    ("batch", "BTX", "BTX"),
+    ("big", "BK", "BK"),
+    ("blue", "BL", "BL"),
+    ("bolt", "BLT", "BLT"),
+    ("cold", "KLT", "KLT"),
+    ("column", "KLMN", "KLMN"),
+    ("customer", "KSTM", "KSTMR"),
+    ("data", "TT", "TT"),
+    ("dup", "TP", "TP"),
+    ("fast", "FST", "FST"),
+    ("filter", "FLTR", "FLTR"),
+    ("gear", "JR", "JR"),
+    ("gizmo", "JSM", "JSM"),
+    ("group", "KRP", "KRP"),
+    ("hash", "HX", "HX"),
+    ("hot", "HT", "HT"),
+    ("join", "JN", "JN"),
+    ("key", "K", "K"),
+    ("large", "LRJ", "LRJ"),
+    ("line", "LN", "LN"),
+    ("merge", "MRJ", "MRJ"),
+    ("new", "N", "N"),
+    ("old", "OLT", "OLT"),
+    ("order", "ORTR", "ORTR"),
+    ("part", "PRT", "PRT"),
+    ("plate", "PLT", "PLT"),
+    ("query", "KR", "KR"),
+    ("red", "RT", "RT"),
+    ("ring", "RNK", "RNK"),
+    ("rod", "RT", "RT"),
+    ("row", "R", "R"),
+    ("scan", "SKN", "SKN"),
+    ("slow", "SL", "SL"),
+    ("small", "SML", "SML"),
+    ("sort", "SRT", "SRT"),
+    ("spark", "SPRK", "SPRK"),
+    ("stream", "STRM", "STRM"),
+    ("table", "TBL", "TBL"),
+    ("the", "0", "0"),
+    ("value", "FL", "FL"),
+    ("vector", "FKTR", "FKTR"),
+    ("widget", "WJT", "WJT"),
+    ("window", "WNT", "WNT"))
 }

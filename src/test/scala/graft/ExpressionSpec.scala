@@ -1193,6 +1193,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(stem("table") == "tabl" && stem("filter") == "filter")
   }
 
+  test("metaphone: hand-derived automaton vectors + wrapper contract") {
+    import graft.expressions.MetaphoneExpr.{metaphone => mp}
+    // branch-by-branch hand derivations against fuzzystrmatch.c:335
+    assert(mp("GUMBO", 4) == "KM")       // the PG docs example
+    assert(mp("phone", 4) == "FN")       // PH → F
+    assert(mp("school", 4) == "SKL")     // PG tweak: SCH hardens to K
+    assert(mp("christ", 4) == "KRST")    // PG tweak: CHR hardens to K
+    assert(mp("chair", 4) == "XR")       // plain CH stays SH
+    assert(mp("schwa", 4) == "XW")       // PG tweak: SCHW → SH
+    assert(mp("aeiou", 4) == "E")        // initial AE → E, rest dropped
+    assert(mp("Xavier", 4) == "SFR")     // initial X → S
+    assert(mp("box", 4) == "BKS")        // medial X → KS
+    assert(mp("action", 4) == "AKXN")    // TIO → SH
+    assert(mp("thompson", 4) == "0MPS")  // TH → 0, truncation at 4
+    assert(mp("thompson", 8) == "0MPSN")
+    assert(mp("knight", 4) == "NFT")     // initial KN → N; quirky GH → F
+    assert(mp("weight", 4) == "WFT")     // lookback-3 from G is W
+    // (code 0, not a GH blocker), so GH → F — the automaton's quirk
+    assert(mp("wright", 4) == "RFT")     // initial WR → R
+    assert(mp("what", 4) == "HT")        // initial WH → H
+    assert(mp("gnome", 4) == "NM")       // initial GN → N
+    assert(mp("lamb", 4) == "LM")        // MB → M
+    assert(mp("judge", 4) == "JJ")       // DGE → J
+    assert(mp("sign", 4) == "SN")        // -GN drops the G
+    assert(mp("signed", 4) == "SNT")     // -GNED drops the G
+    assert(mp("signal", 4) == "SKNL")    // medial GN before vowel → K
+    assert(mp("cc", 4) == "KK")          // CC is exempt from dup-drop
+    assert(mp("bb", 4) == "B")           // other duplicates collapse
+    assert(mp("   ", 4) == "")           // all-junk input
+    assert(mp("", 4) == "")              // PG wrapper: empty in → out
+    assert(mp("o'brien", 4) == "OBRN")   // junk mid-word is skipped
+    intercept[IllegalArgumentException](mp("abc", 0))
+  }
+
   test("Porter SQL chain (the oracle's spelling) ≡ native porter_stem") {
     import spark.implicits._
     import graft.functions.{PorterSql, PorterStemmer}

@@ -340,11 +340,18 @@ class OperatorSpec extends AnyFunSuite {
     // (The parquet fixture is near-random noise where 256
     // reconstructions can't preserve cosine order — the LSH gate hit
     // the same wall; structure is what PQ exploits.)
+    // The background phase depends on the CLUSTER (d + j + c), not just
+    // the member: with a j-only background every codebook vector is
+    // bit-identical to every other centroid in its non-hot subspaces,
+    // the sub-distance argmin ties at 0, and ties break to the lowest
+    // cid — making "codes to itself" unachievable by construction.
+    // Modulus 11 > 8 clusters so no two cluster phases alias (mod 5
+    // would make c and c+5 share a background and re-introduce ties).
     val vecs = (0 until 64).map { id =>
       val c = id / 8; val j = id % 8
       val v = Array.tabulate(64) { d =>
         if (d / 8 == c) 1.0f + 0.01f * j + 0.001f * d
-        else 0.02f * ((d + j) % 5)
+        else 0.02f * ((d + j + c) % 11)
       }
       (id.toLong, v.toSeq)
     }.toDF("vec_id", "embedding")

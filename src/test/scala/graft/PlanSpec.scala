@@ -758,4 +758,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"encode never joins the corpus to itself:\n$p")
   }
+
+  test("PLSA normalizers (initPhi + φ M-step) are scalar aggregates " +
+    "broadcast back — never a partition-less window over the vocab") {
+    import spark.implicits._
+    import graft.operators.TopicModel
+    // the q_ml_lda entry plan can't show these: localCheckpoint per EM
+    // round truncates lineage, so gate the un-checkpointed builders
+    val vocab = Seq("alpha", "beta", "gamma").toDF("w")
+    val pInit = TopicModel.initPhi(vocab)
+      .queryExecution.executedPlan.toString
+    assert(!pInit.contains("WindowExec") && !pInit.contains(" Window "),
+      s"initPhi must normalize via scalar agg + broadcast:\n$pInit")
+    assert(pInit.contains("Broadcast"),
+      s"initPhi totals must broadcast back over the vocab:\n$pInit")
+    val e = Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("w", "m1", "m2")
+    val pPhi = TopicModel.phiStep(e)
+      .queryExecution.executedPlan.toString
+    assert(!pPhi.contains("WindowExec") && !pPhi.contains(" Window "),
+      s"φ M-step must normalize via scalar agg + broadcast:\n$pPhi")
+    assert(pPhi.contains("Broadcast"),
+      s"φ per-topic totals must broadcast back:\n$pPhi")
+    assert(pPhi.contains("partial_"),
+      s"per-word masses need map-side partials:\n$pPhi")
+  }
 }
