@@ -633,10 +633,12 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("cnt"), sum($"y").as("np_s"))
       graft.operators.Ranks.cumBelow(per, "score", "cnt")
         .agg(
-          // decimal accumulator: Σ np_s·2n can pass 2^63 at full scale
-          // (DuckDB's BIGINT sum promotes to HUGEINT the same way)
-          sum(($"np_s" * (lit(2) * $"below" + $"cnt" + 1))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          // decimal BEFORE the multiply (the Stats.mwTest discipline):
+          // the per-value product np_s·2n itself passes 2^63 at full
+          // scale, and DuckDB multiplies HUGEINTs
+          sum($"np_s".cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * (lit(2) * $"below" + $"cnt" + 1)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("two_rsum"),
           sum($"np_s").as("np"), sum($"cnt" - $"np_s").as("nn"))
         .select($"np".cast("long").as("np"), $"nn".cast("long").as("nn"),
@@ -1182,6 +1184,138 @@ object ExtensionQueries {
         .select($"user_id", $"n".cast("long").as("n"), $"c",
           expr(s"array_min(array($cands))").as("best"))
         .select($"user_id", $"n", $"c", $"best.th".as("theta"),
+          ($"best.ss" / lit(1000000.0) / $"n").as("mse"))
+        .orderBy("user_id")
+    },
+
+    // ARIMA(2,1,1) per series — MADlib arima_train composed from the
+    // pieces q_ts_ar and q_ts_ma already pin: difference once (one
+    // per-series lag window), fit AR(2) on the diffs with the exact
+    // closed-form moment pass (ONE aggregate + Cramer solve, the
+    // olsFit2 shape), then estimate the MA θ on the AR residuals by
+    // conditional-least-squares grid (in-row fold per candidate) —
+    // Hannan–Rissanen two-stage ARMA estimation. Coefficients
+    // micros-quantize before the residual pass and innovations
+    // micros-quantize per step, so both engines walk identical exact
+    // fixed-point states; SSE accumulates as integer micros. Scale:
+    // parallel across series; the fold is per-entity-bounded (the
+    // q_ts_holt/q_ts_ma contract); the AR fit shuffles 10 doubles per
+    // series; the coefficient join-back is a broadcast of the
+    // series-catalog-scale fit relation.
+    Q("q_ts_arima", Some {
+      import graft.operators.Regression.Sql._
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      val det = det3(c0, c1, c2)
+      val (db0, db1, db2) = (det3(r, c1, c2), det3(c0, r, c2), det3(c0, c1, r))
+      def foldSql(theta: String) = {
+        val ssprev = s"(CASE WHEN acc[2] < 0 THEN ${mic("acc[1] * acc[1]")} " +
+          "ELSE acc[2] END)"
+        val enew = q6(s"x[1] - ($theta) * acc[1]")
+        s"""list_reduce(list_transform(rs, e -> [e, CAST(-1 AS DOUBLE)]),
+           |      (acc, x) -> [$enew, $ssprev + ${mic(s"($enew) * ($enew)")}])"""
+          .stripMargin
+      }
+      def finSql(st: String) =
+        s"(CASE WHEN $st[2] < 0 THEN ${mic(s"$st[1] * $st[1]")} " +
+          s"ELSE $st[2] END)"
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"{'ss': ${finSql(s"(${foldSql(t.toString)})")}, 'i': $i, " +
+          s"'th': CAST($t AS DOUBLE)}"
+      }.mkString(",\n      ")
+      s"""WITH d0 AS (SELECT user_id, ts, event_id, value,
+         |    lag(value) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS pv
+         |  FROM events),
+         |dd AS (SELECT user_id, ts, event_id, value - pv AS dy
+         |  FROM d0 WHERE pv IS NOT NULL),
+         |lg AS (SELECT user_id, ts, event_id, dy,
+         |    lag(dy, 1) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS x1,
+         |    lag(dy, 2) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS x2
+         |  FROM dd),
+         |l AS (SELECT * FROM lg WHERE x2 IS NOT NULL),
+         |t AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("x1", 6)} AS sx1, ${Q.oSum("x2", 6)} AS sx2,
+         |    ${Q.oSum("dy", 6)} AS sy,
+         |    ${Q.oSum("x1 * x1", 6)} AS sx11,
+         |    ${Q.oSum("x2 * x2", 6)} AS sx22,
+         |    ${Q.oSum("x1 * x2", 6)} AS sx12,
+         |    ${Q.oSum("x1 * dy", 6)} AS sx1y,
+         |    ${Q.oSum("x2 * dy", 6)} AS sx2y,
+         |    ${Q.oSum("dy * dy", 6)} AS syy
+         |  FROM l GROUP BY 1),
+         |f AS (SELECT user_id, n,
+         |    ${q6(s"$db0 / $det")} AS b0,
+         |    ${q6(s"$db1 / $det")} AS b1,
+         |    ${q6(s"$db2 / $det")} AS b2
+         |  FROM t WHERE abs($det) > 1e-9),
+         |rr AS (SELECT l.user_id, ts, event_id, n, b0, b1, b2,
+         |    ${q6("dy - b0 - b1 * x1 - b2 * x2")} AS rv
+         |  FROM l JOIN f USING (user_id)),
+         |s AS (SELECT user_id, n, b0, b1, b2,
+         |    list(rv ORDER BY ts, event_id) AS rs
+         |  FROM rr GROUP BY 1, 2, 3, 4, 5),
+         |g AS (SELECT user_id, n, b0, b1, b2,
+         |    list_sort([
+         |      $cands
+         |    ])[1] AS best
+         |  FROM s)
+         |SELECT user_id, CAST(n AS BIGINT) AS n,
+         |  round(b0, 4) AS b0, round(b1, 4) AS b1, round(b2, 4) AS b2,
+         |  best.th AS theta, best.ss / 1000000.0 / n AS mse
+         |FROM g ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6c(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000D"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      val wl = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val dd = Tables.T(s, dir).events
+        .select($"user_id", $"ts", $"event_id",
+          ($"value" - lag($"value", 1).over(wl)).as("dy"))
+        .filter($"dy".isNotNull)
+      val lagged = dd.select($"user_id", $"ts", $"event_id", $"dy",
+          lag($"dy", 1).over(wl).as("x1"), lag($"dy", 2).over(wl).as("x2"))
+        .filter($"x2".isNotNull)
+      val fit = graft.operators.Regression
+        .olsFit2(lagged, "user_id", "dy", "x1", "x2")
+        .filter($"b0".isNotNull)
+        .select($"grp".as("user_id"), $"n",
+          q6c($"b0").as("b0"), q6c($"b1").as("b1"), q6c($"b2").as("b2"))
+      val resid = lagged.join(broadcast(fit), "user_id")
+        .select($"user_id", $"ts", $"event_id", $"n",
+          $"b0", $"b1", $"b2",
+          q6c($"dy" - $"b0" - $"b1" * $"x1" - $"b2" * $"x2").as("rv"))
+      def foldExpr(theta: String) = {
+        val ssprev = s"(CASE WHEN acc.ss < 0 THEN ${mic("acc.e * acc.e")} " +
+          "ELSE acc.ss END)"
+        val enew = q6(s"e - ($theta) * acc.e")
+        s"""aggregate(slice(rs, 2, size(rs) - 1),
+           |  named_struct('e', rs[0], 'ss', CAST(-1 AS DOUBLE)),
+           |  (acc, e) -> named_struct('e', $enew,
+           |    'ss', $ssprev + ${mic(s"($enew) * ($enew)")}))""".stripMargin
+      }
+      def finExpr(st: String) =
+        s"(CASE WHEN $st.ss < 0 THEN ${mic(s"$st.e * $st.e")} " +
+          s"ELSE $st.ss END)"
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"named_struct('ss', ${finExpr(s"(${foldExpr(t.toString)})")}, " +
+          s"'i', $i, 'th', CAST($t AS DOUBLE))"
+      }.mkString(", ")
+      resid.groupBy($"user_id", $"n", $"b0", $"b1", $"b2")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, rv)))," +
+            " p -> p.rv)").as("rs"))
+        .select($"user_id", $"n", $"b0", $"b1", $"b2",
+          expr(s"array_min(array($cands))").as("best"))
+        .select($"user_id", $"n".cast("long").as("n"),
+          round($"b0", 4).as("b0"), round($"b1", 4).as("b1"),
+          round($"b2", 4).as("b2"), $"best.th".as("theta"),
           ($"best.ss" / lit(1000000.0) / $"n").as("mse"))
         .orderBy("user_id")
     },

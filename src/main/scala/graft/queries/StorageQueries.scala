@@ -542,6 +542,52 @@ object StorageQueries {
       run("SELECT id, seg, qty, total FROM trig_orders ORDER BY id")
     },
 
+    // BEFORE UPDATE ROW trigger with OLD.* references
+    // (nodeRowTrigger.c:450 binds the pre-image tuple; trigger.c fires
+    // per row): the body's OLD.col binds to the pre-SET value — the
+    // composed UPDATE evaluates assignments against the scanned (old)
+    // relation, so the whole audit-delta/veto cascade stays ONE
+    // set-based COW pass, no per-row interpreter. The veto
+    // (IF NEW.qty < OLD.qty THEN RETURN NULL) ANDs into the update
+    // predicate; delta := NEW.qty - OLD.qty captures the post-SET NEW.
+    Q("q_dml_trigger_old", Some(
+      """WITH base AS (SELECT c_custkey AS id, (c_custkey % 7) AS qty,
+        |    CAST(0 AS BIGINT) AS delta
+        |  FROM customer WHERE c_custkey <= 200),
+        |-- UPDATE qty-2 on id<=100: NEW.qty < OLD.qty vetoes every row;
+        |-- UPDATE qty+2 on id>100: applies, delta := NEW.qty - OLD.qty
+        |upd AS (SELECT id,
+        |    CASE WHEN id > 100 THEN qty + 2 ELSE qty END AS qty,
+        |    CASE WHEN id > 100 THEN 2 ELSE delta END AS delta
+        |  FROM base)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(qty AS BIGINT) AS qty,
+        |  CAST(delta AS BIGINT) AS delta
+        |FROM upd ORDER BY id""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_old")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS trig_audit")
+      run("""CREATE TABLE trig_audit (id bigint, qty bigint,
+            |  delta bigint) DISTRIBUTED BY (id)""".stripMargin)
+      run("""CREATE OR REPLACE FUNCTION trig_aud() RETURNS trigger AS $$
+            |BEGIN
+            |  IF NEW.qty < OLD.qty THEN RETURN NULL; END IF;
+            |  NEW.delta := NEW.qty - OLD.qty;
+            |  RETURN NEW;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_aud BEFORE UPDATE ON trig_audit
+            |FOR EACH ROW EXECUTE FUNCTION trig_aud()""".stripMargin)
+      run("""INSERT INTO trig_audit
+            |SELECT c_custkey, c_custkey % 7, 0
+            |FROM customer WHERE c_custkey <= 200""".stripMargin)
+      // exercise BOTH branches: the decreasing update is fully vetoed
+      // by the OLD-comparing skip; the increasing one applies and the
+      // OLD-referencing assignment records the per-row delta
+      run("UPDATE trig_audit SET qty = qty - 2 WHERE id <= 100")
+      run("UPDATE trig_audit SET qty = qty + 2 WHERE id > 100")
+      run("SELECT id, qty, delta FROM trig_audit ORDER BY id")
+    },
+
     // contrib/tablefunc crosstab (tablefunc.c:50): the 2-arg form —
     // categories from the second query, values matched by category
     // (get_crosstab_tuplestore's hash). Lowers to groupBy(row).pivot:

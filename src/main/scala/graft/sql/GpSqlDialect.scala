@@ -2446,6 +2446,14 @@ object GpSqlDialect {
   private case class TrigAssign(col: String, expr: String) extends TrigStep
   private val triggerFnBodies =
     scala.collection.concurrent.TrieMap.empty[String, Seq[TrigStep]]
+  // fns whose body references OLD.* — composable on the UPDATE path
+  // (the pre-image is the scanned relation), meaningless for INSERT
+  private val triggerFnUsesOld =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // OLD.col parse token: survives NEW-env substitution untouched (env
+  // keys never match inside it) and resolves to the bare pre-image
+  // column in the final composed UPDATE
+  private val OldTokenRe = "(?i)__trig_old_(\\w+)\\b".r
   private case class TriggerDef(name: String, events: Set[String], fn: String)
   private val tableTriggers =
     scala.collection.concurrent.TrieMap.empty[String, Vector[TriggerDef]]
@@ -2460,25 +2468,33 @@ object GpSqlDialect {
 
   /** RETURNS trigger body tier: `NEW.col := expr;` assignments,
     * `IF cond THEN RETURN NULL; END IF;` skips, terminal `RETURN NEW`.
-    * Anything else (OLD.*, loops, TG_OP dispatch) records a loud
-    * defer — CREATE TRIGGER on it then raises with the reason. */
+    * `OLD.col` references lower too (nodeRowTrigger.c:450 binds the
+    * pre-image tuple): they tokenize at parse time and resolve to the
+    * bare pre-image column on the UPDATE compose path — an OLD-using
+    * trigger can only attach to UPDATE events (PG leaves OLD unassigned
+    * on INSERT; referencing it there errors, so CREATE TRIGGER ...
+    * INSERT rejects loudly). Anything else (loops, TG_OP dispatch)
+    * records a loud defer — CREATE TRIGGER on it then raises with the
+    * reason. */
   def executeCreateTriggerFn(
       spark: SparkSession, name: String, body0: String): DataFrame = {
     def defer(why: String): DataFrame = {
       deferredPlpgsql(name) = why
       triggerFnBodies.remove(name)
+      triggerFnUsesOld.remove(name)
       spark.emptyDataFrame
     }
-    val body = body0.trim match {
+    val rawBody = body0.trim match {
       case PlBodyRe(d, s) =>
         if (Option(d).exists(_.trim.nonEmpty))
           return defer("trigger function DECLARE section")
         s.trim
       case other => return defer(firstStatement(other))
     }
-    if ("(?i)(?<![\\w.])OLD\\.".r.findFirstIn(body).isDefined)
-      return defer("OLD.* reference (pre-image not available on the " +
-        "set-based trigger path)")
+    val usesOld =
+      "(?i)(?<![\\w.])OLD\\.".r.findFirstIn(rawBody).isDefined
+    val body =
+      rawBody.replaceAll("(?i)(?<![\\w.])OLD\\.(\\w+)", "__trig_old_$1")
     def stripNew(s: String): String =
       s.replaceAll("(?i)(?<![\\w.])NEW\\.", "")
     val parts = splitStatements(body).map(_.trim).filter(_.nonEmpty)
@@ -2499,6 +2515,7 @@ object GpSqlDialect {
       }
     }
     triggerFnBodies(name) = steps.toSeq
+    triggerFnUsesOld(name) = usesOld
     deferredPlpgsql.remove(name)
     spark.emptyDataFrame
   }
@@ -2516,6 +2533,10 @@ object GpSqlDialect {
     }
     val events = eventsRaw.toUpperCase.split("\\s+OR\\s+")
       .map(_.trim.toLowerCase).toSet
+    if (events.contains("insert") && triggerFnUsesOld.getOrElse(fnLc, false))
+      throw new UnsupportedOperationException(
+        s"trigger function $fn references OLD.* — OLD is unassigned in " +
+          "BEFORE INSERT triggers; attach it to UPDATE only")
     val lc = table.toLowerCase
     tableTriggers(lc) = (tableTriggers.getOrElse(lc, Vector.empty)
       .filterNot(_.name == trigName.toLowerCase) :+
@@ -2557,8 +2578,10 @@ object GpSqlDialect {
     trigs.foldLeft(df) { (d, tg) =>
       triggerSteps(tg, table).foldLeft(d) {
         case (dd, TrigSkip(c)) =>
+          requireNoOld(tg.name, table, c)
           dd.filter(not(coalesce(expr(c), lit(false))))
         case (dd, TrigAssign(cn, e)) =>
+          requireNoOld(tg.name, table, e)
           val (actual, dt) = types.getOrElse(cn,
             throw new IllegalArgumentException(
               s"trigger ${tg.name}: column $cn of $table does not exist"))
@@ -2566,6 +2589,15 @@ object GpSqlDialect {
       }
     }
   }
+
+  /** The new-tuple (INSERT) path has no pre-image — an OLD token here
+    * means the fn was CREATE-OR-REPLACEd to use OLD after the trigger
+    * attached to INSERT; refuse rather than misbind. */
+  private def requireNoOld(trig: String, table: String, e: String): Unit =
+    if (OldTokenRe.findFirstIn(e).isDefined)
+      throw new UnsupportedOperationException(
+        s"trigger $trig on $table references OLD.* — OLD is unassigned " +
+          "on the INSERT path; re-attach the trigger to UPDATE only")
 
   /** DML paths with no clean trigger composition point (conflict
     * upsert, MERGE, correlated UPDATE ... FROM) refuse loudly when the
@@ -2613,7 +2645,16 @@ object GpSqlDialect {
         case TrigAssign(cn, e) => env = env + (cn -> subst(e))
       }
     }
-    (env.toSeq, skips.toSeq)
+    // OLD.col tokens resolve LAST, to the bare pre-image column: the
+    // composed UPDATE evaluates assignments against the scanned (old)
+    // relation, so the bare name IS the pre-image — and because env
+    // substitution never matches inside the token, `NEW.v - OLD.v`
+    // composes to `(set_expr_of_v) - v` even when v was assigned
+    def resolveOld(e: String): String =
+      OldTokenRe.replaceAllIn(e,
+        m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    (env.toSeq.map { case (k, v) => k -> resolveOld(v) },
+      skips.toSeq.map(resolveOld))
   }
 
   // ---- cursors (commands/portalcmds.c PerformCursorOpen/PerformPortalFetch;
