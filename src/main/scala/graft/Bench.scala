@@ -110,7 +110,7 @@ object Bench {
       } catch { case _: Throwable => }
       graft.operators.KernelCaches.releaseAll()
       var loadMax = -1.0
-      def attempt(): Double = {
+      def attempt(extraSettleMs: Long): Double = {
         // settle before EACH attempt: a full GC makes the async
         // ContextCleaner's backlog (dead checkpoint blocks, broadcasts
         // from ~200 prior queries) collectable, and the short sleep
@@ -118,7 +118,7 @@ object Bench {
         // the measurement and both attempts (so the min too) read high
         // deep into the suite.
         System.gc()
-        Thread.sleep(settleMs)
+        Thread.sleep(settleMs + extraSettleMs)
         loadMax = math.max(loadMax, loadavg())
         val t0 = System.nanoTime()
         try force(q.query(spark, sfDir))
@@ -127,11 +127,18 @@ object Bench {
         graft.operators.KernelCaches.releaseAll()
         t
       }
-      var ts = Vector(attempt(), attempt())
+      var ts = Vector(attempt(0), attempt(0))
       // >25% disagreement between the two attempts = a co-tenant burst
-      // hit one of them; retry (up to 2 extra) until the spread closes
-      // or the attempt budget is spent — min over everything taken.
-      while (ts.max / ts.min > 1.25 && ts.size < 4) ts :+= attempt()
+      // hit one of them; retry until the spread closes or the attempt
+      // budget is spent — min over everything taken. Retries settle
+      // LONGER each time (250→500→1000 ms extra): a sustained burst of
+      // a couple seconds used to defeat all back-to-back retries
+      // (r8: 56 queries still noisy after retry), whereas escalating
+      // sleeps let the burst pass between attempts.
+      var extra = 250L
+      while (ts.max / ts.min > 1.25 && ts.size < 5) {
+        ts :+= attempt(extra); extra *= 2
+      }
       (ts.min, ts.max / ts.min, loadMax)
     }
 

@@ -615,6 +615,143 @@ object Regression {
       "n_nonzero")
   }
 
+  /** Gauss-Jordan solve of a p×p normal system as BATCHES of named
+    * expressions over moment column names `m_i_j` (i ≤ j, symmetric)
+    * and rhs `t_i`. The SAME text is evaluated by Spark (`expr`) and
+    * by DuckDB (chained CTEs): identical parse trees → identical IEEE
+    * double operation order → bit-identical coefficients on both
+    * engines at ANY feature count — this is what lets [[olsFitK]]
+    * drop the 2-feature Cramer ceiling of [[olsFit2]].
+    *
+    * Pivot order is FIXED (no row swaps — cross-engine determinism
+    * over numerical polish; moments are scaled row sums so the
+    * diagonal dominates in practice). Each division goes through a
+    * safe pivot `sp_k` (1.0 when |pivot| ≤ 1e-9) so a singular system
+    * yields finite garbage that the returned `valid` predicate NULLs
+    * out — no Inf/NaN ever materializes, matching engines that differ
+    * on IEEE exceptional-value formatting.
+    *
+    * Returns (batches, valid): each batch's names may reference names
+    * from earlier batches only, so Spark applies one `select *` per
+    * batch and the oracle one CTE per batch. Batch count is 3p;
+    * expression count O(p³) — all scalar algebra over the ONE
+    * aggregated row per group, free at any data scale. */
+  def gjBatches(p: Int): (Seq[Seq[(String, String)]], String) = {
+    def mm(i: Int, j: Int) = if (i <= j) s"m_${i}_$j" else s"m_${j}_$i"
+    var a: IndexedSeq[IndexedSeq[String]] =
+      (0 until p).map(i => (0 until p).map(j => mm(i, j)))
+    var b: IndexedSeq[String] = (0 until p).map(i => s"t_$i")
+    val batches = Seq.newBuilder[Seq[(String, String)]]
+    val pivots = Seq.newBuilder[String]
+    for (k <- 0 until p) {
+      pivots += a(k)(k)
+      batches += Seq(s"sp_$k" ->
+        (s"CASE WHEN abs(${a(k)(k)}) > 1.0e-9 THEN ${a(k)(k)}" +
+          " ELSE 1.0e0 END"))
+      batches += ((0 until p).map(j =>
+        s"a${k}_${k}_$j" -> s"${a(k)(j)} / sp_$k") :+
+        (s"b${k}_$k" -> s"${b(k)} / sp_$k"))
+      batches += (0 until p).filter(_ != k).flatMap { i =>
+        (0 until p).map(j =>
+          s"a${k}_${i}_$j" ->
+            s"${a(i)(j)} - ${a(i)(k)} * a${k}_${k}_$j") :+
+          (s"b${k}_$i" -> s"${b(i)} - ${a(i)(k)} * b${k}_$k")
+      }
+      a = (0 until p).map(i => (0 until p).map(j => s"a${k}_${i}_$j"))
+      b = (0 until p).map(i => s"b${k}_$i")
+    }
+    val valid = pivots.result()
+      .map(pv => s"abs($pv) > 1.0e-9").mkString("(", " AND ", ")")
+    (batches.result(), valid)
+  }
+
+  /** Per-group OLS fit of `y ~ b0 + b1*x1 + … + bk*xk` for ANY
+    * feature count — MADlib `linregr_train` takes an arbitrary
+    * feature array; this lifts the fixed-shape ceiling of [[olsFit2]]
+    * (kernel-contract table in COVERAGE.md). ONE aggregate pass
+    * collects the (k+1)(k+2)/2 + (k+1) + 1 normal-equation moments
+    * under the [[graft.queries.Q.dsum]] split-sum discipline
+    * (map-side combinable, shuffle-order exact); the solve is the
+    * shared [[gjBatches]] Gauss-Jordan over the per-group moment row —
+    * scalar algebra, no second scan, no driver math, no collect.
+    *
+    * Scale: shuffled state per group is O(k²) doubles regardless of
+    * row count — 100 TB trains in one pass at scan speed, like
+    * olsFit2. Moment magnitude contract: |x_i·x_j| and |x_i·y| must
+    * keep `dsum`'s hi-sum under 2^63 at the target row count (scale
+    * price-like columns down before fitting, as the q_ml_robust_se
+    * fixture does with y/1000).
+    *
+    * Returns one row per group: (grp, n, b0 … bk, r2), coefficients
+    * rounded to 4, r2 to 6; singular groups yield NULLs. */
+  def olsFitK(
+      df: DataFrame, groupCol: String, yCol: String,
+      xCols: Seq[String]): DataFrame = {
+    val p = xCols.length + 1
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    val aggs =
+      (for { i <- 0 until p; j <- i until p }
+        yield Q.dsum(xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
+        (0 until p).map(i => Q.dsum(xs(i) * y, 6).as(s"t_$i")) ++
+        Seq(Q.dsum(y * y, 6).as("syy"), count(lit(1)).as("nl"))
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val (batches, valid) = gjBatches(p)
+    val solved = batches.foldLeft(agg) { (d, batch) =>
+      d.select(col("*") +: batch.map { case (n, e) => expr(e).as(n) }: _*)
+    }
+    val coefs = (0 until p).map(i => s"b${p - 1}_$i")
+    val sse = s"(syy - (${(0 until p)
+      .map(i => s"${coefs(i)} * t_$i").mkString(" + ")}))"
+    val sst = "(syy - t_0 * t_0 / m_0_0)"
+    solved.select(
+      col("grp") +: col("nl").as("n") +:
+        ((0 until p).map(i =>
+          expr(s"CASE WHEN $valid THEN round(${coefs(i)}, 4) END")
+            .as(s"b$i")) :+
+          expr(s"CASE WHEN $valid AND $sst > 0.0e0 THEN " +
+            s"round(1.0e0 - $sse / $sst, 6) END").as("r2")): _*)
+  }
+
+  /** DuckDB oracle for [[olsFitK]] — the same [[gjBatches]] text, one
+    * CTE per batch, [[graft.queries.Q.oSum]] moments. Ends with
+    * `ORDER BY grp`. */
+  def olsKOracleSql(
+      table: String, groupExpr: String, yExpr: String,
+      xExprs: Seq[String]): String = {
+    val p = xExprs.length + 1
+    val xs = "1.0e0" +: xExprs.map(e => s"CAST($e AS DOUBLE)")
+    val yd = s"CAST($yExpr AS DOUBLE)"
+    val moments =
+      (for { i <- 0 until p; j <- i until p }
+        yield s"${Q.oSum(s"${xs(i)} * ${xs(j)}", 6)} AS m_${i}_$j") ++
+        (0 until p).map(i =>
+          s"${Q.oSum(s"${xs(i)} * $yd", 6)} AS t_$i") ++
+        Seq(s"${Q.oSum(s"$yd * $yd", 6)} AS syy",
+          "CAST(count(*) AS BIGINT) AS nl")
+    val (batches, valid) = gjBatches(p)
+    val ctes = (s"t0 AS (SELECT $groupExpr AS grp,\n  " +
+      s"${moments.mkString(",\n  ")}\n  FROM $table GROUP BY 1)") +:
+      batches.zipWithIndex.map { case (batch, bi) =>
+        s"t${bi + 1} AS (SELECT *,\n  ${batch
+          .map { case (n, e) => s"$e AS $n" }
+          .mkString(",\n  ")}\n  FROM t$bi)"
+      }
+    val coefs = (0 until p).map(i => s"b${p - 1}_$i")
+    val sse = s"(syy - (${(0 until p)
+      .map(i => s"${coefs(i)} * t_$i").mkString(" + ")}))"
+    val sst = "(syy - t_0 * t_0 / m_0_0)"
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT grp, nl AS n,
+       |  ${(0 until p).map(i =>
+      s"CASE WHEN $valid THEN round(${coefs(i)}, 4) END AS b$i")
+      .mkString(",\n  ")},
+       |  CASE WHEN $valid AND $sst > 0.0e0
+       |    THEN round(1.0e0 - $sse / $sst, 6) END AS r2
+       |FROM t${batches.length} ORDER BY grp""".stripMargin
+  }
+
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same
     * split-sum discipline, same det3 operation order — so a DuckDB
     * rendering of the fit hashes equal. `t` aliases the aggregated

@@ -313,6 +313,26 @@ object AggregateQueries {
       graft.operators.Regression.robustSe2(src, "y", "x1", "x2")
     },
 
+    // Arbitrary-feature OLS (MADlib linregr_train takes ANY feature
+    // array — this lifts the 2-feature Cramer ceiling): 4 features +
+    // intercept, ONE moment aggregate, and a generated Gauss-Jordan
+    // whose expression TEXT is shared verbatim with the DuckDB oracle
+    // so the 5×5 solve is bit-identical cross-engine.
+    Q("q_ml_ols_k", Some(
+      graft.operators.Regression.olsKOracleSql(
+        "lineitem", "l_returnflag",
+        "l_extendedprice / 1000.0e0",
+        Seq("l_quantity", "l_discount", "l_tax", "l_linenumber")))) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Tables.T(s, dir).lineitem.withColumn(
+          "y1000", $"l_extendedprice".cast("double") / lit(1000.0))
+        graft.operators.Regression.olsFitK(src, "l_returnflag",
+          "y1000",
+          Seq("l_quantity", "l_discount", "l_tax", "l_linenumber"))
+          .orderBy("grp")
+    },
+
     // Ridge regression (MADlib elastic_net α=0): the SAME one-pass
     // moment aggregate as q_agg_ols with λ on the slope diagonals of
     // the normal equations (intercept unpenalized) — regularization

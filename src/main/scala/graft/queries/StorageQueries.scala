@@ -1230,6 +1230,64 @@ object StorageQueries {
           base)
     },
 
+    // Nested BEGIN/EXCEPTION blocks (pl_exec.c exec_stmt_block:99 —
+    // r9 tier 5c): the "sub-transaction per row" migration shape. An
+    // inner `BEGIN v := e; EXCEPTION WHEN cond THEN v := h; END;`
+    // embedded in a straight-line body lowers to ONE guarded
+    // conditional assignment that folds into the outer expression —
+    // set-based, inside whole-stage codegen. Two inner conditions
+    // exercised: WHEN OTHERS over a cast (try_cast/RLIKE probe) and
+    // WHEN division_by_zero (zero probe); deeper nesting defers
+    // loudly (spec-gated).
+    Q("q_sql_plpgsql_nested", Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_linenumber <= 3
+        |       THEN CAST(l_quantity AS BIGINT) * 2 ELSE -2 END) AS BIGINT)
+        |    AS parsed2,
+        |  CAST(round(sum(CAST(
+        |    CASE WHEN CAST(l_quantity AS BIGINT) % 7 = 0 THEN 0.0
+        |         ELSE (100 * l_quantity) / (CAST(l_quantity AS BIGINT) % 7)
+        |    END + 1.0 AS DECIMAL(28,6))), 2) AS DOUBLE) AS rate1_sum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("plnest")
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION parse_twice(s varchar) RETURNS bigint AS $$
+            |DECLARE r bigint;
+            |BEGIN
+            |  BEGIN
+            |    r := cast(s AS bigint);
+            |  EXCEPTION WHEN OTHERS THEN
+            |    r := -1;
+            |  END;
+            |  RETURN r * 2;
+            |END $$ LANGUAGE plpgsql""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """CREATE FUNCTION rate_plus1(num double precision, den bigint)
+            |RETURNS double precision AS $$
+            |DECLARE x double precision;
+            |BEGIN
+            |  BEGIN
+            |    x := num / den;
+            |  EXCEPTION WHEN division_by_zero THEN
+            |    x := 0.0;
+            |  END;
+            |  RETURN x + 1.0;
+            |END $$ LANGUAGE plpgsql""".stripMargin, base)
+        GpSqlDialect.execute(s,
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(parse_twice(
+            |    CASE WHEN l_linenumber <= 3
+            |         THEN CAST(CAST(l_quantity AS BIGINT) AS STRING)
+            |         ELSE l_linestatus END)) AS BIGINT) AS parsed2,
+            |  CAST(round(sum(CAST(
+            |    rate_plus1(100 * l_quantity, CAST(l_quantity AS BIGINT) % 7)
+            |    AS DECIMAL(28,6))), 2) AS DOUBLE) AS rate1_sum
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+          base)
+    },
+
     // Multi-statement DML loop bodies (pl_exec.c exec_stmt_fors; the
     // r7 verdict's top remaining plpgsql wall): a procedure looping
     // over a query and running an INSERT + an UPDATE per row lowers to

@@ -999,6 +999,24 @@ object GpSqlDialect {
   private val PlExcRe =
     ("(?is)^(.*?)\\s*EXCEPTION\\s+WHEN\\s+(\\w+)\\s+THEN\\s+" +
       "RETURN\\s+(.+?)\\s*;?\\s*$").r
+  // tier 5c (r9): ONE level of nested BEGIN/EXCEPTION — pl_exec.c
+  // exec_stmt_block:99 runs an inner block under its own exception
+  // context; the ubiquitous migration shape is the per-row
+  // "sub-transaction": `BEGIN v := e; EXCEPTION WHEN cond THEN
+  // v := h; END;` embedded in a straight-line body. When the inner
+  // try is a SINGLE assignment and its raise sites are statically
+  // enumerable (the tier-5/5b guard machinery), the whole block IS
+  // one conditional assignment `v := CASE WHEN <guards> THEN h
+  // ELSE e END;` — evaluated set-based, guard selecting the handler
+  // BEFORE any failing site evaluates. Deeper nesting, multi-
+  // statement inner bodies, or unguardable conditions defer loudly.
+  // expressions are [^;]+ (not lazy-any): a multi-statement inner try
+  // must NOT backtrack across ';' into a fake single assignment — it
+  // falls to the leftover-BEGIN check and defers loudly instead.
+  // (Cost: a ';' inside a string literal also defers — conservative.)
+  private val PlNestedBlockRe =
+    ("(?is)BEGIN\\s+(\\w+)\\s*:=\\s*([^;]+?)\\s*;\\s*EXCEPTION\\s+WHEN\\s+" +
+      "(\\w+)\\s+THEN\\s+(\\w+)\\s*:=\\s*([^;]+?)\\s*;\\s*END\\s*;").r
 
   /** Denominator operands of every TOP-LEVEL `/` in a scalar
     * expression (parens/strings respected; divisions nested inside
@@ -1321,12 +1339,63 @@ object GpSqlDialect {
       }
       cur
     }
+    // tier 5c: flatten liftable nested BEGIN/EXCEPTION blocks into
+    // guarded conditional assignments (see PlNestedBlockRe) BEFORE the
+    // trailing-handler split — any BEGIN still left in the body after
+    // this is a shape the tier cannot lift, and defers loudly.
+    var nestedDefer: Option[String] = None
+    val stmtsFlat = PlNestedBlockRe.replaceAllIn(stmts, nm => {
+      val (v, e, cond, hv, h) = (nm.group(1), nm.group(2).trim,
+        nm.group(3).toLowerCase, nm.group(4), nm.group(5).trim)
+      def keep(why: String): String = {
+        nestedDefer = Some(s"nested BEGIN/EXCEPTION: $why")
+        java.util.regex.Matcher.quoteReplacement(nm.matched)
+      }
+      if (!v.equalsIgnoreCase(hv))
+        keep(s"try assigns $v but handler assigns $hv — not the " +
+          "single-variable sub-transaction shape")
+      else {
+        val guards: Either[String, Seq[String]] = cond match {
+          case "others" => staticOthersGuards(e, stringParams)
+          case "division_by_zero" =>
+            val dens = topLevelDenominators(e)
+            if (dens.isEmpty)
+              Left("no top-level division to guard")
+            else if ("(?i)(?<![\\w.])CASE(?![\\w.])".r
+                .findFirstIn(maskLiterals(e)).isDefined)
+              Left("a CASE in the inner body may conditionally guard " +
+                "the division — no static guard")
+            else Right(dens.map(d => s"($d) = 0"))
+          case c => Left(s"inner handler WHEN $c has no static guard")
+        }
+        guards match {
+          case Left(why) => keep(why)
+          case Right(Nil) => // no raise site: handler statically dead
+            java.util.regex.Matcher.quoteReplacement(s"$v := ($e);")
+          case Right(gs) =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"$v := CASE WHEN ${gs.mkString(" OR ")} THEN ($h) " +
+                s"ELSE ($e) END;")
+        }
+      }
+    })
+    nestedDefer.foreach { why =>
+      deferredPlpgsql(name) = why
+      return spark.emptyDataFrame
+    }
+    if ("(?i)(?<![\\w.])BEGIN(?![\\w.])".r
+        .findFirstIn(maskLiterals(stmtsFlat)).isDefined) {
+      deferredPlpgsql(name) = "nested BEGIN block not of the liftable " +
+        "single-assignment EXCEPTION shape (only one level of " +
+        "`BEGIN v := e; EXCEPTION WHEN cond THEN v := h; END;` lowers)"
+      return spark.emptyDataFrame
+    }
     // tier 5: split off a trailing EXCEPTION section before statement
     // processing (see PlExcRe) — the main body then flows through the
     // normal assign-chain folding below
-    val (mainStmts, excHandler) = stmts match {
+    val (mainStmts, excHandler) = stmtsFlat match {
       case PlExcRe(mn, cond, h) => (mn.trim, Some((cond.toLowerCase, h)))
-      case _ => (stmts, None)
+      case _ => (stmtsFlat, None)
     }
     // leading `v := expr;` statements (pl_exec.c exec_stmt_assign) fold
     // sequentially into the environment: each RHS substitutes the

@@ -273,6 +273,77 @@ class ExpressionSpec extends AnyFunSuite {
       .exists(_.contains("WHILE")))
   }
 
+  test("plpgsql tier 5c: nested BEGIN/EXCEPTION lowers one level; " +
+    "deeper or non-liftable shapes defer") {
+    // inner sub-transaction over a cast → guarded assignment folds
+    // into the outer straight-line body
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nested_parse(s varchar) RETURNS bigint AS $$
+        |DECLARE r bigint;
+        |BEGIN
+        |  BEGIN
+        |    r := cast(s AS bigint);
+        |  EXCEPTION WHEN OTHERS THEN
+        |    r := -1;
+        |  END;
+        |  RETURN r * 10;
+        |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val p = GpSqlDialect.execute(spark,
+      "SELECT nested_parse('42') AS a, nested_parse('nope') AS b",
+      "/tmp/never").head
+    assert(p.getLong(0) == 420L && p.getLong(1) == -10L, p.toString)
+    // inner division_by_zero → zero probe (double typed: Spark `/`
+    // is true division)
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nested_div(a double precision, b double precision)
+        |RETURNS double precision AS $$
+        |DECLARE x double precision;
+        |BEGIN
+        |  BEGIN
+        |    x := a / b;
+        |  EXCEPTION WHEN division_by_zero THEN
+        |    x := 0.0;
+        |  END;
+        |  RETURN x + 100;
+        |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val d = GpSqlDialect.execute(spark,
+      "SELECT nested_div(CAST(10 AS DOUBLE), CAST(2 AS DOUBLE)) AS a, " +
+        "nested_div(CAST(10 AS DOUBLE), CAST(0 AS DOUBLE)) AS b",
+      "/tmp/never").head
+    assert(d.getDouble(0) == 105.0 && d.getDouble(1) == 100.0, d.toString)
+    // a multi-statement inner body is NOT the liftable shape → defers
+    // loudly with the recorded reason
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nested_multi(s varchar) RETURNS bigint AS $$
+        |DECLARE r bigint; t bigint;
+        |BEGIN
+        |  BEGIN
+        |    r := cast(s AS bigint);
+        |    t := r + 1;
+        |  EXCEPTION WHEN OTHERS THEN
+        |    r := -1;
+        |  END;
+        |  RETURN r;
+        |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("nested_multi")
+      .exists(_.toLowerCase.contains("nested")),
+      GpSqlDialect.plpgsqlRejection("nested_multi").toString)
+    // an inner handler condition with no static guard defers
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nested_uniq(s varchar) RETURNS bigint AS $$
+        |DECLARE r bigint;
+        |BEGIN
+        |  BEGIN
+        |    r := cast(s AS bigint);
+        |  EXCEPTION WHEN unique_violation THEN
+        |    r := -1;
+        |  END;
+        |  RETURN r;
+        |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    assert(GpSqlDialect.plpgsqlRejection("nested_uniq")
+      .exists(_.contains("unique_violation")))
+  }
+
   test("plpgsql tier 4: FOR-over-query loops lower to aggregates") {
     import org.apache.spark.sql.functions.{sum => fsum}
     Tables.registerAll(spark, sf)
@@ -2456,13 +2527,22 @@ class ExpressionSpec extends AnyFunSuite {
         "FOR EACH ROW EXECUTE PROCEDURE trig_norm()")
     }
     assert(e1.getMessage.contains("CDC"), e1.getMessage)
+    // r9: OLD.* in BEFORE UPDATE bodies lowers set-based (pre-image
+    // bound on the COW compose path); the INSERT path has no
+    // pre-image so attaching an OLD-using fn to INSERT rejects
     run("""CREATE FUNCTION trig_old() RETURNS trigger AS $$
           |BEGIN
           |  NEW.total := OLD.total + 1;
           |  RETURN NEW;
           |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_old BEFORE UPDATE ON trig_t " +
+      "FOR EACH ROW EXECUTE PROCEDURE trig_old()")
+    run("UPDATE trig_t SET qty = 6 WHERE id = 1")
+    val rOld = run("SELECT qty, total FROM trig_t WHERE id = 1").head
+    assert(rOld.getInt(0) == 6 && rOld.getInt(1) == 11, rOld.toString)
+    run("DROP TRIGGER t_old ON trig_t")
     val e2 = intercept[UnsupportedOperationException] {
-      run("CREATE TRIGGER t_old BEFORE UPDATE ON trig_t " +
+      run("CREATE TRIGGER t_old_ins BEFORE INSERT ON trig_t " +
         "FOR EACH ROW EXECUTE PROCEDURE trig_old()")
     }
     assert(e2.getMessage.contains("OLD"), e2.getMessage)
@@ -2481,10 +2561,12 @@ class ExpressionSpec extends AnyFunSuite {
     val nt = run("SELECT name, qty FROM trig_t WHERE id = 9").head
     assert(nt.getString(0) == "qty done" && nt.getInt(1) == 7, nt.toString)
     // replacing the trigger fn with an unsupported body must make DML
-    // raise loudly, not silently skip the trigger
+    // raise loudly, not silently skip the trigger (OLD.* is legal on
+    // the UPDATE path since r9 — use a loop body, which stays
+    // unsupported in trigger position)
     run("""CREATE OR REPLACE FUNCTION trig_note() RETURNS trigger AS $$
           |BEGIN
-          |  NEW.total := OLD.total + 1;
+          |  FOR i IN 1..3 LOOP PERFORM 1; END LOOP;
           |  RETURN NEW;
           |END $$ LANGUAGE plpgsql""".stripMargin)
     val e3 = intercept[UnsupportedOperationException] {

@@ -1458,4 +1458,37 @@ class OperatorSpec extends AnyFunSuite {
       .select("b1_std").collect()(0).getDouble(0)
     assert(math.abs(h) <= math.abs(lb) + 1e-9)
   }
+
+  test("Regression.olsFitK recovers exact coefficients at k=4 and " +
+    "NULLs singular groups") {
+    import spark.implicits._
+    // exact linear target: y = 2 + 3x1 - x2 + 0.5x3 + 4x4, no noise
+    val df = (1 to 400).map { i =>
+      val x1 = (i % 13).toDouble; val x2 = (i % 7).toDouble
+      val x3 = (i % 5).toDouble; val x4 = (i % 3).toDouble
+      ("g", 2.0 + 3.0 * x1 - x2 + 0.5 * x3 + 4.0 * x4, x1, x2, x3, x4)
+    }.toDF("grp", "y", "x1", "x2", "x3", "x4")
+    val r = Regression.olsFitK(df, "grp", "y",
+      Seq("x1", "x2", "x3", "x4")).collect()(0)
+    assert(r.getLong(1) == 400L)
+    val got = (2 to 6).map(r.getDouble)
+    val want = Seq(2.0, 3.0, -1.0, 0.5, 4.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-3, s"got $got want $want")
+    }
+    assert(math.abs(r.getDouble(7) - 1.0) < 1e-6, s"r2=${r.getDouble(7)}")
+    // constant feature → singular normal matrix → NULL coefficients
+    val sing = (1 to 50).map(i =>
+      ("g", i.toDouble, 1.0, 1.0, 1.0, 1.0))
+      .toDF("grp", "y", "x1", "x2", "x3", "x4")
+    val rs = Regression.olsFitK(sing, "grp", "y",
+      Seq("x1", "x2", "x3", "x4")).collect()(0)
+    assert(rs.isNullAt(2) && rs.isNullAt(6), rs.toString)
+    // matches olsFit2 on the 2-feature case (same moments, same fit)
+    val two = Regression.olsFitK(df, "grp", "y", Seq("x1", "x2"))
+      .collect()(0)
+    val old = Regression.olsFit2(df, "grp", "y", "x1", "x2").collect()(0)
+    assert(math.abs(two.getDouble(2) - old.getDouble(2)) < 1e-4)
+    assert(math.abs(two.getDouble(3) - old.getDouble(3)) < 1e-4)
+  }
 }
