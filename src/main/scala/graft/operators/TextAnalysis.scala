@@ -208,24 +208,76 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     val lexeme = chain.foldRight(lit(null).cast("string")) { (d, rest) =>
       d.template match {
-        case "synonym" =>
+        // ispell lexizes through its CREATE-time-expanded surface→root
+        // map — the lookup IS the synonym shape (spell.c NISortDictionary
+        // does the same normalization, just lazily)
+        case "synonym" | "ispell" =>
           if (d.synonyms.isEmpty) rest
           else coalesce(element_at(typedLit(d.synonyms), col("lex")), rest)
         case "simple" =>
           if (d.stopwords.isEmpty) col("lex")
           else when(col("lex").isInCollection(d.stopwords.toSeq),
             lit(null).cast("string")).otherwise(col("lex"))
+        case "thesaurus" => rest // handled by the phrase pre-pass below
         case other => throw new IllegalArgumentException(
           s"tsvectorsDict: unsupported template '$other'")
       }
     }
-    val toks = df.select(col(idCol),
+    val toks0 = df.select(col(idCol),
       posexplode(split(lower(col(textCol)), "[^a-z0-9\\u4e00-\\u9fff]+"))
         .as(Seq("pos0", "lex")))
       .filter(col("lex") =!= "")
-      .select(col(idCol), col("pos0"), lexeme.as("lexeme"))
-      .filter(col("lexeme").isNotNull)
-    toks.groupBy(col(idCol), col("lexeme"))
+    // thesaurus pre-pass (dict_thesaurus.c): longest sample match per
+    // stream position via bounded lookahead (lead), greedy-correct
+    // because overlapping samples were rejected at CREATE. Matched
+    // spans collapse: the substitute lexemes take the first token's
+    // position; covered tokens drop; everything else falls through to
+    // the per-token chain. One doc-keyed window — scale is per-doc.
+    val thes = chain.filter(_.template == "thesaurus")
+      .flatMap(_.phrases)
+    val toks = if (thes.isEmpty) toks0 else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
+      def key(words: Seq[String]) = words.mkString(" ")
+      val p3 = thes.filter(_._1.size == 3)
+        .map { case (s, t) => key(s) -> t.mkString(" ") }.toMap
+      val p2 = thes.filter(_._1.size == 2)
+        .map { case (s, t) => key(s) -> t.mkString(" ") }.toMap
+      val p1 = thes.filter(_._1.size == 1)
+        .map { case (s, t) => key(s) -> t.mkString(" ") }.toMap
+      def look(m: Map[String, String], c: org.apache.spark.sql.Column) =
+        if (m.isEmpty) lit(null).cast("string") else
+          element_at(typedLit(m), c)
+      val g3 = concat_ws(" ", col("lex"), lead(col("lex"), 1).over(w),
+        lead(col("lex"), 2).over(w))
+      val g2 = concat_ws(" ", col("lex"), lead(col("lex"), 1).over(w))
+      val marked = toks0
+        .withColumn("sub3", look(p3, g3))
+        .withColumn("sub2", look(p2, g2))
+        .withColumn("sub1", look(p1, col("lex")))
+        .withColumn("span",
+          when(col("sub3").isNotNull, 3)
+            .when(col("sub2").isNotNull, 2)
+            .when(col("sub1").isNotNull, 1).otherwise(0))
+        .withColumn("covered",
+          coalesce(lag(col("span"), 1).over(w), lit(0)) >= 2 ||
+            coalesce(lag(col("span"), 2).over(w), lit(0)) === 3)
+      marked.filter(!col("covered"))
+        .select(col(idCol), col("pos0"),
+          explode(split(coalesce(col("sub3"), col("sub2"), col("sub1"),
+            col("lex")), " ")).as("lex"),
+          (col("span") > 0).as("thesed"))
+    }
+    val hasThes = thes.nonEmpty
+    val toksL =
+      if (!hasThes) toks.select(col(idCol), col("pos0"),
+        lexeme.as("lexeme"))
+      else toks.select(col(idCol), col("pos0"),
+        // thesaurus output is FINAL (the dict recognized the token);
+        // only unmatched tokens continue down the chain
+        when(col("thesed"), col("lex")).otherwise(lexeme).as("lexeme"))
+    val toksF = toksL.filter(col("lexeme").isNotNull)
+    toksF.groupBy(col(idCol), col("lexeme"))
       .agg(concat(lit("'"), col("lexeme"), lit("':"),
         array_join(array_sort(collect_list(col("pos0") + 1)), ","))
         .as("entry"))

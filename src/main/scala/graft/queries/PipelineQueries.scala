@@ -370,6 +370,74 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Thesaurus + ispell dictionaries (tsearch/dict_thesaurus.c,
+    // spell.c; r9 — closes the r8 "ispell/thesaurus reject" gap):
+    // thesaurus samples substitute multi-lexeme phrases as a unit —
+    // longest-match-first via bounded lead() lookahead, greedy-correct
+    // because overlapping samples reject at CREATE; matched spans
+    // collapse to the first token's position. ispell expands
+    // root/FLAGS dict entries through SFX affix rules at CREATE into a
+    // surface→root map (the synonym lookup shape). Chain: thesaurus →
+    // ispell → stopwords; unmatched tokens fall through.
+    Q("q_text_thesaurus", Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(toks, CAST(i AS INT)) AS lex
+        |  FROM t, unnest(range(1, len(toks)+1)) AS r(i)
+        |  WHERE list_extract(toks, CAST(i AS INT)) <> ''),
+        |m AS (SELECT doc_id, pos, lex,
+        |    lead(lex, 1) OVER w AS n1, lead(lex, 2) OVER w AS n2
+        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |s AS (SELECT doc_id, pos, lex,
+        |    CASE WHEN lex = 'big' AND n1 = 'order' AND n2 = 'scan'
+        |         THEN 'bos' END AS sub3,
+        |    CASE WHEN lex = 'hash' AND n1 = 'join'
+        |         THEN 'hashjoin' END AS sub2,
+        |    CASE WHEN lex = 'vector' THEN 'embedding' END AS sub1
+        |  FROM m),
+        |sp AS (SELECT *, CASE WHEN sub3 IS NOT NULL THEN 3
+        |    WHEN sub2 IS NOT NULL THEN 2
+        |    WHEN sub1 IS NOT NULL THEN 1 ELSE 0 END AS span FROM s),
+        |c AS (SELECT *,
+        |    (coalesce(lag(span, 1) OVER w2, 0) >= 2 OR
+        |     coalesce(lag(span, 2) OVER w2, 0) = 3) AS covered
+        |  FROM sp WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+        |lx AS (SELECT doc_id, pos,
+        |    CASE WHEN span > 0 THEN coalesce(sub3, sub2, sub1)
+        |         WHEN lex = 'filter' THEN 'filt'
+        |         WHEN lex = 'filt' THEN 'filt'
+        |         WHEN lex IN ('the', 'a', 'of', 'and') THEN NULL
+        |         ELSE lex END AS lexeme
+        |  FROM c WHERE NOT covered),
+        |e AS (SELECT doc_id, lexeme,
+        |    '''' || lexeme || ''':' ||
+        |      string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS entry
+        |  FROM lx WHERE lexeme IS NOT NULL GROUP BY doc_id, lexeme)
+        |SELECT doc_id, string_agg(entry, ' ' ORDER BY entry) AS tsv
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      prepare = Some { (s, _) =>
+        Seq(
+          "CREATE TEXT SEARCH DICTIONARY graft_thes (TEMPLATE = " +
+            "thesaurus, PHRASES = 'big order scan = bos, " +
+            "hash join = hashjoin, vector = embedding')",
+          "CREATE TEXT SEARCH DICTIONARY graft_isp (TEMPLATE = ispell," +
+            " DICTWORDS = 'filt/E', AFFIXES = 'SFX E er')",
+          "CREATE TEXT SEARCH DICTIONARY graft_stop2 (TEMPLATE = " +
+            "simple, STOPWORDS = 'the, a, of, and')",
+          "CREATE TEXT SEARCH CONFIGURATION graft_thcfg (PARSER = " +
+            "default)",
+          "ALTER TEXT SEARCH CONFIGURATION graft_thcfg ALTER MAPPING " +
+            "FOR asciiword WITH graft_thes, graft_isp, graft_stop2")
+          .foreach(graft.sql.GpSqlDialect.execute(s, _, "/tmp/graft_ts"))
+      }) { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.tsvectorsDict(
+        Tables.T(s, dir).documents.filter($"doc_id" < 300),
+        "text", "doc_id", graft.sql.GpSqlDialect.tsChain("graft_thcfg"))
+        .orderBy("doc_id")
+    },
+
     // ts_headline snippet generation (wparser_def.c prsd_headline cover
     // selection, wparser.c ts_headline): ONE codegen'd pass per row —
     // expressions/TsHeadlineExpr.scala documents the published

@@ -588,6 +588,89 @@ object StorageQueries {
       run("SELECT id, qty, delta FROM trig_audit ORDER BY id")
     },
 
+    // Trigger WHEN clause (commands/trigger.c TriggerEnabled; r9): PG
+    // evaluates WHEN once per row at trigger entry — false means the
+    // fn does not fire and the row passes through UNCHANGED (not
+    // skipped). Set-based lowering: the INSERT path pins WHEN to a
+    // temp boolean and CASEs each assignment; the UPDATE path composes
+    // `CASE WHEN w THEN assigned ELSE previous END` in text space —
+    // both stay one codegen'd pass.
+    Q("q_dml_trigger_when", Some(
+      """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+        |    c_custkey % 7 AS qty
+        |  FROM customer WHERE c_custkey <= 200),
+        |ins AS (SELECT id, seg, qty,
+        |    CASE WHEN qty > 3 THEN upper(seg) ELSE 'x' END AS norm
+        |  FROM base),
+        |upd AS (SELECT id,
+        |    CASE WHEN id <= 100 THEN seg || '!' ELSE seg END AS seg,
+        |    qty,
+        |    CASE WHEN id <= 100 AND qty > 3 THEN upper(seg || '!')
+        |         ELSE norm END AS norm
+        |  FROM ins)
+        |SELECT CAST(id AS BIGINT) AS id, seg, CAST(qty AS BIGINT) AS qty,
+        |  norm
+        |FROM upd ORDER BY id""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_when")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS trig_when")
+      run("""CREATE TABLE trig_when (id bigint, seg text, qty bigint,
+            |  norm text) DISTRIBUTED BY (id)""".stripMargin)
+      run("""CREATE OR REPLACE FUNCTION trig_w() RETURNS trigger AS $$
+            |BEGIN
+            |  NEW.norm := upper(NEW.seg);
+            |  RETURN NEW;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_when BEFORE INSERT OR UPDATE ON trig_when
+            |FOR EACH ROW WHEN (NEW.qty > 3)
+            |EXECUTE FUNCTION trig_w()""".stripMargin)
+      run("""INSERT INTO trig_when
+            |SELECT c_custkey, c_mktsegment, c_custkey % 7, 'x'
+            |FROM customer WHERE c_custkey <= 200""".stripMargin)
+      run("UPDATE trig_when SET seg = seg || '!' WHERE id <= 100")
+      run("SELECT id, seg, qty, norm FROM trig_when ORDER BY id")
+    },
+
+    // Statement-level triggers (commands/trigger.c FOR EACH STATEMENT;
+    // r9): the audit-log migration shape — a trigger fn whose body is
+    // straight-line DML (no NEW/OLD row context) fires ONCE per
+    // statement, before or after it. Each body statement executes
+    // through the dialect set-based; AFTER fires only on statement
+    // success; cascades are depth-guarded. Here an AFTER INSERT OR
+    // UPDATE audit snapshots the table count per statement.
+    Q("q_dml_trigger_stmt", Some(
+      """WITH c1 AS (SELECT count(*) AS n FROM customer
+        |    WHERE c_custkey <= 120),
+        |c2 AS (SELECT count(*) AS n FROM customer WHERE c_custkey <= 200)
+        |SELECT 'snap' AS tag, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT n FROM c1 UNION ALL SELECT n FROM c2
+        |  UNION ALL SELECT n FROM c2) t
+        |ORDER BY n""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_stmt")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS stmt_tgt")
+      run("DROP TABLE IF EXISTS stmt_log")
+      run("CREATE TABLE stmt_tgt (id bigint, v bigint) DISTRIBUTED BY (id)")
+      run("CREATE TABLE stmt_log (tag text, n bigint) DISTRIBUTED BY (tag)")
+      run("""CREATE OR REPLACE FUNCTION audit_snap() RETURNS trigger AS $$
+            |BEGIN
+            |  INSERT INTO stmt_log SELECT 'snap', count(*) FROM stmt_tgt;
+            |  RETURN NULL;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_snap AFTER INSERT OR UPDATE ON stmt_tgt
+            |FOR EACH STATEMENT EXECUTE FUNCTION audit_snap()""".stripMargin)
+      run("""INSERT INTO stmt_tgt
+            |SELECT c_custkey, c_custkey % 5 FROM customer
+            |WHERE c_custkey <= 120""".stripMargin)
+      run("""INSERT INTO stmt_tgt
+            |SELECT c_custkey, c_custkey % 5 FROM customer
+            |WHERE c_custkey > 120 AND c_custkey <= 200""".stripMargin)
+      run("UPDATE stmt_tgt SET v = v + 1 WHERE id <= 10")
+      run("SELECT tag, n FROM stmt_log ORDER BY n")
+    },
+
     // contrib/tablefunc crosstab (tablefunc.c:50): the 2-arg form —
     // categories from the second query, values matched by category
     // (get_crosstab_tuplestore's hash). Lowers to groupBy(row).pivot:

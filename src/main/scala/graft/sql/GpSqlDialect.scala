@@ -102,7 +102,9 @@ object GpSqlDialect {
     // statement admission through the session role's resource queue
     // (queue.c resqueue lock at ExecutorStart); nested dialect calls
     // ride the already-held slot
-    ResourceQueues.withSlot(spark) { executeImpl(spark, gpSql, basePath) }
+    ResourceQueues.withSlot(spark) {
+      executeWithStmtTriggers(spark, gpSql, basePath)
+    }
 
   private def executeImpl(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
@@ -250,16 +252,24 @@ object GpSqlDialect {
     CreateTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateTrigger(spark, m.group(1), m.group(2),
-          m.group(3), m.group(4))
+          m.group(3), m.group(5), Option(m.group(4)))
       case _ =>
+        CreateStmtTriggerRe.findFirstMatchIn(trimmed) match {
+          case Some(m) =>
+            return executeCreateStmtTrigger(spark, m.group(1),
+              m.group(2), m.group(3), m.group(4), m.group(5))
+          case _ =>
+        }
         // any other trigger shape: loud reject, never misexecute
         if ("(?is)^\\s*CREATE\\s+(?:CONSTRAINT\\s+)?TRIGGER\\b".r
             .findFirstIn(trimmed).isDefined)
           throw new UnsupportedOperationException(
             "graft supports BEFORE INSERT/UPDATE ... FOR EACH ROW " +
-              "EXECUTE FUNCTION f() triggers only (AFTER triggers: use " +
-              "the CDC delta views; INSTEAD OF / statement-level / WHEN " +
-              "/ trigger arguments have no set-based lowering)")
+              "[WHEN (cond)] EXECUTE FUNCTION f() row triggers and " +
+              "BEFORE/AFTER ... FOR EACH STATEMENT triggers with " +
+              "straight-line DML bodies only (AFTER ROW: use the CDC " +
+              "delta views; INSTEAD OF / transition tables / trigger " +
+              "arguments have no set-based lowering)")
     }
     DropTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
@@ -304,7 +314,7 @@ object GpSqlDialect {
     CreateTsDictRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateTsDict(spark, m.group(1), m.group(2),
-          m.group(3), m.group(4))
+          m.group(3))
       case _ =>
     }
     CreateTsConfigRe.findFirstMatchIn(trimmed) match {
@@ -888,9 +898,12 @@ object GpSqlDialect {
 
   private def rejectDeferredCalls(sql: String): Unit = {
     // DROP / re-CREATE of the deferred object mentions its name with a
-    // paren but is not a call — those statements heal, not use
-    if ("(?is)^\\s*(?:DROP\\b|CREATE\\s+(?:OR\\s+REPLACE\\s+)?AGGREGATE\\b)"
-      .r.findFirstIn(sql).isDefined) return
+    // paren but is not a call — those statements heal, not use. CREATE
+    // TRIGGER ... EXECUTE FUNCTION f() likewise ATTACHES f, it does not
+    // call it (a DML-bodied statement-trigger fn is row-deferred but
+    // statement-attachable).
+    if (("(?is)^\\s*(?:DROP\\b|CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+      "(?:AGGREGATE|TRIGGER)\\b)").r.findFirstIn(sql).isDefined) return
     deferredPlpgsql.foreach { case (name, why) =>
       if (s"(?i)(?<![\\w.])$name\\s*\\(".r.findFirstIn(sql).isDefined)
         throw new UnsupportedOperationException(
@@ -2523,7 +2536,24 @@ object GpSqlDialect {
   // keys never match inside it) and resolves to the bare pre-image
   // column in the final composed UPDATE
   private val OldTokenRe = "(?i)__trig_old_(\\w+)\\b".r
-  private case class TriggerDef(name: String, events: Set[String], fn: String)
+  // `when`: the CREATE TRIGGER ... WHEN (cond) predicate, stored
+  // TOKENIZED (NEW. stripped to bare column, OLD.col → __trig_old_col)
+  // — PG evaluates it once per row at trigger entry (trigger.c
+  // TriggerEnabled); a false WHEN means the fn does not fire and the
+  // row passes through UNCHANGED (not skipped).
+  private case class TriggerDef(name: String, events: Set[String],
+    fn: String, when: Option[String] = None)
+  // statement-level triggers (commands/trigger.c FOR EACH STATEMENT):
+  // fire ONCE per DML statement, before or after it; the fn body is a
+  // recorded straight-line DML sequence (triggerFnStmtBodies)
+  private case class StmtTriggerDef(name: String, timing: String,
+    events: Set[String], fn: String)
+  private val tableStmtTriggers =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[StmtTriggerDef]]
+  // trigger fns whose body is straight-line DML with no row context —
+  // attachable FOR EACH STATEMENT (independent of the row tier)
+  private val triggerFnStmtBodies =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val tableTriggers =
     scala.collection.concurrent.TrieMap.empty[String, Vector[TriggerDef]]
 
@@ -2531,9 +2561,102 @@ object GpSqlDialect {
     ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+BEFORE\\s+" +
       "(INSERT|UPDATE|INSERT\\s+OR\\s+UPDATE|UPDATE\\s+OR\\s+INSERT)\\s+" +
       "ON\\s+(\\w+)\\s+FOR\\s+EACH\\s+ROW\\s+" +
+      "(?:WHEN\\s*\\((.+)\\)\\s+)?" +
       "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
   private val DropTriggerRe =
     "(?is)^\\s*DROP\\s+TRIGGER\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\s*$".r
+  // statement-level shape: FOR EACH STATEMENT explicit, or omitted
+  // (PG defaults to statement-level when no FOR EACH clause is given)
+  private val CreateStmtTriggerRe =
+    ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+(BEFORE|AFTER)\\s+" +
+      "((?:INSERT|UPDATE|DELETE)(?:\\s+OR\\s+(?:INSERT|UPDATE|DELETE))*)" +
+      "\\s+ON\\s+(\\w+)\\s+(?:FOR\\s+EACH\\s+STATEMENT\\s+)?" +
+      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+
+  /** Attach a statement-level trigger: the fn must have a recorded
+    * straight-line-DML body (no row context). Fires once per matching
+    * DML statement on the table, in name order, cascading through
+    * nested DML with a depth guard. */
+  def executeCreateStmtTrigger(
+      spark: SparkSession, trigName: String, timing: String,
+      eventsRaw: String, table: String, fn: String): DataFrame = {
+    val fnLc = fn.toLowerCase
+    if (!triggerFnStmtBodies.contains(fnLc))
+      throw new UnsupportedOperationException(
+        s"statement trigger $trigName: function $fn must be a RETURNS " +
+          "trigger fn whose body is straight-line INSERT/UPDATE/DELETE " +
+          "statements (statement-level triggers have no NEW/OLD row " +
+          "context)" + deferredPlpgsql.get(fnLc)
+            .map(w => s"; recorded body issue: $w").getOrElse(""))
+    val events = eventsRaw.toUpperCase.split("\\s+OR\\s+")
+      .map(_.trim.toLowerCase).toSet
+    val lc = table.toLowerCase
+    tableStmtTriggers(lc) = (tableStmtTriggers.getOrElse(lc, Vector.empty)
+      .filterNot(_.name == trigName.toLowerCase) :+
+      StmtTriggerDef(trigName.toLowerCase, timing.toLowerCase, events,
+        fnLc)).sortBy(_.name)
+    spark.emptyDataFrame
+  }
+
+  /** DML statement-type + target of a top-level statement, for
+    * statement-trigger dispatch. */
+  private val DmlInsertRe = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.]+)".r
+  private val DmlUpdateRe =
+    "(?is)^\\s*UPDATE\\s+(?:ONLY\\s+)?([\\w.]+)\\s+SET\\b".r
+  private val DmlDeleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+(?:ONLY\\s+)?([\\w.]+)".r
+  private def dmlTarget(sql: String): Option[(String, String)] = {
+    def bare(t: String) = t.split('.').last.toLowerCase
+    DmlInsertRe.findFirstMatchIn(sql).map(m => (bare(m.group(1)), "insert"))
+      .orElse(DmlUpdateRe.findFirstMatchIn(sql)
+        .map(m => (bare(m.group(1)), "update")))
+      .orElse(DmlDeleteRe.findFirstMatchIn(sql)
+        .map(m => (bare(m.group(1)), "delete")))
+  }
+
+  private val stmtTrigDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  /** Fire the table's statement-level triggers for (event, timing):
+    * each recorded body statement executes through the dialect, so
+    * trigger-body DML cascades (further statement triggers fire) with
+    * a depth guard against self-recursive audit shapes. */
+  private def fireStmtTriggers(
+      spark: SparkSession, table: String, event: String, timing: String,
+      basePath: String): Unit = {
+    val trigs = tableStmtTriggers.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(t => t.timing == timing && t.events.contains(event))
+    if (trigs.isEmpty) return
+    if (stmtTrigDepth.get >= 8)
+      throw new IllegalStateException(
+        s"statement-trigger cascade depth exceeded on $table " +
+          "(self-recursive trigger?)")
+    stmtTrigDepth.set(stmtTrigDepth.get + 1)
+    try trigs.foreach { tg =>
+      val body = triggerFnStmtBodies.getOrElse(tg.fn,
+        throw new UnsupportedOperationException(
+          s"statement trigger ${tg.name} on $table: function " +
+            s"${tg.fn}() no longer has a straight-line DML body — " +
+            "DROP TRIGGER or restore a supported body"))
+      body.foreach(st => executeWithStmtTriggers(spark, st, basePath))
+    } finally stmtTrigDepth.set(stmtTrigDepth.get - 1)
+  }
+
+  /** DML statements route here (from [[execute]]): statement-level
+    * triggers fire around the statement; AFTER fires only when the
+    * statement succeeded (PG abort semantics). */
+  private def executeWithStmtTriggers(
+      spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
+    val target =
+      if (tableStmtTriggers.isEmpty) None else dmlTarget(gpSql)
+    target.foreach { case (t, ev) =>
+      fireStmtTriggers(spark, t, ev, "before", basePath) }
+    val out = executeImpl(spark, gpSql, basePath)
+    target.foreach { case (t, ev) =>
+      fireStmtTriggers(spark, t, ev, "after", basePath) }
+    out
+  }
 
   /** RETURNS trigger body tier: `NEW.col := expr;` assignments,
     * `IF cond THEN RETURN NULL; END IF;` skips, terminal `RETURN NEW`.
@@ -2553,12 +2676,31 @@ object GpSqlDialect {
       triggerFnUsesOld.remove(name)
       spark.emptyDataFrame
     }
+    triggerFnStmtBodies.remove(name) // re-derived below on every CREATE
     val rawBody = body0.trim match {
       case PlBodyRe(d, s) =>
         if (Option(d).exists(_.trim.nonEmpty))
           return defer("trigger function DECLARE section")
         s.trim
       case other => return defer(firstStatement(other))
+    }
+    // statement-level tier (commands/trigger.c: FOR EACH STATEMENT —
+    // the audit-log migration shape): a body of straight-line
+    // INSERT/UPDATE/DELETE statements with no row context (no NEW/OLD/
+    // TG_*), optional terminal RETURN NULL/NEW. Recorded independently
+    // of the row tier: the SAME fn name can attach FOR EACH STATEMENT
+    // even though it defers as a row trigger.
+    locally {
+      val parts0 = splitStatements(rawBody).map(_.trim).filter(_.nonEmpty)
+      val dmls = parts0.takeWhile(p =>
+        "(?is)^(INSERT|UPDATE|DELETE)\\b".r.findFirstIn(p).isDefined)
+      val rest = parts0.drop(dmls.length)
+      val noRowCtx = "(?i)(?<![\\w.])(NEW|OLD|TG_\\w+)(?![\\w])".r
+        .findFirstIn(maskLiterals(rawBody)).isEmpty
+      if (dmls.nonEmpty && noRowCtx &&
+        (rest.isEmpty || (rest.length == 1 &&
+          rest.head.matches("(?is)^RETURN\\s+(NULL|NEW)$"))))
+        triggerFnStmtBodies(name) = dmls
     }
     val usesOld =
       "(?i)(?<![\\w.])OLD\\.".r.findFirstIn(rawBody).isDefined
@@ -2591,7 +2733,8 @@ object GpSqlDialect {
 
   def executeCreateTrigger(
       spark: SparkSession, trigName: String, eventsRaw: String,
-      table: String, fn: String): DataFrame = {
+      table: String, fn: String, whenRaw: Option[String] = None)
+      : DataFrame = {
     val fnLc = fn.toLowerCase
     if (!triggerFnBodies.contains(fnLc)) {
       val why = deferredPlpgsql.get(fnLc)
@@ -2606,10 +2749,24 @@ object GpSqlDialect {
       throw new UnsupportedOperationException(
         s"trigger function $fn references OLD.* — OLD is unassigned in " +
           "BEFORE INSERT triggers; attach it to UPDATE only")
+    // WHEN (cond): tokenize like the body — NEW. strips to the bare
+    // column, OLD.col becomes the pre-image token; OLD in WHEN is
+    // UPDATE-only for the same reason as OLD in the body
+    val when = whenRaw.map { w =>
+      val t = w.trim
+        .replaceAll("(?i)(?<![\\w.])OLD\\.(\\w+)", "__trig_old_$1")
+        .replaceAll("(?i)(?<![\\w.])NEW\\.", "")
+      if (events.contains("insert") && OldTokenRe.findFirstIn(t).isDefined)
+        throw new UnsupportedOperationException(
+          s"trigger $trigName WHEN clause references OLD.* — OLD is " +
+            "unassigned in BEFORE INSERT triggers; attach it to UPDATE " +
+            "only")
+      t
+    }
     val lc = table.toLowerCase
     tableTriggers(lc) = (tableTriggers.getOrElse(lc, Vector.empty)
       .filterNot(_.name == trigName.toLowerCase) :+
-      TriggerDef(trigName.toLowerCase, events, fnLc)).sortBy(_.name)
+      TriggerDef(trigName.toLowerCase, events, fnLc, when)).sortBy(_.name)
     spark.emptyDataFrame
   }
 
@@ -2618,6 +2775,8 @@ object GpSqlDialect {
     val lc = table.toLowerCase
     tableTriggers.get(lc).foreach(ts =>
       tableTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
+    tableStmtTriggers.get(lc).foreach(ts =>
+      tableStmtTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
     spark.emptyDataFrame
   }
 
@@ -2635,27 +2794,42 @@ object GpSqlDialect {
   /** Fire the table's BEFORE ROW triggers on the new-tuple relation:
     * skips filter, assignments project (each step sees the previous
     * steps' NEW values, plpgsql sequencing) — the whole cascade stays
-    * one codegen'd stage over the DML source. */
+    * one codegen'd stage over the DML source. A WHEN clause pins to a
+    * temp boolean at trigger ENTRY (PG evaluates it once, before the
+    * fn — trigger.c TriggerEnabled): false → skips don't filter and
+    * assignments keep the incoming value. */
   def applyRowTriggers(
       table: String, df: DataFrame, event: String): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{
+      coalesce, col, expr, lit, not, when => fnWhen}
     val trigs = tableTriggers.getOrElse(table.toLowerCase, Vector.empty)
       .filter(_.events.contains(event))
     if (trigs.isEmpty) return df
     val types = df.schema.map(f => f.name.toLowerCase -> (f.name, f.dataType))
       .toMap
     trigs.foldLeft(df) { (d, tg) =>
-      triggerSteps(tg, table).foldLeft(d) {
+      val entry = tg.when match {
+        case Some(w) =>
+          requireNoOld(tg.name, table, w)
+          d.withColumn("__trig_when", coalesce(expr(w), lit(false)))
+        case None => d
+      }
+      val fired = triggerSteps(tg, table).foldLeft(entry) {
         case (dd, TrigSkip(c)) =>
           requireNoOld(tg.name, table, c)
-          dd.filter(not(coalesce(expr(c), lit(false))))
+          val skip = coalesce(expr(c), lit(false))
+          dd.filter(not(if (tg.when.isDefined)
+            col("__trig_when") && skip else skip))
         case (dd, TrigAssign(cn, e)) =>
           requireNoOld(tg.name, table, e)
           val (actual, dt) = types.getOrElse(cn,
             throw new IllegalArgumentException(
               s"trigger ${tg.name}: column $cn of $table does not exist"))
-          dd.withColumn(actual, expr(e).cast(dt))
+          val v = expr(e).cast(dt)
+          dd.withColumn(actual, if (tg.when.isDefined)
+            fnWhen(col("__trig_when"), v).otherwise(col(actual)) else v)
       }
+      if (tg.when.isDefined) fired.drop("__trig_when") else fired
     }
   }
 
@@ -2709,9 +2883,25 @@ object GpSqlDialect {
     }
     val skips = scala.collection.mutable.ArrayBuffer.empty[String]
     trigs.foreach { tg =>
+      // WHEN pins at trigger entry: substituted against the env BEFORE
+      // this trigger's own assignments run (PG evaluates it once)
+      val wSub = tg.when.map(subst)
+      def guard(c: String): String =
+        wSub.fold(c)(w => s"coalesce(($w), false) AND ($c)")
       triggerSteps(tg, table).foreach {
-        case TrigSkip(c) => skips += subst(c)
-        case TrigAssign(cn, e) => env = env + (cn -> subst(e))
+        case TrigSkip(c) => skips += guard(subst(c))
+        case TrigAssign(cn, e) =>
+          val applied = subst(e)
+          val v = wSub match {
+            case Some(w) =>
+              // unfired rows keep the incoming value: the SET/prior-
+              // trigger expression if present, else the pre-image col
+              val prev = env.getOrElse(cn, cn)
+              s"CASE WHEN coalesce(($w), false) THEN ($applied) " +
+                s"ELSE ($prev) END"
+            case None => applied
+          }
+          env = env + (cn -> v)
       }
     }
     // OLD.col tokens resolve LAST, to the bare pre-image column: the
@@ -3018,9 +3208,13 @@ object GpSqlDialect {
   // here, so the payload is INLINE in the DDL ('a=b, c=d' /
   // 'the, a, of') — the documented adaptation.
 
+  /** `phrases`: thesaurus samples — (sample words, substitute lexemes),
+    * longest-match-first (dict_thesaurus.c). `synonyms` doubles as the
+    * ispell surface→root map (affix rules expand at CREATE time). */
   final case class TsDict(template: String,
       synonyms: Map[String, String] = Map.empty,
-      stopwords: Set[String] = Set.empty)
+      stopwords: Set[String] = Set.empty,
+      phrases: Seq[(List[String], List[String])] = Nil)
   val tsDictionaries =
     scala.collection.concurrent.TrieMap.empty[String, TsDict]
   /** config → dictionary chain for word tokens (LexizeExec order). */
@@ -3032,7 +3226,8 @@ object GpSqlDialect {
   private val CreateTsDictRe =
     ("(?is)^\\s*CREATE\\s+TEXT\\s+SEARCH\\s+DICTIONARY\\s+(\\w+)\\s*" +
       "\\(\\s*TEMPLATE\\s*=\\s*(\\w+)\\s*" +
-      "(?:,\\s*(SYNONYMS|STOPWORDS)\\s*=\\s*'([^']*)')?\\s*\\)\\s*$").r
+      "((?:,\\s*\\w+\\s*=\\s*'[^']*'\\s*)*)\\)\\s*$").r
+  private val TsDictOptRe = "(\\w+)\\s*=\\s*'([^']*)'".r
   private val CreateTsConfigRe =
     ("(?is)^\\s*CREATE\\s+TEXT\\s+SEARCH\\s+CONFIGURATION\\s+(\\w+)\\s*" +
       "\\(\\s*(?:COPY|PARSER)\\s*=\\s*(\\w+)\\s*\\)\\s*$").r
@@ -3042,13 +3237,16 @@ object GpSqlDialect {
       "([\\w,\\s]+?)\\s*$").r
 
   def executeCreateTsDict(spark: SparkSession, name: String,
-      template: String, payloadKind: String, payload: String): DataFrame = {
+      template: String, optsRaw: String): DataFrame = {
+    val opts = TsDictOptRe.findAllMatchIn(Option(optsRaw).getOrElse(""))
+      .map(m => m.group(1).toUpperCase -> m.group(2)).toMap
+    def opt(k: String): Option[String] = opts.get(k)
     val dict = template.toLowerCase match {
       case "synonym" =>
-        require(payloadKind != null &&
-          payloadKind.equalsIgnoreCase("SYNONYMS"),
-          s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=synonym " +
-            "requires SYNONYMS = 'from=to, ...'")
+        val payload = opt("SYNONYMS").getOrElse(throw
+          new IllegalArgumentException(
+            s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=synonym " +
+              "requires SYNONYMS = 'from=to, ...'"))
         val pairs = payload.split(",").iterator.map(_.trim)
           .filter(_.nonEmpty).map { p =>
             val Array(f, t) = p.split("=", 2).map(_.trim.toLowerCase)
@@ -3056,15 +3254,77 @@ object GpSqlDialect {
           }.toMap
         TsDict("synonym", synonyms = pairs)
       case "simple" =>
-        val stops =
-          if (payloadKind == null) Set.empty[String]
-          else payload.split(",").map(_.trim.toLowerCase)
-            .filter(_.nonEmpty).toSet
+        val stops = opt("STOPWORDS").map(_.split(",")
+          .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
         TsDict("simple", stopwords = stops)
+      // ispell (tsearch/spell.c, suffix subset): DICTWORDS are
+      // 'root/FLAGS' entries, AFFIXES are 'SFX <flag> <suffix>' rules
+      // (';'-separated). Expansion happens at CREATE — every surface
+      // form (root and root+suffix per matching flag) maps to the
+      // root, and lexize is then the synonym lookup. PG's $SHAREDIR
+      // .dict/.affix files have no analogue here so the payloads are
+      // INLINE (same documented adaptation as synonym/stopwords);
+      // strip/condition affix fields are out of scope and reject.
+      case "ispell" =>
+        val words = opt("DICTWORDS").getOrElse(throw
+          new IllegalArgumentException(
+            s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=ispell " +
+              "requires DICTWORDS = 'root/FLAGS, ...'"))
+        val affRaw = opt("AFFIXES").getOrElse("")
+        val AffRe = "(?i)^SFX\\s+(\\w)\\s+([a-z0-9]+)$".r
+        val affixes: Map[Char, Seq[String]] = affRaw.split(";").iterator
+          .map(_.trim).filter(_.nonEmpty).map {
+            case AffRe(f, s) => f.toUpperCase.head -> s.toLowerCase
+            case bad => throw new IllegalArgumentException(
+              s"CREATE TEXT SEARCH DICTIONARY $name: affix rule '$bad' " +
+                "is not the supported 'SFX <flag> <suffix>' subset " +
+                "(strip/condition fields reject loudly)")
+          }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val surface = words.split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).flatMap { entry =>
+            val (root, flags) = entry.split("/", 2) match {
+              case Array(r, f) => (r.trim.toLowerCase, f.trim.toUpperCase)
+              case Array(r) => (r.trim.toLowerCase, "")
+            }
+            (root -> root) +: flags.flatMap(fl =>
+              affixes.getOrElse(fl, Seq.empty)
+                .map(sfx => (root + sfx) -> root)).toSeq
+          }.toMap
+        TsDict("ispell", synonyms = surface)
+      // thesaurus (tsearch/dict_thesaurus.c): multi-lexeme samples
+      // substitute as a unit — PHRASES = 'sample words = substitute,
+      // ...'. Matching is longest-sample-first at each stream
+      // position; to stay set-based AND greedy-correct, samples whose
+      // FIRST word occurs as a NON-first word of any sample are
+      // rejected at CREATE (such overlaps would need PG's sequential
+      // scanner — loud, documented).
+      case "thesaurus" =>
+        val payload = opt("PHRASES").getOrElse(throw
+          new IllegalArgumentException(
+            s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=thesaurus " +
+              "requires PHRASES = 'sample words = substitute, ...'"))
+        val phrases = payload.split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map { p =>
+            val Array(s, t) = p.split("=", 2)
+            val sample = s.trim.toLowerCase.split("\\s+").toList
+            val subst = t.trim.toLowerCase.split("\\s+").toList
+            require(sample.nonEmpty && subst.nonEmpty && sample.size <= 3,
+              s"thesaurus sample '$p': 1..3 sample words supported")
+            (sample, subst)
+          }.toSeq
+        val firsts = phrases.map(_._1.head).toSet
+        val nonFirsts = phrases.flatMap(_._1.tail).toSet
+        val overlap = firsts.intersect(nonFirsts)
+        if (overlap.nonEmpty) throw new UnsupportedOperationException(
+          s"CREATE TEXT SEARCH DICTIONARY $name: sample word(s) " +
+            s"${overlap.mkString(", ")} start one sample and continue " +
+            "another — overlapping samples need PG's sequential " +
+            "scanner, which has no greedy-correct set-based lowering")
+        TsDict("thesaurus", phrases = phrases)
       case other => throw new IllegalArgumentException(
         s"CREATE TEXT SEARCH DICTIONARY: unsupported TEMPLATE '$other'" +
-          " (synonym and simple are lowered; ispell/thesaurus need" +
-          " affix files with no analogue here)")
+          " (synonym, simple, ispell and thesaurus are lowered)")
     }
     tsDictionaries.put(name.toLowerCase, dict)
     spark.emptyDataFrame
@@ -4023,6 +4283,7 @@ object GpSqlDialect {
     // triggers die with their table (PG: DROP TABLE cascades to
     // triggers) — a re-created table must not inherit stale ones
     tableTriggers.remove(table.toLowerCase)
+    tableStmtTriggers.remove(table.toLowerCase)
     catalog.remove(table) match {
       case Some(t) =>
         spark.catalog.dropTempView(table)

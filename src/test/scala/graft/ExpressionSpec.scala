@@ -2597,6 +2597,77 @@ class ExpressionSpec extends AnyFunSuite {
     run("DROP TABLE trig_t")
   }
 
+  test("trigger WHEN clause gates firing per row; statement-level " +
+    "triggers fire once per DML statement") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_trigw_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS tw_t")
+    run("CREATE TABLE tw_t (id int, v int, tag text) DISTRIBUTED BY (id)")
+    run("""CREATE OR REPLACE FUNCTION tw_fn() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.tag := 'hot';
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_w BEFORE INSERT OR UPDATE ON tw_t " +
+      "FOR EACH ROW WHEN (NEW.v >= 10) EXECUTE FUNCTION tw_fn()")
+    run("INSERT INTO tw_t VALUES (1, 5, 'cold')")
+    run("INSERT INTO tw_t VALUES (2, 15, 'cold')")
+    val r = run("SELECT id, tag FROM tw_t ORDER BY id").collect()
+    assert(r(0).getString(1) == "cold" && r(1).getString(1) == "hot",
+      r.mkString(","))
+    // UPDATE: WHEN sees the post-SET NEW value; unfired rows keep the
+    // SET result but the trigger does not touch them
+    run("UPDATE tw_t SET v = v + 6 WHERE id = 1") // 5→11: fires now
+    assert(run("SELECT tag FROM tw_t WHERE id = 1").head.getString(0)
+      == "hot")
+    // WHEN referencing OLD on an INSERT event rejects at CREATE
+    val e1 = intercept[UnsupportedOperationException] {
+      run("CREATE TRIGGER t_wo BEFORE INSERT ON tw_t FOR EACH ROW " +
+        "WHEN (OLD.v < NEW.v) EXECUTE FUNCTION tw_fn()")
+    }
+    assert(e1.getMessage.contains("OLD"), e1.getMessage)
+    run("DROP TRIGGER t_w ON tw_t")
+    // ---- statement-level ---------------------------------------------
+    run("DROP TABLE IF EXISTS tw_log")
+    run("CREATE TABLE tw_log (n bigint) DISTRIBUTED BY (n)")
+    run("""CREATE OR REPLACE FUNCTION tw_audit() RETURNS trigger AS $$
+          |BEGIN
+          |  INSERT INTO tw_log SELECT count(*) FROM tw_t;
+          |  RETURN NULL;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    // BEFORE timing sees the pre-statement state, AFTER the post state
+    run("CREATE TRIGGER t_b BEFORE INSERT ON tw_t " +
+      "FOR EACH STATEMENT EXECUTE FUNCTION tw_audit()")
+    run("CREATE TRIGGER t_a AFTER INSERT ON tw_t " +
+      "FOR EACH STATEMENT EXECUTE FUNCTION tw_audit()")
+    run("INSERT INTO tw_t VALUES (3, 1, 'x')")
+    val logs = run("SELECT n FROM tw_log ORDER BY n").collect()
+      .map(_.getLong(0)).toSeq
+    assert(logs == Seq(2L, 3L), logs.toString) // before: 2 rows, after: 3
+    // a row-context body cannot attach FOR EACH STATEMENT
+    val e2 = intercept[UnsupportedOperationException] {
+      run("CREATE TRIGGER t_bad AFTER INSERT ON tw_t " +
+        "FOR EACH STATEMENT EXECUTE FUNCTION tw_fn()")
+    }
+    assert(e2.getMessage.contains("straight-line"), e2.getMessage)
+    // self-recursive statement trigger hits the depth guard, loudly
+    run("DROP TRIGGER t_b ON tw_t")
+    run("DROP TRIGGER t_a ON tw_t")
+    run("""CREATE OR REPLACE FUNCTION tw_self() RETURNS trigger AS $$
+          |BEGIN
+          |  INSERT INTO tw_t VALUES (99, 0, 'loop');
+          |  RETURN NULL;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_self AFTER INSERT ON tw_t " +
+      "FOR EACH STATEMENT EXECUTE FUNCTION tw_self()")
+    val e3 = intercept[IllegalStateException] {
+      run("INSERT INTO tw_t VALUES (4, 1, 'x')")
+    }
+    assert(e3.getMessage.contains("depth"), e3.getMessage)
+    run("DROP TABLE tw_t")
+    run("DROP TABLE tw_log")
+  }
+
   test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_fetch_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)

@@ -782,4 +782,24 @@ class PlanSpec extends AnyFunSuite {
     assert(pPhi.contains("partial_"),
       s"per-word masses need map-side partials:\n$pPhi")
   }
+
+  test("q_ml_ols_k: one moment aggregate, Gauss-Jordan is scalar " +
+    "algebra — no join, no window, no second scan") {
+    val p = plan("q_ml_ols_k")
+    // the whole fit is ONE partial/final aggregate over the corpus;
+    // the generated solve is per-group column algebra on the
+    // aggregated row — any join/window here means the solve leaked
+    // back into a data-scale operator
+    assert(p.contains("partial_"), s"no map-side combine: $p")
+    assert(!p.contains("Join"), s"olsFitK must not join: $p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"olsFitK must not window: $p")
+    // exactly one hash Exchange in the FINAL plan: the group-by
+    // shuffle (the trailing range exchange is the orderBy for
+    // deterministic output; AQE's echoed Initial Plan is excluded)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(finalPlan).length
+    assert(exchanges <= 1, s"extra shuffles in olsFitK plan: $p")
+  }
 }
