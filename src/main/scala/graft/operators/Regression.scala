@@ -714,6 +714,121 @@ object Regression {
             s"round(1.0e0 - $sse / $sst, 6) END").as("r2")): _*)
   }
 
+  /** Per-group logistic regression at ANY feature count — the same
+    * lift for [[logregFit2]] that [[olsFitK]] is for [[olsFit2]]:
+    * Newton/IRLS with a FIXED iteration count, each round ONE
+    * aggregate of the (k+1)(k+2)/2 weighted moments + k+1 gradient
+    * sums under the [[graft.queries.Q.dsum]] discipline, then the
+    * shared [[gjBatches]] Gauss-Jordan solves the Newton step as
+    * scalar algebra on the per-group moment row. Determinism: exp
+    * outputs micros-quantize (the multinomFit2 discipline) so μ, w
+    * and every residual are identical doubles cross-engine;
+    * coefficients micros-quantize per round. Groups with a singular
+    * weighted normal matrix keep their previous coefficients.
+    *
+    * Scale: per-group coefficient state is a catalog-scale DataFrame
+    * broadcast back to the rows; `iterations` scans total, map-side
+    * combinable, lineage cut per round. Returns
+    * (grp, n, b0 … bk) with b's rounded to 4. */
+  def logregFitK(
+      df: DataFrame, groupCol: String, yCol: String,
+      xCols: Seq[String], iterations: Int = 4): DataFrame = {
+    val p = xCols.length + 1
+    val rows = df.select(col(groupCol).as("grp") +:
+      col(yCol).cast("double").as("y") +:
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"x${i + 1}") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val xs: Seq[Column] =
+      lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
+    def q6c(c: Column): Column =
+      floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+    var coef = rows.select(col("grp")).distinct()
+      .select(col("grp") +: (0 until p).map(i => lit(0.0).as(s"b_$i")): _*)
+    val (batches, valid) = gjBatches(p)
+    for (_ <- 0 until iterations) {
+      val z = (0 until p).map(i => col(s"b_$i") * xs(i)).reduce(_ + _)
+      val e = q6c(exp(-z))
+      val mu = lit(1.0) / (lit(1.0) + e)
+      val w = mu * (lit(1.0) - mu)
+      val res = col("y") - mu
+      val aggs =
+        (for { i <- 0 until p; j <- i until p }
+          yield Q.dsum(w * xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
+          (0 until p).map(i => Q.dsum(res * xs(i), 6).as(s"t_$i")) :+
+          count(lit(1)).as("nl")
+      val m = rows.join(broadcast(coef), "grp")
+        .groupBy(col("grp") +: (0 until p).map(i => col(s"b_$i")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val solved = batches.foldLeft(m) { (d, batch) =>
+        d.select(col("*") +:
+          batch.map { case (n2, e2) => expr(e2).as(n2) }: _*)
+      }
+      coef = solved.select(col("grp") +: col("nl") +:
+        (0 until p).map(i => expr(
+          s"CASE WHEN $valid THEN floor((b_$i + b${p - 1}_$i) * 1000000" +
+            s" + 0.5) / 1000000 ELSE b_$i END").as(s"b_$i")): _*)
+        .localCheckpoint(eager = true)
+    }
+    coef.select(col("grp") +: col("nl").as("n") +:
+      (0 until p).map(i => round(col(s"b_$i"), 4).as(s"b$i")): _*)
+  }
+
+  /** DuckDB oracle for [[logregFitK]] — the identical IRLS unroll:
+    * per round one join-to-coef CTE, one moment aggregate with
+    * [[graft.queries.Q.oSum]], and the shared [[gjBatches]] text as
+    * chained CTEs. `xExprs` are SQL expressions over `table`'s
+    * columns (must match the Spark side's feature construction). */
+  def logregKOracleSql(
+      table: String, groupExpr: String, yExpr: String,
+      xExprs: Seq[String], iterations: Int = 4): String = {
+    val p = xExprs.length + 1
+    val (batches, valid) = gjBatches(p)
+    def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+    val xsSel = xExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS DOUBLE) AS x${i + 1}" }.mkString(", ")
+    val xs = "1.0e0" +: (1 to xExprs.length).map(i => s"x$i")
+    val zTxt = (0 until p).map(i => s"b_$i * ${xs(i)}").mkString(" + ")
+    val it0 = s"it0 AS (SELECT DISTINCT grp, ${(0 until p)
+      .map(i => s"0.0e0 AS b_$i").mkString(", ")} FROM rr)"
+    val rounds = (1 to iterations).map { k =>
+      val moments =
+        (for { i <- 0 until p; j <- i until p }
+          yield s"${Q.oSum(s"(mu * (1.0e0 - mu)) * ${xs(i)} * ${xs(j)}",
+            6)} AS m_${i}_$j") ++
+          (0 until p).map(i =>
+            s"${Q.oSum(s"(y - mu) * ${xs(i)}", 6)} AS t_$i") :+
+          "CAST(count(*) AS BIGINT) AS nl"
+      val bcols = (0 until p).map(i => s"b_$i").mkString(", ")
+      val jk = s"j$k AS (SELECT r.grp, " +
+        (0 until p).map(i => s"c.b_$i").mkString(", ") + ", r.y, " +
+        (1 until p).map(i => s"r.x$i").mkString(", ") + ",\n" +
+        s"    1.0e0 / (1.0e0 + ${q6(s"exp(-($zTxt))")}) AS mu\n" +
+        s"  FROM rr r JOIN it${k - 1} c USING (grp))"
+      val ak = s"a$k AS (SELECT grp, $bcols,\n  ${moments.mkString(",\n  ")}" +
+        s"\n  FROM j$k GROUP BY grp, $bcols)"
+      val gj = batches.zipWithIndex.map { case (batch, bi) =>
+        val src = if (bi == 0) s"a$k" else s"s${k}_${bi - 1}"
+        s"s${k}_$bi AS (SELECT *,\n  ${batch
+          .map { case (n2, e2) => s"$e2 AS $n2" }
+          .mkString(",\n  ")}\n  FROM $src)"
+      }
+      val itk = s"it$k AS (SELECT grp, nl, ${(0 until p).map(i =>
+        s"CASE WHEN $valid THEN ${q6(s"b_$i + b${p - 1}_$i")} " +
+          s"ELSE b_$i END AS b_$i").mkString(",\n  ")}" +
+        s"\n  FROM s${k}_${batches.length - 1})"
+      (Seq(jk, ak) ++ gj :+ itk).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH rr AS (SELECT $groupExpr AS grp,
+       |    CAST($yExpr AS DOUBLE) AS y, $xsSel FROM $table),
+       |$it0,
+       |$rounds
+       |SELECT grp, nl AS n, ${(0 until p)
+      .map(i => s"round(b_$i, 4) AS b$i").mkString(", ")}
+       |FROM it$iterations ORDER BY grp""".stripMargin
+  }
+
   /** DuckDB oracle for [[olsFitK]] — the same [[gjBatches]] text, one
     * CTE per batch, [[graft.queries.Q.oSum]] moments. Ends with
     * `ORDER BY grp`. */

@@ -333,6 +333,31 @@ object AggregateQueries {
           .orderBy("grp")
     },
 
+    // Arbitrary-feature logistic regression (MADlib logregr_train at
+    // any feature count): IRLS with the SAME generated Gauss-Jordan
+    // as q_ml_ols_k per Newton round — moments split-sum exact, exp
+    // outputs micros-quantized, the solve text shared verbatim with
+    // the oracle's unrolled CTE chain. 4 features + intercept.
+    Q("q_ml_logreg_k", Some(
+      graft.operators.Regression.logregKOracleSql(
+        "lineitem", "l_returnflag",
+        "CASE WHEN l_discount > 0.05 THEN 1.0e0 ELSE 0.0e0 END",
+        Seq("l_quantity / 50.0e0", "l_tax * 10.0e0",
+          "l_linenumber / 7.0e0", "l_extendedprice / 100000.0e0")))) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Tables.T(s, dir).lineitem.select(
+          $"l_returnflag",
+          when($"l_discount" > 0.05, 1.0).otherwise(0.0).as("y"),
+          ($"l_quantity".cast("double") / lit(50.0)).as("f1"),
+          ($"l_tax".cast("double") * lit(10.0)).as("f2"),
+          ($"l_linenumber".cast("double") / lit(7.0)).as("f3"),
+          ($"l_extendedprice".cast("double") / lit(100000.0)).as("f4"))
+        graft.operators.Regression.logregFitK(src, "l_returnflag", "y",
+          Seq("f1", "f2", "f3", "f4"))
+          .orderBy("grp")
+    },
+
     // Ridge regression (MADlib elastic_net α=0): the SAME one-pass
     // moment aggregate as q_agg_ols with λ on the slope diagonals of
     // the normal equations (intercept unpenalized) — regularization

@@ -1491,4 +1491,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(two.getDouble(2) - old.getDouble(2)) < 1e-4)
     assert(math.abs(two.getDouble(3) - old.getDouble(3)) < 1e-4)
   }
+
+  test("Regression.logregFitK tracks logregFit2 at k=2 and recovers " +
+    "coefficient signs") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 10).toDouble / 10.0
+      val x2 = (i % 7).toDouble / 7.0
+      val y = if (2.0 * x1 - 1.5 * x2 + 0.2 > 0.5) 1.0 else 0.0
+      ("g", y, x1, x2)
+    }.toDF("grp", "y", "x1", "x2")
+    val k = Regression.logregFitK(df, "grp", "y", Seq("x1", "x2"))
+      .collect()(0)
+    val two = Regression.logregFit2(df, "grp", "y", "x1", "x2")
+      .collect()(0)
+    // the same IRLS recursion modulo exp micro-quantization
+    assert(math.abs(k.getDouble(2) - two.getDouble(2)) < 1e-2,
+      s"b0 ${k.getDouble(2)} vs ${two.getDouble(2)}")
+    assert(math.abs(k.getDouble(3) - two.getDouble(3)) < 1e-2)
+    assert(k.getDouble(3) > 0 && k.getDouble(4) < 0, k.toString)
+    assert(k.getLong(1) == 300L)
+  }
 }
