@@ -1023,13 +1023,14 @@ object GpSqlDialect {
   // ELSE e END;` — evaluated set-based, guard selecting the handler
   // BEFORE any failing site evaluates. Deeper nesting, multi-
   // statement inner bodies, or unguardable conditions defer loudly.
-  // expressions are [^;]+ (not lazy-any): a multi-statement inner try
-  // must NOT backtrack across ';' into a fake single assignment — it
-  // falls to the leftover-BEGIN check and defers loudly instead.
-  // (Cost: a ';' inside a string literal also defers — conservative.)
+  // try/handler bodies are SEQUENCES of `v := e;` assignments with
+  // [^;]+ expressions (not lazy-any, so nothing backtracks across a
+  // ';' into a fake shape; a ';' inside a string literal defers —
+  // conservative). Any other inner-block statement fails the regex
+  // and falls to the leftover-BEGIN check, which defers loudly.
   private val PlNestedBlockRe =
-    ("(?is)BEGIN\\s+(\\w+)\\s*:=\\s*([^;]+?)\\s*;\\s*EXCEPTION\\s+WHEN\\s+" +
-      "(\\w+)\\s+THEN\\s+(\\w+)\\s*:=\\s*([^;]+?)\\s*;\\s*END\\s*;").r
+    ("(?is)BEGIN\\s+((?:\\w+\\s*:=\\s*[^;]+;\\s*)+)EXCEPTION\\s+WHEN" +
+      "\\s+(\\w+)\\s+THEN\\s+((?:\\w+\\s*:=\\s*[^;]+;\\s*)+)END\\s*;").r
 
   /** Denominator operands of every TOP-LEVEL `/` in a scalar
     * expression (parens/strings respected; divisions nested inside
@@ -1358,37 +1359,95 @@ object GpSqlDialect {
     // this is a shape the tier cannot lift, and defers loudly.
     var nestedDefer: Option[String] = None
     val stmtsFlat = PlNestedBlockRe.replaceAllIn(stmts, nm => {
-      val (v, e, cond, hv, h) = (nm.group(1), nm.group(2).trim,
-        nm.group(3).toLowerCase, nm.group(4), nm.group(5).trim)
+      val (tryRaw, cond, handRaw) =
+        (nm.group(1), nm.group(2).toLowerCase, nm.group(3))
       def keep(why: String): String = {
         nestedDefer = Some(s"nested BEGIN/EXCEPTION: $why")
         java.util.regex.Matcher.quoteReplacement(nm.matched)
       }
-      if (!v.equalsIgnoreCase(hv))
-        keep(s"try assigns $v but handler assigns $hv — not the " +
-          "single-variable sub-transaction shape")
+      val AssignRe2 = "(?is)^\\s*(\\w+)\\s*:=\\s*(.+?)\\s*$".r
+      def parseAssigns(s: String): Seq[(String, String)] =
+        s.split(";").iterator.map(_.trim).filter(_.nonEmpty).map {
+          case AssignRe2(v, e) => (v.toLowerCase, e)
+        }.toSeq
+      def lsub(lenv: Seq[(String, String)], e: String): String =
+        lenv.foldLeft(e) { case (cur, (v, init)) =>
+          s"(?i)(?<![\\w.])$v(?![\\w.(])".r.replaceAllIn(cur,
+            _ => java.util.regex.Matcher.quoteReplacement(s"($init)"))
+        }
+      val tryAssigns = parseAssigns(tryRaw)
+      val handAssigns = parseAssigns(handRaw)
+      // PG runs the block under its own exception context: on a raise
+      // EVERY try assignment rolls back, then handler assignments
+      // apply against the PRE-BLOCK state. A handler expression
+      // reading a try-assigned variable would need that pre-image per
+      // branch — defer rather than risk binding the post-value.
+      val tryVars = tryAssigns.map(_._1).toSet
+      val handlerReads = handAssigns.find { case (_, h) =>
+        tryVars.exists(v =>
+          s"(?i)(?<![\\w.])$v(?![\\w.(])".r
+            .findFirstIn(maskLiterals(h)).isDefined)
+      }
+      if (handlerReads.isDefined)
+        keep(s"handler expression '${handlerReads.get._2}' reads a " +
+          "try-assigned variable — PG would bind the pre-block value")
       else {
-        val guards: Either[String, Seq[String]] = cond match {
-          case "others" => staticOthersGuards(e, stringParams)
+        // fold the try chain over PRE-BLOCK state: each RHS
+        // substitutes prior try assignments textually, so every
+        // final-form expression (and its raise guards) is over
+        // pre-block variables only
+        var lenv = Seq.empty[(String, String)]
+        tryAssigns.foreach { case (v, e) =>
+          lenv = lenv.filterNot(_._1 == v) :+ (v -> lsub(lenv, e))
+        }
+        val finalExprs = lenv
+        val guardsE: Either[String, Seq[String]] = cond match {
+          case "others" =>
+            finalExprs.foldLeft[Either[String, Seq[String]]](
+              Right(Nil)) {
+              case (Right(acc), (_, e)) =>
+                staticOthersGuards(e, stringParams).map(acc ++ _)
+              case (l, _) => l
+            }
           case "division_by_zero" =>
-            val dens = topLevelDenominators(e)
-            if (dens.isEmpty)
-              Left("no top-level division to guard")
-            else if ("(?i)(?<![\\w.])CASE(?![\\w.])".r
-                .findFirstIn(maskLiterals(e)).isDefined)
+            val caseHit = finalExprs.find { case (_, e) =>
+              "(?i)(?<![\\w.])CASE(?![\\w.])".r
+                .findFirstIn(maskLiterals(e)).isDefined }
+            val dens = finalExprs.flatMap { case (_, e) =>
+              topLevelDenominators(e) }
+            if (caseHit.isDefined)
               Left("a CASE in the inner body may conditionally guard " +
                 "the division — no static guard")
+            else if (dens.isEmpty) Left("no top-level division to guard")
             else Right(dens.map(d => s"($d) = 0"))
           case c => Left(s"inner handler WHEN $c has no static guard")
         }
-        guards match {
+        guardsE match {
           case Left(why) => keep(why)
-          case Right(Nil) => // no raise site: handler statically dead
-            java.util.regex.Matcher.quoteReplacement(s"$v := ($e);")
-          case Right(gs) =>
+          case Right(Nil) =>
+            // no raise site anywhere: the handler is statically dead,
+            // the try chain alone is the block
             java.util.regex.Matcher.quoteReplacement(
-              s"$v := CASE WHEN ${gs.mkString(" OR ")} THEN ($h) " +
-                s"ELSE ($e) END;")
+              finalExprs.map { case (v, e) => s"$v := ($e);" }
+                .mkString(" "))
+          case Right(gs) =>
+            val g = gs.mkString(" OR ")
+            val handMap = handAssigns.toMap
+            // pre-block value of an uninitialized, non-parameter local
+            // is NULL (exec_stmt_block initializes declared vars)
+            val paramSet = params.map(_.toLowerCase).toSet
+            def preBlock(v: String): String =
+              if (decls.contains(v) || paramSet.contains(v)) v
+              else "NULL"
+            val order = tryAssigns.map(_._1).distinct ++
+              handAssigns.map(_._1).filterNot(tryVars.contains).distinct
+            val out = order.map { v =>
+              val thenArm = handMap.getOrElse(v, preBlock(v))
+              val elseArm = finalExprs.collectFirst {
+                case (`v`, e) => e }.getOrElse(preBlock(v))
+              s"$v := CASE WHEN $g THEN ($thenArm) ELSE ($elseArm) END;"
+            }.mkString(" ")
+            java.util.regex.Matcher.quoteReplacement(out)
         }
       }
     })

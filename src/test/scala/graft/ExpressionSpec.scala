@@ -311,8 +311,28 @@ class ExpressionSpec extends AnyFunSuite {
         "nested_div(CAST(10 AS DOUBLE), CAST(0 AS DOUBLE)) AS b",
       "/tmp/never").head
     assert(d.getDouble(0) == 105.0 && d.getDouble(1) == 100.0, d.toString)
-    // a multi-statement inner body is NOT the liftable shape → defers
-    // loudly with the recorded reason
+    // multi-assignment inner blocks lower with PG's sub-transaction
+    // ROLLBACK semantics: on a raise EVERY try assignment reverts to
+    // its pre-block value, then handler assignments apply
+    GpSqlDialect.execute(spark,
+      """CREATE FUNCTION nested_roll(s varchar) RETURNS bigint AS $$
+        |DECLARE a bigint := 5; b bigint;
+        |BEGIN
+        |  BEGIN
+        |    a := 100;
+        |    b := cast(s AS bigint);
+        |  EXCEPTION WHEN OTHERS THEN
+        |    b := -1;
+        |  END;
+        |  RETURN a * 1000 + b;
+        |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
+    val roll = GpSqlDialect.execute(spark,
+      "SELECT nested_roll('42') AS ok, nested_roll('nope') AS bad",
+      "/tmp/never").head
+    assert(roll.getLong(0) == 100042L, roll.toString) // both applied
+    assert(roll.getLong(1) == 4999L, roll.toString) // a reverts to 5
+    // a handler expression reading a try-assigned variable would need
+    // the per-branch pre-image — defers loudly
     GpSqlDialect.execute(spark,
       """CREATE FUNCTION nested_multi(s varchar) RETURNS bigint AS $$
         |DECLARE r bigint; t bigint;
@@ -321,12 +341,12 @@ class ExpressionSpec extends AnyFunSuite {
         |    r := cast(s AS bigint);
         |    t := r + 1;
         |  EXCEPTION WHEN OTHERS THEN
-        |    r := -1;
+        |    t := r;
         |  END;
-        |  RETURN r;
+        |  RETURN t;
         |END $$ LANGUAGE plpgsql""".stripMargin, "/tmp/never")
     assert(GpSqlDialect.plpgsqlRejection("nested_multi")
-      .exists(_.toLowerCase.contains("nested")),
+      .exists(_.contains("pre-block")),
       GpSqlDialect.plpgsqlRejection("nested_multi").toString)
     // an inner handler condition with no static guard defers
     GpSqlDialect.execute(spark,
