@@ -671,6 +671,39 @@ object StorageQueries {
       run("SELECT tag, n FROM stmt_log ORDER BY n")
     },
 
+    // INSTEAD OF INSERT triggers on views (commands/trigger.c; PG's
+    // updatable-view shim, r9): the trigger fn's body is INSERT INTO
+    // base VALUES(expr over NEW.col), so an INSERT INTO the view of N
+    // rows lowers to those base inserts evaluated SET-BASED over the
+    // aligned view-shaped source — zero per-row calls; base-table
+    // row triggers still fire on the produced relation (PG nesting).
+    // INSTEAD OF UPDATE/DELETE reject loudly (spec-gated).
+    Q("q_dml_trigger_instead", Some(
+      """SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  CAST((c_custkey % 10) * 2 AS BIGINT) AS amt
+        |FROM customer WHERE c_custkey <= 150 ORDER BY id""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("dml_trigger_instead")
+        def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+        run("DROP TABLE IF EXISTS io_base")
+        run("""CREATE TABLE io_base (id bigint, amt bigint, src text)
+              |DISTRIBUTED BY (id)""".stripMargin)
+        run("CREATE OR REPLACE VIEW io_v AS " +
+          "SELECT id, amt FROM io_base WHERE src = 'view'")
+        run("""CREATE OR REPLACE FUNCTION io_route() RETURNS trigger AS $$
+              |BEGIN
+              |  INSERT INTO io_base VALUES (NEW.id, NEW.amt * 2, 'view');
+              |  RETURN NEW;
+              |END $$ LANGUAGE plpgsql""".stripMargin)
+        run("""CREATE TRIGGER t_io INSTEAD OF INSERT ON io_v
+              |FOR EACH ROW EXECUTE FUNCTION io_route()""".stripMargin)
+        run("""INSERT INTO io_v
+              |SELECT c_custkey, c_custkey % 10 FROM customer
+              |WHERE c_custkey <= 150""".stripMargin)
+        run("SELECT id, amt FROM io_v ORDER BY id")
+    },
+
     // contrib/tablefunc crosstab (tablefunc.c:50): the 2-arg form —
     // categories from the second query, values matched by category
     // (get_crosstab_tuplestore's hash). Lowers to groupBy(row).pivot:

@@ -260,16 +260,23 @@ object GpSqlDialect {
               m.group(2), m.group(3), m.group(4), m.group(5))
           case _ =>
         }
+        CreateInsteadTriggerRe.findFirstMatchIn(trimmed) match {
+          case Some(m) =>
+            return executeCreateInsteadTrigger(spark, m.group(1),
+              m.group(2), m.group(3), m.group(4))
+          case _ =>
+        }
         // any other trigger shape: loud reject, never misexecute
         if ("(?is)^\\s*CREATE\\s+(?:CONSTRAINT\\s+)?TRIGGER\\b".r
             .findFirstIn(trimmed).isDefined)
           throw new UnsupportedOperationException(
             "graft supports BEFORE INSERT/UPDATE ... FOR EACH ROW " +
-              "[WHEN (cond)] EXECUTE FUNCTION f() row triggers and " +
-              "BEFORE/AFTER ... FOR EACH STATEMENT triggers with " +
-              "straight-line DML bodies only (AFTER ROW: use the CDC " +
-              "delta views; INSTEAD OF / transition tables / trigger " +
-              "arguments have no set-based lowering)")
+              "[WHEN (cond)] row triggers, BEFORE/AFTER ... FOR EACH " +
+              "STATEMENT triggers with straight-line DML bodies, and " +
+              "INSTEAD OF INSERT view triggers only (AFTER ROW: use " +
+              "the CDC delta views; INSTEAD OF UPDATE/DELETE / " +
+              "transition tables / trigger arguments have no " +
+              "set-based lowering)")
     }
     DropTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
@@ -563,6 +570,8 @@ object GpSqlDialect {
       case Some(m) =>
         spark.catalog.dropTempView(m.group(1).toLowerCase)
         sessionViews.remove(m.group(1).toLowerCase)
+        viewDefs.remove(m.group(1).toLowerCase)
+        viewInsteadTriggers.remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
       case _ =>
     }
@@ -630,6 +639,12 @@ object GpSqlDialect {
     InsertIntoStart.findFirstMatchIn(trimmed) match {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeInsertInto(spark, m.group(1).toLowerCase,
+          trimmed.substring(m.end),
+          Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+            .filter(_.nonEmpty).toSeq))
+      case Some(m)
+          if viewInsteadTriggers.contains(m.group(1).toLowerCase) =>
+        return executeInsertInstead(spark, m.group(1).toLowerCase,
           trimmed.substring(m.end),
           Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
             .filter(_.nonEmpty).toSeq))
@@ -2657,6 +2672,115 @@ object GpSqlDialect {
     spark.emptyDataFrame
   }
 
+  // ---- INSTEAD OF triggers on views (commands/trigger.c; PG's
+  // updatable-view shim: the trigger fn's body is INSERT INTO base
+  // VALUES (expr over NEW.col) statements, so an INSERT INTO view of
+  // N rows IS those inserts evaluated set-based over the aligned
+  // view-shaped source — zero per-row calls). INSERT only: UPDATE/
+  // DELETE INSTEAD OF need per-row OLD binding on a derived relation
+  // and reject loudly. --------------------------------------------------
+  private case class InsteadInsert(table: String,
+    cols: Option[Seq[String]], vals: Seq[String])
+  // trigger fns whose body is INSERT-INTO-base-VALUES(NEW...) chains
+  private val triggerFnInsteadBodies =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[InsteadInsert]]
+  // view → (trigger name, fn); PG allows ONE INSTEAD OF trigger per
+  // event per view, so the slot is scalar
+  private val viewInsteadTriggers =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val InsteadInsRe =
+    ("(?is)^INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([\\w\\s,]+)\\)\\s*)?" +
+      "VALUES\\s*\\((.+)\\)$").r
+  private val CreateInsteadTriggerRe =
+    ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+INSTEAD\\s+OF\\s+(\\w+)" +
+      "\\s+ON\\s+(\\w+)\\s+FOR\\s+EACH\\s+ROW\\s+" +
+      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+
+  def executeCreateInsteadTrigger(
+      spark: SparkSession, trigName: String, event: String, view: String,
+      fn: String): DataFrame = {
+    if (!event.equalsIgnoreCase("insert"))
+      throw new UnsupportedOperationException(
+        s"INSTEAD OF ${event.toUpperCase} has no set-based lowering " +
+          "(per-row OLD binding on a derived relation); only INSTEAD " +
+          "OF INSERT lowers")
+    val fnLc = fn.toLowerCase
+    if (!triggerFnInsteadBodies.contains(fnLc))
+      throw new UnsupportedOperationException(
+        s"INSTEAD OF trigger $trigName: function $fn must be a RETURNS " +
+          "trigger fn whose body is `INSERT INTO base [(cols)] VALUES " +
+          "(... NEW.col ...)` statements" + deferredPlpgsql.get(fnLc)
+            .map(w => s"; recorded body issue: $w").getOrElse(""))
+    if (!sessionViews.contains(view.toLowerCase))
+      throw new IllegalArgumentException(
+        s"INSTEAD OF trigger $trigName: view $view does not exist " +
+          "(INSTEAD OF attaches to views only)")
+    viewInsteadTriggers(view.toLowerCase) = (trigName.toLowerCase, fnLc)
+    spark.emptyDataFrame
+  }
+
+  /** INSERT INTO a view bearing an INSTEAD OF INSERT trigger: align
+    * the incoming rows to the VIEW's schema, then run each recorded
+    * body insert set-based over that relation (NEW.col → view
+    * column). Base-table BEFORE ROW triggers still fire on each
+    * produced relation (PG nesting). */
+  def executeInsertInstead(
+      spark: SparkSession, view: String, rest: String,
+      colList: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val (trigName, fn) = viewInsteadTriggers(view)
+    val steps = triggerFnInsteadBodies.getOrElse(fn,
+      throw new UnsupportedOperationException(
+        s"INSTEAD OF trigger $trigName on $view: function $fn() no " +
+          "longer has an INSERT-INTO-base body — DROP TRIGGER or " +
+          "restore a supported body"))
+    val vSchema = spark.table(view).schema
+    val body = rest.trim
+    val src0 =
+      if (body.toUpperCase.startsWith("VALUES"))
+        spark.sql(s"SELECT * FROM ($body) AS v")
+      else selectWithSequences(spark, body)
+    val src = (colList match {
+      case Some(cs) =>
+        require(src0.columns.length == cs.length,
+          s"INSERT INTO $view (${cs.mkString(",")}): " +
+            s"${src0.columns.length} values for ${cs.length} columns")
+        val renamed = src0.toDF(cs: _*)
+        renamed.select(vSchema.map(f =>
+          if (cs.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      case None =>
+        require(src0.columns.length == vSchema.length,
+          s"INSERT INTO $view: ${src0.columns.length} columns, " +
+            s"expected ${vSchema.length}")
+        src0.toDF(vSchema.fieldNames.toSeq: _*)
+          .select(vSchema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }).localCheckpoint(eager = true)
+    steps.foreach { st =>
+      val t = catalog.getOrElse(st.table,
+        throw new IllegalArgumentException(
+          s"INSTEAD OF trigger $trigName: base table ${st.table} " +
+            "does not exist"))
+      val frame = src.select(st.vals.zipWithIndex.map { case (e, i) =>
+        expr(e).as(s"_c$i") }: _*)
+      appendFrame(spark, t,
+        applyRowTriggers(st.table, alignFrame(t, frame, st.cols),
+          "insert"))
+    }
+    // re-resolve views over the written base tables: their registered
+    // temp views captured the file listing before these appends
+    val written = steps.map(_.table).toSet
+    viewDefs.foreach { case (vn, bodySql) =>
+      if (written.exists(tn => s"(?i)(?<![\\w.])$tn(?![\\w.])".r
+          .findFirstIn(bodySql).isDefined))
+        executeImpl(spark, bodySql, "/tmp/never")
+          .createOrReplaceTempView(vn)
+    }
+    spark.emptyDataFrame
+  }
+
   /** DML statement-type + target of a top-level statement, for
     * statement-trigger dispatch. */
   private val DmlInsertRe = "(?is)^\\s*INSERT\\s+INTO\\s+([\\w.]+)".r
@@ -2736,6 +2860,7 @@ object GpSqlDialect {
       spark.emptyDataFrame
     }
     triggerFnStmtBodies.remove(name) // re-derived below on every CREATE
+    triggerFnInsteadBodies.remove(name)
     val rawBody = body0.trim match {
       case PlBodyRe(d, s) =>
         if (Option(d).exists(_.trim.nonEmpty))
@@ -2760,6 +2885,29 @@ object GpSqlDialect {
         (rest.isEmpty || (rest.length == 1 &&
           rest.head.matches("(?is)^RETURN\\s+(NULL|NEW)$"))))
         triggerFnStmtBodies(name) = dmls
+    }
+    // INSTEAD OF tier: a chain of INSERT INTO base VALUES(...) whose
+    // expressions may reference NEW.col (the updatable-view shim);
+    // OLD has no binding on the INSERT path and rejects at CREATE
+    // TRIGGER via the body scan below.
+    locally {
+      val parts0 = splitStatements(rawBody).map(_.trim).filter(_.nonEmpty)
+      val ins = parts0.takeWhile(p =>
+        InsteadInsRe.findFirstMatchIn(p).isDefined)
+      val rest = parts0.drop(ins.length)
+      val noOld = "(?i)(?<![\\w.])(OLD\\.|TG_\\w+)".r
+        .findFirstIn(maskLiterals(rawBody)).isEmpty
+      if (ins.nonEmpty && noOld &&
+        (rest.isEmpty || (rest.length == 1 &&
+          rest.head.matches("(?is)^RETURN\\s+(NULL|NEW)$"))))
+        triggerFnInsteadBodies(name) = ins.map { p =>
+          val m = InsteadInsRe.findFirstMatchIn(p).get
+          InsteadInsert(m.group(1).toLowerCase,
+            Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+              .filter(_.nonEmpty).toSeq),
+            splitTopLevelCommas(m.group(3)).map(_.trim
+              .replaceAll("(?i)(?<![\\w.])NEW\\.", "")))
+        }
     }
     val usesOld =
       "(?i)(?<![\\w.])OLD\\.".r.findFirstIn(rawBody).isDefined
@@ -2836,6 +2984,8 @@ object GpSqlDialect {
       tableTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
     tableStmtTriggers.get(lc).foreach(ts =>
       tableStmtTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
+    viewInsteadTriggers.get(lc).filter(_._1 == trigName.toLowerCase)
+      .foreach(_ => viewInsteadTriggers.remove(lc))
     spark.emptyDataFrame
   }
 
@@ -3827,6 +3977,7 @@ object GpSqlDialect {
     owned.foreach(executeDropTable(spark, _, ifExists = true))
     views.foreach { v =>
       spark.catalog.dropTempView(v); sessionViews.remove(v)
+      viewDefs.remove(v); viewInsteadTriggers.remove(v)
     }
     schemas.remove(name)
     spark.emptyDataFrame
@@ -4303,12 +4454,20 @@ object GpSqlDialect {
   /** CREATE VIEW → temporary view (no persistent catalog here); the view
     * body goes through the full dialect strip so GP clauses inside it
     * work. Reference: commands/view.c DefineView. */
+  /** view name → definition SQL: lets DML paths that write BEHIND a
+    * view (INSTEAD OF triggers) re-resolve it — the registered temp
+    * view captured the parquet file listing at CREATE VIEW time, so
+    * later appends are invisible until re-resolution. */
+  private val viewDefs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def executeCreateView(
       spark: SparkSession, name: String, body: String,
       basePath: String): DataFrame = {
     val df = execute(spark, body, basePath)
     df.createOrReplaceTempView(name)
     sessionViews.add(name)
+    viewDefs(name) = body
     df
   }
 
@@ -5442,13 +5601,23 @@ object GpSqlDialect {
   private def insertSource(
       spark: SparkSession, t: GpTable, rest: String,
       colList: Option[Seq[String]]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val name = t.name
     val body = rest.trim
     val src0 =
       if (body.toUpperCase.startsWith("VALUES"))
         spark.sql(s"SELECT * FROM ($body) AS v")
       else selectWithSequences(spark, body)
+    alignFrame(t, src0, colList)
+  }
+
+  /** Positional / column-list alignment of a source frame onto a
+    * table schema (PG build_column_default semantics for unlisted
+    * columns) — shared by INSERT text paths and the INSTEAD OF
+    * trigger's per-body-statement inserts. */
+  private def alignFrame(
+      t: GpTable, src0: DataFrame,
+      colList: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val name = t.name
     val src = colList match {
       case Some(cs) =>
         // PG column-list insert: named targets take the select output

@@ -2688,6 +2688,48 @@ class ExpressionSpec extends AnyFunSuite {
     run("DROP TABLE tw_log")
   }
 
+  test("INSTEAD OF INSERT view triggers route set-based; UPDATE/DELETE " +
+    "and non-view targets reject") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_io_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS io_t")
+    run("CREATE TABLE io_t (id int, v int, tag text) DISTRIBUTED BY (id)")
+    run("CREATE OR REPLACE VIEW io_view AS " +
+      "SELECT id, v FROM io_t WHERE tag = 'rt'")
+    run("""CREATE OR REPLACE FUNCTION io_fn() RETURNS trigger AS $$
+          |BEGIN
+          |  INSERT INTO io_t VALUES (NEW.id, NEW.v + 100, 'rt');
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_io2 INSTEAD OF INSERT ON io_view " +
+      "FOR EACH ROW EXECUTE FUNCTION io_fn()")
+    run("INSERT INTO io_view VALUES (1, 5)")
+    run("INSERT INTO io_view VALUES (2, 7)")
+    val r = run("SELECT id, v FROM io_view ORDER BY id").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq ==
+      Seq((1, 105), (2, 107)), r.mkString(","))
+    // INSTEAD OF UPDATE has no lowering
+    val e1 = intercept[UnsupportedOperationException] {
+      run("CREATE TRIGGER t_bad INSTEAD OF UPDATE ON io_view " +
+        "FOR EACH ROW EXECUTE FUNCTION io_fn()")
+    }
+    assert(e1.getMessage.contains("INSTEAD OF UPDATE"), e1.getMessage)
+    // a table target rejects (INSTEAD OF is a view mechanism)
+    val e2 = intercept[Exception] {
+      run("CREATE TRIGGER t_bad2 INSTEAD OF INSERT ON io_t " +
+        "FOR EACH ROW EXECUTE FUNCTION io_fn()")
+    }
+    assert(e2.getMessage.contains("view"), e2.getMessage)
+    // DROP TRIGGER detaches: INSERT INTO the view is unroutable again
+    run("DROP TRIGGER t_io2 ON io_view")
+    val e3 = intercept[Exception] {
+      run("INSERT INTO io_view VALUES (3, 9)")
+    }
+    assert(e3 != null)
+    run("DROP VIEW io_view")
+    run("DROP TABLE io_t")
+  }
+
   test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_fetch_spec"
     def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
