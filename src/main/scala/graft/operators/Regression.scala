@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.queries.Q
 
@@ -199,6 +199,144 @@ object Regression {
     Seq((1, r.getLong(6), r.getDouble(0), r.getDouble(1), r.getDouble(2)),
       (2, r.getLong(6), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       .toDF("cls", "n", "b0", "b1", "b2")
+  }
+
+  /** Multinomial softmax regression at ANY class count × ANY feature
+    * count — lifts [[multinomFit2]]'s 3×2 ceiling (kernel-contract
+    * table in COVERAGE.md) with the same full-batch GD and the same
+    * transcendental discipline: exp outputs micros-quantize, gradient
+    * terms micros-quantize pre-sum ([[graft.queries.Q.dsum]]), β
+    * micros-quantizes per epoch — a DuckDB unroll of the identical
+    * recursion is bit-equal unrounded. Class `classes(0)` is the
+    * zero-parameter reference. ONE aggregate per epoch of
+    * (K−1)(F+1) gradient sums; coefficients a 1-row broadcast,
+    * lineage cut per epoch. Returns (cls, n, b0 … bF) per non-
+    * reference class. */
+  def multinomFitK(
+      df: DataFrame, labelCol: String, classes: Seq[String],
+      xCols: Seq[String], epochs: Int = 5, eta: Double = 1.0)
+      : DataFrame = {
+    require(classes.length >= 2, "multinomFitK needs >= 2 classes")
+    require(epochs > 0,
+      "multinomFitK needs epochs >= 1 (the n column joins the " +
+        "coefficient row inside the epoch loop)")
+    val spark = df.sparkSession
+    val kk = classes.length
+    val p = xCols.length + 1
+    var ykc = when(col(labelCol) === classes(1), 1)
+    for (k <- 2 until kk) ykc = ykc.when(col(labelCol) === classes(k), k)
+    val rows = df.select(ykc.otherwise(0).as("yk") +:
+      xCols.zipWithIndex.map { case (cn, i) =>
+        col(cn).cast("double").as(s"x${i + 1}") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    def q6c(c: Column): Column =
+      floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+    val bnames =
+      for { k <- 1 until kk; j <- 0 until p } yield s"b_${k}_$j"
+    import spark.implicits._
+    var coef = Seq(1).toDF("__one")
+      .select(bnames.map(n => lit(0.0).as(n)): _*)
+    val xs: Seq[Column] =
+      lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
+    for (_ <- 0 until epochs) {
+      val es = (1 until kk).map { k =>
+        val z = (0 until p).map(j =>
+          if (j == 0) col(s"b_${k}_0")
+          else col(s"b_${k}_$j") * xs(j)).reduce(_ + _)
+        k -> q6c(exp(z))
+      }.toMap
+      val den = (1 until kk).foldLeft(lit(1.0): Column)(
+        (acc, k) => acc + es(k))
+      def gcol(k: Int, j: Int): Column = {
+        val pk = es(k) / den
+        Q.dsum(q6c(
+          (when(col("yk") === k, 1.0).otherwise(0.0) - pk) * xs(j)), 6)
+      }
+      val aggs = count(lit(1)).as("n") +:
+        (for { k <- 1 until kk; j <- 0 until p }
+          yield gcol(k, j).as(s"g_${k}_$j"))
+      val m = rows.crossJoin(broadcast(coef))
+        .groupBy(bnames.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      coef = m.select(
+        (for { k <- 1 until kk; j <- 0 until p } yield
+          q6c(col(s"b_${k}_$j") +
+            lit(eta) * col(s"g_${k}_$j") / col("n").cast("double"))
+            .as(s"b_${k}_$j")) :+ col("n"): _*)
+        .localCheckpoint(eager = true)
+    }
+    val r = coef.head()
+    val n = r.getAs[Long]("n")
+    val out = (1 until kk).map { k =>
+      Row.fromSeq(k +: n +:
+        (0 until p).map(j => r.getAs[Double](s"b_${k}_$j")))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("cls",
+        org.apache.spark.sql.types.IntegerType) +:
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType) +:
+        (0 until p).map(j => org.apache.spark.sql.types.StructField(
+          s"b$j", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      schema)
+  }
+
+  /** DuckDB oracle for [[multinomFitK]] — the identical GD unroll:
+    * per epoch one CROSS JOIN to the 1-row state, quantized exp /
+    * softmax, oSum gradient sums, quantized update. `ykExpr` must
+    * yield 0..K−1 matching the Spark side's class indexing. */
+  def multinomKOracleSql(
+      table: String, ykExpr: String, xExprs: Seq[String],
+      numClasses: Int, epochs: Int = 5): String = {
+    val kk = numClasses
+    val p = xExprs.length + 1
+    def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+    val xsSel = xExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS DOUBLE) AS x${i + 1}" }.mkString(", ")
+    val xs = "1.0e0" +: (1 to xExprs.length).map(i => s"x$i")
+    def z(k: Int) = (0 until p).map(j =>
+      if (j == 0) s"b_${k}_0" else s"b_${k}_$j * x$j").mkString(" + ")
+    val bcols =
+      (for { k <- 1 until kk; j <- 0 until p } yield s"b_${k}_$j")
+    val den = "1.0e0 + " + (1 until kk).map(k => s"e_$k").mkString(" + ")
+    def g(k: Int, j: Int) = Q.oSum(q6(
+      s"((CASE WHEN yk = $k THEN 1.0e0 ELSE 0.0e0 END) - p_$k) * " +
+        xs(j)), 6)
+    val rounds = (1 to epochs).map { i =>
+      val gsel = (for { k <- 1 until kk; j <- 0 until p }
+        yield s"${g(k, j)} AS g_${k}_$j").mkString(",\n    ")
+      val esel = (1 until kk)
+        .map(k => s"${q6(s"exp(${z(k)})")} AS e_$k").mkString(", ")
+      val psel = (1 until kk)
+        .map(k => s"e_$k / ($den) AS p_$k").mkString(", ")
+      val upd = bcols.map(b =>
+        s"${q6(s"$b + 1.0e0 * ${b.replace("b_", "g_")} / " +
+          "CAST(n AS DOUBLE)")} AS $b").mkString(",\n    ")
+      s"""m$i AS (SELECT ${bcols.mkString(", ")}, count(*) AS n,
+         |    $gsel
+         |  FROM (SELECT s.*, $psel
+         |    FROM (SELECT st.*, r2.yk, ${(1 until p)
+        .map(j => s"r2.x$j").mkString(", ")},
+         |        $esel
+         |      FROM r r2 CROSS JOIN st${i - 1} st) s) q
+         |  GROUP BY ${bcols.mkString(", ")}),
+         |st$i AS (SELECT $upd, n
+         |  FROM m$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 until kk).map { k =>
+      s"SELECT $k AS cls, CAST(n AS BIGINT) AS n, ${(0 until p)
+        .map(j => s"b_${k}_$j AS b$j").mkString(", ")} FROM st$epochs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r AS (SELECT ($ykExpr) AS yk, $xsSel FROM $table),
+       |st0 AS (SELECT ${bcols
+      .map(b => s"CAST(0 AS DOUBLE) AS $b").mkString(", ")}),
+       |$rounds
+       |$finals
+       |ORDER BY cls""".stripMargin
   }
 
   /** Heteroskedasticity-robust (White/HC0 sandwich) standard errors

@@ -914,6 +914,34 @@ object AggregateQueries {
         .orderBy("cls")
     },
 
+    // Multinomial softmax at ANY class/feature count (lifts the 3×2
+    // contract of q_ml_multinom): 4 classes × 3 features, the same
+    // full-batch GD + transcendental discipline, gradient sums
+    // generated per (class, feature), oracle the identical unroll.
+    Q("q_ml_multinom_k", Some(
+      graft.operators.Regression.multinomKOracleSql(
+        "lineitem",
+        "CASE WHEN l_linenumber % 4 = 1 THEN 1 " +
+          "WHEN l_linenumber % 4 = 2 THEN 2 " +
+          "WHEN l_linenumber % 4 = 3 THEN 3 ELSE 0 END",
+        Seq("l_quantity / 50.0e0", "l_discount * 10.0e0",
+          "l_tax * 10.0e0"),
+        numClasses = 4, epochs = 5))) { (s, dir) =>
+      import s.implicits._
+      val src = Tables.T(s, dir).lineitem.select(
+        when($"l_linenumber" % 4 === 1, "c1")
+          .when($"l_linenumber" % 4 === 2, "c2")
+          .when($"l_linenumber" % 4 === 3, "c3")
+          .otherwise("c0").as("lbl"),
+        ($"l_quantity".cast("double") / lit(50.0)).as("f1"),
+        ($"l_discount".cast("double") * lit(10.0)).as("f2"),
+        ($"l_tax".cast("double") * lit(10.0)).as("f3"))
+      graft.operators.Regression.multinomFitK(src, "lbl",
+        Seq("c0", "c1", "c2", "c3"), Seq("f1", "f2", "f3"),
+        epochs = 5, eta = 1.0)
+        .orderBy("cls")
+    },
+
     // Linear SVM (MADlib svm_classification parity): full-batch Pegasos
     // subgradient, 4 fixed epochs, one aggregate per epoch (see
     // Regression.svmFit2). The margin indicator is discontinuous, so

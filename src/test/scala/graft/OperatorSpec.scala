@@ -1512,4 +1512,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(k.getDouble(3) > 0 && k.getDouble(4) < 0, k.toString)
     assert(k.getLong(1) == 300L)
   }
+
+  test("Regression.multinomFitK is bit-equal to multinomFit2 at 3x2") {
+    import spark.implicits._
+    val df = (1 to 240).map { i =>
+      val x1 = (i % 10) / 10.0
+      val x2 = (i % 7) / 7.0
+      val lbl = if (x1 + x2 > 1.2) "b" else if (x1 > 0.5) "c" else "a"
+      (lbl, x1, x2)
+    }.toDF("lbl", "x1", "x2")
+    val k = Regression.multinomFitK(df, "lbl", Seq("a", "b", "c"),
+      Seq("x1", "x2"), epochs = 5, eta = 1.0).collect()
+    val two = Regression.multinomFit2(df, "lbl", Seq("a", "b", "c"),
+      "x1", "x2", epochs = 5, eta = 1.0).collect()
+    // the SAME quantized recursion in the same op order — bit-equal
+    k.zip(two).foreach { case (kr, tr) =>
+      assert(kr.getInt(0) == tr.getInt(0))
+      assert(kr.getLong(1) == tr.getLong(1))
+      (2 to 4).foreach(j => assert(kr.getDouble(j) == tr.getDouble(j),
+        s"col $j: $kr vs $tr"))
+    }
+  }
 }
