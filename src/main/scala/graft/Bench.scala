@@ -136,7 +136,7 @@ object Bench {
       // (r8: 56 queries still noisy after retry), whereas escalating
       // sleeps let the burst pass between attempts.
       var extra = 250L
-      while (ts.max / ts.min > 1.25 && ts.size < 5) {
+      while (ts.max / ts.min > 1.25 && ts.size < 6) {
         ts :+= attempt(extra); extra *= 2
       }
       (ts.min, ts.max / ts.min, loadMax)

@@ -3064,6 +3064,15 @@ object GpSqlDialect {
       s"table $table has BEFORE ROW trigger(s) " +
         s"${hit.map(_.name).mkString(", ")} which graft cannot fire on " +
         s"$path — DROP TRIGGER first or use plain INSERT/UPDATE")
+    // statement-level triggers fire per STATEMENT, but these composed
+    // DML paths have no single fire point either (PG fires per merge
+    // action) — same loud-reject convention as row triggers
+    val sHit = tableStmtTriggers.getOrElse(table.toLowerCase, Vector.empty)
+      .filter(t => t.events.intersect(events).nonEmpty)
+    if (sHit.nonEmpty) throw new UnsupportedOperationException(
+      s"table $table has statement trigger(s) " +
+        s"${sHit.map(_.name).mkString(", ")} which graft cannot fire on " +
+        s"$path — DROP TRIGGER first or use plain INSERT/UPDATE")
   }
 
   /** UPDATE-path trigger composition in TEXT space: the SET clause is
