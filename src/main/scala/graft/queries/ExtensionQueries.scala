@@ -1320,6 +1320,173 @@ object ExtensionQueries {
         .orderBy("user_id")
     },
 
+    // ARIMA(2,1,1) h-step FORECAST per series — MADlib arima_forecast:
+    // the q_ts_arima fit (difference → AR(2) moment fit → θ grid on
+    // residual folds) extended with the forecast recursion. The chosen
+    // candidate fold carries its FINAL innovation e_T; forecasts on
+    // the differenced scale are d̂₁ = q6(b0 + b1·dyₜ + b2·dyₜ₋₁ + θ·e_T),
+    // d̂ₕ = q6(b0 + b1·d̂ₕ₋₁ + b2·d̂ₕ₋₂) (future innovations have mean 0),
+    // and integration undoes the differencing: ŷₕ = yₜ + Σ d̂. Every
+    // step micros-quantizes, so both engines walk identical states.
+    // Scale: the fold is per-entity-bounded; last-value extraction is
+    // one per-series aggregate; everything joins at series-catalog
+    // scale.
+    Q("q_ts_arima_forecast", Some {
+      import graft.operators.Regression.Sql._
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      val det = det3(c0, c1, c2)
+      val (db0, db1, db2) = (det3(r, c1, c2), det3(c0, r, c2), det3(c0, c1, r))
+      def foldSql(theta: String) = {
+        val ssprev = s"(CASE WHEN acc[2] < 0 THEN ${mic("acc[1] * acc[1]")} " +
+          "ELSE acc[2] END)"
+        val enew = q6(s"x[1] - ($theta) * acc[1]")
+        s"""list_reduce(list_transform(rs, e -> [e, CAST(-1 AS DOUBLE)]),
+           |      (acc, x) -> [$enew, $ssprev + ${mic(s"($enew) * ($enew)")}])"""
+          .stripMargin
+      }
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"""list_transform([(${foldSql(t.toString)})], st ->
+           |        {'ss': (CASE WHEN st[2] < 0 THEN ${mic("st[1] * st[1]")}
+           |                ELSE st[2] END),
+           |         'i': $i, 'th': CAST($t AS DOUBLE), 'e': st[1]})[1]"""
+          .stripMargin
+      }.mkString(",\n      ")
+      s"""WITH d0 AS (SELECT user_id, ts, event_id, value,
+         |    lag(value) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS pv
+         |  FROM events),
+         |dd AS (SELECT user_id, ts, event_id, value - pv AS dy
+         |  FROM d0 WHERE pv IS NOT NULL),
+         |lg AS (SELECT user_id, ts, event_id, dy,
+         |    lag(dy, 1) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS x1,
+         |    lag(dy, 2) OVER (PARTITION BY user_id
+         |                     ORDER BY ts, event_id) AS x2
+         |  FROM dd),
+         |l AS (SELECT * FROM lg WHERE x2 IS NOT NULL),
+         |t AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${Q.oSum("x1", 6)} AS sx1, ${Q.oSum("x2", 6)} AS sx2,
+         |    ${Q.oSum("dy", 6)} AS sy,
+         |    ${Q.oSum("x1 * x1", 6)} AS sx11,
+         |    ${Q.oSum("x2 * x2", 6)} AS sx22,
+         |    ${Q.oSum("x1 * x2", 6)} AS sx12,
+         |    ${Q.oSum("x1 * dy", 6)} AS sx1y,
+         |    ${Q.oSum("x2 * dy", 6)} AS sx2y,
+         |    ${Q.oSum("dy * dy", 6)} AS syy
+         |  FROM l GROUP BY 1),
+         |f AS (SELECT user_id, n,
+         |    ${q6(s"$db0 / $det")} AS b0,
+         |    ${q6(s"$db1 / $det")} AS b1,
+         |    ${q6(s"$db2 / $det")} AS b2
+         |  FROM t WHERE abs($det) > 1e-9),
+         |rr AS (SELECT l.user_id, ts, event_id, n, b0, b1, b2,
+         |    ${q6("dy - b0 - b1 * x1 - b2 * x2")} AS rv
+         |  FROM l JOIN f USING (user_id)),
+         |s AS (SELECT user_id, n, b0, b1, b2,
+         |    list(rv ORDER BY ts, event_id) AS rs
+         |  FROM rr GROUP BY 1, 2, 3, 4, 5),
+         |g AS (SELECT user_id, n, b0, b1, b2,
+         |    list_sort([
+         |      $cands
+         |    ])[1] AS best
+         |  FROM s),
+         |lastd AS (SELECT user_id,
+         |    list(dy ORDER BY ts, event_id) AS ds FROM dd GROUP BY 1),
+         |lasty AS (SELECT user_id,
+         |    list(value ORDER BY ts, event_id) AS ys
+         |  FROM events GROUP BY 1),
+         |fc AS (SELECT g.user_id, best.th AS theta,
+         |    ${q6("b0 + b1 * ds[-1] + b2 * ds[-2] + best.th * best.e")}
+         |      AS d1, ds[-1] AS dyt, ys[-1] AS yt
+         |  FROM g JOIN lastd USING (user_id) JOIN lasty USING (user_id)),
+         |fc2 AS (SELECT user_id, theta, yt, d1,
+         |    ${q6("b0 + b1 * d1 + b2 * dyt")} AS d2, b0, b1, b2
+         |  FROM (SELECT fc.*, g2.b0, g2.b1, g2.b2 FROM fc
+         |        JOIN g g2 USING (user_id)) q),
+         |fc3 AS (SELECT user_id, theta, yt, d1, d2,
+         |    ${q6("b0 + b1 * d2 + b2 * d1")} AS d3
+         |  FROM fc2)
+         |SELECT user_id, theta,
+         |  yt + d1 AS f1,
+         |  yt + d1 + d2 AS f2,
+         |  yt + d1 + d2 + d3 AS f3
+         |FROM fc3 ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val thetas = Seq(-0.6, -0.3, 0.0, 0.3, 0.6)
+      def q6c(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+      def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000D"
+      def mic(x: String) = s"floor(($x) * 1000000 + 0.5)"
+      val wl = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.T(s, dir).events
+      val dd = ev
+        .select($"user_id", $"ts", $"event_id",
+          ($"value" - lag($"value", 1).over(wl)).as("dy"))
+        .filter($"dy".isNotNull)
+      val lagged = dd.select($"user_id", $"ts", $"event_id", $"dy",
+          lag($"dy", 1).over(wl).as("x1"), lag($"dy", 2).over(wl).as("x2"))
+        .filter($"x2".isNotNull)
+      val fit = graft.operators.Regression
+        .olsFit2(lagged, "user_id", "dy", "x1", "x2")
+        .filter($"b0".isNotNull)
+        .select($"grp".as("user_id"), $"n",
+          q6c($"b0").as("b0"), q6c($"b1").as("b1"), q6c($"b2").as("b2"))
+      val resid = lagged.join(broadcast(fit), "user_id")
+        .select($"user_id", $"ts", $"event_id", $"n",
+          $"b0", $"b1", $"b2",
+          q6c($"dy" - $"b0" - $"b1" * $"x1" - $"b2" * $"x2").as("rv"))
+      def foldExpr(theta: String) = {
+        val ssprev = s"(CASE WHEN acc.ss < 0 THEN ${mic("acc.e * acc.e")} " +
+          "ELSE acc.ss END)"
+        val enew = q6(s"e - ($theta) * acc.e")
+        s"""aggregate(slice(rs, 2, size(rs) - 1),
+           |  named_struct('e', rs[0], 'ss', CAST(-1 AS DOUBLE)),
+           |  (acc, e) -> named_struct('e', $enew,
+           |    'ss', $ssprev + ${mic(s"($enew) * ($enew)")}))""".stripMargin
+      }
+      val cands = thetas.zipWithIndex.map { case (t, i) =>
+        s"""element_at(transform(array(${foldExpr(t.toString)}), st ->
+           |  named_struct(
+           |    'ss', (CASE WHEN st.ss < 0 THEN ${mic("st.e * st.e")}
+           |           ELSE st.ss END),
+           |    'i', $i, 'th', CAST($t AS DOUBLE), 'e', st.e)), 1)"""
+          .stripMargin
+      }.mkString(", ")
+      val g = resid.groupBy($"user_id", $"n", $"b0", $"b1", $"b2")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, rv)))," +
+            " p -> p.rv)").as("rs"))
+        .select($"user_id", $"b0", $"b1", $"b2",
+          expr(s"array_min(array($cands))").as("best"))
+      val lastd = dd.groupBy($"user_id").agg(expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, dy)))," +
+          " p -> p.dy)").as("ds"))
+      val lasty = ev.groupBy($"user_id").agg(expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, value)))," +
+          " p -> p.value)").as("ys"))
+      g.join(lastd, "user_id").join(lasty, "user_id")
+        .select($"user_id", $"best.th".as("theta"),
+          $"b0", $"b1", $"b2", $"best.e".as("e"),
+          expr("element_at(ds, -1)").as("dyt"),
+          expr("element_at(ds, -2)").as("dyt1"),
+          expr("element_at(ys, -1)").as("yt"))
+        .withColumn("d1",
+          expr(q6("b0 + b1 * dyt + b2 * dyt1 + theta * e")))
+        .withColumn("d2", expr(q6("b0 + b1 * d1 + b2 * dyt")))
+        .withColumn("d3", expr(q6("b0 + b1 * d2 + b2 * d1")))
+        // forecasts emit RAW: exact sums of identical doubles repr
+        // identically on both engines, while round(4) strikes the
+        // half-midpoint tie (NOTES: half-micros presentation ties)
+        .select($"user_id", $"theta",
+          ($"yt" + $"d1").as("f1"),
+          ($"yt" + $"d1" + $"d2").as("f2"),
+          ($"yt" + $"d1" + $"d2" + $"d3").as("f3"))
+        .orderBy("user_id")
+    },
+
     // Confusion matrix + precision/recall/F1/accuracy (MADlib
     // prediction-metrics module): a deterministic threshold classifier
     // (value > global median ⇒ purchase) scored against the label —
