@@ -967,6 +967,117 @@ object Regression {
        |FROM it$iterations ORDER BY grp""".stripMargin
   }
 
+  /** Per-group Poisson regression at ANY feature count — lifts
+    * [[poissonFit2]]'s 2-feature ceiling the way [[logregFitK]] lifts
+    * logregFit2 (MADlib `glm` family=poisson takes an arbitrary
+    * feature array). Newton/IRLS with canonical log link: per round
+    * ONE aggregate of μ-weighted moments m_ij = Σ μ·x_i·x_j and score
+    * t_i = Σ (y − μ)·x_i under the [[graft.queries.Q.dsum]] split-sum
+    * discipline, then the shared [[gjBatches]] Gauss-Jordan solves
+    * the step as scalar algebra on the per-group row. Determinism:
+    * exp OUTPUTS micros-quantize (μ identical doubles cross-engine)
+    * and coefficients micros-quantize per round; β starts at 0 (μ=1)
+    * so no data-dependent driver-side init enters the text. Groups
+    * with a singular weighted system keep their previous β.
+    *
+    * Scale: identical to logregFitK — `iterations` scans of a
+    * persisted projection, O(k²) shuffled doubles per group,
+    * catalog-scale coefficient relation broadcast back, lineage cut
+    * per round. Callers scale features so z stays small (μ = e^z in
+    * the moment weights). Returns (grp, n, b0 … bk) rounded to 4. */
+  def poissonFitK(
+      df: DataFrame, groupCol: String, yCol: String,
+      xCols: Seq[String], iterations: Int = 4): DataFrame = {
+    val p = xCols.length + 1
+    val rows = df.select(col(groupCol).as("grp") +:
+      col(yCol).cast("double").as("y") +:
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"x${i + 1}") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val xs: Seq[Column] =
+      lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
+    def q6c(c: Column): Column =
+      floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
+    var coef = rows.select(col("grp")).distinct()
+      .select(col("grp") +: (0 until p).map(i => lit(0.0).as(s"b_$i")): _*)
+    val (batches, valid) = gjBatches(p)
+    for (_ <- 0 until iterations) {
+      val z = (0 until p).map(i => col(s"b_$i") * xs(i)).reduce(_ + _)
+      val mu = q6c(exp(z))
+      val res = col("y") - mu
+      val aggs =
+        (for { i <- 0 until p; j <- i until p }
+          yield Q.dsum(mu * xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
+          (0 until p).map(i => Q.dsum(res * xs(i), 6).as(s"t_$i")) :+
+          count(lit(1)).as("nl")
+      val m = rows.join(broadcast(coef), "grp")
+        .groupBy(col("grp") +: (0 until p).map(i => col(s"b_$i")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val solved = batches.foldLeft(m) { (d, batch) =>
+        d.select(col("*") +:
+          batch.map { case (n2, e2) => expr(e2).as(n2) }: _*)
+      }
+      coef = solved.select(col("grp") +: col("nl") +:
+        (0 until p).map(i => expr(
+          s"CASE WHEN $valid THEN floor((b_$i + b${p - 1}_$i) * 1000000" +
+            s" + 0.5) / 1000000 ELSE b_$i END").as(s"b_$i")): _*)
+        .localCheckpoint(eager = true)
+    }
+    coef.select(col("grp") +: col("nl").as("n") +:
+      (0 until p).map(i => round(col(s"b_$i"), 4).as(s"b$i")): _*)
+  }
+
+  /** DuckDB oracle for [[poissonFitK]] — the identical IRLS unroll
+    * with μ-weights (the [[logregKOracleSql]] shape, link swapped). */
+  def poissonKOracleSql(
+      table: String, groupExpr: String, yExpr: String,
+      xExprs: Seq[String], iterations: Int = 4): String = {
+    val p = xExprs.length + 1
+    val (batches, valid) = gjBatches(p)
+    def q6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000"
+    val xsSel = xExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS DOUBLE) AS x${i + 1}" }.mkString(", ")
+    val xs = "1.0e0" +: (1 to xExprs.length).map(i => s"x$i")
+    val zTxt = (0 until p).map(i => s"b_$i * ${xs(i)}").mkString(" + ")
+    val it0 = s"it0 AS (SELECT DISTINCT grp, ${(0 until p)
+      .map(i => s"0.0e0 AS b_$i").mkString(", ")} FROM rr)"
+    val rounds = (1 to iterations).map { k =>
+      val moments =
+        (for { i <- 0 until p; j <- i until p }
+          yield s"${Q.oSum(s"mu * ${xs(i)} * ${xs(j)}", 6)} AS m_${i}_$j") ++
+          (0 until p).map(i =>
+            s"${Q.oSum(s"(y - mu) * ${xs(i)}", 6)} AS t_$i") :+
+          "CAST(count(*) AS BIGINT) AS nl"
+      val bcols = (0 until p).map(i => s"b_$i").mkString(", ")
+      val jk = s"j$k AS (SELECT r.grp, " +
+        (0 until p).map(i => s"c.b_$i").mkString(", ") + ", r.y, " +
+        (1 until p).map(i => s"r.x$i").mkString(", ") + ",\n" +
+        s"    ${q6(s"exp($zTxt)")} AS mu\n" +
+        s"  FROM rr r JOIN it${k - 1} c USING (grp))"
+      val ak = s"a$k AS (SELECT grp, $bcols,\n  ${moments.mkString(",\n  ")}" +
+        s"\n  FROM j$k GROUP BY grp, $bcols)"
+      val gj = batches.zipWithIndex.map { case (batch, bi) =>
+        val src = if (bi == 0) s"a$k" else s"s${k}_${bi - 1}"
+        s"s${k}_$bi AS (SELECT *,\n  ${batch
+          .map { case (n2, e2) => s"$e2 AS $n2" }
+          .mkString(",\n  ")}\n  FROM $src)"
+      }
+      val itk = s"it$k AS (SELECT grp, nl, ${(0 until p).map(i =>
+        s"CASE WHEN $valid THEN ${q6(s"b_$i + b${p - 1}_$i")} " +
+          s"ELSE b_$i END AS b_$i").mkString(",\n  ")}" +
+        s"\n  FROM s${k}_${batches.length - 1})"
+      (Seq(jk, ak) ++ gj :+ itk).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH rr AS (SELECT $groupExpr AS grp,
+       |    CAST($yExpr AS DOUBLE) AS y, $xsSel FROM $table),
+       |$it0,
+       |$rounds
+       |SELECT grp, nl AS n, ${(0 until p)
+      .map(i => s"round(b_$i, 4) AS b$i").mkString(", ")}
+       |FROM it$iterations ORDER BY grp""".stripMargin
+  }
+
   /** DuckDB oracle for [[olsFitK]] — the same [[gjBatches]] text, one
     * CTE per batch, [[graft.queries.Q.oSum]] moments. Ends with
     * `ORDER BY grp`. */
@@ -1002,6 +1113,79 @@ object Regression {
       .mkString(",\n  ")},
        |  CASE WHEN $valid AND $sst > 0.0e0
        |    THEN round(1.0e0 - $sse / $sst, 6) END AS r2
+       |FROM t${batches.length} ORDER BY grp""".stripMargin
+  }
+
+  /** Per-group ridge regression at ANY feature count — MADlib
+    * `elastic_net_train(α=0)` / `ridge` with an arbitrary feature
+    * array, lifting [[ridgeFit2]]'s 2-feature Cramer ceiling. Same
+    * ONE-pass moment aggregate as [[olsFitK]]; regularization is λ
+    * added to the SLOPE diagonal of the normal matrix (intercept
+    * unpenalized, the q_ml_ridge contract — raw-scale penalty,
+    * documented per-kernel in COVERAGE.md) before the shared
+    * [[gjBatches]] solve. Zero extra passes at any scale; O(k²)
+    * shuffled doubles per group. Returns (grp, n, b0 … bk) rounded
+    * to 4; singular groups yield NULLs. */
+  def ridgeFitK(
+      df: DataFrame, groupCol: String, yCol: String,
+      xCols: Seq[String], lambda: Double): DataFrame = {
+    val p = xCols.length + 1
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    val aggs =
+      (for { i <- 0 until p; j <- i until p }
+        yield Q.dsum(xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
+        (0 until p).map(i => Q.dsum(xs(i) * y, 6).as(s"t_$i")) :+
+        count(lit(1)).as("nl")
+    val agg0 = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    // λ joins the moment row BEFORE the shared solve text runs — the
+    // same `m_i_i + λ` IEEE add on both engines
+    val agg = (1 until p).foldLeft(agg0) { (d, i) =>
+      d.withColumn(s"m_${i}_$i", col(s"m_${i}_$i") + lit(lambda))
+    }
+    val (batches, valid) = gjBatches(p)
+    val solved = batches.foldLeft(agg) { (d, batch) =>
+      d.select(col("*") +: batch.map { case (n, e) => expr(e).as(n) }: _*)
+    }
+    solved.select(
+      col("grp") +: col("nl").as("n") +:
+        (0 until p).map(i =>
+          expr(s"CASE WHEN $valid THEN round(b${p - 1}_$i, 4) END")
+            .as(s"b$i")): _*)
+  }
+
+  /** DuckDB oracle for [[ridgeFitK]] — [[olsKOracleSql]]'s shape with
+    * one extra CTE adding the λ literal to each slope diagonal. */
+  def ridgeKOracleSql(
+      table: String, groupExpr: String, yExpr: String,
+      xExprs: Seq[String], lambdaSql: String): String = {
+    val p = xExprs.length + 1
+    val xs = "1.0e0" +: xExprs.map(e => s"CAST($e AS DOUBLE)")
+    val yd = s"CAST($yExpr AS DOUBLE)"
+    val moments =
+      (for { i <- 0 until p; j <- i until p }
+        yield s"${Q.oSum(s"${xs(i)} * ${xs(j)}", 6)} AS m_${i}_$j") ++
+        (0 until p).map(i =>
+          s"${Q.oSum(s"${xs(i)} * $yd", 6)} AS t_$i") :+
+        "CAST(count(*) AS BIGINT) AS nl"
+    val (batches, valid) = gjBatches(p)
+    val lamCte = s"tl AS (SELECT * REPLACE (${(1 until p)
+      .map(i => s"m_${i}_$i + $lambdaSql AS m_${i}_$i")
+      .mkString(", ")}) FROM t0)"
+    val ctes = Seq(s"t0 AS (SELECT $groupExpr AS grp,\n  " +
+      s"${moments.mkString(",\n  ")}\n  FROM $table GROUP BY 1)", lamCte) ++
+      batches.zipWithIndex.map { case (batch, bi) =>
+        val src = if (bi == 0) "tl" else s"t$bi"
+        s"t${bi + 1} AS (SELECT *,\n  ${batch
+          .map { case (n, e) => s"$e AS $n" }
+          .mkString(",\n  ")}\n  FROM $src)"
+      }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT grp, nl AS n,
+       |  ${(0 until p).map(i =>
+      s"CASE WHEN $valid THEN round(b${p - 1}_$i, 4) END AS b$i")
+      .mkString(",\n  ")}
        |FROM t${batches.length} ORDER BY grp""".stripMargin
   }
 

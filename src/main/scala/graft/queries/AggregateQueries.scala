@@ -358,6 +358,47 @@ object AggregateQueries {
           .orderBy("grp")
     },
 
+    // Arbitrary-feature Poisson regression (MADlib glm family=poisson
+    // at any feature count — lifts poissonFit2's 2-feature ceiling):
+    // count response l_linenumber, 3 scaled features + intercept,
+    // IRLS with μ-weighted moments and the same generated Gauss-Jordan
+    // text as q_ml_ols_k shared verbatim with the oracle.
+    Q("q_ml_poisson_k", Some(
+      graft.operators.Regression.poissonKOracleSql(
+        "lineitem", "l_returnflag", "l_linenumber",
+        Seq("l_quantity / 50.0e0", "l_discount", "l_tax")))) {
+      (s, dir) =>
+        import s.implicits._
+        val src = Tables.T(s, dir).lineitem.select(
+          $"l_returnflag",
+          $"l_linenumber".cast("double").as("y"),
+          ($"l_quantity".cast("double") / lit(50.0)).as("f1"),
+          $"l_discount".cast("double").as("f2"),
+          $"l_tax".cast("double").as("f3"))
+        graft.operators.Regression.poissonFitK(src, "l_returnflag", "y",
+          Seq("f1", "f2", "f3"))
+          .orderBy("grp")
+    },
+
+    // Arbitrary-feature ridge (MADlib elastic_net α=0 at any feature
+    // count — lifts ridgeFit2's 2-feature Cramer ceiling): the
+    // q_ml_ols_k moment pass with λ=250 on the slope diagonal before
+    // the shared Gauss-Jordan solve; intercept unpenalized.
+    Q("q_ml_ridge_k", Some(
+      graft.operators.Regression.ridgeKOracleSql(
+        "lineitem", "l_returnflag",
+        "l_extendedprice / 1000.0e0",
+        Seq("l_quantity", "l_discount", "l_tax", "l_linenumber"),
+        "250.0e0"))) { (s, dir) =>
+      import s.implicits._
+      val src = Tables.T(s, dir).lineitem.withColumn(
+        "y1000", $"l_extendedprice".cast("double") / lit(1000.0))
+      graft.operators.Regression.ridgeFitK(src, "l_returnflag",
+        "y1000", Seq("l_quantity", "l_discount", "l_tax", "l_linenumber"),
+        lambda = 250.0)
+        .orderBy("grp")
+    },
+
     // Ridge regression (MADlib elastic_net α=0): the SAME one-pass
     // moment aggregate as q_agg_ols with λ on the slope diagonals of
     // the normal equations (intercept unpenalized) — regularization

@@ -677,7 +677,7 @@ object StorageQueries {
     // rows lowers to those base inserts evaluated SET-BASED over the
     // aligned view-shaped source — zero per-row calls; base-table
     // row triggers still fire on the produced relation (PG nesting).
-    // INSTEAD OF UPDATE/DELETE reject loudly (spec-gated).
+    // UPDATE/DELETE events: q_dml_trigger_instead_ud below.
     Q("q_dml_trigger_instead", Some(
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  CAST((c_custkey % 10) * 2 AS BIGINT) AS amt
@@ -702,6 +702,70 @@ object StorageQueries {
               |SELECT c_custkey, c_custkey % 10 FROM customer
               |WHERE c_custkey <= 150""".stripMargin)
         run("SELECT id, amt FROM io_v ORDER BY id")
+    },
+
+    // INSTEAD OF UPDATE/DELETE triggers on views (commands/trigger.c;
+    // completes the updatable-view shim, r9): the affected view rows
+    // bind OLD (and, for UPDATE, NEW = OLD with the statement's SET
+    // applied) as columns of ONE derived relation; the body's
+    // UPDATE/DELETE/INSERT statements against base tables run
+    // SET-BASED over it — the update is one equi-join
+    // (Dml.updateFrom), the delete one left-anti join, the audit
+    // insert one projection. Zero per-row calls at any row count.
+    Q("q_dml_trigger_instead_ud", Some(
+      """WITH ins AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    CAST(c_custkey % 10 AS BIGINT) AS amt
+        |  FROM customer WHERE c_custkey <= 200),
+        |upd AS (SELECT id,
+        |    CASE WHEN id % 7 = 0 THEN amt + 100 ELSE amt END AS amt
+        |  FROM ins),
+        |fin AS (SELECT id, amt FROM upd WHERE id <= 180),
+        |lg AS (SELECT id, amt AS before_amt, amt + 100 AS after_amt
+        |  FROM ins WHERE id % 7 = 0)
+        |SELECT tag, id, a, b FROM (
+        |  SELECT 'view' AS tag, id, amt AS a, CAST(NULL AS BIGINT) AS b
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT 'log', id, before_amt, after_amt FROM lg)
+        |ORDER BY tag, id""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_instead_ud")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS io2_base")
+      run("DROP TABLE IF EXISTS io2_log")
+      run("""CREATE TABLE io2_base (id bigint, amt bigint, src text)
+            |DISTRIBUTED BY (id)""".stripMargin)
+      run("""CREATE TABLE io2_log (id bigint, before_amt bigint,
+            |after_amt bigint) DISTRIBUTED BY (id)""".stripMargin)
+      run("CREATE OR REPLACE VIEW io2_v AS " +
+        "SELECT id, amt FROM io2_base WHERE src = 'view'")
+      run("""CREATE OR REPLACE FUNCTION io2_upd() RETURNS trigger AS $$
+            |BEGIN
+            |  INSERT INTO io2_log VALUES (OLD.id, OLD.amt, NEW.amt);
+            |  UPDATE io2_base SET amt = NEW.amt
+            |    WHERE id = OLD.id AND src = 'view';
+            |  RETURN NEW;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE OR REPLACE FUNCTION io2_del() RETURNS trigger AS $$
+            |BEGIN
+            |  DELETE FROM io2_base WHERE id = OLD.id AND src = 'view';
+            |  RETURN OLD;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_io2u INSTEAD OF UPDATE ON io2_v
+            |FOR EACH ROW EXECUTE FUNCTION io2_upd()""".stripMargin)
+      run("""CREATE TRIGGER t_io2d INSTEAD OF DELETE ON io2_v
+            |FOR EACH ROW EXECUTE FUNCTION io2_del()""".stripMargin)
+      run("""INSERT INTO io2_base
+            |SELECT c_custkey, c_custkey % 10, 'view' FROM customer
+            |WHERE c_custkey <= 200""".stripMargin)
+      run("UPDATE io2_v SET amt = amt + 100 WHERE id % 7 = 0")
+      run("DELETE FROM io2_v WHERE id > 180")
+      run("""SELECT tag, id, a, b FROM (
+            |  SELECT 'view' AS tag, id, amt AS a,
+            |    CAST(NULL AS BIGINT) AS b FROM io2_v
+            |  UNION ALL
+            |  SELECT 'log', id, before_amt, after_amt FROM io2_log)
+            |ORDER BY tag, id""".stripMargin)
     },
 
     // contrib/tablefunc crosstab (tablefunc.c:50): the 2-arg form —
@@ -1439,6 +1503,55 @@ object StorageQueries {
       run("""SELECT t.k, t.flag, t.hits, l.nm
             |FROM etl_tgt t LEFT JOIN etl_log l ON t.k = l.k
             |ORDER BY t.k""".stripMargin)
+    },
+
+    // Data-dependent WHILE in a DO block (pl_exec.c exec_stmt_while —
+    // the batch-maintenance migration shape, r9): scalar variables
+    // (`batch`, `remaining`) live in a driver-side literal env updated
+    // by `v := e` / SELECT ... INTO; the loop condition re-evaluates
+    // per iteration as a 1-row query; every statement over DATA stays
+    // one set-based SQL statement (the per-batch DELETE is a COW
+    // rewrite of the work table, the log INSERT a 1-row append).
+    // Driver work is catalog-scale — iteration count × scalar queries,
+    // independent of row count. The key cap (<= 1500) pins batch count
+    // across SFs. Oracle: the same recursion as a DuckDB WITH
+    // RECURSIVE unroll.
+    Q("q_sql_while_data", Some(
+      """WITH RECURSIVE it AS (
+        |  SELECT CAST(0 AS BIGINT) AS batch,
+        |    (SELECT count(*) FROM customer WHERE c_custkey <= 1500)
+        |      AS n
+        |  UNION ALL
+        |  SELECT batch + 1,
+        |    (SELECT count(*) FROM customer WHERE c_custkey <= 1500
+        |       AND c_custkey > 300 * (batch + 1))
+        |  FROM it WHERE n > 0
+        |)
+        |SELECT batch, n FROM it WHERE n > 0 ORDER BY batch""".stripMargin)) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        val base = tmp("while_data")
+        def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+        run("DROP TABLE IF EXISTS wq")
+        run("DROP TABLE IF EXISTS wlog")
+        run("""CREATE TABLE wq AS SELECT c_custkey AS k FROM customer
+              |WHERE c_custkey <= 1500""".stripMargin)
+        run("CREATE TABLE wlog (batch bigint, n bigint) " +
+          "DISTRIBUTED BY (batch)")
+        run("""DO $$
+              |DECLARE
+              |  remaining bigint;
+              |  batch bigint := 0;
+              |BEGIN
+              |  SELECT count(*) INTO remaining FROM wq;
+              |  WHILE remaining > 0 LOOP
+              |    INSERT INTO wlog VALUES (batch, remaining);
+              |    DELETE FROM wq WHERE k <= (batch + 1) * 300;
+              |    batch := batch + 1;
+              |    SELECT count(*) INTO remaining FROM wq;
+              |  END LOOP;
+              |END $$""".stripMargin)
+        run("SELECT batch, n FROM wlog ORDER BY batch")
     },
 
     // PG DISTINCT ON — first row per group in ORDER BY order (gram.y

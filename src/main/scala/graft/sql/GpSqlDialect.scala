@@ -273,10 +273,9 @@ object GpSqlDialect {
             "graft supports BEFORE INSERT/UPDATE ... FOR EACH ROW " +
               "[WHEN (cond)] row triggers, BEFORE/AFTER ... FOR EACH " +
               "STATEMENT triggers with straight-line DML bodies, and " +
-              "INSTEAD OF INSERT view triggers only (AFTER ROW: use " +
-              "the CDC delta views; INSTEAD OF UPDATE/DELETE / " +
-              "transition tables / trigger arguments have no " +
-              "set-based lowering)")
+              "INSTEAD OF INSERT/UPDATE/DELETE view triggers only " +
+              "(AFTER ROW: use the CDC delta views; transition tables " +
+              "/ trigger arguments have no set-based lowering)")
     }
     DropTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
@@ -571,7 +570,8 @@ object GpSqlDialect {
         spark.catalog.dropTempView(m.group(1).toLowerCase)
         sessionViews.remove(m.group(1).toLowerCase)
         viewDefs.remove(m.group(1).toLowerCase)
-        viewInsteadTriggers.remove(m.group(1).toLowerCase)
+        Seq("insert", "update", "delete").foreach(ev =>
+          viewInsteadTriggers.remove(s"${m.group(1).toLowerCase}/$ev"))
         return spark.emptyDataFrame
       case _ =>
     }
@@ -643,7 +643,8 @@ object GpSqlDialect {
           Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
             .filter(_.nonEmpty).toSeq))
       case Some(m)
-          if viewInsteadTriggers.contains(m.group(1).toLowerCase) =>
+          if viewInsteadTriggers.contains(
+            s"${m.group(1).toLowerCase}/insert") =>
         return executeInsertInstead(spark, m.group(1).toLowerCase,
           trimmed.substring(m.end),
           Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
@@ -720,6 +721,10 @@ object GpSqlDialect {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeDelete(spark, m.group(1).toLowerCase,
           Option(m.group(2)), Option(m.group(3)))
+      case Some(m) if viewInsteadTriggers.contains(
+          s"${m.group(1).toLowerCase}/delete") =>
+        return executeDeleteInstead(spark, m.group(1).toLowerCase,
+          Option(m.group(2)))
       case _ =>
     }
     UpdateFromRe.findFirstMatchIn(trimmed) match {
@@ -732,6 +737,10 @@ object GpSqlDialect {
       case Some(m) if catalog.contains(m.group(1).toLowerCase) =>
         return executeUpdate(spark, m.group(1).toLowerCase, m.group(2),
           Option(m.group(3)), Option(m.group(4)))
+      case Some(m) if viewInsteadTriggers.contains(
+          s"${m.group(1).toLowerCase}/update") =>
+        return executeUpdateInstead(spark, m.group(1).toLowerCase,
+          m.group(2), Option(m.group(3)))
       case _ =>
     }
     SelectIntoRe.findFirstMatchIn(trimmed) match {
@@ -1944,6 +1953,21 @@ object GpSqlDialect {
   /** Execute a plpgsql-shaped block body: optional DECLARE (constant
     * initializers substitute textually), then statements through the
     * dialect. See the procedure header comment for the contract. */
+  /** Loop control signals for the scalar-state block interpreter —
+    * unlabeled EXIT / CONTINUE unwinding to the innermost loop. */
+  private final class PlExitSignal extends RuntimeException
+  private final class PlContinueSignal extends RuntimeException
+  private val PlAssignStmtRe = "(?is)^\\s*(\\w+)\\s*:=\\s*(.+)$".r
+  private val PlSelectIntoVarRe =
+    "(?is)^\\s*SELECT\\s+(.+?)\\s+INTO\\s+(\\w+)\\s*(FROM\\b.+)?$".r
+  private val PlWhileDataRe =
+    "(?is)^\\s*WHILE\\s+(.+?)\\s+LOOP\\s+(.+)\\s*;\\s*END\\s+LOOP\\s*$".r
+  private val PlBareLoopRe =
+    "(?is)^\\s*LOOP\\s+(.+)\\s*;\\s*END\\s+LOOP\\s*$".r
+  private val PlExitStmtRe = "(?is)^\\s*EXIT\\s*(?:WHEN\\s+(.+))?$".r
+  private val PlContinueStmtRe =
+    "(?is)^\\s*CONTINUE\\s*(?:WHEN\\s+(.+))?$".r
+
   private[graft] def runPlBlock(
       spark: SparkSession, rawBody: String, basePath: String): Unit = {
     val (declsRaw, stmtsRaw) = rawBody.trim match {
@@ -1951,35 +1975,156 @@ object GpSqlDialect {
       case other => ("", other)
     }
     val DeclInit = "(?is)^\\s*(\\w+)\\s+.*?(?::=|DEFAULT)\\s*(.+?)\\s*$".r
-    val env = splitStatements(declsRaw).flatMap {
-      case DeclInit(v, init) => Some(v.toLowerCase -> init)
-      case _ => None
-    }.toMap
-    def subst(expr: String): String =
-      env.foldLeft(expr) { case (cur, (v, init)) =>
+    val DeclNoInit = "(?is)^\\s*(\\w+)\\s+\\S.*$".r
+    // Scalar-state tier (exec_stmt_while / exec_stmt_assign /
+    // exec_stmt_exit): variables that are REASSIGNED in the body
+    // (`v := e`, `SELECT ... INTO v`) live in a mutable env of SQL
+    // literals, re-evaluated driver-side per assignment —
+    // catalog-scale scalar work; every statement over data stays a
+    // set-based SQL statement. Unassigned declared vars keep the
+    // static textual-substitution contract. Loop/record/cursor names
+    // never join either env (their binding is per-row, not scalar).
+    val maskedStmts = maskLiterals(stmtsRaw)
+    def isAssigned(v: String): Boolean =
+      s"(?i)(?<![\\w.])$v\\s*:=".r.findFirstIn(maskedStmts).isDefined ||
+        s"(?i)\\bINTO\\s+$v(?![\\w.])".r.findFirstIn(maskedStmts).isDefined
+    def isLoopVar(v: String): Boolean =
+      s"(?i)\\bFOR(?:EACH)?\\s+$v(?![\\w.])".r
+        .findFirstIn(maskedStmts).isDefined
+    val staticPairs =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val mutInits =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    splitStatements(declsRaw).foreach { d =>
+      val isCursor = "(?i)\\bCURSOR\\b".r.findFirstIn(d).isDefined
+      d match {
+        case DeclInit(v0, init) if !isCursor =>
+          val v = v0.toLowerCase
+          if (isAssigned(v) && !isLoopVar(v)) mutInits += (v -> init)
+          else staticPairs += (v -> init)
+        case DeclNoInit(v0) if !isCursor &&
+            isAssigned(v0.toLowerCase) && !isLoopVar(v0.toLowerCase) =>
+          mutInits += (v0.toLowerCase -> "NULL")
+        case _ => ()
+      }
+    }
+    val env = staticPairs.toMap
+    val mutEnv =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def substAll(expr: String): String = {
+      val st = env.foldLeft(expr) { case (cur, (v, init)) =>
         s"(?i)(?<![\\w.])$v(?![\\w.(])".r.replaceAllIn(cur,
           java.util.regex.Matcher.quoteReplacement(s"($init)"))
       }
-    // re-group FOR/FOREACH/WHILE ... END LOOP spans that ';'-splitting
-    // cut apart
-    val parts = splitStatements(stmtsRaw)
-    val grouped = scala.collection.mutable.ArrayBuffer.empty[String]
-    var acc = new StringBuilder
-    var inLoop = false
-    parts.foreach { st =>
-      if (!inLoop &&
-        "(?is)^\\s*(FOR|FOREACH|WHILE)\\b".r.findFirstIn(st).isDefined &&
-        "(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isEmpty) {
-        inLoop = true; acc = new StringBuilder(st)
-      } else if (inLoop) {
-        acc.append("; ").append(st)
-        if ("(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isDefined) {
-          grouped += acc.toString; inLoop = false
-        }
-      } else grouped += st
+      mutEnv.foldLeft(st) { case (cur, (v, lit0)) =>
+        s"(?i)(?<![\\w.])$v(?![\\w.(])".r.replaceAllIn(cur,
+          java.util.regex.Matcher.quoteReplacement(s"($lit0)"))
+      }
     }
-    if (inLoop) grouped += acc.toString
-    grouped.map(subst).foreach {
+    def evalQueryScalar(sel: String): Any = {
+      val row = execute(spark, sel, basePath).collect()(0)
+      if (row.isNullAt(0)) null else row.get(0)
+    }
+    def evalScalar(e: String): Any =
+      evalQueryScalar(s"SELECT (${substAll(e)}) AS __v")
+    def evalBool(cond: String): Boolean =
+      evalScalar(s"CASE WHEN (${cond.trim}) THEN TRUE ELSE FALSE END") ==
+        true
+    def sqlLiteral(v: Any): String = v match {
+      case null => "NULL"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
+      case d: java.sql.Date => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case bd: java.math.BigDecimal =>
+        s"CAST('${bd.toPlainString}' AS DECIMAL(38,${bd.scale}))"
+      case x: java.lang.Double => s"CAST('$x' AS DOUBLE)"
+      case x: java.lang.Float => s"CAST('$x' AS FLOAT)"
+      case n => n.toString
+    }
+    mutInits.foreach { case (v, init) =>
+      mutEnv(v) = sqlLiteral(evalScalar(init))
+    }
+    // re-group FOR/FOREACH/WHILE/LOOP ... END LOOP spans that
+    // ';'-splitting cut apart — depth-counted, so nested loops stay
+    // inside their enclosing group
+    def groupBlocks(parts: Seq[String]): Seq[String] = {
+      val grouped = scala.collection.mutable.ArrayBuffer.empty[String]
+      var acc = new StringBuilder
+      var depth = 0
+      parts.foreach { st =>
+        val opener =
+          "(?is)^\\s*(FOR|FOREACH|WHILE|LOOP)\\b".r
+            .findFirstIn(st).isDefined &&
+            "(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isEmpty
+        val closer =
+          "(?is)^\\s*END\\s+LOOP\\s*$".r.findFirstIn(st).isDefined
+        if (depth == 0) {
+          if (opener) { depth = 1; acc = new StringBuilder(st) }
+          else grouped += st
+        } else {
+          acc.append("; ").append(st)
+          if (opener) depth += 1
+          else if (closer) {
+            depth -= 1
+            if (depth == 0) grouped += acc.toString
+          }
+        }
+      }
+      if (depth > 0) grouped += acc.toString
+      grouped.toSeq
+    }
+    def runStmts(text: String): Unit =
+      groupBlocks(splitStatements(text)).foreach(runStmt)
+    def runStmt(g0: String): Unit = g0 match {
+      // ---- scalar-state control statements match on the RAW text
+      // (variable names must survive; expressions substitute at
+      // evaluation time, so each iteration sees current values) ----
+      case PlExitStmtRe(cond) =>
+        if (Option(cond).forall(evalBool)) throw new PlExitSignal
+      case PlContinueStmtRe(cond) =>
+        if (Option(cond).forall(evalBool)) throw new PlContinueSignal
+      case PlAssignStmtRe(v, rhs) if mutEnv.contains(v.toLowerCase) =>
+        mutEnv(v.toLowerCase) = sqlLiteral(evalScalar(rhs))
+      case PlSelectIntoVarRe(sel, v, from)
+          if mutEnv.contains(v.toLowerCase) =>
+        mutEnv(v.toLowerCase) = sqlLiteral(evalQueryScalar(
+          s"SELECT ${substAll(sel)} ${Option(from).map(substAll)
+            .getOrElse("")}"))
+      case PlWhileDataRe(cond, body) =>
+        // data-dependent WHILE (exec_stmt_while): the condition
+        // re-evaluates per iteration as a 1-row scalar query; the
+        // body runs set-based. Iteration cap guards runaway loops —
+        // each pass costs at least one Spark job, so 10k is already
+        // far past any sane batch-maintenance shape.
+        var iters = 0
+        try {
+          while (evalBool(cond)) {
+            iters += 1
+            if (iters > 10000) throw new UnsupportedOperationException(
+              "plpgsql WHILE exceeded 10000 iterations (unbounded " +
+                "driver loop): WHILE " + firstStatement(cond))
+            try runStmts(body)
+            catch { case _: PlContinueSignal => () }
+          }
+        } catch { case _: PlExitSignal => () }
+      case PlBareLoopRe(body) =>
+        // unconditional LOOP — terminates via EXIT [WHEN]; same cap
+        var iters = 0
+        try {
+          while (true) {
+            iters += 1
+            if (iters > 10000) throw new UnsupportedOperationException(
+              "plpgsql LOOP exceeded 10000 iterations without EXIT: " +
+                firstStatement(body))
+            try runStmts(body)
+            catch { case _: PlContinueSignal => () }
+          }
+        } catch { case _: PlExitSignal => () }
+      case _ => runSubstituted(substAll(g0))
+    }
+    def runSubstituted(s: String): Unit = s match {
       case s if "(?is)^\\s*RAISE\\s+EXCEPTION\\b".r
           .findFirstIn(s).isDefined =>
         // RAISE EXCEPTION aborts in PG — same contract here
@@ -2033,8 +2178,16 @@ object GpSqlDialect {
         ()
       case other => throw new UnsupportedOperationException(
         "procedure/DO statement not supported (only SQL statements, " +
-          "PERFORM, RAISE, EXECUTE [USING], and single-UPDATE FOR " +
-          "loops execute): " + firstStatement(other))
+          "PERFORM, RAISE, EXECUTE [USING], scalar `v := e` / " +
+          "SELECT ... INTO v assignments, WHILE/LOOP with EXIT/" +
+          "CONTINUE, and DML FOR loops execute): " +
+          firstStatement(other))
+    }
+    try runStmts(stmtsRaw)
+    catch {
+      case _: PlExitSignal | _: PlContinueSignal =>
+        throw new UnsupportedOperationException(
+          "plpgsql EXIT/CONTINUE outside a loop")
     }
   }
 
@@ -2673,24 +2826,38 @@ object GpSqlDialect {
   }
 
   // ---- INSTEAD OF triggers on views (commands/trigger.c; PG's
-  // updatable-view shim: the trigger fn's body is INSERT INTO base
-  // VALUES (expr over NEW.col) statements, so an INSERT INTO view of
-  // N rows IS those inserts evaluated set-based over the aligned
-  // view-shaped source — zero per-row calls). INSERT only: UPDATE/
-  // DELETE INSTEAD OF need per-row OLD binding on a derived relation
-  // and reject loudly. --------------------------------------------------
+  // updatable-view shim: the trigger fn's body is a chain of
+  // INSERT/UPDATE/DELETE statements against base tables whose
+  // expressions reference NEW.col / OLD.col, so a DML of N rows
+  // against the view IS those statements evaluated SET-BASED over the
+  // affected view rows — NEW/OLD become columns of one derived
+  // relation, zero per-row calls. INSERT binds NEW only; UPDATE binds
+  // both (OLD = the matched view row, NEW = OLD with SET applied);
+  // DELETE binds OLD only. ----------------------------------------------
+  private sealed trait InsteadStep { def table: String }
   private case class InsteadInsert(table: String,
-    cols: Option[Seq[String]], vals: Seq[String])
-  // trigger fns whose body is INSERT-INTO-base-VALUES(NEW...) chains
+    cols: Option[Seq[String]], vals: Seq[String]) extends InsteadStep
+  private case class InsteadUpdate(table: String,
+    sets: Seq[(String, String)], where: String) extends InsteadStep
+  private case class InsteadDelete(table: String, where: String)
+    extends InsteadStep
+  // trigger fns whose body is a base-table DML chain over NEW/OLD
   private val triggerFnInsteadBodies =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[InsteadInsert]]
-  // view → (trigger name, fn); PG allows ONE INSTEAD OF trigger per
-  // event per view, so the slot is scalar
+    scala.collection.concurrent.TrieMap.empty[String, Seq[InsteadStep]]
+  // fn → body references OLD.* (illegal for the INSERT event)
+  private val triggerFnInsteadUsesOld =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // "view/event" → (trigger name, fn); PG allows ONE INSTEAD OF
+  // trigger per event per view, so each slot is scalar
   private val viewInsteadTriggers =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
   private val InsteadInsRe =
     ("(?is)^INSERT\\s+INTO\\s+(\\w+)\\s*(?:\\(([\\w\\s,]+)\\)\\s*)?" +
       "VALUES\\s*\\((.+)\\)$").r
+  private val InsteadUpdRe =
+    "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+)$".r
+  private val InsteadDelRe =
+    "(?is)^DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.+)$".r
   private val CreateInsteadTriggerRe =
     ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+INSTEAD\\s+OF\\s+(\\w+)" +
       "\\s+ON\\s+(\\w+)\\s+FOR\\s+EACH\\s+ROW\\s+" +
@@ -2699,41 +2866,99 @@ object GpSqlDialect {
   def executeCreateInsteadTrigger(
       spark: SparkSession, trigName: String, event: String, view: String,
       fn: String): DataFrame = {
-    if (!event.equalsIgnoreCase("insert"))
+    val ev = event.toLowerCase
+    if (!Set("insert", "update", "delete").contains(ev))
       throw new UnsupportedOperationException(
-        s"INSTEAD OF ${event.toUpperCase} has no set-based lowering " +
-          "(per-row OLD binding on a derived relation); only INSTEAD " +
-          "OF INSERT lowers")
+        s"INSTEAD OF ${event.toUpperCase} is not a trigger event " +
+          "(INSERT/UPDATE/DELETE)")
     val fnLc = fn.toLowerCase
     if (!triggerFnInsteadBodies.contains(fnLc))
       throw new UnsupportedOperationException(
         s"INSTEAD OF trigger $trigName: function $fn must be a RETURNS " +
           "trigger fn whose body is `INSERT INTO base [(cols)] VALUES " +
-          "(... NEW.col ...)` statements" + deferredPlpgsql.get(fnLc)
+          "(...)` / `UPDATE base SET ... WHERE ...` / `DELETE FROM base " +
+          "WHERE ...` statements over NEW.col/OLD.col" +
+          deferredPlpgsql.get(fnLc)
             .map(w => s"; recorded body issue: $w").getOrElse(""))
+    if (ev == "insert" && triggerFnInsteadUsesOld.getOrElse(fnLc, false))
+      throw new UnsupportedOperationException(
+        s"INSTEAD OF trigger $trigName: function $fn references OLD.* — " +
+          "OLD is unassigned for the INSERT event")
     if (!sessionViews.contains(view.toLowerCase))
       throw new IllegalArgumentException(
         s"INSTEAD OF trigger $trigName: view $view does not exist " +
           "(INSTEAD OF attaches to views only)")
-    viewInsteadTriggers(view.toLowerCase) = (trigName.toLowerCase, fnLc)
+    viewInsteadTriggers(s"${view.toLowerCase}/$ev") =
+      (trigName.toLowerCase, fnLc)
     spark.emptyDataFrame
   }
 
+  /** NEW.x → __iof_new_x, OLD.x → __iof_old_x outside string
+    * literals — the bound-relation column naming for INSTEAD OF
+    * bodies. */
+  private def substNewOld(e: String): String =
+    mapOutsideLiterals(e)(
+      _.replaceAll("(?i)(?<![\\w.])NEW\\.(\\w+)", "__iof_new_$1")
+        .replaceAll("(?i)(?<![\\w.])OLD\\.(\\w+)", "__iof_old_$1"))
+
+  /** Run one INSTEAD OF trigger body over the bound relation (columns
+    * `__iof_new_c` / `__iof_old_c` for each view column): each body
+    * statement evaluates SET-BASED against ALL affected rows at once.
+    * Body INSERTs still fire base-table BEFORE ROW triggers (PG
+    * nesting); body UPDATE/DELETE reject on triggered bases like the
+    * other composed DML paths. Afterwards base temp views refresh and
+    * dependent views re-resolve (their registered temp views captured
+    * the parquet file listing before these writes). */
+  private def runInsteadSteps(
+      spark: SparkSession, trigName: String, fn: String,
+      bound: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val steps = triggerFnInsteadBodies.getOrElse(fn,
+      throw new UnsupportedOperationException(
+        s"INSTEAD OF trigger $trigName: function $fn() no longer has " +
+          "a base-table DML body — DROP TRIGGER or restore a " +
+          "supported body"))
+    steps.foreach { st =>
+      val t = catalog.getOrElse(st.table,
+        throw new IllegalArgumentException(
+          s"INSTEAD OF trigger $trigName: base table ${st.table} " +
+            "does not exist"))
+      st match {
+        case InsteadInsert(table, cols, vals) =>
+          val frame = bound.select(vals.zipWithIndex.map { case (e, i) =>
+            expr(substNewOld(e)).as(s"_c$i") }: _*)
+          appendFrame(spark, t,
+            applyRowTriggers(table, alignFrame(t, frame, cols), "insert"))
+        case InsteadUpdate(table, sets, where) =>
+          rejectTriggersOn(table, Set("update"),
+            "an INSTEAD OF body UPDATE")
+          val assignments = sets.map { case (k, v) =>
+            k -> expr(substNewOld(v)) }.toMap
+          graft.operators.Dml.updateFrom(
+            spark, t.path, bound, expr(substNewOld(where)), assignments)
+          refreshView(spark, t)
+        case InsteadDelete(table, where) =>
+          rejectTriggersOn(table, Set("delete"),
+            "an INSTEAD OF body DELETE")
+          val target = spark.read.parquet(t.path)
+          val remaining = target.join(
+            bound, expr(substNewOld(where)), "left_anti")
+          graft.operators.Dml.overwrite(
+            spark, t.path, remaining, t.partitionCols)
+          refreshView(spark, t)
+      }
+    }
+    reresolveDependentViews(spark, steps.map(_.table).toSet)
+  }
+
   /** INSERT INTO a view bearing an INSTEAD OF INSERT trigger: align
-    * the incoming rows to the VIEW's schema, then run each recorded
-    * body insert set-based over that relation (NEW.col → view
-    * column). Base-table BEFORE ROW triggers still fire on each
-    * produced relation (PG nesting). */
+    * the incoming rows to the VIEW's schema (that relation IS the
+    * set of NEW rows), then run the body over it. */
   def executeInsertInstead(
       spark: SparkSession, view: String, rest: String,
       colList: Option[Seq[String]]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
-    val (trigName, fn) = viewInsteadTriggers(view)
-    val steps = triggerFnInsteadBodies.getOrElse(fn,
-      throw new UnsupportedOperationException(
-        s"INSTEAD OF trigger $trigName on $view: function $fn() no " +
-          "longer has an INSERT-INTO-base body — DROP TRIGGER or " +
-          "restore a supported body"))
+    import org.apache.spark.sql.functions.{col, lit}
+    val (trigName, fn) = viewInsteadTriggers(s"$view/insert")
     val vSchema = spark.table(view).schema
     val body = rest.trim
     val src0 =
@@ -2748,36 +2973,67 @@ object GpSqlDialect {
         val renamed = src0.toDF(cs: _*)
         renamed.select(vSchema.map(f =>
           if (cs.contains(f.name))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+            col(f.name).cast(f.dataType).as(s"__iof_new_${f.name}")
+          else lit(null).cast(f.dataType).as(s"__iof_new_${f.name}"))
+          .toSeq: _*)
       case None =>
         require(src0.columns.length == vSchema.length,
           s"INSERT INTO $view: ${src0.columns.length} columns, " +
             s"expected ${vSchema.length}")
         src0.toDF(vSchema.fieldNames.toSeq: _*)
           .select(vSchema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            col(f.name).cast(f.dataType).as(s"__iof_new_${f.name}"))
+            .toSeq: _*)
     }).localCheckpoint(eager = true)
-    steps.foreach { st =>
-      val t = catalog.getOrElse(st.table,
-        throw new IllegalArgumentException(
-          s"INSTEAD OF trigger $trigName: base table ${st.table} " +
-            "does not exist"))
-      val frame = src.select(st.vals.zipWithIndex.map { case (e, i) =>
-        expr(e).as(s"_c$i") }: _*)
-      appendFrame(spark, t,
-        applyRowTriggers(st.table, alignFrame(t, frame, st.cols),
-          "insert"))
-    }
-    // re-resolve views over the written base tables: their registered
-    // temp views captured the file listing before these appends
-    val written = steps.map(_.table).toSet
-    viewDefs.foreach { case (vn, bodySql) =>
-      if (written.exists(tn => s"(?i)(?<![\\w.])$tn(?![\\w.])".r
-          .findFirstIn(bodySql).isDefined))
-        executeImpl(spark, bodySql, "/tmp/never")
-          .createOrReplaceTempView(vn)
-    }
+    runInsteadSteps(spark, trigName, fn, src)
+    spark.emptyDataFrame
+  }
+
+  /** UPDATE on a view bearing an INSTEAD OF UPDATE trigger: the
+    * affected view rows (WHERE applied against the VIEW) bind OLD;
+    * NEW is OLD with the statement's SET list applied — both become
+    * columns of ONE derived relation the body runs over set-based. */
+  def executeUpdateInstead(
+      spark: SparkSession, view: String, setClause: String,
+      where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val (trigName, fn) = viewInsteadTriggers(s"$view/update")
+    val v = spark.table(view)
+    val setPairs = splitTopLevel(setClause, ',').map { a =>
+      val Array(k, s) = a.split("=", 2)
+      k.trim.toLowerCase -> s.trim
+    }.toMap
+    setPairs.keys.foreach(k =>
+      require(v.columns.map(_.toLowerCase).contains(k),
+        s"UPDATE $view: column $k does not exist in the view"))
+    val aff = v.filter(coalesce(
+      where.map(expr).getOrElse(lit(true)), lit(false)))
+    // one relation carrying both images: NEW = SET applied over the
+    // old row (SET expressions reference view columns = OLD values)
+    val bound = aff.select(
+      (v.columns.map(c => col(c).as(s"__iof_old_${c.toLowerCase}")) ++
+        v.columns.map(c => setPairs.get(c.toLowerCase)
+          .map(s => expr(s).cast(v.schema(c).dataType))
+          .getOrElse(col(c)).as(s"__iof_new_${c.toLowerCase}"))).toSeq: _*)
+      .localCheckpoint(eager = true)
+    runInsteadSteps(spark, trigName, fn, bound)
+    spark.emptyDataFrame
+  }
+
+  /** DELETE on a view bearing an INSTEAD OF DELETE trigger: the
+    * affected view rows bind OLD; the body runs over them set-based. */
+  def executeDeleteInstead(
+      spark: SparkSession, view: String,
+      where: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val (trigName, fn) = viewInsteadTriggers(s"$view/delete")
+    val v = spark.table(view)
+    val bound = v.filter(coalesce(
+      where.map(expr).getOrElse(lit(true)), lit(false)))
+      .select(v.columns.map(c =>
+        col(c).as(s"__iof_old_${c.toLowerCase}")).toSeq: _*)
+      .localCheckpoint(eager = true)
+    runInsteadSteps(spark, trigName, fn, bound)
     spark.emptyDataFrame
   }
 
@@ -2861,6 +3117,7 @@ object GpSqlDialect {
     }
     triggerFnStmtBodies.remove(name) // re-derived below on every CREATE
     triggerFnInsteadBodies.remove(name)
+    triggerFnInsteadUsesOld.remove(name)
     val rawBody = body0.trim match {
       case PlBodyRe(d, s) =>
         if (Option(d).exists(_.trim.nonEmpty))
@@ -2886,28 +3143,42 @@ object GpSqlDialect {
           rest.head.matches("(?is)^RETURN\\s+(NULL|NEW)$"))))
         triggerFnStmtBodies(name) = dmls
     }
-    // INSTEAD OF tier: a chain of INSERT INTO base VALUES(...) whose
-    // expressions may reference NEW.col (the updatable-view shim);
-    // OLD has no binding on the INSERT path and rejects at CREATE
-    // TRIGGER via the body scan below.
+    // INSTEAD OF tier: a chain of INSERT INTO base VALUES(...) /
+    // UPDATE base SET ... WHERE ... / DELETE FROM base WHERE ...
+    // whose expressions reference NEW.col / OLD.col (the
+    // updatable-view shim). Expressions are recorded RAW; NEW/OLD
+    // bind to the affected-rows relation at fire time. OLD use is
+    // recorded so CREATE TRIGGER ... INSTEAD OF INSERT can reject it.
     locally {
       val parts0 = splitStatements(rawBody).map(_.trim).filter(_.nonEmpty)
-      val ins = parts0.takeWhile(p =>
-        InsteadInsRe.findFirstMatchIn(p).isDefined)
-      val rest = parts0.drop(ins.length)
-      val noOld = "(?i)(?<![\\w.])(OLD\\.|TG_\\w+)".r
-        .findFirstIn(maskLiterals(rawBody)).isEmpty
-      if (ins.nonEmpty && noOld &&
-        (rest.isEmpty || (rest.length == 1 &&
-          rest.head.matches("(?is)^RETURN\\s+(NULL|NEW)$"))))
-        triggerFnInsteadBodies(name) = ins.map { p =>
-          val m = InsteadInsRe.findFirstMatchIn(p).get
-          InsteadInsert(m.group(1).toLowerCase,
-            Option(m.group(2)).map(_.split(",").map(_.trim.toLowerCase)
+      def parseStep(p: String): Option[InsteadStep] = p match {
+        case InsteadInsRe(tbl, cols, vals) =>
+          Some(InsteadInsert(tbl.toLowerCase,
+            Option(cols).map(_.split(",").map(_.trim.toLowerCase)
               .filter(_.nonEmpty).toSeq),
-            splitTopLevelCommas(m.group(3)).map(_.trim
-              .replaceAll("(?i)(?<![\\w.])NEW\\.", "")))
-        }
+            splitTopLevelCommas(vals).map(_.trim)))
+        case InsteadUpdRe(tbl, sets, where) =>
+          Some(InsteadUpdate(tbl.toLowerCase,
+            splitTopLevel(sets, ',').map { a =>
+              val Array(k, v) = a.split("=", 2)
+              k.trim.toLowerCase -> v.trim
+            }, where.trim))
+        case InsteadDelRe(tbl, where) =>
+          Some(InsteadDelete(tbl.toLowerCase, where.trim))
+        case _ => None
+      }
+      val steps = parts0.map(parseStep).takeWhile(_.isDefined).flatten
+      val rest = parts0.drop(steps.length)
+      val noTg = "(?i)(?<![\\w.])TG_\\w+".r
+        .findFirstIn(maskLiterals(rawBody)).isEmpty
+      if (steps.nonEmpty && noTg &&
+        (rest.isEmpty || (rest.length == 1 &&
+          rest.head.matches("(?is)^RETURN\\s+(NULL|NEW|OLD)$")))) {
+        triggerFnInsteadBodies(name) = steps
+        triggerFnInsteadUsesOld(name) =
+          "(?i)(?<![\\w.])OLD\\.".r
+            .findFirstIn(maskLiterals(rawBody)).isDefined
+      }
     }
     val usesOld =
       "(?i)(?<![\\w.])OLD\\.".r.findFirstIn(rawBody).isDefined
@@ -2984,8 +3255,11 @@ object GpSqlDialect {
       tableTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
     tableStmtTriggers.get(lc).foreach(ts =>
       tableStmtTriggers(lc) = ts.filterNot(_.name == trigName.toLowerCase))
-    viewInsteadTriggers.get(lc).filter(_._1 == trigName.toLowerCase)
-      .foreach(_ => viewInsteadTriggers.remove(lc))
+    Seq("insert", "update", "delete").foreach { ev =>
+      viewInsteadTriggers.get(s"$lc/$ev")
+        .filter(_._1 == trigName.toLowerCase)
+        .foreach(_ => viewInsteadTriggers.remove(s"$lc/$ev"))
+    }
     spark.emptyDataFrame
   }
 
@@ -3986,7 +4260,9 @@ object GpSqlDialect {
     owned.foreach(executeDropTable(spark, _, ifExists = true))
     views.foreach { v =>
       spark.catalog.dropTempView(v); sessionViews.remove(v)
-      viewDefs.remove(v); viewInsteadTriggers.remove(v)
+      viewDefs.remove(v)
+      Seq("insert", "update", "delete").foreach(ev =>
+        viewInsteadTriggers.remove(s"$v/$ev"))
     }
     schemas.remove(name)
     spark.emptyDataFrame
@@ -4470,6 +4746,20 @@ object GpSqlDialect {
   private val viewDefs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Re-resolve registered views whose definition references any of
+    * `tables`: a temp view captures the parquet FILE LISTING at
+    * CREATE VIEW, so every DML executor that writes a catalog table
+    * must re-execute dependents or reads through them stay stale
+    * (lazy plan re-analysis only — no data moves here). */
+  private def reresolveDependentViews(
+      spark: SparkSession, tables: Set[String]): Unit =
+    viewDefs.foreach { case (vn, bodySql) =>
+      if (tables.exists(tn => s"(?i)(?<![\\w.])$tn(?![\\w.])".r
+          .findFirstIn(bodySql).isDefined))
+        executeImpl(spark, bodySql, "/tmp/never")
+          .createOrReplaceTempView(vn)
+    }
+
   def executeCreateView(
       spark: SparkSession, name: String, body: String,
       basePath: String): DataFrame = {
@@ -4762,6 +5052,7 @@ object GpSqlDialect {
     }
     graft.operators.Dml.deleteWhere(spark, t.path, cond)
     spark.read.parquet(t.path).createOrReplaceTempView(table)
+    reresolveDependentViews(spark, Set(table))
     out
   }
 
@@ -4797,6 +5088,7 @@ object GpSqlDialect {
     }
     graft.operators.Dml.updateWhere(spark, t.path, assignments, cond)
     spark.read.parquet(t.path).createOrReplaceTempView(table)
+    reresolveDependentViews(spark, Set(table))
     out
   }
 
@@ -4827,6 +5119,7 @@ object GpSqlDialect {
     graft.operators.Dml.updateFrom(
       spark, t.path, src, expr(whereCond), assignments)
     spark.read.parquet(t.path).createOrReplaceTempView(table)
+    reresolveDependentViews(spark, Set(table))
     Seq(table).toDF("updated_table")
   }
 
@@ -5595,13 +5888,16 @@ object GpSqlDialect {
           insertSource(spark, t, m.group(1), colList), "insert")
           .localCheckpoint(true)
         appendFrame(spark, t, inserted)
+        reresolveDependentViews(spark, Set(name))
         return inserted.selectExpr(
           splitTopLevel(m.group(2), ','): _*)
       case _ =>
     }
     val t = catalog(name)
-    appendFrame(spark, t,
+    val out = appendFrame(spark, t,
       applyRowTriggers(name, insertSource(spark, t, rest, colList), "insert"))
+    reresolveDependentViews(spark, Set(name))
+    out
   }
 
   /** Build the aligned source frame of an INSERT: VALUES or SELECT body,
@@ -5727,6 +6023,7 @@ object GpSqlDialect {
     graft.operators.Dml.overwrite(spark, t.path, remaining,
       t.partitionCols)
     refreshView(spark, t)
+    reresolveDependentViews(spark, Set(tName.toLowerCase))
     Seq(tName).toDF("deleted_from")
   }
   private val WhenClauseRe =

@@ -2708,12 +2708,17 @@ class ExpressionSpec extends AnyFunSuite {
     val r = run("SELECT id, v FROM io_view ORDER BY id").collect()
     assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq ==
       Seq((1, 105), (2, 107)), r.mkString(","))
-    // INSTEAD OF UPDATE has no lowering
+    // an OLD-referencing body cannot attach to the INSERT event
+    run("""CREATE OR REPLACE FUNCTION io_fn_old() RETURNS trigger AS $$
+          |BEGIN
+          |  DELETE FROM io_t WHERE id = OLD.id;
+          |  RETURN OLD;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
     val e1 = intercept[UnsupportedOperationException] {
-      run("CREATE TRIGGER t_bad INSTEAD OF UPDATE ON io_view " +
-        "FOR EACH ROW EXECUTE FUNCTION io_fn()")
+      run("CREATE TRIGGER t_bad INSTEAD OF INSERT ON io_view " +
+        "FOR EACH ROW EXECUTE FUNCTION io_fn_old()")
     }
-    assert(e1.getMessage.contains("INSTEAD OF UPDATE"), e1.getMessage)
+    assert(e1.getMessage.contains("OLD"), e1.getMessage)
     // a table target rejects (INSTEAD OF is a view mechanism)
     val e2 = intercept[Exception] {
       run("CREATE TRIGGER t_bad2 INSTEAD OF INSERT ON io_t " +
@@ -2728,6 +2733,112 @@ class ExpressionSpec extends AnyFunSuite {
     assert(e3 != null)
     run("DROP VIEW io_view")
     run("DROP TABLE io_t")
+  }
+
+  test("INSTEAD OF UPDATE/DELETE bind OLD and NEW set-based; plain " +
+    "base DML re-resolves dependent views") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_ioud_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS iu_t")
+    run("CREATE TABLE iu_t (id int, v int, tag text) DISTRIBUTED BY (id)")
+    run("CREATE OR REPLACE VIEW iu_view AS " +
+      "SELECT id, v FROM iu_t WHERE tag = 'rt'")
+    // views created BEFORE the data must see plain base inserts
+    // (temp views capture the parquet file listing at CREATE VIEW)
+    run("INSERT INTO iu_t VALUES (1, 10, 'rt')")
+    run("INSERT INTO iu_t VALUES (2, 20, 'rt')")
+    run("INSERT INTO iu_t VALUES (3, 30, 'other')")
+    assert(run("SELECT count(*) FROM iu_view").collect()(0).getLong(0) == 2)
+    run("""CREATE OR REPLACE FUNCTION iu_upd() RETURNS trigger AS $$
+          |BEGIN
+          |  UPDATE iu_t SET v = NEW.v + OLD.v WHERE id = OLD.id;
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("""CREATE OR REPLACE FUNCTION iu_del() RETURNS trigger AS $$
+          |BEGIN
+          |  DELETE FROM iu_t WHERE id = OLD.id AND tag = 'rt';
+          |  RETURN OLD;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    run("CREATE TRIGGER t_iu INSTEAD OF UPDATE ON iu_view " +
+      "FOR EACH ROW EXECUTE FUNCTION iu_upd()")
+    run("CREATE TRIGGER t_id INSTEAD OF DELETE ON iu_view " +
+      "FOR EACH ROW EXECUTE FUNCTION iu_del()")
+    // NEW = OLD with SET applied: v := (v+1) + v_old = 2v+1
+    run("UPDATE iu_view SET v = v + 1 WHERE id <= 2")
+    val r = run("SELECT id, v FROM iu_view ORDER BY id").collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq ==
+      Seq((1, 21), (2, 41)), r.mkString(","))
+    run("DELETE FROM iu_view WHERE id = 1")
+    val r2 = run("SELECT id, v FROM iu_view ORDER BY id").collect()
+    assert(r2.map(x => (x.getInt(0), x.getInt(1))).toSeq == Seq((2, 41)),
+      r2.mkString(","))
+    // the untagged base row survived the view-scoped delete body
+    assert(run("SELECT count(*) FROM iu_t").collect()(0).getLong(0) == 2)
+    run("DROP VIEW iu_view")
+    run("DROP TABLE iu_t")
+  }
+
+  test("DO-block scalar state: WHILE, bare LOOP with EXIT/CONTINUE, " +
+    ":= and SELECT INTO assignments") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_while_spec"
+    def run(sql: String) = GpSqlDialect.execute(spark, sql, base)
+    Tables.registerAll(spark, sf)
+    run("DROP TABLE IF EXISTS wl_t")
+    run("CREATE TABLE wl_t (i bigint, v bigint) DISTRIBUTED BY (i)")
+    // WHILE with a data-dependent condition over mutable scalars
+    run("""DO $$
+          |DECLARE i bigint := 1; total bigint := 0;
+          |BEGIN
+          |  WHILE i <= 4 LOOP
+          |    INSERT INTO wl_t VALUES (i, i * i);
+          |    total := total + i;
+          |    i := i + 1;
+          |  END LOOP;
+          |  INSERT INTO wl_t VALUES (99, total);
+          |END $$""".stripMargin)
+    val r = run("SELECT i, v FROM wl_t ORDER BY i").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L), (99L, 10L)),
+      r.toString)
+    // bare LOOP + EXIT WHEN + CONTINUE WHEN (skip odd i)
+    run("TRUNCATE wl_t")
+    run("""DO $$
+          |DECLARE i bigint := 0;
+          |BEGIN
+          |  LOOP
+          |    i := i + 1;
+          |    EXIT WHEN i > 6;
+          |    CONTINUE WHEN i % 2 = 1;
+          |    INSERT INTO wl_t VALUES (i, i * 10);
+          |  END LOOP;
+          |END $$""".stripMargin)
+    val r2 = run("SELECT i, v FROM wl_t ORDER BY i").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r2 == Seq((2L, 20L), (4L, 40L), (6L, 60L)), r2.toString)
+    // SELECT ... INTO drives the condition from table state
+    run("TRUNCATE wl_t")
+    run("INSERT INTO wl_t SELECT n_nationkey, 0 FROM nation")
+    run("""DO $$
+          |DECLARE remaining bigint; rounds bigint := 0;
+          |BEGIN
+          |  SELECT count(*) INTO remaining FROM wl_t;
+          |  WHILE remaining > 5 LOOP
+          |    DELETE FROM wl_t WHERE i >= remaining - 10;
+          |    rounds := rounds + 1;
+          |    SELECT count(*) INTO remaining FROM wl_t;
+          |  END LOOP;
+          |  INSERT INTO wl_t VALUES (-1, rounds);
+          |END $$""".stripMargin)
+    val r3 = run("SELECT v FROM wl_t WHERE i = -1").collect()
+    assert(r3.length == 1 && r3(0).getLong(0) == 2L, r3.mkString(","))
+    assert(run("SELECT count(*) FROM wl_t WHERE i >= 0")
+      .collect()(0).getLong(0) == 5L)
+    // EXIT outside a loop is a loud error
+    val e = intercept[UnsupportedOperationException] {
+      run("DO $$ BEGIN EXIT; END $$")
+    }
+    assert(e.getMessage.contains("outside a loop"), e.getMessage)
+    run("DROP TABLE wl_t")
   }
 
   test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {

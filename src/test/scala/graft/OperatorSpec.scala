@@ -1513,6 +1513,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(k.getLong(1) == 300L)
   }
 
+  test("Regression.poissonFitK recovers a log-linear rate at k=3") {
+    import spark.implicits._
+    // exact log link: log(y) = 0.4 + 0.8x1 - 0.5x2 + 0.2x3, y = e^z
+    val df = (1 to 600).map { i =>
+      val x1 = (i % 10) / 10.0; val x2 = (i % 7) / 7.0
+      val x3 = (i % 4) / 4.0
+      ("g", math.exp(0.4 + 0.8 * x1 - 0.5 * x2 + 0.2 * x3), x1, x2, x3)
+    }.toDF("grp", "y", "x1", "x2", "x3")
+    val r = graft.operators.Regression
+      .poissonFitK(df, "grp", "y", Seq("x1", "x2", "x3"), iterations = 6)
+      .collect()(0)
+    assert(r.getLong(1) == 600L)
+    val got = (2 to 5).map(r.getDouble)
+    val want = Seq(0.4, 0.8, -0.5, 0.2)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 5e-3, s"got $got want $want")
+    }
+  }
+
+  test("Regression.ridgeFitK matches olsFitK as lambda -> 0 and " +
+    "shrinks slopes at large lambda") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 13).toDouble; val x2 = (i % 7).toDouble
+      ("g", 1.0 + 2.0 * x1 - 3.0 * x2, x1, x2)
+    }.toDF("grp", "y", "x1", "x2")
+    val ols = graft.operators.Regression
+      .olsFitK(df, "grp", "y", Seq("x1", "x2")).collect()(0)
+    val r0 = graft.operators.Regression
+      .ridgeFitK(df, "grp", "y", Seq("x1", "x2"), lambda = 0.0)
+      .collect()(0)
+    assert(math.abs(r0.getDouble(2) - ols.getDouble(2)) < 1e-9)
+    assert(math.abs(r0.getDouble(3) - ols.getDouble(3)) < 1e-9)
+    val rBig = graft.operators.Regression
+      .ridgeFitK(df, "grp", "y", Seq("x1", "x2"), lambda = 1e7)
+      .collect()(0)
+    assert(math.abs(rBig.getDouble(3)) < math.abs(r0.getDouble(3)),
+      s"slope did not shrink: ${rBig.getDouble(3)} vs ${r0.getDouble(3)}")
+    assert(math.abs(rBig.getDouble(4)) < math.abs(r0.getDouble(4)))
+  }
+
   test("Regression.multinomFitK is bit-equal to multinomFit2 at 3x2") {
     import spark.implicits._
     val df = (1 to 240).map { i =>
