@@ -94,4 +94,107 @@ object Factorization {
       .groupBy(col("u"))
       .agg(count(lit(1)).as("n_i"), Q.dsum(res * res, 6).as("sse"))
   }
+
+  /** ALS at ANY rank — lifts [[als2]]'s rank-2 closed-form ceiling
+    * (MADlib `lmf_igd_run` takes an arbitrary rank). Same alternating
+    * ridge objective; the per-entity r×r solve is the shared
+    * [[Regression.gjBatches]] Gauss-Jordan evaluated over the ONE
+    * aggregated moment row per entity — the identical expression text
+    * a DuckDB oracle evaluates, so factors stay bit-identical across
+    * engines at any rank (each solve quantizes to micros via [[q6]]).
+    *
+    * Scale: per half-round ONE equi-join (ratings ⨝ other side) + ONE
+    * keyed aggregate of r(r+1)/2 + r moment sums (map-combinable
+    * [[Q.dsum]]); the solve is O(r³) scalar algebra per entity ROW —
+    * no driver math, no collect, factor relations stay entity-scale.
+    * λ > 0 keeps every normal matrix PD, so the fixed-pivot solve
+    * never needs row swaps. Lineage cut per half-round.
+    *
+    * Init: v_0 = 1, v_f = ((i·f) mod 97)/97 − 0.5 for f ≥ 1 —
+    * exact int arithmetic then two correctly-rounded fp ops (the
+    * [[initItems]] recipe at any rank, phase f breaking symmetry
+    * across factors; at rank 2 this IS als2's init). Returns
+    * (users(u, u0…u_{r-1}), items(i, v0…v_{r-1})), quantized. */
+  def alsK(ratings: DataFrame, rank: Int, lambda: Double,
+      iterations: Int): (DataFrame, DataFrame) = {
+    require(rank >= 1, "alsK needs rank >= 1")
+    val rs = ratings.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rs)
+    val (batches, _) = Regression.gjBatches(rank)
+    def solveSide(keyCol: String, joinCol: String,
+        other: DataFrame, fNames: Seq[String]): DataFrame = {
+      val fs = fNames.map(col)
+      val aggs =
+        (for { i <- 0 until rank; j <- i until rank }
+          yield Q.dsum(fs(i) * fs(j), 6).as(s"rm_${i}_$j")) ++
+          (0 until rank).map(i => Q.dsum(col("r") * fs(i), 6).as(s"t_$i"))
+      val agg = rs.join(other, joinCol)
+        .groupBy(col(keyCol))
+        .agg(aggs.head, aggs.tail: _*)
+        // λ on the diagonal BEFORE the shared solve text sees m_i_j
+        .select(col(keyCol) +:
+          (for { i <- 0 until rank; j <- i until rank } yield {
+            val m = col(s"rm_${i}_$j")
+            (if (i == j) m + lit(lambda) else m).as(s"m_${i}_$j")
+          }) ++: (0 until rank).map(i => col(s"t_$i")): _*)
+      val solved = batches.foldLeft(agg) { (d, batch) =>
+        d.select(col("*") +: batch.map { case (n, e) =>
+          expr(e).as(n) }: _*)
+      }
+      solved.select(col(keyCol) +: (0 until rank).map(i =>
+        q6(col(s"b${rank - 1}_$i")).as(s"f$i")): _*)
+    }
+    var items = rs.select(col("i")).distinct()
+      .select(col("i") +: (0 until rank).map { f =>
+        if (f == 0) lit(1.0).as("v0")
+        else (((col("i") * f) % 97).cast("double")
+          / lit(97.0) - lit(0.5)).as(s"v$f")
+      }: _*)
+    var users: DataFrame = null
+    for (_ <- 0 until iterations) {
+      users = solveSide("u", "i", items,
+        (0 until rank).map(f => s"v$f"))
+        .select(col("u") +: (0 until rank).map(f =>
+          col(s"f$f").as(s"u$f")): _*)
+        .localCheckpoint(true)
+      items = solveSide("i", "u", users,
+        (0 until rank).map(f => s"u$f"))
+        .select(col("i") +: (0 until rank).map(f =>
+          col(s"f$f").as(s"v$f")): _*)
+        .localCheckpoint(true)
+    }
+    (users, items)
+  }
+
+  /** DuckDB oracle fragment for ONE [[alsK]] half-round solve: the
+    * same moment aggregate + the same [[Regression.gjBatches]] CTE
+    * chain (MATERIALIZED — each factor relation is referenced by the
+    * next half-round AND the final select, and materialization stops
+    * the re-inline blowup). `prev` is the other side's factor CTE
+    * name exposing `fNames` over `inK`. Emits
+    * `name AS MATERIALIZED (SELECT outK, f0 … f_{r-1} …)`. */
+  def alsKSolveSql(name: String, outK: String, inK: String,
+      prev: String, fNames: Seq[String], rank: Int,
+      lambda: Double): String = {
+    val (batches, _) = Regression.gjBatches(rank)
+    val moments =
+      (for { i <- 0 until rank; j <- i until rank } yield {
+        val s = Q.oSum(s"${fNames(i)} * ${fNames(j)}", 6)
+        if (i == j) s"$s + CAST($lambda AS DOUBLE) AS m_${i}_$j"
+        else s"$s AS m_${i}_$j"
+      }) ++ (0 until rank).map(i =>
+        s"${Q.oSum(s"r * ${fNames(i)}", 6)} AS t_$i")
+    val inner = batches.foldLeft(
+      s"SELECT rt.$outK,\n      ${moments.mkString(",\n      ")}\n" +
+        s"    FROM rt JOIN $prev USING ($inK) GROUP BY 1") { (q, batch) =>
+      s"SELECT *,\n      ${batch.map { case (n, e) => s"$e AS $n" }
+        .mkString(",\n      ")}\n    FROM ($q)"
+    }
+    val q6s = (0 until rank).map(i =>
+      s"floor(b${rank - 1}_$i * 1000000 + 0.5) / 1000000 AS f$i")
+    s"""$name AS MATERIALIZED (SELECT $outK,
+       |    ${q6s.mkString(",\n    ")}
+       |  FROM ($inner))""".stripMargin
+  }
 }

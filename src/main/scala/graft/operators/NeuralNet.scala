@@ -92,4 +92,137 @@ object NeuralNet {
       .toDF("w11", "w12", "b1", "w21", "w22", "b2", "v1", "v2", "c",
         "mse", "n")
   }
+
+  /** Shared-text machinery for [[mlpFitK]] — every forward/backward
+    * expression is ONE string evaluated by Spark `expr` and embedded
+    * verbatim in the DuckDB oracle, so both engines follow identical
+    * IEEE op order at any topology (the gjBatches recipe applied to
+    * a neural net). */
+  object KText {
+    def q6s(x: Double): Double = math.floor(x * 1000000d + 0.5) / 1000000d
+    /** Weight names in canonical order: W (H×k row-major), b, v, cc. */
+    def wNames(k: Int, hidden: Int): Seq[String] =
+      (for { h <- 0 until hidden; j <- 0 until k }
+        yield s"w_${h}_$j") ++
+        (0 until hidden).map(h => s"b_$h") ++
+        (0 until hidden).map(h => s"v_$h") :+ "cc"
+    /** Deterministic asymmetric init, micros-quantized. */
+    def wInit(k: Int, hidden: Int): Seq[Double] =
+      (for { h <- 0 until hidden; j <- 0 until k }
+        yield q6s(((h * 5 + j * 3 + 1) % 13) / 13.0 - 0.5)) ++
+        (0 until hidden).map(h => q6s(((h * 3 + 2) % 7) / 7.0 - 0.5)) ++
+        (0 until hidden).map(h => q6s(0.6 - 0.2 * h)) :+ 0.0
+    /** Quantized tanh activation of hidden unit h (exp identity). */
+    def aTxt(k: Int, h: Int): String = {
+      val z = ((0 until k).map(j => s"w_${h}_$j * x${j + 1}") :+
+        s"b_$h").mkString(" + ")
+      val e2 = s"exp(2.0 * ($z))"
+      s"(floor(($e2 - 1.0) / ($e2 + 1.0) * 1000000 + 0.5) / 1000000)"
+    }
+    def oTxt(k: Int, hidden: Int): String =
+      s"(${(0 until hidden).map(h => s"v_$h * ${aTxt(k, h)}")
+        .mkString(" + ")} + cc)"
+    def rTxt(k: Int, hidden: Int): String = s"(${oTxt(k, hidden)} - y)"
+    def dhTxt(k: Int, hidden: Int, h: Int): String =
+      s"(${rTxt(k, hidden)} * v_$h * " +
+        s"(1.0 - ${aTxt(k, h)} * ${aTxt(k, h)}))"
+    /** Order-free exact micros sum. */
+    def mic(e: String): String =
+      s"CAST(sum(CAST(floor(($e) * 1000000 + 0.5) AS BIGINT))" +
+        " AS DOUBLE) / 1000000"
+    /** (gradientName, micros-sum text) in [[wNames]] order + loss. */
+    def grads(k: Int, hidden: Int): Seq[(String, String)] = {
+      val r = rTxt(k, hidden)
+      ((for { h <- 0 until hidden; j <- 0 until k }
+        yield s"g_w_${h}_$j" ->
+          mic(s"${dhTxt(k, hidden, h)} * x${j + 1}")) ++
+        (0 until hidden).map(h => s"g_b_$h" -> mic(dhTxt(k, hidden, h))) ++
+        (0 until hidden).map(h => s"g_v_$h" ->
+          mic(s"$r * ${aTxt(k, h)}")) :+
+        ("g_cc" -> mic(r))) :+ ("loss" -> mic(s"$r * $r"))
+    }
+    def upd(wn: String, g: String, eta: String): String =
+      s"floor((($wn) - $eta * ($g / n)) * 1000000 + 0.5) / 1000000"
+  }
+
+  /** MLP regression at ANY topology — k inputs → `hidden` tanh units
+    * → 1 linear output, lifting [[mlpFit221]]'s 2-2-1 ceiling (MADlib
+    * `mlp` takes an arbitrary layer spec). Same full-batch GD / MSE
+    * restatement; the weight state is a 1-ROW RELATION crossJoined
+    * back as a broadcast each round (the svmFitK shape) — no driver
+    * collect at all, an upgrade on mlpFit221's driver-held weights.
+    * Every per-row gradient term quantizes to integer micros before
+    * the order-free sum; weights micros-quantize per update, so both
+    * engines iterate on identical state ([[KText]] shares the exact
+    * expression text with the oracle).
+    *
+    * Scale: per round ONE aggregate over a persisted projection;
+    * shuffled state is H(k+2)+1 doubles. Lineage cut per round.
+    * Returns one row: weights in [[KText.wNames]] order + final
+    * pre-update mse + n. */
+  def mlpFitK(
+      df: DataFrame, yCol: String, xCols: Seq[String], hidden: Int,
+      eta: String, iterations: Int): DataFrame = {
+    require(hidden >= 1 && iterations >= 1)
+    val k = xCols.length
+    val rows = df.select(xCols.zipWithIndex.map { case (c, j) =>
+      col(c).cast("double").as(s"x${j + 1}") } :+
+      col(yCol).cast("double").as("y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = KText.wNames(k, hidden)
+    var w = Seq(1).toDF("__one").select(
+      names.zip(KText.wInit(k, hidden)).map { case (nm, v) =>
+        lit(v).as(nm) }: _*)
+    var out: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val joined = rows.crossJoin(broadcast(w.select(names.map(col): _*)))
+      val aggs = expr("CAST(count(*) AS DOUBLE)").as("n") +:
+        KText.grads(k, hidden).map { case (g, t) => expr(t).as(g) }
+      val g = joined.groupBy(names.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      out = g.select(names.map(wn =>
+        expr(KText.upd(wn, s"g_$wn", eta)).as(wn)) ++
+        Seq((col("loss") / col("n")).as("mse"),
+          expr("CAST(n AS BIGINT)").as("n")): _*)
+        .localCheckpoint(true)
+      w = out.select(names.map(col): _*)
+    }
+    out
+  }
+
+  /** DuckDB oracle for [[mlpFitK]] — the identical [[KText]] strings
+    * unrolled as CTE rounds (the q_ml_mlp shape at any topology).
+    * `xExprs`/`yExpr` are SQL over `table` matching the Spark
+    * feature construction. */
+  def mlpKOracleSql(
+      table: String, yExpr: String, xExprs: Seq[String], hidden: Int,
+      eta: String, iterations: Int): String = {
+    val k = xExprs.length
+    val names = KText.wNames(k, hidden)
+    val w0 = names.zip(KText.wInit(k, hidden))
+      .map { case (nm, v) => s"CAST($v AS DOUBLE) AS $nm" }
+      .mkString(",\n    ")
+    val rounds = (1 to iterations).map { i =>
+      s"""g$i AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${KText.grads(k, hidden).map { case (g, t) =>
+        s"$t AS $g" }.mkString(",\n    ")}
+         |  FROM rows CROSS JOIN w${i - 1}),
+         |w$i AS MATERIALIZED (SELECT
+         |    ${names.map(wn =>
+        s"${KText.upd(wn, s"g_$wn", eta)} AS $wn").mkString(",\n    ")},
+         |    loss / n AS mse, CAST(n AS BIGINT) AS nn
+         |  FROM w${i - 1} CROSS JOIN g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rows AS MATERIALIZED (SELECT
+       |    ${xExprs.zipWithIndex.map { case (e, j) =>
+      s"CAST($e AS DOUBLE) AS x${j + 1}" }.mkString(",\n    ")},
+       |    CAST($yExpr AS DOUBLE) AS y FROM $table),
+       |w0 AS (SELECT $w0),
+       |$rounds
+       |SELECT ${names.mkString(", ")}, mse, nn AS n
+       |FROM w$iterations""".stripMargin
+  }
 }

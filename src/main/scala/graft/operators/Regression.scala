@@ -803,6 +803,174 @@ object Regression {
     (batches.result(), valid)
   }
 
+  /** Full p×p INVERSE of the moment matrix `m_i_j` by the same
+    * fixed-pivot Gauss-Jordan as [[gjBatches]], with the identity as
+    * the augmented block — what the HC0 sandwich needs beyond a
+    * solve. Name space is disjoint from gjBatches (`isp_k`,
+    * `ia{k}_i_j`, `iv{k}_i_q`) so both can fold over one relation.
+    * Inverse entries land as `iv{p-1}_{i}_{q}` = (A⁻¹)_{i,q}. Same
+    * batch discipline: each batch references earlier batches only;
+    * O(p³) scalar expressions over the one aggregated row. */
+  def gjInvBatches(p: Int): (Seq[Seq[(String, String)]], String) = {
+    def mm(i: Int, j: Int) = if (i <= j) s"m_${i}_$j" else s"m_${j}_$i"
+    var a: IndexedSeq[IndexedSeq[String]] =
+      (0 until p).map(i => (0 until p).map(j => mm(i, j)))
+    var inv: IndexedSeq[IndexedSeq[String]] =
+      (0 until p).map(i => (0 until p).map(q =>
+        if (i == q) "1.0e0" else "0.0e0"))
+    val batches = Seq.newBuilder[Seq[(String, String)]]
+    val pivots = Seq.newBuilder[String]
+    for (k <- 0 until p) {
+      pivots += a(k)(k)
+      batches += Seq(s"isp_$k" ->
+        (s"CASE WHEN abs(${a(k)(k)}) > 1.0e-9 THEN ${a(k)(k)}" +
+          " ELSE 1.0e0 END"))
+      batches += ((0 until p).map(j =>
+        s"ia${k}_${k}_$j" -> s"${a(k)(j)} / isp_$k") ++
+        (0 until p).map(q =>
+          s"iv${k}_${k}_$q" -> s"${inv(k)(q)} / isp_$k"))
+      batches += (0 until p).filter(_ != k).flatMap { i =>
+        (0 until p).map(j =>
+          s"ia${k}_${i}_$j" ->
+            s"${a(i)(j)} - ${a(i)(k)} * ia${k}_${k}_$j") ++
+          (0 until p).map(q =>
+            s"iv${k}_${i}_$q" ->
+              s"${inv(i)(q)} - ${a(i)(k)} * iv${k}_${k}_$q")
+      }
+      a = (0 until p).map(i => (0 until p).map(j => s"ia${k}_${i}_$j"))
+      inv = (0 until p).map(i => (0 until p).map(q => s"iv${k}_${i}_$q"))
+    }
+    val valid = pivots.result()
+      .map(pv => s"abs($pv) > 1.0e-9").mkString("(", " AND ", ")")
+    (batches.result(), valid)
+  }
+
+  /** HC0 robust (White) standard errors at ANY feature count — lifts
+    * [[robustSe2]]'s 2-feature adjugate ceiling (MADlib
+    * `linregr_train` heteroskedasticity output with an arbitrary
+    * feature array). Two passes: (1) ONE moment aggregate +
+    * [[gjBatches]] solve gives the OLS coefficients (micros-quantized
+    * — both engines carry identical β into the residual); (2) ONE
+    * meat aggregate Σ e²·x_i·x_j under the same [[Q.dsum]]
+    * discipline. The bread A⁻¹ comes from [[gjInvBatches]] over the
+    * SAME moment row, and se_j = sqrt(Σ_{a,b} (A⁻¹)_{j,a} M_{a,b}
+    * (A⁻¹)_{j,b}) — all scalar algebra on a 1-row relation.
+    *
+    * Scale: two scans, O(k²) shuffled doubles each, coefficients a
+    * 1-row broadcast — no collect of data, no driver math beyond
+    * expression generation. Returns one row
+    * (n, b0…bk, se_b0…se_bk). */
+  def robustSeK(
+      df: DataFrame, yCol: String, xCols: Seq[String]): DataFrame = {
+    val p = xCols.length + 1
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    val aggs =
+      (for { i <- 0 until p; j <- i until p }
+        yield Q.dsum(xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
+        (0 until p).map(i => Q.dsum(xs(i) * y, 6).as(s"t_$i")) :+
+        count(lit(1)).as("nl")
+    val agg1 = df.agg(aggs.head, aggs.tail: _*)
+    val (gb, _) = gjBatches(p)
+    val solved = gb.foldLeft(agg1) { (d, batch) =>
+      d.select(col("*") +: batch.map { case (n, e) =>
+        expr(e).as(n) }: _*)
+    }
+    val coefs = solved.select(
+      (for { i <- 0 until p; j <- i until p }
+        yield col(s"m_${i}_$j")) ++
+        Seq(col("nl")) ++
+        (0 until p).map(i => expr(
+          s"floor(b${p - 1}_$i * 1000000 + 0.5) / 1000000")
+          .as(s"c_$i")): _*)
+    val e = y - (0 until p).map(i => col(s"c_$i") * xs(i))
+      .reduce(_ + _)
+    val meatAggs = for { i <- 0 until p; j <- i until p }
+      yield Q.dsum(e * e * xs(i) * xs(j), 6).as(s"mm_${i}_$j")
+    val meat = df.crossJoin(broadcast(
+      coefs.select((0 until p).map(i => col(s"c_$i")): _*)))
+      .agg(meatAggs.head, meatAggs.tail: _*)
+    val both = meat.crossJoin(broadcast(coefs))
+    val (ib, _) = gjInvBatches(p)
+    val inv = ib.foldLeft(both) { (d, batch) =>
+      d.select(col("*") +: batch.map { case (n, e) =>
+        expr(e).as(n) }: _*)
+    }
+    inv.select(
+      col("nl").as("n") +:
+        ((0 until p).map(i => col(s"c_$i").as(s"b$i")) ++
+          (0 until p).map(j =>
+            expr(hc0SeText(p, j)).as(s"se_b$j"))): _*)
+  }
+
+  /** The se_j quadratic-form text shared verbatim by [[robustSeK]]
+    * and its oracle: sqrt over the a-major double sum of
+    * inv_{j,a}·M_{a,b}·inv_{j,b}, quantized to 1e-8 — the long
+    * mixed-product chain is the one place the two engines' fp
+    * pipelines have been observed to drift by a last ulp, so the SE
+    * presents at a granularity that absorbs it (the exp-quantize
+    * discipline applied to output instead of state). */
+  def hc0SeText(p: Int, j: Int): String = {
+    def mn(a: Int, b: Int) =
+      if (a <= b) s"mm_${a}_$b" else s"mm_${b}_$a"
+    val terms = for { a <- 0 until p; b <- 0 until p }
+      yield s"iv${p - 1}_${j}_$a * ${mn(a, b)} * iv${p - 1}_${j}_$b"
+    s"floor(sqrt(${terms.mkString(" + ")}) * 100000000 + 0.5)" +
+      " / 100000000"
+  }
+
+  /** DuckDB oracle for [[robustSeK]] — the identical two-pass text:
+    * moments + gjBatches CTEs → quantized coefficients → residual
+    * meat aggregate → gjInvBatches CTEs → the same [[hc0SeText]]
+    * quadratic forms. */
+  def robustSeKOracleSql(
+      table: String, yExpr: String, xExprs: Seq[String]): String = {
+    val p = xExprs.length + 1
+    val xs = "1.0e0" +: xExprs.map(e => s"CAST($e AS DOUBLE)")
+    val yd = s"CAST($yExpr AS DOUBLE)"
+    val moments =
+      (for { i <- 0 until p; j <- i until p }
+        yield s"${Q.oSum(s"${xs(i)} * ${xs(j)}", 6)} AS m_${i}_$j") ++
+        (0 until p).map(i =>
+          s"${Q.oSum(s"${xs(i)} * $yd", 6)} AS t_$i") :+
+        "CAST(count(*) AS BIGINT) AS nl"
+    val (gb, _) = gjBatches(p)
+    val gbCtes = (s"t0 AS (SELECT ${moments.mkString(",\n  ")}\n" +
+      s"  FROM $table)") +:
+      gb.zipWithIndex.map { case (batch, bi) =>
+        s"t${bi + 1} AS (SELECT *,\n  ${batch
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}\n" +
+          s"  FROM t$bi)"
+      }
+    val mCols = (for { i <- 0 until p; j <- i until p }
+      yield s"m_${i}_$j").mkString(", ")
+    val coefs = s"cf AS MATERIALIZED (SELECT $mCols, nl,\n  " +
+      (0 until p).map(i =>
+        s"floor(b${p - 1}_$i * 1000000 + 0.5) / 1000000 AS c_$i")
+        .mkString(",\n  ") + s"\n  FROM t${gb.length})"
+    val eTxt = s"($yd - (${(0 until p)
+      .map(i => s"c_$i * ${xs(i)}").mkString(" + ")}))"
+    val meat = s"mt AS (SELECT ${
+      (for { i <- 0 until p; j <- i until p }
+        yield s"${Q.oSum(s"$eTxt * $eTxt * ${xs(i)} * ${xs(j)}", 6)
+        } AS mm_${i}_$j").mkString(",\n  ")}\n" +
+      s"  FROM $table CROSS JOIN cf)"
+    val (ib, _) = gjInvBatches(p)
+    val ibCtes = ("u0 AS (SELECT mt.*, cf.* FROM mt CROSS JOIN cf)") +:
+      ib.zipWithIndex.map { case (batch, bi) =>
+        s"u${bi + 1} AS (SELECT *,\n  ${batch
+          .map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}\n" +
+          s"  FROM u$bi)"
+      }
+    s"""WITH ${(gbCtes :+ coefs :+ meat).mkString(",\n")},
+       |${ibCtes.mkString(",\n")}
+       |SELECT nl AS n,
+       |  ${(0 until p).map(i => s"c_$i AS b$i").mkString(",\n  ")},
+       |  ${(0 until p).map(j =>
+      s"${hc0SeText(p, j)} AS se_b$j").mkString(",\n  ")}
+       |FROM u${ib.length}""".stripMargin
+  }
+
   /** Per-group OLS fit of `y ~ b0 + b1*x1 + … + bk*xk` for ANY
     * feature count — MADlib `linregr_train` takes an arbitrary
     * feature array; this lifts the fixed-shape ceiling of [[olsFit2]]
@@ -1187,6 +1355,93 @@ object Regression {
       s"CASE WHEN $valid THEN round(b${p - 1}_$i, 4) END AS b$i")
       .mkString(",\n  ")}
        |FROM t${batches.length} ORDER BY grp""".stripMargin
+  }
+
+  /** Linear SVM at ANY feature count — lifts [[svmFit2]]'s 2-feature
+    * ceiling (MADlib `svm_classification` takes an arbitrary feature
+    * array). Full-batch Pegasos: per round ONE aggregate of the
+    * hinge-violator gradient sums Σ_{y·w·x<1} y·x_j under the caller's
+    * `sumExact` discipline, weight decay (1−ηλ), step η/n. The weight
+    * state is a 1-row broadcast; lineage is a fixed `iterations`-deep
+    * chain over a persisted projection. y must be ±1. Returns one row
+    * (w0 … wk, sv, n). */
+  def svmFitK(
+      df: DataFrame, yCol: String, xCols: Seq[String],
+      lambda: Double, iterations: Int,
+      sumExact: Column => Column): DataFrame = {
+    val p = xCols.length + 1
+    val rows = df.select(col(yCol).cast("double").as("y") +:
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"x${i + 1}") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wnames = (0 until p).map(i => s"w$i")
+    val xs: Seq[Column] =
+      lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
+    var w = Seq(1).toDF("__one")
+      .select(wnames.map(n => lit(0.0).as(n)) ++
+        Seq(lit(0L).as("sv"), lit(0L).as("n")): _*)
+    for (t <- 1 to iterations) {
+      val eta = 1.0 / (lambda * t)
+      val decay = 1.0 - eta * lambda
+      val viol =
+        col("y") * (0 until p).map(i => col(s"w$i") * xs(i))
+          .reduce(_ + _) < 1
+      val aggs = count(lit(1)).as("n") +:
+        (0 until p).map(i =>
+          sumExact(when(viol, col("y") * xs(i))).as(s"g$i")) :+
+        sum(when(viol, 1L).otherwise(0L)).as("sv")
+      val a = rows.crossJoin(broadcast(w.select(wnames.map(col): _*)))
+        .groupBy(wnames.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      w = a.select((0 until p).map(i =>
+        (col(s"w$i") * lit(decay) +
+          lit(eta) * coalesce(col(s"g$i"), lit(0.0))
+            / col("n").cast("double")).as(s"w$i")) ++
+        Seq(col("sv"), col("n")): _*)
+    }
+    w
+  }
+
+  /** DuckDB oracle for [[svmFitK]] — the identical Pegasos unroll
+    * (the q_ml_svm shape at any K). `xExprs` are SQL expressions
+    * over `table` matching the Spark feature construction; y must
+    * be ±1. */
+  def svmKOracleSql(
+      table: String, yExpr: String, xExprs: Seq[String],
+      lambda: Double, iterations: Int): String = {
+    val p = xExprs.length + 1
+    val xs = "1.0e0" +: (1 to xExprs.length).map(i => s"x$i")
+    val mar = s"(y * (${(0 until p).map(i => s"w$i * ${xs(i)}")
+      .mkString(" + ")}) < 1)"
+    val rounds = (1 to iterations).map { t =>
+      val eta = 1.0 / (lambda * t)
+      val decay = 1.0 - eta * lambda
+      def upd(i: Int) =
+        s"w$i * CAST($decay AS DOUBLE) + CAST($eta AS DOUBLE) " +
+          s"* coalesce(g$i, 0.0) / CAST(n AS DOUBLE) AS w$i"
+      s"""a$t AS (SELECT ${(0 until p).map(i => s"w$i").mkString(", ")},
+         |    count(*) AS n,
+         |    ${(0 until p).map(i =>
+        s"${Q.pSum(s"y * ${xs(i)}", 6, mar)} AS g$i").mkString(",\n    ")},
+         |    CAST(sum(CASE WHEN $mar THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS sv
+         |  FROM r CROSS JOIN st${t - 1}
+         |  GROUP BY ${(1 to p).mkString(", ")}),
+         |st$t AS (SELECT ${(0 until p).map(upd).mkString(",\n    ")},
+         |    sv, n FROM a$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT CAST($yExpr AS DOUBLE) AS y,
+       |    ${xExprs.zipWithIndex.map { case (e, i) =>
+      s"CAST($e AS DOUBLE) AS x${i + 1}" }.mkString(",\n    ")}
+       |  FROM $table),
+       |st0 AS (SELECT ${(0 until p)
+      .map(i => s"CAST(0 AS DOUBLE) AS w$i").mkString(", ")}),
+       |$rounds
+       |SELECT ${(0 until p).map(i => s"w$i").mkString(", ")}, sv,
+       |  CAST(n AS BIGINT) AS n FROM st$iterations""".stripMargin
   }
 
   /** Oracle-side SQL fragments mirroring [[olsFit2]] exactly — same

@@ -464,6 +464,75 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF-PQ search (IVFADC — Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"; the billion-scale
+    * composition of [[ivfTopKWith]] and [[pqCodes]]): each corpus
+    * vector assigns to ONE coarse cell (deterministic modulus-sample
+    * codebook), its RESIDUAL x − c(cell) PQ-encodes to m sub-codes,
+    * and a query probes its nProbe nearest cells scoring candidates
+    * against the reconstruction x̂ = c(cell) + recon(codes).
+    *
+    * Scale: the index relation is (id, cell, m codes) — bytes per
+    * vector instead of 4·dim — built in one broadcast-centroid map
+    * pass + one map-only encode; the probe is an equi-join on cell
+    * (never all-pairs), so per-query candidate work is
+    * |corpus|·nProbe/nCells and the residual codebook is
+    * catalog-scale driver state. Exact re-rank of the top-k against
+    * raw vectors is the caller's optional second step.
+    * Returns (q_id, c_id, rk, cos) with cos the ADC approximation. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      nCells: Int, m: Int, rCodebook: Int = 8,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val modulus = math.max(1L, corpus.count() / nCells)
+    val cents = corpus.filter(col(cId) % modulus === 0)
+      .select(col(cId).as("cent_id"),
+        col(cVec).cast("array<double>").as("cent_vec"))
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", cosineWithNorms(
+          dotf(col(vec), col("cent_vec")),
+          sqrt(dotf(col(vec), col(vec))),
+          sqrt(dotf(col("cent_vec"), col("cent_vec")))))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .select(col("cent_id").as("cell") +: col("cent_vec") +:
+          df.columns.map(col): _*)
+    }
+    // index build: assign → residual → PQ-encode → reconstruct; the
+    // coded relation persists (it IS the index — at scale it would be
+    // the stored artifact, rebuilt only on corpus change)
+    val resid = assign(corpus, cId, cVec, 1)
+      .withColumn("__r",
+        zip_with(col(cVec).cast("array<double>"), col("cent_vec"),
+          (x, c) => x - c))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(resid)
+    val rcents = pqCodebook(
+      resid.select(col(cId), col("__r")), cId, "__r", rCodebook)
+    val codes = pqCodes(
+      resid.select(col(cId), col("__r")), cId, "__r", rcents, m)
+    val index = resid.select(col(cId), col("cell"), col("cent_vec"))
+      .join(codes, cId)
+      .select(col(cId), col("cell"),
+        zip_with(col("cent_vec"), pqReconstruct(col("codes"), rcents, m),
+          (c, r) => c + r).as("__rv"))
+    val probes = assign(queries, qId, qVec, nProbe)
+      .select(col("cell"), col(qId),
+        col(qVec).cast("array<double>").as(qVec))
+    val w = Window.partitionBy(qId).orderBy(col("cos").desc, col(cId))
+    probes.join(index, "cell")
+      .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId),
+        cosineWithNorms(dotf(col(qVec), col("__rv")),
+          sqrt(dotf(col(qVec), col(qVec))),
+          sqrt(dotf(col("__rv"), col("__rv")))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate near-dup pairs: hyperplane sign-bucket equi-join for
     * candidates, exact cosine re-score ≥ threshold. Sub-quadratic — the
     * cross join never materializes; recall is traded via `planes` (each

@@ -313,6 +313,33 @@ object AggregateQueries {
       graft.operators.Regression.robustSe2(src, "y", "x1", "x2")
     },
 
+    // HC0 robust SEs at ANY feature count (lifts robustSe2's 2-feature
+    // adjugate ceiling): 4 features, bread via the augmented
+    // Gauss-Jordan INVERSE (gjInvBatches) over the shared moment text,
+    // meat in one second pass — identical expression chains both
+    // engines, so the SEs compare unrounded like q_ml_robust_se.
+    Q("q_ml_robust_se_k", Some {
+      val src = """(SELECT
+        |    CAST(l_extendedprice AS DOUBLE) / 1000.0 AS y,
+        |    CAST(l_quantity AS DOUBLE) AS x1,
+        |    CAST(l_discount AS DOUBLE) AS x2,
+        |    CAST(l_tax AS DOUBLE) * 10.0 AS x3,
+        |    CAST(l_linenumber AS DOUBLE) AS x4
+        |  FROM lineitem) src""".stripMargin
+      graft.operators.Regression.robustSeKOracleSql(
+        src, "y", Seq("x1", "x2", "x3", "x4"))
+    }) { (s, dir) =>
+      import s.implicits._
+      val src = Tables.T(s, dir).lineitem.select(
+        ($"l_extendedprice".cast("double") / lit(1000.0)).as("y"),
+        $"l_quantity".cast("double").as("x1"),
+        $"l_discount".cast("double").as("x2"),
+        ($"l_tax".cast("double") * lit(10.0)).as("x3"),
+        $"l_linenumber".cast("double").as("x4"))
+      graft.operators.Regression.robustSeK(src, "y",
+        Seq("x1", "x2", "x3", "x4"))
+    },
+
     // Arbitrary-feature OLS (MADlib linregr_train takes ANY feature
     // array — this lifts the 2-feature Cramer ceiling): 4 features +
     // intercept, ONE moment aggregate, and a generated Gauss-Jordan
@@ -711,6 +738,28 @@ object AggregateQueries {
         xCol = ($"user_id" % 5).cast("double"), iterations = 3)
     },
 
+    // Cox PH at ANY covariate count (lifts coxFit1's single-β
+    // ceiling): 3 integer-valued covariates, stratified Breslow,
+    // Newton via the shared gjBatches solve, β a 1-row broadcast
+    // relation — no driver collect.
+    Q("q_ml_cox_k", Some(
+      graft.operators.Survival.coxKOracleSql(
+        """SELECT event_type AS g, CAST(value AS DOUBLE) AS t,
+          |    CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS ev,
+          |    CAST(user_id % 5 AS DOUBLE) AS x1,
+          |    CAST(event_id % 3 AS DOUBLE) AS x2,
+          |    CAST(user_id % 2 AS DOUBLE) AS x3
+          |  FROM events""".stripMargin, p = 3, iterations = 3))) {
+      (s, dir) =>
+        import s.implicits._
+        graft.operators.Survival.coxFitK(Tables.T(s, dir).events,
+          "event_type", "value",
+          eventCol = when($"event_id" % 4 === 0, 0).otherwise(1),
+          xCols = Seq(($"user_id" % 5).cast("double"),
+            ($"event_id" % 3).cast("double"),
+            ($"user_id" % 2).cast("double")), iterations = 3)
+    },
+
     // MLP regression (MADlib mlp_regression): a 2-2-1 tanh network
     // trained by 3 full-batch GD rounds — the deterministic batch
     // restatement of MADlib's minibatch IGD (the SVM/logreg/ALS
@@ -780,6 +829,26 @@ object AggregateQueries {
       graft.operators.NeuralNet.mlpFit221(Tables.T(s, dir).lineitem,
         $"l_quantity" / lit(50.0), $"l_discount" * lit(10.0),
         $"l_extendedprice" / lit(100000.0), eta = 0.5, iterations = 3)
+    },
+
+    // MLP at ANY topology (lifts mlpFit221's 2-2-1 ceiling): 3 inputs
+    // → 3 tanh hidden → 1 linear, weight state a 1-row broadcast
+    // relation (no driver collect). KText shares every forward/
+    // backward expression string with the oracle verbatim.
+    Q("q_ml_mlp_k", Some(
+      graft.operators.NeuralNet.mlpKOracleSql(
+        "lineitem", "l_extendedprice / 100000.0",
+        Seq("l_quantity / 50.0", "l_discount * 10.0", "l_tax * 10.0"),
+        hidden = 3, eta = "0.5", iterations = 2))) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.T(s, dir).lineitem.select(
+        ($"l_quantity" / lit(50.0)).as("f1"),
+        ($"l_discount" * lit(10.0)).as("f2"),
+        ($"l_tax" * lit(10.0)).as("f3"),
+        ($"l_extendedprice" / lit(100000.0)).as("yy"))
+      graft.operators.NeuralNet.mlpFitK(li, "yy",
+        Seq("f1", "f2", "f3"), hidden = 3, eta = "0.5",
+        iterations = 2)
     },
 
     // Logistic regression (MADlib logregr_train parity): per-group
@@ -1028,6 +1097,30 @@ object AggregateQueries {
       graft.operators.Regression.svmFit2(rows, "y", "x1", "x2",
         lambda = 0.01, iterations = 4, sumExact = Q.dsum(_, 6))
         .select($"w0", $"w1", $"w2", $"sv", $"n")
+    },
+
+    // Arbitrary-feature linear SVM (MADlib svm_classification at any
+    // feature count — lifts svmFit2's 2-feature ceiling): 4 scaled
+    // features + intercept, full-batch Pegasos, one gradient
+    // aggregate per round against the 1-row broadcast weight state.
+    Q("q_ml_svm_k", Some(
+      graft.operators.Regression.svmKOracleSql(
+        "lineitem",
+        "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE -1.0 END",
+        Seq("l_quantity / 50.0e0", "l_discount * 10.0e0",
+          "l_tax * 10.0e0", "l_linenumber / 7.0e0"),
+        lambda = 0.01, iterations = 4))) { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.T(s, dir).lineitem.select(
+        when($"l_returnflag" === "R", 1.0).otherwise(-1.0).as("y"),
+        ($"l_quantity".cast("double") / lit(50.0)).as("f1"),
+        ($"l_discount".cast("double") * lit(10.0)).as("f2"),
+        ($"l_tax".cast("double") * lit(10.0)).as("f3"),
+        ($"l_linenumber".cast("double") / lit(7.0)).as("f4"))
+      graft.operators.Regression.svmFitK(rows, "y",
+        Seq("f1", "f2", "f3", "f4"),
+        lambda = 0.01, iterations = 4, sumExact = Q.dsum(_, 6))
+        .select($"w0", $"w1", $"w2", $"w3", $"w4", $"sv", $"n")
     },
 
     // min_by/max_by ≡ DuckDB arg_min/arg_max.

@@ -1954,6 +1954,61 @@ object PipelineQueries {
         .orderBy("u")
     },
 
+    // Arbitrary-rank ALS (MADlib lmf at any rank — lifts als2's
+    // rank-2 closed-form ceiling): rank 3, 2 rounds, per-entity 3×3
+    // ridge solves via the SHARED gjBatches Gauss-Jordan text — the
+    // oracle evaluates the identical expression chain, so factors are
+    // bit-identical (each solve quantizes to micros).
+    Q("q_ml_als_k", Some {
+      val rank = 3
+      def slv(name: String, outK: String, inK: String, prev: String,
+          fs: Seq[String]) =
+        graft.operators.Factorization.alsKSolveSql(
+          name, outK, inK, prev, fs, rank, lambda = 0.1)
+      val f = (0 until rank).map(i => s"f$i")
+      val res = "(r - (f0 * v0 + f1 * v1 + f2 * v2))"
+      s"""WITH rt AS MATERIALIZED (SELECT o_custkey AS u,
+         |    l_partkey AS i, ${Q.oSum("l_quantity", 2)} AS r
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |vi AS MATERIALIZED (SELECT DISTINCT i,
+         |    CAST(1.0 AS DOUBLE) AS v0,
+         |    CAST((i * 1) % 97 AS DOUBLE) / 97.0 - 0.5 AS v1,
+         |    CAST((i * 2) % 97 AS DOUBLE) / 97.0 - 0.5 AS v2
+         |  FROM rt),
+         |${slv("us1", "u", "i", "vi", Seq("v0", "v1", "v2"))},
+         |${slv("it1", "i", "u", "us1", f)},
+         |${slv("us2", "u", "i", "it1", f)},
+         |${slv("it2", "i", "u", "us2", f)},
+         |iv AS (SELECT i, f0 AS v0, f1 AS v1, f2 AS v2 FROM it2),
+         |er AS (SELECT rt.u, count(*) AS n_i,
+         |    ${Q.oSum(s"$res * $res", 6)} AS sse
+         |  FROM rt JOIN us2 USING (u) JOIN iv USING (i) GROUP BY 1)
+         |SELECT us2.u, CAST(n_i AS BIGINT) AS n_i,
+         |  round(f0, 6) AS u0, round(f1, 6) AS u1,
+         |  round(f2, 6) AS u2, round(sse, 6) AS sse
+         |FROM us2 JOIN er USING (u) WHERE us2.u < 300
+         |ORDER BY us2.u""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val t = Tables.T(s, dir)
+      val ratings = t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("u"), $"l_partkey".as("i"))
+        .agg(Q.dsum($"l_quantity", 2).as("r"))
+      val (users, items) = graft.operators.Factorization.alsK(
+        ratings, rank = 3, lambda = 0.1, iterations = 2)
+      val res = $"r" - ($"u0" * $"v0" + $"u1" * $"v1" + $"u2" * $"v2")
+      val sse = ratings.join(users, "u").join(items, "i")
+        .groupBy($"u")
+        .agg(count(lit(1)).as("n_i"), Q.dsum(res * res, 6).as("sse"))
+      users.join(sse, "u").filter($"u" < 300)
+        .select($"u", $"n_i", round($"u0", 6).as("u0"),
+          round($"u1", 6).as("u1"), round($"u2", 6).as("u2"),
+          round($"sse", 6).as("sse"))
+        .orderBy("u")
+    },
+
     // Topic modeling (MADlib lda parity via the deterministic PLSA EM
     // restatement — Hofmann 1999; collapsed Gibbs is
     // sample-order-dependent, the ALS/SVM determinism substitution):
@@ -4090,6 +4145,77 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
         .select($"q_id", $"c_id", $"rk", round($"raw", 4).as("cos"))
+        .orderBy("q_id", "rk")
+    },
+
+    // IVF-PQ / IVFADC (Jégou et al. 2011; FAISS's billion-scale
+    // default): coarse cell + PQ-coded RESIDUAL per vector — the index
+    // is (id, cell, 4 codes) ≈ bytes/vector; queries probe 2 cells and
+    // score by ADC against x̂ = centroid + reconstructed residual.
+    // Candidates come from the cell equi-join, never all-pairs. The
+    // oracle re-derives cells, residual codebook, codes and
+    // reconstruction in SQL — every arithmetic step shared.
+    Q("q_ann_ivfpq", Some {
+      def d(a: String, b: String) =
+        s"list_sum(list_transform(range(1,65), i -> $a[i] * $b[i]))"
+      def cos(a: String, b: String) =
+        s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |  WHERE vec_id % (SELECT greatest(1, count(*) // 16) FROM e)
+         |    = 0),
+         |asgn AS (SELECT e.vec_id, e.v, c.cent_id, c.cv,
+         |    ${cos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |ranked AS (SELECT *, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM asgn),
+         |cells AS (SELECT vec_id, v, cent_id AS cell, cv,
+         |    list_transform(range(1,65), i -> v[i] - cv[i]) AS r
+         |  FROM ranked WHERE rn = 1),
+         |n AS (SELECT greatest(1, count(*) // 8) AS md FROM e),
+         |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+         |      AS rcid, r AS rv0
+         |  FROM cells, n WHERE vec_id % md = 0 ORDER BY vec_id LIMIT 8),
+         |subc AS (SELECT rcid, s, rv0[s*16+1 : s*16+16] AS cvs
+         |  FROM samp, generate_series(0, 3) g(s)),
+         |subv AS (SELECT vec_id, s, r[s*16+1 : s*16+16] AS svs
+         |  FROM cells, generate_series(0, 3) g(s)),
+         |dist AS (SELECT vec_id, s, rcid,
+         |    list_sum(list_transform(range(1,17),
+         |      i -> floor((svs[i] - cvs[i]) * (svs[i] - cvs[i]) * 1000000
+         |             + 0.5) / 1000000)) AS dd
+         |  FROM subv JOIN subc USING (s)),
+         |code AS (SELECT vec_id, s, rcid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY dd, rcid) AS rn FROM dist) WHERE rn = 1),
+         |rrec AS (SELECT vec_id, flatten(list(cvs ORDER BY s)) AS rres
+         |  FROM code JOIN subc USING (s, rcid) GROUP BY vec_id),
+         |recon AS (SELECT c.vec_id, c.cell,
+         |    list_transform(range(1,65), i -> c.cv[i] + rres[i]) AS rv
+         |  FROM cells c JOIN rrec USING (vec_id)),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cent_id AS cell
+         |  FROM ranked WHERE vec_id < 8 AND rn <= 2),
+         |cand AS (SELECT q_id, r.vec_id AS c_id,
+         |    ${cos("p.qv", "r.rv")} AS raw
+         |  FROM probes p JOIN recon r ON p.cell = r.cell
+         |   AND r.vec_id <> p.q_id),
+         |rk AS (SELECT q_id, c_id, raw, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY raw DESC, c_id) AS rk FROM cand)
+         |SELECT q_id, c_id, CAST(rk AS INT) AS rk, round(raw, 4) AS cos
+         |FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.T(s, dir).embeddings
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"),
+          $"embedding".cast("array<double>").as("q_vec"))
+      val corpus = emb.select($"vec_id".as("c_id"),
+        $"embedding".cast("array<double>").as("c_vec"))
+      Similarity.ivfPqTopK(queries, corpus, k = 3, nProbe = 2,
+        nCells = 16, m = 4)
+        .select($"q_id", $"c_id", $"rk", round($"cos", 4).as("cos"))
         .orderBy("q_id", "rk")
     },
 

@@ -1186,6 +1186,126 @@ class OperatorSpec extends AnyFunSuite {
     assert(users.count() == 3 && items.count() == 3)
   }
 
+  test("Survival.coxFitK is bit-equal to coxFit1 at p=1 and fits " +
+    "a 3-covariate hazard") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      val x1 = (i % 5).toDouble; val x2 = (i % 3).toDouble
+      val x3 = (i % 2).toDouble
+      // event time shrinks with risk; ~25% censored
+      val t = 100.0 - 8.0 * x1 - 3.0 * x2 + (i % 13).toDouble
+      (if (i % 7 == 0) "a" else "b", t, if (i % 4 == 0) 0L else 1L,
+        x1, x2, x3)
+    }.toDF("g", "t", "ev", "x1", "x2", "x3")
+    val k1 = graft.operators.Survival.coxFitK(df, "g", "t", $"ev",
+      Seq($"x1"), iterations = 3).collect()(0)
+    val one = graft.operators.Survival.coxFit1(df, "g", "t", $"ev",
+      $"x1", iterations = 3).collect()(0)
+    assert(k1.getDouble(0) == one.getDouble(0),
+      s"p=1 beta ${k1.getDouble(0)} != coxFit1 ${one.getDouble(0)}")
+    assert(k1.getLong(1) == one.getLong(1) &&
+      k1.getLong(2) == one.getLong(2))
+    val k3 = graft.operators.Survival.coxFitK(df, "g", "t", $"ev",
+      Seq($"x1", $"x2", $"x3"), iterations = 3).collect()(0)
+    (0 to 2).foreach { i =>
+      val bi = k3.getDouble(i)
+      assert(!bi.isNaN && math.abs(bi) < 10.0, s"beta$i = $bi")
+    }
+    // the strongest hazard covariate carries the largest |beta|
+    assert(math.abs(k3.getDouble(0)) > math.abs(k3.getDouble(2)),
+      k3.toString)
+  }
+
+  test("NeuralNet.mlpFitK learns a nonlinear target (loss shrinks " +
+    "with iterations) at 3-3-1") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 10) / 10.0; val x2 = (i % 7) / 7.0
+      val x3 = (i % 4) / 4.0
+      (math.tanh(x1 - x2) * 0.8 + 0.2 * x3, x1, x2, x3)
+    }.toDF("y", "x1", "x2", "x3")
+    def mseAt(iters: Int): Double =
+      graft.operators.NeuralNet.mlpFitK(df, "y", Seq("x1", "x2", "x3"),
+        hidden = 3, eta = "0.5", iterations = iters)
+        .collect()(0).getAs[Double]("mse")
+    val (m1, m8) = (mseAt(1), mseAt(8))
+    assert(m8 < m1, s"GD failed to reduce pre-update MSE: $m1 -> $m8")
+    assert(m8 > 0 && !m8.isNaN)
+  }
+
+  test("Regression.robustSeK agrees with robustSe2 at k=2 and is " +
+    "finite/positive at k=4") {
+    import spark.implicits._
+    val df = (1 to 500).map { i =>
+      val x1 = (i % 23) / 23.0; val x2 = (i % 7) / 7.0
+      val x3 = (i % 11) / 11.0; val x4 = (i % 5) / 5.0
+      // heteroskedastic noise: scale grows with x1
+      val eps = ((i * 37) % 19 - 9) / 9.0 * (0.1 + x1)
+      (2.0 + 1.5 * x1 - 0.8 * x2 + 0.3 * x3 + eps, x1, x2, x3, x4)
+    }.toDF("y", "x1", "x2", "x3", "x4")
+    val k2 = graft.operators.Regression.robustSeK(df, "y",
+      Seq("x1", "x2")).collect()(0)
+    val two = graft.operators.Regression.robustSe2(df, "y", "x1", "x2")
+      .collect()(0)
+    // coefs both micros-quantized from the same moments (Cramer vs
+    // Gauss-Jordan solve paths — equal to a quantization step)
+    (1 to 3).foreach(i =>
+      assert(math.abs(k2.getDouble(i) - two.getDouble(i)) < 2e-6,
+        s"b${i - 1}: ${k2.getDouble(i)} vs ${two.getDouble(i)}"))
+    // sandwich paths (adjugate/det vs explicit inverse) agree to fp
+    (4 to 6).foreach { i =>
+      val (a, b) = (k2.getDouble(i), two.getDouble(i))
+      assert(math.abs(a - b) / math.max(b, 1e-12) < 1e-6,
+        s"se_b${i - 4}: $a vs $b")
+    }
+    val k4 = graft.operators.Regression.robustSeK(df, "y",
+      Seq("x1", "x2", "x3", "x4")).collect()(0)
+    (5 to 9).foreach { i =>
+      val se = k4.getDouble(i)
+      assert(se > 0 && se < 1.0 && !se.isNaN, s"se#${i - 5} = $se")
+    }
+  }
+
+  test("Factorization.alsK recovers a rank-2 matrix at rank 2 and 3") {
+    import spark.implicits._
+    // r_ui = a_u*b_i + c_u*d_i is rank 2 — alsK at rank 2 and 3 must
+    // both drive reconstruction SSE to ~0; rank-2 alsK must also
+    // agree with als2 (same init, gjBatches vs Cramer solve paths
+    // agree within the micros quantization granularity)
+    val as = Map(1L -> 2.0, 2L -> 3.0, 3L -> 5.0, 4L -> 1.0)
+    val cs = Map(1L -> 1.0, 2L -> -2.0, 3L -> 0.5, 4L -> 3.0)
+    val bs = Map(10L -> 1.0, 11L -> 4.0, 12L -> 2.0, 13L -> 0.5)
+    val ds = Map(10L -> 2.0, 11L -> -1.0, 12L -> 0.0, 13L -> 1.5)
+    val ratings = (for (u <- as.keys; i <- bs.keys)
+      yield (u, i, as(u) * bs(i) + cs(u) * ds(i))).toSeq.toDF("u", "i", "r")
+    def sseOf(users: org.apache.spark.sql.DataFrame,
+        items: org.apache.spark.sql.DataFrame, rank: Int): Double = {
+      val rec = (0 until rank).map(f =>
+        col(s"u$f") * col(s"v$f")).reduce(_ + _)
+      val res = col("r") - rec
+      ratings.join(users, "u").join(items, "i")
+        .agg(sum(res * res)).head().getDouble(0)
+    }
+    val (u2, i2) = Factorization.alsK(ratings, rank = 2,
+      lambda = 1e-4, iterations = 3)
+    assert(sseOf(u2, i2, 2) < 1e-3, "rank-2 alsK missed a rank-2 matrix")
+    val (u3, i3) = Factorization.alsK(ratings, rank = 3,
+      lambda = 1e-4, iterations = 3)
+    assert(sseOf(u3, i3, 3) < 1e-3, "rank-3 alsK missed a rank-2 matrix")
+    // cross-check against als2 on its own fixture (both quantize to
+    // micros per round; solve-path fp differences stay ~1e-6)
+    val (ua, ia) = Factorization.als2(ratings, lambda = 1e-4,
+      iterations = 3)
+    val aMap = ua.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    u2.collect().foreach { r =>
+      val (a1, a2) = aMap(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - a1) < 1e-4 &&
+        math.abs(r.getDouble(2) - a2) < 1e-4,
+        s"alsK(rank=2) diverged from als2 at u=${r.getLong(0)}")
+    }
+  }
+
   test("TopicModel.plsaEm2 separates a two-cluster corpus") {
     import spark.implicits._
     // two disjoint-vocab doc groups — EM must converge to near-pure
@@ -1552,6 +1672,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(rBig.getDouble(3)) < math.abs(r0.getDouble(3)),
       s"slope did not shrink: ${rBig.getDouble(3)} vs ${r0.getDouble(3)}")
     assert(math.abs(rBig.getDouble(4)) < math.abs(r0.getDouble(4)))
+  }
+
+  test("Regression.svmFitK matches svmFit2 at k=2 and separates at k=3") {
+    import spark.implicits._
+    import graft.queries.Q
+    val df = (1 to 400).map { i =>
+      val x1 = (i % 10) / 10.0; val x2 = (i % 7) / 7.0
+      val y = if (x1 - x2 > 0.1) 1.0 else -1.0
+      (y, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val k = graft.operators.Regression.svmFitK(df, "y", Seq("x1", "x2"),
+      lambda = 0.01, iterations = 4, sumExact = Q.dsum(_, 6)).collect()(0)
+    val two = graft.operators.Regression.svmFit2(df, "y", "x1", "x2",
+      lambda = 0.01, iterations = 4, sumExact = Q.dsum(_, 6)).collect()(0)
+    // w0*1.0 is IEEE-exact, so the recursions are identical
+    (0 to 2).foreach(i => assert(k.getDouble(i) == two.getDouble(i),
+      s"w$i ${k.getDouble(i)} != ${two.getDouble(i)}"))
+    // 3-feature margin: the informative feature gets the largest |w|
+    val df3 = (1 to 400).map { i =>
+      val x1 = (i % 10) / 10.0; val x2 = (i % 7) / 7.0
+      val x3 = (i % 3) / 3.0
+      (if (x1 > 0.5) 1.0 else -1.0, x1, x2, x3)
+    }.toDF("y", "x1", "x2", "x3")
+    val k3 = graft.operators.Regression.svmFitK(df3, "y",
+      Seq("x1", "x2", "x3"), lambda = 0.01, iterations = 8,
+      sumExact = Q.dsum(_, 6)).collect()(0)
+    assert(k3.getDouble(1) > math.abs(k3.getDouble(2)) &&
+      k3.getDouble(1) > math.abs(k3.getDouble(3)), k3.toString)
   }
 
   test("Regression.multinomFitK is bit-equal to multinomFit2 at 3x2") {

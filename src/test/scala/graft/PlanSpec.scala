@@ -658,6 +658,16 @@ class PlanSpec extends AnyFunSuite {
       s"ratings ⨝ factors must be an equi-join on the entity id:\n$p")
   }
 
+  test("q_ml_als_k: rank-3 ALS keeps the als2 plan shape — equi-joins" +
+    " + partial aggregates, solve is row-local algebra") {
+    val p = plan("q_ml_als_k")
+    assert(p.contains("partial_"),
+      s"ALS moment aggregates need map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ratings ⨝ factors must be an equi-join on the entity id:\n$p")
+  }
+
   test("q_ts_ar: lag features and moments never cartesian the series") {
     val p = plan("q_ts_ar")
     assert(p.contains("partial_"),
@@ -739,6 +749,18 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges(p) <= 1,
       s"PQ encode/reconstruct are map-only — expected ≤1 shuffle " +
         s"(top-k window), got ${hashExchanges(p)}:\n$p")
+  }
+
+  test("q_ann_ivfpq: candidates come from the cell equi-join, " +
+    "never corpus×corpus") {
+    val p = plan("q_ann_ivfpq").split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ probe must equi-join on cell:\n$p")
+    // the only nested-loop joins are the broadcast-centroid assigns
+    // (bounded: nCells rows); the candidate join is hash/sort on cell
+    assert("(?i)join.*\\bcell\\b".r.findFirstIn(p).isDefined ||
+      p.contains("cell"),
+      s"probe joins the coded index on cell:\n$p")
   }
 
   test("q_events_path: symbol sequences build from one user-keyed " +
