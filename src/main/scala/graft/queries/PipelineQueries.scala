@@ -438,6 +438,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Full ispell affix rules (tsearch/spell.c — r9 closes the
+    // "strip/condition fields reject" remainder): the 4-field
+    // 'SFX flag strip suffix condition' form expands at CREATE with
+    // end-anchored character-class gating and strip removal, so
+    // scan→scans ([^shxyz]), index→indexes ([sxz]), batch→batches
+    // ([cs]h), query→queries (y-strip under [^aeiou]y) — while day/Y
+    // expands NOTHING (vowel+y fails the condition) and unlicensed
+    // forms (scanes, querys, batchs) stay unmapped. The oracle is the
+    // ground-truth literal table over the probe tokens.
+    Q("q_text_ispell", Some(
+      """SELECT tok, root FROM (VALUES
+        |  ('scan', 'scan'), ('scans', 'scan'), ('scanes', NULL),
+        |  ('query', 'query'), ('queries', 'query'), ('querys', NULL),
+        |  ('index', 'index'), ('indexes', 'index'), ('indexs', NULL),
+        |  ('batch', 'batch'), ('batches', 'batch'), ('batchs', NULL),
+        |  ('filt', 'filt'), ('filter', 'filt'),
+        |  ('day', 'day'), ('days', NULL), ('dayies', NULL),
+        |  ('other', NULL)) t(tok, root)
+        |ORDER BY tok""".stripMargin),
+      prepare = Some { (s, _) =>
+        Seq(
+          "CREATE TEXT SEARCH DICTIONARY graft_isp3 (TEMPLATE = ispell," +
+            " DICTWORDS = 'scan/S, query/Y, index/S, batch/S, filt/E," +
+            " day/Y'," +
+            " AFFIXES = 'SFX S 0 s [^shxyz]; SFX S 0 es [sxz];" +
+            " SFX S 0 es [cs]h; SFX Y y ies [^aeiou]y; SFX E 0 er .')",
+          "CREATE TEXT SEARCH CONFIGURATION graft_ispcfg3 (PARSER = " +
+            "default)",
+          "ALTER TEXT SEARCH CONFIGURATION graft_ispcfg3 ALTER MAPPING " +
+            "FOR asciiword WITH graft_isp3")
+          .foreach(graft.sql.GpSqlDialect.execute(s, _, "/tmp/graft_ts"))
+      }) { (s, dir) =>
+      import s.implicits._
+      val dict = graft.sql.GpSqlDialect.tsChain("graft_ispcfg3").head
+      Seq("scan", "scans", "scanes", "query", "queries", "querys",
+        "index", "indexes", "indexs", "batch", "batches", "batchs",
+        "filt", "filter", "day", "days", "dayies", "other")
+        .toDF("tok")
+        .select($"tok",
+          element_at(typedLit(dict.synonyms), $"tok").as("root"))
+        .orderBy("tok")
+    },
+
     // ts_headline snippet generation (wparser_def.c prsd_headline cover
     // selection, wparser.c ts_headline): ONE codegen'd pass per row —
     // expressions/TsHeadlineExpr.scala documents the published

@@ -671,6 +671,60 @@ object StorageQueries {
       run("SELECT tag, n FROM stmt_log ORDER BY n")
     },
 
+    // Transition tables (trigger.c AfterTriggerSaveEvent; REFERENCING
+    // OLD/NEW TABLE on AFTER STATEMENT triggers): the transition
+    // relation binds as a DataFrame view over the statement's delta —
+    // file-granular for appends (the freshly-written files ARE the NEW
+    // TABLE, zero diff work), bag-difference over the zero-copy
+    // retained pre-image for COW UPDATE/DELETE. The audit-aggregate
+    // body runs set-based once per statement.
+    Q("q_dml_trigger_transition", Some(
+      """WITH ci AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_custkey <= 120)
+        |SELECT tag, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sv
+        |FROM (
+        |  SELECT 'new' AS tag, count(*) AS n, sum(k % 7) AS sv FROM ci
+        |  UNION ALL
+        |  SELECT 'new', count(*), sum(k % 7 + 100) FROM ci WHERE k <= 50
+        |  UNION ALL
+        |  SELECT 'old', count(*), sum(k % 7) FROM ci WHERE k <= 50
+        |  UNION ALL
+        |  SELECT 'old', count(*), sum(k % 7) FROM ci WHERE k > 100
+        |) t ORDER BY tag, n, sv""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_transition")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS tt_tgt")
+      run("DROP TABLE IF EXISTS tt_log")
+      run("CREATE TABLE tt_tgt (id bigint, v bigint) DISTRIBUTED BY (id)")
+      run("CREATE TABLE tt_log (tag text, n bigint, sv bigint) " +
+        "DISTRIBUTED BY (tag)")
+      run("""CREATE OR REPLACE FUNCTION audit_new() RETURNS trigger AS $$
+            |BEGIN
+            |  INSERT INTO tt_log
+            |  SELECT 'new', count(*), coalesce(sum(v), 0) FROM nt;
+            |  RETURN NULL;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE OR REPLACE FUNCTION audit_old() RETURNS trigger AS $$
+            |BEGIN
+            |  INSERT INTO tt_log
+            |  SELECT 'old', count(*), coalesce(sum(v), 0) FROM ot;
+            |  RETURN NULL;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_new AFTER INSERT OR UPDATE ON tt_tgt
+            |REFERENCING NEW TABLE AS nt
+            |FOR EACH STATEMENT EXECUTE FUNCTION audit_new()""".stripMargin)
+      run("""CREATE TRIGGER t_old AFTER UPDATE OR DELETE ON tt_tgt
+            |REFERENCING OLD TABLE AS ot
+            |FOR EACH STATEMENT EXECUTE FUNCTION audit_old()""".stripMargin)
+      run("""INSERT INTO tt_tgt
+            |SELECT c_custkey, c_custkey % 7 FROM customer
+            |WHERE c_custkey <= 120""".stripMargin)
+      run("UPDATE tt_tgt SET v = v + 100 WHERE id <= 50")
+      run("DELETE FROM tt_tgt WHERE id > 100")
+      run("SELECT tag, n, sv FROM tt_log ORDER BY tag, n, sv")
+    },
+
     // INSTEAD OF INSERT triggers on views (commands/trigger.c; PG's
     // updatable-view shim, r9): the trigger fn's body is INSERT INTO
     // base VALUES(expr over NEW.col), so an INSERT INTO the view of N
@@ -1552,6 +1606,43 @@ object StorageQueries {
               |  END LOOP;
               |END $$""".stripMargin)
         run("SELECT batch, n FROM wlog ORDER BY batch")
+    },
+
+    // Labeled loops (pl_exec.c exec_stmt_exit with stmt->label):
+    // <<outer>>/<<inner>> nested LOOPs where EXIT outer / CONTINUE
+    // outer unwind PAST the inner loop — the signal climbs to the
+    // matching label. CONTINUE outer truncates each inner scan at the
+    // first i*j > 6, so the reached (i, j) set is exactly i*j <= 6.
+    Q("q_sql_loop_label", Some(
+      """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+        |FROM generate_series(1, 5) s(i)
+        |CROSS JOIN generate_series(1, 5) t(j)
+        |WHERE i * j <= 6 ORDER BY i, j""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("loop_label")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS lbl_out")
+      run("CREATE TABLE lbl_out (i bigint, j bigint) DISTRIBUTED BY (i)")
+      run("""DO $$
+            |DECLARE
+            |  i bigint := 0;
+            |  j bigint := 0;
+            |BEGIN
+            |  <<outer>>
+            |  LOOP
+            |    i := i + 1;
+            |    EXIT outer WHEN i > 5;
+            |    j := 0;
+            |    <<inner>>
+            |    LOOP
+            |      j := j + 1;
+            |      EXIT inner WHEN j > 5;
+            |      CONTINUE outer WHEN i * j > 6;
+            |      INSERT INTO lbl_out VALUES (i, j);
+            |    END LOOP inner;
+            |  END LOOP outer;
+            |END $$""".stripMargin)
+      run("SELECT i, j FROM lbl_out ORDER BY i, j")
     },
 
     // PG DISTINCT ON — first row per group in ORDER BY order (gram.y

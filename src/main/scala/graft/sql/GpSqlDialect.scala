@@ -254,6 +254,20 @@ object GpSqlDialect {
         return executeCreateTrigger(spark, m.group(1), m.group(2),
           m.group(3), m.group(5), Option(m.group(4)))
       case _ =>
+        CreateStmtTrigTransRe.findFirstMatchIn(trimmed) match {
+          case Some(m) =>
+            val items = TransItemRe.findAllMatchIn(m.group(5)).toSeq
+              .map(i => i.group(1).toLowerCase -> i.group(2))
+            if (items.map(_._1).distinct.length != items.length)
+              throw new UnsupportedOperationException(
+                s"trigger ${m.group(1)}: OLD/NEW TABLE may each be " +
+                  "specified at most once")
+            return executeCreateStmtTrigger(spark, m.group(1),
+              m.group(2), m.group(3), m.group(4), m.group(6),
+              oldTab = items.collectFirst { case ("old", n) => n },
+              newTab = items.collectFirst { case ("new", n) => n })
+          case _ =>
+        }
         CreateStmtTriggerRe.findFirstMatchIn(trimmed) match {
           case Some(m) =>
             return executeCreateStmtTrigger(spark, m.group(1),
@@ -272,10 +286,11 @@ object GpSqlDialect {
           throw new UnsupportedOperationException(
             "graft supports BEFORE INSERT/UPDATE ... FOR EACH ROW " +
               "[WHEN (cond)] row triggers, BEFORE/AFTER ... FOR EACH " +
-              "STATEMENT triggers with straight-line DML bodies, and " +
-              "INSTEAD OF INSERT/UPDATE/DELETE view triggers only " +
-              "(AFTER ROW: use the CDC delta views; transition tables " +
-              "/ trigger arguments have no set-based lowering)")
+              "STATEMENT triggers with straight-line DML bodies " +
+              "(REFERENCING OLD/NEW TABLE transition tables included), " +
+              "and INSTEAD OF INSERT/UPDATE/DELETE view triggers only " +
+              "(AFTER ROW: use the CDC delta views; trigger arguments " +
+              "have no set-based lowering)")
     }
     DropTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
@@ -1954,19 +1969,27 @@ object GpSqlDialect {
     * initializers substitute textually), then statements through the
     * dialect. See the procedure header comment for the contract. */
   /** Loop control signals for the scalar-state block interpreter —
-    * unlabeled EXIT / CONTINUE unwinding to the innermost loop. */
-  private final class PlExitSignal extends RuntimeException
-  private final class PlContinueSignal extends RuntimeException
+    * EXIT / CONTINUE unwinding to the innermost loop, or (labeled,
+    * pl_exec.c exec_stmt_exit with stmt->label) past it to the
+    * `<<label>>`-named enclosing loop: a non-matching loop rethrows,
+    * so the signal climbs exactly to its target. */
+  private final class PlExitSignal(val label: Option[String])
+    extends RuntimeException
+  private final class PlContinueSignal(val label: Option[String])
+    extends RuntimeException
   private val PlAssignStmtRe = "(?is)^\\s*(\\w+)\\s*:=\\s*(.+)$".r
   private val PlSelectIntoVarRe =
     "(?is)^\\s*SELECT\\s+(.+?)\\s+INTO\\s+(\\w+)\\s*(FROM\\b.+)?$".r
   private val PlWhileDataRe =
-    "(?is)^\\s*WHILE\\s+(.+?)\\s+LOOP\\s+(.+)\\s*;\\s*END\\s+LOOP\\s*$".r
+    ("(?is)^\\s*(?:<<\\s*(\\w+)\\s*>>\\s*)?WHILE\\s+(.+?)\\s+LOOP\\s+" +
+      "(.+)\\s*;\\s*END\\s+LOOP\\s*(?:\\w+\\s*)?$").r
   private val PlBareLoopRe =
-    "(?is)^\\s*LOOP\\s+(.+)\\s*;\\s*END\\s+LOOP\\s*$".r
-  private val PlExitStmtRe = "(?is)^\\s*EXIT\\s*(?:WHEN\\s+(.+))?$".r
+    ("(?is)^\\s*(?:<<\\s*(\\w+)\\s*>>\\s*)?LOOP\\s+(.+)\\s*;\\s*" +
+      "END\\s+LOOP\\s*(?:\\w+\\s*)?$").r
+  private val PlExitStmtRe =
+    "(?is)^\\s*EXIT\\s*(?!WHEN\\b)(\\w+)?\\s*(?:WHEN\\s+(.+))?$".r
   private val PlContinueStmtRe =
-    "(?is)^\\s*CONTINUE\\s*(?:WHEN\\s+(.+))?$".r
+    "(?is)^\\s*CONTINUE\\s*(?!WHEN\\b)(\\w+)?\\s*(?:WHEN\\s+(.+))?$".r
 
   private[graft] def runPlBlock(
       spark: SparkSession, rawBody: String, basePath: String): Unit = {
@@ -2055,11 +2078,12 @@ object GpSqlDialect {
       var depth = 0
       parts.foreach { st =>
         val opener =
-          "(?is)^\\s*(FOR|FOREACH|WHILE|LOOP)\\b".r
+          "(?is)^\\s*(?:<<\\s*\\w+\\s*>>\\s*)?(FOR|FOREACH|WHILE|LOOP)\\b".r
             .findFirstIn(st).isDefined &&
-            "(?is)END\\s+LOOP\\s*$".r.findFirstIn(st).isEmpty
+            "(?is)END\\s+LOOP\\s*(?:\\w+)?\\s*$".r.findFirstIn(st).isEmpty
         val closer =
-          "(?is)^\\s*END\\s+LOOP\\s*$".r.findFirstIn(st).isDefined
+          "(?is)^\\s*END\\s+LOOP\\s*(?:\\w+)?\\s*$".r
+            .findFirstIn(st).isDefined
         if (depth == 0) {
           if (opener) { depth = 1; acc = new StringBuilder(st) }
           else grouped += st
@@ -2081,10 +2105,12 @@ object GpSqlDialect {
       // ---- scalar-state control statements match on the RAW text
       // (variable names must survive; expressions substitute at
       // evaluation time, so each iteration sees current values) ----
-      case PlExitStmtRe(cond) =>
-        if (Option(cond).forall(evalBool)) throw new PlExitSignal
-      case PlContinueStmtRe(cond) =>
-        if (Option(cond).forall(evalBool)) throw new PlContinueSignal
+      case PlExitStmtRe(label, cond) =>
+        if (Option(cond).forall(evalBool))
+          throw new PlExitSignal(Option(label).map(_.toLowerCase))
+      case PlContinueStmtRe(label, cond) =>
+        if (Option(cond).forall(evalBool))
+          throw new PlContinueSignal(Option(label).map(_.toLowerCase))
       case PlAssignStmtRe(v, rhs) if mutEnv.contains(v.toLowerCase) =>
         mutEnv(v.toLowerCase) = sqlLiteral(evalScalar(rhs))
       case PlSelectIntoVarRe(sel, v, from)
@@ -2092,12 +2118,14 @@ object GpSqlDialect {
         mutEnv(v.toLowerCase) = sqlLiteral(evalQueryScalar(
           s"SELECT ${substAll(sel)} ${Option(from).map(substAll)
             .getOrElse("")}"))
-      case PlWhileDataRe(cond, body) =>
+      case PlWhileDataRe(label0, cond, body) =>
         // data-dependent WHILE (exec_stmt_while): the condition
         // re-evaluates per iteration as a 1-row scalar query; the
         // body runs set-based. Iteration cap guards runaway loops —
         // each pass costs at least one Spark job, so 10k is already
         // far past any sane batch-maintenance shape.
+        val label = Option(label0).map(_.toLowerCase)
+        def mine(l: Option[String]) = l.isEmpty || l == label
         var iters = 0
         try {
           while (evalBool(cond)) {
@@ -2106,11 +2134,15 @@ object GpSqlDialect {
               "plpgsql WHILE exceeded 10000 iterations (unbounded " +
                 "driver loop): WHILE " + firstStatement(cond))
             try runStmts(body)
-            catch { case _: PlContinueSignal => () }
+            catch {
+              case c: PlContinueSignal if mine(c.label) => ()
+            }
           }
-        } catch { case _: PlExitSignal => () }
-      case PlBareLoopRe(body) =>
+        } catch { case e: PlExitSignal if mine(e.label) => () }
+      case PlBareLoopRe(label0, body) =>
         // unconditional LOOP — terminates via EXIT [WHEN]; same cap
+        val label = Option(label0).map(_.toLowerCase)
+        def mine(l: Option[String]) = l.isEmpty || l == label
         var iters = 0
         try {
           while (true) {
@@ -2119,9 +2151,11 @@ object GpSqlDialect {
               "plpgsql LOOP exceeded 10000 iterations without EXIT: " +
                 firstStatement(body))
             try runStmts(body)
-            catch { case _: PlContinueSignal => () }
+            catch {
+              case c: PlContinueSignal if mine(c.label) => ()
+            }
           }
-        } catch { case _: PlExitSignal => () }
+        } catch { case e: PlExitSignal if mine(e.label) => () }
       case _ => runSubstituted(substAll(g0))
     }
     def runSubstituted(s: String): Unit = s match {
@@ -2187,7 +2221,8 @@ object GpSqlDialect {
     catch {
       case _: PlExitSignal | _: PlContinueSignal =>
         throw new UnsupportedOperationException(
-          "plpgsql EXIT/CONTINUE outside a loop")
+          "plpgsql EXIT/CONTINUE outside a loop (or with a label " +
+            "matching no enclosing <<label>>)")
     }
   }
 
@@ -2774,7 +2809,8 @@ object GpSqlDialect {
   // fire ONCE per DML statement, before or after it; the fn body is a
   // recorded straight-line DML sequence (triggerFnStmtBodies)
   private case class StmtTriggerDef(name: String, timing: String,
-    events: Set[String], fn: String)
+    events: Set[String], fn: String,
+    oldTab: Option[String] = None, newTab: Option[String] = None)
   private val tableStmtTriggers =
     scala.collection.concurrent.TrieMap.empty[String, Vector[StmtTriggerDef]]
   // trigger fns whose body is straight-line DML with no row context —
@@ -2799,6 +2835,16 @@ object GpSqlDialect {
       "((?:INSERT|UPDATE|DELETE)(?:\\s+OR\\s+(?:INSERT|UPDATE|DELETE))*)" +
       "\\s+ON\\s+(\\w+)\\s+(?:FOR\\s+EACH\\s+STATEMENT\\s+)?" +
       "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+  // transition-table shape (trigger.c AfterTriggerSaveEvent;
+  // REFERENCING OLD/NEW TABLE): AFTER STATEMENT only, per PG
+  private val CreateStmtTrigTransRe =
+    ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)\\s+(BEFORE|AFTER)\\s+" +
+      "((?:INSERT|UPDATE|DELETE)(?:\\s+OR\\s+(?:INSERT|UPDATE|DELETE))*)" +
+      "\\s+ON\\s+(\\w+)\\s+REFERENCING\\s+" +
+      "((?:(?:OLD|NEW)\\s+TABLE\\s+AS\\s+\\w+\\s+){1,2})" +
+      "FOR\\s+EACH\\s+STATEMENT\\s+" +
+      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+  private val TransItemRe = "(?is)(OLD|NEW)\\s+TABLE\\s+AS\\s+(\\w+)".r
 
   /** Attach a statement-level trigger: the fn must have a recorded
     * straight-line-DML body (no row context). Fires once per matching
@@ -2806,22 +2852,52 @@ object GpSqlDialect {
     * nested DML with a depth guard. */
   def executeCreateStmtTrigger(
       spark: SparkSession, trigName: String, timing: String,
-      eventsRaw: String, table: String, fn: String): DataFrame = {
+      eventsRaw: String, table: String, fn: String,
+      oldTab: Option[String] = None, newTab: Option[String] = None)
+      : DataFrame = {
     val fnLc = fn.toLowerCase
     if (!triggerFnStmtBodies.contains(fnLc))
       throw new UnsupportedOperationException(
         s"statement trigger $trigName: function $fn must be a RETURNS " +
           "trigger fn whose body is straight-line INSERT/UPDATE/DELETE " +
           "statements (statement-level triggers have no NEW/OLD row " +
-          "context)" + deferredPlpgsql.get(fnLc)
+          "context; transition tables are referenced by their " +
+          "REFERENCING names)" + deferredPlpgsql.get(fnLc)
             .map(w => s"; recorded body issue: $w").getOrElse(""))
     val events = eventsRaw.toUpperCase.split("\\s+OR\\s+")
       .map(_.trim.toLowerCase).toSet
     val lc = table.toLowerCase
+    if (oldTab.nonEmpty || newTab.nonEmpty) {
+      // PG constraints (trigger.c CreateTrigger): transition tables
+      // attach to AFTER triggers; OLD TABLE needs a delete/update
+      // event, NEW TABLE an insert/update event
+      if (timing.toLowerCase != "after")
+        throw new UnsupportedOperationException(
+          s"trigger $trigName: transition tables are only allowed on " +
+            "AFTER triggers")
+      if (oldTab.nonEmpty && !events.exists(Set("update", "delete")))
+        throw new UnsupportedOperationException(
+          s"trigger $trigName: OLD TABLE requires an UPDATE or DELETE " +
+            "event")
+      if (newTab.nonEmpty && !events.exists(Set("insert", "update")))
+        throw new UnsupportedOperationException(
+          s"trigger $trigName: NEW TABLE requires an INSERT or UPDATE " +
+            "event")
+      val t = catalog.getOrElse(lc,
+        throw new UnsupportedOperationException(
+          s"trigger $trigName: transition tables need a cataloged " +
+            s"table — $table is not CREATE TABLE-managed"))
+      // COW DML (UPDATE/DELETE/MERGE) retains its displaced pre-image
+      // by RENAME when capture is on — zero rows copied; pure INSERTs
+      // are delta'd file-granularly and need no capture
+      if (events.exists(Set("update", "delete")))
+        graft.operators.Cdc.enable(t.path)
+    }
     tableStmtTriggers(lc) = (tableStmtTriggers.getOrElse(lc, Vector.empty)
       .filterNot(_.name == trigName.toLowerCase) :+
       StmtTriggerDef(trigName.toLowerCase, timing.toLowerCase, events,
-        fnLc)).sortBy(_.name)
+        fnLc, oldTab.map(_.toLowerCase), newTab.map(_.toLowerCase)))
+      .sortBy(_.name)
     spark.emptyDataFrame
   }
 
@@ -3057,13 +3133,80 @@ object GpSqlDialect {
     override def initialValue: Integer = 0
   }
 
+  /** Recursive data-file listing under a table directory (skips
+    * `_SUCCESS`/dot files) — the file-granular delta basis for
+    * transition tables: O(metadata), zero rows read. */
+  private def listDataFiles(
+      spark: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) b += f.getPath.toString
+    }
+    b.result()
+  }
+
+  /** Bind a transition-table trigger's OLD/NEW TABLE temp views for
+    * the statement that just ran (trigger.c AfterTriggerSaveEvent,
+    * restated set-based — the transition relation IS a DataFrame):
+    *
+    *  - append-only statement (all pre-statement files survive): the
+    *    NEW TABLE is exactly the freshly-appended files — a
+    *    file-granular delta, no diff join, no extra scan of old data.
+    *  - COW statement (UPDATE/DELETE/MERGE swapped the directory):
+    *    the displaced pre-image was retained by RENAME (capture was
+    *    enabled at CREATE TRIGGER — zero rows copied) and the
+    *    transition relations are the two bag-differences, the same
+    *    shuffle class as the write that produced them. Like
+    *    [[graft.operators.Cdc.changes]], no-op updates (identical
+    *    old/new row) cancel out of both relations.
+    */
+  private def bindTransitionTables(
+      spark: SparkSession, tg: StmtTriggerDef, table: String,
+      preFiles: Set[String]): Unit = {
+    val t = catalog.getOrElse(table.toLowerCase,
+      throw new IllegalStateException(
+        s"transition trigger ${tg.name}: table $table left the catalog"))
+    val curFiles = listDataFiles(spark, t.path)
+    def readFiles(fset: Set[String]): DataFrame =
+      if (fset.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema)
+      else
+        spark.read.option("basePath", t.path).parquet(fset.toSeq: _*)
+    val (oldDf, newDf) =
+      if (preFiles.subsetOf(curFiles))
+        (readFiles(Set.empty), readFiles(curFiles -- preFiles))
+      else {
+        val prevDir = graft.operators.Cdc.preImagePath(t.path)
+        val pp = new org.apache.hadoop.fs.Path(prevDir)
+        val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(pp))
+          throw new UnsupportedOperationException(
+            s"transition trigger ${tg.name} on $table: the statement " +
+              "rewrote table files but no pre-image was retained — " +
+              "partition-granular DML paths do not capture (see " +
+              "operators/Cdc.scala scope); use the full-table DML forms")
+        val prev = spark.read.parquet(prevDir)
+        val cur = spark.read.parquet(t.path)
+        (prev.exceptAll(cur), cur.exceptAll(prev))
+      }
+    tg.oldTab.foreach(n => oldDf.createOrReplaceTempView(n))
+    tg.newTab.foreach(n => newDf.createOrReplaceTempView(n))
+  }
+
   /** Fire the table's statement-level triggers for (event, timing):
     * each recorded body statement executes through the dialect, so
     * trigger-body DML cascades (further statement triggers fire) with
     * a depth guard against self-recursive audit shapes. */
   private def fireStmtTriggers(
       spark: SparkSession, table: String, event: String, timing: String,
-      basePath: String): Unit = {
+      basePath: String, preFiles: Option[Set[String]] = None): Unit = {
     val trigs = tableStmtTriggers.getOrElse(table.toLowerCase, Vector.empty)
       .filter(t => t.timing == timing && t.events.contains(event))
     if (trigs.isEmpty) return
@@ -3078,22 +3221,37 @@ object GpSqlDialect {
           s"statement trigger ${tg.name} on $table: function " +
             s"${tg.fn}() no longer has a straight-line DML body — " +
             "DROP TRIGGER or restore a supported body"))
+      if (tg.oldTab.nonEmpty || tg.newTab.nonEmpty)
+        bindTransitionTables(spark, tg, table,
+          preFiles.getOrElse(Set.empty))
       body.foreach(st => executeWithStmtTriggers(spark, st, basePath))
     } finally stmtTrigDepth.set(stmtTrigDepth.get - 1)
   }
 
   /** DML statements route here (from [[execute]]): statement-level
     * triggers fire around the statement; AFTER fires only when the
-    * statement succeeded (PG abort semantics). */
+    * statement succeeded (PG abort semantics). Transition-table
+    * triggers snapshot the table's FILE LISTING pre-statement
+    * (O(metadata)) so the post-statement delta can bind file-granular
+    * for appends. */
   private def executeWithStmtTriggers(
       spark: SparkSession, gpSql: String, basePath: String): DataFrame = {
     val target =
       if (tableStmtTriggers.isEmpty) None else dmlTarget(gpSql)
+    val preFiles: Option[Set[String]] = target.flatMap { case (t, ev) =>
+      val needsTrans = tableStmtTriggers
+        .getOrElse(t.toLowerCase, Vector.empty)
+        .exists(tg => tg.timing == "after" && tg.events.contains(ev) &&
+          (tg.oldTab.nonEmpty || tg.newTab.nonEmpty))
+      if (needsTrans)
+        catalog.get(t.toLowerCase).map(gt => listDataFiles(spark, gt.path))
+      else None
+    }
     target.foreach { case (t, ev) =>
       fireStmtTriggers(spark, t, ev, "before", basePath) }
     val out = executeImpl(spark, gpSql, basePath)
     target.foreach { case (t, ev) =>
-      fireStmtTriggers(spark, t, ev, "after", basePath) }
+      fireStmtTriggers(spark, t, ev, "after", basePath, preFiles) }
     out
   }
 
@@ -3750,28 +3908,53 @@ object GpSqlDialect {
           .map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty[String])
         TsDict("simple", stopwords = stops)
-      // ispell (tsearch/spell.c, suffix subset): DICTWORDS are
-      // 'root/FLAGS' entries, AFFIXES are 'SFX <flag> <suffix>' rules
-      // (';'-separated). Expansion happens at CREATE — every surface
-      // form (root and root+suffix per matching flag) maps to the
-      // root, and lexize is then the synonym lookup. PG's $SHAREDIR
-      // .dict/.affix files have no analogue here so the payloads are
-      // INLINE (same documented adaptation as synonym/stopwords);
-      // strip/condition affix fields are out of scope and reject.
+      // ispell (tsearch/spell.c): DICTWORDS are 'root/FLAGS' entries,
+      // AFFIXES are ';'-separated suffix rules in either the short
+      // 'SFX <flag> <suffix>' form or the FULL .affix 4-field form
+      // 'SFX <flag> <strip> <suffix> <condition>' (spell.c
+      // NISortAffixes): strip is the root-final substring removed
+      // before the suffix attaches ('0' = none) and condition is the
+      // end-anchored character-class pattern that gates the rule
+      // ('[^aeiou]y', '[sxz]', '.' — the regex subset PG itself
+      // compiles via regcomp). Expansion happens at CREATE — every
+      // surface form (root, and strip/condition-respecting
+      // root+suffix per matching flag) maps to the root, and lexize
+      // is then the synonym lookup. PG's $SHAREDIR .dict/.affix files
+      // have no analogue here so the payloads are INLINE (same
+      // documented adaptation as synonym/stopwords).
       case "ispell" =>
         val words = opt("DICTWORDS").getOrElse(throw
           new IllegalArgumentException(
             s"CREATE TEXT SEARCH DICTIONARY $name: TEMPLATE=ispell " +
               "requires DICTWORDS = 'root/FLAGS, ...'"))
         val affRaw = opt("AFFIXES").getOrElse("")
-        val AffRe = "(?i)^SFX\\s+(\\w)\\s+([a-z0-9]+)$".r
-        val affixes: Map[Char, Seq[String]] = affRaw.split(";").iterator
+        val Aff2 = "(?i)^SFX\\s+(\\w)\\s+([a-z0-9]+)$".r
+        val Aff4 = "(?i)^SFX\\s+(\\w)\\s+(\\S+)\\s+(\\S+)\\s+(\\S+)$".r
+        // (strip, suffix, end-anchored condition)
+        type AffRule = (String, String, Option[scala.util.matching.Regex])
+        def compileCond(c: String): Option[scala.util.matching.Regex] =
+          if (c == ".") None
+          else {
+            if (!c.matches("(?:\\[\\^?[a-z]+\\]|[a-z.])+"))
+              throw new IllegalArgumentException(
+                s"CREATE TEXT SEARCH DICTIONARY $name: affix condition " +
+                  s"'$c' is outside the character-class subset " +
+                  "([abc], [^abc], literals, .)")
+            Some(s"(?i)(?:$c)$$".r)
+          }
+        val affixes: Map[Char, Seq[AffRule]] = affRaw.split(";").iterator
           .map(_.trim).filter(_.nonEmpty).map {
-            case AffRe(f, s) => f.toUpperCase.head -> s.toLowerCase
+            case Aff4(f, strip, sfx, cond) =>
+              f.toUpperCase.head -> ((
+                if (strip == "0") "" else strip.toLowerCase,
+                if (sfx == "0") "" else sfx.toLowerCase,
+                compileCond(cond.toLowerCase)): AffRule)
+            case Aff2(f, s) =>
+              f.toUpperCase.head -> (("", s.toLowerCase, None): AffRule)
             case bad => throw new IllegalArgumentException(
               s"CREATE TEXT SEARCH DICTIONARY $name: affix rule '$bad' " +
-                "is not the supported 'SFX <flag> <suffix>' subset " +
-                "(strip/condition fields reject loudly)")
+                "is not 'SFX <flag> <suffix>' or " +
+                "'SFX <flag> <strip> <suffix> <condition>'")
           }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
         val surface = words.split(",").iterator.map(_.trim)
           .filter(_.nonEmpty).flatMap { entry =>
@@ -3781,7 +3964,14 @@ object GpSqlDialect {
             }
             (root -> root) +: flags.flatMap(fl =>
               affixes.getOrElse(fl, Seq.empty)
-                .map(sfx => (root + sfx) -> root)).toSeq
+                .flatMap { case (strip, sfx, cond) =>
+                  val applies =
+                    cond.forall(_.findFirstIn(root).isDefined) &&
+                      (strip.isEmpty || root.endsWith(strip))
+                  if (applies)
+                    Some((root.dropRight(strip.length) + sfx) -> root)
+                  else None
+                }).toSeq
           }.toMap
         TsDict("ispell", synonyms = surface)
       // thesaurus (tsearch/dict_thesaurus.c): multi-lexeme samples

@@ -2838,7 +2838,52 @@ class ExpressionSpec extends AnyFunSuite {
       run("DO $$ BEGIN EXIT; END $$")
     }
     assert(e.getMessage.contains("outside a loop"), e.getMessage)
+    // a label matching no enclosing loop climbs to the top and errors
+    val e2 = intercept[UnsupportedOperationException] {
+      run("""DO $$ BEGIN
+            |<<a>> LOOP EXIT nosuch; END LOOP a;
+            |END $$""".stripMargin)
+    }
+    assert(e2.getMessage.contains("label"), e2.getMessage)
     run("DROP TABLE wl_t")
+  }
+
+  test("transition-table CREATE TRIGGER constraint checks " +
+    "(trigger.c CreateTrigger)") {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_trans_spec"
+    def run(sql: String) = graft.sql.GpSqlDialect.execute(spark, sql, base)
+    run("DROP TABLE IF EXISTS trx_t")
+    run("CREATE TABLE trx_t (id bigint) DISTRIBUTED BY (id)")
+    run("""CREATE OR REPLACE FUNCTION trx_fn() RETURNS trigger AS $$
+          |BEGIN
+          |  INSERT INTO trx_t SELECT count(*) FROM ntab;
+          |  RETURN NULL;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    // BEFORE + transition table: loud reject
+    val e1 = intercept[UnsupportedOperationException] {
+      run("""CREATE TRIGGER trx_bad BEFORE INSERT ON trx_t
+            |REFERENCING NEW TABLE AS ntab
+            |FOR EACH STATEMENT EXECUTE FUNCTION trx_fn()""".stripMargin)
+    }
+    assert(e1.getMessage.contains("AFTER"), e1.getMessage)
+    // OLD TABLE on an insert-only trigger: loud reject
+    val e2 = intercept[UnsupportedOperationException] {
+      run("""CREATE TRIGGER trx_bad2 AFTER INSERT ON trx_t
+            |REFERENCING OLD TABLE AS otab
+            |FOR EACH STATEMENT EXECUTE FUNCTION trx_fn()""".stripMargin)
+    }
+    assert(e2.getMessage.contains("OLD TABLE"), e2.getMessage)
+    run("DROP TABLE trx_t")
+  }
+
+  test("ispell 4-field affix rules reject malformed conditions loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sql.GpSqlDialect.execute(spark,
+        "CREATE TEXT SEARCH DICTIONARY isp_bad (TEMPLATE = ispell, " +
+          "DICTWORDS = 'x/A', AFFIXES = 'SFX A 0 s (bad|cond)')",
+        "/tmp/graft_ts")
+    }
+    assert(e.getMessage.contains("condition"), e.getMessage)
   }
 
   test("cursor positioned/backward FETCH directions (PerformPortalFetch)") {
