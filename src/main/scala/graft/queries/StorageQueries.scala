@@ -632,6 +632,46 @@ object StorageQueries {
       run("SELECT id, seg, qty, norm FROM trig_when ORDER BY id")
     },
 
+    // Trigger arguments (commands/trigger.c tgargs → plpgsql TG_ARGV;
+    // r9 closes the last trigger-family reject): one generic fn body
+    // parameterized per ATTACHMENT — TG_ARGV[n] binds to the CREATE
+    // TRIGGER argument literals at compose time, so the same fn tags
+    // INSERTs 'web'×2 and UPDATEs 'batch'×3, all set-based.
+    Q("q_dml_trigger_args", Some(
+      """SELECT c_custkey AS id, (c_custkey % 10) * 2 AS v,
+        |  'web' AS src
+        |FROM customer WHERE c_custkey <= 100
+        |UNION ALL
+        |SELECT c_custkey + 1000, (c_custkey % 10) * 3, 'batch'
+        |FROM customer WHERE c_custkey <= 50
+        |ORDER BY id""".stripMargin)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val base = tmp("dml_trigger_args")
+      def run(sql: String) = GpSqlDialect.execute(s, sql, base)
+      run("DROP TABLE IF EXISTS trg_args")
+      run("CREATE TABLE trg_args (id bigint, v bigint, src text) " +
+        "DISTRIBUTED BY (id)")
+      run("""CREATE OR REPLACE FUNCTION tag_row() RETURNS trigger AS $$
+            |BEGIN
+            |  NEW.src := TG_ARGV[0];
+            |  NEW.v := NEW.v * CAST(TG_ARGV[1] AS BIGINT);
+            |  RETURN NEW;
+            |END $$ LANGUAGE plpgsql""".stripMargin)
+      run("""CREATE TRIGGER t_args BEFORE INSERT ON trg_args
+            |FOR EACH ROW EXECUTE FUNCTION tag_row('web', '2')""".stripMargin)
+      run("""INSERT INTO trg_args
+            |SELECT c_custkey, c_custkey % 10, 'x'
+            |FROM customer WHERE c_custkey <= 100""".stripMargin)
+      // re-attach the SAME fn with different args for a second wave
+      run("DROP TRIGGER t_args ON trg_args")
+      run("""CREATE TRIGGER t_args2 BEFORE INSERT ON trg_args
+            |FOR EACH ROW EXECUTE FUNCTION tag_row('batch', 3)""".stripMargin)
+      run("""INSERT INTO trg_args
+            |SELECT c_custkey + 1000, c_custkey % 10, 'x'
+            |FROM customer WHERE c_custkey <= 50""".stripMargin)
+      run("SELECT id, v, src FROM trg_args ORDER BY id")
+    },
+
     // Statement-level triggers (commands/trigger.c FOR EACH STATEMENT;
     // r9): the audit-log migration shape — a trigger fn whose body is
     // straight-line DML (no NEW/OLD row context) fires ONCE per

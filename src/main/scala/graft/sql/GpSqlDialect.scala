@@ -252,7 +252,8 @@ object GpSqlDialect {
     CreateTriggerRe.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         return executeCreateTrigger(spark, m.group(1), m.group(2),
-          m.group(3), m.group(5), Option(m.group(4)))
+          m.group(3), m.group(5), Option(m.group(4)),
+          parseTriggerArgs(m.group(6), m.group(1)))
       case _ =>
         CreateStmtTrigTransRe.findFirstMatchIn(trimmed) match {
           case Some(m) =>
@@ -2804,7 +2805,8 @@ object GpSqlDialect {
   // TriggerEnabled); a false WHEN means the fn does not fire and the
   // row passes through UNCHANGED (not skipped).
   private case class TriggerDef(name: String, events: Set[String],
-    fn: String, when: Option[String] = None)
+    fn: String, when: Option[String] = None,
+    args: Seq[String] = Nil)
   // statement-level triggers (commands/trigger.c FOR EACH STATEMENT):
   // fire ONCE per DML statement, before or after it; the fn body is a
   // recorded straight-line DML sequence (triggerFnStmtBodies)
@@ -2825,7 +2827,34 @@ object GpSqlDialect {
       "(INSERT|UPDATE|INSERT\\s+OR\\s+UPDATE|UPDATE\\s+OR\\s+INSERT)\\s+" +
       "ON\\s+(\\w+)\\s+FOR\\s+EACH\\s+ROW\\s+" +
       "(?:WHEN\\s*\\((.+)\\)\\s+)?" +
-      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*\\(\\s*\\)\\s*$").r
+      "EXECUTE\\s+(?:FUNCTION|PROCEDURE)\\s+(\\w+)\\s*" +
+      "\\(\\s*([^)]*?)\\s*\\)\\s*$").r
+  /** Trigger arguments (commands/trigger.c tgargs → plpgsql TG_ARGV):
+    * PG passes every argument as TEXT; the supported literal forms
+    * are single-quoted strings and bare numerics. */
+  private def parseTriggerArgs(raw: String, trigName: String)
+      : Seq[String] =
+    splitTopLevelCommas(raw).map(_.trim).filter(_.nonEmpty).map {
+      case a if a.startsWith("'") && a.endsWith("'") && a.length >= 2 =>
+        a.substring(1, a.length - 1).replace("''", "'")
+      case a if a.matches("-?\\d+(\\.\\d+)?") => a
+      case bad => throw new UnsupportedOperationException(
+        s"trigger $trigName: argument $bad is not a quoted string or " +
+          "numeric literal (tgargs are constant text in PG)")
+    }
+  /** Bind TG_ARGV[n] tokens in a trigger-body expression to the
+    * attached trigger's argument literals. */
+  private def substTgArgs(e: String, args: Seq[String],
+      trigName: String): String =
+    "(?i)TG_ARGV\\s*\\[\\s*(\\d+)\\s*\\]".r.replaceAllIn(e, m => {
+      val n = m.group(1).toInt
+      if (n >= args.length)
+        throw new UnsupportedOperationException(
+          s"trigger $trigName: body references TG_ARGV[$n] but only " +
+            s"${args.length} argument(s) were attached")
+      java.util.regex.Matcher.quoteReplacement(
+        "'" + args(n).replace("'", "''") + "'")
+    })
   private val DropTriggerRe =
     "(?is)^\\s*DROP\\s+TRIGGER\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\s*$".r
   // statement-level shape: FOR EACH STATEMENT explicit, or omitted
@@ -3369,8 +3398,8 @@ object GpSqlDialect {
 
   def executeCreateTrigger(
       spark: SparkSession, trigName: String, eventsRaw: String,
-      table: String, fn: String, whenRaw: Option[String] = None)
-      : DataFrame = {
+      table: String, fn: String, whenRaw: Option[String] = None,
+      args: Seq[String] = Nil): DataFrame = {
     val fnLc = fn.toLowerCase
     if (!triggerFnBodies.contains(fnLc)) {
       val why = deferredPlpgsql.get(fnLc)
@@ -3399,10 +3428,23 @@ object GpSqlDialect {
             "only")
       t
     }
+    // TG_ARGV arity check at ATTACH time (PG validates lazily at fire;
+    // failing early beats a mid-DML error)
+    val argvRefs = (triggerFnBodies.getOrElse(fnLc, Nil).flatMap {
+      case TrigSkip(c) => Seq(c)
+      case TrigAssign(_, e) => Seq(e)
+    } ++ when.toSeq).flatMap(
+      "(?i)TG_ARGV\\s*\\[\\s*(\\d+)\\s*\\]".r.findAllMatchIn(_)
+        .map(_.group(1).toInt))
+    argvRefs.filter(_ >= args.length).sorted.headOption.foreach(n =>
+      throw new UnsupportedOperationException(
+        s"trigger $trigName: function $fn references TG_ARGV[$n] but " +
+          s"the trigger attaches only ${args.length} argument(s)"))
     val lc = table.toLowerCase
     tableTriggers(lc) = (tableTriggers.getOrElse(lc, Vector.empty)
       .filterNot(_.name == trigName.toLowerCase) :+
-      TriggerDef(trigName.toLowerCase, events, fnLc, when)).sortBy(_.name)
+      TriggerDef(trigName.toLowerCase, events, fnLc, when, args))
+      .sortBy(_.name)
     spark.emptyDataFrame
   }
 
@@ -3449,16 +3491,19 @@ object GpSqlDialect {
     val types = df.schema.map(f => f.name.toLowerCase -> (f.name, f.dataType))
       .toMap
     trigs.foldLeft(df) { (d, tg) =>
+      // TG_ARGV[n] binds to the ATTACHED trigger's argument literal —
+      // the same fn body can serve many tables with different args
+      def bind(e: String): String = substTgArgs(e, tg.args, tg.name)
       val entry = tg.when match {
         case Some(w) =>
           requireNoOld(tg.name, table, w)
-          d.withColumn("__trig_when", coalesce(expr(w), lit(false)))
+          d.withColumn("__trig_when", coalesce(expr(bind(w)), lit(false)))
         case None => d
       }
       val fired = triggerSteps(tg, table).foldLeft(entry) {
         case (dd, TrigSkip(c)) =>
           requireNoOld(tg.name, table, c)
-          val skip = coalesce(expr(c), lit(false))
+          val skip = coalesce(expr(bind(c)), lit(false))
           dd.filter(not(if (tg.when.isDefined)
             col("__trig_when") && skip else skip))
         case (dd, TrigAssign(cn, e)) =>
@@ -3466,7 +3511,7 @@ object GpSqlDialect {
           val (actual, dt) = types.getOrElse(cn,
             throw new IllegalArgumentException(
               s"trigger ${tg.name}: column $cn of $table does not exist"))
-          val v = expr(e).cast(dt)
+          val v = expr(bind(e)).cast(dt)
           dd.withColumn(actual, if (tg.when.isDefined)
             fnWhen(col("__trig_when"), v).otherwise(col(actual)) else v)
       }
@@ -3533,15 +3578,17 @@ object GpSqlDialect {
     }
     val skips = scala.collection.mutable.ArrayBuffer.empty[String]
     trigs.foreach { tg =>
+      // TG_ARGV[n] binds to this attachment's argument literal first
+      def bind(e: String): String = substTgArgs(e, tg.args, tg.name)
       // WHEN pins at trigger entry: substituted against the env BEFORE
       // this trigger's own assignments run (PG evaluates it once)
-      val wSub = tg.when.map(subst)
+      val wSub = tg.when.map(w => subst(bind(w)))
       def guard(c: String): String =
         wSub.fold(c)(w => s"coalesce(($w), false) AND ($c)")
       triggerSteps(tg, table).foreach {
-        case TrigSkip(c) => skips += guard(subst(c))
+        case TrigSkip(c) => skips += guard(subst(bind(c)))
         case TrigAssign(cn, e) =>
-          val applied = subst(e)
+          val applied = subst(bind(e))
           val v = wSub match {
             case Some(w) =>
               // unfired rows keep the incoming value: the SET/prior-

@@ -2873,6 +2873,18 @@ class ExpressionSpec extends AnyFunSuite {
             |FOR EACH STATEMENT EXECUTE FUNCTION trx_fn()""".stripMargin)
     }
     assert(e2.getMessage.contains("OLD TABLE"), e2.getMessage)
+    // TG_ARGV arity checks at attach time
+    run("""CREATE OR REPLACE FUNCTION trx_argfn() RETURNS trigger AS $$
+          |BEGIN
+          |  NEW.id := CAST(TG_ARGV[2] AS BIGINT);
+          |  RETURN NEW;
+          |END $$ LANGUAGE plpgsql""".stripMargin)
+    val e3 = intercept[UnsupportedOperationException] {
+      run("""CREATE TRIGGER trx_args BEFORE INSERT ON trx_t
+            |FOR EACH ROW EXECUTE FUNCTION trx_argfn('only-one')"""
+        .stripMargin)
+    }
+    assert(e3.getMessage.contains("TG_ARGV[2]"), e3.getMessage)
     run("DROP TABLE trx_t")
   }
 
