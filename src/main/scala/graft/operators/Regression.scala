@@ -753,6 +753,151 @@ object Regression {
       "n_nonzero")
   }
 
+  /** Elastic-net / lasso path at ANY feature count — lifts
+    * [[enetPath2]]'s 2-feature ceiling (MADlib `elastic_net_train`
+    * takes an arbitrary feature array). Same glmnet cyclic
+    * coordinate descent on STANDARDIZED features (Friedman et
+    * al. 2010 eq. 5): b_j ← S(c_j − Σ_{l≠j} r_jl·b_l, λα)/(1+λ(1−α)),
+    * micros-quantized per update; α = 1 degenerates to the lasso.
+    *
+    * Scale: ONE corpus scan collects the k(k+1)/2 + k + 1 Gram /
+    * cross moments (split-sum exact, map-combinable); the whole
+    * (λ × sweeps × k) descent is then driver algebra over that
+    * catalog-scale moment row — zero further scans at any data size,
+    * the lassoPath2 contract. The update order (ascending l, skipping
+    * j; ascending j per sweep) and every fp op mirror
+    * [[enetKOracleSql]]'s generated text exactly, so the path is
+    * bit-identical cross-engine. Returns one row per λ:
+    * (lambda, alpha, bstd_0…, b_0…, b0, n_nonzero). */
+  def enetPathK(
+      df: DataFrame, yCol: String, xCols: Seq[String],
+      lambdas: Seq[Double], alpha: Double, sweeps: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = xCols.length
+    val xs = xCols.map(c => col(c).cast("double"))
+    val y = col(yCol).cast("double")
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (xs.zipWithIndex.map { case (x, i) => Q.dsum(x, 6).as(s"sx_$i") } ++
+        Seq(Q.dsum(y, 6).as("sy")) ++
+        (for { i <- 0 until k; j <- i until k }
+          yield Q.dsum(xs(i) * xs(j), 6).as(s"sx_${i}_$j")) ++
+        (0 until k).map(i => Q.dsum(xs(i) * y, 6).as(s"sxy_$i")) :+
+        Q.dsum(y * y, 6).as("syy"))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g(nm: String) = r.getAs[Any](nm) match {
+      case d: java.lang.Double => d.doubleValue
+      case b: java.math.BigDecimal => b.doubleValue
+      case x: Number => x.doubleValue
+    }
+    val n = g("n")
+    val mu = (0 until k).map(i => g(s"sx_$i") / n)
+    val muy = g("sy") / n
+    val sig = (0 until k).map(i =>
+      math.sqrt(g(s"sx_${i}_$i") / n - mu(i) * mu(i)))
+    val sYd = math.sqrt(g("syy") / n - muy * muy)
+    def sxx(i: Int, j: Int) =
+      if (i <= j) g(s"sx_${i}_$j") else g(s"sx_${j}_$i")
+    val rho = Array.tabulate(k, k)((i, j) =>
+      if (i == j) 1.0
+      else (sxx(i, j) / n - mu(i) * mu(j)) / (sig(i) * sig(j)))
+    val c = (0 until k).map(i =>
+      (g(s"sxy_$i") / n - mu(i) * muy) / (sig(i) * sYd))
+    def q6(x: Double) = math.floor(x * 1000000d + 0.5) / 1000000d
+    def soft(z: Double, l: Double) =
+      if (z > l) z - l else if (z < -l) z + l else 0.0
+    lambdas.map { lam =>
+      val l1 = lam * alpha
+      val l2 = lam * (1.0 - alpha)
+      val b = Array.fill(k)(0.0)
+      for (_ <- 0 until sweeps; j <- 0 until k) {
+        var z = c(j)
+        for (l <- 0 until k if l != j) z = z - rho(j)(l) * b(l)
+        b(j) = q6(soft(z, l1) / (1.0 + l2))
+      }
+      val bo = (0 until k).map(j => b(j) * sYd / sig(j))
+      var b0 = muy
+      for (j <- 0 until k) b0 = b0 - bo(j) * mu(j)
+      Seq(1).toDF("__one").select(
+        lit(lam).as("lambda") +: lit(alpha).as("alpha") +:
+          ((0 until k).map(j => lit(b(j)).as(s"bstd_$j")) ++
+            (0 until k).map(j => lit(bo(j)).as(s"b_$j")) ++
+            Seq(lit(b0).as("b0"),
+              lit(b.count(_ != 0.0).toLong).as("n_nonzero"))): _*)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** DuckDB oracle for [[enetPathK]] — moments, standardization, and
+    * the CD recursion unrolled with the identical op order (nested
+    * single-row selects; one branch per λ UNION ALL'd). */
+  def enetKOracleSql(
+      table: String, yExpr: String, xExprs: Seq[String],
+      lambdas: Seq[Double], alpha: Double, sweeps: Int = 6): String = {
+    val k = xExprs.length
+    val xs = xExprs.map(e => s"CAST($e AS DOUBLE)")
+    val yd = s"CAST($yExpr AS DOUBLE)"
+    val moments = "CAST(count(*) AS DOUBLE) AS n" +:
+      (xs.zipWithIndex.map { case (x, i) =>
+        s"${Q.oSum(x, 6)} AS sx_$i" } ++
+        Seq(s"${Q.oSum(yd, 6)} AS sy") ++
+        (for { i <- 0 until k; j <- i until k }
+          yield s"${Q.oSum(s"${xs(i)} * ${xs(j)}", 6)} AS sx_${i}_$j") ++
+        (0 until k).map(i =>
+          s"${Q.oSum(s"${xs(i)} * $yd", 6)} AS sxy_$i") :+
+        s"${Q.oSum(s"$yd * $yd", 6)} AS syy")
+    def sxx(i: Int, j: Int) = if (i <= j) s"sx_${i}_$j" else s"sx_${j}_$i"
+    val std =
+      (0 until k).map(i => s"sx_$i / n AS mu_$i") ++
+        Seq("sy / n AS muy") ++
+        (0 until k).map(i =>
+          s"sqrt(sx_${i}_$i / n - (sx_$i / n) * (sx_$i / n)) AS sg_$i") ++
+        Seq("sqrt(syy / n - (sy / n) * (sy / n)) AS syd")
+    val corr =
+      (for { i <- 0 until k; j <- 0 until k if i != j }
+        yield s"(${sxx(i, j)} / n - mu_$i * mu_$j) / (sg_$i * sg_$j)" +
+          s" AS r_${i}_$j") ++
+        (0 until k).map(i =>
+          s"(sxy_$i / n - mu_$i * muy) / (sg_$i * syd) AS c_$i")
+    def branch(lam: Double): String = {
+      val l1 = lam * alpha
+      val l2 = lam * (1.0 - alpha)
+      val cur = Array.tabulate(k)(_ => "0.0e0")
+      var inner = "SELECT * FROM mm"
+      var step = 0
+      for (t <- 0 until sweeps; j <- 0 until k) {
+        var z = s"c_$j"
+        for (l <- 0 until k if l != j) z = s"($z - r_${j}_$l * ${cur(l)})"
+        val sz = s"CASE WHEN $z > CAST($l1 AS DOUBLE) THEN $z - " +
+          s"CAST($l1 AS DOUBLE) WHEN $z < -CAST($l1 AS DOUBLE) THEN " +
+          s"$z + CAST($l1 AS DOUBLE) ELSE 0.0e0 END"
+        val nm = s"bb_${step}_$j"
+        inner = s"SELECT *, floor(($sz) / (1.0e0 + CAST($l2 AS " +
+          s"DOUBLE)) * 1000000 + 0.5) / 1000000 AS $nm FROM ($inner)"
+        cur(j) = nm
+        step += 1
+      }
+      val bo = (0 until k).map(j => s"${cur(j)} * syd / sg_$j")
+      var b0 = "muy"
+      for (j <- 0 until k) b0 = s"($b0 - (${bo(j)}) * mu_$j)"
+      s"""SELECT CAST($lam AS DOUBLE) AS lambda,
+         |  CAST($alpha AS DOUBLE) AS alpha,
+         |  ${(0 until k).map(j => s"${cur(j)} AS bstd_$j")
+        .mkString(",\n  ")},
+         |  ${(0 until k).map(j => s"${bo(j)} AS b_$j")
+        .mkString(",\n  ")},
+         |  $b0 AS b0,
+         |  CAST(${(0 until k).map(j =>
+        s"CASE WHEN ${cur(j)} <> 0.0e0 THEN 1 ELSE 0 END")
+        .mkString(" + ")} AS BIGINT) AS n_nonzero
+         |FROM ($inner)""".stripMargin
+    }
+    s"""WITH m AS (SELECT ${moments.mkString(",\n  ")} FROM $table),
+       |ms AS (SELECT *, ${std.mkString(",\n  ")} FROM m),
+       |mm AS MATERIALIZED (SELECT *, ${corr.mkString(",\n  ")} FROM ms)
+       |${lambdas.map(branch).mkString("\nUNION ALL\n")}
+       |ORDER BY lambda""".stripMargin
+  }
+
   /** Gauss-Jordan solve of a p×p normal system as BATCHES of named
     * expressions over moment column names `m_i_j` (i ≤ j, symmetric)
     * and rhs `t_i`. The SAME text is evaluated by Spark (`expr`) and

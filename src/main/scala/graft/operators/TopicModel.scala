@@ -111,4 +111,124 @@ object TopicModel {
         q6(col("f1").cast("double") / col("tf1").cast("double")).as("p1"),
         q6(col("f2").cast("double") / col("tf2").cast("double")).as("p2"))
   }
+
+  /** PLSA EM at ANY topic count — lifts [[plsaEm2]]'s 2-topic column
+    * ceiling (MADlib `lda_train` takes an arbitrary num_topics). The
+    * topic dimension stays COLUMNS (t_0…t_{T-1} / p_0…p_{T-1}, no
+    * explode) so each EM round keeps the plsaEm2 plan shape: ONE
+    * equi-join with θ + broadcast φ, per-doc and per-word keyed
+    * aggregates, φ normalizer a 1-row scalar aggregate broadcast back
+    * (never a partition-less window). All mass flows as exact integer
+    * micros; init breaks symmetry per topic via the word's md5 bucket
+    * phase-shifted by 2t. Returns (theta(d, t_*), phi(w, p_*)). */
+  def plsaEmT(dwc: DataFrame, topics: Int, iterations: Int)
+      : (DataFrame, DataFrame) = {
+    require(topics >= 2, "plsaEmT needs >= 2 topics")
+    val T = topics
+    val rs = dwc.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    KernelCaches.register(rs)
+    val pert = conv(substring(md5(col("w")), 1, 2), 16, 10)
+      .cast("long") % 5
+    val raws = rs.select(col("w")).distinct()
+      .select(col("w") +: (0 until T).map(t =>
+        (lit(10L) + (pert + lit(2L * t)) % 5).as(s"r_$t")): _*)
+    val rtot = raws.agg(
+      sum(col("r_0")).as("tr_0"),
+      (1 until T).map(t => sum(col(s"r_$t")).as(s"tr_$t")): _*)
+    var phi = raws.crossJoin(broadcast(rtot))
+      .select(col("w") +: (0 until T).map(t =>
+        q6(col(s"r_$t").cast("double") / col(s"tr_$t").cast("double"))
+          .as(s"p_$t")): _*)
+      .localCheckpoint(true)
+    var theta = rs.select(col("d")).distinct()
+      .select(col("d") +: (0 until T).map(t =>
+        lit(1.0 / T).as(s"t_$t")): _*)
+      .localCheckpoint(true)
+    for (_ <- 0 until iterations) {
+      val gn = (0 until T).map(t => col(s"t_$t") * col(s"p_$t"))
+      val den = gn.reduce(_ + _)
+      val e = rs.join(theta, "d").join(broadcast(phi), "w")
+        .select(col("d") +: col("w") +:
+          ((0 until T).map(t =>
+            floor(col("c") * (gn(t) / den) * lit(1000000d) + lit(0.5))
+              .cast("long").as(s"m_$t")) :+
+            (col("c") * lit(1000000d)).cast("long").as("cm")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      KernelCaches.register(e)
+      theta = e.groupBy(col("d"))
+        .agg(sum(col("m_0")).as("s_0"),
+          (1 until T).map(t => sum(col(s"m_$t")).as(s"s_$t")) :+
+            sum(col("cm")).as("sm"): _*)
+        .select(col("d") +: (0 until T).map(t =>
+          q6(col(s"s_$t").cast("double") / col("sm").cast("double"))
+            .as(s"t_$t")): _*)
+        .localCheckpoint(true)
+      val perWord = e.groupBy(col("w"))
+        .agg(sum(col("m_0")).as("f_0"),
+          (1 until T).map(t => sum(col(s"m_$t")).as(s"f_$t")): _*)
+      val tot = e.agg(sum(col("m_0")).as("tf_0"),
+        (1 until T).map(t => sum(col(s"m_$t")).as(s"tf_$t")): _*)
+      phi = perWord.crossJoin(broadcast(tot))
+        .select(col("w") +: (0 until T).map(t =>
+          q6(col(s"f_$t").cast("double") / col(s"tf_$t").cast("double"))
+            .as(s"p_$t")): _*)
+        .localCheckpoint(true)
+    }
+    (theta, phi)
+  }
+
+  /** DuckDB oracle for [[plsaEmT]] — the q_ml_lda CTE unroll at any
+    * topic count. `dwSelect` must yield (d, w, c double); emits
+    * `SELECT w, p_0…p_{T-1} FROM ph<iters> ORDER BY w`. */
+  def plsaTOracleSql(dwSelect: String, topics: Int, iterations: Int)
+      : String = {
+    val T = topics
+    def q6s(x: String) = s"floor($x * 1000000 + 0.5) / 1000000"
+    val den = (0 until T).map(t => s"t_$t * p_$t")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val rounds = (1 to iterations).map { i =>
+      s"""e$i AS MATERIALIZED (SELECT d, w,
+         |    ${(0 until T).map(t =>
+        s"CAST(floor(c * ((t_$t * p_$t) / $den) * 1000000 + 0.5) " +
+          s"AS BIGINT) AS m_$t").mkString(",\n    ")},
+         |    CAST(c * 1000000 AS BIGINT) AS cm
+         |  FROM dw JOIN th${i - 1} USING (d) JOIN ph${i - 1} USING (w)),
+         |th$i AS MATERIALIZED (SELECT d,
+         |    ${(0 until T).map(t =>
+        s"${q6s(s"CAST(s_$t AS DOUBLE) / CAST(sm AS DOUBLE)")} AS t_$t")
+        .mkString(",\n    ")}
+         |  FROM (SELECT d, ${(0 until T).map(t =>
+        s"sum(m_$t) AS s_$t").mkString(", ")}, sum(cm) AS sm
+         |    FROM e$i GROUP BY 1)),
+         |pw$i AS (SELECT w, ${(0 until T).map(t =>
+        s"sum(m_$t) AS f_$t").mkString(", ")} FROM e$i GROUP BY 1),
+         |pt$i AS (SELECT ${(0 until T).map(t =>
+        s"sum(m_$t) AS tf_$t").mkString(", ")} FROM e$i),
+         |ph$i AS MATERIALIZED (SELECT w,
+         |    ${(0 until T).map(t =>
+        s"${q6s(s"CAST(f_$t AS DOUBLE) / CAST(tf_$t AS DOUBLE)")} AS p_$t")
+        .mkString(",\n    ")}
+         |  FROM pw$i CROSS JOIN pt$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dw AS MATERIALIZED ($dwSelect),
+       |praw AS (SELECT DISTINCT w,
+       |    CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) % 5 AS pr
+       |  FROM dw),
+       |r0 AS (SELECT w, ${(0 until T).map(t =>
+      s"10 + (pr + ${2 * t}) % 5 AS r_$t").mkString(", ")} FROM praw),
+       |rt AS (SELECT ${(0 until T).map(t =>
+      s"sum(r_$t) AS tr_$t").mkString(", ")} FROM r0),
+       |ph0 AS MATERIALIZED (SELECT w,
+       |    ${(0 until T).map(t =>
+      s"${q6s(s"CAST(r_$t AS DOUBLE) / CAST(tr_$t AS DOUBLE)")} AS p_$t")
+      .mkString(",\n    ")}
+       |  FROM r0 CROSS JOIN rt),
+       |th0 AS MATERIALIZED (SELECT DISTINCT d,
+       |    ${(0 until T).map(t =>
+      s"CAST(${1.0 / T} AS DOUBLE) AS t_$t").mkString(", ")} FROM dw),
+       |$rounds
+       |SELECT w, ${(0 until T).map(t => s"p_$t").mkString(", ")}
+       |FROM ph$iterations ORDER BY w""".stripMargin
+  }
 }

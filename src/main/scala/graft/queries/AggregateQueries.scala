@@ -679,6 +679,42 @@ object AggregateQueries {
         .orderBy("lambda")
     },
 
+    // Elastic net at ANY feature count (lifts enetPath2's 2-feature
+    // ceiling): 4 standardized features, cyclic glmnet CD, the whole
+    // (λ × sweeps × k) path driver algebra over ONE Gram-moment scan.
+    // The oracle replays the identical recursion (generated nested
+    // selects, one branch per λ).
+    Q("q_ml_enet_k", Some {
+      val inner = graft.operators.Regression.enetKOracleSql(
+        "lineitem", "l_extendedprice / 100000.0",
+        Seq("l_quantity / 50.0", "l_discount * 10.0", "l_tax * 10.0",
+          "l_linenumber / 7.0"),
+        lambdas = Seq(0.02, 0.1), alpha = 0.5, sweeps = 4)
+      s"""SELECT lambda, alpha,
+         |  bstd_0, bstd_1, bstd_2, bstd_3,
+         |  round(b_0, 6) AS bo_0, round(b_1, 6) AS bo_1,
+         |  round(b_2, 6) AS bo_2, round(b_3, 6) AS bo_3,
+         |  round(b0, 6) AS b0, n_nonzero
+         |FROM ($inner) ORDER BY lambda""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.T(s, dir).lineitem.select(
+        ($"l_extendedprice" / lit(100000.0)).as("yy"),
+        ($"l_quantity" / lit(50.0)).as("f1"),
+        ($"l_discount" * lit(10.0)).as("f2"),
+        ($"l_tax" * lit(10.0)).as("f3"),
+        ($"l_linenumber" / lit(7.0)).as("f4"))
+      graft.operators.Regression.enetPathK(li, "yy",
+        Seq("f1", "f2", "f3", "f4"),
+        lambdas = Seq(0.02, 0.1), alpha = 0.5, sweeps = 4)
+        .select($"lambda", $"alpha",
+          $"bstd_0", $"bstd_1", $"bstd_2", $"bstd_3",
+          round($"b_0", 6).as("bo_0"), round($"b_1", 6).as("bo_1"),
+          round($"b_2", 6).as("bo_2"), round($"b_3", 6).as("bo_3"),
+          round($"b0", 6).as("b0"), $"n_nonzero")
+        .orderBy("lambda")
+    },
+
     // Cox proportional hazards (MADlib coxph_train; Cox 1972; Breslow
     // ties, stratified by event type, 3 fixed Newton rounds from β=0 —
     // MADlib's own optimizer is Newton, so only the iteration count is

@@ -2122,6 +2122,39 @@ object PipelineQueries {
       phi.select($"w", $"p1", $"p2").orderBy("w")
     },
 
+    // PLSA at ANY topic count (lifts plsaEm2's 2-topic column
+    // ceiling; MADlib lda num_topics): 3 topics as columns, 2 EM
+    // rounds over the same top-100-vocab doc-word matrix — identical
+    // plan shape per round (θ equi-join + broadcast φ + keyed
+    // aggregates + scalar normalizers), exact integer-micros mass.
+    Q("q_ml_lda_k", Some(
+      graft.operators.TopicModel.plsaTOracleSql(
+        """SELECT d, w, CAST(count(*) AS DOUBLE) AS c
+          |  FROM (SELECT doc_id AS d, unnest($toks) AS w
+          |        FROM documents) tk
+          |  JOIN (SELECT w FROM (
+          |      SELECT w, count(*) AS cnt FROM (
+          |        SELECT unnest($toks) AS w FROM documents)
+          |      GROUP BY 1 ORDER BY cnt DESC, w LIMIT 100)) vc
+          |    USING (w)
+          |  GROUP BY 1, 2""".stripMargin
+          .replace("$toks", toks),
+        topics = 3, iterations = 2))) { (s, dir) =>
+      import s.implicits._
+      val tk = Tables.T(s, dir).documents
+        .select($"doc_id".as("d"), explode(
+          filter(split(lower(trim($"text")), "\\s+"),
+            t => length(t) > 0)).as("w"))
+      val vc = tk.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w").limit(100).select("w")
+      val dwc = tk.join(vc, "w")
+        .groupBy($"d", $"w").agg(count(lit(1)).cast("double").as("c"))
+      val (_, phi) =
+        graft.operators.TopicModel.plsaEmT(dwc, topics = 3,
+          iterations = 2)
+      phi.select($"w", $"p_0", $"p_1", $"p_2").orderBy("w")
+    },
+
     // Exact all-pairs TF-IDF cosine over the inverted-index join —
     // weighted multiset similarity between every document pair sharing
     // a sub-cap token (gp_sparse_vector's workload). df cap 400 drops

@@ -1186,6 +1186,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(users.count() == 3 && items.count() == 3)
   }
 
+  test("Regression.enetPathK is bit-equal to enetPath2 at k=2 and " +
+    "sparsifies with lambda at k=4") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      val x1 = (i % 10) / 10.0; val x2 = (i % 7) / 7.0
+      val x3 = (i % 5) / 5.0; val x4 = (i % 3) / 3.0
+      (1.0 + 2.0 * x1 - 1.0 * x2 + 0.05 * x3 +
+        ((i * 13) % 11 - 5) / 50.0, x1, x2, x3, x4)
+    }.toDF("y", "x1", "x2", "x3", "x4")
+    val k2 = graft.operators.Regression.enetPathK(df, "y",
+      Seq("x1", "x2"), lambdas = Seq(0.05), alpha = 0.5, sweeps = 6)
+      .collect()(0)
+    val two = graft.operators.Regression.enetPath2(df, "y", "x1", "x2",
+      lambdas = Seq(0.05), alpha = 0.5, sweeps = 6).collect()(0)
+    // identical recursion at k=2: standardized coefs are bit-equal
+    assert(k2.getAs[Double]("bstd_0") == two.getAs[Double]("b1_std") &&
+      k2.getAs[Double]("bstd_1") == two.getAs[Double]("b2_std"),
+      s"$k2 vs $two")
+    // heavier penalty keeps fewer features; weak x3/x4 die first
+    val path = graft.operators.Regression.enetPathK(df, "y",
+      Seq("x1", "x2", "x3", "x4"), lambdas = Seq(0.01, 0.4),
+      alpha = 1.0, sweeps = 6).collect()
+    val nzSmall = path(0).getAs[Long]("n_nonzero")
+    val nzBig = path(1).getAs[Long]("n_nonzero")
+    assert(nzBig < nzSmall, s"path did not sparsify: $nzSmall -> $nzBig")
+    assert(path(1).getAs[Double]("bstd_0") != 0.0,
+      "the strongest feature should survive lambda=0.4")
+  }
+
   test("Survival.coxFitK is bit-equal to coxFit1 at p=1 and fits " +
     "a 3-covariate hazard") {
     import spark.implicits._
@@ -1304,6 +1333,33 @@ class OperatorSpec extends AnyFunSuite {
         math.abs(r.getDouble(2) - a2) < 1e-4,
         s"alsK(rank=2) diverged from als2 at u=${r.getLong(0)}")
     }
+  }
+
+  test("TopicModel.plsaEmT separates a three-cluster corpus at T=3") {
+    import spark.implicits._
+    val docs =
+      (0 until 5).map(i => (i.toLong, "apple banana cherry apple")) ++
+        (5 until 10).map(i => (i.toLong, "xray yankee zulu xray")) ++
+        (10 until 15).map(i => (i.toLong, "mango nectar olive mango"))
+    val tk = docs.toDF("d", "text")
+      .select($"d", explode(split($"text", " ")).as("w"))
+    val dwc = tk.groupBy("d", "w").agg(count(lit(1)).cast("double").as("c"))
+    val (theta, phi) = graft.operators.TopicModel.plsaEmT(dwc,
+      topics = 3, iterations = 10)
+    // each doc cluster concentrates on ONE topic, and the three
+    // clusters claim three DISTINCT topics
+    val th = theta.collect().map(r => r.getLong(0) ->
+      (1 to 3).map(r.getDouble).zipWithIndex.maxBy(_._1)._2).toMap
+    val cl = Seq(0L, 5L, 10L).map(th)
+    assert(cl.distinct.length == 3,
+      s"clusters collapsed onto topics $cl")
+    (0 until 15).foreach(d => assert(th(d.toLong) == cl(d / 5),
+      s"doc $d strayed from its cluster topic"))
+    // φ rows are distributions: each topic column sums to ~1
+    val sums = phi.agg(sum($"p_0"), sum($"p_1"), sum($"p_2"))
+      .collect()(0)
+    (0 to 2).foreach(t =>
+      assert(math.abs(sums.getDouble(t) - 1.0) < 1e-3, sums.toString))
   }
 
   test("TopicModel.plsaEm2 separates a two-cluster corpus") {
