@@ -819,6 +819,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_enet_k: the whole CD path reads ONE moment aggregate — " +
+    "no join, no window in the scan plan") {
+    // enetPathK's collect() is the single Gram-moment row (catalog
+    // scale); the returned frame is literal rows, so gate the moment
+    // scan the way the operator builds it
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 1.0, 0.5), (3.0, 4.0, 1.0))
+      .toDF("y", "x1", "x2")
+    val xs = Seq(col("x1").cast("double"), col("x2").cast("double"))
+    val y = col("y").cast("double")
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (xs.zipWithIndex.map { case (x, i) =>
+        graft.queries.Q.dsum(x, 6).as(s"sx_$i") } ++
+        (for { i <- 0 until 2; j <- i until 2 }
+          yield graft.queries.Q.dsum(xs(i) * xs(j), 6)
+            .as(s"sx_${i}_$j")) ++
+        Seq(graft.queries.Q.dsum(y * y, 6).as("syy")))
+    val p = df.agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("WindowExec"),
+      s"the Gram scan must be one aggregate:\n$p")
+  }
+
   test("q_ml_ols_k: one moment aggregate, Gauss-Jordan is scalar " +
     "algebra — no join, no window, no second scan") {
     val p = plan("q_ml_ols_k")

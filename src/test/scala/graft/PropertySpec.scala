@@ -18,6 +18,41 @@ class PropertySpec extends AnyFunSuite {
   private val kvGen = Gen.nonEmptyListOf(
     Gen.zip(Gen.choose(1, 5), Gen.alphaStr.map(_.take(6))))
 
+  test("gjInvBatches yields a true inverse on random SPD moment rows") {
+    import spark.implicits._
+    // random PD matrices via A = B·Bᵀ + I over generated B entries;
+    // evaluate the generated batch text on a 1-row frame and check
+    // A·A⁻¹ ≈ I (the same expression path robustSeK uses)
+    val entryGen = Gen.choose(-30, 30).map(_ / 7.0)
+    for (p <- 2 to 4) {
+      val bs = samples(Gen.listOfN(p * p, entryGen), 3)
+        .filter(_.length == p * p)
+      bs.take(3).foreach { flat =>
+        val b = Array.tabulate(p, p)((i, j) => flat(i * p + j))
+        val a = Array.tabulate(p, p)((i, j) =>
+          (0 until p).map(l => b(i)(l) * b(j)(l)).sum +
+            (if (i == j) 1.0 else 0.0))
+        val momentCols = for { i <- 0 until p; j <- i until p }
+          yield lit(a(i)(j)).as(s"m_${i}_$j")
+        val (batches, _) = Regression.gjInvBatches(p)
+        val solved = batches.foldLeft(
+          Seq(1).toDF("__one").select(momentCols: _*)) { (d, batch) =>
+          d.select(col("*") +: batch.map { case (n, e) =>
+            expr(e).as(n) }: _*)
+        }
+        val inv = solved.select((for { i <- 0 until p; q <- 0 until p }
+          yield col(s"iv${p - 1}_${i}_$q")): _*).collect()(0)
+        def invAt(i: Int, q: Int) = inv.getDouble(i * p + q)
+        for (i <- 0 until p; j <- 0 until p) {
+          val prod = (0 until p).map(l => a(i)(l) * invAt(l, j)).sum
+          val expect = if (i == j) 1.0 else 0.0
+          assert(math.abs(prod - expect) < 1e-8,
+            s"p=$p (A*Ainv)($i,$j) = $prod")
+        }
+      }
+    }
+  }
+
   test("range algebra invariants on arbitrary integer ranges") {
     import spark.implicits._
     import graft.functions.RangeFunctions._
