@@ -1652,12 +1652,15 @@ object StorageQueries {
     // <<outer>>/<<inner>> nested LOOPs where EXIT outer / CONTINUE
     // outer unwind PAST the inner loop — the signal climbs to the
     // matching label. CONTINUE outer truncates each inner scan at the
-    // first i*j > 6, so the reached (i, j) set is exactly i*j <= 6.
+    // first i*j > 5, so the reached (i, j) set is exactly i*j <= 5.
+    // (Driver-side interpreter contract — each iteration costs Spark
+    // jobs, so the fixture is the smallest lattice that exercises
+    // both labeled signals.)
     Q("q_sql_loop_label", Some(
       """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
-        |FROM generate_series(1, 5) s(i)
-        |CROSS JOIN generate_series(1, 5) t(j)
-        |WHERE i * j <= 6 ORDER BY i, j""".stripMargin)) { (s, dir) =>
+        |FROM generate_series(1, 4) s(i)
+        |CROSS JOIN generate_series(1, 4) t(j)
+        |WHERE i * j <= 5 ORDER BY i, j""".stripMargin)) { (s, dir) =>
       Tables.registerAll(s, dir)
       val base = tmp("loop_label")
       def run(sql: String) = GpSqlDialect.execute(s, sql, base)
@@ -1671,13 +1674,13 @@ object StorageQueries {
             |  <<outer>>
             |  LOOP
             |    i := i + 1;
-            |    EXIT outer WHEN i > 5;
+            |    EXIT outer WHEN i > 4;
             |    j := 0;
             |    <<inner>>
             |    LOOP
             |      j := j + 1;
-            |      EXIT inner WHEN j > 5;
-            |      CONTINUE outer WHEN i * j > 6;
+            |      EXIT inner WHEN j > 4;
+            |      CONTINUE outer WHEN i * j > 5;
             |      INSERT INTO lbl_out VALUES (i, j);
             |    END LOOP inner;
             |  END LOOP outer;

@@ -819,6 +819,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_svm_k / q_ml_cox_k: state relations broadcast; " +
+    "aggregates keep map-side partials; never cartesian") {
+    // (q_ml_mlp_k's returned frame is a localCheckpoint scan — its
+    // round shape is gated by the builder probe below instead)
+    Seq("q_ml_svm_k", "q_ml_cox_k").foreach { q =>
+      val p = plan(q).split("== Initial Plan ==").head
+      assert(p.contains("partial_"),
+        s"$q: moment/gradient aggregates need map-side partials:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: the 1-row state must broadcast, never cartesian:\n$p")
+      assert(p.contains("Broadcast"),
+        s"$q: expected the broadcast state join:\n$p")
+    }
+  }
+
+  test("mlpFitK round: one gradient aggregate over the broadcast " +
+    "1-row weight state — partials present, never cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.NeuralNet.KText
+    val (k, hidden) = (2, 2)
+    val rows = Seq((0.1, 0.2, 0.3), (0.4, 0.5, 0.6))
+      .toDF("x1", "x2", "y")
+    val names = KText.wNames(k, hidden)
+    val w = Seq(1).toDF("__one").select(
+      names.zip(KText.wInit(k, hidden)).map { case (nm, v) =>
+        lit(v).as(nm) }: _*)
+    val aggs = expr("CAST(count(*) AS DOUBLE)").as("n") +:
+      KText.grads(k, hidden).map { case (g, t) => expr(t).as(g) }
+    val p = rows.crossJoin(broadcast(w))
+      .groupBy(names.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"),
+      s"gradient aggregate needs map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") && p.contains("Broadcast"),
+      s"the weight state must broadcast:\n$p")
+  }
+
   test("q_ml_enet_k: the whole CD path reads ONE moment aggregate — " +
     "no join, no window in the scan plan") {
     // enetPathK's collect() is the single Gram-moment row (catalog
