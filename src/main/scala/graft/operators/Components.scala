@@ -110,21 +110,28 @@ object Components {
       .union(edges.select(col("dst").as("id"))).distinct())
     var hub = nodes.select(col("id"), lit(1.0).as("s"))
     var auth = nodes.select(col("id"), lit(0.0).as("s"))
+    // Checkpoint the raw (un-normalized) scores BEFORE the norm's scalar
+    // action: the norm reduction then reads the materialized relation and
+    // the normalized result is a projection over it — ONE corpus-scale
+    // execution per half-round. (Normalizing first and checkpointing after
+    // ran the edge join + aggregate TWICE per half-round: once under the
+    // norm's collect, once under the eager checkpoint.)
     def normalize(v: DataFrame): DataFrame = {
-      val norm = math.sqrt(v.agg(sum(col("s") * col("s"))).head.getDouble(0))
-      v.select(col("id"), (col("s") / lit(norm)).as("s"))
+      val vm = cut(v)
+      val norm = math.sqrt(vm.agg(sum(col("s") * col("s"))).head.getDouble(0))
+      vm.select(col("id"), (col("s") / lit(norm)).as("s"))
     }
     for (_ <- 0 until iterations) {
-      auth = cut(normalize(nodes
+      auth = normalize(nodes
         .join(edges.join(broadcast(hub), edges("src") === hub("id"))
           .groupBy(col("dst").as("nid")).agg(sum(col("s")).as("c")),
           nodes("id") === col("nid"), "left")
-        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s"))))
-      hub = cut(normalize(nodes
+        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s")))
+      hub = normalize(nodes
         .join(edges.join(broadcast(auth), edges("dst") === auth("id"))
           .groupBy(col("src").as("nid")).agg(sum(col("s")).as("c")),
           nodes("id") === col("nid"), "left")
-        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s"))))
+        .select(col("id"), coalesce(col("c"), lit(0.0)).as("s")))
     }
     nodes.join(hub.select(col("id"), col("s").as("hub")), "id")
       .join(auth.select(col("id"), col("s").as("auth")), "id")

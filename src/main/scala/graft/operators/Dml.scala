@@ -33,13 +33,19 @@ object Dml {
 
   private def overwriteInPlace(
       spark: SparkSession, path: String, next: DataFrame,
-      partitionCols: Seq[String] = Seq.empty): Unit = {
+      partitionCols: Seq[String] = Seq.empty,
+      validate: () => Unit = () => ()): Unit = {
     val tmp = path + ".cow-tmp"
     val old = path + ".cow-old"
     val keep = partitionCols.filter(next.columns.map(_.toLowerCase)
       .contains(_))
     val w = next.write.mode("overwrite")
     (if (keep.nonEmpty) w.partitionBy(keep: _*) else w).parquet(tmp)
+    // post-write, pre-swap validation hook: a failed contract (e.g. the
+    // UPDATE ... FROM multi-match guard) aborts BEFORE the rename, so the
+    // published table is untouched — same visible semantics as checking
+    // up front, without a second execution of the rewrite dataflow
+    validate()
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(old), true) // leftover from a previous crash
@@ -123,16 +129,22 @@ object Dml {
     // corrupt the table (PG's UPDATE ... FROM updates such a row once,
     // from an arbitrary match — data-dependent nondeterminism we refuse
     // rather than replicate). nBefore is parquet footer metadata; the
-    // nAfter count re-executes the join once — the price of a loud
-    // contract on a mutation primitive.
+    // join-result count rides the WRITE dataflow as an observed metric
+    // (r9 optimization: the previous standalone updated.count() executed
+    // the join a second time), and a violation aborts before the
+    // tmp→live rename, so the published table is never touched.
     val nBefore = df.count()
-    val nAfter = updated.count()
-    require(nAfter == nBefore,
-      s"UPDATE ... FROM matched multiple source rows for at least one " +
-        s"target row ($nBefore target rows, $nAfter join results) — " +
-        "PG would pick one match arbitrarily; dedup the source on the " +
-        "join keys instead")
-    overwriteInPlace(spark, path, updated)
+    val obs = org.apache.spark.sql.Observation()
+    overwriteInPlace(spark, path,
+      updated.observe(obs, count(lit(1)).as("n_rows")),
+      validate = () => {
+        val nAfter = obs.get("n_rows").asInstanceOf[Long]
+        require(nAfter == nBefore,
+          s"UPDATE ... FROM matched multiple source rows for at least " +
+            s"one target row ($nBefore target rows, $nAfter join results)" +
+            " — PG would pick one match arbitrarily; dedup the source on" +
+            " the join keys instead")
+      })
   }
 
   /** Hive directory name for one partition value: special characters use

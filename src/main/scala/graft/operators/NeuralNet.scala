@@ -173,24 +173,37 @@ object NeuralNet {
     val spark = df.sparkSession
     import spark.implicits._
     val names = KText.wNames(k, hidden)
-    var w = Seq(1).toDF("__one").select(
-      names.zip(KText.wInit(k, hidden)).map { case (nm, v) =>
-        lit(v).as(nm) }: _*)
-    var out: DataFrame = null
+    // 1-row weight state driver-ferried between rounds (r9): the
+    // broadcast build already collected the row to the driver every
+    // round inside BroadcastExchange — the explicit ferry is the same
+    // bytes without the per-round eager-checkpoint job. Exact binary
+    // round-trip; the [[KText]] expression strings are unchanged, so
+    // cross-engine state stays bit-identical.
+    val outSchema = org.apache.spark.sql.types.StructType(
+      names.map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DoubleType)) ++
+        Seq(org.apache.spark.sql.types.StructField("mse",
+          org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))
+    var outRow: org.apache.spark.sql.Row = org.apache.spark.sql.Row
+      .fromSeq(KText.wInit(k, hidden) ++ Seq(0.0, 0L))
+    def outDf(): DataFrame = spark.createDataFrame(
+      java.util.Collections.singletonList(outRow), outSchema)
     for (_ <- 1 to iterations) {
-      val joined = rows.crossJoin(broadcast(w.select(names.map(col): _*)))
+      val joined = rows.crossJoin(
+        broadcast(outDf().select(names.map(col): _*)))
       val aggs = expr("CAST(count(*) AS DOUBLE)").as("n") +:
         KText.grads(k, hidden).map { case (g, t) => expr(t).as(g) }
       val g = joined.groupBy(names.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      out = g.select(names.map(wn =>
+      outRow = g.select(names.map(wn =>
         expr(KText.upd(wn, s"g_$wn", eta)).as(wn)) ++
         Seq((col("loss") / col("n")).as("mse"),
           expr("CAST(n AS BIGINT)").as("n")): _*)
-        .localCheckpoint(true)
-      w = out.select(names.map(col): _*)
+        .head()
     }
-    out
+    outDf()
   }
 
   /** DuckDB oracle for [[mlpFitK]] — the identical [[KText]] strings

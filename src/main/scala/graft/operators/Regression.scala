@@ -168,8 +168,21 @@ object Regression {
     KernelCaches.register(rows)
     def q6c(c: Column): Column =
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
-    var coef = Seq((0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-      .toDF("a0", "a1", "a2", "c0", "c1", "c2") // class1: a*, class2: c*
+    // 1-row coefficient state driver-ferried between epochs (r9): the
+    // broadcast build was already collecting these rows to the driver
+    // every epoch inside BroadcastExchange; doing it explicitly skips
+    // the per-epoch eager-checkpoint job. Binary doubles round-trip
+    // exactly — no formatting touches the state.
+    val ferrySchema = org.apache.spark.sql.types.StructType(
+      Seq("a0", "a1", "a2", "c0", "c1", "c2").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))
+    var st: org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L)
+    def coef: org.apache.spark.sql.DataFrame = spark.createDataFrame(
+      java.util.Collections.singletonList(st), ferrySchema).drop("n")
     for (_ <- 0 until epochs) {
       val z1 = col("a0") + col("a1") * col("x1") + col("a2") * col("x2")
       val z2 = col("c0") + col("c1") * col("x1") + col("c2") * col("x2")
@@ -189,13 +202,11 @@ object Regression {
           g(2, p2, col("x2")).as("g22"))
       def upd(b: String, gc: String) =
         q6c(col(b) + lit(eta) * col(gc) / col("n").cast("double")).as(b)
-      // cut lineage per epoch (the als2 pattern): without this the
-      // plan re-derives every prior epoch through the crossJoin chain
-      coef = m.select(upd("a0", "g10"), upd("a1", "g11"), upd("a2", "g12"),
+      st = m.select(upd("a0", "g10"), upd("a1", "g11"), upd("a2", "g12"),
         upd("c0", "g20"), upd("c1", "g21"), upd("c2", "g22"),
-        col("n")).localCheckpoint(true)
+        col("n")).head()
     }
-    val r = coef.head()
+    val r = st
     Seq((1, r.getLong(6), r.getDouble(0), r.getDouble(1), r.getDouble(2)),
       (2, r.getLong(6), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       .toDF("cls", "n", "b0", "b1", "b2")
@@ -234,9 +245,21 @@ object Regression {
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
     val bnames =
       for { k <- 1 until kk; j <- 0 until p } yield s"b_${k}_$j"
-    import spark.implicits._
-    var coef = Seq(1).toDF("__one")
-      .select(bnames.map(n => lit(0.0).as(n)): _*)
+    // 1-row coefficient state driver-ferried as a LocalRelation (the
+    // logregFitK r9 shape: exact binary round-trip, no checkpoint /
+    // broadcast-build jobs per epoch); the softmax probabilities are
+    // pre-projected below the aggregate (the oracle's inner-SELECT
+    // shape), so each gradient sum is a 3-term product instead of an
+    // inlined K-way exp/softmax chain
+    val stSchema = org.apache.spark.sql.types.StructType(
+      bnames.map(n => org.apache.spark.sql.types.StructField(
+        n, org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField(
+          "n", org.apache.spark.sql.types.LongType))
+    var stRow: org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row.fromSeq(Seq.fill(bnames.size)(0.0) :+ 0L)
+    def local(): DataFrame = spark.createDataFrame(
+      java.util.Collections.singletonList(stRow), stSchema)
     val xs: Seq[Column] =
       lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
     for (_ <- 0 until epochs) {
@@ -248,25 +271,30 @@ object Regression {
       }.toMap
       val den = (1 until kk).foldLeft(lit(1.0): Column)(
         (acc, k) => acc + es(k))
-      def gcol(k: Int, j: Int): Column = {
-        val pk = es(k) / den
+      val preCols: Seq[Column] = bnames.map(col) ++
+        (0 until p).map(j => xs(j).as(s"xx_$j")) ++
+        Seq(col("yk")) ++
+        (1 until kk).map(k => (es(k) / den).as(s"p_$k"))
+      val pre = rows.crossJoin(broadcast(local().drop("n")))
+        .select(preCols: _*)
+      def gcol(k: Int, j: Int): Column =
         Q.dsum(q6c(
-          (when(col("yk") === k, 1.0).otherwise(0.0) - pk) * xs(j)), 6)
-      }
+          (when(col("yk") === k, 1.0).otherwise(0.0) - col(s"p_$k"))
+            * col(s"xx_$j")), 6)
       val aggs = count(lit(1)).as("n") +:
         (for { k <- 1 until kk; j <- 0 until p }
           yield gcol(k, j).as(s"g_${k}_$j"))
-      val m = rows.crossJoin(broadcast(coef))
+      val m = pre
         .groupBy(bnames.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      coef = m.select(
+      stRow = m.select(
         (for { k <- 1 until kk; j <- 0 until p } yield
           q6c(col(s"b_${k}_$j") +
             lit(eta) * col(s"g_${k}_$j") / col("n").cast("double"))
             .as(s"b_${k}_$j")) :+ col("n"): _*)
-        .localCheckpoint(eager = true)
+        .head()
     }
-    val r = coef.head()
+    val r = stRow
     val n = r.getAs[Long]("n")
     val out = (1 until kk).map { k =>
       Row.fromSeq(k +: n +:
@@ -1184,6 +1212,7 @@ object Regression {
   def logregFitK(
       df: DataFrame, groupCol: String, yCol: String,
       xCols: Seq[String], iterations: Int = 4): DataFrame = {
+    val spark = df.sparkSession
     val p = xCols.length + 1
     val rows = df.select(col(groupCol).as("grp") +:
       col(yCol).cast("double").as("y") +:
@@ -1195,8 +1224,29 @@ object Regression {
       lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
     def q6c(c: Column): Column =
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
-    var coef = rows.select(col("grp")).distinct()
-      .select(col("grp") +: (0 until p).map(i => lit(0.0).as(s"b_$i")): _*)
+    // Per-epoch coefficient state rides the DRIVER as collected rows
+    // re-embedded as a LocalRelation (r9 optimization): the state is
+    // catalog-scale by contract (distinct groups × p doubles — the same
+    // rows the previous eager localCheckpoint materialized and then
+    // broadcast), and the round-trip is exact (binary doubles, no
+    // formatting). This removes two jobs per epoch (the checkpoint
+    // count + the broadcast build over the checkpointed RDD) — at any
+    // data scale the per-epoch work stays ONE aggregate scan.
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "grp", rows.schema("grp").dataType) +:
+        org.apache.spark.sql.types.StructField(
+          "nl", org.apache.spark.sql.types.LongType) +:
+        (0 until p).map(i => org.apache.spark.sql.types.StructField(
+          s"b_$i", org.apache.spark.sql.types.DoubleType)))
+    var coefRows: Seq[org.apache.spark.sql.Row] =
+      rows.select(col("grp")).distinct().collect().toSeq
+        .map(r => org.apache.spark.sql.Row.fromSeq(
+          r.get(0) +: 0L +: Seq.fill(p)(0.0)))
+    def local(): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(coefRows).asJava),
+      schema)
     val (batches, valid) = gjBatches(p)
     for (_ <- 0 until iterations) {
       val z = (0 until p).map(i => col(s"b_$i") * xs(i)).reduce(_ + _)
@@ -1204,25 +1254,35 @@ object Regression {
       val mu = lit(1.0) / (lit(1.0) + e)
       val w = mu * (lit(1.0) - mu)
       val res = col("y") - mu
+      // μ/w/res computed ONCE in a projection below the aggregate (the
+      // oracle's jk-CTE shape) instead of inlined into every split-sum:
+      // identical IEEE ops and values, ~10× smaller expression trees —
+      // smaller task binaries, cheaper per-epoch codegen/serialization
+      val pre = rows.join(broadcast(local().drop("nl")), "grp")
+        .select(col("grp") +: (0 until p).map(i => col(s"b_$i")) ++:
+          (0 until p).map(i => xs(i).as(s"xx_$i")) :+
+          w.as("ww") :+ res.as("rr"): _*)
       val aggs =
         (for { i <- 0 until p; j <- i until p }
-          yield Q.dsum(w * xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
-          (0 until p).map(i => Q.dsum(res * xs(i), 6).as(s"t_$i")) :+
+          yield Q.dsum(col("ww") * col(s"xx_$i") * col(s"xx_$j"), 6)
+            .as(s"m_${i}_$j")) ++
+          (0 until p).map(i =>
+            Q.dsum(col("rr") * col(s"xx_$i"), 6).as(s"t_$i")) :+
           count(lit(1)).as("nl")
-      val m = rows.join(broadcast(coef), "grp")
+      val m = pre
         .groupBy(col("grp") +: (0 until p).map(i => col(s"b_$i")): _*)
         .agg(aggs.head, aggs.tail: _*)
       val solved = batches.foldLeft(m) { (d, batch) =>
         d.select(col("*") +:
           batch.map { case (n2, e2) => expr(e2).as(n2) }: _*)
       }
-      coef = solved.select(col("grp") +: col("nl") +:
+      coefRows = solved.select(col("grp") +: col("nl") +:
         (0 until p).map(i => expr(
           s"CASE WHEN $valid THEN floor((b_$i + b${p - 1}_$i) * 1000000" +
             s" + 0.5) / 1000000 ELSE b_$i END").as(s"b_$i")): _*)
-        .localCheckpoint(eager = true)
+        .collect().toSeq
     }
-    coef.select(col("grp") +: col("nl").as("n") +:
+    local().select(col("grp") +: col("nl").as("n") +:
       (0 until p).map(i => round(col(s"b_$i"), 4).as(s"b$i")): _*)
   }
 
@@ -1301,6 +1361,7 @@ object Regression {
   def poissonFitK(
       df: DataFrame, groupCol: String, yCol: String,
       xCols: Seq[String], iterations: Int = 4): DataFrame = {
+    val spark = df.sparkSession
     val p = xCols.length + 1
     val rows = df.select(col(groupCol).as("grp") +:
       col(yCol).cast("double").as("y") +:
@@ -1312,32 +1373,54 @@ object Regression {
       lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
     def q6c(c: Column): Column =
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
-    var coef = rows.select(col("grp")).distinct()
-      .select(col("grp") +: (0 until p).map(i => lit(0.0).as(s"b_$i")): _*)
+    // driver-ferried catalog-scale coefficient state + μ pre-projection
+    // below the aggregate — the logregFitK r9 shape (exact round-trip,
+    // two fewer jobs per epoch, ~10× smaller expression trees)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "grp", rows.schema("grp").dataType) +:
+        org.apache.spark.sql.types.StructField(
+          "nl", org.apache.spark.sql.types.LongType) +:
+        (0 until p).map(i => org.apache.spark.sql.types.StructField(
+          s"b_$i", org.apache.spark.sql.types.DoubleType)))
+    var coefRows: Seq[org.apache.spark.sql.Row] =
+      rows.select(col("grp")).distinct().collect().toSeq
+        .map(r => org.apache.spark.sql.Row.fromSeq(
+          r.get(0) +: 0L +: Seq.fill(p)(0.0)))
+    def local(): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(coefRows).asJava),
+      schema)
     val (batches, valid) = gjBatches(p)
     for (_ <- 0 until iterations) {
       val z = (0 until p).map(i => col(s"b_$i") * xs(i)).reduce(_ + _)
       val mu = q6c(exp(z))
       val res = col("y") - mu
+      val pre = rows.join(broadcast(local().drop("nl")), "grp")
+        .select(col("grp") +: (0 until p).map(i => col(s"b_$i")) ++:
+          (0 until p).map(i => xs(i).as(s"xx_$i")) :+
+          mu.as("ww") :+ res.as("rr"): _*)
       val aggs =
         (for { i <- 0 until p; j <- i until p }
-          yield Q.dsum(mu * xs(i) * xs(j), 6).as(s"m_${i}_$j")) ++
-          (0 until p).map(i => Q.dsum(res * xs(i), 6).as(s"t_$i")) :+
+          yield Q.dsum(col("ww") * col(s"xx_$i") * col(s"xx_$j"), 6)
+            .as(s"m_${i}_$j")) ++
+          (0 until p).map(i =>
+            Q.dsum(col("rr") * col(s"xx_$i"), 6).as(s"t_$i")) :+
           count(lit(1)).as("nl")
-      val m = rows.join(broadcast(coef), "grp")
+      val m = pre
         .groupBy(col("grp") +: (0 until p).map(i => col(s"b_$i")): _*)
         .agg(aggs.head, aggs.tail: _*)
       val solved = batches.foldLeft(m) { (d, batch) =>
         d.select(col("*") +:
           batch.map { case (n2, e2) => expr(e2).as(n2) }: _*)
       }
-      coef = solved.select(col("grp") +: col("nl") +:
+      coefRows = solved.select(col("grp") +: col("nl") +:
         (0 until p).map(i => expr(
           s"CASE WHEN $valid THEN floor((b_$i + b${p - 1}_$i) * 1000000" +
             s" + 0.5) / 1000000 ELSE b_$i END").as(s"b_$i")): _*)
-        .localCheckpoint(eager = true)
+        .collect().toSeq
     }
-    coef.select(col("grp") +: col("nl").as("n") +:
+    local().select(col("grp") +: col("nl").as("n") +:
       (0 until p).map(i => round(col(s"b_$i"), 4).as(s"b$i")): _*)
   }
 

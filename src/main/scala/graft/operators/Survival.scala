@@ -114,8 +114,17 @@ object Survival {
     val spark = df.sparkSession
     import spark.implicits._
     val bn = (0 until p).map(i => s"b_$i")
-    var b = Seq(1).toDF("__one")
-      .select(bn.map(n => lit(0.0).as(n)): _*)
+    // 1-row β state driver-ferried between Newton rounds (r9): the
+    // broadcast build already collected the row to the driver each
+    // round; the explicit ferry drops the eager-checkpoint job. Exact
+    // binary round-trip.
+    val bSchema = org.apache.spark.sql.types.StructType(bn.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DoubleType)))
+    var bRow: org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row.fromSeq(Seq.fill(p)(0.0))
+    def b: org.apache.spark.sql.DataFrame = spark.createDataFrame(
+      java.util.Collections.singletonList(bRow), bSchema)
     val eTxt = s"CAST(floor(exp((${(0 until p)
       .map(i => s"b_$i * x${i + 1}").mkString(" + ")})) * 1000000" +
       " + 0.5) AS BIGINT)"
@@ -161,10 +170,10 @@ object Survival {
         d.select(col("*") +: batch.map { case (n, e) =>
           expr(e).as(n) }: _*)
       }
-      b = solved.select((0 until p).map(i =>
+      bRow = solved.select((0 until p).map(i =>
         expr(s"floor((b_$i + b${p - 1}_$i) * 1000000 + 0.5) / 1000000")
           .as(s"b_$i")): _*)
-        .localCheckpoint(true)
+        .head()
     }
     val n = rows.agg(sum(col("ev")).as("ne"), count(lit(1)).as("nt"))
     b.crossJoin(broadcast(n))

@@ -82,30 +82,34 @@ object TopicModel {
           (col("c") * lit(1000000d)).cast("long").as("cm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       KernelCaches.register(e)
-      // M-step θ: per-doc topic mass over doc token mass
-      theta = e.groupBy(col("d"))
+      // M-step θ: per-doc topic mass over doc token mass. The per-doc
+      // integer masses are checkpointed RAW (pre-normalization) so the
+      // φ normalizer below can reuse them: Σ_d s_t ≡ Σ_rows m_t — the
+      // same exact long — which saves one corpus-scale pass of e per
+      // round (r9 optimization; guide §1.2 "remove unnecessary passes").
+      val perDoc = e.groupBy(col("d"))
         .agg(sum(col("m1")).as("s1"), sum(col("m2")).as("s2"),
           sum(col("cm")).as("sm"))
-        .select(col("d"),
-          q6(col("s1").cast("double") / col("sm").cast("double")).as("t1"),
-          q6(col("s2").cast("double") / col("sm").cast("double")).as("t2"))
         .localCheckpoint(true)
-      phi = phiStep(e).localCheckpoint(true)
+      theta = perDoc.select(col("d"),
+        q6(col("s1").cast("double") / col("sm").cast("double")).as("t1"),
+        q6(col("s2").cast("double") / col("sm").cast("double")).as("t2"))
+      phi = phiStep(e, perDoc).localCheckpoint(true)
     }
     (theta, phi)
   }
 
   /** M-step φ over E-step micros rows (w, m1, m2): per-word topic mass
     * over per-topic corpus mass. The per-topic totals come from ONE
-    * scalar aggregate broadcast back over the per-word relation —
-    * never a partition-less window, which would gather the whole vocab
-    * into a single task per iteration (plan-gated in PlanSpec). Exact:
-    * the scalar total over e equals the window's sum over the per-word
-    * relation, and all masses are integral longs. */
-  private[graft] def phiStep(e: DataFrame): DataFrame = {
+    * doc-scale aggregate over the θ step's materialized per-doc sums
+    * (Σ_d s_t ≡ Σ_rows m_t exactly — integral longs), broadcast back
+    * over the per-word relation — never a partition-less window, which
+    * would gather the whole vocab into a single task per iteration
+    * (plan-gated in PlanSpec), and never a second corpus-scale pass. */
+  private[graft] def phiStep(e: DataFrame, perDoc: DataFrame): DataFrame = {
     val perWord = e.groupBy(col("w"))
       .agg(sum(col("m1")).as("f1"), sum(col("m2")).as("f2"))
-    val tot = e.agg(sum(col("m1")).as("tf1"), sum(col("m2")).as("tf2"))
+    val tot = perDoc.agg(sum(col("s1")).as("tf1"), sum(col("s2")).as("tf2"))
     perWord.crossJoin(broadcast(tot))
       .select(col("w"),
         q6(col("f1").cast("double") / col("tf1").cast("double")).as("p1"),
@@ -156,19 +160,23 @@ object TopicModel {
             (col("c") * lit(1000000d)).cast("long").as("cm")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       KernelCaches.register(e)
-      theta = e.groupBy(col("d"))
+      // per-doc raw masses checkpointed once; θ is a projection over
+      // them and the φ normalizer totals aggregate the SAME doc-scale
+      // relation (Σ_d s_t ≡ Σ_rows m_t exactly) — one corpus-scale
+      // pass of e saved per round (the plsaEm2 r9 optimization)
+      val perDoc = e.groupBy(col("d"))
         .agg(sum(col("m_0")).as("s_0"),
           (1 until T).map(t => sum(col(s"m_$t")).as(s"s_$t")) :+
             sum(col("cm")).as("sm"): _*)
-        .select(col("d") +: (0 until T).map(t =>
-          q6(col(s"s_$t").cast("double") / col("sm").cast("double"))
-            .as(s"t_$t")): _*)
         .localCheckpoint(true)
+      theta = perDoc.select(col("d") +: (0 until T).map(t =>
+        q6(col(s"s_$t").cast("double") / col("sm").cast("double"))
+          .as(s"t_$t")): _*)
       val perWord = e.groupBy(col("w"))
         .agg(sum(col("m_0")).as("f_0"),
           (1 until T).map(t => sum(col(s"m_$t")).as(s"f_$t")): _*)
-      val tot = e.agg(sum(col("m_0")).as("tf_0"),
-        (1 until T).map(t => sum(col(s"m_$t")).as(s"tf_$t")): _*)
+      val tot = perDoc.agg(sum(col("s_0")).as("tf_0"),
+        (1 until T).map(t => sum(col(s"s_$t")).as(s"tf_$t")): _*)
       phi = perWord.crossJoin(broadcast(tot))
         .select(col("w") +: (0 until T).map(t =>
           q6(col(s"f_$t").cast("double") / col(s"tf_$t").cast("double"))

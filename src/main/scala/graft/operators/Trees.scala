@@ -382,29 +382,43 @@ object Trees {
     }
     val base = emb.select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"), col(vecCol))
-    // per-tree leaf labels from the bootstrap-weighted training rows
-    val perTree = (0 until trees).map { t =>
+    // Per-tree leaf labels from the bootstrap-weighted training rows —
+    // ONE corpus pass for ALL trees (r9 optimization: previously one
+    // scan + collect per tree): each row explodes to its (tree, leaf,
+    // weight) triples and one (tree, leaf, label)-keyed aggregate
+    // carries every tree's stats. Exact integer sums per key are
+    // unchanged, so the majority labels are identical.
+    def bootWt(t: Int): Column = {
       val h = conv(substring(md5(concat(lit(s"$t:"),
         col("id").cast("string"))), 1, 4), 16, 10).cast("long") % 100
-      val wt = when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
-        .otherwise(3L)
-      val leafStats = base.select(col("id"), col("label"),
-        leafExpr(t).as("leaf"), wt.as("wt"))
-        .filter(col("wt") > 0)
-        .groupBy("leaf", "label").agg(sum(col("wt")).as("c"))
-        .groupBy("leaf")
-        .agg(max_by(col("label"), col("c") * lit(1024L) - col("label"))
-          .as("plab"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val mapped = leafStats.foldLeft(lit(null).cast("long")) {
-        case (e, (leaf, lab)) =>
-          when(leafExpr(t) === leaf, lab).otherwise(e)
-      }
-      mapped.as(s"v$t")
+      when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L).otherwise(3L)
     }
+    val leafStats = base.select(col("label"),
+      explode(array((0 until trees).map(t =>
+        struct(lit(t).as("t"), leafExpr(t).as("leaf"),
+          bootWt(t).as("wt"))): _*)).as("s"))
+      .select(col("s.t").as("t"), col("s.leaf").as("leaf"),
+        col("label"), col("s.wt").as("wt"))
+      .filter(col("wt") > 0)
+      .groupBy("t", "leaf", "label").agg(sum(col("wt")).as("c"))
+      .groupBy("t", "leaf")
+      .agg(max_by(col("label"), col("c") * lit(1024L) - col("label"))
+        .as("plab"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     require(trees == 3, "forestPredict vote expression is wired for 3 trees")
-    val voted = base.select(col("id"), col("label"),
-      perTree(0), perTree(1), perTree(2))
+    // the leaf walk is evaluated ONCE per (row, tree) as a column; the
+    // leaf→label map then references that column instead of re-inlining
+    // the 2^depth CASE walk per mapped leaf (the codegen-size fix)
+    val withLeaves = base.select(col("id") +: col("label") +:
+      (0 until trees).map(t => leafExpr(t).as(s"leaf$t")): _*)
+    val voted = withLeaves.select(col("id") +: col("label") +:
+      (0 until trees).map { t =>
+        leafStats.collect { case ((`t`, leaf), lab) => (leaf, lab) }
+          .foldLeft(lit(null).cast("long")) { case (e, (leaf, lab)) =>
+            when(col(s"leaf$t") === leaf, lab).otherwise(e)
+          }.as(s"v$t")
+      }: _*)
     val (v1, v2, v3) = (col("v0"), col("v1"), col("v2"))
     val pred = when(v1 === v2, v1).when(v1 === v3, v1)
       .when(v2 === v3, v2)
@@ -453,6 +467,15 @@ object Trees {
     var pred: Column = lit(base)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Double, Long, Long, Double, Double, Double)]
+    // the chosen stump of round k is held PENDING until round k+1's
+    // histogram settles its mse (r9 optimization): that histogram is
+    // built over the post-update residuals, and Σ over feature 0's
+    // buckets of the exact-integer Σr² micros equals the standalone
+    // mse scan's total bit-for-bit — so each round costs ONE corpus
+    // scan instead of two (hist + mse); only the final round still
+    // pays a dedicated mse pass
+    var pending: Option[(Int, String, Double, Long, Long, Double, Double)] =
+      None
     var k = 1
     var exhausted = false
     while (k <= rounds && !exhausted) {
@@ -472,6 +495,12 @@ object Trees {
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
           BigInt(r.getDecimal(3).toBigInteger),
           BigInt(r.getDecimal(4).toBigInteger)))
+      pending.foreach { case (pk, f, thr, nl, nr, ml, mr) =>
+        val tot = hist.filter(_._1 == 0).map(_._5).sum
+        out += ((pk, f, thr, nl, nr, ml, mr,
+          q6(tot.toDouble / 1000000d / n)))
+      }
+      pending = None
       // driver split search on exact-integer prefixes
       val candidates = features.zipWithIndex.flatMap { case ((f, ts), fi) =>
         val rows = hist.filter(_._1 == fi)
@@ -503,13 +532,18 @@ object Trees {
         val (_, _, _, f, thr, nl, nr, ml, mr) = (best._1, best._2,
           best._3, best._4, best._5, best._6, best._7, best._8, best._9)
         pred = pred + lit(eta) * when(col(f) <= thr, ml).otherwise(mr)
-        val mseRow = src.agg(
-          mic(($"__y" - pred) * ($"__y" - pred)).as("se")).head()
-        val mse = q6(BigInt(mseRow.getDecimal(0).toBigInteger).toDouble
-          / 1000000d / n)
-        out += ((k, f, thr, nl, nr, ml, mr, mse))
+        pending = Some((k, f, thr, nl, nr, ml, mr))
       }
       k += 1
+    }
+    // the last chosen stump has no following histogram — one dedicated
+    // mse pass settles it (row-wise micros, the oracle's expression)
+    pending.foreach { case (pk, f, thr, nl, nr, ml, mr) =>
+      val mseRow = src.agg(
+        mic(($"__y" - pred) * ($"__y" - pred)).as("se")).head()
+      out += ((pk, f, thr, nl, nr, ml, mr,
+        q6(BigInt(mseRow.getDecimal(0).toBigInteger).toDouble
+          / 1000000d / n)))
     }
     out.toSeq.toDF("round", "feature", "thr", "n_left", "n_right",
       "mean_l", "mean_r", "mse_after")

@@ -6437,25 +6437,28 @@ object GpSqlDialect {
         .otherwise(raise_error(
           lit(s"""new row violates domain check ($chk) of "${t.name}""""))
           .cast("boolean"))))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // Partitioned tables: cluster rows by target Hive partition plus a
-    // small distribution-key salt, so each partition lands in a bounded
-    // number of files (≤ salt buckets) instead of one file per shuffle
-    // task per partition — the dynamic-partition small-files explosion
-    // that kills object stores at scale. Unpartitioned tables keep the
-    // plain DISTRIBUTED BY shuffle (reference: cdbhash.c row routing).
+    // Cluster rows for the write with a REBALANCE hint on the Hive
+    // partition columns (else the DISTRIBUTED BY columns): AQE sizes the
+    // output partitions by BYTES (advisoryPartitionSizeInBytes), so a
+    // 100-row insert commits one file and a 100 TB insert commits
+    // ~target-size files — and oversized clusters are split (skew-safe),
+    // which the previous fixed repartition(shuffle.partitions, cols ⊕
+    // salt) fan-out only approximated: it pinned the file count to the
+    // shuffle-partition constant, emitting up to `parts` near-empty
+    // files per statement at the small end and `parts`-way-capped
+    // parallelism at the large end (r9 optimization; guide §6
+    // "coalesce on write / REBALANCE before the write", §2.5 skew).
+    // Reference analogue unchanged: cdbhash.c row routing decides
+    // placement; file sizing is the AO segment-file writer's job.
     val distributed =
-      if (t.partitionCols.nonEmpty) {
-        val saltSrc =
-          if (t.distributionCols.nonEmpty) t.distributionCols
-          else t.schema.fieldNames.toSeq
-        val salt = org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(saltSrc.map(aligned.col): _*),
-          org.apache.spark.sql.functions.lit(4))
-        aligned.repartition(parts,
-          t.partitionCols.map(aligned.col) :+ salt: _*)
-      } else if (t.distributionCols.nonEmpty)
-        aligned.repartition(parts, t.distributionCols.map(aligned.col): _*)
+      if (t.partitionCols.nonEmpty)
+        // hint params must be UNresolved column refs (ResolveCoalesceHints
+        // rejects pre-resolved AttributeReferences)
+        aligned.hint("rebalance",
+          t.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else if (t.distributionCols.nonEmpty)
+        aligned.hint("rebalance",
+          t.distributionCols.map(org.apache.spark.sql.functions.col): _*)
       else aligned
     if (t.format == "csv") {
       graft.sources.ExternalTables.writeCsv(

@@ -795,7 +795,10 @@ class PlanSpec extends AnyFunSuite {
     assert(pInit.contains("Broadcast"),
       s"initPhi totals must broadcast back over the vocab:\n$pInit")
     val e = Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("w", "m1", "m2")
-    val pPhi = TopicModel.phiStep(e)
+    // per-doc raw masses as the θ step materializes them (r9: the φ
+    // normalizer totals aggregate THIS doc-scale relation, not e)
+    val perDoc = Seq((1L, 4L, 6L, 10L)).toDF("d", "s1", "s2", "sm")
+    val pPhi = TopicModel.phiStep(e, perDoc)
       .queryExecution.executedPlan.toString
     assert(!pPhi.contains("WindowExec") && !pPhi.contains(" Window "),
       s"φ M-step must normalize via scalar agg + broadcast:\n$pPhi")
