@@ -231,13 +231,13 @@ object Trees {
     * Feature bagging: each tree sees the [[forestDims]] half of the
     * dims.
     *
-    * Same scale contract as [[decisionTree]]: ONE weighted histogram
-    * aggregate per (tree, level) — integer weights keep the Gini
-    * algebra exact — with node-scale winners collected and folded back
-    * as the map-only CASE reassignment. Trees are independent; their
-    * per-level jobs run sequentially here (iterations are cheap), and
-    * a scheduler could run them concurrently — the frames share
-    * nothing.
+    * Same scale contract as [[decisionTree]], folded across the forest
+    * (r9): the frontier carries (tree, node) keys, so ONE weighted
+    * histogram aggregate per LEVEL serves every tree — integer weights
+    * keep the Gini algebra exact — with (tree, node)-scale winners
+    * collected and joined back (broadcast) for the map-only
+    * reassignment. A 100-tree forest costs the same corpus passes per
+    * level as a single tree.
     *
     * Returns (tree, level, node, dim, thr, n_left, n_right, score). */
   def randomForest(
@@ -250,30 +250,42 @@ object Trees {
       thresholds.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "thr"))
     val dec = DecimalType(38, 0)
 
-    // weighted stump kernel per frontier node (sum(wt) replaces count)
-    def levelWinners(nodes: DataFrame, dims: Seq[Int]): Array[Row] = {
-      val x = nodes.select($"node", $"label", $"wt",
+    // Weighted stump kernel over the WHOLE forest's frontier at once
+    // (r9 optimization): the frontier carries (t, node) keys, so ONE
+    // histogram aggregate per LEVEL serves every tree — previously one
+    // per (tree, level), i.e. trees× the corpus passes. Each tree's
+    // feature bag rides as a literal array-of-arrays lookup. The
+    // node-scale class totals are checkpointed so the per-node
+    // constants don't re-execute the frontier lineage. All aggregates
+    // stay keyed exactly as the per-tree runs were (plus the t key),
+    // so every count/score is identical.
+    val dimsLit = typedLit((0 until trees).map(t => forestDims(t, dim)))
+    def levelWinners(nodes: DataFrame): Array[Row] = {
+      val x = nodes.select($"t", $"node", $"label", $"wt",
         posexplode($"vec").as(Seq("d", "xf")))
-        .filter($"d".isin(dims: _*))
-        .select($"node", $"label", $"wt", $"d",
+        .filter(array_contains(element_at(dimsLit, $"t" + 1), $"d"))
+        .select($"t", $"node", $"label", $"wt", $"d",
           $"xf".cast("double").as("x"))
       val bucket = thresholds.map(t => when($"x" > t, 1).otherwise(0))
         .reduce(_ + _)
-      val hist = x.select($"node", $"label", $"wt", $"d", bucket.as("b"))
-        .groupBy("node", "d", "b", "label").agg(sum($"wt").as("cnt"))
-      val tot = nodes.groupBy("node", "label").agg(sum($"wt").as("n_c"))
-      val consts = tot.groupBy("node").agg(
+      val hist = x.select($"t", $"node", $"label", $"wt", $"d",
+        bucket.as("b"))
+        .groupBy("t", "node", "d", "b", "label").agg(sum($"wt").as("cnt"))
+      val tot = nodes.groupBy("t", "node", "label")
+        .agg(sum($"wt").as("n_c"))
+        .localCheckpoint(true)
+      val consts = tot.groupBy("t", "node").agg(
         sum($"n_c").cast("long").as("n"),
         sum(($"n_c" * $"n_c").cast(dec)).as("s2"))
       val pl = hist.join(thrDf, $"b" <= $"i")
-        .groupBy("node", "d", "i", "thr", "label")
+        .groupBy("t", "node", "d", "i", "thr", "label")
         .agg(sum($"cnt").as("nl_c"))
-        .join(broadcast(tot), Seq("node", "label"))
-      val scored = pl.groupBy("node", "d", "i", "thr")
+        .join(broadcast(tot), Seq("t", "node", "label"))
+      val scored = pl.groupBy("t", "node", "d", "i", "thr")
         .agg(sum($"nl_c").as("nl"),
           sum(($"nl_c" * $"nl_c").cast(dec)).as("a"),
           sum(($"n_c" * $"nl_c").cast(dec)).as("bb"))
-        .join(broadcast(consts), Seq("node"))
+        .join(broadcast(consts), Seq("t", "node"))
         .withColumn("nr", $"n" - $"nl")
         .filter($"nl" > 0 && $"nr" > 0)
         .withColumn("sr2",
@@ -283,9 +295,9 @@ object Trees {
             - $"a".cast("double") / $"nl".cast("double"))
             + ($"nr".cast("double") - $"sr2" / $"nr".cast("double")))
             / $"n".cast("double"))
-      val w = Window.partitionBy($"node").orderBy($"score", $"d", $"i")
+      val w = Window.partitionBy($"t", $"node").orderBy($"score", $"d", $"i")
       scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .select($"node", $"d".cast("int").as("d"), $"i", $"thr",
+        .select($"t", $"node", $"d".cast("int").as("d"), $"i", $"thr",
           $"nl".cast("long").as("nl"), $"nr".cast("long").as("nr"),
           $"score")
         .collect()
@@ -293,41 +305,46 @@ object Trees {
 
     val out = scala.collection.mutable.ArrayBuffer.empty[
       (Int, Int, Long, Int, Double, Long, Long, Double)]
-    for (t <- 0 until trees) {
-      val dims = forestDims(t, dim)
+    // one exploded frontier for all trees: each row enters tree t with
+    // its deterministic bootstrap weight (0-weight rows never enter)
+    val wtStructs = array((0 until trees).map { t =>
       val h = conv(substring(md5(concat(lit(s"$t:"),
         col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 100
       val wt = when(h < 37, 0L).when(h < 74, 1L).when(h < 92, 2L)
         .otherwise(3L)
-      var nodes = emb.select(col(vecCol).as("vec"),
-        col(labelCol).cast("long").as("label"), lit(1L).as("node"),
-        wt.as("wt"))
-        .filter($"wt" > 0)
-      var lvl = 0
-      var live = true
-      while (lvl < depth && live) {
-        val wins = levelWinners(nodes, dims)
-        if (wins.isEmpty) live = false
-        else {
-          wins.foreach { r =>
-            out += ((t, lvl, r.getLong(0), r.getInt(1), r.getDouble(3),
-              r.getLong(4), r.getLong(5), r.getDouble(6)))
-          }
-          if (lvl < depth - 1) {
-            val reassigned = wins.foldLeft(lit(null).cast("long")) {
-              (e, r) =>
-                when($"node" === r.getLong(0),
-                  $"node" * 2 + when(
-                    element_at($"vec", r.getInt(1) + 1).cast("double") >
-                      r.getDouble(3), 1L).otherwise(0L))
-                  .otherwise(e)
-            }
-            nodes = nodes.withColumn("node", reassigned)
-              .filter($"node".isNotNull)
-          }
+      struct(lit(t).as("t"), wt.as("wt"))
+    }: _*)
+    var nodes = emb.select(col(vecCol).as("vec"),
+      col(labelCol).cast("long").as("label"),
+      explode(wtStructs).as("s"))
+      .select($"vec", $"label", $"s.t".as("t"), lit(1L).as("node"),
+        $"s.wt".as("wt"))
+      .filter($"wt" > 0)
+    var lvl = 0
+    var live = true
+    while (lvl < depth && live) {
+      val wins = levelWinners(nodes)
+      if (wins.isEmpty) live = false
+      else {
+        wins.foreach { r =>
+          out += ((r.getInt(0), lvl, r.getLong(1), r.getInt(2),
+            r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
         }
-        lvl += 1
+        if (lvl < depth - 1) {
+          // reassignment via broadcast join on (t, node) → (dim, thr):
+          // planning stays flat in forest width (the decisionTree
+          // wide-frontier arm); the inner join drops unsplit nodes
+          val winDf = broadcast(wins.toSeq.map(r =>
+            (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(4)))
+            .toDF("t", "node", "__wd", "__wthr"))
+          nodes = nodes.join(winDf, Seq("t", "node"))
+            .withColumn("node", $"node" * 2 + when(
+              element_at($"vec", $"__wd" + 1).cast("double") > $"__wthr",
+              1L).otherwise(0L))
+            .drop("__wd", "__wthr")
+        }
       }
+      lvl += 1
     }
     out.toSeq
       .toDF("tree", "level", "node", "dim", "thr",
@@ -347,8 +364,9 @@ object Trees {
     *      smallest (deterministic strengthening of MADlib's
     *      unspecified tie).
     * The split table and leaf-label map are catalog-scale driver
-    * state; prediction itself is ONE map-only pass plus the per-tree
-    * leaf-stat aggregates.
+    * state; prediction itself is ONE map-only pass plus ONE exploded
+    * leaf-stat aggregate serving all trees (r9 — previously one scan
+    * per tree).
     *
     * Returns (id, label, pred, n_votes) — n_votes = trees agreeing
     * with the winning label. */

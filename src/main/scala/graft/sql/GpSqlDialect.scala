@@ -22,6 +22,11 @@ import graft.operators.SequenceOps
   */
 object GpSqlDialect {
 
+  /** Last INSERT write-side formatted plan — populated only when the
+    * `graft.capture.writeplan` system property is set (dev tooling;
+    * see [[graft.tools.ExplainQuery]]). */
+  @volatile private[graft] var lastWritePlan: String = ""
+
   final case class GpDdl(
       cleanSql: String,
       distributionCols: Seq[String],
@@ -6460,6 +6465,13 @@ object GpSqlDialect {
         aligned.hint("rebalance",
           t.distributionCols.map(org.apache.spark.sql.functions.col): _*)
       else aligned
+    // dev-only plan capture (graft.tools.ExplainQuery sets the prop):
+    // the INSERT's write-side plan is invisible in any query's final
+    // SELECT, so the REBALANCE write shape is recorded here for the
+    // plans/ artifacts
+    if (sys.props.contains("graft.capture.writeplan"))
+      lastWritePlan = distributed.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     if (t.format == "csv") {
       graft.sources.ExternalTables.writeCsv(
         distributed, t.path, mode = "append")

@@ -19,14 +19,23 @@ object ExplainQuery {
     Files.createDirectories(Paths.get(outDir))
     val qs = SparkEntry.allQueries
       .filter(q => names.contains("all") || names.contains(q.name))
+    sys.props("graft.capture.writeplan") = "1"
     qs.foreach { q =>
       try {
         q.prepare.foreach(_(spark, sfDir))
+        graft.sql.GpSqlDialect.lastWritePlan = ""
         val df = q.query(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${q.name}.txt"), txt)
         println(s"[explain] wrote $outDir/${q.name}.txt")
+        // DML queries: the INSERT write-side plan (REBALANCE shape) is
+        // invisible in the final SELECT — record it separately
+        if (graft.sql.GpSqlDialect.lastWritePlan.nonEmpty) {
+          Files.writeString(Paths.get(s"$outDir/${q.name}.write.txt"),
+            graft.sql.GpSqlDialect.lastWritePlan)
+          println(s"[explain] wrote $outDir/${q.name}.write.txt")
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[explain] ${q.name} failed: ${e.getMessage}")
