@@ -28,3 +28,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- r10: parallel forked test groups --------------------------------
+// The 6 suites ran SEQUENTIALLY in one forked JVM: 24m45s wall at ~1.2
+// cores average utilization — latency-bound, not CPU-bound (and past the
+// driver gate's wall window, which killed the r9 sbt-test run mid-suite).
+// Fork THREE JVMs of balanced wall cost and run them concurrently.
+// Isolation notes: each group is a separate process with its own
+// SparkSession, and gets its own java.io.tmpdir — query fixtures write to
+// fixed ${java.io.tmpdir}/graft_<name> paths, so two groups running the
+// same query (GoldenSpec vs QueriesSmokeSpec) must not share a tmpdir.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / javaOptions).value
+  val groupOf = Map(
+    "graft.GoldenSpec" -> "g1",        // ~11 min: all queries, hashed
+    "graft.QueriesSmokeSpec" -> "g2",  // ~5.5 min: all queries, counted
+    "graft.PlanSpec" -> "g2",          // ~1 min
+    "graft.PropertySpec" -> "g2",      // seconds
+    "graft.ExpressionSpec" -> "g3",    // ~4 min
+    "graft.OperatorSpec" -> "g3",      // ~3 min
+  )
+  tests.groupBy(t => groupOf.getOrElse(t.name, "g3")).map { case (g, ts) =>
+    val tmpdir = s"/tmp/graft-test-$g"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmpdir))
+    Tests.Group(g, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(
+      (base :+ s"-Djava.io.tmpdir=$tmpdir").toVector)))
+  }.toSeq
+}
+// allow the three forked groups to actually run concurrently
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 3), Tags.limitAll(6))

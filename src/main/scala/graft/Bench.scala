@@ -88,6 +88,21 @@ object Bench {
     val loadStart = loadavg() // before ANY Spark work: pure co-tenant
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Sweep wall-clock budget (r9 verdict #1: the 394-query sweep outgrew
+    // the driver's window and was killed mid-suite — an UNPARSEABLE
+    // artifact is worse than a slightly noisier one). The budget only
+    // sheds the OPTIONAL noise hardening, never a query and never the
+    // mandatory 2 warm attempts, so a per-query number always means the
+    // same thing (min over warm attempts):
+    //   - past 60% of budget: noise retries cap at 4 (the r8 budget)
+    //   - past 85%: no retries beyond the 2 mandatory attempts
+    //   - quiet confirm pass only starts with >= 10% of budget left and
+    //     stops when it runs out (per-query best is then the sweep min,
+    //     exactly the pre-r7 semantics for those queries).
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1380").toDouble
+    val sweepT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - sweepT0) / 1e9
     val spark = GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -134,9 +149,14 @@ object Bench {
       // LONGER each time (250→500→1000 ms extra): a sustained burst of
       // a couple seconds used to defeat all back-to-back retries
       // (r8: 56 queries still noisy after retry), whereas escalating
-      // sleeps let the burst pass between attempts.
+      // sleeps let the burst pass between attempts. The retry CAP
+      // shrinks as the sweep budget drains (r10: finish > retry).
+      val maxAttempts =
+        if (elapsedS > budgetS * 0.85) 2
+        else if (elapsedS > budgetS * 0.60) 4
+        else 6
       var extra = 250L
-      while (ts.max / ts.min > 1.25 && ts.size < 6) {
+      while (ts.max / ts.min > 1.25 && ts.size < maxAttempts) {
         ts :+= attempt(extra); extra *= 2
       }
       (ts.min, ts.max / ts.min, loadMax)
@@ -151,8 +171,15 @@ object Bench {
     // the reported value is the min over both.
     val slowNames = sweep.sortBy(-_._2._1).take(10).map(_._1.name).toSet
     System.gc(); Thread.sleep(500)
+    // budget gate (r10): the confirm pass is noise hardening, not part of
+    // any query's definition — skip queries (slowest first) once the
+    // sweep budget is spent so the artifact always lands inside the
+    // driver's window; a skipped query's reported value is its sweep min.
     val confirm: Map[String, (Double, Double, Double)] =
       qs.filter(q => slowNames.contains(q.name))
+        .sortBy(q => -sweep.find(_._1.name == q.name).get._2._1)
+        .iterator // lazy: the budget re-checks before EACH re-time
+        .takeWhile(_ => elapsedS < budgetS * 0.90)
         .map(q => q.name -> measure(q, settleMs = 300)).toMap
 
     val results = sweep.map { case (q, (mn, sp, ld)) =>
@@ -205,7 +232,7 @@ object Bench {
     // of the slowest 10 — the signature the r7 spread detector missed
     val sustained = results.count { case (_, _, mn, _, _, conf) =>
       conf.exists(c => mn / math.max(c._1, 1e-9) > 1.3) }
-    println(s"""{"metric":"summary","total_s":${num3(total)},"n":${results.size},"noisy_after_retry":$noisy,"sustained_load_queries":$sustained,"load_start":${num2(loadStart)},"load_end":${num2(loadavg())},"nproc":${Runtime.getRuntime.availableProcessors()},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total_s":${num3(total)},"n":${results.size},"noisy_after_retry":$noisy,"sustained_load_queries":$sustained,"load_start":${num2(loadStart)},"load_end":${num2(loadavg())},"nproc":${Runtime.getRuntime.availableProcessors()},"wall_s":${num3(elapsedS)},"budget_s":${num3(budgetS)},"confirmed":${confirm.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
