@@ -62,25 +62,44 @@ object Dml {
   }
 
   /** DELETE FROM path WHERE cond (SQL semantics: rows where cond is
-    * null are kept). */
-  def deleteWhere(spark: SparkSession, path: String, cond: Column): Unit = {
-    val df = spark.read.parquet(path)
-    overwriteInPlace(spark, path, df.filter(!coalesce(cond, lit(false))))
+    * null are kept). Returns the deleted-row count, counted by an
+    * `observe()` metric riding the rewrite's own scan (r10: the caller
+    * previously ran a standalone `filter(cond).count()` — a SECOND full
+    * pass over the table per DELETE statement, guide §1.2/§5). */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    // declared schema when the caller has one (the dialect catalog):
+    // inference runs a one-task footer-read job per call (r10)
+    val df = schema.fold(spark.read)(spark.read.schema).parquet(path)
+    val matched = coalesce(cond, lit(false))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      coalesce(sum(when(matched, 1L).otherwise(0L)), lit(0L)).as("n_hit"))
+    overwriteInPlace(spark, path, observed.filter(!matched))
+    obs.get("n_hit").asInstanceOf[Long]
   }
 
-  /** UPDATE path SET assignments WHERE cond. */
+  /** UPDATE path SET assignments WHERE cond. Returns the updated-row
+    * count via the same single-pass `observe()` discipline as
+    * [[deleteWhere]]. */
   def updateWhere(
       spark: SparkSession, path: String,
-      assignments: Map[String, Column], cond: Column): Unit = {
-    val df = spark.read.parquet(path)
-    val updated = df.select(df.columns.map { c =>
+      assignments: Map[String, Column], cond: Column,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    val df = schema.fold(spark.read)(spark.read.schema).parquet(path)
+    val matched = coalesce(cond, lit(false))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      coalesce(sum(when(matched, 1L).otherwise(0L)), lit(0L)).as("n_hit"))
+    val updated = observed.select(df.columns.map { c =>
       assignments.get(c) match {
-        case Some(v) => when(coalesce(cond, lit(false)), v)
+        case Some(v) => when(matched, v)
           .otherwise(col(c)).as(c)
         case None => col(c)
       }
     }: _*)
     overwriteInPlace(spark, path, updated)
+    obs.get("n_hit").asInstanceOf[Long]
   }
 
   /** VACUUM FULL analogue (commands/vacuum.c; GP reclaims AO segment
@@ -113,8 +132,9 @@ object Dml {
     * deduplicated source for deterministic results. */
   def updateFrom(
       spark: SparkSession, path: String, source: DataFrame,
-      joinCond: Column, assignments: Map[String, Column]): Unit = {
-    val df = spark.read.parquet(path)
+      joinCond: Column, assignments: Map[String, Column],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val df = schema.fold(spark.read)(spark.read.schema).parquet(path)
     val src = source.withColumn("__matched", lit(true))
     val joined = df.join(src, joinCond, "left")
     val matched = coalesce(col("__matched"), lit(false))
@@ -282,8 +302,9 @@ object Dml {
   def upsert(
       spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], assignments: Map[String, Column],
-      partitionCols: Seq[String] = Seq.empty): Unit = {
-    val target = spark.read.parquet(path)
+      partitionCols: Seq[String] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val target = schema.fold(spark.read)(spark.read.schema).parquet(path)
     val cols = target.columns
     val tgt = target.withColumn("__t_present", lit(true))
     val exc = cols.foldLeft(source.toDF(cols.toSeq: _*))((d, c) =>

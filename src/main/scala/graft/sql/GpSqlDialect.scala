@@ -2051,8 +2051,34 @@ object GpSqlDialect {
       }
     }
     def evalQueryScalar(sel: String): Any = {
-      val row = execute(spark, sel, basePath).collect()(0)
-      if (row.isNullAt(0)) null else row.get(0)
+      val df = execute(spark, sel, basePath)
+      // r10 statement-floor fix: a scalar over LITERALS (`i := i + 1`,
+      // `EXIT WHEN i > 4` — every control-flow eval, since the mutable
+      // env substitutes SQL literals) constant-folds to
+      // Project[literal] over OneRowRelation, but Spark still runs a
+      // one-task JOB to collect it — ~40 of the 67 jobs of a nested
+      // counter loop were these (Scratch probe). Evaluate the folded
+      // literal on the driver instead: Catalyst's own eval() of a
+      // foldable expression is bit-identical to what the task computes.
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+      def unalias(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : org.apache.spark.sql.catalyst.expressions.Expression = e match {
+        case a: Alias => unalias(a.child) // Alias.foldable is always false
+        case x => x
+      }
+      df.queryExecution.optimizedPlan match {
+        case Project(exprs, _: OneRowRelation)
+            if exprs.nonEmpty && unalias(exprs.head).foldable =>
+          val e = unalias(exprs.head)
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(
+              e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+              e.dataType)
+        case _ =>
+          val row = df.collect()(0)
+          if (row.isNullAt(0)) null else row.get(0)
+      }
     }
     def evalScalar(e: String): Any =
       evalQueryScalar(s"SELECT (${substAll(e)}) AS __v")
@@ -3050,7 +3076,7 @@ object GpSqlDialect {
         case InsteadDelete(table, where) =>
           rejectTriggersOn(table, Set("delete"),
             "an INSTEAD OF body DELETE")
-          val target = spark.read.parquet(t.path)
+          val target = readTable(spark, t)
           val remaining = target.join(
             bound, expr(substNewOld(where)), "left_anti")
           graft.operators.Dml.overwrite(
@@ -3227,7 +3253,7 @@ object GpSqlDialect {
               "partition-granular DML paths do not capture (see " +
               "operators/Cdc.scala scope); use the full-table DML forms")
         val prev = spark.read.parquet(prevDir)
-        val cur = spark.read.parquet(t.path)
+        val cur = readTable(spark, t)
         (prev.exceptAll(cur), cur.exceptAll(prev))
       }
     tg.oldTab.foreach(n => oldDf.createOrReplaceTempView(n))
@@ -5284,18 +5310,20 @@ object GpSqlDialect {
     import org.apache.spark.sql.functions.{coalesce, expr, lit}
     import spark.implicits._
     val t = catalog(table)
-    val df = spark.read.parquet(t.path)
+    val df = readTable(spark, t)
     val cond = where.map(expr).getOrElse(lit(true))
-    val hit = df.filter(coalesce(cond, lit(false)))
-    val out = returning match {
-      case Some(r) =>
-        hit.selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true)
-      case None => Seq(hit.count()).toDF("deleted")
-    }
-    graft.operators.Dml.deleteWhere(spark, t.path, cond)
-    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    // RETURNING must capture the doomed rows BEFORE the rewrite swaps
+    // the files; the plain form's "deleted" count rides the rewrite's
+    // own scan as an observe() metric (r10: the standalone count() here
+    // was a second full pass over the table per DELETE, guide §1.2/§5)
+    val ret = returning.map(r =>
+      df.filter(coalesce(cond, lit(false)))
+        .selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true))
+    val nDeleted = graft.operators.Dml.deleteWhere(spark, t.path, cond,
+      if (t.partitionCols.isEmpty) Some(t.schema) else None)
+    refreshView(spark, t)
     reresolveDependentViews(spark, Set(table))
-    out
+    ret.getOrElse(Seq(nDeleted).toDF("deleted"))
   }
 
   def executeUpdate(
@@ -5317,21 +5345,23 @@ object GpSqlDialect {
     val cond = trigSkips.foldLeft(baseCond) { (c, sk) =>
       c && !coalesce(expr(sk), lit(false))
     }
-    val df = spark.read.parquet(t.path)
-    val out = returning match {
-      case Some(r) =>
-        val updated = df.filter(coalesce(cond, lit(false)))
-          .select(df.columns.map(c =>
-            assignments.getOrElse(c.toLowerCase,
-              org.apache.spark.sql.functions.col(c)).as(c)): _*)
-        updated.selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true)
-      case None =>
-        Seq(df.filter(coalesce(cond, lit(false))).count()).toDF("updated")
+    val df = readTable(spark, t)
+    // RETURNING captures the new row images pre-swap; the plain form's
+    // "updated" count rides the rewrite's scan as an observe() metric
+    // (r10: the standalone count() was a second full pass per UPDATE)
+    val ret = returning.map { r =>
+      val updated = df.filter(coalesce(cond, lit(false)))
+        .select(df.columns.map(c =>
+          assignments.getOrElse(c.toLowerCase,
+            org.apache.spark.sql.functions.col(c)).as(c)): _*)
+      updated.selectExpr(r.split(",").map(_.trim): _*).localCheckpoint(true)
     }
-    graft.operators.Dml.updateWhere(spark, t.path, assignments, cond)
-    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    val nUpdated =
+      graft.operators.Dml.updateWhere(spark, t.path, assignments, cond,
+        if (t.partitionCols.isEmpty) Some(t.schema) else None)
+    refreshView(spark, t)
     reresolveDependentViews(spark, Set(table))
-    out
+    ret.getOrElse(Seq(nUpdated).toDF("updated"))
   }
 
   /** `UPDATE t SET a = expr, ... FROM src WHERE cond` (PG's correlated
@@ -5355,12 +5385,13 @@ object GpSqlDialect {
       k.trim.toLowerCase -> expr(v.trim)
     }.toMap
     val src = catalog.get(srcName.toLowerCase) match {
-      case Some(s) if s.format != "csv" => spark.read.parquet(s.path)
+      case Some(s) if s.format != "csv" => readTable(spark, s)
       case _ => spark.table(srcName)
     }
     graft.operators.Dml.updateFrom(
-      spark, t.path, src, expr(whereCond), assignments)
-    spark.read.parquet(t.path).createOrReplaceTempView(table)
+      spark, t.path, src, expr(whereCond), assignments,
+      if (t.partitionCols.isEmpty) Some(t.schema) else None)
+    refreshView(spark, t)
     reresolveDependentViews(spark, Set(table))
     Seq(table).toDF("updated_table")
   }
@@ -5393,7 +5424,7 @@ object GpSqlDialect {
     import spark.implicits._
     val t = catalog(table)
     val files = graft.operators.Layout.clusterTable(spark, t.path, cols)
-    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    refreshView(spark, t)
     Seq((table, cols.mkString(","), files))
       .toDF("table", "cluster_key", "files")
   }
@@ -5403,7 +5434,7 @@ object GpSqlDialect {
     val t = catalog.getOrElse(table, throw new IllegalArgumentException(
       s"VACUUM target $table is not a graft catalog table"))
     val (before, after) = graft.operators.Dml.compact(spark, t.path)
-    spark.read.parquet(t.path).createOrReplaceTempView(table)
+    refreshView(spark, t)
     Seq((table, before, after)).toDF("table", "files_before", "files_after")
   }
 
@@ -6258,7 +6289,7 @@ object GpSqlDialect {
     val tgtCols = t.schema.fieldNames.map(_.toLowerCase).toSet
     val exc = src0.columns.foldLeft(src0)((d, c) =>
       d.withColumnRenamed(c, s"__src_${c.toLowerCase}"))
-    val target = spark.read.parquet(t.path)
+    val target = readTable(spark, t)
     val remaining = target.join(exc,
       expr(rewriteRelRefs(cond, tName, tAlias, sName, sAlias,
         srcCols, tgtCols)), "left_anti")
@@ -6294,7 +6325,7 @@ object GpSqlDialect {
     val exc = src0.columns.foldLeft(src0)((d, c) =>
       d.withColumnRenamed(c, s"__src_${c.toLowerCase}"))
       .withColumn("__s_present", lit(true))
-    val tgt = spark.read.parquet(t.path).withColumn("__t_present", lit(true))
+    val tgt = readTable(spark, t).withColumn("__t_present", lit(true))
     val joined = tgt.join(exc, expr(rewrite(onCond)), "full_outer")
 
     var updateSet: Option[Map[String, org.apache.spark.sql.Column]] = None
@@ -6398,7 +6429,7 @@ object GpSqlDialect {
       .contains(k), s"conflict column $k not in $name"))
     val src = insertSource(spark, t, body, colList).localCheckpoint(true)
     if (action.trim.equalsIgnoreCase("NOTHING")) {
-      val target = spark.read.parquet(t.path).select(keys.map(col): _*)
+      val target = readTable(spark, t).select(keys.map(col): _*)
       val fresh = src.join(target, keys, "left_anti")
       appendFrame(spark, t, fresh)
     } else {
@@ -6418,7 +6449,8 @@ object GpSqlDialect {
           expr(v.trim.replaceAll("(?i)\\bEXCLUDED\\.(\\w+)", "__exc_$1"))
       }.toMap
       graft.operators.Dml.upsert(spark, t.path, src, keys, assignments,
-        t.partitionCols)
+        t.partitionCols,
+        if (t.partitionCols.isEmpty) Some(t.schema) else None)
       refreshView(spark, t)
     }
   }
@@ -6455,8 +6487,33 @@ object GpSqlDialect {
     // "coalesce on write / REBALANCE before the write", §2.5 skew).
     // Reference analogue unchanged: cdbhash.c row routing decides
     // placement; file sizing is the AO segment-file writer's job.
+    // r10 statement-floor refinement: a LITERAL source (VALUES inserts —
+    // the trigger/loop interpreter shape) is a handful of driver-local
+    // rows; REBALANCE would only add an exchange stage per statement for
+    // AQE to re-coalesce what coalesce(1) states directly (same one
+    // output file — LocalTableScan otherwise parallelizes n rows over
+    // min(n, cores) write tasks). Data-scale sources (INSERT ... SELECT)
+    // keep the REBALANCE byte-sizing; the cutoff is catalog-scale.
+    def literalRows(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[Int] = p match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.size)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        literalRows(pr.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        literalRows(s.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        literalRows(f.child) // trigger-skip/CHECK filters: bound still holds
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        Some(r.numElements.min(BigInt(Int.MaxValue)).toInt) // DEFAULT VALUES
+      case _ => None
+    }
+    val tinyLiteral = t.partitionCols.isEmpty &&
+      literalRows(aligned.queryExecution.analyzed).exists(_ <= 10000)
     val distributed =
-      if (t.partitionCols.nonEmpty)
+      if (tinyLiteral) aligned.coalesce(1)
+      else if (t.partitionCols.nonEmpty)
         // hint params must be UNresolved column refs (ResolveCoalesceHints
         // rejects pre-resolved AttributeReferences)
         aligned.hint("rebalance",
@@ -6486,14 +6543,21 @@ object GpSqlDialect {
     }
   }
 
-  private def refreshView(spark: SparkSession, t: GpTable): DataFrame = {
-    // partition columns come back last after a partitioned write; restore
-    // declared order so SELECT * matches the DDL
-    val back = spark.read.schema(
+  /** Read a catalog table with its DECLARED schema — never schema
+    * inference (r10: every inferring `spark.read.parquet(t.path)` ran a
+    * one-task footer-read JOB; the DML statement floor paid three of
+    * them per DELETE/UPDATE). Partition columns come back last after a
+    * partitioned write; restore declared order so SELECT * matches the
+    * DDL. */
+  private def readTable(spark: SparkSession, t: GpTable): DataFrame =
+    spark.read.schema(
       StructType(t.schema.filterNot(f => t.partitionCols.contains(f.name)) ++
         t.schema.filter(f => t.partitionCols.contains(f.name))))
       .format(t.format).load(t.path)
       .select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+
+  private def refreshView(spark: SparkSession, t: GpTable): DataFrame = {
+    val back = readTable(spark, t)
     back.createOrReplaceTempView(t.name)
     back
   }
