@@ -16,6 +16,12 @@ object ExplainQuery {
     val Array(sfDir, outDir) = args.take(2)
     val names = args.drop(2).toSeq
     val spark = GraftSession.local("graft-explain")
+    // optional session-conf overrides for regime plans (e.g. capture the
+    // at-scale SMJ shape with autoBroadcastJoinThreshold=-1):
+    //   SPARK_GRAFT_EXPLAIN_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(";").foreach {
+      kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     Files.createDirectories(Paths.get(outDir))
     val qs = SparkEntry.allQueries
       .filter(q => names.contains("all") || names.contains(q.name))
@@ -35,6 +41,12 @@ object ExplainQuery {
           Files.writeString(Paths.get(s"$outDir/${q.name}.write.txt"),
             graft.sql.GpSqlDialect.lastWritePlan)
           println(s"[explain] wrote $outDir/${q.name}.write.txt")
+        }
+        // kernel-internal plans (eagerly-executed rounds) recorded via
+        // PlanCapture — also invisible in the final SELECT
+        PlanCapture.drain().foreach { case (name, txt) =>
+          Files.writeString(Paths.get(s"$outDir/${q.name}.$name.txt"), txt)
+          println(s"[explain] wrote $outDir/${q.name}.$name.txt")
         }
       } catch {
         case e: Throwable =>

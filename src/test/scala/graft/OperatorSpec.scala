@@ -1778,4 +1778,46 @@ class OperatorSpec extends AnyFunSuite {
         s"col $j: $kr vs $tr"))
     }
   }
+
+  test("alsK SMJ regime (broadcast off) is bit-identical and " +
+      "pre-partitions the ratings by each half-round's join key") {
+    import spark.implicits._
+    val ratings = (1 to 400).map { n =>
+      (n % 23L, n % 17L, (n % 5) + 1.0)
+    }.toDF("u", "i", "r")
+    val (bu, bi) = graft.operators.Factorization
+      .alsK(ratings, rank = 3, lambda = 0.1, iterations = 2)
+    val bUsers = bu.orderBy("u").collect().map(_.toString)
+    val bItems = bi.orderBy("i").collect().map(_.toString)
+    graft.operators.KernelCaches.releaseAll()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // SMJ regime: the kernel must build co-partitioned copies ...
+      val (byI, byU, bc) = graft.operators.Factorization
+        .prepSides(ratings, rank = 3)
+      assert(!bc, "threshold -1 must select the SMJ regime")
+      def repartKey(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.analyzed match {
+          case r: org.apache.spark.sql.catalyst.plans.logical
+              .RepartitionByExpression =>
+            r.partitionExpressions.map(_.sql).mkString(",")
+          case other => s"NOT-REPART: ${other.nodeName}"
+        }
+      assert(repartKey(byI).contains("i"),
+        s"i-copy not hash-partitioned by i: ${repartKey(byI)}")
+      assert(repartKey(byU).contains("u"),
+        s"u-copy not hash-partitioned by u: ${repartKey(byU)}")
+      graft.operators.KernelCaches.releaseAll()
+      // ... and the factors must come out bit-identical to the
+      // broadcast regime (partitioning moves rows, never values)
+      val (su, si) = graft.operators.Factorization
+        .alsK(ratings, rank = 3, lambda = 0.1, iterations = 2)
+      assert(su.orderBy("u").collect().map(_.toString).sameElements(bUsers))
+      assert(si.orderBy("i").collect().map(_.toString).sameElements(bItems))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.operators.KernelCaches.releaseAll()
+    }
+  }
 }
