@@ -50,9 +50,13 @@ object Clustering {
     // quantized corpus: (id, q longs). Map-only; reused every iteration.
     // floor(x·S + 0.5), not round(): identical on every engine (no
     // banker's/half-up ambiguity) — the quantizer is part of the spec
-    val q = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") * Scale + 0.5).cast("long")).as("q"))
+    // cached AND parallelized (r10): q feeds iters+2 full scans, each
+    // paying the ~13 µs/row HOF distance — from a one-row-group parquet
+    // source those scans were single-partition, i.e. single-threaded
+    val q = KernelCaches.cacheParallel(
+      df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * Scale + 0.5).cast("long")).as("q")))
     // init: the k lowest-id vectors, exactly as quantized
     val init: Map[Int, Array[Long]] = q.orderBy("id").limit(k).collect()
       .zipWithIndex.map { case (r, i) =>

@@ -90,8 +90,7 @@ object Regression {
     val rows = df.select(col(groupCol).as("grp"),
       col(yCol).cast("double").as("y"),
       col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     var coef = rows.select(col("grp")).distinct()
       .select(col("grp"), lit(0.0).as("b0"), lit(0.0).as("b1"),
         lit(0.0).as("b2"))
@@ -164,8 +163,7 @@ object Regression {
         .when(col(labelCol) === classes(2), 2).otherwise(0).as("yk"),
       col(x1Col).cast("double").as("x1"),
       col(x2Col).cast("double").as("x2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     def q6c(c: Column): Column =
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
     // 1-row coefficient state driver-ferried between epochs (r9): the
@@ -239,8 +237,7 @@ object Regression {
     val rows = df.select(ykc.otherwise(0).as("yk") +:
       xCols.zipWithIndex.map { case (cn, i) =>
         col(cn).cast("double").as(s"x${i + 1}") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     def q6c(c: Column): Column =
       floor(c * lit(1000000d) + lit(0.5)) / lit(1000000d)
     val bnames =
@@ -441,8 +438,7 @@ object Regression {
     import spark.implicits._
     val rows = df.select(col(yCol).cast("double").as("y"),
       col(x1Col).cast("double").as("x1"), col(x2Col).cast("double").as("x2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     val h = rows.agg(count(lit(1)).as("n"), Q.dsum(col("y"), 6).as("sy"))
       .head()
     val (n0, sy) = (h.getLong(0), h.getDouble(1))
@@ -1218,8 +1214,7 @@ object Regression {
       col(yCol).cast("double").as("y") +:
       xCols.zipWithIndex.map { case (c, i) =>
         col(c).cast("double").as(s"x${i + 1}") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     val xs: Seq[Column] =
       lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
     def q6c(c: Column): Column =
@@ -1367,8 +1362,7 @@ object Regression {
       col(yCol).cast("double").as("y") +:
       xCols.zipWithIndex.map { case (c, i) =>
         col(c).cast("double").as(s"x${i + 1}") }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    KernelCaches.register(rows)
+      .transform(KernelCaches.cacheParallel)
     val xs: Seq[Column] =
       lit(1.0) +: (1 to xCols.length).map(i => col(s"x$i"))
     def q6c(c: Column): Column =
