@@ -59,12 +59,20 @@ object KernelCaches {
     * are unaffected: every kernel aggregate is the exact split-sum
     * discipline, associative and order-independent. */
   def cacheParallel(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions // builds the RDD, runs no job
-    val out = if (parts * 2 <= target) df.repartition(target) else df
-    val cached = out.persist(
+    val cached = repartitionUp(df).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     register(cached)
     cached
+  }
+
+  /** Repartition UP to the default parallelism when the source has
+    * fewer partitions than half of it — the one-pass variant of
+    * [[cacheParallel]] for CPU-heavy map work (hashing, parsing) over a
+    * one-row-group source. No-op at scale; the local cost is one small
+    * shuffle of the (already-pruned) input columns. */
+  def repartitionUp(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions // builds the RDD, runs no job
+    if (parts * 2 <= target) df.repartition(target) else df
   }
 }

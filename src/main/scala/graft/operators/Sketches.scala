@@ -30,13 +30,27 @@ object Sketches {
     * 4× digest cost made the first cut the suite's slowest query;
     * slicing a 128-bit digest is the standard multi-hash derivation).
     * Identical text-space recipe on both engines. */
+  /** Hex-suffix length sufficient for `% width`: when width divides
+    * 16^k, (v mod width) depends only on v's last k hex digits — so the
+    * bucket needs a k-char conv, not the full 8 (r10: conv radix
+    * parsing on 2.4M exploded rows was the query's dominant cost; for
+    * the 256-wide sketch k = 2 quarters the parsed text). Falls back to
+    * the full slice for widths that divide no power of 16 — identical
+    * integers either way. */
+  private def hexSuffix(width: Int): Int =
+    (1 to 8).find(k => (BigInt(16).pow(k) % width) == 0).getOrElse(8)
+
   def countMin(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 64): DataFrame = {
     require(depth <= 4, "countMin: one md5 supplies at most 4 hash slices")
-    df.select(md5(col(keyCol).cast("string")).as("h"))
+    val k = hexSuffix(width)
+    // repartition the pruned key column up first: the md5+conv map work
+    // over an exploded one-row-group source otherwise runs on one core
+    KernelCaches.repartitionUp(df.select(col(keyCol)))
+      .select(md5(col(keyCol).cast("string")).as("h"))
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("h"))
       .select(col("j"),
-        (conv(col("h").substr(col("j") * 8 + 1, lit(8)), 16, 10)
+        (conv(col("h").substr(col("j") * 8 + lit(9 - k), lit(k)), 16, 10)
           .cast("long") % width).as("b"))
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
   }
@@ -47,12 +61,13 @@ object Sketches {
   def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth <= 4, "cmEstimate: one md5 supplies at most 4 hash slices")
+    val k = hexSuffix(width)
     val probes = keys.select(col(keyCol)).distinct()
       .withColumn("h", md5(col(keyCol).cast("string")))
       .select(col(keyCol),
         explode(sequence(lit(0), lit(depth - 1))).as("j"), col("h"))
       .withColumn("b",
-        conv(col("h").substr(col("j") * 8 + 1, lit(8)), 16, 10)
+        conv(col("h").substr(col("j") * 8 + lit(9 - k), lit(k)), 16, 10)
           .cast("long") % width)
     probes.join(broadcast(sketch), Seq("j", "b"), "left")
       .groupBy(keyCol)
