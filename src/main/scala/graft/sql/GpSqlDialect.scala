@@ -6507,6 +6507,9 @@ object GpSqlDialect {
         literalRows(f.child) // trigger-skip/CHECK filters: bound still holds
       case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
         Some(r.numElements.min(BigInt(Int.MaxValue)).toInt) // DEFAULT VALUES
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.isEmpty =>
+        Some(1) // a global aggregate emits exactly one row at ANY scale
       case _ => None
     }
     val tinyLiteral = t.partitionCols.isEmpty &&
