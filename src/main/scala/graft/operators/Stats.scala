@@ -204,6 +204,10 @@ object Stats {
     * final ρ is a pinned-order expression both engines evaluate on
     * identical sums. Returns (n, rho). */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // NOT cached (r10, measured): caching the (x, y) pair here read
+    // 3.6 -> 6.1 s — it defeats the per-marginal column pruning (each
+    // marginal scans ONE pruned column today) and the rank joins
+    // re-shuffle the pair relation regardless.
     val src = df.select(col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y"))
     def midranks(c: String): DataFrame = {
