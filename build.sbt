@@ -53,7 +53,12 @@ Test / testGrouping := {
     val tmpdir = s"/tmp/graft-test-$g"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmpdir))
     Tests.Group(g, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(
-      (base :+ s"-Djava.io.tmpdir=$tmpdir").toVector)))
+      (base ++ Seq(
+        s"-Djava.io.tmpdir=$tmpdir",
+        // three concurrent JVMs each defaulting GC threads to the full
+        // 32-core box thrash in system time (measured: 55 min sys);
+        // size GC to each group's actual local[8] share
+        "-XX:ParallelGCThreads=6", "-XX:ConcGCThreads=2")).toVector)))
   }.toSeq
 }
 // allow the three forked groups to actually run concurrently
