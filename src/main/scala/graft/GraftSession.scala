@@ -44,6 +44,18 @@ object GraftSession {
       .config("spark.scheduler.mode",
         sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
+      // Driver memory hygiene (guide §5): the status-store listeners run
+      // even with the UI off and retain up to 1000 jobs/stages/SQL
+      // executions — each SQL execution holds the full plan description
+      // (MB-scale for the ML kernels; the "Truncated the string
+      // representation of a plan" warning is that string being built).
+      // A long-lived session executing hundreds of queries accumulates a
+      // multi-GB live set that every GC then has to trace. Keep enough
+      // for debugging, not an archive.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "20000")
+      .config("spark.sql.ui.retainedExecutions", "50")
   }
 
   /** Local session for tests/bench; master only set if not already running. */

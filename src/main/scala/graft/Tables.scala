@@ -39,15 +39,31 @@ object Tables {
       case _ => df
     }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  /** File schema per (dir, table), read from the parquet footer ONCE per
+    * JVM. These tables are the static harness inputs (never written by
+    * queries), but every `spark.read.parquet` without a bound schema runs
+    * a one-task schema-inference job — and `registerAll`/`T` are called
+    * inside query bodies, so a sweep paid thousands of such jobs (guide
+    * §6: metadata work per read; measured: q_agg_filter ran 15 jobs, 11
+    * of them footer reads). Caching METADATA only — the data itself is
+    * re-read from parquet by every action. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path(dir, name))
-      normalizeEventTs(raw, raw.schema("ts").dataType)
-    } else spark.read.parquet(path(dir, name))
+    val schema = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(path(dir, name)).schema)
+    val raw = spark.read.schema(schema).parquet(path(dir, name))
+    if (name == "events") normalizeEventTs(raw, schema("ts").dataType)
+    else raw
+  }
 
   /** Register every harness table as a temp view (idempotent, cheap —
-    * only parquet footers are read until an action runs). */
+    * schemas come from the per-JVM cache after first touch, so no jobs
+    * run until an action does). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
