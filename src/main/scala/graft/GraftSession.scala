@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's parallelism-first coalescing targets max(bytes/parallelism,
+      // minPartitionSize). The 1 MB default floor collapses small-but-
+      // compute-DENSE stages (shingle windows, token joins: ~14 MB of
+      // strings ÷ 1 MB = 13 tasks on a 32-core box — half the cores
+      // idle under heavy per-row string work). A lower floor is scale-
+      // NEUTRAL: at 100 TB bytes/parallelism dwarfs any floor; locally
+      // it lets the bytes/parallelism target actually apply (§2.2).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "128k")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // static conf, takes effect only when this builder CREATES the
       // session: the generated-class cache defaults to 100 entries, and a
