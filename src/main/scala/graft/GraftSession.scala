@@ -33,7 +33,7 @@ object GraftSession {
       // NEUTRAL: at 100 TB bytes/parallelism dwarfs any floor; locally
       // it lets the bytes/parallelism target actually apply (§2.2).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "128k")
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // static conf, takes effect only when this builder CREATES the
       // session: the generated-class cache defaults to 100 entries, and a
